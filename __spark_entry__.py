@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query at sf0.001 (smoke: rows>0, stable schema).
+``queries()`` — one callable per implemented SURVEY §2 operator.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted for ops the
+oracle can't express; driver records rows-only).
+
+Implementation lives in ``data_engineering__spark.conformance``; this module
+is a thin adapter.
 """
 
 from __future__ import annotations
@@ -12,27 +14,39 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's headline analytics query
+    (entities ranked by join-count, ``database and queries
+    aupostgres.sql:102-106``) widened to a 4-table star join —
+    region → nation → customer → orders with per-nation order stats."""
+    from data_engineering__spark.session import tune
+    from data_engineering__spark.sources.io import read_table
+
+    tune(spark)
+    r = read_table(spark, SF_SMOKE, "region")
+    n = read_table(spark, SF_SMOKE, "nation")
+    c = read_table(spark, SF_SMOKE, "customer")
+    o = read_table(spark, SF_SMOKE, "orders")
+    joined = (o.join(c, o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupBy("r_name", "n_name")
+            .agg(F.count("o_orderkey").alias("order_count"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+                 F.countDistinct("c_custkey").alias("n_customers"))
+            .orderBy(F.desc("order_count"), F.asc("n_name")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from data_engineering__spark.conformance import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from data_engineering__spark.conformance import ORACLE
+    return dict(ORACLE)

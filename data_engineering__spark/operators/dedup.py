@@ -1,0 +1,242 @@
+"""Deduplication operators (SURVEY §2.4 A6, §2.12 L1-L2 + EXT mandate).
+
+Parity core: the reference dedups via Postgres unique constraints —
+``ON CONFLICT (doi) DO NOTHING`` (``process_publications_dag.py:67``) with
+Postgres UNIQUE treating NULLs as distinct, so rows with NULL doi ALWAYS
+insert (SURVEY §1.3). ``dedup_by_key`` reproduces exactly that.
+
+Extension mandate (BASELINE.json north star): the dedup family a 100 TB
+training-data pipeline needs — exact-hash, MinHash+LSH, SimHash, n-gram
+Jaccard. All are pure DataFrame compositions; candidate generation is always
+band/bucket-join based (never O(n²) pairwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- parity dedup
+
+def dedup_by_key(df: DataFrame, keys: list[str], order_by: list[Column],
+                 null_passthrough: bool = True) -> DataFrame:
+    """A6: deterministic dedup-on-natural-key with NULL passthrough.
+
+    Keeps the first row per key under ``order_by`` (an explicit total order —
+    ``dropDuplicates`` keeps an ARBITRARY row, which breaks rerun-stability;
+    same reasoning as deterministic surrogate keys, SURVEY §1.2).
+
+    ``null_passthrough=True`` pins the reference semantics: rows where any
+    key column is NULL bypass dedup entirely (Postgres UNIQUE NULLs-distinct,
+    ``process_publications_dag.py:67``; 15/30 sample rows have NULL doi).
+
+    Scale: one shuffle on ``keys``; the NULL side moves with zero shuffle
+    (filter only). Skewed NULL keys never hash to one reducer because they
+    are split out BEFORE the shuffle.
+    """
+    null_pred = None
+    for k in keys:
+        p = F.col(k).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if null_passthrough and null_pred is not None:
+        null_side = df.filter(null_pred)
+        keyed = df.filter(~null_pred)
+    else:
+        null_side = None
+        keyed = df
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    deduped = (keyed.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+    return deduped.unionByName(null_side) if null_side is not None else deduped
+
+
+# --------------------------------------------------------------- exact text
+
+def normalized_text_hash(text_col: str) -> Column:
+    """L1: content fingerprint — sha256 of lower(trim(text)). 256-bit hash →
+    collision-free for practical corpus sizes; groupBy on the hash shuffles
+    64-char strings, not document bodies."""
+    return F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+
+
+def exact_text_dedup(df: DataFrame, text_col: str, order_by: list[Column]) -> DataFrame:
+    """L1: exact dedup on normalized text hash, deterministic survivor."""
+    hashed = df.withColumn("text_hash", normalized_text_hash(text_col))
+    return dedup_by_key(hashed, ["text_hash"], order_by, null_passthrough=False)
+
+
+# ----------------------------------------------------------- shingling utils
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as array<string>.
+
+    Built-in-only: split → sliding windows via ``transform`` over index
+    sequence. Stays in codegen; no Python.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - F.lit(1))
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    h_i(x) = xxhash64(x, seed=i) — independent-enough hash family, computed
+    entirely in codegen (no pyspark.ml vectors, no Python). min over the
+    shingle set per hash.
+    """
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """L2: LSH banding — near-dup CANDIDATE pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents agreeing on any full band hash into the same bucket; candidates
+    are pairs sharing a bucket. Cost is Σ bucket² — sub-quadratic for
+    realistic skew; a self-join on (band, bucket_hash) keys, i.e. ONE shuffle
+    of (id, 2×8B) rows, never document text.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
+             .filter(F.size("sh") > 0)
+             .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+             .select("doc", "sig"))
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    buckets = (sig.select("doc", "sig", band_idx)
+                  .withColumn("bucket", F.xxhash64(F.slice(
+                      F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)))
+                  .select("doc", "band", "bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, ["band", "bucket"])
+             .filter(F.col("a.doc") < F.col("b.doc"))
+             .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+             .distinct())
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  jaccard_threshold: float = 0.8, num_hashes: int = 64,
+                  bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """L2: near-dup removal. Candidates from LSH banding, verified by
+    estimated Jaccard (signature agreement rate), survivors = min-id per
+    connected component approximated as min-id per direct-neighbor set.
+
+    Note: full transitive closure needs iterative connected components
+    (large-scale: GraphFrames / iterative join until fixpoint); here we apply
+    the standard one-hop approximation used by web-scale dedup pipelines —
+    drop any doc that has a smaller near-duplicate neighbor.
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, seed)
+    sig = (df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
+             .filter(F.size("sh") > 0)
+             .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+             .select("doc", "sig"))
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    est = (pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
+                .filter(F.col("jaccard_est") >= jaccard_threshold))
+    losers = est.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+            seed: int = 42) -> DataFrame:
+    """SimHash fingerprint (EXT): 64-bit locality-sensitive hash.
+
+    Per document: hash each token (xxhash64), each bit position votes
+    +1/-1 by whether that bit is set; fingerprint bit = sign of vote sum.
+    Expressed as explode → groupBy(doc) with one SUM per bit — pure codegen,
+    one shuffle keyed on doc id. Near-dups differ in few bits (Hamming).
+    Returns (id_col, simhash bigint).
+    """
+    toks = (df.select(F.col(id_col), F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
+              .filter(F.col("tok") != "")
+              .withColumn("h", F.xxhash64("tok", F.lit(seed))))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft on a long wraps bit 63 into the sign bit (two's complement)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 3, blocks: int = 4,
+                           seed: int = 42) -> DataFrame:
+    """SimHash near-dup candidates via block-permutation banding: split the
+    64-bit fingerprint into ``blocks`` 16-bit blocks; by pigeonhole, any pair
+    within Hamming distance < blocks agrees on ≥1 block → self-join on
+    (block_idx, block_value), verify exact Hamming ≤ ``max_hamming``.
+    """
+    fps = simhash(df, id_col, text_col, seed=seed)
+    width = 64 // blocks
+    block_cols = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), i * width)
+         .bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
+        for i in range(blocks)
+    ])
+    exploded = (fps.withColumn("blks", block_cols)
+                   .select(id_col, "simhash", F.posexplode("blks").alias("blk_idx", "blk_val")))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (a.join(b, ["blk_idx", "blk_val"])
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming) \
+               .select("id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    |A∩B| via a shingle-keyed self-join + count; |A∪B| = |A|+|B|-|A∩B|.
+    Shuffles (shingle_hash, id) pairs — candidate generation is bounded by
+    shared-shingle co-occurrence, not n². Prefer ``minhash_candidate_pairs``
+    when the corpus is web-scale and approximate similarity suffices.
+    """
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
+            .withColumn("s", F.xxhash64("s")))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "s")
+              .filter(F.col("a.doc") < F.col("b.doc"))
+              .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+            .join(sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+            .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))

@@ -1,0 +1,85 @@
+"""Upsert / merge operators (SURVEY §2.4 A7-A8).
+
+These replace the reference's two write-conflict idioms:
+- get-or-insert dimension rows, one SELECT + maybe INSERT per row
+  (``process_publications_dag.py:27-34,36-43``) — an N+1 loop,
+- ``INSERT ... ON CONFLICT (title) DO UPDATE SET journal_ref=..., doi=
+  COALESCE(EXCLUDED.doi, publications.doi), update_date=...``
+  (``process_publications_dag.py:224-232``).
+
+Both become ONE set-oriented plan. Surrogate ids are deterministic
+(``row_number`` over an explicit ordering, offset by the current max id) —
+``monotonically_increasing_id`` is banned where rerun-stability matters
+(SURVEY §1.2). On managed tables (Delta/Iceberg) ``upsert_merge`` maps to
+``MERGE INTO``; this is the storage-agnostic DataFrame formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dim_upsert(dim: DataFrame, incoming: DataFrame, natural_key: str,
+               id_col: str = "id") -> DataFrame:
+    """A7: dimension get-or-insert with deterministic surrogate keys.
+
+    ``incoming`` rows whose ``natural_key`` is unseen get ids
+    ``max_existing + row_number() over (order by natural_key)``; existing
+    rows are untouched. One anti-join + one tiny global window over ONLY the
+    new names (new-name cardinality ≪ fact cardinality, so the single-
+    partition window over new rows is not a bottleneck; the anti-join
+    broadcast-hashes when the dim is small).
+
+    Replaces the per-row existence probe at
+    ``process_publications_dag.py:28-31`` (J5/A7).
+    """
+    new_names = (incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull())
+                 .distinct()
+                 .join(dim.select(natural_key), natural_key, "left_anti"))
+    max_id = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
+    w = Window.orderBy(natural_key)
+    new_rows = (new_names.crossJoin(F.broadcast(max_id))
+                .withColumn(id_col, (F.row_number().over(w) + F.col("m")).cast(dim.schema[id_col].dataType))
+                .drop("m"))
+    return dim.unionByName(new_rows, allowMissingColumns=True)
+
+
+def upsert_merge(target: DataFrame, source: DataFrame, key: str,
+                 update_cols: list[str] | None = None,
+                 coalesce_cols: list[str] | None = None) -> DataFrame:
+    """A8: MERGE semantics as a full-outer join + per-column resolution.
+
+    - matched rows: ``update_cols`` take the source value,
+      ``coalesce_cols`` take ``COALESCE(source, target)`` (the reference's
+      ``doi = COALESCE(EXCLUDED.doi, publications.doi)``,
+      ``process_publications_dag.py:229``), everything else keeps target.
+    - source-only rows: inserted as-is.
+    - target-only rows: kept as-is.
+
+    Invariant: both sides must be key-unique (enforce upstream with
+    ``dedup_by_key``) — a non-unique merge key fans out rows, the classic
+    silent-corruption bug in hand-rolled MERGEs.
+
+    Scale: one shuffle on ``key`` (or broadcast when source is a small
+    delta); AQE handles skewed keys.
+    """
+    update_cols = update_cols or []
+    coalesce_cols = coalesce_cols or []
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    out_cols: list[Column] = [F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key)]
+    src_cols = set(source.columns)
+    for c in target.columns:
+        if c == key:
+            continue
+        if c in update_cols and c in src_cols:
+            # source wins when the source row exists (matched or insert)
+            expr = F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        elif c in coalesce_cols and c in src_cols:
+            expr = F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+        else:
+            expr = F.col(f"t.{c}")
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)

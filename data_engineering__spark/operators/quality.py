@@ -1,0 +1,99 @@
+"""Data-quality and audit operators (SURVEY §2.11: Q1-Q3).
+
+The reference's signature capability: a validation task that logs WARN/OK
+(``process_publications_dag.py:486-535``) and a Postgres trigger that writes
+every row change to ``log_table`` as (table, op, old_json, new_json, ts)
+(``database and queries aupostgres.sql:70-97``). Spark has no triggers —
+change capture becomes an EXPLICIT pipeline stage: diff the before/after
+DataFrames with multiset semantics and serialize rows to JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_key_audit(df: DataFrame, key: str) -> DataFrame:
+    """Q1: keys appearing more than once — ``GROUP BY doi HAVING
+    COUNT(doi) > 1`` (``process_publications_dag.py:489``).
+
+    Uses ``count(key)`` not ``count(*)``: NULL keys are never counted, so
+    the NULL group can never be flagged — exact SQL parity (SURVEY §1.3).
+    """
+    return (df.groupBy(key)
+              .agg(F.count(F.col(key)).alias("dup_count"))
+              .filter(F.col("dup_count") > 1))
+
+
+def missing_value_audit(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Q2: per-column NULL/blank violation counts in ONE pass
+    (``process_publications_dag.py:497-502,510-518``) — conditional
+    aggregation instead of one scan per check."""
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in cols:
+        pred = F.col(c).isNull() | (F.trim(F.col(c).cast("string")) == "")
+        aggs.append(F.sum(pred.cast("long")).alias(f"{c}_missing"))
+    return df.agg(*aggs)
+
+
+def check(df: DataFrame, name: str, violation_pred: Column) -> DataFrame:
+    """Validation-as-code: a named check returning (check, violations, ok).
+    Constraints (DDL CHECKs at ``database and queries aupostgres.sql:5,42``)
+    become assertable counts, not row rejections."""
+    return (df.agg(F.sum(violation_pred.cast("long")).alias("violations"))
+              .select(F.lit(name).alias("check"),
+                      F.coalesce(F.col("violations"), F.lit(0)).alias("violations"))
+              .withColumn("ok", F.col("violations") == 0))
+
+
+def audit_diff(before: DataFrame, after: DataFrame, table_name: str,
+               serialize: bool = True) -> DataFrame:
+    """Q3: change-data audit replacing the Postgres trigger
+    (``database and queries aupostgres.sql:82-97``).
+
+    Multiset row diff: rows only in ``after`` log as NEW, rows only in
+    ``before`` log as OLD; an update appears as one OLD + one NEW — exactly
+    the information content of the trigger's old/new ``row_to_json`` pair.
+    ``to_json(struct(*))`` mirrors ``row_to_json`` (F10).
+
+    Scale: ``exceptAll`` is a hash-partitioned multiset difference (one
+    shuffle each way). For CDC at 100 TB prefer key-scoped diffs (join on PK
+    and compare row hashes) over whole-row exceptAll; both are provided —
+    see ``audit_diff_keyed``.
+    """
+    def payload(df: DataFrame) -> list:
+        if serialize:
+            return [F.to_json(F.struct(*df.columns)).alias("row_values")]
+        return [F.col(c) for c in df.columns]
+
+    new_rows = after.exceptAll(before).select(
+        F.lit(table_name).alias("table_name"), F.lit("NEW").alias("operation"),
+        *payload(after))
+    old_rows = before.exceptAll(after).select(
+        F.lit(table_name).alias("table_name"), F.lit("OLD").alias("operation"),
+        *payload(before))
+    return new_rows.unionByName(old_rows)
+
+
+def audit_diff_keyed(before: DataFrame, after: DataFrame, key: str,
+                     table_name: str) -> DataFrame:
+    """Q3 at scale: PK-scoped CDC — join on key, compare row hashes.
+
+    Emits operation ∈ {INSERT, DELETE, UPDATE} with old/new JSON payloads.
+    One shuffle on the PK; row comparison is an xxhash64 over all columns,
+    so wide rows never cross the network twice.
+    """
+    b = before.withColumn("__h", F.xxhash64(*[F.col(c) for c in before.columns])) \
+              .withColumn("__row", F.to_json(F.struct(*before.columns))).alias("b")
+    a = after.withColumn("__h", F.xxhash64(*[F.col(c) for c in after.columns])) \
+             .withColumn("__row", F.to_json(F.struct(*after.columns))).alias("a")
+    j = b.join(a, F.col(f"b.{key}") == F.col(f"a.{key}"), "full_outer")
+    op = (F.when(F.col(f"b.{key}").isNull(), "INSERT")
+           .when(F.col(f"a.{key}").isNull(), "DELETE")
+           .when(F.col("b.__h") != F.col("a.__h"), "UPDATE"))
+    return (j.withColumn("operation", op)
+             .filter(F.col("operation").isNotNull())
+             .select(F.lit(table_name).alias("table_name"), "operation",
+                     F.col("b.__row").alias("old_values"),
+                     F.col("a.__row").alias("new_values")))

@@ -1,0 +1,152 @@
+"""Relational core (SURVEY §2.2-§2.4, §2.6-§2.7).
+
+Every operator here is a thin, documented composition of stock DataFrame
+calls: the WHOLE point of the rebuild is that the reference's psycopg2 SQL
+strings and N+1 Python loops map onto Catalyst-optimized declarative plans.
+Wrappers exist to (a) pin the reference's exact semantics (NULL handling,
+count(col) vs count(*), NOT-IN-vs-anti-join), (b) carry the scale rationale
+in one place.
+
+Scale notes that apply module-wide:
+- joins: Catalyst picks broadcast-hash when one side fits
+  ``spark.sql.autoBroadcastJoinThreshold``; AQE upgrades sort-merge →
+  broadcast at runtime using real sizes. Callers can force with
+  ``F.broadcast`` for dimensions known-small (region/nation-class tables).
+- aggregations: hash aggregation with map-side partial aggregation is
+  automatic — ``groupBy(...).agg(...)`` ships one combined row per
+  (partition, key), not raw rows.
+- global sorts are range-partitioned; sort+limit collapses to
+  TakeOrderedAndProject (true top-k, no full materialized sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- projections
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1: column projection (``SELECT id, title`` at
+    ``process_publications_dag.py:311,377,170``). Catalyst column pruning
+    pushes this into the parquet scan's ReadSchema."""
+    return df.select(*cols)
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """P2: schema narrowing as a pipeline step (``ALTER TABLE ... DROP COLUMN
+    abstract``, ``process_publications_dag.py:110-117``). In a columnar
+    engine this is free at read time; persisting it is a table rewrite."""
+    return df.drop(*cols)
+
+
+# ------------------------------------------------------------------- filters
+
+def filter_rows(df: DataFrame, predicate: Column) -> DataFrame:
+    """P3-P6: predicate filter. The reference's DELETEs
+    (``process_publications_dag.py:97-106``) become keep-filters with the
+    predicate negated + table rewrite. Predicates composed from built-in
+    functions stay inside whole-stage codegen and push down to parquet
+    row-group stats."""
+    return df.filter(predicate)
+
+
+def min_trimmed_length(col: str, min_len: int) -> Column:
+    """P3 predicate: ``char_length(trim(title)) >= n``
+    (``process_publications_dag.py:97-100``)."""
+    return F.length(F.trim(F.col(col))) >= min_len
+
+
+def null_or_blank(col: str) -> Column:
+    """P5 predicate: ``doi IS NULL OR trim(doi) = ''``
+    (``process_publications_dag.py:497``)."""
+    return F.col(col).isNull() | (F.trim(F.col(col)) == "")
+
+
+# --------------------------------------------------------------------- joins
+
+def inner_join(left: DataFrame, right: DataFrame, on, broadcast_right: bool = False) -> DataFrame:
+    """J1: inner equi-join (``authors JOIN authorship`` at
+    ``database and queries aupostgres.sql:102-106``)."""
+    return left.join(F.broadcast(right) if broadcast_right else right, on, "inner")
+
+
+def left_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J2: left outer join keeping unmatched left rows
+    (``LEFT JOIN citations``, ``database and queries aupostgres.sql:108-119``)."""
+    return left.join(right, on, "left")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J4/T1: the reference's ``DELETE ... WHERE id NOT IN (SELECT ...)``
+    (``process_publications_dag.py:103-106``) as a left-anti join.
+
+    NOT IN has NULL-poisoning semantics in SQL; the reference applies it to a
+    non-null PK component, where anti-join is exactly equivalent — callers
+    with nullable probe keys must pre-filter nulls explicitly.
+    """
+    return left.join(right, on, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J5: existence probe. Replaces the reference's per-row
+    ``SELECT id FROM authors WHERE name = %s`` N+1 loop
+    (``process_publications_dag.py:28-31``) with ONE set-oriented join."""
+    return left.join(right, on, "left_semi")
+
+
+# -------------------------------------------------------------- aggregations
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """A1-A3: hash aggregation (partial+final automatic)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def having(df: DataFrame, keys: list[str], agg: Column, post_filter: Column) -> DataFrame:
+    """A4: GROUP BY ... HAVING (duplicate audit,
+    ``process_publications_dag.py:489``). NB ``F.count(col)`` skips NULLs
+    exactly like SQL ``COUNT(doi)`` — the NULL-key group can never be flagged
+    (SURVEY §1.3)."""
+    return df.groupBy(*keys).agg(agg).filter(post_filter)
+
+
+def profile_stats(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """A9 EXT: one-pass multi-stat profile generalizing the reference's
+    validation counters (``process_publications_dag.py:497-514``)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(value_col), 2).alias("sum_val"),
+        F.round(F.avg(value_col), 2).alias("avg_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+        F.approx_count_distinct(value_col).alias("approx_distinct_val"),
+    )
+
+
+# ------------------------------------------------------------ sorts / limits
+
+def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
+    """O2: ORDER BY ... LIMIT k (``process_publications_dag.py:172-173``).
+    Catalyst plans TakeOrderedAndProject: per-partition heaps of size k, then
+    a single k-row merge on the driver — no global sort shuffle."""
+    return df.orderBy(*order_by).limit(k)
+
+
+# ---------------------------------------------------------------- set ops
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """T2: append semantics by NAME (repeated-INSERT analog,
+    ``process_publications_dag.py:224-232``). ``unionByName`` not positional
+    ``union`` — column order drift is a silent corruption at scale."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """T1 (row-based difference; multiset semantics)."""
+    return a.exceptAll(b)
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """T3 EXT: distinct intersection."""
+    return a.intersect(b)

@@ -1,0 +1,147 @@
+"""The five-stage publication pipeline (SURVEY §3 EP1), Spark-shaped.
+
+Reference DAG: insert >> clean >> enrich >> citations >> validate
+(``process_publications_dag.py:555-612``), every stage a psycopg2 loop.
+Here each stage is a pure ``DataFrame → DataFrame`` function; the DAG is
+function composition; actions happen only at stage sinks. Parity semantics
+pinned (SURVEY §1.3):
+
+- NULL-doi dedup passthrough (``ON CONFLICT (doi) DO NOTHING`` + Postgres
+  NULLs-distinct, ``process_publications_dag.py:67``),
+- naive author split on literal ', ' (``:73``) — "A and B" stays ONE author,
+- title-length clean as negated-predicate filter (``:97-100``),
+- orphan removal as anti-join (``:103-106``),
+- deterministic surrogate keys for author/category dims (``:27-43``),
+- audit log as explicit diff stage replacing the Postgres trigger
+  (``database and queries aupostgres.sql:82-97``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.derive import case_when_contains
+from ..operators.dedup import dedup_by_key
+from ..operators.merge import dim_upsert
+from ..operators.quality import audit_diff, check, duplicate_key_audit
+from ..operators.relational import min_trimmed_length
+
+#: Ordered bibtex keyword → publication type (process_publications_dag.py:271-304).
+#: ORDER MATTERS: '@article' before '@inproceedings'; specific thesis forms
+#: before '@thesis' would shadow — the reference checks '@thesis' FIRST, so a
+#: '@phdthesis' row matches the '@thesis' substring branch. Preserved exactly.
+BIBTEX_TYPES = [
+    ("@article", "Journal Article"),
+    ("@inproceedings", "Conference Paper"),
+    ("@book", "Book"),
+    ("@thesis", "Thesis"),
+    ("@techreport", "Technical Report"),
+    ("@manual", "Manual"),
+    ("@proceedings", "Conference Proceedings"),
+    ("@unpublished", "Unpublished"),
+    ("@misc", "Miscellaneous"),
+    ("@phdthesis", "PhD Thesis"),
+    ("@mastersthesis", "Master's Thesis"),
+    ("@inbook", "Book Chapter"),
+    ("@incollection", "Book Section"),
+    ("@patent", "Patent"),
+    ("@online", "Online Resource"),
+]
+
+
+def ingest(raw: DataFrame) -> DataFrame:
+    """Stage 1 (``process_publications_dag.py:45-88``): normalize the nested
+    JSON into the publications hub with NULL-doi-passthrough dedup and a
+    deterministic surrogate id."""
+    pubs = raw.select(
+        F.col("id").alias("arxiv_id"), "submitter", "authors",
+        F.col("title"), "comments",
+        F.col("journal_ref"), F.col("doi"), F.col("report_no"),
+        "categories", "license", "abstract",
+        F.to_date("update_date").alias("update_date"))
+    deduped = dedup_by_key(pubs, ["doi"], [F.asc("arxiv_id")], null_passthrough=True)
+    w = Window.orderBy("arxiv_id")
+    return deduped.withColumn("pub_id", F.row_number().over(w).cast("long"))
+
+
+def normalize(pubs: DataFrame) -> dict[str, DataFrame]:
+    """Stage 1b (``process_publications_dag.py:61-77``): explode authors
+    (literal ', ' split — naive-split parity) and categories (whitespace
+    split); build dims with deterministic ids + bridge tables."""
+    authors_exploded = (pubs.select(
+        "pub_id", F.explode(F.split("authors", ", ")).alias("name"))
+        .filter(F.trim("name") != ""))
+    cats_exploded = (pubs.select(
+        "pub_id", F.explode(F.split("categories", r"\s+")).alias("category_name"))
+        .filter(F.trim("category_name") != ""))
+
+    empty_authors = pubs.sparkSession.createDataFrame([], "id long, name string")
+    authors_dim = dim_upsert(empty_authors, authors_exploded, "name") \
+        .withColumn("affiliation", F.lit("Unknown"))  # seeded 'Unknown' (:33)
+    empty_cats = pubs.sparkSession.createDataFrame([], "id long, category_name string")
+    cats_dim = dim_upsert(empty_cats, cats_exploded, "category_name")
+
+    authorship = (authors_exploded.join(authors_dim, "name")
+                  .select("pub_id", F.col("id").alias("author_id"))
+                  .dropDuplicates(["pub_id", "author_id"]))  # bridge PK (:74)
+    pub_category = (cats_exploded.join(cats_dim, "category_name")
+                    .select("pub_id", F.col("id").alias("category_id"))
+                    .dropDuplicates(["pub_id", "category_id"]))
+    return {"publications": pubs, "authors": authors_dim, "categories": cats_dim,
+            "authorship": authorship, "publication_category": pub_category}
+
+
+def clean(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Stage 2 (``process_publications_dag.py:97-130``): drop short titles
+    (P3), drop the abstract column (P2), remove author-orphans (J4)."""
+    pubs = tables["publications"]
+    pubs = pubs.filter(min_trimmed_length("title", 2))
+    pubs = pubs.drop("abstract")
+    # orphan removal: NOT IN (SELECT pub_id FROM authorship) → keep = semi join
+    pubs = pubs.join(tables["authorship"].select("pub_id").distinct(),
+                     "pub_id", "left_semi")
+    out = dict(tables)
+    out["publications"] = pubs
+    return out
+
+
+def derive_types(tables: dict[str, DataFrame], bib_col: str = "comments") -> dict[str, DataFrame]:
+    """Stage 3 analog (``process_publications_dag.py:271-327``): derive
+    publication_type from bibtex-keyword CASE chain (branch order preserved)."""
+    out = dict(tables)
+    out["publications"] = tables["publications"].withColumn(
+        "publication_type",
+        case_when_contains(bib_col, BIBTEX_TYPES, default="Unknown"))
+    return out
+
+
+def validate(tables: dict[str, DataFrame]) -> DataFrame:
+    """Stage 5 (``process_publications_dag.py:486-535``): named data-quality
+    checks as one unioned report DataFrame."""
+    pubs = tables["publications"]
+    authors = tables["authors"]
+    dup = duplicate_key_audit(pubs, "doi").agg(
+        F.count(F.lit(1)).alias("violations")).select(
+        F.lit("duplicate_doi").alias("check"),
+        F.coalesce(F.col("violations"), F.lit(0)).alias("violations")) \
+        .withColumn("ok", F.col("violations") == 0)
+    missing = check(pubs, "missing_doi",
+                    F.col("doi").isNull() | (F.trim("doi") == ""))
+    blank_aff = check(authors, "blank_affiliation",
+                      F.col("affiliation").isNull() | (F.trim("affiliation") == ""))
+    return dup.unionByName(missing).unionByName(blank_aff)
+
+
+def run_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
+    """EP1 composition: the full DAG as function composition. Returns all
+    warehouse tables + validation report + audit log of the clean stage."""
+    pubs = ingest(raw)
+    tables = normalize(pubs)
+    before = tables["publications"].select("pub_id", "title", "doi")
+    tables = clean(tables)
+    tables = derive_types(tables)
+    after = tables["publications"].select("pub_id", "title", "doi")
+    tables["log_table"] = audit_diff(before, after, "publications")
+    tables["validation"] = validate(tables)
+    return tables

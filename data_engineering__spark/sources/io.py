@@ -1,0 +1,89 @@
+"""Scans and sinks (SURVEY §2.1: S1-S3, S5).
+
+Reference behavior re-expressed:
+- S1 JSON array scan: the reference slurps a whole JSON array into driver
+  memory (``process_publications_dag.py:51-52``) — here it is a distributed
+  ``spark.read.json`` with an EXPLICIT schema (schema inference is a full
+  extra pass over 100 TB; never in production).
+- S2 table scan: every psycopg2 ``SELECT`` (e.g.
+  ``process_publications_dag.py:162-164,311``) becomes a parquet scan with
+  Catalyst predicate pushdown + column pruning reaching the file footers.
+- S3 row sink: row-at-a-time ``INSERT``s (``process_publications_dag.py:61-77``)
+  become set-oriented ``df.write.parquet`` — idempotent overwrite per
+  partition, never per-row round trips.
+- S5 sampler: ``createdataset.py:15-46`` streams the first ~40 KB of a file;
+  the set-oriented analog is ``limit``/``sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver testdata tables (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table.
+
+    Plain ``spark.read.parquet``: filters/projections applied downstream are
+    pushed into the scan by Catalyst (verify with ``.explain`` →
+    ``PushedFilters`` / ``ReadSchema``).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark has no
+    native type for (PARQUET_TYPE_ILLEGAL): read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
+    ``div`` (never float division — 1.7e18 ns exceeds double's 53-bit
+    mantissa).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1: multiLine JSON-array scan with explicit schema.
+
+    Mirrors ``json.load(file)`` at ``process_publications_dag.py:51-52`` but
+    distributed. ``multiLine`` is required for a single top-level JSON array;
+    at scale prefer JSON-lines (one doc per line → splittable). Explicit
+    schema: no inference pass, stable types across reruns.
+    """
+    return spark.read.option("multiLine", "true").schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """S3: set-oriented sink replacing row-at-a-time INSERT loops.
+
+    ``partition_by`` gives partition pruning to downstream readers; writes are
+    idempotent under ``overwrite`` (Spark task retries re-write whole files,
+    the analog of the reference's per-item rollback+continue at
+    ``process_publications_dag.py:79-82``).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def sample_head(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
+    """S5/O3: deterministic head sample (``createdataset.py:25-35`` analog).
+
+    The reference's byte-budget head is order-dependent on file layout; for a
+    distributed engine a bare ``limit(n)`` is nondeterministic across reruns,
+    so callers that need rerun-stability pass ``order_by`` (global sort is a
+    shuffle — Catalyst collapses sort+limit to TakeOrderedAndProject, a true
+    top-k that never materializes the full sort).
+    """
+    if order_by:
+        df = df.orderBy(*order_by)
+    return df.limit(n)

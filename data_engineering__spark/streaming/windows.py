@@ -1,0 +1,89 @@
+"""Structured Streaming operators (SURVEY §2.9: ST1-ST4).
+
+The reference's only 'streaming' is an externally-scheduled daily batch
+(``process_publications_dag.py:547-552``). The idiomatic Spark
+generalization: the SAME declarative aggregations run incrementally over
+``readStream`` with watermarked event-time state; the daily batch is the
+degenerate one-trigger case (``trigger(availableNow=True)``).
+
+Scale notes: watermarks bound state size (late rows beyond the watermark are
+dropped, state for closed windows is evicted); state lives in the
+embedded state store partitioned by group key — the same shuffle keys as the
+batch plan, so skew reasoning carries over unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6/S6: file streaming source over the events table (schema pinned
+    from the batch read — never inferred). Same nanos→micros conversion as
+    the batch reader (sources.io.read_table)."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # file stream sources take a DIRECTORY; glob-filter to the one table
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes",
+                 watermark: str = "1 hour") -> DataFrame:
+    """ST1+ST3: watermarked tumbling-window aggregate."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def sliding_agg(events: DataFrame, width: str = "10 minutes",
+                slide: str = "5 minutes", watermark: str = "1 hour") -> DataFrame:
+    """ST1: sliding (overlapping) windows — each row lands in width/slide
+    windows; state cost scales accordingly."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "1 hour") -> DataFrame:
+    """ST2: session windows — gap-merged per-user activity bursts."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def stateful_dedup(events: DataFrame, keys: list[str],
+                   watermark: str = "1 hour") -> DataFrame:
+    """ST4: streaming dedup with bounded state — the streaming analog of the
+    reference's ``ON CONFLICT DO NOTHING`` (``process_publications_dag.py:67``):
+    first arrival wins, duplicates within the watermark horizon drop, state
+    for expired keys is evicted."""
+    return events.withWatermark("ts", watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(agg: DataFrame, timeout_s: int = 120) -> tuple[str, object]:
+    """Execute a streaming aggregation to completion on the available data
+    (one availableNow trigger) into a memory sink; returns (table_name, query)."""
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return name, q
+
+
+def tumbling_window_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ST1 end-to-end through the streaming engine and return the
+    result as a batch DataFrame (proves plan compilation + batch/stream
+    semantic equivalence; compared against the batch version in tests)."""
+    name, _ = run_to_memory(tumbling_agg(stream_events(spark, sf_dir)))
+    return (spark.table(name)
+            .select(F.unix_timestamp(F.col("w.start")).alias("w_start_epoch"),
+                    "event_type", "cnt", "sum_value"))
