@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline conformance queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized through the noop sink (full compute + all
+columns, no write cost, no driver collect bottleneck). Timings exclude
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "inner_join_agg_sort", "left_join_count_multisort", "three_way_join_agg",
+    "anti_join", "semi_join", "group_having_dup", "agg_stats", "rollup_counts",
+    "except_all", "dedup_by_key", "upsert_merge", "dim_upsert",
+    # windows / sorts
+    "topk_per_group", "window_rank", "window_running_sum", "sort_limit_topk",
+    # scalar / semi-structured
+    "explode_split", "case_when_mapping", "date_extract", "json_extract",
+    "tumbling_window_agg", "audit_diff",
+    # LLM-pipeline extensions
+    "text_exact_dedup", "token_count", "text_stats", "cosine_topk",
+    "minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from data_engineering__spark.conformance import QUERIES
+    from data_engineering__spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf_label = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_value: float | str = float(sf_label)
+    except ValueError:
+        sf_value = sf_label
+    result = {
+        "metric": "headline_query_set_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_value,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

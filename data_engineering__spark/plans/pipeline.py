@@ -103,6 +103,13 @@ def clean(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
                      "pub_id", "left_semi")
     out = dict(tables)
     out["publications"] = pubs
+    # referential integrity: the warehouse FKs (database and queries
+    # aupostgres.sql:54-57,63-66) imply bridges reference only surviving
+    # publications — prune them to the cleaned hub (semi join on PK)
+    surviving = pubs.select("pub_id")
+    out["authorship"] = tables["authorship"].join(surviving, "pub_id", "left_semi")
+    out["publication_category"] = tables["publication_category"] \
+        .join(surviving, "pub_id", "left_semi")
     return out
 
 

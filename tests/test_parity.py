@@ -1,0 +1,171 @@
+"""Unit tests pinning the reference's parity-critical semantics (SURVEY §1.3,
+§5 strategy #3) on tiny inline fixtures — the subtle behaviors that the
+sf-scale oracle queries can't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering__spark.functions.derive import (
+    case_when_contains,
+    first_token_before,
+    map_lookup,
+)
+from data_engineering__spark.operators.dedup import dedup_by_key
+from data_engineering__spark.operators.merge import dim_upsert, upsert_merge
+from data_engineering__spark.operators.quality import (
+    audit_diff,
+    duplicate_key_audit,
+    missing_value_audit,
+)
+
+
+def test_null_doi_dedup_passthrough(spark):
+    """ON CONFLICT (doi) DO NOTHING + Postgres NULLs-distinct
+    (process_publications_dag.py:67): non-null dois dedup; ALL null-doi rows
+    survive."""
+    df = spark.createDataFrame([
+        Row(arxiv_id="a", doi="10.1/x"),
+        Row(arxiv_id="b", doi="10.1/x"),   # dup doi → dropped (a wins: min id)
+        Row(arxiv_id="c", doi=None),
+        Row(arxiv_id="d", doi=None),       # null doi → BOTH kept
+        Row(arxiv_id="e", doi="10.1/y"),
+    ])
+    out = dedup_by_key(df, ["doi"], [F.asc("arxiv_id")])
+    got = sorted(r.arxiv_id for r in out.collect())
+    assert got == ["a", "c", "d", "e"]
+
+
+def test_dedup_deterministic_survivor(spark):
+    """Survivor is the explicit-order minimum, not an arbitrary row."""
+    df = spark.createDataFrame([Row(k="x", v=i) for i in (3, 1, 2)])
+    out = dedup_by_key(df, ["k"], [F.asc("v")], null_passthrough=False)
+    assert [r.v for r in out.collect()] == [1]
+
+
+def test_dedup_idempotent(spark):
+    """Property (SURVEY §5 #4): op(op(x)) == op(x)."""
+    df = spark.createDataFrame(
+        [Row(k=str(i % 7) if i % 3 else None, v=i) for i in range(50)])
+    once = dedup_by_key(df, ["k"], [F.asc("v")])
+    twice = dedup_by_key(once, ["k"], [F.asc("v")])
+    assert set(map(tuple, once.collect())) == set(map(tuple, twice.collect()))
+
+
+def test_naive_author_split(spark):
+    """authors.split(', ') (process_publications_dag.py:73): 'A and B' with
+    no comma stays ONE author."""
+    df = spark.createDataFrame([
+        Row(pub=1, authors="Ileana Streinu and Louis Theran"),
+        Row(pub=2, authors="A One, B Two, C Three"),
+    ])
+    out = df.select("pub", F.explode(F.split("authors", ", ")).alias("name"))
+    got = {(r.pub, r.name) for r in out.collect()}
+    assert got == {(1, "Ileana Streinu and Louis Theran"),
+                   (2, "A One"), (2, "B Two"), (2, "C Three")}
+
+
+def test_count_col_skips_nulls(spark):
+    """COUNT(doi) semantics (process_publications_dag.py:489): NULL group
+    can never be flagged as duplicate."""
+    df = spark.createDataFrame([Row(doi=None), Row(doi=None), Row(doi="x"),
+                                Row(doi="x"), Row(doi="y")])
+    flagged = duplicate_key_audit(df, "doi").collect()
+    assert [(r.doi, r.dup_count) for r in flagged] == [("x", 2)]
+
+
+def test_case_when_branch_order(spark):
+    """Branch order is semantics (process_publications_dag.py:271-304):
+    a row containing BOTH @article and @book takes the FIRST branch; and
+    '@thesis' listed before '@phdthesis' shadows it (substring match)."""
+    mapping = [("@article", "Journal Article"), ("@book", "Book"),
+               ("@thesis", "Thesis"), ("@phdthesis", "PhD Thesis")]
+    df = spark.createDataFrame([
+        Row(bib="see @article and @book"),
+        Row(bib="a @phdthesis entry"),     # contains '@thesis' substring? no:
+        Row(bib="plain @thesis"),          # '@phdthesis' does NOT contain '@thesis'
+        Row(bib="nothing"),
+    ])
+    out = df.withColumn("t", case_when_contains("bib", mapping)).collect()
+    got = {r.bib: r.t for r in out}
+    assert got["see @article and @book"] == "Journal Article"
+    # '@phdthesis' string does not contain '@thesis' ('d' != '@'): falls to
+    # its own branch — mirrors the reference's actual substring behavior
+    assert got["a @phdthesis entry"] == "PhD Thesis"
+    assert got["plain @thesis"] == "Thesis"
+    assert got["nothing"] == "Unknown"
+
+
+def test_first_token_fallback(spark):
+    """summary.split('-')[0] if '-' present else 'Unknown'
+    (process_publications_dag.py:452-453)."""
+    df = spark.createDataFrame([Row(s="A Author - Venue, 2019"), Row(s="no dash")])
+    out = df.withColumn("a", first_token_before("s", "-")).collect()
+    assert {r.s: r.a for r in out} == {"A Author - Venue, 2019": "A Author",
+                                       "no dash": "Unknown"}
+
+
+def test_map_lookup_default(spark):
+    """21-code map with 'Other' default (process_publications_dag.py:397-421)."""
+    df = spark.createDataFrame([Row(code="cs.AI"), Row(code="zz.ZZ")])
+    out = map_lookup(df, "code", {"cs.AI": "Artificial Intelligence"}, "label")
+    assert {r.code: r.label for r in out.collect()} == {
+        "cs.AI": "Artificial Intelligence", "zz.ZZ": "Other"}
+
+
+def test_dim_upsert_deterministic_ids(spark):
+    """A7: unseen names get max_id + row_number(order by name); existing
+    untouched; idempotent on re-run."""
+    dim = spark.createDataFrame([Row(id=7, name="alice")])
+    incoming = spark.createDataFrame(
+        [Row(name="bob"), Row(name="alice"), Row(name="carol"), Row(name="bob")])
+    out = dim_upsert(dim, incoming, "name")
+    got = {r.name: r.id for r in out.collect()}
+    assert got == {"alice": 7, "bob": 8, "carol": 9}
+    again = dim_upsert(out, incoming, "name")
+    assert {r.name: r.id for r in again.collect()} == got
+
+
+def test_upsert_merge_semantics(spark):
+    """A8 (process_publications_dag.py:224-232): matched rows update with
+    COALESCE on doi; unmatched target kept; source-only inserted; key stays
+    unique."""
+    target = spark.createDataFrame([
+        Row(title="t1", journal_ref="old1", doi="d1"),
+        Row(title="t2", journal_ref="old2", doi=None),
+        Row(title="t3", journal_ref="old3", doi="d3"),
+    ])
+    source = spark.createDataFrame([
+        Row(title="t1", journal_ref="new-link-1", doi=None),   # keep old doi
+        Row(title="t2", journal_ref="new-link-2", doi="d2new"),
+        Row(title="t4", journal_ref="new-link-4", doi="d4"),   # insert
+    ])
+    out = upsert_merge(target, source, "title",
+                       update_cols=["journal_ref"], coalesce_cols=["doi"])
+    got = {r.title: (r.journal_ref, r.doi) for r in out.collect()}
+    assert got == {
+        "t1": ("new-link-1", "d1"),
+        "t2": ("new-link-2", "d2new"),
+        "t3": ("old3", "d3"),
+        "t4": ("new-link-4", "d4"),
+    }
+    assert out.count() == out.select("title").distinct().count()
+
+
+def test_missing_value_audit(spark):
+    df = spark.createDataFrame([Row(doi="x", aff="a"), Row(doi=None, aff=" "),
+                                Row(doi="", aff=None)])
+    row = missing_value_audit(df, ["doi", "aff"]).collect()[0]
+    assert (row.total_rows, row.doi_missing, row.aff_missing) == (3, 2, 2)
+
+
+def test_audit_diff_update_appears_as_old_new(spark):
+    """Q3: an UPDATE logs one OLD + one NEW row, a DELETE logs OLD only
+    (trigger parity, database and queries aupostgres.sql:82-97)."""
+    before = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    after = spark.createDataFrame([Row(id=1, v="a2")])
+    log = audit_diff(before, after, "pubs").collect()
+    ops = sorted((r.operation, r.row_values) for r in log)
+    assert [o for o, _ in ops] == ["NEW", "OLD", "OLD"]
+    assert any('"v":"a2"' in v for o, v in ops if o == "NEW")

@@ -1,0 +1,141 @@
+"""End-to-end pipeline smoke on a reference-shaped fixture (FIXTURES.md A1:
+includes every mandated dirty row) + streaming batch-equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering__spark.plans.pipeline import run_pipeline
+
+
+def _raw_fixture(spark):
+    rows = [
+        # clean rows
+        Row(id="0704.0001", submitter="s1", authors="A One, B Two",
+            title="Sparsity and rigidity", comments="@article ref",
+            journal_ref="J1", doi="10.1/a", report_no=None,
+            categories="math.CO cs.CG", license=None,
+            abstract="long text", update_date="2008-12-13"),
+        # duplicate non-null doi pair → one survives
+        Row(id="0704.0002", submitter="s2", authors="C Three",
+            title="Duplicate doi twin", comments=None,
+            journal_ref=None, doi="10.1/a", report_no=None,
+            categories="math.CO", license=None,
+            abstract="x", update_date="2009-01-01"),
+        # two NULL-doi rows → BOTH must survive dedup
+        Row(id="0704.0003", submitter="s3", authors="D Four",
+            title="Null doi one", comments="@book",
+            journal_ref=None, doi=None, report_no=None,
+            categories="cs.CG", license=None,
+            abstract="y", update_date="2009-02-02"),
+        Row(id="0704.0004", submitter="s4", authors="E Five",
+            title="Null doi two", comments=None,
+            journal_ref=None, doi=None, report_no="RPT-1",
+            categories="cs.AI", license=None,
+            abstract="z", update_date="2009-03-03"),
+        # title too short after trim → cleaned out
+        Row(id="0704.0005", submitter="s5", authors="F Six",
+            title=" x ", comments=None,
+            journal_ref=None, doi="10.1/b", report_no=None,
+            categories="cs.AI", license=None,
+            abstract="w", update_date="2009-04-04"),
+        # 'and'-joined authors with no comma → ONE author (naive split parity)
+        Row(id="0704.0006", submitter="s6", authors="G Seven and H Eight",
+            title="And-joined authors", comments="@phdthesis",
+            journal_ref=None, doi="10.1/c", report_no=None,
+            categories="math.CO stat.ML", license=None,
+            abstract="v", update_date="2009-05-05"),
+    ]
+    schema = ("id string, submitter string, authors string, title string, "
+              "comments string, journal_ref string, doi string, report_no string, "
+              "categories string, license string, abstract string, update_date string")
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pipeline_end_to_end(spark):
+    tables = run_pipeline(_raw_fixture(spark))
+    pubs = tables["publications"]
+    titles = {r.title for r in pubs.select("title").collect()}
+    # dup-doi twin deduped (min arxiv_id wins), short title cleaned
+    assert "Duplicate doi twin" not in titles
+    assert " x " not in titles
+    # both null-doi rows survived
+    assert {"Null doi one", "Null doi two"} <= titles
+    # abstract dropped
+    assert "abstract" not in pubs.columns
+    # naive split: the and-joined author is one dim row
+    author_names = {r.name for r in tables["authors"].collect()}
+    assert "G Seven and H Eight" in author_names
+    assert "G Seven" not in author_names
+    # bibtex branch mapping applied
+    types = {r.title: r.publication_type
+             for r in pubs.select("title", "publication_type").collect()}
+    assert types["Sparsity and rigidity"] == "Journal Article"
+    assert types["And-joined authors"] == "PhD Thesis"
+    assert types["Null doi two"] == "Unknown"
+    # bridge integrity: every authorship pub_id exists in publications
+    orphan = (tables["authorship"].join(pubs.select("pub_id"), "pub_id", "left_anti"))
+    assert orphan.count() == 0
+    # validation report: no duplicate dois remain; missing dois counted
+    report = {r.check: r.violations for r in tables["validation"].collect()}
+    assert report["duplicate_doi"] == 0
+    assert report["missing_doi"] == 2
+    # audit log captured the cleaning-stage deletions
+    assert tables["log_table"].filter(F.col("operation") == "OLD").count() >= 1
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    """ST1 semantics: the streaming tumbling agg equals the batch agg."""
+    from data_engineering__spark.conformance import QUERIES
+    batch = {tuple(sorted(r.asDict().items()))
+             for r in QUERIES["tumbling_window_agg"](spark, sf_dir).collect()}
+    stream = {tuple(sorted(r.asDict().items()))
+              for r in QUERIES["streaming_tumbling"](spark, sf_dir).collect()}
+    assert batch == stream
+
+
+def test_http_enrichment_stubbed(spark):
+    """U2: mapInPandas enrichment with injected fetch (no network), retry
+    path exercised via a fetch that fails once per key."""
+    from data_engineering__spark.sources.http import enrich
+
+    calls: dict[str, int] = {}
+
+    def flaky_fetch(key: str) -> dict:
+        calls[key] = calls.get(key, 0) + 1
+        if calls[key] == 1:
+            raise ConnectionError("429")
+        return {"organic_results": [{
+            "title": f"T-{key}", "link": f"http://x/{key}",
+            "result_id": f"rid-{key}",
+            "publication_info": {"summary": f"A Author - Venue, {key}"}}]}
+
+    df = spark.createDataFrame([Row(doi="a"), Row(doi="b"), Row(doi="a")]) \
+              .coalesce(1)
+    out = enrich(df, "doi", fetch=flaky_fetch, attempts=3, base_sleep=0.0)
+    rows = {(r.key, r.title, r.result_id) for r in out.collect()}
+    assert rows == {("a", "T-a", "rid-a"), ("b", "T-b", "rid-b")} or \
+           len(rows) == 3  # memo dedups within a partition; 'a' rows identical
+    got = {r.key for r in out.collect()}
+    assert got == {"a", "b"}
+
+
+def test_multimodal_feature_shapes(spark):
+    """L5: Arrow-batched feature extraction — deterministic fake kernel,
+    real schema/batch plumbing."""
+    from data_engineering__spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthesize_media,
+    )
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(r.content_sha and r.n_bytes > 0 for r in rows)
+    # frame sampling expands videos by duration
+    frames = frame_sample_plan(media, every_ms=1000)
+    vid = media.filter(F.col("modality") == "video").count()
+    assert frames.count() >= vid
