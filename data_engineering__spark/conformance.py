@@ -650,6 +650,126 @@ def cosine_topk(spark, sf_dir):
     return top.select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
 
 
+# ============================================================ §2.3 temporal
+
+@query("asof_join", oracle="""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+           FROM events WHERE event_type <> 'error'),
+err AS (SELECT event_id AS err_id, user_id, epoch_us(ts) // 1000000 AS ts_s
+        FROM events WHERE event_type = 'error')
+SELECT e.event_id, err.err_id AS last_error_id,
+       e.ts_s - err.ts_s AS error_age_s
+FROM e ASOF LEFT JOIN err ON e.user_id = err.user_id AND e.ts_s >= err.ts_s""")
+def asof_join_q(spark, sf_dir):
+    """J7 EXT: per-user as-of join — for each event, the most recent prior
+    'error' event. Epoch-second keys cross the engine boundary (integer
+    comparisons, no timestamp-precision hazards)."""
+    from .operators import temporal as TP
+    e = read_table(spark, sf_dir, "events") \
+        .withColumn("ts_s", F.unix_timestamp("ts"))
+    nonerr = e.filter(F.col("event_type") != "error") \
+              .select("event_id", "user_id", "ts_s")
+    err = e.filter(F.col("event_type") == "error") \
+           .select(F.col("event_id").alias("err_id"), "user_id", "ts_s",
+                   F.col("ts_s").alias("err_ts"))
+    joined = TP.asof_join(nonerr, err, "ts_s", ["user_id"], ["err_id", "err_ts"])
+    return joined.select(
+        "event_id",
+        F.col("err_id_asof").alias("last_error_id"),
+        (F.col("ts_s") - F.col("err_ts_asof")).alias("error_age_s"))
+
+
+@query("range_join", oracle="""
+SELECT o.o_orderkey, t.tier
+FROM orders o JOIN (VALUES (0.0, 100000.0, 'low'),
+                           (100000.0, 300000.0, 'mid'),
+                           (300000.0, 1000000000.0, 'high')) AS t(lo, hi, tier)
+  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi""")
+def range_join_q(spark, sf_dir):
+    """J7 EXT: range join against a broadcast interval dimension (tier
+    bands) — broadcast nested-loop, zero shuffle."""
+    from .operators import temporal as TP
+    o = read_table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [(0.0, 100000.0, "low"), (100000.0, 300000.0, "mid"),
+         (300000.0, 1e9, "high")], "lo double, hi double, tier string")
+    return TP.range_join_broadcast(o, tiers, "o_totalprice") \
+             .select("o_orderkey", "tier")
+
+
+@query("window_lag_lead", oracle="""
+SELECT event_id, user_id,
+       LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event_id,
+       LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+FROM events""")
+def window_lag_lead(spark, sf_dir):
+    """W3 EXT: adjacent-row analytics per user (unique order key →
+    deterministic)."""
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = W.lag_lead(e, ["user_id"], [F.asc("event_id")], "event_id")
+    out = W.lag_lead(out, ["user_id"], [F.asc("event_id")], "value")
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_id_lag").alias("prev_event_id"),
+        F.col("event_id_lead").alias("next_event_id"),
+        F.col("value_lag").alias("prev_value"))
+
+
+@query("pivot_counts", oracle="""
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+FROM orders GROUP BY o_orderpriority""")
+def pivot_counts(spark, sf_dir):
+    """EXT: pivot (wide conditional aggregation). Explicit value list — an
+    unlisted-values pivot needs an extra distinct pass at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    piv = (o.groupBy("o_orderpriority")
+           .pivot("o_orderstatus", ["F", "O", "P"]).count()
+           .na.fill(0, ["F", "O", "P"]))
+    return piv.select("o_orderpriority",
+                      F.col("F").alias("st_f"),
+                      F.col("O").alias("st_o"),
+                      F.col("P").alias("st_p"))
+
+
+@query("udaf_weighted_mean", oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 2) AS w_mean_price
+FROM lineitem GROUP BY l_returnflag""")
+def udaf_weighted_mean(spark, sf_dir):
+    """U3 EXT: GROUPED_AGG pandas UDAF (Arrow-batched custom aggregate) —
+    quantity-weighted mean price per return flag."""
+    from .functions.udafs import weighted_mean
+    li = read_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(weighted_mean("l_extendedprice", "l_quantity"), 2)
+                 .alias("w_mean_price")))
+
+
+@query("sql_api_join", oracle="""
+SELECT o.o_orderkey, COUNT(l.l_orderkey) AS line_count
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+ORDER BY line_count DESC, o.o_orderkey
+LIMIT 500""")
+def sql_api_join(spark, sf_dir):
+    """EP3: the SQL entry point over the same engine — temp views +
+    ``spark.sql`` (the reference's ad-hoc analytics queries,
+    ``database and queries aupostgres.sql:102-154``). Same Catalyst plan as
+    the DataFrame formulation."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT o.o_orderkey, COUNT(l.l_orderkey) AS line_count
+        FROM orders_v o LEFT JOIN lineitem_v l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+        ORDER BY line_count DESC, o.o_orderkey
+        LIMIT 500""")
+
+
 # ------------------------- rows-only (no SQL oracle; driver checks rows>0)
 
 def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):

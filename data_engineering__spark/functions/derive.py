@@ -69,8 +69,13 @@ def parse_iso_date(col: str) -> Column:
 
 def parse_rfc1123(col: str) -> Column:
     """F9: RFC-1123 timestamp parse ('Sat, 31 Mar 2007 02:26:18 GMT' —
-    the ``versions[].created`` field the reference stores raw)."""
-    return F.to_timestamp(F.col(col), "EEE, d MMM yyyy HH:mm:ss zzz")
+    the ``versions[].created`` field the reference stores raw).
+
+    The weekday prefix is redundant information and Spark's post-3.0
+    datetime parser rejects 'EEE' in parsing mode — strip it, parse the
+    rest."""
+    stripped = F.regexp_replace(F.col(col), r"^[A-Za-z]{3}, ", "")
+    return F.to_timestamp(stripped, "d MMM yyyy HH:mm:ss zzz")
 
 
 def row_to_json() -> Column:

@@ -1,0 +1,88 @@
+"""Temporal joins (SURVEY §2.3 J7 EXT): as-of, range/interval joins.
+
+The reference never joins on time (its only temporal logic is a DATE column
+and CURRENT_TIMESTAMP defaults); these are the mandated generalizations for
+the ``events`` stream table. Neither exists as a single Spark primitive —
+both are compositions chosen for their shuffle behavior at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
+              partition_cols: list[str], right_cols: list[str],
+              suffix: str = "_asof") -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same partition key.
+
+    Implementation: tag + union + window carry-forward — NOT a sort-merge
+    band join. Both inputs shuffle ONCE on ``partition_cols``; within each
+    partition a single ordered pass carries the last right values forward
+    (``last(ignorenulls)`` over an unbounded-preceding ROWS frame). At equal
+    timestamps right rows sort before left rows, giving inclusive (>=)
+    semantics — DuckDB/pandas ``ASOF JOIN`` parity.
+
+    Scale: state is one row of carried values per partition — no band
+    buffering, no skew amplification beyond the partition key's own skew.
+    A keyless as-of (empty ``partition_cols``) degenerates to a single
+    partition: repartition by a time-bucket first if you need that shape.
+    """
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(
+            dict(right.dtypes)[c]))
+    r = right.select(
+        *partition_cols, F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]) \
+        .withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in (*partition_cols, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    combined = l.unionByName(r)
+    w = (Window.partitionBy(*partition_cols)
+         .orderBy(F.asc(ts_col), F.asc("__side"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in right_cols:
+        combined = combined.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return combined.filter(F.col("__side") == 1) \
+                   .select(*lcols, *[f"{c}{suffix}" for c in right_cols])
+
+
+def range_join_broadcast(facts: DataFrame, ranges: DataFrame,
+                         value_col: str, lo_col: str = "lo",
+                         hi_col: str = "hi") -> DataFrame:
+    """Range join against a SMALL interval dimension (tier tables, SLA
+    bands, calendar buckets): broadcast nested-loop — each fact row probes
+    the in-memory interval list, zero shuffle.
+
+    For big-big interval joins do NOT use this: bucket both sides by
+    ``floor(value/width)``, explode intervals across the buckets they span,
+    then equi-join on bucket + residual range filter (turns O(n·m) into a
+    hash join; see ``range_join_bucketed``).
+    """
+    cond = (F.col(value_col) >= ranges[lo_col]) & (F.col(value_col) < ranges[hi_col])
+    return facts.join(F.broadcast(ranges), cond, "inner")
+
+
+def range_join_bucketed(facts: DataFrame, ranges: DataFrame, value_col: str,
+                        bucket_width: int, lo_col: str = "lo",
+                        hi_col: str = "hi") -> DataFrame:
+    """Big-big range join: equi-join on coarse buckets + residual filter.
+
+    Intervals explode across every bucket they overlap (sequence/explode in
+    codegen); facts land in exactly one bucket; the join is then a plain
+    shuffle-hash join on the bucket id. Choose ``bucket_width`` ≈ median
+    interval width: too small explodes intervals, too large fans out probes.
+    """
+    fb = facts.withColumn("__bucket", F.floor(F.col(value_col) / bucket_width))
+    rb = ranges.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(F.col(lo_col) / bucket_width),
+                             F.floor((F.col(hi_col) - 1) / bucket_width))))
+    cond = (F.col(value_col) >= rb[lo_col]) & (F.col(value_col) < rb[hi_col])
+    return fb.join(rb, ["__bucket"], "inner").filter(cond).drop("__bucket")

@@ -1,0 +1,128 @@
+"""Operator-level unit tests on inline fixtures: temporal joins, text/vector
+ops, IO (JSON array scan, RFC-1123 parse), streaming dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering__spark.operators.temporal import (
+    asof_join,
+    range_join_broadcast,
+    range_join_bucketed,
+)
+
+
+def test_asof_backward_and_inclusive(spark):
+    left = spark.createDataFrame(
+        [Row(k="u", ts=5, id=1), Row(k="u", ts=10, id=2), Row(k="u", ts=2, id=3),
+         Row(k="v", ts=7, id=4)])
+    right = spark.createDataFrame(
+        [Row(k="u", ts=5, tag="a"),   # equal ts → matches id=1 (inclusive)
+         Row(k="u", ts=8, tag="b"),
+         Row(k="w", ts=1, tag="z")])
+    out = asof_join(left, right, "ts", ["k"], ["tag"])
+    got = {r.id: r.tag_asof for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+
+def test_range_join_variants_agree(spark):
+    facts = spark.createDataFrame([Row(v=i * 7 % 100) for i in range(50)])
+    ranges = spark.createDataFrame(
+        [Row(lo=0, hi=30, band="a"), Row(lo=30, hi=60, band="b"),
+         Row(lo=60, hi=100, band="c")])
+    bc = range_join_broadcast(facts, ranges, "v").select("v", "band")
+    bk = range_join_bucketed(facts, ranges, "v", bucket_width=25).select("v", "band")
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, bk.collect()))
+    assert bc.count() == 50  # total cover, no overlap
+
+
+def test_json_array_scan(spark):
+    """S1: multiLine JSON-array ingest with explicit schema
+    (process_publications_dag.py:51-52 analog)."""
+    from pyspark.sql import types as T
+
+    from data_engineering__spark.sources.io import read_json_array
+    data = [{"id": "1", "title": "A", "versions": [{"version": "v1",
+             "created": "Sat, 31 Mar 2007 02:26:18 GMT"}]},
+            {"id": "2", "title": "B", "versions": []}]
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("versions", T.ArrayType(T.StructType([
+            T.StructField("version", T.StringType()),
+            T.StructField("created", T.StringType())]))),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "pubs.json")
+        with open(path, "w") as f:
+            json.dump(data, f)
+        df = read_json_array(spark, path, schema)
+        rows = {r.id: r for r in df.collect()}
+        assert rows["1"].versions[0].version == "v1"
+        assert rows["2"].versions == []
+
+
+def test_rfc1123_parse(spark):
+    from data_engineering__spark.functions.derive import parse_rfc1123
+    df = spark.createDataFrame([Row(created="Sat, 31 Mar 2007 02:26:18 GMT")])
+    out = df.select(parse_rfc1123("created").alias("ts")).collect()[0]
+    assert out.ts is not None and out.ts.year == 2007 and out.ts.month == 3
+
+
+def test_streaming_stateful_dedup(spark, sf_dir):
+    """ST4: dropDuplicatesWithinWatermark over the event stream keeps one
+    row per event_id."""
+    from data_engineering__spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stateful_dedup,
+    )
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)  # duplicate every event
+    name = None
+    import uuid
+
+    dedup = stateful_dedup(doubled, ["event_id"])
+    q = (dedup.writeStream.format("memory")
+         .queryName(f"dedup_{uuid.uuid4().hex[:8]}")
+         .outputMode("append").trigger(availableNow=True).start())
+    name = q.name
+    q.awaitTermination(120)
+    n_unique = spark.table(name).select("event_id").distinct().count()
+    n_total = spark.table(name).count()
+    n_source = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_total == n_unique == n_source
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    from data_engineering__spark.operators.dedup import simhash
+    df = spark.createDataFrame([Row(id=1, t="alpha beta gamma"),
+                                Row(id=2, t="alpha beta gamma"),
+                                Row(id=3, t="totally different words here")])
+    fps = {r.id: r.simhash for r in simhash(df, "id", "t").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    from data_engineering__spark.operators.dedup import ngram_jaccard_pairs
+    # doc1: tokens a b c d → shingles(2): "a b","b c","c d"
+    # doc2: tokens a b c e → shingles(2): "a b","b c","c e"  → J = 2/4 = 0.5
+    df = spark.createDataFrame([Row(id=1, t="a b c d"), Row(id=2, t="a b c e")])
+    out = ngram_jaccard_pairs(df, "id", "t", shingle_n=2, jaccard_threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == 1 and abs(rows[0].jaccard - 0.5) < 1e-9
+
+
+def test_cosine_topk_self_is_first(spark):
+    from data_engineering__spark.operators.vector import cosine_topk
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + 1), float(2 * i + 1)]) for i in range(5)])
+    q = df.filter(F.col("vec_id") == 2)
+    top = cosine_topk(df, q, 3).collect()
+    assert top[0].vec_id == 2 and abs(top[0].cosine - 1.0) < 1e-9
