@@ -22,3 +22,19 @@ Design rules (see ARCHITECTURE.md):
 """
 
 __version__ = "0.1.0"
+
+# Pickle this package BY VALUE in Spark python workers. The driver contract
+# imports us from an arbitrary cwd (sys.path hack on /root/repo); executor
+# python workers do NOT inherit that sys.path, so any pandas-UDF closure that
+# references a module in this package would die with ModuleNotFoundError if
+# cloudpickle serialized it by reference (the default for importable modules).
+# Registering the top-level package covers every submodule (cloudpickle walks
+# parent packages), making UDFs self-contained without shipping a py-files zip.
+try:
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover — older cloudpickle without the API
+    pass

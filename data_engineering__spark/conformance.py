@@ -782,7 +782,12 @@ def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):
     perturbed = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))).alias("text"))
-    return docs.unionByName(perturbed)
+    # testdata ships single-row-group parquet → the scan is 1 task no matter
+    # the split size; round-robin repartition (a few MB) fans the CPU-heavy
+    # signature work out to every core. On a real multi-file corpus the scan
+    # itself provides this parallelism and the repartition is a no-op cost.
+    n_parts = spark.sparkContext.defaultParallelism
+    return docs.unionByName(perturbed).repartition(n_parts)
 
 
 @query("minhash_near_dup")

