@@ -837,17 +837,79 @@ def ann_topk_lsh_q(spark, sf_dir):
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
 
 
-@query("lang_id")
+#: DuckDB fragments shared by the lang_id / quality_score oracles: tokens and
+#: per-language stopword ratios, matching operators.text exactly (whitespace
+#: split, empties removed; ratio = hits/|tokens|, 0.0 when empty).
+_DUCK_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents)"""
+
+
+def _duck_sw_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return (f"CASE WHEN len(tk) > 0 THEN "
+            f"CAST(len(list_filter(tk, t -> list_contains([{words}], t))) AS DOUBLE)"
+            f" / len(tk) ELSE 0.0 END")
+
+
+@query("lang_id", oracle=f"""
+WITH {_DUCK_TOKS},
+scored AS (
+  SELECT doc_id,
+         {_duck_sw_ratio('en')} AS s_en, {_duck_sw_ratio('es')} AS s_es,
+         {_duck_sw_ratio('fr')} AS s_fr, {_duck_sw_ratio('de')} AS s_de
+  FROM toks),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+              -- tie-break = lexicographically greatest lang, mirroring
+              -- Spark array_max over (score, lang) structs
+              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scored)
+SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred""")
 def lang_id_q(spark, sf_dir):
-    """EXT (rows-only): stopword-heuristic language ID distribution."""
+    """L4 EXT: stopword-heuristic language ID distribution. Oracle rebuilds
+    the argmax from first principles in DuckDB list functions — integer-ratio
+    arithmetic is bit-identical across engines."""
     docs = read_table(spark, sf_dir, "documents")
     return (X.lang_id(docs, "text").groupBy("lang_pred")
             .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_pred"))
 
 
-@query("quality_score")
+@query("quality_score", oracle=f"""
+WITH {_DUCK_TOKS},
+feat AS (
+  SELECT t.doc_id,
+         length(d.text) AS n_chars,
+         len(tk) AS n_toks,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(list_sum(list_transform(tk, s -> length(s))) AS DOUBLE) / len(tk)
+         ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(d.text) > 0 THEN
+           CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(d.text)
+         ELSE 0.0 END AS punct_ratio,
+         greatest({_duck_sw_ratio('en')}, {_duck_sw_ratio('es')},
+                  {_duck_sw_ratio('fr')}, {_duck_sw_ratio('de')}) AS any_sw
+  FROM toks t JOIN documents d USING (doc_id)),
+scored AS (
+  SELECT doc_id, ROUND(
+      (CASE WHEN n_chars BETWEEN 200 AND 50000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN mean_tok_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN any_sw > 0.05 THEN 0.25 ELSE 0.0 END), 2) AS quality
+  FROM feat)
+SELECT quality, COUNT(*) AS n_docs FROM scored GROUP BY quality""")
 def quality_score_q(spark, sf_dir):
-    """EXT (rows-only): C4/Gopher-style quality scoring distribution."""
+    """L4 EXT: C4/Gopher-style quality scoring distribution, oracle-checked
+    rule by rule (length band, mean token length, punctuation ratio,
+    stopword presence)."""
     docs = read_table(spark, sf_dir, "documents")
     return (X.quality_score(docs, "text").groupBy("quality")
             .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("quality"))
@@ -877,3 +939,168 @@ def streaming_tumbling(spark, sf_dir):
     the streaming plan compiles and matches batch semantics."""
     from .streaming.windows import tumbling_window_batch_equivalent
     return tumbling_window_batch_equivalent(spark, sf_dir)
+
+
+# ==================================== widened coverage (joins/aggs/sessions)
+
+@query("full_outer_join", oracle="""
+WITH ords AS (
+  SELECT o_custkey, COUNT(*) AS order_count
+  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name AS c_name,
+       o.order_count AS order_count
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500) c
+FULL JOIN ords o ON c.c_custkey = o.o_custkey""")
+def full_outer_join(spark, sf_dir):
+    """J-EXT: full outer join with unmatched rows on BOTH sides (customers
+    without even-key orders; even-key orders beyond the customer prefix).
+    The reference never needs full outer (SURVEY §2.3 note) — declared here
+    because the merge operator (A8) builds on it."""
+    c = (read_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") <= 500).select("c_custkey", "c_name"))
+    o = (read_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") % 2 == 0)
+         .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("order_count")))
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+                    "c_name", "order_count")
+
+
+@query("cross_join_small", oracle="""
+SELECT r.r_name, p.o_orderpriority
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""")
+def cross_join_small(spark, sf_dir):
+    """J-EXT: explicit cartesian product of two SMALL inputs (5×5) — the only
+    sane cross-join shape; Catalyst broadcasts one side (BroadcastNestedLoop).
+    Declared for API completeness per SURVEY §2.3's note."""
+    r = read_table(spark, sf_dir, "region").select("r_name")
+    p = read_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(p)
+
+
+@query("cube_counts", oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")
+def cube_counts(spark, sf_dir):
+    """A10 EXT: all 2^k grouping-set subtotals in one Expand+hash-agg pass
+    (companion to rollup_counts)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query("percentile_stats", oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+FROM lineitem GROUP BY l_returnflag""")
+def percentile_stats(spark, sf_dir):
+    """A9 EXT: EXACT percentiles (linear interpolation — same definition as
+    quantile_cont). ``percentile_approx`` is the 100 TB path but its sketch
+    is engine-specific, so the conformance query pins the exact op."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"))
+
+
+@query("regex_extract", oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       CAST(CASE WHEN regexp_matches(p_name, 'gear') THEN 1 ELSE 0 END AS INT) AS has_gear
+FROM part""")
+def regex_extract(spark, sf_dir):
+    """F11 EXT: regex extraction/predicate family (JVM regex, codegen —
+    the scalable form of the reference's substring checks)."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("p_name").rlike("gear"), 1).otherwise(0).alias("has_gear"))
+
+
+@query("session_window_agg", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(ts) + INTERVAL '30 minutes')) AS BIGINT) AS session_end_epoch,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM sess GROUP BY user_id, sid""")
+def session_window_agg(spark, sf_dir):
+    """ST2: session windows (30-min gap) as a BATCH query — the oracle is the
+    classic gaps-and-islands rewrite, proving Spark's merging session
+    semantics (windows merge iff gap < duration; end = last event + gap)
+    against first principles. The same expression runs under streaming with
+    ``withWatermark`` (streaming.windows.session_agg)."""
+    e = read_table(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+                    F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
+                    "cnt", "sum_value"))
+
+
+@query("streaming_session")
+def streaming_session(spark, sf_dir):
+    """ST2+ST3 (rows-only): session windows executed through Structured
+    Streaming (watermarked, one availableNow micro-batch)."""
+    from .streaming.windows import run_to_memory, session_agg, stream_events
+    name, _ = run_to_memory(session_agg(stream_events(spark, sf_dir)))
+    return (spark.table(name)
+            .select("user_id", F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+                    "cnt"))
+
+
+@query("streaming_dedup")
+def streaming_dedup(spark, sf_dir):
+    """ST4 (rows-only): dropDuplicatesWithinWatermark through the streaming
+    engine — bounded-state first-arrival-wins dedup on event_id."""
+    from .streaming.windows import run_to_memory, stateful_dedup, stream_events
+    dedup = stateful_dedup(stream_events(spark, sf_dir), ["event_id"])
+    name, _ = run_to_memory(dedup.select("event_id", "user_id", "event_type"),
+                            output_mode="append")
+    return spark.table(name)
+
+
+@query("http_enrich")
+def http_enrich(spark, sf_dir):
+    """S4/U2 (rows-only): per-partition batched HTTP enrichment via
+    mapInPandas with an INJECTED deterministic fake transport (no network in
+    conformance runs; the real client drops into the same fetch slot).
+    Mirrors the SerpApi enrichment loop (``process_publications_dag.py:
+    202-263``) as ONE distributed map stage."""
+    from .sources.http import enrich
+
+    def fake_fetch(key: str) -> dict:
+        return {"organic_results": [{
+            "title": f"Title for {key}", "link": f"https://example.org/{key}",
+            "result_id": f"rid-{key}",
+            "publication_info": {"summary": f"Summary - {key}"}}]}
+
+    keys = (read_table(spark, sf_dir, "part").select(F.col("p_brand").alias("key"))
+            .distinct())
+    return enrich(keys, "key", fetch=fake_fetch).orderBy("key")
+
+
+@query("stateful_profile")
+def stateful_profile(spark, sf_dir):
+    """EXT (rows-only): custom arbitrary-state streaming operator
+    (``applyInPandasWithState``) — running per-user (count, value-sum)
+    carried across micro-batches; single availableNow pass here."""
+    from .streaming.stateful import run_profile
+    return run_profile(spark, sf_dir)

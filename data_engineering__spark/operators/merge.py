@@ -20,6 +20,49 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_ids(df: DataFrame, order_by: list[str], id_col: str = "id",
+               start: int = 1) -> DataFrame:
+    """Deterministic dense surrogate ids 1..N by ``order_by`` — DISTRIBUTED.
+
+    ``row_number() over (order by ...)`` with no partition collapses the
+    whole table into one task; this operator produces the identical ids with
+    cluster parallelism:
+
+    1. range-repartition + sort within partitions on ``order_by`` (one
+       narrow-ish shuffle, same cost as the global sort the window needs),
+    2. per-partition row counts → cumulative offsets (partition-count rows,
+       driver-side arithmetic on a handful of longs),
+    3. id = partition_offset + local row_number (within-partition window —
+       no data movement).
+
+    Ties in ``order_by`` make ids ambiguous under ANY implementation; callers
+    must pass a total order (same contract as the reference's deterministic
+    surrogate keys, SURVEY §1.2).
+    """
+    cols = [F.col(c) for c in order_by]
+    # persist: the partitioned table is read twice (counts, then ids) and
+    # range boundaries are sample-derived per run — a recompute could place
+    # rows differently and silently corrupt the offsets.
+    parts = (df.repartitionByRange(*cols)
+               .sortWithinPartitions(*cols)
+               .withColumn("__pid", F.spark_partition_id())
+               .persist())
+    counts = {r["__pid"]: r["cnt"] for r in
+              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, start - 1
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_col = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]).cast("long") for p in sorted(offsets)])),
+        F.col("__pid")) if offsets else F.lit(start - 1).cast("long")
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (parts.withColumn(id_col, (offset_col + F.row_number().over(w)).cast("long"))
+                 .drop("__pid"))
+
+
 def dim_upsert(dim: DataFrame, incoming: DataFrame, natural_key: str,
                id_col: str = "id") -> DataFrame:
     """A7: dimension get-or-insert with deterministic surrogate keys.

@@ -69,12 +69,15 @@ def stateful_dedup(events: DataFrame, keys: list[str],
                  .dropDuplicatesWithinWatermark(keys)
 
 
-def run_to_memory(agg: DataFrame, timeout_s: int = 120) -> tuple[str, object]:
-    """Execute a streaming aggregation to completion on the available data
-    (one availableNow trigger) into a memory sink; returns (table_name, query)."""
+def run_to_memory(agg: DataFrame, timeout_s: int = 120,
+                  output_mode: str = "complete") -> tuple[str, object]:
+    """Execute a streaming query to completion on the available data (one
+    availableNow trigger) into a memory sink; returns (table_name, query).
+    ``output_mode``: "complete" for aggregations, "append" for row streams
+    (dedup, maps)."""
     name = f"stream_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return name, q
 

@@ -126,3 +126,42 @@ def test_cosine_topk_self_is_first(spark):
     q = df.filter(F.col("vec_id") == 2)
     top = cosine_topk(df, q, 3).collect()
     assert top[0].vec_id == 2 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_assign_ids_matches_global_window(spark):
+    """Distributed partition-offset id assignment must equal the single-
+    partition row_number formulation exactly (same total order contract)."""
+    from pyspark.sql import Window
+
+    from data_engineering__spark.operators.merge import assign_ids
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        F.col("id").alias("payload"))
+    got = assign_ids(df, ["k"], id_col="sid", start=5)
+    expect = df.withColumn(
+        "sid", (F.row_number().over(Window.orderBy("k")) + F.lit(4)).cast("long"))
+    assert sorted((r.k, r.sid) for r in got.collect()) == \
+           sorted((r.k, r.sid) for r in expect.collect())
+    # dense, gap-free, starts at `start`
+    sids = sorted(r.sid for r in got.collect())
+    assert sids[0] == 5 and sids[-1] == 5 + 999 and len(set(sids)) == 1000
+
+
+def test_assign_ids_empty_and_single_row(spark):
+    from data_engineering__spark.operators.merge import assign_ids
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert assign_ids(empty, ["k"]).count() == 0
+    one = spark.range(1).select(F.col("id").alias("k"))
+    assert [r.id for r in assign_ids(one, ["k"]).collect()] == [1]
+
+
+def test_stateful_profile_matches_batch_totals(spark, sf_dir):
+    """After one availableNow pass over all data, the custom stateful
+    operator's last emission per user equals the batch groupBy totals."""
+    from data_engineering__spark.sources.io import read_table
+    from data_engineering__spark.streaming.stateful import batch_equivalent, run_profile
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in run_profile(spark, sf_dir).collect()}
+    want = {r.user_id: (r.n_events, r.total_value)
+            for r in batch_equivalent(read_table(spark, sf_dir, "events")).collect()}
+    assert got == want
