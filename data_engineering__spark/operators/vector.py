@@ -57,17 +57,19 @@ def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
 def rp_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature (int bucket id).
 
-    Plane p's normal is a deterministic pseudo-random ±1 vector derived from
-    ``xxhash64(index, seed+p)`` — generated IN the expression, so executors
-    need no side data and signatures are rerun-stable. sign(v·r) per plane →
-    n_planes-bit bucket id. Cosine-similar vectors collide with high prob.
+    Plane p's normal is a deterministic pseudo-random ±1 vector generated
+    DRIVER-SIDE at plan time and embedded as an array literal — executors
+    need no side data, signatures are rerun-stable, and (unlike deriving the
+    vector from per-element hash expressions) nothing is recomputed per row.
+    sign(v·r) per plane → n_planes-bit bucket id. Cosine-similar vectors
+    collide with high probability.
     """
+    import random
+    rng = random.Random(seed)
     sig = F.lit(0).cast("long")
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
     for p in range(n_planes):
-        rand = F.transform(idx, lambda i, p=p: (
-            F.when(F.pmod(F.xxhash64(i, F.lit(seed + p)), 2) == 0, F.lit(1.0))
-             .otherwise(F.lit(-1.0))))
+        rand = F.array(*[F.lit(1.0 if rng.random() < 0.5 else -1.0)
+                         for _ in range(dim)])
         proj = F.aggregate(F.zip_with(vec_col, rand, lambda x, r: x * r),
                            F.lit(0.0), lambda acc, v: acc + v)
         sig = sig.bitwiseOR(F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p))
