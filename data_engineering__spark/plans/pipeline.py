@@ -18,12 +18,12 @@ pinned (SURVEY §1.3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.derive import case_when_contains
 from ..operators.dedup import dedup_by_key
-from ..operators.merge import dim_upsert
+from ..operators.merge import assign_ids, dim_upsert
 from ..operators.quality import audit_diff, check, duplicate_key_audit
 from ..operators.relational import min_trimmed_length
 
@@ -61,8 +61,9 @@ def ingest(raw: DataFrame) -> DataFrame:
         "categories", "license", "abstract",
         F.to_date("update_date").alias("update_date"))
     deduped = dedup_by_key(pubs, ["doi"], [F.asc("arxiv_id")], null_passthrough=True)
-    w = Window.orderBy("arxiv_id")
-    return deduped.withColumn("pub_id", F.row_number().over(w).cast("long"))
+    # deterministic surrogate ids WITHOUT a single-task global window:
+    # range-partitioned per-partition offsets (operators.merge.assign_ids)
+    return assign_ids(deduped, ["arxiv_id"], id_col="pub_id")
 
 
 def normalize(pubs: DataFrame) -> dict[str, DataFrame]:

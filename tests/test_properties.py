@@ -1,0 +1,89 @@
+"""Property-based checks (SURVEY §5 strategy #4) on small generated inputs:
+dedup idempotence, semi/anti partition law, merge key-uniqueness invariant,
+assign_ids density. Few examples per property — each example spins Spark
+jobs, so we buy breadth with distinct properties, not example count."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering__spark.operators.dedup import dedup_by_key
+from data_engineering__spark.operators.merge import assign_ids, upsert_merge
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+keys = st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=30)
+
+
+@given(ks=keys)
+@SETTINGS
+def test_dedup_idempotent_and_null_passthrough(spark, ks):
+    df = spark.createDataFrame([Row(k=k, i=i) for i, k in enumerate(ks)],
+                               "k int, i int")
+    once = dedup_by_key(df, ["k"], [F.asc("i")], null_passthrough=True)
+    twice = dedup_by_key(once, ["k"], [F.asc("i")], null_passthrough=True)
+    nkey = lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1])
+    got_once = sorted(((r.k, r.i) for r in once.collect()), key=nkey)
+    got_twice = sorted(((r.k, r.i) for r in twice.collect()), key=nkey)
+    # idempotence
+    assert got_once == got_twice
+    # NULL rows all survive; non-null keys unique; survivor = min i per key
+    nulls_in = [i for i, k in enumerate(ks) if k is None]
+    assert [i for k, i in got_once if k is None] == nulls_in
+    nonnull = {}
+    for i, k in enumerate(ks):
+        if k is not None and k not in nonnull:
+            nonnull[k] = i
+    assert sorted((k, i) for k, i in got_once if k is not None) == \
+           sorted(nonnull.items())
+
+
+@given(ks=keys)
+@SETTINGS
+def test_semi_anti_partition_law(spark, ks):
+    """semi(df, probe) ∪ anti(df, probe) == df, disjointly — for non-null keys."""
+    df = spark.createDataFrame([Row(k=k, i=i) for i, k in enumerate(ks)],
+                               "k int, i int").filter(F.col("k").isNotNull())
+    probe = spark.createDataFrame([Row(k=k) for k in [0, 2, 4]])
+    semi = df.join(probe, "k", "left_semi")
+    anti = df.join(probe, "k", "left_anti")
+    all_rows = sorted((r.k, r.i) for r in df.collect())
+    part = sorted((r.k, r.i) for r in semi.collect()) + \
+           sorted((r.k, r.i) for r in anti.collect())
+    assert sorted(part) == all_rows
+    assert semi.count() + anti.count() == df.count()
+
+
+@given(tvals=st.lists(st.integers(0, 8), min_size=0, max_size=12, unique=True),
+       svals=st.lists(st.integers(0, 8), min_size=0, max_size=12, unique=True))
+@SETTINGS
+def test_upsert_merge_preserves_key_uniqueness(spark, tvals, svals):
+    target = spark.createDataFrame([Row(k=v, a=f"t{v}", b=v * 10) for v in tvals],
+                                   "k int, a string, b int")
+    source = spark.createDataFrame([Row(k=v, b=v * 100) for v in svals],
+                                   "k int, b int")
+    merged = upsert_merge(target, source, "k", update_cols=["b"])
+    rows = merged.collect()
+    got_keys = sorted(r.k for r in rows)
+    assert got_keys == sorted(set(tvals) | set(svals))  # union of keys, unique
+    by_key = {r.k: r for r in rows}
+    for v in set(tvals) | set(svals):
+        if v in svals:
+            assert by_key[v].b == v * 100       # source wins on update col
+        else:
+            assert by_key[v].b == v * 10        # target kept
+        if v in tvals:
+            assert by_key[v].a == f"t{v}"       # non-update col always target
+
+
+@given(n=st.integers(0, 40), start=st.integers(1, 7))
+@SETTINGS
+def test_assign_ids_dense_permutation(spark, n, start):
+    df = spark.range(n).select((F.col("id") * 13 % 101).alias("k"))
+    out = assign_ids(df, ["k"], id_col="sid", start=start)
+    sids = sorted(r.sid for r in out.collect())
+    assert sids == list(range(start, start + n))
