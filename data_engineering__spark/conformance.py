@@ -1104,3 +1104,14 @@ def stateful_profile(spark, sf_dir):
     carried across micro-batches; single availableNow pass here."""
     from .streaming.stateful import run_profile
     return run_profile(spark, sf_dir)
+
+
+@query("minhash_cc_dedup")
+def minhash_cc_dedup_q(spark, sf_dir):
+    """L2 (rows-only): near-dup removal with EXACT transitive closure —
+    LSH candidates → signature-verified pairs → connected components
+    (iterative min-label propagation) → min-id survivor per component."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=20)
+    return D.minhash_dedup_cc(corpus, "doc_id", "text",
+                              jaccard_threshold=0.5, num_hashes=32, bands=16) \
+            .select("doc_id").orderBy("doc_id")

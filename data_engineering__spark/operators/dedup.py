@@ -235,6 +235,70 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return df.join(losers, id_col, "left_anti")
 
 
+# ---------------------------------------------------- connected components
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list → (id, component),
+    component = smallest id reachable. Converges in O(component diameter)
+    iterations — near-dup clusters are small and dense, so typically 2-4.
+
+    Each round is one shuffle (neighbor-label aggregation); frontier
+    DataFrames are persisted and the loop exits early when no label moved.
+    This is the exact-closure upgrade over ``minhash_dedup``'s one-hop
+    approximation; at extreme scale swap in large-star/small-star
+    (alternating optimization) — same DataFrame-only loop shape.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst"))))
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")).persist())
+    for _ in range(max_iter):
+        neighbor_min = (edges.join(labels, edges.dst == labels.id)
+                        .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                      .select(F.col("id"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_min"), F.col("component")))
+                              .alias("component"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
+                     jaccard_threshold: float = 0.8, num_hashes: int = 64,
+                     bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """L2 exact-closure variant: LSH candidates → signature-verified pairs →
+    connected components → keep the min-id doc per component. Unlike the
+    one-hop ``minhash_dedup``, a chain a~b~c~d keeps ONLY a."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
+    pairs = _band_candidate_pairs(sig, num_hashes, bands)
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    verified = (pairs.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
+                .filter(F.col("jaccard_est") >= jaccard_threshold)
+                .select("id_a", "id_b"))
+    comp = connected_components(verified)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,

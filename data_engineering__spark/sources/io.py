@@ -75,6 +75,48 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, buckets: int,
+                   bucket_cols: list[str],
+                   sort_cols: list[str] | None = None) -> None:
+    """S3 scale path: hash-bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle (SortMergeJoin reads co-located buckets directly) —
+    the pre-shuffle is paid once at write time and amortized over every
+    downstream join/agg on that key. This is the parquet-table analog of
+    the reference warehouse's PK layout. Bucket count rule of thumb at
+    scale: total_size / bucket_count ≈ 100-200 MB per bucket file.
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 8, **options: str) -> DataFrame:
+    """S2: JDBC connector (the reference's psycopg2 SELECTs,
+    ``process_publications_dag.py:28,162-164``), kept as an optional source.
+
+    Always pass the partition-column bounds for big tables: without them the
+    whole table streams through ONE task. Predicates still push down to the
+    database (Catalyst emits WHERE into the generated query). Untested here
+    (no database in the environment) — exercised in deployments.
+    """
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def sample_head(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
     """S5/O3: deterministic head sample (``createdataset.py:25-35`` analog).
 

@@ -165,3 +165,73 @@ def test_stateful_profile_matches_batch_totals(spark, sf_dir):
     want = {r.user_id: (r.n_events, r.total_value)
             for r in batch_equivalent(read_table(spark, sf_dir, "events")).collect()}
     assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key co-locate: the SortMergeJoin plan
+    must contain NO Exchange — the write-time bucketing replaced the
+    per-query shuffle."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from data_engineering__spark.sources.io import read_table, write_bucketed
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+                   "b_orders", 8, ["o_orderkey"], ["o_orderkey"])
+    write_bucketed(read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+                   "b_lineitem", 8, ["l_orderkey"], ["l_orderkey"])
+    # bucketed reads must not be re-planned away
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    j = (spark.table("b_orders")
+         .join(spark.table("b_lineitem"),
+               F.col("o_orderkey") == F.col("l_orderkey"))
+         .groupBy("o_orderkey").agg(F.sum("l_quantity").alias("qty")))
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    # the only acceptable exchange would be none at all (join AND agg share
+    # the bucket partitioning)
+    assert "Exchange" not in plan, plan
+    assert j.count() > 0
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_connected_components_chain_and_islands(spark):
+    """a-b-c-d chain collapses to component a; isolated pair keeps its own
+    min; exact transitive closure (the one-hop approximation would miss d→a)."""
+    from pyspark.sql import Row
+
+    from data_engineering__spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+        Row(id_a=10, id_b=11)])
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_cc_transitive_chain(spark):
+    """Chained near-identical docs (each ~1 token off its neighbor) reduce to
+    ONE survivor under connected-component closure."""
+    from pyspark.sql import Row
+
+    from data_engineering__spark.operators.dedup import minhash_dedup_cc
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the quiet river bank today") * 3
+    words = base.split()
+    docs = []
+    for i in range(4):  # doc i drops i leading words → neighbors very similar
+        docs.append(Row(doc_id=i, text=" ".join(words[i:])))
+    docs.append(Row(doc_id=99, text="completely different content entirely "
+                                    "unrelated words appear here nothing shared"))
+    df = spark.createDataFrame(docs)
+    out = sorted(r.doc_id for r in
+                 minhash_dedup_cc(df, "doc_id", "text",
+                                  jaccard_threshold=0.5, num_hashes=32,
+                                  bands=16).collect())
+    assert out == [0, 99]
