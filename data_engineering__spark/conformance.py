@@ -1115,3 +1115,23 @@ def minhash_cc_dedup_q(spark, sf_dir):
     return D.minhash_dedup_cc(corpus, "doc_id", "text",
                               jaccard_threshold=0.5, num_hashes=32, bands=16) \
             .select("doc_id").orderBy("doc_id")
+
+
+@query("salted_join_agg", oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority""")
+def salted_join_agg(spark, sf_dir):
+    """EXT skew path: the SAME join result through the explicit salt-scatter
+    operator (deterministic salt from the line's unique key; small side
+    replicated salt×). Oracle is the plain join — salting must be
+    result-invariant."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = R.salted_join(li.withColumnRenamed("l_orderkey", "o_orderkey"), o,
+                      "o_orderkey", salt_source="l_linenumber", salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty")))

@@ -96,6 +96,34 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     return left.join(right, on, "left_semi")
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_source: str, salt: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-mitigated equi-join: scatter the big side's hot keys across
+    ``salt`` sub-keys, replicate the small side ``salt``×, join on
+    (key, salt).
+
+    When to use: a handful of keys dominate the big side (zipfian user ids,
+    null-like sentinel keys) and the small side is too big to broadcast but
+    cheap to replicate ``salt``×. AQE's skew-join split handles most cases
+    at runtime — this operator is the explicit form for engines/paths where
+    AQE can't help (e.g. streaming state partitioning, fixed bucketing).
+
+    ``salt_source``: a column of the BIG side used to derive a deterministic
+    salt (any well-distributed column, e.g. the row's unique id) — rerun-
+    stable, unlike ``rand()``-based salting, so retried tasks place rows
+    identically. Result equals the unsalted join exactly (verified by test).
+    """
+    if how not in ("inner", "left"):
+        # right/full would emit one row per unmatched small-side REPLICA
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    bs = big.withColumn("__salt",
+                        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt)).cast("int"))
+    ss = small.withColumn("__salt",
+                          F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return bs.join(ss, [key, "__salt"], how).drop("__salt")
+
+
 # -------------------------------------------------------------- aggregations
 
 def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the plans the architecture promises
+(ARCHITECTURE.md plan audit) are asserted here so an operator change that
+silently degrades them (loses a broadcast, un-pushes a filter, globalizes a
+window) fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_engineering__spark.conformance import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dim_join_broadcasts_and_pushes_filters(spark, sf_dir):
+    p = plan_of(QUERIES["three_way_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters: [IsNotNull" in p
+    assert "SortMergeJoin" not in p  # dims must never sort-merge
+
+
+def test_projection_reaches_scan(spark, sf_dir):
+    p = plan_of(QUERIES["project_prune"](spark, sf_dir))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in p
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    p = plan_of(QUERIES["filter_predicate"](spark, sf_dir))
+    assert "StringContains(p_name,widget)" in p
+    assert "GreaterThanOrEqual(p_size,20)" in p
+
+
+def test_topk_uses_partial_window_group_limit(spark, sf_dir):
+    p = plan_of(QUERIES["topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    p = plan_of(QUERIES["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_global_window_in_headline_queries(spark, sf_dir):
+    """No conformance query may move all data into a single-partition window
+    (the 'No Partition Defined for Window operation' trap) — except the
+    documented tiny-delta window in dim_upsert."""
+    for name in ["window_rank", "window_running_sum", "topk_per_group",
+                 "dedup_by_key", "window_lag_lead"]:
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        assert "SinglePartition" not in p, f"{name} collapses to one partition"
+
+
+def test_salted_join_equals_plain_join(spark):
+    from data_engineering__spark.operators.relational import salted_join
+    big = spark.createDataFrame(
+        [Row(k=(i % 3) if i % 5 else 0, uid=i, v=i * 2) for i in range(200)])
+    small = spark.createDataFrame([Row(k=i, tag=f"t{i}") for i in range(4)])
+    plain = big.join(small, "k").select("uid", "tag")
+    salted = salted_join(big, small, "k", salt_source="uid", salt=4) \
+        .select("uid", "tag")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left variant keeps unmatched big rows exactly once
+    big2 = big.withColumn("k", F.col("k") + 10)  # no matches
+    left = salted_join(big2, small, "k", salt_source="uid", salt=4, how="left")
+    assert left.count() == 200 and left.filter(F.col("tag").isNotNull()).count() == 0
