@@ -1135,3 +1135,79 @@ def salted_join_agg(spark, sf_dir):
     return (j.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
+
+@query("unpivot_metrics", oracle="""
+SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey <= 200)""")
+def unpivot_metrics(spark, sf_dir):
+    """F11 EXT: unpivot/melt — wide metric columns to (metric, val) rows
+    (inverse of pivot_counts); Expand node, no shuffle."""
+    li = (read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("double").alias("quantity"),
+                  F.col("l_discount").alias("discount"), F.col("l_tax").alias("tax")))
+    return (li.unpivot(["l_orderkey", "l_linenumber"],
+                       ["quantity", "discount", "tax"], "metric", "val")
+            .withColumn("val", F.round("val", 2)))
+
+
+@query("string_agg_groups", oracle="""
+SELECT c_mktsegment, string_agg(DISTINCT c_nationkey::VARCHAR, ','
+                                ORDER BY c_nationkey::VARCHAR) AS nations
+FROM customer GROUP BY c_mktsegment""")
+def string_agg_groups(spark, sf_dir):
+    """A-EXT: deterministic string aggregation — collect_set is unordered, so
+    sort_array before array_join pins a total order (the unordered variant is
+    a rerun-instability bug at any scale)."""
+    c = read_table(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.array_join(
+                F.sort_array(F.collect_set(F.col("c_nationkey").cast("string"))),
+                ",").alias("nations")))
+
+
+@query("cond_agg_flags", oracle="""
+SELECT o_orderpriority,
+       count_if(o_totalprice > 150000) AS n_big,
+       CAST(bool_and(o_totalprice > 1000) AS BOOLEAN) AS all_over_1k,
+       CAST(bool_or(o_totalprice > 400000) AS BOOLEAN) AS any_huge
+FROM orders GROUP BY o_orderpriority""")
+def cond_agg_flags(spark, sf_dir):
+    """A-EXT: conditional/boolean aggregate family (count_if, bool_and,
+    bool_or) — one hash-agg pass, no per-condition scans."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"))
+
+
+@query("date_functions", oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(o_orderdate + INTERVAL '3 months' AS DATE) AS plus_3m,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since_95
+FROM orders WHERE o_orderkey <= 1000""")
+def date_functions(spark, sf_dir):
+    """F9 EXT: date-function battery (trunc, day-of-week, last_day,
+    add_months, datediff). NB Spark dayofweek is 1=Sunday; DuckDB is
+    0=Sunday — the oracle shifts by one."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since_95"))
