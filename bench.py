@@ -23,12 +23,14 @@ HEADLINE = [
     "inner_join_agg_sort", "left_join_count_multisort", "three_way_join_agg",
     "anti_join", "semi_join", "group_having_dup", "agg_stats", "rollup_counts",
     "except_all", "dedup_by_key", "upsert_merge", "dim_upsert",
-    "full_outer_join", "cube_counts", "percentile_stats",
+    "full_outer_join", "cube_counts", "percentile_stats", "salted_join_agg",
+    "cond_agg_flags", "string_agg_groups", "unpivot_metrics",
     # windows / sorts
     "topk_per_group", "window_rank", "window_running_sum", "sort_limit_topk",
     # scalar / semi-structured
     "explode_split", "case_when_mapping", "date_extract", "json_extract",
-    "regex_extract", "tumbling_window_agg", "session_window_agg", "audit_diff",
+    "regex_extract", "date_functions", "tumbling_window_agg",
+    "session_window_agg", "audit_diff",
     # LLM-pipeline extensions
     "text_exact_dedup", "token_count", "text_stats", "cosine_topk",
     "minhash_near_dup", "simhash_near_dup", "embedding_near_dup",
