@@ -46,8 +46,12 @@ def main() -> None:
     from data_engineering__spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{cpus}]")
-    # warm the JVM/codegen paths once with a trivial action
+    # warm the JVM/codegen paths once with a trivial action, and pre-spawn
+    # the Arrow python workers (same fixed-cost category as JVM warmup —
+    # daemon workers persist for the session)
     spark.range(1000).count()
+    (spark.range(int(cpus) * 4).repartition(int(cpus))
+     .mapInPandas(lambda it: it, "id long").count())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

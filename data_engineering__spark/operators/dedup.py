@@ -370,20 +370,24 @@ def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
-            seed: int = 42) -> DataFrame:
+            seed: int = 42, impl: str = "pandas") -> DataFrame:
     """SimHash fingerprint (EXT): 64-bit locality-sensitive hash.
 
-    Per document: hash each token (xxhash64), each bit position votes
-    +1/-1 by whether that bit is set; fingerprint bit = sign of vote sum.
+    Per document: hash each token, each bit position votes +1/-1 by whether
+    that bit is set; fingerprint bit = sign of vote sum. Near-dups differ in
+    few bits (Hamming). Returns (id_col, simhash bigint).
 
-    Expressed as explode → groupBy(doc) with one SUM per bit — pure codegen;
-    partial (map-side) aggregation folds each doc's token votes into 64
-    primitive counters BEFORE the exchange, so the shuffle carries one row
-    per doc, not per token. (A narrow per-row array-fold variant was
-    benchmarked and lost ~3×: per-token 64-wide array allocation beats no
-    shuffle only when the shuffle is large, and here it never is.)
-    Near-dups differ in few bits (Hamming). Returns (id_col, simhash bigint).
+    ``impl="pandas"`` (default): Arrow-batched numpy — token hashes once per
+    batch, bit matrix via shifts, per-doc vote sums in one
+    ``np.add.reduceat``; no explode, no shuffle, no per-row Python.
+    ``impl="expr"``: explode → groupBy(doc) with one SUM per bit — pure
+    codegen with map-side partial agg (shuffle carries one row per doc);
+    keeps the computation JVM-only where Python workers are unwanted.
+    (A narrow per-row array-fold expression variant was benchmarked and
+    lost ~3×: HOF lambdas are interpreted, not codegen'd.)
     """
+    if impl == "pandas":
+        return _simhash_pandas(df, id_col, text_col, bits, seed)
     toks = (df.select(F.col(id_col), F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
               .filter(F.col("tok") != "")
@@ -402,6 +406,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
             F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long"))
              .otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def _simhash_pandas(df: DataFrame, id_col: str, text_col: str,
+                    bits: int, seed: int) -> DataFrame:
+    """Vectorized simhash: one (tokens × bits) sign matrix per Arrow batch,
+    per-doc vote sums via ``np.add.reduceat``, sign-bit packing in numpy.
+    Docs with no tokens are dropped (parity with the exploded form)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, starts, hash_chunks = [], [], []
+            pos = 0
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in str(text).lower().strip().split() if t]
+                if not toks:
+                    continue
+                th = pd.util.hash_array(np.array(toks, dtype=object)) \
+                       .astype(np.uint64)
+                doc_ids.append(doc)
+                starts.append(pos)
+                hash_chunks.append(th)
+                pos += len(th)
+            if not doc_ids:
+                continue
+            h = np.concatenate(hash_chunks)                        # (T,)
+            bitmat = ((h[:, None] >> shifts) & np.uint64(1)) \
+                .astype(np.int32) * 2 - 1                          # ±1 (T, B)
+            votes = np.add.reduceat(bitmat, np.array(starts), axis=0)
+            fp = ((votes > 0).astype(np.uint64) << shifts).sum(axis=1,
+                                                               dtype=np.uint64)
+            yield pd.DataFrame({id_col: doc_ids,
+                                "simhash": fp.astype(np.int64)})
+
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, simhash bigint"
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, out_schema)
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
