@@ -1211,3 +1211,21 @@ def date_functions(spark, sf_dir):
         F.last_day("o_orderdate").alias("month_end"),
         F.add_months("o_orderdate", 3).alias("plus_3m"),
         F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("days_since_95"))
+
+
+@query("grouped_map_gaps", oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              AS BIGINT) AS gap_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(gap_us) AS n_gaps,
+       COALESCE(SUM(gap_us), 0) AS total_gap_us
+FROM gaps GROUP BY user_id""")
+def grouped_map_gaps(spark, sf_dir):
+    """U4: GROUPED_MAP applyInPandas — per-user inter-event gap profile;
+    integer microsecond outputs make the pandas/SQL comparison exact."""
+    from .functions.udafs import user_gap_stats
+    return user_gap_stats(read_table(spark, sf_dir, "events"))

@@ -20,3 +20,37 @@ def weighted_mean(value: pd.Series, weight: pd.Series) -> float:
     if total_w == 0:
         return float("nan")
     return float((value * weight).sum() / total_w)
+
+
+def user_gap_stats(events) -> "DataFrame":
+    """U4 (GROUPED_MAP): per-user inter-event gap profile via
+    ``groupBy().applyInPandas`` — the whole group arrives as ONE pandas
+    DataFrame (unlike the Arrow-iterator mapInPandas), the natural shape for
+    order-dependent per-entity computations (sessionization, trajectories).
+
+    All outputs are INTEGER (microsecond sums, counts): exact across
+    engines, so the conformance oracle hash-compares safely — float means
+    would diverge in the last ulp between numpy pairwise and SQL sequential
+    summation.
+
+    Scale: one shuffle on user_id; each group must fit in one worker's
+    memory (gap profile state is O(events-per-user) — bounded for real
+    users; for adversarial whales pre-aggregate by (user, day) first).
+    """
+    import pandas as pd
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = pdf["ts"].sort_values()
+        gaps = ts.diff().dropna()
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "n_gaps": [len(gaps)],
+            "total_gap_us": [int(gaps.sum().total_seconds() * 1_000_000)
+                             if len(gaps) else 0],
+        })
+
+    return (events.select("user_id", "ts").groupBy("user_id")
+            .applyInPandas(profile,
+                           "user_id bigint, n_events bigint, "
+                           "n_gaps bigint, total_gap_us bigint"))

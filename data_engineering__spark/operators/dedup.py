@@ -7,8 +7,15 @@ insert (SURVEY §1.3). ``dedup_by_key`` reproduces exactly that.
 
 Extension mandate (BASELINE.json north star): the dedup family a 100 TB
 training-data pipeline needs — exact-hash, MinHash+LSH, SimHash, n-gram
-Jaccard. All are pure DataFrame compositions; candidate generation is always
-band/bucket-join based (never O(n²) pairwise).
+Jaccard, plus exact transitive closure via connected components. Candidate
+generation is always band/bucket-join based (never O(n²) pairwise).
+
+Signature kernels default to Arrow-batched numpy (``mapInPandas``): Spark
+higher-order-function lambdas execute in the interpreted expression
+evaluator (never whole-stage codegen), measured ~1.6 µs per lambda eval —
+a vectorized reduceat over the batch beats them ~10×. Pure-JVM
+``impl="expr"`` formulations are retained for Python-worker-free
+deployments. Joins/grouping stay JVM-side either way.
 """
 
 from __future__ import annotations
