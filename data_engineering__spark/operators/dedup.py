@@ -330,6 +330,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = edges.persist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")).persist())
+    # labels are non-increasing, so Σ(component) strictly decreases on any
+    # change — a single scalar agg is a sufficient (and cheap) convergence
+    # probe, replacing a join-diff per round.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("component").alias("nbr_min")))
@@ -339,14 +343,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.coalesce(F.col("nbr_min"), F.col("component")))
                               .alias("component"))
                       .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
+        cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 
