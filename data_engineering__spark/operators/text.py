@@ -51,10 +51,19 @@ def stopword_ratio(text_col: str, lang: str) -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred",
+            impl: str = "pandas") -> DataFrame:
     """EXT language-ID heuristic: argmax stopword-ratio across known
-    languages, 'und' when nothing matches. Pure codegen — one projection,
-    no shuffle, no Python. (Reference has no language ID; mandated EXT.)"""
+    languages, 'und' when nothing matches. (Reference has no language ID;
+    mandated EXT.)
+
+    ``impl="pandas"`` (default): Arrow-batched kernel — array-lambda
+    expressions (filter/aggregate) execute interpreted, not codegen, so the
+    Python kernel with identical integer-ratio arithmetic is faster AND
+    hash-identical (verified against the same DuckDB oracle).
+    ``impl="expr"``: the pure-JVM expression formulation."""
+    if impl == "pandas":
+        return _annotate_pandas(df, text_col, add_lang=out_col)
     scores = F.array(*[
         F.struct(stopword_ratio(text_col, lang).alias("score"), F.lit(lang).alias("lang"))
         for lang in STOPWORDS
@@ -64,14 +73,19 @@ def lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFra
         out_col, F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
-def quality_score(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
+                  impl: str = "pandas") -> DataFrame:
     """EXT quality scoring: length/punctuation/stopword signals combined into
     [0,1]. Mirrors common pretraining-corpus filters (C4/Gopher rules):
     - reasonable doc length (chars in [200, 50k])
     - mean token length in [3, 12]
     - punctuation-to-char ratio < 0.2
     - any-language stopword ratio > 0.05
-    Each rule contributes 0.25; pure codegen."""
+    Each rule contributes 0.25. ``impl`` as in ``lang_id`` — the pandas
+    kernel reproduces the arithmetic bit-exactly (ratios are int/int
+    float64 divisions; scores are exact quarters)."""
+    if impl == "pandas":
+        return _annotate_pandas(df, text_col, add_quality=out_col)
     toks = tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(toks)
@@ -106,6 +120,73 @@ def doc_fingerprint(text_col: str, seed: int = 42) -> Column:
         lambda acc, t: F.pmod(acc * F.lit(31).cast("long")
                               + F.pmod(F.xxhash64(t, F.lit(seed)), m), m),
     )
+
+
+def _annotate_pandas(df: DataFrame, text_col: str,
+                     add_lang: str | None = None,
+                     add_quality: str | None = None) -> DataFrame:
+    """Arrow-batched text annotation kernel shared by lang_id/quality_score.
+
+    Arithmetic mirrors the expression formulation EXACTLY so the DuckDB
+    oracles keep matching: stopword/punctuation ratios are int/int float64
+    divisions; mean token length is Σlen/n; the lang argmax breaks ties by
+    lexicographically greatest language (array_max struct semantics).
+    Token split uses Java-\\s-equivalent ASCII whitespace.
+    """
+    import re
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sw_sets = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    ws_re = re.compile(r"\s+", re.ASCII)
+    punct_re = re.compile(r"[A-Za-z0-9\s]", re.ASCII)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    extra = []
+    if add_lang:
+        extra.append(f"{add_lang} string")
+    if add_quality:
+        extra.append(f"{add_quality} double")
+    out_schema = fields + ", " + ", ".join(extra)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lang_out, qual_out = [], []
+            for text in pdf[text_col]:
+                t = str(text)
+                toks = [x for x in ws_re.split(t.lower().strip()) if x]
+                n = len(toks)
+                ratios = {}
+                for lang in langs:
+                    hits = sum(1 for x in toks if x in sw_sets[lang])
+                    ratios[lang] = hits / n if n > 0 else 0.0
+                if add_lang:
+                    best = max(ratios.values())
+                    if best <= 0:
+                        lang_out.append("und")
+                    else:
+                        lang_out.append(max(l for l in langs if ratios[l] == best))
+                if add_quality:
+                    n_chars = len(t)
+                    mean_tok = (sum(len(x) for x in toks) / n) if n > 0 else 0.0
+                    punct = len(punct_re.sub("", t))
+                    punct_ratio = punct / n_chars if n_chars > 0 else 0.0
+                    any_sw = max(ratios.values())
+                    score = ((0.25 if 200 <= n_chars <= 50000 else 0.0)
+                             + (0.25 if 3 <= mean_tok <= 12 else 0.0)
+                             + (0.25 if punct_ratio < 0.2 else 0.0)
+                             + (0.25 if any_sw > 0.05 else 0.0))
+                    qual_out.append(round(score, 2))
+            out = pdf.copy()
+            if add_lang:
+                out[add_lang] = lang_out
+            if add_quality:
+                out[add_quality] = qual_out
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def text_stats(df: DataFrame, group_col: str, chars_col: str) -> DataFrame:
