@@ -488,20 +488,59 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 # ------------------------------------------------------------ n-gram Jaccard
 
+def _shingle_rows_pandas(df: DataFrame, id_col: str, text_col: str,
+                         n: int, seed: int = 42) -> DataFrame:
+    """(doc, s) rows — one per DISTINCT shingle hash per document — via a
+    1→N mapInPandas kernel (UDTF shape). Same rolling token-hash shingle
+    identity as ``_minhash_signatures_pandas``."""
+    import random
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    crng = random.Random(seed ^ 0x5EED)
+    combo = np.array([crng.randrange(1, 1 << 29) for _ in range(n)],
+                     dtype=np.int64)
+    p = _MINHASH_P
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, hashes = [], []
+            for doc, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in str(text).lower().strip().split() if t]
+                if len(toks) < n:
+                    continue
+                th = (pd.util.hash_array(np.array(toks, dtype=object))
+                      .astype(np.int64) % p)
+                sh = np.zeros(len(toks) - n + 1, dtype=np.int64)
+                for j in range(n):
+                    sh = (sh + th[j:len(th) - n + 1 + j] * combo[j]) % p
+                uniq = np.unique(sh)
+                docs.append(np.full(len(uniq), doc))
+                hashes.append(uniq)
+            if docs:
+                yield pd.DataFrame({"doc": np.concatenate(docs),
+                                    "s": np.concatenate(hashes)})
+
+    out_schema = f"doc {dict(df.dtypes)[id_col]}, s bigint"
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, out_schema)
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_n: int = 3, jaccard_threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     |A∩B| via a shingle-keyed self-join + count; |A∪B| = |A|+|B|-|A∩B|.
     Shuffles (shingle_hash, id) pairs — candidate generation is bounded by
-    shared-shingle co-occurrence, not n². Shingle identity is the rolling
-    token-hash combination (``shingle_hashes``), never a materialized
-    string. Prefer ``minhash_candidate_pairs`` when the corpus is web-scale
-    and approximate similarity suffices.
+    shared-shingle co-occurrence, not n². Shingle identity is a rolling
+    token-hash combination, never a materialized string; the (doc, hash)
+    rows are produced by a vectorized Arrow kernel (1→N mapInPandas) and
+    everything downstream — joins, grouping — stays JVM-side. Prefer
+    ``minhash_candidate_pairs`` when the corpus is web-scale and
+    approximate similarity suffices.
     """
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(F.array_distinct(
-                       shingle_hashes(text_col, shingle_n))).alias("s"))
+    sh = _shingle_rows_pandas(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "s")
