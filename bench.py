@@ -31,10 +31,11 @@ HEADLINE = [
     "string_agg_groups", "unpivot_metrics", "pivot_counts", "sql_api_join",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",
-    "sort_limit_topk", "asof_join", "range_join",
+    "window_ntile", "sort_limit_topk", "asof_join", "range_join",
     # scalar / semi-structured
     "explode_split", "case_when_mapping", "map_lookup_normalize",
-    "substring_first_token", "date_extract", "json_extract", "array_ops",
+    "substring_first_token", "date_extract", "json_extract",
+    "json_struct_parse", "array_ops",
     "regex_extract", "date_functions", "tumbling_window_agg",
     "session_window_agg", "audit_diff", "udaf_weighted_mean",
     "grouped_map_gaps",

@@ -1229,3 +1229,50 @@ def grouped_map_gaps(spark, sf_dir):
     integer microsecond outputs make the pandas/SQL comparison exact."""
     from .functions.udafs import user_gap_stats
     return user_gap_stats(read_table(spark, sf_dir, "events"))
+
+
+@query("json_struct_parse", oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       json_extract_string(props, '$.source') AS source
+FROM events WHERE props IS NOT NULL""")
+def json_struct_parse(spark, sf_dir):
+    """F11 EXT: schema-declared JSON parsing (``from_json`` → typed struct,
+    one parse per row) vs json_extract's per-path probing — the right shape
+    when several fields come out of one payload."""
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("source", T.StringType())])
+    e = read_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = e.withColumn("__p", F.from_json("props", schema))
+    return parsed.select("event_id", F.col("__p.k").alias("k_val"),
+                         F.col("__p.source").alias("source"))
+
+
+@query("window_ntile", oracle="""
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS seg_first,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS seg_last
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""")
+def window_ntile(spark, sf_dir):
+    """W2 EXT: distribution window family (ntile, percent_rank, cume_dist,
+    first/last value). percent_rank/cume_dist are int/int float64 divisions
+    — exact across engines; last_value needs the full frame spelled out
+    (default frame stops at CURRENT ROW in both engines)."""
+    from pyspark.sql import Window as Wnd
+    w = Wnd.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Wnd.unboundedPreceding, Wnd.unboundedFollowing)
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("seg_first"),
+        F.last("c_custkey").over(wf).alias("seg_last"))
