@@ -37,8 +37,8 @@ HEADLINE = [
     "substring_first_token", "date_extract", "json_extract",
     "json_struct_parse", "array_ops",
     "regex_extract", "date_functions", "tumbling_window_agg",
-    "session_window_agg", "audit_diff", "udaf_weighted_mean",
-    "grouped_map_gaps",
+    "sliding_window_agg", "session_window_agg", "audit_diff",
+    "udaf_weighted_mean", "grouped_map_gaps",
     # LLM-pipeline extensions
     "text_exact_dedup", "token_count", "text_stats", "lang_id",
     "quality_score", "doc_fingerprint", "cosine_topk", "ann_topk_lsh",

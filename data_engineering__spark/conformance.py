@@ -1276,3 +1276,27 @@ def window_ntile(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first("c_custkey").over(w).alias("seg_first"),
         F.last("c_custkey").over(wf).alias("seg_last"))
+
+
+@query("sliding_window_agg", oracle="""
+WITH cand AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+         event_type, value
+  FROM events)
+SELECT CAST(epoch(w_start) AS BIGINT) AS w_start_epoch, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+FROM cand GROUP BY 1, 2""")
+def sliding_window_agg(spark, sf_dir):
+    """ST1: sliding (overlapping) windows, width 10m / slide 5m — every
+    event lands in exactly two windows; the oracle materializes both
+    membership candidates per event from first principles. Streaming form:
+    ``streaming.windows.sliding_agg``."""
+    e = read_table(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("w_start_epoch"),
+                    "event_type", "cnt", "sum_value"))

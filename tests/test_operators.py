@@ -235,3 +235,22 @@ def test_minhash_dedup_cc_transitive_chain(spark):
                                   jaccard_threshold=0.5, num_hashes=32,
                                   bands=16).collect())
     assert out == [0, 99]
+
+
+def test_frame_sample_plan_expansion(spark):
+    """L5: video rows expand to one row per sampled frame (duration-driven
+    sequence+explode); non-video rows are excluded."""
+    from data_engineering__spark.operators.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+    media = synthesize_media(spark, n=9)  # ids 2,5,8 are video (id % 3 == 2)
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, r.frame_ts_ms))
+    # media_id m has duration m*1000 ms → max(m, 1) frames at 1s cadence
+    assert set(by_id) == {2, 5, 8}
+    for m, fr in by_id.items():
+        assert len(fr) == max(m, 1)
+        assert fr[0] == (0, 0) and fr[-1] == (len(fr) - 1, (len(fr) - 1) * 1000)
