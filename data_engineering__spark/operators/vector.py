@@ -77,6 +77,63 @@ def rp_signature(vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42) 
     return sig
 
 
+def rp_signatures_pandas(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                         n_planes: int = 16, seed: int = 42,
+                         keep_vec: bool = False) -> DataFrame:
+    """(id, __sig) random-hyperplane signatures via one Arrow-batched matrix
+    multiply per batch — ``(batch × dim) @ (dim × planes)`` — instead of
+    n_planes interpreted zip_with/aggregate folds per row. Same ±1 planes
+    as ``rp_signature`` (seeded driver-side)."""
+    import random
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(seed)
+    planes = np.array([[1.0 if rng.random() < 0.5 else -1.0
+                        for _ in range(dim)] for _ in range(n_planes)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (B, dim)
+            proj = v @ planes.T                                     # (B, P)
+            bits = (proj >= 0).astype(np.uint64)
+            sig = (bits << np.arange(n_planes, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64).astype(np.int64)
+            out = pd.DataFrame({id_col: pdf[id_col], "__sig": sig})
+            if keep_vec:
+                out["__v"] = list(v)
+            yield out
+
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, __sig bigint"
+    if keep_vec:
+        out_schema += ", __v array<double>"
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+
+
+def cosine_pairs_pandas(va: str = "__va", vb: str = "__vb") -> Column:
+    """Vectorized pairwise cosine as a scalar pandas UDF over two
+    array<double> columns — one matrix pass per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: deliberately hint-free — `from __future__ import annotations`
+    # stringifies hints and pandas_udf can't resolve the local `pd` name
+    def cos(a, b):
+        x = np.array(a.tolist(), dtype=np.float64)
+        y = np.array(b.tolist(), dtype=np.float64)
+        num = (x * y).sum(axis=1)
+        den = np.sqrt((x * x).sum(axis=1)) * np.sqrt((y * y).sum(axis=1))
+        return pd.Series(num / den)
+
+    return pandas_udf(cos, "double")(F.col(va), F.col(vb))
+
+
 def ann_topk_lsh(candidates: DataFrame, query: DataFrame, k: int, dim: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 42) -> DataFrame:
@@ -103,16 +160,19 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              dim: int = 64, n_planes: int = 6, seed: int = 42) -> DataFrame:
     """EXT embedding-cosine near-dup: candidate pairs from shared LSH bucket,
     verified by exact cosine ≥ threshold. Self-join keyed on the signature —
-    sub-quadratic; never ships vectors except within matching buckets."""
-    sig = df.select(F.col(id_col), as_double_array(vec_col).alias("__v")) \
-            .withColumn("__sig", rp_signature(F.col("__v"), dim, n_planes, seed))
+    sub-quadratic; never ships vectors except within matching buckets.
+    Signature AND verification run as Arrow-vectorized matrix ops (the
+    zip_with/aggregate dot-product folds are interpreted per element); the
+    bucket self-join stays JVM-side."""
+    sig = rp_signatures_pandas(df, id_col, vec_col, dim, n_planes, seed,
+                               keep_vec=True)
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = (a.join(b, "__sig")
-              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-              .withColumn("cosine", _dot(F.col("a.__v"), F.col("b.__v"))
-                          / (_norm(F.col("a.__v")) * _norm(F.col("b.__v"))))
-              .filter(F.col("cosine") >= threshold)
-              .select(F.col(f"a.{id_col}").alias("id_a"),
-                      F.col(f"b.{id_col}").alias("id_b"),
-                      F.round("cosine", 6).alias("cosine")))
-    return pairs.distinct()
+    return (a.join(b, "__sig")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"))
+             .withColumn("cosine", cosine_pairs_pandas())
+             .filter(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+             .distinct())
