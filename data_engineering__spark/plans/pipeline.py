@@ -21,11 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from collections.abc import Callable
+
 from ..functions.derive import case_when_contains
 from ..operators.dedup import dedup_by_key
-from ..operators.merge import assign_ids, dim_upsert
+from ..operators.merge import assign_ids, dim_upsert, upsert_merge
 from ..operators.quality import audit_diff, check, duplicate_key_audit
 from ..operators.relational import min_trimmed_length
+from ..operators.window import topk_per_group
 
 #: Ordered bibtex keyword → publication type (process_publications_dag.py:271-304).
 #: ORDER MATTERS: '@article' before '@inproceedings'; specific thesis forms
@@ -124,6 +127,83 @@ def derive_types(tables: dict[str, DataFrame], bib_col: str = "comments") -> dic
     return out
 
 
+def enrich(tables: dict[str, DataFrame],
+           fetch: Callable[[str], dict],
+           limit_per_category: int = 2) -> dict[str, DataFrame]:
+    """Stage 3 (``process_publications_dag.py:161-263``): scholar enrichment.
+
+    The reference loops categories, takes the first ``limit_per_category``
+    publications per category (ORDER BY id LIMIT k per category — ONE
+    windowed top-k pass here, W1), queries the scholar API per title, and
+    merges results ON CONFLICT (title): ``journal_ref`` stores the result
+    LINK, ``doi`` stores the API ``result_id`` COALESCEd with the old doi —
+    overloaded columns preserved for parity (SURVEY §1.3). Unmatched result
+    titles INSERT as new publications with fresh surrogate ids.
+
+    ``fetch`` is injected (tests pass a stub; production a real client) —
+    the HTTP boundary lives in ``sources.http.enrich``'s mapInPandas.
+    """
+    from ..sources.http import enrich as http_enrich
+
+    pubs = tables["publications"]
+    picked = topk_per_group(
+        tables["publication_category"], ["category_id"], [F.asc("pub_id")],
+        limit_per_category).select("pub_id").distinct()
+    targets = pubs.join(picked, "pub_id", "left_semi").select("title")
+    results = http_enrich(targets, "title", fetch=fetch)
+    source = (results.select(
+        F.col("title").alias("__rtitle"),
+        F.col("link").alias("journal_ref"),
+        F.col("result_id").alias("doi"),
+        F.current_date().alias("update_date"))
+        .withColumn("title", F.col("__rtitle")).drop("__rtitle")
+        .dropDuplicates(["title"]))
+    merged = upsert_merge(pubs, source, "title",
+                          update_cols=["journal_ref", "update_date"],
+                          coalesce_cols=["doi"])
+    # new (source-only) titles need surrogate ids: continue after current max
+    max_id = merged.agg(F.coalesce(F.max("pub_id"), F.lit(0))).collect()[0][0]
+    missing = merged.filter(F.col("pub_id").isNull())
+    if missing.limit(1).count() > 0:
+        with_ids = assign_ids(missing.drop("pub_id"), ["title"],
+                              id_col="pub_id", start=int(max_id) + 1)
+        merged = merged.filter(F.col("pub_id").isNotNull()) \
+                       .unionByName(with_ids.select(*merged.columns))
+    out = dict(tables)
+    out["publications"] = merged
+    return out
+
+
+def cite(tables: dict[str, DataFrame],
+         fetch: Callable[[str], dict]) -> dict[str, DataFrame]:
+    """Stage 4 (``process_publications_dag.py:441-476``): citation harvest.
+
+    Per enriched publication title, the scholar response contributes
+    citation rows ``(publication_id, title, author, year)`` where author is
+    the first '-'-delimited token of the result summary ('Unknown' when
+    absent, F4 at ``:452-453``) and ``year`` is ALWAYS NULL (the reference
+    inserts NULL at ``:460`` — parity bug kept deliberately).
+    """
+    from ..sources.http import enrich as http_enrich
+
+    pubs = tables["publications"]
+    results = http_enrich(pubs.select("title"), "title", fetch=fetch)
+    first_author = (
+        F.when(F.instr("summary", "-") > 0,
+               F.trim(F.substring_index("summary", "-", 1)))
+         .otherwise(F.lit("Unknown")))
+    r = results.alias("r")
+    p = pubs.select("pub_id", "title").alias("p")
+    citations = (r.join(p, F.col("r.key") == F.col("p.title"))
+                 .select(F.col("p.pub_id").alias("publication_id"),
+                         F.col("r.title").alias("title"),
+                         first_author.alias("author"),
+                         F.lit(None).cast("int").alias("year")))
+    out = dict(tables)
+    out["citations"] = citations
+    return out
+
+
 def validate(tables: dict[str, DataFrame]) -> DataFrame:
     """Stage 5 (``process_publications_dag.py:486-535``): named data-quality
     checks as one unioned report DataFrame."""
@@ -141,9 +221,14 @@ def validate(tables: dict[str, DataFrame]) -> DataFrame:
     return dup.unionByName(missing).unionByName(blank_aff)
 
 
-def run_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
-    """EP1 composition: the full DAG as function composition. Returns all
-    warehouse tables + validation report + audit log of the clean stage."""
+def run_pipeline(raw: DataFrame,
+                 fetch: Callable[[str], dict] | None = None) -> dict[str, DataFrame]:
+    """EP1 composition: the full DAG as function composition — insert >>
+    clean >> enrich >> citations >> validate (``process_publications_dag.py:
+    606-612``). The enrich/citations stages run only when a ``fetch``
+    callable is injected (no network in tests/conformance; the reference's
+    SerpApi client drops into the same slot). Returns all warehouse tables
+    + validation report + audit log of the clean stage."""
     pubs = ingest(raw)
     tables = normalize(pubs)
     before = tables["publications"].select("pub_id", "title", "doi")
@@ -151,5 +236,8 @@ def run_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     tables = derive_types(tables)
     after = tables["publications"].select("pub_id", "title", "doi")
     tables["log_table"] = audit_diff(before, after, "publications")
+    if fetch is not None:
+        tables = enrich(tables, fetch)
+        tables = cite(tables, fetch)
     tables["validation"] = validate(tables)
     return tables

@@ -139,3 +139,42 @@ def test_multimodal_feature_shapes(spark):
     frames = frame_sample_plan(media, every_ms=1000)
     vid = media.filter(F.col("modality") == "video").count()
     assert frames.count() >= vid
+
+
+def test_pipeline_with_enrichment_and_citations(spark):
+    """EP1 stages 3-4: injected-fetch enrichment merges scholar results on
+    title (journal_ref := link, doi := COALESCE(result_id, old)); citations
+    carry first-token authors and ALWAYS-NULL year (reference parity,
+    process_publications_dag.py:460)."""
+    from data_engineering__spark.plans.pipeline import run_pipeline
+
+    schema = ("id string, submitter string, authors string, title string, "
+              "comments string, journal_ref string, doi string, "
+              "report_no string, categories string, license string, "
+              "abstract string, update_date string")
+    rows = [(f"a{i}", "s", "Jane Doe, John Smith", f"Title {i}",
+             "@article x", None, None, None, "cs.AI", None, "abs",
+             "2020-01-02") for i in range(6)]
+    raw = spark.createDataFrame(rows, schema)
+
+    def fake_fetch(key: str) -> dict:
+        return {"organic_results": [{
+            "title": f"Cited work about {key}",
+            "link": f"https://scholar.example/{key}",
+            "result_id": f"rid::{key}",
+            "publication_info": {"summary": f"A Scholar - Journal of {key}"}}]}
+
+    t = run_pipeline(raw, fetch=fake_fetch)
+    pubs = {r.title: r for r in t["publications"].collect()}
+    # enriched pubs carry the scholar link + result_id (overloaded cols)
+    enriched = [r for r in pubs.values() if r.journal_ref is not None]
+    assert enriched and all(r.journal_ref.startswith("https://scholar.example/")
+                            for r in enriched)
+    assert all(r.doi.startswith("rid::") for r in enriched)
+    cites = t["citations"].collect()
+    assert cites and all(r.year is None for r in cites)
+    assert all(r.author == "A Scholar" for r in cites)
+    assert all(r.title.startswith("Cited work about ") for r in cites)
+    # FK integrity: every citation points at an existing publication
+    pub_ids = {r.pub_id for r in t["publications"].collect()}
+    assert all(r.publication_id in pub_ids for r in cites)
