@@ -254,3 +254,69 @@ def test_frame_sample_plan_expansion(spark):
     for m, fr in by_id.items():
         assert len(fr) == max(m, 1)
         assert fr[0] == (0, 0) and fr[-1] == (len(fr) - 1, (len(fr) - 1) * 1000)
+
+
+def test_audit_diff_keyed_classifies_ops(spark):
+    """Q3 scale path: PK-scoped CDC emits INSERT/DELETE/UPDATE with old/new
+    JSON payloads; unchanged rows emit nothing."""
+    import json as _json
+
+    from data_engineering__spark.operators.quality import audit_diff_keyed
+    before = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")])
+    after = spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="B"), Row(id=4, v="d")])
+    log = audit_diff_keyed(before, after, "id", "t").collect()
+    ops = {}
+    for r in log:
+        key = _json.loads(r.new_values or r.old_values)["id"]
+        ops[key] = r.operation
+    assert ops == {2: "UPDATE", 3: "DELETE", 4: "INSERT"}
+    upd = next(r for r in log if r.operation == "UPDATE")
+    assert _json.loads(upd.old_values)["v"] == "b"
+    assert _json.loads(upd.new_values)["v"] == "B"
+
+
+def test_foreach_batch_merge_sink(spark, sf_dir, tmp_path):
+    """ST5: the streaming micro-batch sink drives the SAME batch merge
+    operator; after one availableNow pass the merged table equals the batch
+    aggregation of all data."""
+    from data_engineering__spark.operators.merge import upsert_merge
+    from data_engineering__spark.streaming.sinks import foreach_batch_merge
+    from data_engineering__spark.streaming.windows import stream_events
+
+    target_dir = str(tmp_path / "serving")
+    state = {"df": None}
+
+    def merge_batch(batch_df, batch_id):
+        agg = (batch_df.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("value"), 2).alias("total")))
+        if state["df"] is None:
+            merged = agg
+        else:
+            prev = state["df"]
+            both = upsert_merge(
+                prev.withColumnRenamed("n", "n_old")
+                    .withColumnRenamed("total", "total_old"),
+                agg.withColumnRenamed("n", "n_new")
+                   .withColumnRenamed("total", "total_new"),
+                "user_id")
+            merged = both.select(
+                "user_id",
+                (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0))).alias("n"),
+                F.round(F.coalesce("total_old", F.lit(0.0))
+                        + F.coalesce("total_new", F.lit(0.0)), 2).alias("total"))
+        merged.write.mode("overwrite").parquet(target_dir)
+        state["df"] = spark.read.parquet(target_dir)
+
+    q = foreach_batch_merge(stream_events(spark, sf_dir), merge_batch,
+                            checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n, r.total) for r in spark.read.parquet(target_dir).collect()}
+    from data_engineering__spark.sources.io import read_table
+    want = {r.user_id: (r.n, r.total) for r in
+            read_table(spark, sf_dir, "events").groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total")).collect()}
+    assert got == want
