@@ -109,8 +109,9 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
 
 def doc_fingerprint(text_col: str, seed: int = 42) -> Column:
     """EXT document fingerprint: order-sensitive rolling hash over tokens,
-    fold-left ``h = (h*31 + xxhash64(token)) mod M`` in codegen (F.aggregate)
-    with M = 2^31-1 so the fold never overflows long under ANSI mode.
+    fold-left ``h = (h*31 + xxhash64(token)) mod M`` via F.aggregate (NB:
+    HOF folds evaluate interpreted, not codegen — fine here, one cheap fold
+    per row) with M = 2^31-1 so the fold never overflows long under ANSI.
     Distinguishes permuted documents (unlike bag-of-words hashes); companion
     to content-hash L1 (order-insensitive after normalization)."""
     m = F.lit((1 << 31) - 1).cast("long")
