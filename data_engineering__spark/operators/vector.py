@@ -139,18 +139,23 @@ def ann_topk_lsh(candidates: DataFrame, query: DataFrame, k: int, dim: int,
                  n_planes: int = 8, seed: int = 42) -> DataFrame:
     """L3 scale path: LSH-bucketed approximate top-k.
 
-    Corpus is signed once (signature persisted/bucketed in a real
-    deployment); a query probes only its own bucket — at 1000 executors the
-    scan narrows by ~2^n_planes. Exact cosine re-ranks within the bucket.
-    Recall/latency trades via n_planes (fewer planes → bigger buckets).
+    Corpus is signed once via the vectorized kernel (signature persisted/
+    bucketed in a real deployment); a query probes only its own bucket — at
+    1000 executors the scan narrows by ~2^n_planes. Exact cosine (Arrow-
+    vectorized pair kernel) re-ranks within the bucket. Recall/latency
+    trades via n_planes (fewer planes → bigger buckets).
     """
-    cand_sig = candidates.withColumn("__sig", rp_signature(as_double_array(vec_col), dim, n_planes, seed))
-    q_sig = F.broadcast(query.select(as_double_array(vec_col).alias("__q"))
-                        .withColumn("__sig", rp_signature(F.col("__q"), dim, n_planes, seed)))
+    cand_sig = (rp_signatures_pandas(candidates.select(id_col, vec_col),
+                                     id_col, vec_col, dim, n_planes, seed,
+                                     keep_vec=True)
+                .join(candidates, id_col))
+    q_sig = F.broadcast(
+        rp_signatures_pandas(query.select(id_col, vec_col), id_col, vec_col,
+                             dim, n_planes, seed, keep_vec=True)
+        .select(F.col("__sig"), F.col("__v").alias("__q")))
     probe = cand_sig.join(q_sig, "__sig")
-    scored = (probe.withColumn("__v", as_double_array(vec_col))
-              .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
-                          / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+    scored = (probe.withColumn("cosine",
+                               cosine_pairs_pandas(va="__v", vb="__q"))
               .drop("__v", "__q", "__sig"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
