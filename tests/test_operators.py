@@ -320,3 +320,49 @@ def test_foreach_batch_merge_sink(spark, sf_dir, tmp_path):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 2).alias("total")).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """ST3: watermark state persists in the checkpoint across availableNow
+    restarts; rows older than the watermark are dropped, and windows
+    finalize (append-mode emit) only once the watermark passes them."""
+    import os
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt"); out = str(tmp_path / "out")
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.LongType())])
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("overwrite").parquet(f"{src}/{name}")
+
+    def run_once():
+        stream = spark.readStream.schema(schema) \
+            .option("pathGlobFilter", "*.parquet").parquet(f"{src}/*")
+        agg = (stream.withWatermark("ts", "30 minutes")
+               .groupBy(F.window("ts", "10 minutes").alias("w"))
+               .agg(F.sum("v").alias("total")))
+        q = (agg.select(F.col("w.start").alias("w_start"), "total")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    from datetime import datetime
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # run 1: max event 11:00 → watermark 10:30; [10:00,10:10) finalizes
+    write_batch("b1", [(t(10, 0), 1), (t(10, 5), 2), (t(11, 0), 5)])
+    run_once()
+    # run 2: 09:00 is BELOW the persisted watermark → dropped;
+    # 12:00 advances it to 11:30 → the 11:00 window finalizes WITHOUT the
+    # dropped row's value ever appearing anywhere
+    write_batch("b2", [(t(9, 0), 100), (t(12, 0), 7)])
+    run_once()
+    got = {r.w_start.hour * 100 + r.w_start.minute: r.total
+           for r in spark.read.parquet(out).collect()}
+    assert got.get(1000) == 3          # 10:00 window: 1+2
+    assert got.get(1100) == 5          # 11:00 window finalized in run 2
+    assert 900 not in got              # late row dropped by watermark
