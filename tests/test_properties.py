@@ -87,3 +87,40 @@ def test_assign_ids_dense_permutation(spark, n, start):
     out = assign_ids(df, ["k"], id_col="sid", start=start)
     sids = sorted(r.sid for r in out.collect())
     assert sids == list(range(start, start + n))
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                      min_size=1, max_size=25))
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation must agree with a reference
+    union-find on arbitrary random graphs (self-loops included)."""
+    from data_engineering__spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize: representative = min of each component
+    comp_min = {}
+    for x, r in want.items():
+        comp_min.setdefault(find(r), []).append(x)
+    expect = {x: min(members) for r, members in comp_min.items() for x in members}
+
+    df = spark.createDataFrame([{"id_a": a, "id_b": b} for a, b in edges])
+    got = {r.id: r.component
+           for r in connected_components(df, max_iter=30).collect()}
+    assert got == expect
