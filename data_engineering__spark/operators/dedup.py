@@ -328,8 +328,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              .unionByName(pairs.select(F.col(id_b).alias("src"),
                                        F.col(id_a).alias("dst"))))
     edges = edges.persist()
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("component", F.col("id")).persist())
+    # round 0 is join-free: under identity labels a neighbor's label IS its
+    # id, so the first propagation is a plain groupBy-min over edges. Small
+    # (≤2-hop) components — the common near-dup case — converge here, and
+    # the loop below only has to confirm.
+    labels = (edges.groupBy("src")
+              .agg(F.min("dst").alias("__nbr_min"))
+              .select(F.col("src").alias("id"),
+                      F.least(F.col("src"), F.col("__nbr_min")).alias("component"))
+              .persist())
     # labels are non-increasing, so Σ(component) strictly decreases on any
     # change — a single scalar agg is a sufficient (and cheap) convergence
     # probe, replacing a join-diff per round.
