@@ -68,11 +68,12 @@ def dim_upsert(dim: DataFrame, incoming: DataFrame, natural_key: str,
     """A7: dimension get-or-insert with deterministic surrogate keys.
 
     ``incoming`` rows whose ``natural_key`` is unseen get ids
-    ``max_existing + row_number() over (order by natural_key)``; existing
-    rows are untouched. One anti-join + one tiny global window over ONLY the
-    new names (new-name cardinality ≪ fact cardinality, so the single-
-    partition window over new rows is not a bottleneck; the anti-join
-    broadcast-hashes when the dim is small).
+    ``max_existing + rank-of-natural_key``; existing rows are untouched.
+    One anti-join (broadcast-hashed when the dim is small) + DISTRIBUTED id
+    assignment over only the new names via ``assign_ids`` — range-
+    partitioned offsets, NOT a partition-less ``row_number`` window, so a
+    first load / backfill where EVERY name is new still parallelizes
+    instead of serializing into a single task.
 
     Replaces the per-row existence probe at
     ``process_publications_dag.py:28-31`` (J5/A7).
@@ -80,24 +81,27 @@ def dim_upsert(dim: DataFrame, incoming: DataFrame, natural_key: str,
     new_names = (incoming.select(F.col(natural_key)).where(F.col(natural_key).isNotNull())
                  .distinct()
                  .join(dim.select(natural_key), natural_key, "left_anti"))
-    max_id = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
-    w = Window.orderBy(natural_key)
-    new_rows = (new_names.crossJoin(F.broadcast(max_id))
-                .withColumn(id_col, (F.row_number().over(w) + F.col("m")).cast(dim.schema[id_col].dataType))
-                .drop("m"))
+    max_id = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m")).collect()[0][0]
+    new_rows = assign_ids(new_names, [natural_key], id_col=id_col,
+                          start=int(max_id) + 1) \
+        .withColumn(id_col, F.col(id_col).cast(dim.schema[id_col].dataType))
     return dim.unionByName(new_rows, allowMissingColumns=True)
 
 
 def upsert_merge(target: DataFrame, source: DataFrame, key: str,
                  update_cols: list[str] | None = None,
-                 coalesce_cols: list[str] | None = None) -> DataFrame:
+                 coalesce_cols: list[str] | None = None,
+                 insert_cols: list[str] | None = None) -> DataFrame:
     """A8: MERGE semantics as a full-outer join + per-column resolution.
 
     - matched rows: ``update_cols`` take the source value,
       ``coalesce_cols`` take ``COALESCE(source, target)`` (the reference's
       ``doi = COALESCE(EXCLUDED.doi, publications.doi)``,
-      ``process_publications_dag.py:229``), everything else keeps target.
-    - source-only rows: inserted as-is.
+      ``process_publications_dag.py:229``), ``insert_cols`` keep the TARGET
+      value (set on INSERT only, never touched by the conflict UPDATE — the
+      reference's ``submitter``, ``process_publications_dag.py:224-231``),
+      everything else keeps target.
+    - source-only rows: inserted as-is (``insert_cols`` take source).
     - target-only rows: kept as-is.
 
     Invariant: both sides must be key-unique (enforce upstream with
@@ -109,11 +113,13 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str,
     """
     update_cols = update_cols or []
     coalesce_cols = coalesce_cols or []
+    insert_cols = insert_cols or []
     t = target.alias("t")
     s = source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
     out_cols: list[Column] = [F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key)]
     src_cols = set(source.columns)
+    matched = F.col(f"t.{key}").isNotNull()
     for c in target.columns:
         if c == key:
             continue
@@ -122,6 +128,9 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str,
             expr = F.when(F.col(f"s.{key}").isNotNull(), F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
         elif c in coalesce_cols and c in src_cols:
             expr = F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+        elif c in insert_cols and c in src_cols:
+            # INSERT-only column: target value survives a match untouched
+            expr = F.when(matched, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}"))
         else:
             expr = F.col(f"t.{c}")
         out_cols.append(expr.alias(c))

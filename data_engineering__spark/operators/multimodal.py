@@ -81,7 +81,10 @@ def _decode_kernel(content: bytes, modality: str) -> list[float]:
     batch shape, and schema are exactly what the real kernel would use.
     """
     if content is None:
-        raise NotImplementedError("real codec required for null-content media")
+        # MEDIA_SCHEMA declares content nullable; FEATURE_SCHEMA allows a
+        # NULL feature — a null payload degrades to a null feature row
+        # instead of failing the whole mapInPandas stage.
+        return None
     acc = [0.0] * 8
     for i, byte in enumerate(content[:256]):
         acc[i % 8] += float(byte)

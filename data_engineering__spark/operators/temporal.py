@@ -29,15 +29,24 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     buffering, no skew amplification beyond the partition key's own skew.
     A keyless as-of (empty ``partition_cols``) degenerates to a single
     partition: repartition by a time-bucket first if you need that shape.
+
+    Row integrity: ALL right columns are carried as ONE struct with a single
+    ``last(ignorenulls)`` — the matched as-of row's values arrive together
+    even when some of its fields are NULL. Carrying columns independently
+    would let an older right row's non-null value leak into a newer row's
+    NULL field ("torn" output spanning two right rows).
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
-    l = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(
-            dict(right.dtypes)[c]))
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+    carry_type = T.StructType(
+        [T.StructField(c, rschema[c], True) for c in right_cols])
+    l = left.withColumn("__side", F.lit(1)) \
+            .withColumn("__carry", F.lit(None).cast(carry_type))
     r = right.select(
         *partition_cols, F.col(ts_col),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]) \
+        F.struct(*[F.col(c) for c in right_cols]).alias("__carry")) \
         .withColumn("__side", F.lit(0))
     for c in lcols:
         if c not in (*partition_cols, ts_col):
@@ -46,11 +55,11 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str,
     w = (Window.partitionBy(*partition_cols)
          .orderBy(F.asc(ts_col), F.asc("__side"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in right_cols:
-        combined = combined.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return combined.filter(F.col("__side") == 1) \
-                   .select(*lcols, *[f"{c}{suffix}" for c in right_cols])
+    carried = combined.withColumn(
+        "__carry", F.last("__carry", ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1) \
+                  .select(*lcols, *[F.col(f"__carry.{c}").alias(f"{c}{suffix}")
+                                    for c in right_cols])
 
 
 def range_join_broadcast(facts: DataFrame, ranges: DataFrame,

@@ -42,12 +42,12 @@ BIBTEX_TYPES = [
     ("@techreport", "Technical Report"),
     ("@manual", "Manual"),
     ("@proceedings", "Conference Proceedings"),
-    ("@unpublished", "Unpublished"),
+    ("@unpublished", "Unpublished Work"),
     ("@misc", "Miscellaneous"),
     ("@phdthesis", "PhD Thesis"),
-    ("@mastersthesis", "Master's Thesis"),
+    ("@mastersthesis", "Masters Thesis"),
     ("@inbook", "Book Chapter"),
-    ("@incollection", "Book Section"),
+    ("@incollection", "Collection"),
     ("@patent", "Patent"),
     ("@online", "Online Resource"),
 ]
@@ -135,14 +135,24 @@ def enrich(tables: dict[str, DataFrame],
     The reference loops categories, takes the first ``limit_per_category``
     publications per category (ORDER BY id LIMIT k per category — ONE
     windowed top-k pass here, W1), queries the scholar API per title, and
-    merges results ON CONFLICT (title): ``journal_ref`` stores the result
-    LINK, ``doi`` stores the API ``result_id`` COALESCEd with the old doi —
-    overloaded columns preserved for parity (SURVEY §1.3). Unmatched result
-    titles INSERT as new publications with fresh surrogate ids.
+    upserts ONE ROW PER organic result ON CONFLICT (title)
+    (``process_publications_dag.py:216-233``): ``journal_ref`` stores the
+    result LINK, ``doi`` stores the API ``result_id`` (empty → NULL,
+    ``new_doi or None``) COALESCEd with the old doi, ``submitter`` stores
+    the result's first author on INSERT only — overloaded columns preserved
+    for parity (SURVEY §1.3). Unmatched result titles INSERT as new
+    publications with fresh surrogate ids.
+
+    The reference's sequential per-result upserts fold set-wise here: for a
+    given result title, last (key, rank) wins journal_ref/update_date, doi
+    keeps the LAST NON-NULL result_id (the COALESCE chain's fixpoint), and
+    submitter keeps the FIRST row's author (only the INSERT sets it).
 
     ``fetch`` is injected (tests pass a stub; production a real client) —
     the HTTP boundary lives in ``sources.http.enrich``'s mapInPandas.
     """
+    from pyspark import StorageLevel
+
     from ..sources.http import enrich as http_enrich
 
     pubs = tables["publications"]
@@ -151,16 +161,22 @@ def enrich(tables: dict[str, DataFrame],
         limit_per_category).select("pub_id").distinct()
     targets = pubs.join(picked, "pub_id", "left_semi").select("title")
     results = http_enrich(targets, "title", fetch=fetch)
-    source = (results.select(
-        F.col("title").alias("__rtitle"),
-        F.col("link").alias("journal_ref"),
-        F.col("result_id").alias("doi"),
-        F.current_date().alias("update_date"))
-        .withColumn("title", F.col("__rtitle")).drop("__rtitle")
-        .dropDuplicates(["title"]))
+    ord_ = F.struct(F.col("key"), F.col("rank"))
+    source = (results.groupBy("title").agg(
+        F.max_by("link", ord_).alias("journal_ref"),
+        # last non-null result_id == the sequential COALESCE chain's result
+        F.max_by("result_id",
+                 F.when(F.col("result_id").isNotNull(), ord_)).alias("doi"),
+        F.min_by("first_author", ord_).alias("submitter"))
+        .withColumn("update_date", F.current_date()))
     merged = upsert_merge(pubs, source, "title",
                           update_cols=["journal_ref", "update_date"],
-                          coalesce_cols=["doi"])
+                          coalesce_cols=["doi"],
+                          insert_cols=["submitter"])
+    # persist: the merge join feeds THREE consumers (max-id scalar, the
+    # missing-row probe, and the final union) — without it the full-outer
+    # join recomputes once per action.
+    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
     # new (source-only) titles need surrogate ids: continue after current max
     max_id = merged.agg(F.coalesce(F.max("pub_id"), F.lit(0))).collect()[0][0]
     missing = merged.filter(F.col("pub_id").isNull())

@@ -22,9 +22,11 @@ from pyspark.sql import types as T
 
 ENRICHED_SCHEMA = T.StructType([
     T.StructField("key", T.StringType(), False),
+    T.StructField("rank", T.IntegerType(), True),       # 0-based result index
     T.StructField("title", T.StringType(), True),
     T.StructField("link", T.StringType(), True),
     T.StructField("result_id", T.StringType(), True),
+    T.StructField("first_author", T.StringType(), True),
     T.StructField("summary", T.StringType(), True),
 ])
 
@@ -54,31 +56,53 @@ def retry_backoff(fn: Callable[[], dict], attempts: int = 5,
 def enrich(df: DataFrame, key_col: str,
            fetch: Callable[[str], dict] = default_fetch,
            attempts: int = 5, base_sleep: float = 0.0) -> DataFrame:
-    """U2: per-partition batched HTTP enrichment via mapInPandas.
+    """U2: per-partition batched HTTP enrichment via mapInPandas — 1→N.
+
+    One output row PER organic result, matching the reference's cardinality:
+    both the enrichment upsert loop (one upsert per result,
+    ``process_publications_dag.py:216-233``) and the citation harvest (one
+    citation row per result, ``:445-460``) iterate ALL ``organic_results``.
+    A key with no results emits ZERO rows (the reference ``continue``s).
+
+    Field extraction mirrors the reference exactly: title/link are
+    ``.strip()``-ed (kept even when empty), ``result_id`` is
+    ``strip() or None`` (``new_doi or None``, ``:220,232``), and
+    ``first_author`` is ``publication_info.authors[0].name`` defaulting to
+    ``'Unknown'`` (``:221``).
 
     Parallelism = partitions (repartition upstream to set the request fan-
     out); per-partition memo dict dedups repeated keys (the reference's
     intended-but-dead ``doi_cache``); Arrow batches keep transfer columnar.
     """
+    cols = [f.name for f in ENRICHED_SCHEMA.fields]
+
+    def extract(key: str) -> list[dict]:
+        payload = retry_backoff(lambda: fetch(key),
+                                attempts=attempts, base_sleep=base_sleep)
+        results = (payload or {}).get("organic_results") or []
+        out = []
+        for rank, article in enumerate(results):
+            info = article.get("publication_info") or {}
+            authors = info.get("authors") or [{}]
+            out.append({
+                "key": key, "rank": rank,
+                "title": (article.get("title") or "").strip(),
+                "link": (article.get("link") or "").strip(),
+                "result_id": (article.get("result_id") or "").strip() or None,
+                "first_author": authors[0].get("name") or "Unknown",
+                "summary": info.get("summary"),
+            })
+        return out
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo: dict[str, dict] = {}
+        memo: dict[str, list[dict]] = {}
         for pdf in batches:
             rows = []
             for key in pdf[key_col].astype(str):
                 if key not in memo:
-                    payload = retry_backoff(lambda k=key: fetch(k),
-                                            attempts=attempts, base_sleep=base_sleep)
-                    results = (payload or {}).get("organic_results") or [{}]
-                    first = results[0]
-                    info = first.get("publication_info") or {}
-                    memo[key] = {
-                        "title": first.get("title"),
-                        "link": first.get("link"),
-                        "result_id": first.get("result_id"),
-                        "summary": info.get("summary"),
-                    }
-                rows.append({"key": key, **memo[key]})
-            yield pd.DataFrame(rows, columns=[f.name for f in ENRICHED_SCHEMA.fields])
+                    memo[key] = extract(key)
+                rows.extend(memo[key])
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(df[key_col].cast("string").alias(key_col)) \
              .mapInPandas(run, schema=ENRICHED_SCHEMA)

@@ -30,6 +30,24 @@ def test_asof_backward_and_inclusive(spark):
     assert got == {1: "a", 2: "b", 3: None, 4: None}
 
 
+def test_asof_null_in_matched_row_does_not_tear(spark):
+    """The matched as-of right row arrives WHOLE: a NULL field in the
+    latest right row stays NULL instead of inheriting an older right row's
+    non-null value (per-column carry would tear the row — DuckDB/pandas
+    ASOF JOIN returns the matched row's actual fields)."""
+    left = spark.createDataFrame([Row(k="u", ts=10, id=1)])
+    right = spark.createDataFrame(
+        [Row(k="u", ts=3, tag="old", price=100),
+         Row(k="u", ts=8, tag=None, price=200)])   # latest match: tag NULL
+    out = asof_join(left, right, "ts", ["k"], ["tag", "price"])
+    r = out.collect()[0]
+    assert (r.tag_asof, r.price_asof) == (None, 200)
+    # and a left row before ANY right row gets an all-NULL carry
+    early = spark.createDataFrame([Row(k="u", ts=1, id=9)])
+    r0 = asof_join(early, right, "ts", ["k"], ["tag", "price"]).collect()[0]
+    assert (r0.tag_asof, r0.price_asof) == (None, None)
+
+
 def test_range_join_variants_agree(spark):
     facts = spark.createDataFrame([Row(v=i * 7 % 100) for i in range(50)])
     ranges = spark.createDataFrame(

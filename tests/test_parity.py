@@ -169,3 +169,46 @@ def test_audit_diff_update_appears_as_old_new(spark):
     ops = sorted((r.operation, r.row_values) for r in log)
     assert [o for o, _ in ops] == ["NEW", "OLD", "OLD"]
     assert any('"v":"a2"' in v for o, v in ops if o == "NEW")
+
+
+def test_bibtex_labels_pin_reference_mapping(spark):
+    """All 15 bibtex branch labels match extract_publication_type
+    (process_publications_dag.py:271-305) verbatim — including the three
+    easy-to-misquote ones: 'Unpublished Work', 'Masters Thesis',
+    'Collection'."""
+    from data_engineering__spark.plans.pipeline import BIBTEX_TYPES
+
+    reference = [  # keyword → label, in the reference's elif order
+        ("@article", "Journal Article"),
+        ("@inproceedings", "Conference Paper"),
+        ("@book", "Book"),
+        ("@thesis", "Thesis"),
+        ("@techreport", "Technical Report"),
+        ("@manual", "Manual"),
+        ("@proceedings", "Conference Proceedings"),
+        ("@unpublished", "Unpublished Work"),
+        ("@misc", "Miscellaneous"),
+        ("@phdthesis", "PhD Thesis"),
+        ("@mastersthesis", "Masters Thesis"),
+        ("@inbook", "Book Chapter"),
+        ("@incollection", "Collection"),
+        ("@patent", "Patent"),
+        ("@online", "Online Resource"),
+    ]
+    assert BIBTEX_TYPES == reference
+
+
+def test_upsert_merge_insert_only_columns(spark):
+    """A8: insert_cols are set on INSERT and never touched by the conflict
+    update — the reference's submitter (process_publications_dag.py:
+    224-231 sets submitter in VALUES but not in DO UPDATE SET)."""
+    target = spark.createDataFrame([
+        Row(title="t1", submitter="orig-submitter", doi="d1")])
+    source = spark.createDataFrame([
+        Row(title="t1", submitter="api-author-1", doi=None),
+        Row(title="t2", submitter="api-author-2", doi="d2")])
+    out = upsert_merge(target, source, "title",
+                       coalesce_cols=["doi"], insert_cols=["submitter"])
+    got = {r.title: (r.submitter, r.doi) for r in out.collect()}
+    assert got == {"t1": ("orig-submitter", "d1"),
+                   "t2": ("api-author-2", "d2")}

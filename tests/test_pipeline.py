@@ -121,6 +121,92 @@ def test_http_enrichment_stubbed(spark):
     assert got == {"a", "b"}
 
 
+def test_http_enrichment_one_row_per_organic_result(spark):
+    """S4 cardinality parity: the reference iterates ALL organic_results per
+    query (process_publications_dag.py:216, :445) — one output row per
+    result; empty result lists emit zero rows; result_id '' → NULL
+    (new_doi or None); first_author from publication_info.authors[0]."""
+    from data_engineering__spark.sources.http import enrich
+
+    def fetch(key: str) -> dict:
+        if key == "none":
+            return {"organic_results": []}
+        return {"organic_results": [
+            {"title": f"R0-{key} ", "link": f"http://x/{key}/0",
+             "result_id": "",                      # '' → NULL doi
+             "publication_info": {
+                 "summary": "S0", "authors": [{"name": "Ada"}]}},
+            {"title": f"R1-{key}", "link": f"http://x/{key}/1",
+             "result_id": f"rid-{key}-1",
+             "publication_info": {"summary": "S1"}},   # no authors → Unknown
+        ]}
+
+    df = spark.createDataFrame([Row(q="a"), Row(q="none"), Row(q="b")])
+    out = enrich(df, "q", fetch=fetch).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    assert set(by_key) == {"a", "b"} and all(len(v) == 2 for v in by_key.values())
+    r0 = next(r for r in by_key["a"] if r.rank == 0)
+    r1 = next(r for r in by_key["a"] if r.rank == 1)
+    assert r0.title == "R0-a" and r0.result_id is None and r0.first_author == "Ada"
+    assert r1.result_id == "rid-a-1" and r1.first_author == "Unknown"
+
+
+def test_enrich_stage_reference_merge_semantics(spark):
+    """EP1 enrich parity: per-result upsert fold — doi keeps last non-null
+    result_id, submitter set on INSERT only, journal_ref last-write-wins
+    (process_publications_dag.py:216-233)."""
+    from data_engineering__spark.plans.pipeline import enrich
+
+    pubs = spark.createDataFrame(
+        [(1, "x1", "orig", "A One", "Known title", None, None, None,
+          None, "cs.AI", None, None)],
+        "pub_id long, arxiv_id string, submitter string, authors string, "
+        "title string, comments string, journal_ref string, doi string, "
+        "report_no string, categories string, license string, "
+        "update_date date")
+    bridge = spark.createDataFrame([Row(pub_id=1, category_id=1)])
+
+    def fetch(key: str) -> dict:
+        return {"organic_results": [
+            {"title": "Known title", "link": "http://r0", "result_id": "RID0",
+             "publication_info": {"authors": [{"name": "Api Author"}]}},
+            {"title": "Known title", "link": "http://r1", "result_id": "",
+             "publication_info": {}},
+            {"title": "Brand new", "link": "http://new", "result_id": "",
+             "publication_info": {"authors": [{"name": "New Author"}]}},
+        ]}
+
+    out = enrich({"publications": pubs, "publication_category": bridge},
+                 fetch=fetch)["publications"]
+    got = {r.title: r for r in out.collect()}
+    known, new = got["Known title"], got["Brand new"]
+    # matched: journal_ref = LAST result's link; doi = last NON-NULL rid;
+    # submitter untouched by the conflict update
+    assert known.journal_ref == "http://r1" and known.doi == "RID0"
+    assert known.submitter == "orig" and known.pub_id == 1
+    # inserted: submitter from the result's first author, fresh surrogate id
+    assert new.submitter == "New Author" and new.doi is None
+    assert new.pub_id == 2
+
+
+def test_multimodal_null_content_degrades_to_null_feature(spark):
+    """L5: a NULL payload row yields a NULL feature (FEATURE_SCHEMA allows
+    it) instead of failing the whole mapInPandas stage."""
+    from data_engineering__spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    media = synthesize_media(spark, n=4).withColumn(
+        "content", F.when(F.col("media_id") == 2, F.lit(None)
+                          .cast("binary")).otherwise(F.col("content")))
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[2].feature is None and rows[2].content_sha is None
+    assert rows[2].n_bytes == 0
+    assert all(rows[i].feature is not None for i in (0, 1, 3))
+
+
 def test_multimodal_feature_shapes(spark):
     """L5: Arrow-batched feature extraction — deterministic fake kernel,
     real schema/batch plumbing."""

@@ -72,3 +72,18 @@ def test_salted_join_equals_plain_join(spark):
     big2 = big.withColumn("k", F.col("k") + 10)  # no matches
     left = salted_join(big2, small, "k", salt_source="uid", salt=4, how="left")
     assert left.count() == 200 and left.filter(F.col("tag").isNotNull()).count() == 0
+
+
+def test_dim_upsert_all_new_is_distributed(spark):
+    """A7 first-load/backfill shape: EVERY incoming name is new — id
+    assignment must range-partition (assign_ids), not collapse into one
+    SinglePartition row_number window."""
+    from data_engineering__spark.operators.merge import dim_upsert
+    dim = spark.createDataFrame([], "id long, name string")
+    incoming = spark.createDataFrame(
+        [Row(name=f"n{i:05d}") for i in range(5000)]).repartition(8)
+    out = dim_upsert(dim, incoming, "name")
+    assert "SinglePartition" not in plan_of(out)
+    stats = out.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
+                    F.countDistinct("id").alias("n")).collect()[0]
+    assert (stats.lo, stats.hi, stats.n) == (1, 5000, 5000)
