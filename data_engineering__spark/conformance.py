@@ -807,18 +807,94 @@ def simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=6)
 
 
-@query("ngram_jaccard_pairs")
+#: DuckDB replica of ``operators.vector.rp_signature``'s seeded ±1 planes
+#: (dim=64, n_planes=4, seed=42): the SAME driver-side generator feeds the
+#: Spark kernel and this SQL literal, so both engines compute the identical
+#: bucket id from first principles (sign of v·r per plane → bit p).
+def _rp_sig_sql_expr(vec_sql: str, dim: int = 64, n_planes: int = 4,
+                     seed: int = 42) -> str:
+    import random
+    rng = random.Random(seed)
+    planes = [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+              for _ in range(n_planes)]
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ",".join(str(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_sql} AS DOUBLE[]), {lit})"
+            f" >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query("ngram_jaccard_pairs", oracle=r"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
+           ' ') AS text
+  FROM docs0),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM corpus),
+idx AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+  FROM toks WHERE len(tk) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5""")
 def ngram_jaccard_pairs_q(spark, sf_dir):
-    """EXT (rows-only): exact n-gram Jaccard over shingle-join candidates."""
+    """EXT: exact n-gram Jaccard over shingle-join candidates.
+
+    Oracle is a from-first-principles DuckDB formulation over n-gram
+    STRINGS (distinct 3-token windows, intersect/union arithmetic); the
+    Spark side works on rolling shingle HASHES — hash-set Jaccard equals
+    string-set Jaccard absent collisions, so an exact match also certifies
+    the hashed shingle identity."""
     corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
     return D.ngram_jaccard_pairs(corpus, "doc_id", "text",
                                  shingle_n=3, jaccard_threshold=0.5)
 
 
-@query("embedding_near_dup")
+@query("embedding_near_dup", oracle="""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding
+  FROM base),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS c
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs WHERE c >= 0.99""")
 def embedding_near_dup(spark, sf_dir):
-    """EXT (rows-only): embedding-cosine near-dup via random-hyperplane LSH
-    buckets. Perturbed copies guarantee hits."""
+    """EXT: embedding-cosine near-dup via random-hyperplane LSH buckets.
+    Perturbed copies guarantee hits.
+
+    Oracle is BRUTE-FORCE exact cosine over all pairs — matching it proves
+    the sub-quadratic LSH path has 100% recall at this threshold on this
+    corpus (identically-directed twins always share every sign bit), not
+    just that it returns plausible pairs."""
     e = (read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
          .filter(F.col("vec_id") % 7 == 0))
     dup = e.select((F.col("vec_id") + 1000000).alias("vec_id"),
@@ -828,9 +904,30 @@ def embedding_near_dup(spark, sf_dir):
     return V.embedding_near_dup_pairs(corpus, threshold=0.99, dim=64, n_planes=4)
 
 
-@query("ann_topk_lsh")
+_ANN_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding,
+         {_rp_sig_sql_expr('embedding', dim=64, n_planes=4, seed=42)} AS sig
+  FROM embeddings),
+q AS (SELECT sig, embedding AS qv FROM sigs WHERE vec_id = 0),
+probe AS (
+  SELECT s.vec_id, s.label,
+         list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS c
+  FROM sigs s JOIN q ON s.sig = q.sig)
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM probe ORDER BY c DESC, vec_id ASC LIMIT 10"""
+
+
+@query("ann_topk_lsh", oracle=_ANN_ORACLE)
 def ann_topk_lsh_q(spark, sf_dir):
-    """L3 scale path (rows-only): LSH-bucketed approximate top-k."""
+    """L3 scale path: LSH-bucketed approximate top-k.
+
+    Oracle recomputes the SAME seeded ±1 hyperplane signatures as SQL
+    literals (``_rp_sig_sql_expr``), probes the query's bucket, and
+    re-ranks by exact cosine — DuckDB independently reproduces both the
+    bucketing arithmetic and the re-rank, end to end."""
     e = read_table(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ann_topk_lsh(e, qdf, 10, dim=64, n_planes=4) \
