@@ -43,10 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from data_engineering__spark.conformance import QUERIES
-    return dict(QUERIES)
+    # driver_ordered: the driver records correctness rows for the first ~50
+    # dict entries per round — unverified/changed queries lead (see
+    # conformance.DRIVER_PRIORITY)
+    from data_engineering__spark.conformance import QUERIES, driver_ordered
+    return driver_ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    from data_engineering__spark.conformance import ORACLE
-    return dict(ORACLE)
+    from data_engineering__spark.conformance import ORACLE, driver_ordered
+    return driver_ordered(ORACLE)

@@ -44,6 +44,9 @@ HEADLINE = [
     "quality_score", "doc_fingerprint", "cosine_topk", "ann_topk_lsh",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
+    # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
+    "pipeline_parity_authors", "pipeline_parity_categories",
+    "pipeline_parity_citations",
 ]
 # excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
 # not query throughput), http_enrich / multimodal_features (stubbed kernels)

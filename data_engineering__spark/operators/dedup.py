@@ -313,10 +313,14 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------- connected components
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         stats: dict | None = None) -> DataFrame:
     """Min-label propagation over an undirected edge list → (id, component),
     component = smallest id reachable. Converges in O(component diameter)
-    iterations — near-dup clusters are small and dense, so typically 2-4.
+    iterations — near-dup clusters are small and dense, so typically 2-4;
+    a pure L-node path needs ~L-1 rounds (pass ``stats={}`` to get
+    ``stats["rounds"]`` = label-propagation joins actually run, incl. the
+    final no-change confirming round).
 
     Each round is one shuffle (neighbor-label aggregation); frontier
     DataFrames are persisted and the loop exits early when no label moved.
@@ -341,7 +345,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # change — a single scalar agg is a sufficient (and cheap) convergence
     # probe, replacing a join-diff per round.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("component").alias("nbr_min")))
         new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
@@ -357,12 +363,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
 def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
                      jaccard_threshold: float = 0.8, num_hashes: int = 64,
-                     bands: int = 16, shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                     bands: int = 16, shingle_n: int = 3, seed: int = 42,
+                     stats: dict | None = None) -> DataFrame:
     """L2 exact-closure variant: LSH candidates → signature-verified pairs →
     connected components → keep the min-id doc per component. Unlike the
     one-hop ``minhash_dedup``, a chain a~b~c~d keeps ONLY a."""
@@ -377,7 +386,7 @@ def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
                 .withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
                 .filter(F.col("jaccard_est") >= jaccard_threshold)
                 .select("id_a", "id_b"))
-    comp = connected_components(verified)
+    comp = connected_components(verified, stats=stats)
     losers = comp.filter(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")

@@ -173,14 +173,18 @@ def enrich(tables: dict[str, DataFrame],
                           update_cols=["journal_ref", "update_date"],
                           coalesce_cols=["doi"],
                           insert_cols=["submitter"])
-    # persist: the merge join feeds THREE consumers (max-id scalar, the
-    # missing-row probe, and the final union) — without it the full-outer
-    # join recomputes once per action.
+    # persist: the merge join feeds multiple consumers (the scalar probe and
+    # the final union) — without it the full-outer join recomputes per action.
     merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
-    # new (source-only) titles need surrogate ids: continue after current max
-    max_id = merged.agg(F.coalesce(F.max("pub_id"), F.lit(0))).collect()[0][0]
+    # ONE action answers both driver-side scalars: current max id (new rows
+    # continue after it) and whether any source-only row needs an id at all
+    probe = merged.agg(
+        F.coalesce(F.max("pub_id"), F.lit(0)).alias("max_id"),
+        F.count(F.when(F.col("pub_id").isNull(), 1)).alias("n_missing")
+    ).collect()[0]
+    max_id = probe["max_id"]
     missing = merged.filter(F.col("pub_id").isNull())
-    if missing.limit(1).count() > 0:
+    if probe["n_missing"] > 0:
         with_ids = assign_ids(missing.drop("pub_id"), ["title"],
                               id_col="pub_id", start=int(max_id) + 1)
         merged = merged.filter(F.col("pub_id").isNotNull()) \
@@ -245,11 +249,17 @@ def run_pipeline(raw: DataFrame,
     callable is injected (no network in tests/conformance; the reference's
     SerpApi client drops into the same slot). Returns all warehouse tables
     + validation report + audit log of the clean stage."""
+    from pyspark import StorageLevel
+
     pubs = ingest(raw)
     tables = normalize(pubs)
     before = tables["publications"].select("pub_id", "title", "doi")
     tables = clean(tables)
     tables = derive_types(tables)
+    # the cleaned hub feeds the audit diff, enrich targets + merge, cite,
+    # validate, and every downstream analytics consumer — cache it once
+    tables["publications"] = tables["publications"] \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     after = tables["publications"].select("pub_id", "title", "doi")
     tables["log_table"] = audit_diff(before, after, "publications")
     if fetch is not None:

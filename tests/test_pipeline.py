@@ -95,6 +95,18 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert batch == stream
 
 
+def test_streaming_session_matches_batch(spark, sf_dir):
+    """ST2 semantics: session windows through the streaming engine equal the
+    batch session_window aggregation (same 30-min gap merge, same counts) —
+    the tumbling equality test's sibling for MERGING window state."""
+    from data_engineering__spark.conformance import QUERIES
+    batch = {(r.user_id, r.session_start_epoch, r.cnt)
+             for r in QUERIES["session_window_agg"](spark, sf_dir).collect()}
+    stream = {(r.user_id, r.session_start_epoch, r.cnt)
+              for r in QUERIES["streaming_session"](spark, sf_dir).collect()}
+    assert batch == stream
+
+
 def test_http_enrichment_stubbed(spark):
     """U2: mapInPandas enrichment with injected fetch (no network), retry
     path exercised via a fetch that fails once per key."""

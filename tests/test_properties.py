@@ -124,3 +124,60 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r.id: r.component
            for r in connected_components(df, max_iter=30).collect()}
     assert got == expect
+
+
+def test_cc_chain_convergence_rounds(spark):
+    """≥3-hop chains (a~b~c~d...): components collapse to the head and the
+    round count tracks the documented O(diameter) bound — 4-node chains
+    within the 'typically 2-4' claim, 8-node chains ~diameter rounds."""
+    from data_engineering__spark.operators.dedup import connected_components
+
+    def chains(n_chains, length, stride=100):
+        return [(c * stride + i, c * stride + i + 1)
+                for c in range(n_chains) for i in range(length - 1)]
+
+    for length, max_rounds in [(4, 4), (8, 8)]:
+        edges = chains(5, length)
+        df = spark.createDataFrame([{"id_a": a, "id_b": b} for a, b in edges])
+        stats = {}
+        got = {r.id: r.component
+               for r in connected_components(df, stats=stats).collect()}
+        heads = {c * 100 for c in range(5)}
+        assert set(got.values()) == heads
+        assert all(v == (k // 100) * 100 for k, v in got.items())
+        assert stats["rounds"] <= max_rounds, (length, stats)
+
+
+def test_minhash_cc_chained_duplicate_corpus(spark, sf_dir):
+    """L2 fidelity on CHAINED duplicates: doc → drop-1-token → drop-2 →
+    drop-3 (adjacent pairs near-identical). Exact closure must keep exactly
+    ONE survivor per chain — the original doc id — unlike the one-hop
+    approximation, and converge in the documented handful of rounds."""
+    from data_engineering__spark.operators.dedup import minhash_dedup_cc
+    from data_engineering__spark.sources.io import read_table
+
+    docs = (read_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter((F.col("doc_id") % 10 == 0) & (F.size(F.split("text", " ")) >= 20)))
+    toks = F.split(F.col("text"), " ")
+    chain = docs
+    for step in (1, 2, 3):
+        chain = chain.unionByName(docs.select(
+            (F.col("doc_id") + 1000000 * step).alias("doc_id"),
+            F.concat_ws(" ", F.slice(
+                toks, 1, F.size(toks) - step)).alias("text")))
+    n_chains = docs.count()
+    stats = {}
+    kept = minhash_dedup_cc(chain, "doc_id", "text",
+                            jaccard_threshold=0.8, stats=stats)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every chain collapses onto its head: no perturbed copy survives, and
+    # the survivor set equals what dedup keeps on the HEADS alone (real
+    # corpora contain naturally near-duplicate heads whose chains merge —
+    # the chain members must not change which heads win)
+    heads_only = {r.doc_id for r in
+                  minhash_dedup_cc(docs, "doc_id", "text",
+                                   jaccard_threshold=0.8)
+                  .select("doc_id").collect()}
+    assert all(i < 1000000 for i in kept_ids)
+    assert kept_ids == heads_only
+    assert n_chains > 0 and stats["rounds"] <= 6, stats
