@@ -49,7 +49,9 @@ HEADLINE = [
     "pipeline_parity_citations",
 ]
 # excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
-# not query throughput), http_enrich / multimodal_features (stubbed kernels)
+# not query throughput), http_enrich / multimodal_features (stubbed kernels),
+# pipeline_parity_*_enriched (same DAG as the three benched pipeline
+# queries + bridge updates — correctness surface, not new throughput)
 
 
 def main() -> None:

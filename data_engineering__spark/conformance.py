@@ -1456,12 +1456,16 @@ def _arxiv_raw(spark, sf_dir):
 def _parity_fetch(key: str) -> dict:
     """SQL-expressible scholar transport: 1 result, +1 more when the query
     title's length is odd — result titles are 'R{j}: <key>' (never collide
-    with corpus titles, so enrich INSERTs them all)."""
+    with corpus titles, so enrich INSERTs them all). Each result carries
+    two authors — a key-derived one and a shared one — so the per-result
+    authorship inserts produce non-trivial author fan-in."""
     def res(j: int) -> dict:
         return {"title": f"R{j}: {key}", "link": "L",
                 "result_id": f"rid{j}:{key}",
                 "publication_info": {"summary": "CiteAuth - x",
-                                     "authors": [{"name": "API Author"}]}}
+                                     "authors": [
+                                         {"name": f"API {len(key) % 5}"},
+                                         {"name": "Shared Author"}]}}
     out = [res(0)]
     if len(key) % 2 == 1:
         out.append(res(1))
@@ -1578,29 +1582,35 @@ def pipeline_parity_categories(spark, sf_dir):
                .agg(F.count("p.pub_id").alias("publication_count")))
 
 
-@query("pipeline_parity_citations", oracle=_PIPE_SQL + """,
+#: DuckDB replica of the enrich stage over ``_parity_fetch``: top-2-per-
+#: category targets, one result row per organic result (titles .strip()-ed
+#: on extraction, the reference's ``article.get('title','').strip()`` —
+#: query-key titles are NOT), INSERTed publications with fresh surrogate
+#: ids. Shared suffix of the enriched parity oracles.
+_ENRICH_SQL = """,
+tsel AS (
+  SELECT pub_id,
+         ROW_NUMBER() OVER (PARTITION BY category_id ORDER BY pub_id) AS rn
+  FROM pub_cat),
 targets AS (
-  SELECT DISTINCT p.title FROM (
-    SELECT pub_id,
-           ROW_NUMBER() OVER (PARTITION BY category_id ORDER BY pub_id) AS rn
-    FROM pub_cat) t
+  SELECT DISTINCT p.title FROM tsel t
   JOIN pubs_clean p USING (pub_id)
   WHERE t.rn <= 2),
-new_titles AS (
-  -- result titles are .strip()-ed on extraction (the reference's
-  -- new_title = article.get('title','').strip()); query-key titles are NOT
-  SELECT DISTINCT rtitle FROM (
-    SELECT trim('R0: ' || title) AS rtitle FROM targets
-    UNION ALL
-    SELECT trim('R1: ' || title) FROM targets WHERE length(title) % 2 = 1)),
+results AS (
+  SELECT title AS key, trim('R0: ' || title) AS rtitle FROM targets
+  UNION ALL
+  SELECT title, trim('R1: ' || title) FROM targets WHERE length(title) % 2 = 1),
 new_pubs AS (
   SELECT rtitle AS title,
          CAST(ROW_NUMBER() OVER (ORDER BY rtitle) +
               (SELECT MAX(pub_id) FROM pubs_clean) AS BIGINT) AS pub_id
-  FROM new_titles),
+  FROM (SELECT DISTINCT rtitle FROM results)),
 pubs_final AS (
   SELECT pub_id, title FROM pubs_clean
-  UNION ALL SELECT pub_id, title FROM new_pubs),
+  UNION ALL SELECT pub_id, title FROM new_pubs)"""
+
+
+@query("pipeline_parity_citations", oracle=_PIPE_SQL + _ENRICH_SQL + """,
 citations AS (
   SELECT pub_id AS publication_id FROM pubs_final
   UNION ALL
@@ -1625,6 +1635,82 @@ def pipeline_parity_citations(spark, sf_dir):
              .agg(F.count("c.publication_id").alias("citation_count")))
 
 
+@query("pipeline_parity_authors_enriched", oracle=_PIPE_SQL + _ENRICH_SQL + """,
+api_auth AS (
+  SELECT np.pub_id, 'API ' || CAST(length(r.key) % 5 AS VARCHAR) AS name
+  FROM results r JOIN new_pubs np ON np.title = r.rtitle
+  UNION ALL
+  SELECT np.pub_id, 'Shared Author'
+  FROM results r JOIN new_pubs np ON np.title = r.rtitle),
+new_author_names AS (
+  SELECT name FROM (SELECT DISTINCT name FROM api_auth)
+  WHERE name NOT IN (SELECT name FROM authors_dim)),
+authors_dim2 AS (
+  SELECT name, id FROM authors_dim
+  UNION ALL
+  SELECT name,
+         CAST(ROW_NUMBER() OVER (ORDER BY name) +
+              (SELECT MAX(id) FROM authors_dim) AS BIGINT) AS id
+  FROM new_author_names),
+authorship2 AS (
+  SELECT DISTINCT pub_id, author_id FROM (
+    SELECT pub_id, author_id FROM authorship
+    UNION ALL
+    SELECT a.pub_id, d.id AS author_id
+    FROM api_auth a JOIN authors_dim2 d USING (name)))
+SELECT a.id, a.name, COUNT(ap.pub_id) AS publication_count
+FROM authors_dim2 a JOIN authorship2 ap ON a.id = ap.author_id
+GROUP BY a.id, a.name""")
+def pipeline_parity_authors_enriched(spark, sf_dir):
+    """EP1 parity WITH the enrich stage's per-result authorship inserts
+    (``process_publications_dag.py:236-247``): API result authors get-or-
+    insert into the author dim and link to the result publication; the
+    reference author-ranking query then runs over the enriched warehouse."""
+    from .plans.pipeline import run_pipeline
+    t = run_pipeline(_arxiv_raw(spark, sf_dir), fetch=_parity_fetch)
+    a = t["authors"].select("id", "name").alias("a")
+    ap = t["authorship"].alias("ap")
+    return (a.join(ap, F.col("a.id") == F.col("ap.author_id"))
+             .groupBy("a.id", "a.name")
+             .agg(F.count("ap.pub_id").alias("publication_count")))
+
+
+@query("pipeline_parity_categories_enriched", oracle=_PIPE_SQL + _ENRICH_SQL + """,
+qc_exp AS (
+  SELECT pub_id, cname FROM (
+    SELECT np.pub_id,
+           unnest(regexp_split_to_array(q.categories, '\\s+')) AS cname
+    FROM results r
+    JOIN new_pubs np ON np.title = r.rtitle
+    JOIN pubs_clean q ON q.title = r.key)
+  WHERE trim(cname) <> ''),
+pub_cat2 AS (
+  SELECT DISTINCT pub_id, category_id FROM (
+    SELECT pub_id, category_id FROM pub_cat
+    UNION ALL
+    SELECT e.pub_id, c.id AS category_id
+    FROM qc_exp e JOIN cats_dim c ON c.category_name = e.cname))
+SELECT cat.category_name, COUNT(p.pub_id) AS publication_count
+FROM cats_dim cat
+JOIN pub_cat2 pc ON cat.id = pc.category_id
+JOIN pubs_final p ON pc.pub_id = p.pub_id
+GROUP BY cat.category_name""")
+def pipeline_parity_categories_enriched(spark, sf_dir):
+    """EP1 parity WITH the enrich stage's category bridging
+    (``process_publications_dag.py:249-258``): the QUERIED paper's
+    categories attach to each result publication; the reference
+    category-counts query then runs over the enriched warehouse."""
+    from .plans.pipeline import run_pipeline
+    t = run_pipeline(_arxiv_raw(spark, sf_dir), fetch=_parity_fetch)
+    cat = t["categories"].select("id", "category_name").alias("cat")
+    pc = t["publication_category"].alias("pc")
+    p = t["publications"].select("pub_id").alias("p")
+    return (cat.join(pc, F.col("cat.id") == F.col("pc.category_id"))
+               .join(p, F.col("pc.pub_id") == F.col("p.pub_id"))
+               .groupBy("cat.category_name")
+               .agg(F.count("p.pub_id").alias("publication_count")))
+
+
 # ======================================================= driver ordering
 #
 # The external driver records CORRECTNESS rows for the FIRST ~50 entries of
@@ -1646,7 +1732,8 @@ DRIVER_PRIORITY = [
     "stateful_profile", "minhash_cc_dedup",
     # --- new round-2 queries (end-to-end pipeline parity)
     "pipeline_parity_authors", "pipeline_parity_categories",
-    "pipeline_parity_citations",
+    "pipeline_parity_citations", "pipeline_parity_authors_enriched",
+    "pipeline_parity_categories_enriched",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",

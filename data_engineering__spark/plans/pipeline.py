@@ -160,7 +160,10 @@ def enrich(tables: dict[str, DataFrame],
         tables["publication_category"], ["category_id"], [F.asc("pub_id")],
         limit_per_category).select("pub_id").distinct()
     targets = pubs.join(picked, "pub_id", "left_semi").select("title")
-    results = http_enrich(targets, "title", fetch=fetch)
+    # persist: the result set feeds the publication merge AND the
+    # authorship/category bridge updates — never re-fetch per consumer
+    results = http_enrich(targets, "title", fetch=fetch) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     ord_ = F.struct(F.col("key"), F.col("rank"))
     source = (results.groupBy("title").agg(
         F.max_by("link", ord_).alias("journal_ref"),
@@ -191,6 +194,43 @@ def enrich(tables: dict[str, DataFrame],
                        .unionByName(with_ids.select(*merged.columns))
     out = dict(tables)
     out["publications"] = merged
+
+    # --- per-result bridge updates (``process_publications_dag.py:236-258``):
+    # every organic result also (a) get-or-inserts its author names and links
+    # them to the result's publication, and (b) links the QUERIED paper's
+    # categories to the result's publication — ON CONFLICT DO NOTHING on
+    # both bridges. Runs only when the warehouse dims ride along (partial
+    # table dicts update the hub only).
+    if {"authors", "authorship", "categories",
+            "publication_category"} <= tables.keys():
+        r2p = results.join(merged.select("pub_id", "title"), "title")
+        api_authors = (r2p.select("pub_id",
+                                  F.explode("authors").alias("name"))
+                       .withColumn("name", F.trim("name"))
+                       .filter(F.col("name") != ""))
+        authors_dim = dim_upsert(tables["authors"], api_authors, "name") \
+            .withColumn("affiliation",
+                        F.coalesce("affiliation", F.lit("Unknown")))
+        out["authors"] = authors_dim
+        out["authorship"] = (tables["authorship"].unionByName(
+            api_authors.join(authors_dim.select("id", "name"), "name")
+                       .select("pub_id", F.col("id").alias("author_id")))
+            .dropDuplicates(["pub_id", "author_id"]))
+        # categories_str of the queried paper attaches to the result pub
+        qcat = (r2p.select("pub_id", "key")
+                .join(pubs.select(F.col("title").alias("key"), "categories"),
+                      "key")
+                .select("pub_id", F.explode(
+                    F.split("categories", r"\s+")).alias("category_name"))
+                .filter(F.trim("category_name") != ""))
+        cats_dim = dim_upsert(tables["categories"], qcat, "category_name")
+        out["categories"] = cats_dim
+        out["publication_category"] = (tables["publication_category"]
+            .unionByName(
+                qcat.join(cats_dim.select("id", "category_name"),
+                          "category_name")
+                    .select("pub_id", F.col("id").alias("category_id")))
+            .dropDuplicates(["pub_id", "category_id"]))
     return out
 
 

@@ -27,6 +27,7 @@ ENRICHED_SCHEMA = T.StructType([
     T.StructField("link", T.StringType(), True),
     T.StructField("result_id", T.StringType(), True),
     T.StructField("first_author", T.StringType(), True),
+    T.StructField("authors", T.ArrayType(T.StringType()), True),
     T.StructField("summary", T.StringType(), True),
 ])
 
@@ -90,6 +91,11 @@ def enrich(df: DataFrame, key_col: str,
                 "link": (article.get("link") or "").strip(),
                 "result_id": (article.get("result_id") or "").strip() or None,
                 "first_author": authors[0].get("name") or "Unknown",
+                # full author-name list (stripped, blanks dropped) — feeds
+                # the reference's per-result authorship inserts (:237-247)
+                "authors": [n for n in
+                            ((a.get("name") or "").strip() for a in authors)
+                            if n],
                 "summary": info.get("summary"),
             })
         return out

@@ -203,6 +203,54 @@ def test_enrich_stage_reference_merge_semantics(spark):
     assert new.pub_id == 2
 
 
+def test_enrich_stage_bridge_updates(spark):
+    """EP1 enrich parity: per-result authorship inserts (API authors
+    get-or-insert + link to the result pub) and category bridging (queried
+    paper's categories attach to the result pub) —
+    process_publications_dag.py:236-258."""
+    from data_engineering__spark.plans.pipeline import enrich
+
+    pubs = spark.createDataFrame(
+        [(1, "orig", "Known title", None, None, "cs.AI stat.ML", None)],
+        "pub_id long, submitter string, title string, journal_ref string, "
+        "doi string, categories string, update_date date")
+    tables = {
+        "publications": pubs,
+        "authors": spark.createDataFrame([(7, "Existing Author", "Unknown")],
+                                         "id long, name string, affiliation string"),
+        "authorship": spark.createDataFrame([(1, 7)],
+                                            "pub_id long, author_id long"),
+        "categories": spark.createDataFrame([(3, "cs.AI")],
+                                            "id long, category_name string"),
+        "publication_category": spark.createDataFrame(
+            [(1, 3)], "pub_id long, category_id long"),
+    }
+
+    def fetch(key: str) -> dict:
+        return {"organic_results": [
+            {"title": "New result", "link": "http://r", "result_id": "RID",
+             "publication_info": {"authors": [
+                 {"name": "Existing Author"}, {"name": " Brand New "}]}}]}
+
+    out = enrich(tables, fetch=fetch)
+    new_pub = out["publications"].filter(F.col("title") == "New result") \
+                                 .collect()[0]
+    authors = {r.name: r.id for r in out["authors"].collect()}
+    # existing author reused its id; new author got max+1 and 'Unknown' aff
+    assert authors["Existing Author"] == 7 and authors["Brand New"] == 8
+    assert all(r.affiliation == "Unknown" for r in out["authors"].collect())
+    ap = {(r.pub_id, r.author_id) for r in out["authorship"].collect()}
+    assert (1, 7) in ap and (new_pub.pub_id, 7) in ap \
+        and (new_pub.pub_id, 8) in ap
+    # queried paper's categories attach to the result pub; stat.ML
+    # get-or-inserts into the category dim
+    cats = {r.category_name: r.id for r in out["categories"].collect()}
+    assert cats["cs.AI"] == 3 and cats["stat.ML"] == 4
+    pc = {(r.pub_id, r.category_id) for r in out["publication_category"].collect()}
+    assert (1, 3) in pc and (new_pub.pub_id, 3) in pc \
+        and (new_pub.pub_id, 4) in pc
+
+
 def test_multimodal_null_content_degrades_to_null_feature(spark):
     """L5: a NULL payload row yields a NULL feature (FEATURE_SCHEMA allows
     it) instead of failing the whole mapInPandas stage."""
