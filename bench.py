@@ -47,6 +47,8 @@ HEADLINE = [
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",
+    # dataset-split / sampling (round 2)
+    "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]
 # excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
 # not query throughput), http_enrich / multimodal_features (stubbed kernels),

@@ -1734,6 +1734,7 @@ DRIVER_PRIORITY = [
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations", "pipeline_parity_authors_enriched",
     "pipeline_parity_categories_enriched",
+    "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",
@@ -1753,3 +1754,69 @@ def driver_ordered(d: dict) -> dict:
     out = {k: d[k] for k in DRIVER_PRIORITY if k in d}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
+
+
+# ==================================== EXT dataset-split / sampling (round 2)
+
+#: the sha256-bucket arithmetic, verbatim in DuckDB — parity with
+#: operators.sampling.hash_bucket (first 8 hex chars of sha256(salt‖key)
+#: as an int, mod 10000)
+def _bucket_sql(key_sql: str, salt: str) -> str:
+    return ("CAST(('0x' || substr(sha256('" + salt + "' || " + key_sql +
+            "), 1, 8)) AS BIGINT) % 10000")
+
+
+@query("hash_split_counts", oracle=f"""
+WITH b AS (
+  SELECT {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM b GROUP BY 1""")
+def hash_split_counts(spark, sf_dir):
+    """EXT: reproducible train/val/test split — membership from
+    sha256(key), not rand(), so reruns/appends/repartitions preserve
+    assignments. Oracle recomputes the bucket arithmetic verbatim."""
+    from .operators.sampling import hash_split
+    docs = read_table(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("stratified_sample_counts", oracle=f"""
+WITH b AS (
+  SELECT lang,
+         {_bucket_sql("CAST(doc_id AS VARCHAR)", "sample")} AS bucket
+  FROM documents)
+SELECT lang, COUNT(*) AS n
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                ELSE 1000 END)
+GROUP BY lang""")
+def stratified_sample_counts(spark, sf_dir):
+    """EXT: per-stratum deterministic downsampling (keep 50% en, 100% de,
+    10% everything else) — the LLM-corpus language-rebalancing shape with
+    append-safe membership."""
+    from .operators.sampling import stratified_sample
+    docs = read_table(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", "doc_id",
+                              {"en": 0.5, "de": 1.0}, default_fraction=0.1)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("quota_per_domain", oracle="""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20""")
+def quota_per_domain(spark, sf_dir):
+    """EXT: per-source quota — at most 20 docs per domain by doc_id order
+    (domain-balance cap for crawl corpora); WindowGroupLimit keeps the
+    shuffle at ≤ k rows per group."""
+    from .operators.sampling import quota_per_group
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_per_group(docs, ["source"], [F.asc("doc_id")], 20)

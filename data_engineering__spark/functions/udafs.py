@@ -36,6 +36,13 @@ def user_gap_stats(events) -> "DataFrame":
     Scale: one shuffle on user_id; each group must fit in one worker's
     memory (gap profile state is O(events-per-user) — bounded for real
     users; for adversarial whales pre-aggregate by (user, day) first).
+
+    Prefer the pure-JVM window formulation when the stat IS expressible
+    with ``lag``/``sum`` (see the ``window_lag_lead`` conformance query):
+    these exact gap stats = ``lag(ts) over (partition by user order by
+    ts)`` + a grouped sum, at ~10× less cost (no Python worker transfer).
+    This operator exists for the semantics built-ins CANNOT express —
+    order-dependent per-entity loops with cross-row state.
     """
     import pandas as pd
 

@@ -1,0 +1,95 @@
+"""Dataset-split / sampling operators (EXT mandate: training-data pipeline).
+
+A 100 TB training corpus needs REPRODUCIBLE membership decisions: which
+rows land in train/val/test, which survive per-source quotas, which are
+downsampled per stratum. Every operator here derives membership from a
+content-stable hash of a caller-chosen key — never from ``rand()`` or row
+position — so reruns, retries, and incremental appends keep prior
+assignments (the property `df.sample()` / `randomSplit()` cannot give you
+across job restarts or data re-partitioning).
+
+All hot paths are pure codegen expressions (sha2 + string/int arithmetic):
+zero shuffles for split/sample decisions; the only shuffle in this module
+is the per-group quota's window partition — bounded to ≤ k survivor rows
+per group by ``WindowGroupLimit``.
+
+The hash is the first 8 hex chars of sha256(salt ‖ key) parsed as an
+integer — deliberately expressible in ANY engine (the DuckDB conformance
+oracles reproduce it verbatim), unlike engine-private hashes
+(``xxhash64``: fine within Spark, not portable across the oracle
+boundary). Change ``salt`` to derive independent assignments from the
+same keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bucket-space resolution: fractions are exact to 1/10000
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, buckets: int = _BUCKETS,
+                salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from sha256(salt ‖ key).
+
+    Pure codegen (sha2 → substring → base-16 conv → modulo): no shuffle,
+    no RNG state, identical on every executor and every rerun.
+    """
+    h = F.sha2(F.concat(F.lit(salt), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % buckets
+
+
+def hash_split(df: DataFrame, key_col: str,
+               fractions: dict[str, float] | None = None,
+               salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Stable train/val/test assignment: adds ``out_col`` with the split
+    label chosen by the key's hash bucket against cumulative fraction
+    thresholds. Rows with equal keys always land in the same split —
+    append-safe and rerun-safe.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = hash_bucket(F.col(key_col), _BUCKETS, salt)
+    expr, acc = None, 0
+    for label, frac in fractions.items():
+        acc += round(frac * _BUCKETS)
+        expr = (F.when(b < acc, F.lit(label)) if expr is None
+                else expr.when(b < acc, F.lit(label)))
+    # rounding shortfall (sum < _BUCKETS by <1): fold into the last label
+    return df.withColumn(out_col, expr.otherwise(F.lit(label)))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic downsampling: keep a row iff its key's
+    hash bucket < fraction(stratum)·10000. The classic LLM-corpus shape —
+    keep 100% of a scarce language, 10% of an abundant one — with
+    append-safe membership (no ``rand()``).
+    """
+    b = hash_bucket(F.col(key_col), _BUCKETS, salt)
+    thresh = None
+    for stratum, frac in fractions.items():
+        t = F.lit(int(round(frac * _BUCKETS)))
+        thresh = (F.when(F.col(stratum_col) == stratum, t) if thresh is None
+                  else thresh.when(F.col(stratum_col) == stratum, t))
+    thresh = (F.lit(int(round(default_fraction * _BUCKETS))) if thresh is None
+              else thresh.otherwise(int(round(default_fraction * _BUCKETS))))
+    return df.filter(b < thresh)
+
+
+def quota_per_group(df: DataFrame, group_cols: list[str],
+                    order_cols: list[Column], k: int) -> DataFrame:
+    """Keep at most ``k`` rows per group by an explicit total order (e.g.
+    ≤ 20 docs per source domain). One shuffle on the group key;
+    ``row_number() <= k`` compiles to ``WindowGroupLimit`` — per-partition
+    top-k heaps, so at most k rows per group cross the final exchange.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))

@@ -87,3 +87,24 @@ def test_dim_upsert_all_new_is_distributed(spark):
     stats = out.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
                     F.countDistinct("id").alias("n")).collect()[0]
     assert (stats.lo, stats.hi, stats.n) == (1, 5000, 5000)
+
+
+def test_quota_per_group_uses_window_group_limit(spark, sf_dir):
+    """Per-domain quota must compile to WindowGroupLimit (per-partition
+    top-k heaps) — not a full window over every row."""
+    p = plan_of(QUERIES["quota_per_domain"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+
+
+def test_hash_split_is_deterministic_and_shuffle_free(spark, sf_dir):
+    """Split membership is a pure projection: no Exchange before the split
+    column exists, and equal keys always land in the same split."""
+    from data_engineering__spark.operators.sampling import hash_split
+    from data_engineering__spark.sources.io import read_table
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    split = hash_split(docs, "doc_id")
+    assert "Exchange" not in plan_of(split)
+    a = dict(split.collect())
+    b = dict(hash_split(docs.repartition(7), "doc_id").collect())
+    assert a == b  # repartitioning cannot move rows between splits
