@@ -1012,17 +1012,45 @@ def quality_score_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("quality"))
 
 
-@query("doc_fingerprint")
+@query("doc_fingerprint", oracle=r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> ''),
+             tok -> CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+FROM documents""")
 def doc_fingerprint_q(spark, sf_dir):
-    """EXT (rows-only): order-sensitive rolling-hash fingerprints."""
+    """EXT: order-sensitive rolling-hash fingerprints (portable sha-bucket
+    token hash; the oracle reproduces the exact fold as a DuckDB
+    list_reduce — both engines walk tokens left-to-right through
+    ``h = (h*31 + tokhash) mod (2^31-1)``)."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+    return docs.select("doc_id",
+                       X.doc_fingerprint("text", portable=True)
+                        .alias("fingerprint"))
 
 
-@query("multimodal_features")
+@query("multimodal_features", oracle="""
+WITH m AS (
+  SELECT r AS media_id,
+         ['image','audio','video'][(r % 3) + 1] AS modality,
+         sha256('42' || CAST(r AS VARCHAR)) AS h
+  FROM (SELECT unnest(generate_series(0, 95)) AS r))
+SELECT media_id, modality, CAST(64 AS BIGINT) AS n_bytes,
+       round((ascii(substr(h,1,1)) + ascii(substr(h,9,1)) + ascii(substr(h,17,1)) +
+              ascii(substr(h,25,1)) + ascii(substr(h,33,1)) + ascii(substr(h,41,1)) +
+              ascii(substr(h,49,1)) + ascii(substr(h,57,1))) / 255.0, 6) AS f0
+FROM m""")
 def multimodal_features(spark, sf_dir):
-    """L5 (rows-only): binary media columns → Arrow-batched feature
-    extraction via mapInPandas (decode kernel stubbed — no codecs in env)."""
+    """L5: binary media columns → Arrow-batched feature extraction via
+    mapInPandas (decode kernel stubbed — no codecs in env). The synthetic
+    payload is the utf-8 bytes of sha256('42'‖id), so DuckDB recomputes
+    the ENTIRE path — payload bytes, byte-fold feature, length — from
+    first principles, proving the binary plumbing is byte-exact (the real
+    codec swaps into `_decode_kernel` without touching the plan)."""
     from .operators import multimodal as MM
     media = MM.synthesize_media(spark, n=96)
     return MM.extract_features(media).select("media_id", "modality", "n_bytes",
@@ -1174,13 +1202,21 @@ def streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
-@query("http_enrich")
+@query("http_enrich", oracle="""
+SELECT key, CAST(0 AS INT) AS rank,
+       'Title for ' || key AS title,
+       'https://example.org/' || key AS link,
+       'rid-' || key AS result_id,
+       'Unknown' AS first_author,
+       'Summary - ' || key AS summary
+FROM (SELECT DISTINCT p_brand AS key FROM part)""")
 def http_enrich(spark, sf_dir):
-    """S4/U2 (rows-only): per-partition batched HTTP enrichment via
-    mapInPandas with an INJECTED deterministic fake transport (no network in
-    conformance runs; the real client drops into the same fetch slot).
-    Mirrors the SerpApi enrichment loop (``process_publications_dag.py:
-    202-263``) as ONE distributed map stage."""
+    """S4/U2: per-partition batched HTTP enrichment via mapInPandas with an
+    INJECTED deterministic fake transport (no network in conformance runs;
+    the real client drops into the same fetch slot). Mirrors the SerpApi
+    enrichment loop (``process_publications_dag.py:202-263``) as ONE
+    distributed map stage; the oracle recomputes the extraction contract
+    (strip, rank, empty-authors → 'Unknown') from the key set alone."""
     from .sources.http import enrich
 
     def fake_fetch(key: str) -> dict:
@@ -1191,7 +1227,9 @@ def http_enrich(spark, sf_dir):
 
     keys = (read_table(spark, sf_dir, "part").select(F.col("p_brand").alias("key"))
             .distinct())
-    return enrich(keys, "key", fetch=fake_fetch).orderBy("key")
+    return enrich(keys, "key", fetch=fake_fetch) \
+        .select("key", "rank", "title", "link", "result_id", "first_author",
+                "summary")
 
 
 @query("stateful_profile")

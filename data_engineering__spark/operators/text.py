@@ -107,19 +107,31 @@ def quality_score(df: DataFrame, text_col: str, out_col: str = "quality",
     return df.withColumn(out_col, F.round(score, 2))
 
 
-def doc_fingerprint(text_col: str, seed: int = 42) -> Column:
+def doc_fingerprint(text_col: str, seed: int = 42,
+                    portable: bool = False) -> Column:
     """EXT document fingerprint: order-sensitive rolling hash over tokens,
-    fold-left ``h = (h*31 + xxhash64(token)) mod M`` via F.aggregate (NB:
+    fold-left ``h = (h*31 + tokhash(token)) mod M`` via F.aggregate (NB:
     HOF folds evaluate interpreted, not codegen — fine here, one cheap fold
     per row) with M = 2^31-1 so the fold never overflows long under ANSI.
     Distinguishes permuted documents (unlike bag-of-words hashes); companion
-    to content-hash L1 (order-insensitive after normalization)."""
+    to content-hash L1 (order-insensitive after normalization).
+
+    ``portable=False`` (default): tokhash = xxhash64(token, seed) — fastest,
+    Spark-private. ``portable=True``: tokhash = first 8 hex chars of
+    sha256(token) as int — engine-neutral, reproduced verbatim by the
+    DuckDB conformance oracle (a ``list_reduce`` fold)."""
     m = F.lit((1 << 31) - 1).cast("long")
+    if portable:
+        def tok_hash(t):
+            return F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10) \
+                    .cast("long")
+    else:
+        def tok_hash(t):
+            return F.pmod(F.xxhash64(t, F.lit(seed)), m)
     return F.aggregate(
         tokens(text_col),
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long")
-                              + F.pmod(F.xxhash64(t, F.lit(seed)), m), m),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + tok_hash(t), m),
     )
 
 
