@@ -1191,6 +1191,26 @@ def streaming_session(spark, sf_dir):
                     "cnt"))
 
 
+@query("streaming_enrich_join", oracle="""
+SELECT event_id, user_id,
+       'tier-' || CAST(user_id % 4 AS VARCHAR) AS tier
+FROM events""")
+def streaming_enrich_join(spark, sf_dir):
+    """ST EXT: stream-static broadcast enrichment join executed through
+    Structured Streaming (availableNow micro-batch, append mode, no state).
+    STATELESS streaming is oracle-checkable: the DuckDB oracle computes the
+    same enrichment over the batch table — stream ≡ batch, hash-verified."""
+    from .streaming.windows import run_to_memory, stream_events, stream_static_join
+    tiers = spark.createDataFrame([(i, f"tier-{i}") for i in range(4)],
+                                  "tier_id int, tier string")
+    ev = stream_events(spark, sf_dir).withColumn(
+        "tier_id", (F.col("user_id") % 4).cast("int"))
+    joined = stream_static_join(ev, tiers, "tier_id") \
+        .select("event_id", "user_id", "tier")
+    name, _ = run_to_memory(joined, output_mode="append")
+    return spark.table(name)
+
+
 @query("streaming_dedup")
 def streaming_dedup(spark, sf_dir):
     """ST4 (rows-only): dropDuplicatesWithinWatermark through the streaming
@@ -1773,6 +1793,7 @@ DRIVER_PRIORITY = [
     "pipeline_parity_citations", "pipeline_parity_authors_enriched",
     "pipeline_parity_categories_enriched",
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
+    "streaming_enrich_join",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",

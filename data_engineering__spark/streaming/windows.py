@@ -59,6 +59,17 @@ def session_agg(events: DataFrame, gap: str = "30 minutes",
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def stream_static_join(events: DataFrame, dim: DataFrame,
+                       on: str) -> DataFrame:
+    """ST EXT: stream-static enrichment join — each micro-batch hash-joins
+    against the (broadcast) static dimension; stateless, so append mode
+    needs no watermark and no state store. The streaming analog of the
+    reference's per-row dimension lookups (``process_publications_dag.py:
+    27-43``): the dim rides with the executors, the stream never blocks.
+    """
+    return events.join(F.broadcast(dim), on)
+
+
 def stateful_dedup(events: DataFrame, keys: list[str],
                    watermark: str = "1 hour") -> DataFrame:
     """ST4: streaming dedup with bounded state — the streaming analog of the
