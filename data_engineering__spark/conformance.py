@@ -1793,7 +1793,8 @@ DRIVER_PRIORITY = [
     "pipeline_parity_citations", "pipeline_parity_authors_enriched",
     "pipeline_parity_categories_enriched",
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
-    "streaming_enrich_join",
+    "streaming_enrich_join", "minhash_near_dup_portable",
+    "simhash_near_dup_portable",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",
@@ -1879,3 +1880,148 @@ def quota_per_domain(spark, sf_dir):
     from .operators.sampling import quota_per_group
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     return quota_per_group(docs, ["source"], [F.asc("doc_id")], 20)
+
+
+# ======================= portable MinHash with full DuckDB oracle (round 2)
+
+def _minhash_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
+                        shingle_n: int, seed: int, threshold: float) -> str:
+    """DuckDB replica of the ENTIRE portable MinHash path: sha-bucket token
+    hashes, rolling shingle combination, (a·s+b) mod p permutation minima,
+    slice banding, and the agreement-rate estimate — constants generated by
+    the SAME seeded driver-side code that feeds the Spark kernel."""
+    import random
+    p = (1 << 31) - 1
+    rng = random.Random(seed)
+    ab = [(rng.randrange(1, p), rng.randrange(0, p))
+          for _ in range(num_hashes)]
+    crng = random.Random(seed ^ 0x5EED)
+    combo = [crng.randrange(1, 1 << 29) for _ in range(shingle_n)]
+    rows_per_band = num_hashes // bands
+    perm_values = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(ab))
+    sh_expr = " + ".join(f"h[i + {j}] * {c}" for j, c in enumerate(combo))
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {keep_mod} = 0),
+corpus AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
+           ' ') AS text
+  FROM docs0),
+th AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> ''),
+           t -> CAST(('0x' || substr(sha256(t), 1, 8)) AS BIGINT) % {p}) AS h
+  FROM corpus),
+sh AS (
+  SELECT doc_id, ({sh_expr}) % {p} AS s
+  FROM (SELECT doc_id, h, unnest(generate_series(1, len(h) - {shingle_n - 1})) AS i
+        FROM th WHERE len(h) >= {shingle_n})),
+perms(k, a, b) AS (VALUES {perm_values}),
+sig AS (
+  SELECT doc_id, k, MIN((s * a + b) % {p}) AS v
+  FROM sh, perms GROUP BY doc_id, k),
+bandsig AS (
+  SELECT doc_id, k // {rows_per_band} AS band, list(v ORDER BY k) AS bs
+  FROM sig GROUP BY doc_id, k // {rows_per_band}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandsig x
+  JOIN bandsig y ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / {num_hashes}.0
+           AS jaccard_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+  GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}"""
+
+
+@query("minhash_near_dup_portable",
+       oracle=_minhash_oracle_sql(keep_mod=10, num_hashes=32, bands=16,
+                                  shingle_n=3, seed=42, threshold=0.8))
+def minhash_near_dup_portable(spark, sf_dir):
+    """L2: MinHash+LSH near-dup pairs with the PORTABLE hash family
+    (sha-bucket token hashes, raw-slice banding) — the DuckDB oracle
+    recomputes signatures, candidate generation, and estimates from first
+    principles, closing the 'signatures are engine-private' evidential
+    gap for the MinHash path (the pandas-siphash default stays for speed;
+    identical pipeline shape)."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
+    return D.minhash_verified_pairs(corpus, "doc_id", "text",
+                                    jaccard_threshold=0.8, num_hashes=32,
+                                    bands=16, tok_hash="sha", bucket="slice")
+
+
+def _simhash_oracle_sql(keep_mod: int, bits: int, blocks: int,
+                        max_hamming: int) -> str:
+    """DuckDB replica of the portable SimHash path: 32-bit sha-bucket token
+    hashes, per-bit ±1 votes, sign packing, block banding, exact Hamming
+    verify — generated per-bit so both engines run identical arithmetic."""
+    p2 = 1 << 31
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    width = bits // blocks
+    mask = (1 << width) - 1
+    blk_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, fp, {i} AS blk_idx, (fp // {1 << (i * width)}) % {mask + 1} AS blk_val FROM fp"
+        for i in range(blocks))
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {keep_mod} = 0),
+corpus AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
+           ' ') AS text
+  FROM docs0),
+toks AS (
+  SELECT doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS tok
+  FROM corpus),
+th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) AS h
+  FROM toks),
+votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM th GROUP BY doc_id),
+fp AS (
+  SELECT doc_id, ({fp_expr}) AS fp FROM votes),
+blks AS (
+{blk_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM blks a
+  JOIN blks b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+             AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"""
+
+
+@query("simhash_near_dup_portable",
+       oracle=_simhash_oracle_sql(keep_mod=10, bits=32, blocks=4,
+                                  max_hamming=6))
+def simhash_near_dup_portable(spark, sf_dir):
+    """EXT: SimHash block-banded Hamming pairs with the PORTABLE 32-bit
+    sha-bucket token hash — the DuckDB oracle replicates votes, sign
+    packing, block banding, and the exact Hamming verify end to end."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
+    return D.simhash_near_dup_pairs(corpus, "doc_id", "text",
+                                    max_hamming=6, blocks=4, bits=32,
+                                    tok_hash="sha")

@@ -196,12 +196,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def _minhash_signatures_pandas(df: DataFrame, id_col: str, text_col: str,
                                num_hashes: int, shingle_n: int,
-                               seed: int) -> DataFrame:
+                               seed: int, tok_hash: str = "pandas") -> DataFrame:
     """Vectorized minhash over mapInPandas: per Arrow batch, hash every token
     once (``pd.util.hash_array`` — deterministic siphash), combine n
     consecutive token hashes arithmetically into shingle hashes, then take
     all ``num_hashes`` permutation minima for ALL documents in one
-    ``np.minimum.reduceat`` over the flattened shingle matrix."""
+    ``np.minimum.reduceat`` over the flattened shingle matrix.
+
+    ``tok_hash="sha"`` swaps the engine-private pandas siphash for the
+    first-8-hex-chars-of-sha256 token hash (cached per unique token per
+    batch) — slower, but reproducible in ANY engine, which is what lets the
+    DuckDB conformance oracle recompute signatures verbatim."""
+    import hashlib
     import random
 
     from collections.abc import Iterator
@@ -220,6 +226,18 @@ def _minhash_signatures_pandas(df: DataFrame, id_col: str, text_col: str,
     n, p = shingle_n, _MINHASH_P
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sha_memo: dict[str, int] = {}
+
+        def sha_hash(toks: list[str]) -> np.ndarray:
+            out = np.empty(len(toks), dtype=np.int64)
+            for i, t in enumerate(toks):
+                v = sha_memo.get(t)
+                if v is None:
+                    v = int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % p
+                    sha_memo[t] = v
+                out[i] = v
+            return out
+
         for pdf in batches:
             doc_ids, sigs = [], []
             starts, all_sh = [], []
@@ -228,8 +246,11 @@ def _minhash_signatures_pandas(df: DataFrame, id_col: str, text_col: str,
                 toks = [t for t in str(text).lower().strip().split() if t]
                 if len(toks) < n:
                     continue
-                th = (pd.util.hash_array(np.array(toks, dtype=object))
-                      .astype(np.int64) % p)
+                if tok_hash == "sha":
+                    th = sha_hash(toks)
+                else:
+                    th = (pd.util.hash_array(np.array(toks, dtype=object))
+                          .astype(np.int64) % p)
                 # rolling combination of n consecutive token hashes
                 sh = np.zeros(len(toks) - n + 1, dtype=np.int64)
                 for j in range(n):
@@ -249,13 +270,21 @@ def _minhash_signatures_pandas(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, out_schema)
 
 
-def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """LSH banding over a (doc, sig) table → candidate pairs (id_a < id_b)."""
+def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                          bucket: str = "hash") -> DataFrame:
+    """LSH banding over a (doc, sig) table → candidate pairs (id_a < id_b).
+
+    ``bucket="hash"`` (default) shuffles an 8-byte xxhash64 of each band
+    slice; ``bucket="slice"`` joins on the raw slice itself (rows_per_band
+    longs) — marginally wider rows, but engine-neutral (no xxhash64), so
+    an external oracle can reproduce the exact candidate set."""
     rows_per_band = num_hashes // bands
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    slice_col = F.slice(F.col("sig"),
+                        F.col("band") * rows_per_band + 1, rows_per_band)
+    bucket_col = slice_col if bucket == "slice" else F.xxhash64(slice_col)
     buckets = (sig.select("doc", "sig", band_idx)
-                  .withColumn("bucket", F.xxhash64(F.slice(
-                      F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)))
+                  .withColumn("bucket", bucket_col)
                   .select("doc", "band", "bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -263,6 +292,33 @@ def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFr
              .filter(F.col("a.doc") < F.col("b.doc"))
              .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
              .distinct())
+
+
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           jaccard_threshold: float = 0.8,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_n: int = 3, seed: int = 42,
+                           tok_hash: str = "pandas",
+                           bucket: str = "hash") -> DataFrame:
+    """(id_a, id_b, jaccard_est): LSH banding candidates verified by
+    signature agreement rate — the near-dup PAIR surface shared by the
+    dedup operators. With ``tok_hash="sha"`` and ``bucket="slice"`` every
+    arithmetic step (token hash, shingle combination, permutation minima,
+    banding, estimate) is engine-neutral, so an external SQL oracle can
+    recompute the exact pair set and estimates."""
+    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
+                                     shingle_n, seed, tok_hash).persist()
+    pairs = _band_candidate_pairs(sig, num_hashes, bands, bucket)
+    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard_est",
+                             agree.cast("double") / F.lit(float(num_hashes)))
+                 .filter(F.col("jaccard_est") >= jaccard_threshold)
+                 .select("id_a", "id_b", "jaccard_est"))
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -395,7 +451,8 @@ def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------------------- SimHash
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
-            seed: int = 42, impl: str = "pandas") -> DataFrame:
+            seed: int = 42, impl: str = "pandas",
+            tok_hash: str = "pandas") -> DataFrame:
     """SimHash fingerprint (EXT): 64-bit locality-sensitive hash.
 
     Per document: hash each token, each bit position votes +1/-1 by whether
@@ -412,7 +469,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     lost ~3×: HOF lambdas are interpreted, not codegen'd.)
     """
     if impl == "pandas":
-        return _simhash_pandas(df, id_col, text_col, bits, seed)
+        return _simhash_pandas(df, id_col, text_col, bits, seed, tok_hash)
     toks = (df.select(F.col(id_col), F.explode(
                 F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"))
               .filter(F.col("tok") != "")
@@ -434,10 +491,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
 
 
 def _simhash_pandas(df: DataFrame, id_col: str, text_col: str,
-                    bits: int, seed: int) -> DataFrame:
+                    bits: int, seed: int,
+                    tok_hash: str = "pandas") -> DataFrame:
     """Vectorized simhash: one (tokens × bits) sign matrix per Arrow batch,
     per-doc vote sums via ``np.add.reduceat``, sign-bit packing in numpy.
-    Docs with no tokens are dropped (parity with the exploded form)."""
+    Docs with no tokens are dropped (parity with the exploded form).
+    ``tok_hash="sha"``: engine-neutral 32-bit sha-bucket token hash (use
+    with ``bits<=32``) so an external oracle can replicate the votes."""
+    import hashlib
+
     from collections.abc import Iterator
 
     import numpy as np
@@ -446,6 +508,18 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str,
     shifts = np.arange(bits, dtype=np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sha_memo: dict[str, int] = {}
+
+        def sha_hash(toks: list[str]) -> np.ndarray:
+            out = np.empty(len(toks), dtype=np.uint64)
+            for i, t in enumerate(toks):
+                v = sha_memo.get(t)
+                if v is None:
+                    v = int(hashlib.sha256(t.encode()).hexdigest()[:8], 16)
+                    sha_memo[t] = v
+                out[i] = v
+            return out
+
         for pdf in batches:
             doc_ids, starts, hash_chunks = [], [], []
             pos = 0
@@ -453,8 +527,11 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str,
                 toks = [t for t in str(text).lower().strip().split() if t]
                 if not toks:
                     continue
-                th = pd.util.hash_array(np.array(toks, dtype=object)) \
-                       .astype(np.uint64)
+                if tok_hash == "sha":
+                    th = sha_hash(toks)
+                else:
+                    th = pd.util.hash_array(np.array(toks, dtype=object)) \
+                           .astype(np.uint64)
                 doc_ids.append(doc)
                 starts.append(pos)
                 hash_chunks.append(th)
@@ -476,14 +553,18 @@ def _simhash_pandas(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
                            max_hamming: int = 3, blocks: int = 4,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42, bits: int = 64,
+                           tok_hash: str = "pandas") -> DataFrame:
     """SimHash near-dup candidates via block-permutation banding: split the
-    64-bit fingerprint into ``blocks`` 16-bit blocks; by pigeonhole, any pair
-    within Hamming distance < blocks agrees on ≥1 block → self-join on
-    (block_idx, block_value), verify exact Hamming ≤ ``max_hamming``.
+    ``bits``-bit fingerprint into ``blocks`` equal blocks; by pigeonhole,
+    any pair within Hamming distance < blocks agrees on ≥1 block →
+    self-join on (block_idx, block_value), verify exact Hamming ≤
+    ``max_hamming``. ``tok_hash="sha"`` + ``bits=32``: engine-neutral
+    variant whose DuckDB oracle replicates votes, packing, and banding.
     """
-    fps = simhash(df, id_col, text_col, seed=seed)
-    width = 64 // blocks
+    fps = simhash(df, id_col, text_col, bits=bits, seed=seed,
+                  tok_hash=tok_hash)
+    width = bits // blocks
     block_cols = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), i * width)
          .bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
