@@ -42,6 +42,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "text_exact_dedup", "token_count", "text_stats", "lang_id",
     "quality_score", "doc_fingerprint", "cosine_topk", "ann_topk_lsh",
+    "ivf_topk",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG

@@ -1794,7 +1794,7 @@ DRIVER_PRIORITY = [
     "pipeline_parity_categories_enriched",
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
     "streaming_enrich_join", "minhash_near_dup_portable",
-    "simhash_near_dup_portable",
+    "simhash_near_dup_portable", "ivf_topk",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",
@@ -2025,3 +2025,47 @@ def simhash_near_dup_portable(spark, sf_dir):
     return D.simhash_near_dup_pairs(corpus, "doc_id", "text",
                                     max_hamming=6, blocks=4, bits=32,
                                     tok_hash="sha")
+
+
+_IVF_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))")
+
+
+@query("ivf_topk", oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % 50 = 0),
+cosd AS (
+  SELECT e.vec_id, c.cid,
+         {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cs
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid ASC) AS rn
+    FROM cosd) WHERE rn = 1),
+qcells AS (
+  SELECT cid AS cell FROM cosd WHERE vec_id = 0
+  ORDER BY cs DESC, cid ASC LIMIT 2),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT e.vec_id, e.label,
+         {_IVF_COS.format(a="e.embedding", b="q.qv")} AS cs
+  FROM embeddings e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN qcells qc ON a.cell = qc.cell
+  CROSS JOIN q)
+SELECT vec_id, label, ROUND(cs, 4) AS cosine
+FROM probe ORDER BY cs DESC, vec_id ASC LIMIT 10""")
+def ivf_topk_q(spark, sf_dir):
+    """L3 scale path #2: IVF-style ANN (deterministic coarse centroids,
+    nprobe=2 cell probing, exact cosine re-rank). The oracle recomputes
+    centroid choice, nearest-centroid assignment (same tie-break), query
+    cell probing, and the re-rank — both index structure AND scoring are
+    cross-engine verified."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0)
+    return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
+            .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))

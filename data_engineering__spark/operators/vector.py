@@ -160,6 +160,59 @@ def ann_topk_lsh(candidates: DataFrame, query: DataFrame, k: int, dim: int,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: (id, cell) — each vector's nearest centroid
+    by cosine (ties → smallest centroid id). Centroids broadcast; the
+    argmax is a map-side struct-max (one partial-aggregated groupBy, no
+    per-centroid shuffle). At cluster scale the assignment is computed once
+    and persisted/bucketed by cell — queries then touch only their probed
+    cells' partitions."""
+    c = F.broadcast(centroids.select(F.col(id_col).alias("__cid"),
+                                     as_double_array(vec_col).alias("__cvec")))
+    v = as_double_array(vec_col)
+    scored = (df.select(F.col(id_col), v.alias("__v")).crossJoin(c)
+              .withColumn("__cos", _dot(F.col("__v"), F.col("__cvec"))
+                          / (_norm(F.col("__v")) * _norm(F.col("__cvec")))))
+    best = F.max(F.struct(F.col("__cos"), (-F.col("__cid")).alias("__n"),
+                          F.col("__cid").alias("__c"))).alias("__m")
+    return (scored.groupBy(id_col).agg(best)
+                  .select(F.col(id_col), F.col("__m.__c").alias("cell")))
+
+
+def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
+             centroid_mod: int = 50, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """L3 scale path #2: IVF-style ANN — coarse centroid cells + nprobe
+    probing, the inverted-file counterpart to the RP-LSH bucket index.
+
+    Centroids here are a deterministic corpus subset (``id % centroid_mod``
+    — rerun-stable without a k-means job; swap in trained centroids at
+    will). Query cost: |cells probed| / |cells| of the corpus, exact cosine
+    re-rank inside. Recall/latency trades via ``nprobe``.
+    """
+    cents = candidates.filter(F.col(id_col) % centroid_mod == 0) \
+                      .select(id_col, vec_col)
+    assign = ivf_assign(candidates, cents, id_col, vec_col)
+    qv = as_double_array(vec_col)
+    qscore = (query.select(qv.alias("__q")).crossJoin(
+                F.broadcast(cents.select(F.col(id_col).alias("__cid"),
+                                         as_double_array(vec_col).alias("__cvec"))))
+              .withColumn("__cos", _dot(F.col("__q"), F.col("__cvec"))
+                          / (_norm(F.col("__q")) * _norm(F.col("__cvec")))))
+    qcells = (qscore.orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+              .limit(nprobe).select(F.col("__cid").alias("cell")))
+    probe = (candidates.join(assign, id_col)
+             .join(F.broadcast(qcells), "cell"))
+    q = F.broadcast(query.select(qv.alias("__q")))
+    scored = (probe.withColumn("__v", as_double_array(vec_col))
+              .crossJoin(q)
+              .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
+                          / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+              .drop("__v", "__q", "cell"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, n_planes: int = 6, seed: int = 42) -> DataFrame:

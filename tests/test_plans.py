@@ -108,3 +108,12 @@ def test_hash_split_is_deterministic_and_shuffle_free(spark, sf_dir):
     a = dict(split.collect())
     b = dict(hash_split(docs.repartition(7), "doc_id").collect())
     assert a == b  # repartitioning cannot move rows between splits
+
+
+def test_ivf_topk_broadcasts_and_no_smj(spark, sf_dir):
+    """IVF probe path: centroids and probed cells ride as broadcasts; the
+    only candidate-side work is a hash join + TakeOrdered — no sort-merge
+    join anywhere in the plan."""
+    p = plan_of(QUERIES["ivf_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
