@@ -1684,7 +1684,11 @@ def pipeline_parity_citations(spark, sf_dir):
     the oracle replicates the per-result upsert, the fresh surrogate ids
     for unmatched result titles, and the per-result citation harvest)."""
     from .plans.pipeline import run_pipeline
-    t = run_pipeline(_arxiv_raw(spark, sf_dir), fetch=_parity_fetch)
+    # bridge updates skipped: this query reads publications+citations only,
+    # and dim id assignment is driver-eager (the *_enriched queries verify
+    # the bridge path)
+    t = run_pipeline(_arxiv_raw(spark, sf_dir), fetch=_parity_fetch,
+                     enrich_bridges=False)
     p = t["publications"].select("pub_id", "title").alias("p")
     c = t["citations"].alias("c")
     return (p.join(c, F.col("p.pub_id") == F.col("c.publication_id"), "left")

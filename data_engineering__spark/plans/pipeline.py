@@ -129,7 +129,8 @@ def derive_types(tables: dict[str, DataFrame], bib_col: str = "comments") -> dic
 
 def enrich(tables: dict[str, DataFrame],
            fetch: Callable[[str], dict],
-           limit_per_category: int = 2) -> dict[str, DataFrame]:
+           limit_per_category: int = 2,
+           update_bridges: bool = True) -> dict[str, DataFrame]:
     """Stage 3 (``process_publications_dag.py:161-263``): scholar enrichment.
 
     The reference loops categories, takes the first ``limit_per_category``
@@ -200,9 +201,12 @@ def enrich(tables: dict[str, DataFrame],
     # them to the result's publication, and (b) links the QUERIED paper's
     # categories to the result's publication — ON CONFLICT DO NOTHING on
     # both bridges. Runs only when the warehouse dims ride along (partial
-    # table dicts update the hub only).
-    if {"authors", "authorship", "categories",
-            "publication_category"} <= tables.keys():
+    # table dicts update the hub only). ``update_bridges=False`` skips the
+    # block entirely: dimension id assignment is driver-coordinated (eager
+    # scalar collects inside dim_upsert), so consumers that never read the
+    # bridge tables shouldn't pay for building them.
+    if update_bridges and {"authors", "authorship", "categories",
+                           "publication_category"} <= tables.keys():
         r2p = results.join(merged.select("pub_id", "title"), "title")
         api_authors = (r2p.select("pub_id",
                                   F.explode("authors").alias("name"))
@@ -282,7 +286,8 @@ def validate(tables: dict[str, DataFrame]) -> DataFrame:
 
 
 def run_pipeline(raw: DataFrame,
-                 fetch: Callable[[str], dict] | None = None) -> dict[str, DataFrame]:
+                 fetch: Callable[[str], dict] | None = None,
+                 enrich_bridges: bool = True) -> dict[str, DataFrame]:
     """EP1 composition: the full DAG as function composition — insert >>
     clean >> enrich >> citations >> validate (``process_publications_dag.py:
     606-612``). The enrich/citations stages run only when a ``fetch``
@@ -303,7 +308,7 @@ def run_pipeline(raw: DataFrame,
     after = tables["publications"].select("pub_id", "title", "doi")
     tables["log_table"] = audit_diff(before, after, "publications")
     if fetch is not None:
-        tables = enrich(tables, fetch)
+        tables = enrich(tables, fetch, update_bridges=enrich_bridges)
         tables = cite(tables, fetch)
     tables["validation"] = validate(tables)
     return tables
