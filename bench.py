@@ -45,6 +45,7 @@ HEADLINE = [
     "ivf_topk",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
+    "connected_components_graph", "connected_components_star_graph",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1799,6 +1799,7 @@ DRIVER_PRIORITY = [
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
     "streaming_enrich_join", "minhash_near_dup_portable",
     "simhash_near_dup_portable", "ivf_topk",
+    "connected_components_graph", "connected_components_star_graph",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",
@@ -2073,3 +2074,44 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# ==================== connected components with recursive-CTE oracle (r2)
+
+_CC_ORACLE = """
+WITH RECURSIVE g AS (
+  SELECT doc_id % 50 AS u, (doc_id * 3 + 1) % 50 AS v
+  FROM documents WHERE doc_id < 400),
+bidir AS (
+  SELECT u, v FROM g WHERE u <> v
+  UNION
+  SELECT v, u FROM g WHERE u <> v),
+reach(id, r) AS (
+  SELECT u AS id, u AS r FROM bidir
+  UNION
+  SELECT b.u, r.r FROM bidir b JOIN reach r ON b.v = r.id)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id"""
+
+
+def _cc_edges(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return d.select((F.col("doc_id") % 50).alias("id_a"),
+                    ((F.col("doc_id") * 3 + 1) % 50).alias("id_b")) \
+            .filter(F.col("id_a") != F.col("id_b"))
+
+
+@query("connected_components_graph", oracle=_CC_ORACLE)
+def connected_components_graph(spark, sf_dir):
+    """L2 core: iterative min-label-propagation connected components —
+    oracle is a DuckDB RECURSIVE CTE computing exact reachability closure
+    (component = min reachable id) over the same deterministic graph."""
+    return D.connected_components(_cc_edges(spark, sf_dir))
+
+
+@query("connected_components_star_graph", oracle=_CC_ORACLE)
+def connected_components_star_graph(spark, sf_dir):
+    """L2 scale path: the SAME components via alternating large-star /
+    small-star contraction (O(log n) rounds vs O(diameter)) — identical
+    recursive-closure oracle, so both algorithms are driver-verified to
+    agree with ground truth."""
+    return D.connected_components_star(_cc_edges(spark, sf_dir))

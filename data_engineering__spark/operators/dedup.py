@@ -406,12 +406,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         rounds += 1
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        # localCheckpoint (not just persist): each round's plan references
+        # the prior labels ~3×, so an un-truncated lineage grows
+        # exponentially with round count and plan analysis itself OOMs on
+        # higher-diameter graphs. (Reliable checkpoint dir on a real
+        # cluster if lineage-based recovery matters.)
         new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                       .select(F.col("id"),
                               F.least(F.col("component"),
                                       F.coalesce(F.col("nbr_min"), F.col("component")))
                               .alias("component"))
-                      .persist())
+                      .localCheckpoint(eager=True))
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
@@ -422,6 +427,86 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if stats is not None:
         stats["rounds"] = rounds
     return labels
+
+
+def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
+                              id_b: str = "id_b", max_iter: int = 30,
+                              stats: dict | None = None) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the extreme-scale escalation path over min-label propagation
+    (``connected_components``): label propagation needs O(diameter)
+    rounds, star contraction needs O(log n) — the right trade when
+    components are long chains or the graph is huge.
+
+    Each round = two groupBy-min + join passes over the (shrinking) edge
+    list; convergence is detected by an edge-multiset signature (count +
+    hash sum — one scalar action per round). Output matches
+    ``connected_components``: (id, component=min reachable id), validated
+    against a reference union-find in tests/test_properties.py.
+    """
+    raw = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
+    nodes = (raw.select(F.col("u").alias("id"))
+             .unionByName(raw.select(F.col("v").alias("id"))).distinct()
+             .persist())
+
+    def norm(df: DataFrame, x: str, y: str) -> DataFrame:
+        # undirected edge set as (a=max, b=min), self-loops dropped
+        return (df.filter(F.col(x) != F.col(y))
+                  .select(F.greatest(x, y).alias("a"),
+                          F.least(x, y).alias("b"))
+                  .distinct())
+
+    edges = norm(raw, "u", "v").persist()
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # LARGE-STAR: for each node u, connect every LARGER neighbor to
+        # m = min(Γ(u) ∪ {u})
+        bidir = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+                 .unionAll(edges.select(F.col("b").alias("u"),
+                                        F.col("a").alias("v"))))
+        m = (bidir.groupBy("u").agg(F.min("v").alias("mn"))
+             .select("u", F.least("u", "mn").alias("m")))
+        ls = norm(bidir.join(m, "u").filter(F.col("v") > F.col("u"))
+                  .select(F.col("v").alias("x"), F.col("m").alias("y")),
+                  "x", "y")
+        # SMALL-STAR: per larger endpoint a, connect its ≤ neighbors and a
+        # itself to m = min neighbor
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        joined = ls.join(sm, "a")
+        out = (joined.filter(F.col("b") != F.col("m"))
+               .select(F.col("b").alias("x"), F.col("m").alias("y"))
+               .unionAll(sm.select(F.col("a").alias("x"),
+                                   F.col("m").alias("y"))))
+        # localCheckpoint truncates the logical plan: each round references
+        # the prior edge frame ~4×, so without truncation the plan tree
+        # grows 4^rounds and analysis OOMs around depth 7. (On a cluster
+        # with fault-tolerance needs, swap for a reliable checkpoint dir.)
+        new_edges = norm(out, "x", "y").localCheckpoint(eager=True)
+        # pmod keeps the per-row term < 2^31 — raw xxhash64 sums overflow
+        # long under ANSI
+        sig = tuple(new_edges.agg(
+            F.count(F.lit(1)),
+            F.coalesce(F.sum(F.pmod(F.xxhash64("a", "b"),
+                                    F.lit((1 << 31) - 1))),
+                       F.lit(0))).collect()[0])
+        edges.unpersist()
+        edges = new_edges
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint every edge is (member, root): roots/isolated nodes
+    # map to themselves
+    labels = edges.select(F.col("a").alias("id"),
+                          F.col("b").alias("component"))
+    self_rows = (nodes.join(labels, "id", "left_anti")
+                 .select("id", F.col("id").alias("component")))
+    if stats is not None:
+        stats["rounds"] = rounds
+    nodes.unpersist()
+    return labels.unionByName(self_rows)
 
 
 def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,

@@ -124,6 +124,11 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r.id: r.component
            for r in connected_components(df, max_iter=30).collect()}
     assert got == expect
+    # the large-star/small-star contraction must agree with both
+    from data_engineering__spark.operators.dedup import connected_components_star
+    got_star = {r.id: r.component
+                for r in connected_components_star(df, max_iter=30).collect()}
+    assert got_star == expect
 
 
 def test_cc_chain_convergence_rounds(spark):
@@ -181,3 +186,18 @@ def test_minhash_cc_chained_duplicate_corpus(spark, sf_dir):
     assert all(i < 1000000 for i in kept_ids)
     assert kept_ids == heads_only
     assert n_chains > 0 and stats["rounds"] <= 6, stats
+
+
+def test_cc_star_chain_rounds_logarithmic(spark):
+    """Star contraction's raison d'être: an L-node path converges in
+    O(log L) rounds where label propagation needs ~L-1 — verify on a
+    64-node chain (label propagation would need ~63 rounds)."""
+    from data_engineering__spark.operators.dedup import connected_components_star
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame([{"id_a": a, "id_b": b} for a, b in edges])
+    stats = {}
+    got = {r.id: r.component
+           for r in connected_components_star(df, stats=stats).collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert stats["rounds"] <= 10, stats   # ~log2(64)=6 + confirm rounds
