@@ -28,6 +28,7 @@ HEADLINE = [
     "except_all", "intersect_keys", "union_all", "dedup_by_key",
     "upsert_merge", "dim_upsert", "full_outer_join", "cross_join_small",
     "cube_counts", "percentile_stats", "salted_join_agg", "cond_agg_flags",
+    "scd2_dim_history",
     "string_agg_groups", "unpivot_metrics", "pivot_counts", "sql_api_join",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",

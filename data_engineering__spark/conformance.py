@@ -1800,6 +1800,7 @@ DRIVER_PRIORITY = [
     "streaming_enrich_join", "minhash_near_dup_portable",
     "simhash_near_dup_portable", "ivf_topk",
     "connected_components_graph", "connected_components_star_graph",
+    "scd2_dim_history",
     # --- implementation or oracle changed in round 2: re-verify
     "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
     "asof_join", "dim_upsert", "upsert_merge",
@@ -2115,3 +2116,77 @@ def connected_components_star_graph(spark, sf_dir):
     recursive-closure oracle, so both algorithms are driver-verified to
     agree with ground truth."""
     return D.connected_components_star(_cc_edges(spark, sf_dir))
+
+
+# ============================ SCD2 dimension history (round 2, EXT warehouse)
+
+@query("scd2_dim_history", oracle="""
+WITH hist AS (
+  SELECT s_suppkey AS k, s_nationkey AS attr,
+         DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to,
+         FALSE AS is_current
+  FROM supplier WHERE s_suppkey < 20
+  UNION ALL
+  SELECT s_suppkey, s_nationkey, DATE '2020-01-01', NULL, TRUE
+  FROM supplier WHERE s_suppkey < 60),
+changes AS (
+  SELECT s_suppkey AS k,
+         CASE WHEN s_suppkey % 3 = 0 THEN s_nationkey
+              ELSE s_nationkey * 2 + 1 END AS attr
+  FROM supplier WHERE s_suppkey < 40
+  UNION ALL
+  SELECT s_suppkey + 1000, s_nationkey FROM supplier WHERE s_suppkey < 10),
+cur AS (SELECT * FROM hist WHERE is_current),
+j AS (
+  SELECT c.k, c.attr, t.k AS tk, t.attr AS tattr
+  FROM changes c LEFT JOIN cur t ON c.k = t.k),
+new_rows AS (
+  SELECT k, attr, DATE '2024-01-15' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM j WHERE tk IS NULL OR attr IS DISTINCT FROM tattr),
+to_close AS (
+  SELECT k FROM j WHERE tk IS NOT NULL AND attr IS DISTINCT FROM tattr),
+updated AS (
+  SELECT h.k, h.attr, h.valid_from,
+         CASE WHEN h.is_current AND h.k IN (SELECT k FROM to_close)
+              THEN DATE '2024-01-15' ELSE h.valid_to END AS valid_to,
+         h.is_current AND h.k NOT IN (SELECT k FROM to_close) AS is_current
+  FROM hist h)
+SELECT k, attr,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to,
+       is_current
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM new_rows)""")
+def scd2_dim_history(spark, sf_dir):
+    """EXT warehouse: type-2 SCD merge — close changed current rows, insert
+    fresh versions, pass unchanged/closed history through. Deterministic
+    history + delta derived from the supplier table; the oracle replicates
+    close/insert/passthrough set logic with null-safe attr comparison."""
+    from .operators.merge import scd2_merge
+    s = read_table(spark, sf_dir, "supplier")
+    hist = (s.filter(F.col("s_suppkey") < 20).select(
+                F.col("s_suppkey").alias("k"),
+                F.col("s_nationkey").alias("attr"),
+                F.to_date(F.lit("2019-01-01")).alias("valid_from"),
+                F.to_date(F.lit("2020-01-01")).alias("valid_to"),
+                F.lit(False).alias("is_current"))
+            .unionByName(
+                s.filter(F.col("s_suppkey") < 60).select(
+                    F.col("s_suppkey").alias("k"),
+                    F.col("s_nationkey").alias("attr"),
+                    F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+                    F.lit(None).cast("date").alias("valid_to"),
+                    F.lit(True).alias("is_current"))))
+    changes = (s.filter(F.col("s_suppkey") < 40).select(
+                   F.col("s_suppkey").alias("k"),
+                   F.when(F.col("s_suppkey") % 3 == 0, F.col("s_nationkey"))
+                    .otherwise(F.col("s_nationkey") * 2 + 1).alias("attr"))
+               .unionByName(
+                   s.filter(F.col("s_suppkey") < 10).select(
+                       (F.col("s_suppkey") + 1000).alias("k"),
+                       F.col("s_nationkey").alias("attr"))))
+    out = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
+    return out.select("k", "attr",
+                      F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+                      F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+                      "is_current")

@@ -88,6 +88,55 @@ def dim_upsert(dim: DataFrame, incoming: DataFrame, natural_key: str,
     return dim.unionByName(new_rows, allowMissingColumns=True)
 
 
+def scd2_merge(history: DataFrame, changes: DataFrame, key: str,
+               attrs: list[str], effective_date: str) -> DataFrame:
+    """Type-2 slowly-changing dimension merge: point-in-time history with
+    (valid_from, valid_to, is_current) row versioning.
+
+    - changed keys (any tracked attr differs from the CURRENT row,
+      null-safe compare): current row closes (valid_to = effective_date,
+      is_current = false) and a fresh current row inserts;
+    - brand-new keys insert as current;
+    - unchanged keys and already-closed history rows pass through intact.
+
+    The reference keeps only a trigger audit log (``database and queries
+    aupostgres.sql:82-97``) — an event stream; SCD2 is the queryable
+    state-over-time upgrade (AS OF joins via
+    ``valid_from <= ts < coalesce(valid_to, 'infinity')``).
+
+    Scale: one hash shuffle on ``key`` (changes are a delta — broadcast
+    when small) + a union; no windows, no per-row loops. Idempotent for a
+    given (changes, effective_date) batch: re-running closes nothing new
+    because the current row already equals the incoming attrs.
+    """
+    from functools import reduce as _reduce
+
+    eff = F.to_date(F.lit(effective_date))
+    cur = history.filter(F.col("is_current"))
+    c, t = changes.alias("c"), cur.alias("t")
+    differs = _reduce(lambda x, y: x | y,
+                      [~F.col(f"c.{a}").eqNullSafe(F.col(f"t.{a}"))
+                       for a in attrs])
+    joined = c.join(t, F.col(f"c.{key}") == F.col(f"t.{key}"), "left")
+    is_new = F.col(f"t.{key}").isNull()
+    new_rows = (joined.filter(is_new | differs)
+                .select(F.col(f"c.{key}").alias(key),
+                        *[F.col(f"c.{a}").alias(a) for a in attrs],
+                        eff.alias("valid_from"),
+                        F.lit(None).cast("date").alias("valid_to"),
+                        F.lit(True).alias("is_current")))
+    to_close = (joined.filter(~is_new & differs)
+                .select(F.col(f"c.{key}").alias(key))
+                .withColumn("__close", F.lit(True)))
+    updated = (history.join(to_close, key, "left")
+               .select(key, *attrs, "valid_from",
+                       F.when(F.col("is_current") & F.col("__close").isNotNull(),
+                              eff).otherwise(F.col("valid_to")).alias("valid_to"),
+                       (F.col("is_current") & F.col("__close").isNull())
+                       .alias("is_current")))
+    return updated.unionByName(new_rows)
+
+
 def upsert_merge(target: DataFrame, source: DataFrame, key: str,
                  update_cols: list[str] | None = None,
                  coalesce_cols: list[str] | None = None,

@@ -212,3 +212,37 @@ def test_upsert_merge_insert_only_columns(spark):
     got = {r.title: (r.submitter, r.doi) for r in out.collect()}
     assert got == {"t1": ("orig-submitter", "d1"),
                    "t2": ("api-author-2", "d2")}
+
+
+def test_scd2_merge_semantics_and_idempotence(spark):
+    """SCD2: changed current rows close + re-insert, new keys insert,
+    unchanged pass through; re-applying the same batch is a no-op."""
+    from pyspark.sql import Row
+
+    from data_engineering__spark.operators.merge import scd2_merge
+
+    hist = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None, True),
+         (2, "b", "2020-01-01", None, True),
+         (2, "old", "2019-01-01", "2020-01-01", False)],
+        "k long, attr string, valid_from string, valid_to string, "
+        "is_current boolean") \
+        .withColumn("valid_from", F.to_date("valid_from")) \
+        .withColumn("valid_to", F.to_date("valid_to"))
+    changes = spark.createDataFrame(
+        [Row(k=1, attr="a"),        # unchanged
+         Row(k=2, attr="b2"),       # changed
+         Row(k=3, attr="c")])       # new
+    out = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
+    rows = {(r.k, r.attr): (str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in out.collect()}
+    assert rows[(1, "a")] == ("2020-01-01", "None", True)          # untouched
+    assert rows[(2, "b")] == ("2020-01-01", "2024-01-15", False)   # closed
+    assert rows[(2, "b2")] == ("2024-01-15", "None", True)         # new version
+    assert rows[(2, "old")] == ("2019-01-01", "2020-01-01", False) # history kept
+    assert rows[(3, "c")] == ("2024-01-15", "None", True)          # inserted
+    # idempotence: same batch again changes nothing
+    again = scd2_merge(out, changes, "k", ["attr"], "2024-01-15")
+    a = sorted(map(tuple, (map(str, r) for r in out.collect())))
+    b = sorted(map(tuple, (map(str, r) for r in again.collect())))
+    assert a == b
