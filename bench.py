@@ -46,7 +46,6 @@ HEADLINE = [
     "ivf_topk",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
-    "connected_components_graph", "connected_components_star_graph",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",
@@ -56,7 +55,9 @@ HEADLINE = [
 # excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
 # not query throughput), http_enrich / multimodal_features (stubbed kernels),
 # pipeline_parity_*_enriched (same DAG as the three benched pipeline
-# queries + bridge updates — correctness surface, not new throughput)
+# queries + bridge updates — correctness surface, not new throughput),
+# connected_components_*_graph (50-node demo graphs whose wall is pure
+# per-iteration job overhead — minhash_cc_dedup benches CC throughput)
 
 
 def main() -> None:
