@@ -1261,17 +1261,6 @@ def stateful_profile(spark, sf_dir):
     return run_profile(spark, sf_dir)
 
 
-@query("minhash_cc_dedup")
-def minhash_cc_dedup_q(spark, sf_dir):
-    """L2 (rows-only): near-dup removal with EXACT transitive closure —
-    LSH candidates → signature-verified pairs → connected components
-    (iterative min-label propagation) → min-id survivor per component."""
-    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=20)
-    return D.minhash_dedup_cc(corpus, "doc_id", "text",
-                              jaccard_threshold=0.5, num_hashes=32, bands=16) \
-            .select("doc_id").orderBy("doc_id")
-
-
 @query("salted_join_agg", oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS n_lines,
        ROUND(SUM(l.l_quantity), 2) AS sum_qty
@@ -1332,7 +1321,7 @@ def string_agg_groups(spark, sf_dir):
 
 @query("cond_agg_flags", oracle="""
 SELECT o_orderpriority,
-       count_if(o_totalprice > 150000) AS n_big,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
        CAST(bool_and(o_totalprice > 1000) AS BOOLEAN) AS all_over_1k,
        CAST(bool_or(o_totalprice > 400000) AS BOOLEAN) AS any_huge
 FROM orders GROUP BY o_orderpriority""")
@@ -1377,7 +1366,7 @@ WITH gaps AS (
 SELECT user_id,
        COUNT(*) AS n_events,
        COUNT(gap_us) AS n_gaps,
-       COALESCE(SUM(gap_us), 0) AS total_gap_us
+       CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS total_gap_us
 FROM gaps GROUP BY user_id""")
 def grouped_map_gaps(spark, sf_dir):
     """U4: GROUPED_MAP applyInPandas — per-user inter-event gap profile;
@@ -1890,12 +1879,14 @@ def quota_per_domain(spark, sf_dir):
 
 # ======================= portable MinHash with full DuckDB oracle (round 2)
 
-def _minhash_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
-                        shingle_n: int, seed: int, threshold: float) -> str:
-    """DuckDB replica of the ENTIRE portable MinHash path: sha-bucket token
-    hashes, rolling shingle combination, (a·s+b) mod p permutation minima,
-    slice banding, and the agreement-rate estimate — constants generated by
-    the SAME seeded driver-side code that feeds the Spark kernel."""
+def _minhash_pair_ctes(keep_mod: int, num_hashes: int, bands: int,
+                       shingle_n: int, seed: int) -> str:
+    """CTE chain (docs0 → … → est) replicating the portable MinHash path:
+    sha-bucket token hashes, rolling shingle combination, (a·s+b) mod p
+    permutation minima, slice banding, and the agreement-rate estimate —
+    constants generated by the SAME seeded driver-side code that feeds the
+    Spark kernel. Shared by the pair oracle and the composed dedup-closure
+    oracle (which appends a recursive reachability CTE)."""
     import random
     p = (1 << 31) - 1
     rng = random.Random(seed)
@@ -1906,8 +1897,7 @@ def _minhash_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
     rows_per_band = num_hashes // bands
     perm_values = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(ab))
     sh_expr = " + ".join(f"h[i + {j}] * {c}" for j, c in enumerate(combo))
-    return f"""
-WITH docs0 AS (
+    return f"""docs0 AS (
   SELECT doc_id, text FROM documents WHERE doc_id % {keep_mod} = 0),
 corpus AS (
   SELECT doc_id, text FROM docs0
@@ -1946,8 +1936,43 @@ est AS (
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def _minhash_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
+                        shingle_n: int, seed: int, threshold: float) -> str:
+    """Full pair-surface oracle: the shared CTE chain + threshold filter."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH {ctes}
 SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}"""
+
+
+def _minhash_cc_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
+                           shingle_n: int, seed: int, threshold: float) -> str:
+    """Composed dedup-closure oracle: portable pair CTEs → undirected edge
+    list → RECURSIVE reachability closure (component = min reachable id) →
+    survivors = corpus minus every doc whose component label is smaller
+    than itself. Replicates ``minhash_dedup_cc`` end to end."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE jaccard_est >= {threshold}),
+bidir AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT u AS id, u AS r FROM bidir
+  UNION
+  SELECT b.u, r.r FROM bidir b JOIN reach r ON b.v = r.id),
+comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+losers AS (SELECT id FROM comp WHERE id <> component)
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT id FROM losers)
+ORDER BY c.doc_id"""
 
 
 @query("minhash_near_dup_portable",
@@ -1964,6 +1989,24 @@ def minhash_near_dup_portable(spark, sf_dir):
     return D.minhash_verified_pairs(corpus, "doc_id", "text",
                                     jaccard_threshold=0.8, num_hashes=32,
                                     bands=16, tok_hash="sha", bucket="slice")
+
+
+@query("minhash_cc_dedup",
+       oracle=_minhash_cc_oracle_sql(keep_mod=20, num_hashes=32, bands=16,
+                                     shingle_n=3, seed=42, threshold=0.5))
+def minhash_cc_dedup_q(spark, sf_dir):
+    """L2 flagship: near-dup removal with EXACT transitive closure — LSH
+    candidates → signature-verified pairs → connected components (iterative
+    min-label propagation) → min-id survivor per component. Portable hash
+    family (sha-bucket tokens, slice banding), so the DuckDB oracle
+    replicates the WHOLE composed pipeline: pair generation from first
+    principles, closure via RECURSIVE reachability CTE, min-per-component
+    survivor choice."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=20)
+    return D.minhash_dedup_cc(corpus, "doc_id", "text",
+                              jaccard_threshold=0.5, num_hashes=32, bands=16,
+                              tok_hash="sha", bucket="slice") \
+            .select("doc_id").orderBy("doc_id")
 
 
 def _simhash_oracle_sql(keep_mod: int, bits: int, blocks: int,

@@ -53,8 +53,10 @@ def user_gap_stats(events) -> "DataFrame":
             "user_id": [pdf["user_id"].iloc[0]],
             "n_events": [len(pdf)],
             "n_gaps": [len(gaps)],
-            "total_gap_us": [int(gaps.sum().total_seconds() * 1_000_000)
-                             if len(gaps) else 0],
+            # .value is exact integer nanoseconds; // 1000 keeps the whole
+            # path integral (total_seconds() would round-trip through
+            # float64 and lose precision once sums exceed 2^53 ns).
+            "total_gap_us": [gaps.sum().value // 1000 if len(gaps) else 0],
         })
 
     return (events.select("user_id", "ts").groupBy("user_id")

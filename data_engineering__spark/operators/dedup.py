@@ -294,20 +294,12 @@ def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
              .distinct())
 
 
-def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
-                           jaccard_threshold: float = 0.8,
-                           num_hashes: int = 64, bands: int = 16,
-                           shingle_n: int = 3, seed: int = 42,
-                           tok_hash: str = "pandas",
-                           bucket: str = "hash") -> DataFrame:
-    """(id_a, id_b, jaccard_est): LSH banding candidates verified by
-    signature agreement rate — the near-dup PAIR surface shared by the
-    dedup operators. With ``tok_hash="sha"`` and ``bucket="slice"`` every
-    arithmetic step (token hash, shingle combination, permutation minima,
-    banding, estimate) is engine-neutral, so an external SQL oracle can
-    recompute the exact pair set and estimates."""
-    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
-                                     shingle_n, seed, tok_hash).persist()
+def _verify_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                  jaccard_threshold: float, bucket: str) -> DataFrame:
+    """Shared verify stage over a (doc, sig) table: banding candidates →
+    signature-agreement Jaccard estimate → threshold filter. Emits
+    (id_a, id_b, jaccard_est); ``sig`` should be persisted by the caller
+    (it is consumed by banding AND both sides of the verify join)."""
     pairs = _band_candidate_pairs(sig, num_hashes, bands, bucket)
     sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -319,6 +311,29 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
                              agree.cast("double") / F.lit(float(num_hashes)))
                  .filter(F.col("jaccard_est") >= jaccard_threshold)
                  .select("id_a", "id_b", "jaccard_est"))
+
+
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           jaccard_threshold: float = 0.8,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_n: int = 3, seed: int = 42,
+                           tok_hash: str = "pandas",
+                           bucket: str = "hash") -> DataFrame:
+    """(id_a, id_b, jaccard_est): LSH banding candidates verified by
+    signature agreement rate — the near-dup PAIR surface shared by the
+    dedup operators. With ``tok_hash="sha"`` and ``bucket="slice"`` every
+    arithmetic step (token hash, shingle combination, permutation minima,
+    banding, estimate) is engine-neutral, so an external SQL oracle can
+    recompute the exact pair set and estimates.
+
+    Caching note: the signature table is persisted here because the
+    returned (lazy) plan consumes it three times; the cache is
+    CALLER-OWNED — in a long-lived session, materialize the result and
+    then ``spark.catalog.clearCache()`` (or use ``minhash_dedup_cc``,
+    which unpersists its own signatures once the closure is computed)."""
+    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
+                                     shingle_n, seed, tok_hash).persist()
+    return _verify_pairs(sig, num_hashes, bands, jaccard_threshold, bucket)
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -512,22 +527,27 @@ def connected_components_star(pairs: DataFrame, id_a: str = "id_a",
 def minhash_dedup_cc(df: DataFrame, id_col: str, text_col: str,
                      jaccard_threshold: float = 0.8, num_hashes: int = 64,
                      bands: int = 16, shingle_n: int = 3, seed: int = 42,
-                     stats: dict | None = None) -> DataFrame:
+                     stats: dict | None = None, tok_hash: str = "pandas",
+                     bucket: str = "hash") -> DataFrame:
     """L2 exact-closure variant: LSH candidates → signature-verified pairs →
     connected components → keep the min-id doc per component. Unlike the
-    one-hop ``minhash_dedup``, a chain a~b~c~d keeps ONLY a."""
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed).persist()
-    pairs = _band_candidate_pairs(sig, num_hashes, bands)
-    sa = sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0), lambda acc, v: acc + v)
-    verified = (pairs.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("jaccard_est", agree.cast("double") / F.lit(float(num_hashes)))
-                .filter(F.col("jaccard_est") >= jaccard_threshold)
-                .select("id_a", "id_b"))
+    one-hop ``minhash_dedup``, a chain a~b~c~d keeps ONLY a.
+
+    ``tok_hash="sha"`` + ``bucket="slice"`` selects the engine-neutral hash
+    family (see ``minhash_verified_pairs``), making the whole composed
+    pipeline — pairs AND closure AND survivor choice — reproducible by an
+    external SQL oracle.
+
+    The signature cache is released here: ``connected_components``
+    materializes the verified edge list inside its iteration loop, so by
+    the time it returns the signatures are no longer needed and the
+    survivor anti-join reads only the (already-computed) labels."""
+    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
+                                     shingle_n, seed, tok_hash).persist()
+    verified = _verify_pairs(sig, num_hashes, bands, jaccard_threshold,
+                             bucket).select("id_a", "id_b")
     comp = connected_components(verified, stats=stats)
+    sig.unpersist()
     losers = comp.filter(F.col("id") != F.col("component")) \
                  .select(F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")

@@ -59,6 +59,18 @@ def compare(spark, name: str, sf_dir: str) -> tuple[bool, str]:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     con = duck_connection(sf_dir)
+    # The driver materializes oracle results via pandas, where DuckDB's
+    # HUGEINT (int128 — what count_if/SUM(BIGINT) return) degrades to
+    # float64 and hash-mismatches Spark's bigint even when every value is
+    # identical. fetchall() below yields exact Python ints, masking that,
+    # so check the declared types explicitly: any HUGEINT column must be
+    # CAST(... AS BIGINT) in the oracle SQL.
+    dtypes = con.execute(f"DESCRIBE (\n{ORACLE[name]}\n)").fetchall()
+    huge = [r[0] for r in dtypes if "HUGEINT" in r[1].upper()]
+    if huge:
+        con.close()
+        return False, (f"oracle emits HUGEINT column(s) {huge} — the driver "
+                       "hashes these as float64; CAST(... AS BIGINT)")
     res = con.execute(ORACLE[name])
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
