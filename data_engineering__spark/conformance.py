@@ -2163,8 +2163,10 @@ def connected_components_star_graph(spark, sf_dir):
 
 # ============================ SCD2 dimension history (round 2, EXT warehouse)
 
-@query("scd2_dim_history", oracle="""
-WITH hist AS (
+#: Shared CTE chain replicating ``scd2_merge`` over the deterministic
+#: supplier-derived history + delta — consumed by the history oracle
+#: (dump the merged table) and the AS-OF oracle (point-in-time probe).
+_SCD2_CTES = """hist AS (
   SELECT s_suppkey AS k, s_nationkey AS attr,
          DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to,
          FALSE AS is_current
@@ -2194,18 +2196,12 @@ updated AS (
          CASE WHEN h.is_current AND h.k IN (SELECT k FROM to_close)
               THEN DATE '2024-01-15' ELSE h.valid_to END AS valid_to,
          h.is_current AND h.k NOT IN (SELECT k FROM to_close) AS is_current
-  FROM hist h)
-SELECT k, attr,
-       strftime(valid_from, '%Y-%m-%d') AS valid_from,
-       strftime(valid_to, '%Y-%m-%d') AS valid_to,
-       is_current
-FROM (SELECT * FROM updated UNION ALL SELECT * FROM new_rows)""")
-def scd2_dim_history(spark, sf_dir):
-    """EXT warehouse: type-2 SCD merge — close changed current rows, insert
-    fresh versions, pass unchanged/closed history through. Deterministic
-    history + delta derived from the supplier table; the oracle replicates
-    close/insert/passthrough set logic with null-safe attr comparison."""
-    from .operators.merge import scd2_merge
+  FROM hist h),
+merged AS (SELECT * FROM updated UNION ALL SELECT * FROM new_rows)"""
+
+
+def _scd2_frames(spark, sf_dir):
+    """(history, changes) Spark twins of the ``_SCD2_CTES`` fixtures."""
     s = read_table(spark, sf_dir, "supplier")
     hist = (s.filter(F.col("s_suppkey") < 20).select(
                 F.col("s_suppkey").alias("k"),
@@ -2228,8 +2224,63 @@ def scd2_dim_history(spark, sf_dir):
                    s.filter(F.col("s_suppkey") < 10).select(
                        (F.col("s_suppkey") + 1000).alias("k"),
                        F.col("s_nationkey").alias("attr"))))
+    return hist, changes
+
+
+@query("scd2_dim_history", oracle=f"""
+WITH {_SCD2_CTES}
+SELECT k, attr,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to,
+       is_current
+FROM merged""")
+def scd2_dim_history(spark, sf_dir):
+    """EXT warehouse: type-2 SCD merge — close changed current rows, insert
+    fresh versions, pass unchanged/closed history through. Deterministic
+    history + delta derived from the supplier table; the oracle replicates
+    close/insert/passthrough set logic with null-safe attr comparison."""
+    from .operators.merge import scd2_merge
+    hist, changes = _scd2_frames(spark, sf_dir)
     out = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
     return out.select("k", "attr",
                       F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
                       F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
                       "is_current")
+
+
+_SCD2_PROBE_DATES = ("2019-06-01", "2021-06-01", "2024-06-01")
+
+
+@query("scd2_asof", oracle=f"""
+WITH {_SCD2_CTES},
+probes AS (
+  SELECT k, ts FROM (SELECT DISTINCT k FROM merged)
+  CROSS JOIN (VALUES {", ".join(f"(DATE '{d}')" for d in _SCD2_PROBE_DATES)}) d(ts))
+SELECT p.k, strftime(p.ts, '%Y-%m-%d') AS ts, f.attr
+FROM probes p
+JOIN merged f
+  ON f.k = p.k AND f.valid_from <= p.ts
+ AND (f.valid_to IS NULL OR f.valid_to > p.ts)""")
+def scd2_asof(spark, sf_dir):
+    """EXT warehouse (R36 × J7): point-in-time "dimension state AS OF T"
+    over the SCD2 history — each (key, probe-date) pair resolves to the
+    version whose validity interval contains the probe, via the as-of join
+    operator (latest valid_from ≤ T within the key, then the valid_to
+    bound discards closed-out matches). The oracle answers the same
+    question with an explicit BETWEEN-style interval join — equivalent
+    because SCD2 intervals tile each key without overlap."""
+    from .operators.merge import scd2_merge
+    from .operators.temporal import asof_join
+    hist, changes = _scd2_frames(spark, sf_dir)
+    merged = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
+    probes = (merged.select("k").distinct()
+              .withColumn("ts", F.explode(F.array(
+                  *[F.to_date(F.lit(d)) for d in _SCD2_PROBE_DATES]))))
+    right = merged.select("k", F.col("valid_from").alias("ts"),
+                          "attr", "valid_to")
+    j = asof_join(probes, right, "ts", ["k"], ["attr", "valid_to"])
+    return (j.filter(F.col("attr_asof").isNotNull()
+                     & (F.col("valid_to_asof").isNull()
+                        | (F.col("valid_to_asof") > F.col("ts"))))
+             .select("k", F.date_format("ts", "yyyy-MM-dd").alias("ts"),
+                     F.col("attr_asof").alias("attr")))

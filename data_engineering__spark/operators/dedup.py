@@ -573,6 +573,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64,
     (A narrow per-row array-fold expression variant was benchmarked and
     lost ~3×: HOF lambdas are interpreted, not codegen'd.)
     """
+    if tok_hash == "sha" and bits > 32:
+        # the sha-bucket token hash is 32 bits — fingerprint bits 32+ would
+        # be all-zero, silently degenerating half the banding blocks
+        raise ValueError(
+            f"tok_hash='sha' provides 32 hash bits; bits={bits} would leave "
+            "fingerprint bits 32+ constant — use bits<=32 or the default "
+            "64-bit tok_hash")
     if impl == "pandas":
         return _simhash_pandas(df, id_col, text_col, bits, seed, tok_hash)
     toks = (df.select(F.col(id_col), F.explode(

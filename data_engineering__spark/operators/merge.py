@@ -97,7 +97,10 @@ def scd2_merge(history: DataFrame, changes: DataFrame, key: str,
       null-safe compare): current row closes (valid_to = effective_date,
       is_current = false) and a fresh current row inserts;
     - brand-new keys insert as current;
-    - unchanged keys and already-closed history rows pass through intact.
+    - unchanged keys and already-closed history rows pass through intact,
+      INCLUDING history columns not listed in ``attrs`` (untracked columns
+      don't participate in change detection; inserted rows take them from
+      ``changes`` when present there, else NULL).
 
     The reference keeps only a trigger audit log (``database and queries
     aupostgres.sql:82-97``) — an event stream; SCD2 is the queryable
@@ -112,6 +115,9 @@ def scd2_merge(history: DataFrame, changes: DataFrame, key: str,
     from functools import reduce as _reduce
 
     eff = F.to_date(F.lit(effective_date))
+    scd_cols = ("valid_from", "valid_to", "is_current")
+    extras = [c for c in history.columns
+              if c != key and c not in attrs and c not in scd_cols]
     cur = history.filter(F.col("is_current"))
     c, t = changes.alias("c"), cur.alias("t")
     differs = _reduce(lambda x, y: x | y,
@@ -119,9 +125,14 @@ def scd2_merge(history: DataFrame, changes: DataFrame, key: str,
                        for a in attrs])
     joined = c.join(t, F.col(f"c.{key}") == F.col(f"t.{key}"), "left")
     is_new = F.col(f"t.{key}").isNull()
+    hist_types = {f.name: f.dataType for f in history.schema.fields}
+    extra_src = [(F.col(f"c.{e}") if e in changes.columns
+                  else F.lit(None).cast(hist_types[e])).alias(e)
+                 for e in extras]
     new_rows = (joined.filter(is_new | differs)
                 .select(F.col(f"c.{key}").alias(key),
                         *[F.col(f"c.{a}").alias(a) for a in attrs],
+                        *extra_src,
                         eff.alias("valid_from"),
                         F.lit(None).cast("date").alias("valid_to"),
                         F.lit(True).alias("is_current")))
@@ -129,7 +140,7 @@ def scd2_merge(history: DataFrame, changes: DataFrame, key: str,
                 .select(F.col(f"c.{key}").alias(key))
                 .withColumn("__close", F.lit(True)))
     updated = (history.join(to_close, key, "left")
-               .select(key, *attrs, "valid_from",
+               .select(key, *attrs, *extras, "valid_from",
                        F.when(F.col("is_current") & F.col("__close").isNotNull(),
                               eff).otherwise(F.col("valid_to")).alias("valid_to"),
                        (F.col("is_current") & F.col("__close").isNull())

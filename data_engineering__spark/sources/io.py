@@ -102,8 +102,9 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
 
     Always pass the partition-column bounds for big tables: without them the
     whole table streams through ONE task. Predicates still push down to the
-    database (Catalyst emits WHERE into the generated query). Untested here
-    (no database in the environment) — exercised in deployments.
+    database (Catalyst emits WHERE into the generated query). Smoke-tested
+    against embedded Derby (the JDBC engine on Spark's default classpath)
+    in tests/test_operators.py — plain and bound-partitioned reads.
     """
     reader = (spark.read.format("jdbc")
               .option("url", url).option("dbtable", table))

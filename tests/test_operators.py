@@ -85,6 +85,52 @@ def test_json_array_scan(spark):
         assert rows["2"].versions == []
 
 
+def test_simhash_sha_rejects_wide_bits(spark):
+    """The 32-bit sha token hash cannot feed a 64-bit fingerprint: bits
+    32+ would be constant and half the banding blocks degenerate — the
+    combination must raise, not silently weaken candidate generation."""
+    import pytest
+
+    from data_engineering__spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="32 hash bits"):
+        simhash(df, "doc_id", "text", bits=64, tok_hash="sha")
+    with pytest.raises(ValueError, match="32 hash bits"):
+        simhash_near_dup_pairs(df, "doc_id", "text", tok_hash="sha")
+    # bits<=32 stays valid
+    assert simhash(df, "doc_id", "text", bits=32, tok_hash="sha").count() == 1
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """S2: JDBC source smoke against embedded Apache Derby (the one JDBC
+    engine already on Spark's default classpath — no database server in
+    this environment). Writes a table through the JDBC sink, reads it back
+    through ``read_jdbc`` both unpartitioned and with partition-column
+    bounds (4 parallel range queries), and checks content equality."""
+    from data_engineering__spark.sources.io import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/smokedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"))
+    src.write.jdbc(url, "smoke", mode="overwrite", properties=props)
+
+    plain = read_jdbc(spark, url, "smoke",
+                      driver="org.apache.derby.jdbc.EmbeddedDriver")
+    parts = read_jdbc(spark, url, "smoke", partition_column="id",
+                      lower_bound=0, upper_bound=100, num_partitions=4,
+                      driver="org.apache.derby.jdbc.EmbeddedDriver")
+    # Spark's JDBC writer quotes identifiers, so names round-trip verbatim
+    want = sorted((r.id, r.grp, r.name) for r in src.collect())
+    assert sorted((r.id, r.grp, r.name) for r in plain.collect()) == want
+    assert sorted((r.id, r.grp, r.name) for r in parts.collect()) == want
+    assert parts.rdd.getNumPartitions() == 4
+
+
 def test_rfc1123_parse(spark):
     from data_engineering__spark.functions.derive import parse_rfc1123
     df = spark.createDataFrame([Row(created="Sat, 31 Mar 2007 02:26:18 GMT")])
@@ -343,15 +389,20 @@ def test_foreach_batch_merge_sink(spark, sf_dir, tmp_path):
 def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     """ST3: watermark state persists in the checkpoint across availableNow
     restarts; rows older than the watermark are dropped, and windows
-    finalize (append-mode emit) only once the watermark passes them."""
+    finalize (append-mode emit) only once the watermark passes them.
+    Exercises the shipped ``tumbling_agg`` operator end to end, so the
+    module's own watermark wiring — not a test-local replica — is pinned."""
     import os
 
     from pyspark.sql import types as T
 
+    from data_engineering__spark.streaming.windows import tumbling_agg
+
     src = str(tmp_path / "src"); os.makedirs(src)
     ckpt = str(tmp_path / "ckpt"); out = str(tmp_path / "out")
     schema = T.StructType([T.StructField("ts", T.TimestampType()),
-                           T.StructField("v", T.LongType())])
+                           T.StructField("event_type", T.StringType()),
+                           T.StructField("value", T.DoubleType())])
 
     def write_batch(name, rows):
         spark.createDataFrame(rows, schema).coalesce(1) \
@@ -360,10 +411,8 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     def run_once():
         stream = spark.readStream.schema(schema) \
             .option("pathGlobFilter", "*.parquet").parquet(f"{src}/*")
-        agg = (stream.withWatermark("ts", "30 minutes")
-               .groupBy(F.window("ts", "10 minutes").alias("w"))
-               .agg(F.sum("v").alias("total")))
-        q = (agg.select(F.col("w.start").alias("w_start"), "total")
+        agg = tumbling_agg(stream, width="10 minutes", watermark="30 minutes")
+        q = (agg.select(F.col("w.start").alias("w_start"), "cnt", "sum_value")
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .outputMode("append").trigger(availableNow=True).start())
@@ -372,15 +421,16 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     from datetime import datetime
     t = lambda h, m: datetime(2024, 1, 1, h, m)
     # run 1: max event 11:00 → watermark 10:30; [10:00,10:10) finalizes
-    write_batch("b1", [(t(10, 0), 1), (t(10, 5), 2), (t(11, 0), 5)])
+    write_batch("b1", [(t(10, 0), "a", 1.0), (t(10, 5), "a", 2.0),
+                       (t(11, 0), "a", 5.0)])
     run_once()
     # run 2: 09:00 is BELOW the persisted watermark → dropped;
     # 12:00 advances it to 11:30 → the 11:00 window finalizes WITHOUT the
     # dropped row's value ever appearing anywhere
-    write_batch("b2", [(t(9, 0), 100), (t(12, 0), 7)])
+    write_batch("b2", [(t(9, 0), "a", 100.0), (t(12, 0), "a", 7.0)])
     run_once()
-    got = {r.w_start.hour * 100 + r.w_start.minute: r.total
+    got = {r.w_start.hour * 100 + r.w_start.minute: (r.cnt, r.sum_value)
            for r in spark.read.parquet(out).collect()}
-    assert got.get(1000) == 3          # 10:00 window: 1+2
-    assert got.get(1100) == 5          # 11:00 window finalized in run 2
+    assert got.get(1000) == (2, 3.0)   # 10:00 window: two rows, 1+2
+    assert got.get(1100) == (1, 5.0)   # 11:00 window finalized in run 2
     assert 900 not in got              # late row dropped by watermark

@@ -246,3 +246,39 @@ def test_scd2_merge_semantics_and_idempotence(spark):
     a = sorted(map(tuple, (map(str, r) for r in out.collect())))
     b = sorted(map(tuple, (map(str, r) for r in again.collect())))
     assert a == b
+
+
+def test_scd2_merge_carries_untracked_columns(spark):
+    """History columns NOT in ``attrs`` pass through unchanged rows and
+    closed rows intact; inserted rows take them from changes when present
+    there, NULL otherwise — untracked columns never participate in change
+    detection."""
+    from pyspark.sql import Row
+
+    from data_engineering__spark.operators.merge import scd2_merge
+
+    hist = spark.createDataFrame(
+        [(1, "a", "note1", "2020-01-01", None, True),
+         (2, "b", "note2", "2020-01-01", None, True)],
+        "k long, attr string, note string, valid_from string, "
+        "valid_to string, is_current boolean") \
+        .withColumn("valid_from", F.to_date("valid_from")) \
+        .withColumn("valid_to", F.to_date("valid_to"))
+    # changes carry the extra column for k=2; note differs for k=1 but
+    # attr does not → k=1 must NOT close (untracked col is not compared)
+    changes = spark.createDataFrame(
+        [Row(k=1, attr="a", note="CHANGED"),
+         Row(k=2, attr="b2", note="fresh"),
+         Row(k=3, attr="c", note=None)])
+    out = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
+    rows = {(r.k, r.attr): (r.note, r.is_current) for r in out.collect()}
+    assert rows[(1, "a")] == ("note1", True)     # untouched, note preserved
+    assert rows[(2, "b")] == ("note2", False)    # closed row keeps its note
+    assert rows[(2, "b2")] == ("fresh", True)    # insert takes changes' note
+    assert rows[(3, "c")] == (None, True)
+
+    # a changes frame WITHOUT the extra column inserts NULL for it
+    changes2 = spark.createDataFrame([Row(k=4, attr="d")])
+    out2 = scd2_merge(hist, changes2, "k", ["attr"], "2024-01-15")
+    got = {r.k: r.note for r in out2.filter(F.col("k") == 4).collect()}
+    assert got == {4: None}
