@@ -2120,6 +2120,140 @@ def ivf_topk_q(spark, sf_dir):
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
 
 
+# ======================== text-analysis extensions (r3): TF-IDF, entropy
+
+@query("tfidf_top_terms", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS term
+  FROM documents WHERE doc_id % 10 = 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)),
+               6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM scored) WHERE rn <= 5""")
+def tfidf_top_terms_q(spark, sf_dir):
+    """L4 EXT: per-document top-5 TF-IDF terms — the classic relevance /
+    keyword-extraction signal for corpus curation. Score rounds to 6 dp
+    BEFORE ranking so the selected row set is engine-reproducible."""
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0))
+    return X.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@query("token_entropy", oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS term
+  FROM documents WHERE doc_id % 5 = 0),
+tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM tf GROUP BY 1)
+SELECT tf.doc_id, tot.t AS n_tokens,
+       ROUND(-SUM((CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)),
+             6) AS entropy
+FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+GROUP BY tf.doc_id, tot.t""")
+def token_entropy_q(spark, sf_dir):
+    """L4 EXT: per-document token Shannon entropy (nats) — the standard
+    low-diversity / boilerplate-repetition filter for pretraining data
+    (near-zero entropy = one token repeated). Two hash aggs on the same
+    key family; no document bodies cross the shuffle."""
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0))
+    return X.token_entropy(docs, "doc_id", "text")
+
+
+# ===================== k-means-trained IVF with full training oracle (r3)
+
+def _kmeans_ivf_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
+                           nprobe: int = 2, topk: int = 10,
+                           round_dp: int = 6) -> str:
+    """DuckDB replica of kmeans_fit + ivf_topk_trained END TO END: Lloyd
+    iterations unrolled as CTE pairs (assign by squared L2 with the same
+    left-associated summation order as the Spark fold, centroid update =
+    per-component AVG rounded to ``round_dp``), final corpus assignment,
+    L2 cell probing, cosine re-rank. The round between iterations is what
+    makes float averaging cross-engine stable — see kmeans_fit."""
+    def l2sq(a: str, b: str) -> str:
+        return " + ".join(
+            f"(({a}[{i}])-({b}[{i}]))*(({a}[{i}])-({b}[{i}]))"
+            for i in range(1, dim + 1))
+
+    ev = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    ctes = [f"ev AS ({ev})",
+            f"""c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, v AS cvec FROM ev
+  WHERE vec_id < {k})"""]
+    for it in range(1, n_iter + 1):
+        prev, cur = f"c{it - 1}", f"c{it}"
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {l2sq("e.v", "c.cvec")} ASC,
+                                       c.cell ASC) AS rn
+    FROM ev e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        ctes.append(f"""{cur} AS (
+  SELECT cell, list(m ORDER BY i) AS cvec FROM (
+    SELECT cell, i, ROUND(AVG(val), {round_dp}) AS m FROM (
+      SELECT a.cell, u.i, e.v[u.i] AS val
+      FROM a{it} a JOIN ev e USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) u)
+    GROUP BY cell, i)
+  GROUP BY cell)""")
+    fin = f"c{n_iter}"
+    cos = _IVF_COS.format(a="e.embedding", b="q.v")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {l2sq("e.v", "c.cvec")} ASC,
+                                       c.cell ASC) AS rn
+    FROM ev e CROSS JOIN {fin} c) WHERE rn = 1),
+qv AS (SELECT v FROM ev WHERE vec_id = 0),
+qc AS (
+  SELECT cell FROM (
+    SELECT c.cell, {l2sq("q.v", "c.cvec")} AS d2
+    FROM {fin} c CROSS JOIN qv q)
+  ORDER BY d2 ASC, cell ASC LIMIT {nprobe}),
+probe AS (
+  SELECT e.vec_id, e.label, {cos} AS cs
+  FROM embeddings e
+  JOIN af ON af.vec_id = e.vec_id
+  JOIN qc ON af.cell = qc.cell
+  CROSS JOIN qv q)
+SELECT vec_id, label, ROUND(cs, 4) AS cosine
+FROM probe ORDER BY cs DESC, vec_id ASC LIMIT {topk}"""
+
+
+@query("ivf_kmeans_topk", oracle=_kmeans_ivf_oracle_sql())
+def ivf_kmeans_topk_q(spark, sf_dir):
+    """L3 scale path #3: IVF-ANN over TRAINED centroids — Lloyd's k-means
+    (k=8, 2 fixed iterations, deterministic init/rounding/tie-breaks) runs
+    as DataFrame ops, then the query probes its 2 nearest cells and
+    cosine re-ranks. The oracle replicates the ENTIRE training loop and
+    search from first principles, so index TRAINING — not just the index
+    structure — is cross-engine verified."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cents = V.kmeans_fit(e, k=8, n_iter=2)
+    qdf = e.filter(F.col("vec_id") == 0)
+    return V.ivf_topk_trained(e, qdf, 10, cents, nprobe=2) \
+            .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
 # ==================== connected components with recursive-CTE oracle (r2)
 
 _CC_ORACLE = """
@@ -2142,6 +2276,52 @@ def _cc_edges(spark, sf_dir):
     return d.select((F.col("doc_id") % 50).alias("id_a"),
                     ((F.col("doc_id") * 3 + 1) % 50).alias("id_b")) \
             .filter(F.col("id_a") != F.col("id_b"))
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3,
+                         round_dp: int = 6) -> str:
+    """DuckDB replica of ``pagerank`` with iterations unrolled as CTEs.
+    The base-term constant inlines ``repr(1 - damping)`` — the exact
+    binary double the Spark plan computes — because the decimal '0.15'
+    parses to a DIFFERENT double than Python's ``1.0 - 0.85``."""
+    base = repr(1.0 - damping)
+    d = repr(damping)
+    ctes = ["""g AS (
+  SELECT DISTINCT doc_id % 50 AS u, (doc_id * 3 + 1) % 50 AS v
+  FROM documents WHERE doc_id < 400
+    AND doc_id % 50 <> (doc_id * 3 + 1) % 50)""",
+            """nodes AS (SELECT u AS id FROM g UNION SELECT v FROM g)""",
+            """nn AS (SELECT COUNT(*) AS n FROM nodes)""",
+            """deg AS (SELECT u, COUNT(*) AS outdeg FROM g GROUP BY u)""",
+            f"""r0 AS (
+  SELECT id, ROUND(1.0 / nn.n, {round_dp}) AS rank
+  FROM nodes CROSS JOIN nn)"""]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""r{it} AS (
+  SELECT nodes.id,
+         ROUND({base} / nn.n + {d} * COALESCE(c.s, 0.0),
+               {round_dp}) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT g.v AS id, SUM(r.rank / deg.outdeg) AS s
+    FROM g JOIN r{it - 1} r ON g.u = r.id JOIN deg ON g.u = deg.u
+    GROUP BY g.v) c ON nodes.id = c.id
+  CROSS JOIN nn)""")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block}
+SELECT id, rank FROM r{n_iter}"""
+
+
+@query("pagerank_graph", oracle=_pagerank_oracle_sql())
+def pagerank_graph(spark, sf_dir):
+    """EXT graph: PageRank (damping 0.85, 3 fixed iterations) over the
+    same deterministic doc-derived graph as the CC queries — the corpus
+    authority-weighting signal. Oracle unrolls every iteration with
+    identical rounding discipline, so the iterative computation itself is
+    cross-engine verified (like the k-means training oracle)."""
+    from .operators.graph import pagerank
+    return pagerank(_cc_edges(spark, sf_dir), src="id_a", dst="id_b")
 
 
 @query("connected_components_graph", oracle=_CC_ORACLE)

@@ -1,0 +1,63 @@
+"""Graph operators beyond connected components (EXT mandate).
+
+The reference has no graph algorithms; connected components (the near-dup
+closure) lives in ``operators.dedup``. This module holds link-analysis
+operators useful to training-data pipelines — PageRank as a document /
+source authority signal for corpus weighting (the classic
+quality-weighting feature for web-scale pretraining data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, n_iter: int = 3,
+             round_dp: int = 6) -> DataFrame:
+    """Simplified PageRank over a directed edge list → (id, rank).
+
+    r₀ = 1/N; rₜ₊₁(v) = (1-d)/N + d · Σ_{u→v} rₜ(u)/outdeg(u); fixed
+    iteration count, dangling mass ignored (the common simplified form).
+    Ranks ROUND to ``round_dp`` between iterations: per-node in-edge sums
+    are order-dependent in the last ulps under parallel aggregation, and
+    the round collapses every engine to identical values — the same
+    determinism device as ``kmeans_fit``. Callers replicating this in SQL
+    must inline the exact binary double for (1-d) (``repr(1 - damping)``),
+    not a decimal re-spelling.
+
+    Scale: per iteration ONE shuffle (contribution sum on dst) plus the
+    node left-join; edges and out-degrees are computed once and reused;
+    per-iteration ``localCheckpoint`` truncates the logical plan so long
+    runs don't grow analysis cost (see the CC loops — same trap). Edge
+    multiplicity is collapsed (DISTINCT) so a duplicated edge cannot
+    double-ship rank.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("u").alias("id"))
+             .unionByName(e.select(F.col("v").alias("id"))).distinct()
+             .persist())
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    base = F.lit(1.0 - damping) / F.col("n")
+    ranks = (nodes.crossJoin(n)
+             .select("id", F.round(F.lit(1.0) / F.col("n"),
+                                   round_dp).alias("rank")))
+    for _ in range(n_iter):
+        contrib = (e.join(ranks, e["u"] == ranks["id"]).join(deg, "u")
+                   .groupBy("v")
+                   .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s")))
+        ranks = (nodes.join(contrib, nodes["id"] == contrib["v"], "left")
+                 .crossJoin(n)
+                 .select(F.col("id"),
+                         F.round(base + F.lit(damping)
+                                 * F.coalesce(F.col("s"), F.lit(0.0)),
+                                 round_dp).alias("rank"))
+                 .localCheckpoint(eager=True))
+    e.unpersist()
+    deg.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -7,7 +7,7 @@ whole-stage codegen); nothing here drops to Python per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -211,3 +211,57 @@ def text_stats(df: DataFrame, group_col: str, chars_col: str) -> DataFrame:
         F.min(chars_col).alias("min_chars"),
         F.max(chars_col).alias("max_chars"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """L4 EXT: per-document top-k TF-IDF terms — (id, term, score).
+
+    tf = term count within the doc, idf = ln(N / df) with N = docs having
+    ≥1 token and df = docs containing the term; score = tf · idf rounded
+    to 6 dp BEFORE ranking so the (score desc, term asc) order — and thus
+    the selected row set — is reproducible across engines (raw float
+    products differ in the last ulps between ln implementations).
+
+    Scale shape: explode → two hash aggs (term-frequency, doc-frequency)
+    sharing the (id, term) shuffle key family; N rides as a broadcast
+    1-row frame (no driver collect); ranking is a per-doc window fed by
+    ≤ |terms-per-doc| rows — never a global sort. Shuffles carry (id,
+    term, count) rows, not document bodies.
+    """
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (toks.select(id_col, "term").distinct()
+             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    n = toks.agg(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score", F.round(
+                  F.col("tf").cast("double")
+                  * F.log(F.col("n").cast("double")
+                          / F.col("df").cast("double")), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(id_col, "term", "score"))
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """L4 EXT: per-document token Shannon entropy (nats) — (id, n_tokens,
+    entropy). H = -Σ (c/T)·ln(c/T) over the doc's token distribution;
+    near-zero = repetitive boilerplate, the standard diversity filter for
+    pretraining corpora. Rounded to 6 dp (parallel partial sums differ
+    from a sequential oracle's in the last ulps).
+
+    Scale: explode → (id, term) hash agg → (id) hash agg; both shuffles
+    carry counted token rows, never bodies; docs with zero tokens drop
+    (no distribution to measure)."""
+    tf = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c")))
+    tot = tf.groupBy(id_col).agg(F.sum("c").alias("t"))
+    p = F.col("c").cast("double") / F.col("t")
+    return (tf.join(tot, id_col)
+            .groupBy(id_col, "t")
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+            .select(id_col, F.col("t").alias("n_tokens"), "entropy"))

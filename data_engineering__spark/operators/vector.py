@@ -213,6 +213,95 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² as a sequential codegen fold — the summation ORDER is the
+    array order, bit-reproducible by any engine that folds left-to-right
+    (the conformance oracle emits the same sum as a left-associated
+    per-component expression chain)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def kmeans_assign(df: DataFrame, centroids: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): nearest centroid by squared L2 (ties → smallest cell id).
+    Centroids broadcast; map-side struct-min per vector — one partial-agg
+    groupBy, no per-centroid shuffle. The Euclidean counterpart of
+    ``ivf_assign`` (which ranks by cosine)."""
+    c = F.broadcast(centroids.select(F.col("cell"), F.col("cvec")))
+    scored = (df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+              .crossJoin(c)
+              .withColumn("__d2", _l2sq(F.col("__v"), F.col("cvec"))))
+    best = F.min(F.struct(F.col("__d2"), F.col("cell"))).alias("__m")
+    return (scored.groupBy(id_col).agg(best)
+                  .select(F.col(id_col), F.col("__m.cell").alias("cell")))
+
+
+def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64, round_dp: int = 6) -> DataFrame:
+    """Lloyd's k-means over an embedding column, DataFrame-native —
+    (cell, cvec array<double>) trained centroids for the IVF index.
+
+    Deterministic by construction (rerun- and engine-reproducible):
+    - init = the ``k`` lowest-id vectors (no random restarts);
+    - a FIXED iteration count (no float-threshold convergence test);
+    - centroid components ROUND to ``round_dp`` decimals between
+      iterations — parallel partial-sum averaging differs from a
+      sequential oracle's in the last ulps, and the round collapses both
+      to the same value before it can flip an assignment;
+    - assignment ties break on smallest cell id.
+
+    Scale: per iteration, assignment is a broadcast crossJoin + map-side
+    struct-min (n·k folds — the canonical Lloyd cost), and the update is
+    ONE hash shuffle with map-side partial aggregation (``dim`` AVG
+    columns per cell — no explode, no per-element rows). Centroid count
+    stays driver-small; the corpus never re-shuffles between iterations.
+    Empty cells drop (both the oracle and any engine agree on that).
+    """
+    cents = (df.filter(F.col(id_col) < k)
+               .select(F.col(id_col).cast("long").alias("cell"),
+                       as_double_array(vec_col).alias("cvec")))
+    vec = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    for _ in range(n_iter):
+        assigned = kmeans_assign(df, cents, id_col, vec_col)
+        cents = (assigned.join(vec, id_col)
+                 .groupBy("cell")
+                 .agg(*[F.round(F.avg(F.col("__v")[i]), round_dp)
+                        .alias(f"__c{i}") for i in range(dim)])
+                 .select("cell", F.array(*[F.col(f"__c{i}")
+                                           for i in range(dim)]).alias("cvec")))
+    return cents
+
+
+def ivf_topk_trained(candidates: DataFrame, query: DataFrame, k: int,
+                     centroids: DataFrame, nprobe: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF search over TRAINED centroids (``kmeans_fit`` output): corpus
+    assigned to cells by squared L2 (index geometry), query probes its
+    ``nprobe`` nearest cells, exact cosine re-ranks inside — L2 for the
+    partition, cosine for the final score. At cluster scale the
+    assignment is computed once and persisted/bucketed by cell."""
+    assign = kmeans_assign(candidates, centroids, id_col, vec_col)
+    qv = as_double_array(vec_col)
+    qcells = (query.select(qv.alias("__q"))
+              .crossJoin(F.broadcast(centroids))
+              .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
+              .orderBy(F.col("__d2").asc(), F.col("cell").asc())
+              .limit(nprobe).select("cell"))
+    probe = (candidates.join(assign, id_col)
+             .join(F.broadcast(qcells), "cell"))
+    q = F.broadcast(query.select(qv.alias("__q")))
+    scored = (probe.withColumn("__v", as_double_array(vec_col))
+              .crossJoin(q)
+              .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
+                          / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+              .drop("__v", "__q", "cell"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              dim: int = 64, n_planes: int = 6, seed: int = 42) -> DataFrame:

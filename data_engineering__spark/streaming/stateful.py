@@ -69,3 +69,83 @@ def run_profile(spark: Any, sf_dir: str) -> DataFrame:
     profile = user_activity_profile(stream_events(spark, sf_dir))
     name, _ = run_to_memory(profile, output_mode="update")
     return spark.table(name)
+
+
+# ------------------- transformWithStateInPandas tier (Spark 4, round 3)
+
+PEAK_OUT_SCHEMA = "user_id bigint, n_events bigint, peak_value double"
+
+
+def user_peak_tracker(events: DataFrame) -> DataFrame:
+    """Running per-user (event count, peak value) via
+    ``transformWithStateInPandas`` — the Spark-4 arbitrary-state API that
+    supersedes ``applyInPandasWithState``: TYPED state variables
+    (ValueState/ListState/MapState) instead of one opaque tuple, timers,
+    and per-variable TTL. Same state-store partitioning (shuffle on the
+    group key), so the scale reasoning of ``user_activity_profile``
+    carries over unchanged; this operator exists to cover the newer API
+    surface with a second custom-state semantics (running max is not
+    expressible as a built-in windowed agg across micro-batches).
+
+    Requires the RocksDB state-store provider (set by ``run_peak``; on a
+    real cluster configure it once in spark-defaults) AND the
+    ``protobuf`` package (the transformWithState state-server protocol
+    is protobuf-framed; absent in this container, so the pytest is
+    import-gated — the plan compiles regardless, execution needs the
+    dependency).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._peak = handle.getValueState("peak", "mx double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._peak.exists():
+                mx, n = self._peak.get()
+            else:
+                mx, n = None, 0
+            for pdf in rows:
+                n += len(pdf)
+                m = float(pdf["value"].max())
+                if mx is None or m > mx:
+                    mx = m
+            self._peak.update((mx, n))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "peak_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(statefulProcessor=PeakProcessor(),
+                                        outputStructType=PEAK_OUT_SCHEMA,
+                                        outputMode="Update",
+                                        timeMode="None"))
+
+
+def peak_batch_equivalent(events: DataFrame) -> DataFrame:
+    """Batch query the tracker converges to once all data is seen."""
+    from pyspark.sql import functions as F
+    return (events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max(F.col("value").cast("double")).alias("peak_value")))
+
+
+def run_peak(spark: Any, sf_dir: str) -> DataFrame:
+    """Drive the transformWithState tracker through one availableNow pass.
+    transformWithStateInPandas supports only the RocksDB state store
+    (bundled with Spark 4) — set per-session here, harmless for other
+    queries."""
+    from .windows import run_to_memory, stream_events
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    tracked = user_peak_tracker(stream_events(spark, sf_dir))
+    name, _ = run_to_memory(tracked, output_mode="update")
+    return spark.table(name)

@@ -434,3 +434,39 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     assert got.get(1000) == (2, 3.0)   # 10:00 window: two rows, 1+2
     assert got.get(1100) == (1, 5.0)   # 11:00 window finalized in run 2
     assert 900 not in got              # late row dropped by watermark
+
+
+def test_transform_with_state_peak_tracker(spark, sf_dir):
+    """Spark-4 typed-state tier (transformWithStateInPandas): running
+    per-user (count, peak) converges to the batch (count, max) once all
+    data is seen. Execution needs the protobuf state-server protocol —
+    skipped where the package is absent; plan construction is still
+    exercised unconditionally."""
+    import pytest
+
+    from data_engineering__spark.sources.io import read_table
+    from data_engineering__spark.streaming.stateful import (
+        peak_batch_equivalent,
+        run_peak,
+        user_peak_tracker,
+    )
+    from data_engineering__spark.streaming.windows import stream_events
+
+    # plan construction never needs protobuf: the stream compiles or dies
+    tracked = user_peak_tracker(stream_events(spark, sf_dir))
+    assert set(tracked.columns) == {"user_id", "n_events", "peak_value"}
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState runtime needs protobuf (not in env)")
+
+    rows = run_peak(spark, sf_dir).collect()
+    final: dict = {}
+    for r in rows:  # update-mode sink: keep each user's last emission
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.peak_value)
+    want = {r.user_id: (r.n_events, r.peak_value)
+            for r in peak_batch_equivalent(
+                read_table(spark, sf_dir, "events")).collect()}
+    assert final == want

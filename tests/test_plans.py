@@ -117,3 +117,15 @@ def test_ivf_topk_broadcasts_and_no_smj(spark, sf_dir):
     p = plan_of(QUERIES["ivf_topk"](spark, sf_dir))
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_kmeans_ivf_broadcasts_and_no_smj(spark, sf_dir):
+    """Trained-IVF path: every per-iteration assignment crossJoin is a
+    broadcast nested loop over the (driver-small) centroid set, the
+    update is one partial-aggregated hash shuffle, and the search ends in
+    TakeOrdered — no sort-merge join, no single-partition window over the
+    corpus."""
+    p = plan_of(QUERIES["ivf_kmeans_topk"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
