@@ -46,6 +46,9 @@ HEADLINE = [
     "ivf_topk",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
+    # round 3: trained ANN + text-analysis + warehouse time travel
+    "ivf_kmeans_topk", "tfidf_top_terms", "token_entropy", "scd2_asof",
+    "decontaminate_corpus",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",
@@ -56,8 +59,9 @@ HEADLINE = [
 # not query throughput), http_enrich / multimodal_features (stubbed kernels),
 # pipeline_parity_*_enriched (same DAG as the three benched pipeline
 # queries + bridge updates — correctness surface, not new throughput),
-# connected_components_*_graph (50-node demo graphs whose wall is pure
-# per-iteration job overhead — minhash_cc_dedup benches CC throughput)
+# connected_components_*_graph + pagerank_graph (50-node demo graphs whose
+# wall is pure per-iteration job overhead — minhash_cc_dedup benches CC
+# throughput)
 
 
 def main() -> None:

@@ -1772,34 +1772,33 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 # queries. Union(CORRECTNESS_r01, r02) covers every declared query.
 
 DRIVER_PRIORITY = [
-    # --- no CORRECTNESS_r01 row (15 oracle-backed first, then rows-only)
-    "full_outer_join", "cross_join_small", "cube_counts", "percentile_stats",
-    "regex_extract", "session_window_agg", "sliding_window_agg",
-    "salted_join_agg", "unpivot_metrics", "string_agg_groups",
-    "cond_agg_flags", "date_functions", "grouped_map_gaps",
-    "json_struct_parse", "window_ntile",
-    "doc_fingerprint", "multimodal_features", "streaming_tumbling",
-    "streaming_session", "streaming_dedup", "http_enrich",
-    "stateful_profile", "minhash_cc_dedup",
-    # --- new round-2 queries (end-to-end pipeline parity)
-    "pipeline_parity_authors", "pipeline_parity_categories",
-    "pipeline_parity_citations", "pipeline_parity_authors_enriched",
-    "pipeline_parity_categories_enriched",
-    "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
-    "streaming_enrich_join", "minhash_near_dup_portable",
-    "simhash_near_dup_portable", "ivf_topk",
-    "connected_components_graph", "connected_components_star_graph",
-    "scd2_dim_history",
-    # --- implementation or oracle changed in round 2: re-verify
-    "ngram_jaccard_pairs", "embedding_near_dup", "ann_topk_lsh",
-    "asof_join", "dim_upsert", "upsert_merge",
-    # --- representative round-1-verified spread (fills the ~50 window)
-    "scan_parquet_count", "project_prune", "filter_predicate",
-    "inner_join_agg_sort", "left_join_count_multisort", "three_way_join_agg",
-    "dedup_by_key", "group_having_dup", "agg_stats", "topk_per_group",
-    "window_rank", "window_running_sum", "window_lag_lead",
-    "tumbling_window_agg", "text_exact_dedup", "cosine_topk",
-    "minhash_near_dup", "simhash_near_dup",
+    # --- round 3: never driver-checked (new this round)
+    "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
+    "scd2_asof", "decontaminate_corpus",
+    # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
+    "cond_agg_flags", "grouped_map_gaps",
+    # --- implementation or oracle changed in round 3: re-verify
+    "minhash_cc_dedup",            # rows-only → full composed oracle
+    "scd2_dim_history",            # oracle refactored onto shared CTEs
+    "minhash_near_dup_portable",   # oracle generator refactored
+    "pipeline_parity_citations",   # cite() now reuses enrich results
+    "pipeline_parity_authors_enriched", "pipeline_parity_categories_enriched",
+    # --- r01-only queries (no r02 row): rotate ALL the oracle-backed ones
+    # back through the window so nothing ages past two rounds unseen
+    "sample_limit", "filter_strlen_trim", "null_blank_validate",
+    "anti_join", "semi_join", "group_having_dup", "dedup_by_key",
+    "agg_stats", "rollup_counts", "topk_per_group", "window_rank",
+    "window_running_sum", "sort_limit_topk", "union_all", "except_all",
+    "intersect_keys", "explode_split", "substring_first_token",
+    "case_when_mapping", "map_lookup_normalize", "date_extract",
+    "json_extract", "array_ops", "audit_diff", "tumbling_window_agg",
+    "text_exact_dedup", "text_stats", "token_count", "cosine_topk",
+    "range_join", "window_lag_lead", "pivot_counts", "udaf_weighted_mean",
+    "sql_api_join", "lang_id", "quality_score",
+    # --- fills the tail of the ~50 window (r02-verified, cheap)
+    "scan_parquet_count", "project_prune",
+    # (minhash_near_dup / simhash_near_dup — rows-only by design, their
+    # portable twins are oracle-verified — sit after the window.)
 ]
 
 
@@ -2118,6 +2117,59 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# ======================== benchmark decontamination (r3, EXT L-family)
+
+@query("decontaminate_corpus", oracle="""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'leak marker ' || text AS text
+  FROM bench),
+csh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+7], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM corpus)
+    WHERE len(toks) >= 8)),
+bsh AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+7], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+    FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM bench)
+    WHERE len(toks) >= 8))
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM csh WHERE h IN (SELECT h FROM bsh))""")
+def decontaminate_corpus(spark, sf_dir):
+    """EXT L-family: benchmark decontamination — the corpus drops every
+    doc sharing an 8-token shingle with a held-out benchmark set (here:
+    doc_id % 50 twins re-inserted with a prefix, so every planted leak
+    still contains full original windows and must be caught). Shingle
+    identity is the portable sha-bucket hash; the oracle recomputes both
+    shingle sets and the overlap from first principles."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    contaminated = bench.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("leak marker "), F.col("text")).alias("text"))
+    corpus = (d.filter(F.col("doc_id") % 50 != 0)
+              .unionByName(contaminated)
+              .repartition(spark.sparkContext.defaultParallelism))
+    return D.decontaminate(corpus, bench, "doc_id", "text",
+                           shingle_n=8).select("doc_id")
 
 
 # ======================== text-analysis extensions (r3): TF-IDF, entropy

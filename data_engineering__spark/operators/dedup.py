@@ -762,3 +762,48 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
             .filter(F.col("jaccard") >= jaccard_threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------- benchmark decontamination
+
+def shingle_sha_hashes(text_col: str, n: int = 8) -> Column:
+    """array<bigint>: sha-bucket hashes of the document's n-token shingles
+    (first 8 hex chars of sha256 of the space-joined window — the repo's
+    portable-hash convention, byte-replicable in any engine). Pure
+    codegen: split → slice windows → sha2 → conv. The hash keeps shuffle
+    rows fixed-width where a literal shingle string would ship ~50 bytes;
+    collisions (p≈n/2³²) only ever DROP an extra doc, never leak one."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    win = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
+    return F.when(count <= 0, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), count),
+                    lambda i: F.conv(F.substring(F.sha2(win(i), 256), 1, 8),
+                                     16, 10).cast("long")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, shingle_n: int = 8) -> DataFrame:
+    """Benchmark decontamination (EXT L-family): drop every corpus doc
+    sharing ≥1 n-token shingle with the benchmark/eval set — the standard
+    pretraining leakage guard (n=8..13 word-gram overlap in published
+    pipeline descriptions).
+
+    Scale: benchmark sets are tiny next to a 100 TB corpus, so their
+    distinct shingle hashes broadcast and the contamination probe is a
+    map-side semi join — the corpus shuffles NOTHING and its bodies never
+    leave the scan; the final anti join keys on ids. For a huge benchmark
+    drop the broadcast hint and it degrades to one hash-shuffle of
+    (id, 8-byte hash) rows.
+    """
+    bsh = (benchmark
+           .select(F.explode(shingle_sha_hashes(text_col, shingle_n))
+                   .alias("__h"))
+           .distinct())
+    csh = corpus.select(F.col(id_col),
+                        F.explode(shingle_sha_hashes(text_col, shingle_n))
+                        .alias("__h"))
+    contaminated = (csh.join(F.broadcast(bsh), "__h", "left_semi")
+                    .select(id_col).distinct())
+    return corpus.join(contaminated, id_col, "left_anti")

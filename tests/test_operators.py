@@ -470,3 +470,18 @@ def test_transform_with_state_peak_tracker(spark, sf_dir):
             for r in peak_batch_equivalent(
                 read_table(spark, sf_dir, "events")).collect()}
     assert final == want
+
+
+def test_decontaminate_drops_planted_leaks(spark):
+    """Docs embedding a full benchmark 8-gram drop; clean docs survive."""
+    from data_engineering__spark.operators.dedup import decontaminate
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [Row(doc_id=1, text="prefix words " + bench_text + " suffix"),
+            Row(doc_id=2, text="completely unrelated text with many words "
+                               "but no overlapping window at all here"),
+            Row(doc_id=3, text="alpha bravo charlie")]  # <8 shared tokens
+    corpus = spark.createDataFrame(rows)
+    bench = spark.createDataFrame([Row(doc_id=99, text=bench_text)])
+    kept = sorted(r.doc_id for r in
+                  decontaminate(corpus, bench, "doc_id", "text").collect())
+    assert kept == [2, 3]
