@@ -48,7 +48,7 @@ HEADLINE = [
     "ngram_jaccard_pairs", "embedding_near_dup",
     # round 3: trained ANN + text-analysis + warehouse time travel
     "ivf_kmeans_topk", "tfidf_top_terms", "token_entropy", "scd2_asof",
-    "decontaminate_corpus",
+    "decontaminate_corpus", "sessionize_events", "weighted_sample_counts",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1774,7 +1774,8 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 DRIVER_PRIORITY = [
     # --- round 3: never driver-checked (new this round)
     "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
-    "scd2_asof", "decontaminate_corpus",
+    "scd2_asof", "decontaminate_corpus", "sessionize_events",
+    "weighted_sample_counts",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2117,6 +2118,64 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# ================== sessionization + importance sampling (r3, EXT)
+
+@query("sessionize_events", oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events),
+marked AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+labeled AS (
+  SELECT user_id, us,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM labeled GROUP BY user_id, session_seq""")
+def sessionize_events(spark, sf_dir):
+    """W3 EXT: gap-based batch sessionization (30-min gap) rolled up to
+    per-session profiles — count + exact integer-microsecond duration.
+    The batch complement of ``session_window_agg``: same boundaries,
+    per-EVENT labels first. Pure window arithmetic, one shuffle."""
+    from .operators.window import sessionize
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    lab = sessionize(ev, "user_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    return (lab.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.max(us) - F.min(us)).alias("duration_us")))
+
+
+@query("weighted_sample_counts", oracle="""
+WITH b AS (
+  SELECT lang,
+         {bucket} AS bucket,
+         FLOOR((least(n_chars, 2000) / 2000.0) * 10000) AS thresh
+  FROM documents)
+SELECT lang, COUNT(*) AS n
+FROM b WHERE bucket < thresh GROUP BY lang""".format(
+    bucket=_bucket_sql("CAST(doc_id AS VARCHAR)", "weighted")))
+def weighted_sample_counts(spark, sf_dir):
+    """EXT: per-ROW importance sampling — acceptance probability scales
+    with document length (min(n_chars,2000)/2000), membership from the
+    sha bucket, so the mix is rerun/append-stable. The oracle replicates
+    the operator's FLOAT threshold arithmetic op-for-op: an "equivalent"
+    integer shortcut (n_chars·5) diverges on 118 of 2000 values because
+    (n/2000.0)·10000 floors below the integer product at some n."""
+    from .operators.sampling import weighted_sample
+    docs = read_table(spark, sf_dir, "documents")
+    prob = F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    return (weighted_sample(docs, "doc_id", prob, salt="weighted")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
 
 
 # ======================== benchmark decontamination (r3, EXT L-family)

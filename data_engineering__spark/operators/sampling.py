@@ -93,3 +93,25 @@ def quota_per_group(df: DataFrame, group_cols: list[str],
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, accept_prob: Column,
+                    salt: str = "weighted") -> DataFrame:
+    """Per-ROW importance sampling: keep a row iff its key's hash bucket
+    < ``accept_prob``·10000, where ``accept_prob`` is a COLUMN in [0, 1]
+    (quality score, length-normalized weight, per-domain mixing rate…) —
+    the data-mixing primitive for weighted pretraining corpora, with the
+    same rerun/append/repartition-stable membership as the other
+    operators here (a row's fate depends only on its key and weight,
+    never on rand() or partitioning).
+
+    ``stratified_sample`` is the special case of a finite per-stratum
+    rate map; this form admits continuous per-row weights. Zero shuffle:
+    one codegen filter. Prefer integer-arithmetic weight expressions
+    (e.g. ``least(n_chars, 2000) / 2000``-style scaled to buckets) when
+    an external oracle must reproduce the exact threshold — float
+    products are reproducible too (same parquet values, same ops) but
+    integer thresholds are trivially so.
+    """
+    b = hash_bucket(F.col(key_col), _BUCKETS, salt)
+    return df.filter(b < F.floor(accept_prob * _BUCKETS))

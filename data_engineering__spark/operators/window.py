@@ -59,3 +59,28 @@ def lag_lead(df: DataFrame, partition_by: list[str], order_by: list[Column],
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (df.withColumn(f"{col}_lag", F.lag(col, offset).over(w))
               .withColumn(f"{col}_lead", F.lead(col, offset).over(w)))
+
+
+def sessionize(df: DataFrame, user_col: str, ts_col: str,
+               gap_us: int = 30 * 60 * 1_000_000,
+               session_col: str = "session_seq") -> DataFrame:
+    """W3 EXT: batch sessionization — number each entity's events into
+    gap-delimited sessions (a new session starts when the inter-event gap
+    exceeds ``gap_us`` microseconds). The batch counterpart of the
+    streaming ``session_window`` aggregate: that one yields per-session
+    AGGREGATES; this labels every EVENT with its session ordinal, the
+    shape joins and per-event features need.
+
+    One shuffle (the window partition on ``user_col``), two passes within
+    the partition (lag, then running sum) — no Python. Microsecond
+    integer arithmetic end to end, so external oracles replicate the
+    boundaries exactly. Tied timestamps can't split a session (their gap
+    is 0), so ordering among ties never changes the output labels.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us)
+    prev = F.lag(us).over(w)
+    new_s = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    run = (Window.partitionBy(user_col).orderBy(us)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(session_col, F.sum(new_s).over(run))
