@@ -1211,6 +1211,36 @@ def streaming_enrich_join(spark, sf_dir):
     return spark.table(name)
 
 
+@query("streaming_join_interval", oracle="""
+SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+ AND r.ts <= l.ts""")
+def streaming_join_interval(spark, sf_dir):
+    """ST EXT: stream-STREAM interval join (clicks ⋈ views of the same
+    user within a 10-minute lookback) executed through Structured
+    Streaming. INNER interval joins emit matches eagerly — the watermark
+    only bounds state eviction — so the one-trigger run is hash-verified
+    against the plain batch interval join; this is the stateful upgrade
+    of the stream-static oracle device."""
+    from .streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_interval_join,
+    )
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    j = stream_stream_interval_join(clicks, views).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"))
+    name, _ = run_to_memory(j, output_mode="append")
+    return spark.table(name)
+
+
 @query("streaming_dedup")
 def streaming_dedup(spark, sf_dir):
     """ST4 (rows-only): dropDuplicatesWithinWatermark through the streaming
@@ -1775,7 +1805,7 @@ DRIVER_PRIORITY = [
     # --- round 3: never driver-checked (new this round)
     "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
-    "weighted_sample_counts",
+    "weighted_sample_counts", "streaming_join_interval",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify

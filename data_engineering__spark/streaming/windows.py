@@ -101,3 +101,29 @@ def tumbling_window_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFr
     return (spark.table(name)
             .select(F.unix_timestamp(F.col("w.start")).alias("w_start_epoch"),
                     "event_type", "cnt", "sum_value"))
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                user_col: str = "user_id",
+                                lookback: str = "10 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """ST EXT: stream-STREAM interval join — for each left event, all
+    right events of the same user within [left.ts - lookback, left.ts].
+    Both sides watermarked; the range condition is what lets the engine
+    EVICT right-side state once the watermark passes the interval
+    (an unbounded-time equi-join would hold both streams' state forever —
+    the canonical stream-join OOM).
+
+    INNER joins emit each match the moment both rows are present — no
+    result is held back for the watermark (that only applies to OUTER
+    sides) — so a one-trigger availableNow run yields exactly the batch
+    join's rows and can be hash-verified against a plain SQL oracle
+    end to end, the same device as the stream-static enrich join.
+    """
+    l = (left.withWatermark("ts", watermark).alias("l"))
+    r = (right.withWatermark("ts", watermark).alias("r"))
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("r.ts") <= F.col("l.ts")))
