@@ -1805,7 +1805,7 @@ DRIVER_PRIORITY = [
     # --- round 3: never driver-checked (new this round)
     "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
-    "weighted_sample_counts", "streaming_join_interval",
+    "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2289,6 +2289,26 @@ def tfidf_top_terms_q(spark, sf_dir):
     docs = (read_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 10 == 0))
     return X.tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+@query("ngram_counts", oracle="""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 5 = 0),
+grams AS (
+  SELECT array_to_string(toks[i:i+2], ' ') AS ngram
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM t WHERE len(toks) >= 3))
+SELECT ngram, COUNT(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 50""")
+def ngram_counts_q(spark, sf_dir):
+    """L4 EXT: global top-50 trigram frequency table — corpus-level LM
+    statistics (boilerplate/stop-phrase discovery). Deterministic cut:
+    count desc, ngram asc."""
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0))
+    return X.ngram_counts(docs, "text", n=3, k=50)
 
 
 @query("token_entropy", oracle="""

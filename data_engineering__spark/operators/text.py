@@ -265,3 +265,24 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .groupBy(id_col, "t")
             .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
             .select(id_col, F.col("t").alias("n_tokens"), "entropy"))
+
+
+def ngram_counts(df: DataFrame, text_col: str, n: int = 3,
+                 k: int = 50) -> DataFrame:
+    """L4 EXT: global top-k token n-grams — (ngram, n) corpus frequency
+    table, the raw material for LM data statistics (boilerplate phrases,
+    contamination fingerprints, stop-phrase lists). Explode → hash agg
+    (map-side partial) → TakeOrderedAndProject; ties at the cut break on
+    the ngram string so the selected set is deterministic. Shuffles
+    (ngram, partial-count) pairs; at extreme scale swap the string for
+    its sha bucket (see ``dedup.shingle_sha_hashes``) and join back for
+    display."""
+    toks = tokens(text_col)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), cnt),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    return (df.select(F.explode(grams).alias("ngram"))
+            .groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("ngram").asc())
+            .limit(k))

@@ -80,11 +80,18 @@ def normalize(pubs: DataFrame) -> dict[str, DataFrame]:
         "pub_id", F.explode(F.split("categories", r"\s+")).alias("category_name"))
         .filter(F.trim("category_name") != ""))
 
-    empty_authors = pubs.sparkSession.createDataFrame([], "id long, name string")
-    authors_dim = dim_upsert(empty_authors, authors_exploded, "name") \
+    # first load: the dims are empty BY CONSTRUCTION, so the general
+    # dim_upsert (max-id probe + anti-join — two extra driver-sync jobs
+    # each) degenerates to plain id assignment over the distinct names;
+    # incremental runs go through dim_upsert (see enrich()'s bridge path)
+    def fresh_dim(exploded: DataFrame, key: str) -> DataFrame:
+        names = (exploded.select(key).where(F.col(key).isNotNull())
+                 .distinct())
+        return assign_ids(names, [key]).select("id", key)
+
+    authors_dim = fresh_dim(authors_exploded, "name") \
         .withColumn("affiliation", F.lit("Unknown"))  # seeded 'Unknown' (:33)
-    empty_cats = pubs.sparkSession.createDataFrame([], "id long, category_name string")
-    cats_dim = dim_upsert(empty_cats, cats_exploded, "category_name")
+    cats_dim = fresh_dim(cats_exploded, "category_name")
 
     authorship = (authors_exploded.join(authors_dim, "name")
                   .select("pub_id", F.col("id").alias("author_id"))
