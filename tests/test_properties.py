@@ -201,3 +201,33 @@ def test_cc_star_chain_rounds_logarithmic(spark):
            for r in connected_components_star(df, stats=stats).collect()}
     assert got == {i: 0 for i in range(64)}
     assert stats["rounds"] <= 10, stats   # ~log2(64)=6 + confirm rounds
+
+
+def test_kmeans_fit_invariant_under_repartition(spark, sf_dir):
+    """The determinism device itself: fixed init + fixed iterations +
+    6-dp centroid rounding must make the trained centroids IDENTICAL no
+    matter how the corpus is partitioned (partial-sum averaging differs
+    across partitionings only below the rounding threshold)."""
+    from data_engineering__spark.operators.vector import kmeans_fit
+    from data_engineering__spark.sources.io import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    a = {r["cell"]: list(r["cvec"])
+         for r in kmeans_fit(e, k=4, n_iter=2).collect()}
+    b = {r["cell"]: list(r["cvec"])
+         for r in kmeans_fit(e.repartition(13), k=4, n_iter=2).collect()}
+    assert a == b
+
+
+def test_pagerank_cycle_closed_form(spark):
+    """On a k-cycle every node has out-degree 1 and in-degree 1, so the
+    uniform distribution is the exact fixpoint at ANY damping: every
+    iteration maps 1/k -> (1-d)/k + d*(1/k) = 1/k. Checks values AND
+    that iteration count doesn't perturb them (rounding is stable)."""
+    from data_engineering__spark.operators.graph import pagerank
+
+    k = 10
+    edges = spark.createDataFrame(
+        [{"src": i, "dst": (i + 1) % k} for i in range(k)])
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=4).collect()}
+    assert got == {i: 0.1 for i in range(k)}
