@@ -129,3 +129,28 @@ def test_kmeans_ivf_broadcasts_and_no_smj(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The 100 TB table-layout story with plan evidence: a hive-
+    partitioned write must let a reader's partition-key filter prune at
+    PLANNING time (PartitionFilters on the scan, non-matching directories
+    never read) while a payload filter reaches the scan as a pushed data
+    filter."""
+    from data_engineering__spark.sources.io import read_table, write_parquet
+
+    ev = read_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+
+    back = (spark.read.parquet(out)
+            .filter((F.col("event_type") == "click") & (F.col("value") > 50)))
+    p = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p and "event_type" in \
+        p.split("PartitionFilters:")[1].split("]")[0]
+    assert "PushedFilters: [" in p and "GreaterThan(value,50" in p
+    # pruning is real: only the matching partition's rows come back
+    want = ev.filter((F.col("event_type") == "click")
+                     & (F.col("value") > 50)).count()
+    assert back.count() == want > 0
