@@ -58,6 +58,8 @@ HEADLINE = [
 ]
 # excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
 # not query throughput), http_enrich / multimodal_features (stubbed kernels),
+# udtf_split_authors (row-at-a-time Python API-coverage demo; its codegen
+# twin explode_split IS benched),
 # pipeline_parity_*_enriched (same DAG as the three benched pipeline
 # queries + bridge updates — correctness surface, not new throughput),
 # connected_components_*_graph + pagerank_graph (50-node demo graphs whose

@@ -1806,6 +1806,7 @@ DRIVER_PRIORITY = [
     "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
+    "udtf_split_authors",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2148,6 +2149,43 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# ========================== literal Python UDTF (r3, U4 API breadth)
+
+@query("udtf_split_authors", oracle="""
+WITH a AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 13 = 0 THEN NULL
+              WHEN s_suppkey % 11 = 0 THEN '  '
+              ELSE 'Author A' || CAST(s_suppkey % 5 AS VARCHAR) ||
+                   ', Author B' || CAST(s_suppkey % 3 AS VARCHAR) ||
+                   CASE WHEN s_suppkey % 2 = 0 THEN ' and C' ELSE '' END
+         END AS authors
+  FROM supplier),
+parts AS (
+  SELECT s_suppkey, string_split(authors, ', ') AS p,
+         unnest(generate_series(1, len(string_split(authors, ', ')))) AS i
+  FROM a WHERE authors IS NOT NULL)
+SELECT s_suppkey AS pub_id, CAST(i - 1 AS INT) AS pos, trim(p[i]) AS name
+FROM parts WHERE trim(p[i]) <> ''""")
+def udtf_split_authors(spark, sf_dir):
+    """U4 (literal ``@udtf`` API): lateral 1→N author-string expansion
+    with ordinal positions, NULL→0 rows, blank-only→0 rows — the
+    reference's naive ', ' split as a first-class Python table function.
+    The fast-path twin is ``explode_split`` (codegen explode); this
+    query exists to cover the Spark-4 UDTF surface itself."""
+    from .functions.udtfs import split_authors_udtf
+    s = read_table(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    authors = (F.when(sk % 13 == 0, F.lit(None).cast("string"))
+               .when(sk % 11 == 0, F.lit("  "))
+               .otherwise(F.concat(
+                   F.lit("Author A"), (sk % 5).cast("string"),
+                   F.lit(", Author B"), (sk % 3).cast("string"),
+                   F.when(sk % 2 == 0, F.lit(" and C")).otherwise(F.lit("")))))
+    src = s.select(sk.cast("long").alias("pub_id"), authors.alias("authors"))
+    return split_authors_udtf(spark, src)
 
 
 # ================== sessionization + importance sampling (r3, EXT)
