@@ -1806,7 +1806,7 @@ DRIVER_PRIORITY = [
     "tfidf_top_terms", "token_entropy", "ivf_kmeans_topk", "pagerank_graph",
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
-    "udtf_split_authors",
+    "udtf_split_authors", "histogram_prices", "sample_per_group",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2149,6 +2149,48 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# =================== histogram + per-group hash sample (r3, EXT)
+
+@query("histogram_prices", oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1""")
+def histogram_prices(spark, sf_dir):
+    """F11/A EXT: fixed-width histogram — one hash agg over a computed
+    bucket key (the profiling primitive behind range-partition boundary
+    choice and skew diagnosis). Bucket arithmetic is identical
+    float-division + floor in both engines."""
+    o = read_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 25000.0)
+                      .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("sample_per_group", oracle=f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {{b}} ASC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 25""".format(
+    b=_bucket_sql("CAST(doc_id AS VARCHAR)", "pergroup")))
+def sample_per_group(spark, sf_dir):
+    """EXT sampling: exactly-k uniform-ish sample PER GROUP — order each
+    group by the key's sha bucket (content-derived pseudo-randomness,
+    rerun/append-stable) and keep the first k. The deterministic
+    replacement for per-group reservoir sampling; compiles to
+    WindowGroupLimit like the quota operator, so ≤ k rows per group
+    cross the exchange."""
+    from .operators.sampling import hash_bucket, quota_per_group
+    docs = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    b = hash_bucket(F.col("doc_id"), salt="pergroup")
+    picked = quota_per_group(docs.withColumn("__b", b), ["lang"],
+                             [F.asc("__b"), F.asc("doc_id")], 25)
+    return picked.select("lang", "doc_id")
 
 
 # ========================== literal Python UDTF (r3, U4 API breadth)
