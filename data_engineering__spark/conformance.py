@@ -1807,6 +1807,7 @@ DRIVER_PRIORITY = [
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     "udtf_split_authors", "histogram_prices", "sample_per_group",
+    "key_skew_profile",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2149,6 +2150,25 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# =================== skew diagnosis (r3, EXT)
+
+@query("key_skew_profile", oracle="""
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, l_suppkey ASC LIMIT 20""")
+def key_skew_profile_q(spark, sf_dir):
+    """EXT: top-20 heaviest supplier keys with row share — the
+    measurement that decides when a join needs salting or AQE skew
+    handling. Count pass + broadcast total + TakeOrdered."""
+    from .operators.quality import key_skew_profile
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return key_skew_profile(li, ["l_suppkey"], k=20)
 
 
 # =================== histogram + per-group hash sample (r3, EXT)

@@ -97,3 +97,21 @@ def audit_diff_keyed(before: DataFrame, after: DataFrame, key: str,
              .select(F.lit(table_name).alias("table_name"), "operation",
                      F.col("b.__row").alias("old_values"),
                      F.col("a.__row").alias("new_values")))
+
+
+def key_skew_profile(df: DataFrame, key_cols: list[str],
+                     k: int = 20) -> DataFrame:
+    """EXT diagnosis: top-k heaviest join/grouping keys with their share
+    of all rows — the measurement that DECIDES the skew strategy (a key
+    holding >~1% of a 100 TB table is a salting/AQE-skew-join candidate;
+    see ``relational.salted_join``). One partial-aggregated count pass +
+    a broadcast 1-row total (no driver collect) + TakeOrdered for the
+    top-k; ties break on the key for deterministic output."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = F.broadcast(counts.agg(F.sum("n").alias("__total")))
+    return (counts.crossJoin(total)
+            .withColumn("share",
+                        F.round(F.col("n") / F.col("__total"), 6))
+            .drop("__total")
+            .orderBy(F.col("n").desc(), *[F.asc(c) for c in key_cols])
+            .limit(k))

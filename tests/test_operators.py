@@ -485,3 +485,29 @@ def test_decontaminate_drops_planted_leaks(spark):
     kept = sorted(r.doc_id for r in
                   decontaminate(corpus, bench, "doc_id", "text").collect())
     assert kept == [2, 3]
+
+
+def test_orc_and_csv_round_trip(spark, sf_dir, tmp_path):
+    """S-family format breadth: the same frame survives ORC (native
+    columnar alternative when parquet isn't the org standard) and
+    schema-pinned CSV (the interchange lowest common denominator) —
+    content equality both ways, ORC keeping types natively, CSV through
+    an explicit read schema (never inference at scale)."""
+    from data_engineering__spark.sources.io import read_table
+
+    src = (read_table(spark, sf_dir, "orders")
+           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+           .limit(500))
+    want = sorted(map(tuple, src.collect()))
+
+    orc_path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(orc_path)
+    orc_back = spark.read.orc(orc_path)
+    assert orc_back.schema == src.schema
+    assert sorted(map(tuple, orc_back.collect())) == want
+
+    csv_path = str(tmp_path / "orders_csv")
+    src.write.mode("overwrite").option("header", "true").csv(csv_path)
+    csv_back = (spark.read.schema(src.schema)
+                .option("header", "true").csv(csv_path))
+    assert sorted(map(tuple, csv_back.collect())) == want
