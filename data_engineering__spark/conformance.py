@@ -1057,11 +1057,18 @@ def multimodal_features(spark, sf_dir):
                                              F.element_at("feature", 1).alias("f0"))
 
 
-@query("streaming_tumbling")
+@query("streaming_tumbling", oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start_epoch,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""")
 def streaming_tumbling(spark, sf_dir):
-    """ST1-ST3 (rows-only): the SAME tumbling-window agg executed through
-    Structured Streaming (file source, watermark, one micro-batch) — proves
-    the streaming plan compiles and matches batch semantics."""
+    """ST1-ST3: the SAME tumbling-window agg executed through Structured
+    Streaming (file source, watermark, availableNow). ORACLE-verified:
+    complete-mode output after the one trigger is the FULL window state —
+    deterministically equal to the batch aggregate, so the batch twin's
+    DuckDB oracle applies verbatim (stream ≡ batch, through the engine)."""
     from .streaming.windows import tumbling_window_batch_equivalent
     return tumbling_window_batch_equivalent(spark, sf_dir)
 
@@ -1180,10 +1187,27 @@ def session_window_agg(spark, sf_dir):
                     "cnt", "sum_value"))
 
 
-@query("streaming_session")
+@query("streaming_session", oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL '30 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       COUNT(*) AS cnt
+FROM sess GROUP BY user_id, sid""")
 def streaming_session(spark, sf_dir):
-    """ST2+ST3 (rows-only): session windows executed through Structured
-    Streaming (watermarked, one availableNow micro-batch)."""
+    """ST2+ST3: session windows executed through Structured Streaming
+    (watermarked, one availableNow trigger). ORACLE-verified: complete-
+    mode state after the single trigger holds every fully-merged session,
+    so the gap-merge replica used by the batch twin applies unchanged."""
     from .streaming.windows import run_to_memory, session_agg, stream_events
     name, _ = run_to_memory(session_agg(stream_events(spark, sf_dir)))
     return (spark.table(name)
@@ -1241,10 +1265,16 @@ def streaming_join_interval(spark, sf_dir):
     return spark.table(name)
 
 
-@query("streaming_dedup")
+@query("streaming_dedup", oracle="""
+SELECT event_id, user_id, event_type FROM events""")
 def streaming_dedup(spark, sf_dir):
-    """ST4 (rows-only): dropDuplicatesWithinWatermark through the streaming
-    engine — bounded-state first-arrival-wins dedup on event_id."""
+    """ST4: dropDuplicatesWithinWatermark through the streaming engine —
+    bounded-state first-arrival-wins dedup on event_id. ORACLE-verified:
+    the source's event_ids are unique (checked at every SF), so exactly
+    one row per id survives and the output deterministically equals the
+    source — first-arrival nondeterminism can never trigger. The
+    duplicate-DROPPING behavior (where arrival order does matter) is
+    pinned separately in pytest with engineered duplicates."""
     from .streaming.windows import run_to_memory, stateful_dedup, stream_events
     dedup = stateful_dedup(stream_events(spark, sf_dir), ["event_id"])
     name, _ = run_to_memory(dedup.select("event_id", "user_id", "event_type"),
@@ -1282,11 +1312,18 @@ def http_enrich(spark, sf_dir):
                 "summary")
 
 
-@query("stateful_profile")
+@query("stateful_profile", oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id""")
 def stateful_profile(spark, sf_dir):
-    """EXT (rows-only): custom arbitrary-state streaming operator
+    """EXT: custom arbitrary-state streaming operator
     (``applyInPandasWithState``) — running per-user (count, value-sum)
-    carried across micro-batches; single availableNow pass here."""
+    carried across micro-batches. ORACLE-verified: the single-file source
+    yields ONE availableNow micro-batch, so update mode emits exactly one
+    row per user holding the full-data profile — deterministically the
+    batch aggregate (multi-batch incremental emission is pinned by the
+    restart pytest, where determinism genuinely ends)."""
     from .streaming.stateful import run_profile
     return run_profile(spark, sf_dir)
 
@@ -1811,6 +1848,8 @@ DRIVER_PRIORITY = [
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
+    "streaming_tumbling", "streaming_session", "streaming_dedup",
+    "stateful_profile",            # all four: rows-only → full oracle
     "minhash_cc_dedup",            # rows-only → full composed oracle
     "scd2_dim_history",            # oracle refactored onto shared CTEs
     "minhash_near_dup_portable",   # oracle generator refactored
