@@ -54,6 +54,8 @@ HEADLINE = [
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",
+    # round 3: the daily re-run (cross-batch dedup + id continuation)
+    "pipeline_parity_incremental",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

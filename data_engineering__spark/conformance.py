@@ -1526,12 +1526,15 @@ def sliding_window_agg(spark, sf_dir):
 # cleaning, bridge pruning, and (for the citations query) the scholar-API
 # enrich/cite stages with a SQL-expressible injected transport.
 
-def _arxiv_raw(spark, sf_dir):
+def _arxiv_raw(spark, sf_dir, keep_mod: int = 5):
     """dataset.json-shaped raw publications synthesized from ``documents``:
     duplicate dois (groups of 4), NULL and blank dois, short titles, empty
     author lists (orphans), 'A and B' naive-split authors, multi-category
-    strings with doubled whitespace — every cleaning rule gets traffic."""
-    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    strings with doubled whitespace — every cleaning rule gets traffic.
+    ``keep_mod`` selects the doc subset (a doc's fixture identity depends
+    only on its id, so subsets of different waves agree row-for-row)."""
+    d = read_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % keep_mod == 0)
     m = F.expr("doc_id div 5")
     s = lambda c: c.cast("string")
     authors = (
@@ -1586,11 +1589,12 @@ def _parity_fetch(key: str) -> dict:
     return {"organic_results": out}
 
 
-#: DuckDB replica of ingest→normalize→clean over ``_arxiv_raw`` — shared
-#: prefix of all three parity oracles.
-_PIPE_SQL = r"""
-WITH raw AS (
-  SELECT 'arx.' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS arxiv_id,
+def _arxiv_raw_sql(pred: str) -> str:
+    """The ``_arxiv_raw`` fixture as a SQL SELECT over ``documents``,
+    parameterized by the doc-subset predicate — shared by the full-load
+    parity prefix and the incremental-load oracle (a doc's fixture row
+    depends only on its id, so waves agree row-for-row)."""
+    return f"""SELECT 'arx.' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS arxiv_id,
          CASE WHEN (doc_id // 5) % 23 = 0 THEN ''
               WHEN (doc_id // 5) % 3 = 0 THEN
                 'Alice A' || CAST((doc_id // 5) % 11 AS VARCHAR) ||
@@ -1612,7 +1616,14 @@ WITH raw AS (
               WHEN 2 THEN 'stat.ML' WHEN 3 THEN 'math.CO  stat.ML'
               ELSE 'cs.DB'
          END AS categories
-  FROM documents WHERE doc_id % 5 = 0),
+  FROM documents WHERE {pred}"""
+
+
+#: DuckDB replica of ingest→normalize→clean over ``_arxiv_raw`` — shared
+#: prefix of all three parity oracles.
+_PIPE_SQL = rf"""
+WITH raw AS (
+  {_arxiv_raw_sql("doc_id % 5 = 0")}),
 deduped AS (  -- ON CONFLICT(doi) DO NOTHING + NULLs-distinct, min arxiv_id
   SELECT * FROM (
     SELECT r.*, CASE WHEN doi IS NULL THEN 1
@@ -1694,6 +1705,51 @@ def pipeline_parity_categories(spark, sf_dir):
                .join(p, F.col("pc.pub_id") == F.col("p.pub_id"))
                .groupBy("cat.category_name")
                .agg(F.count("p.pub_id").alias("publication_count")))
+
+
+_INCR_DEDUP = """
+  SELECT arxiv_id, title, doi FROM (
+    SELECT r.*, CASE WHEN doi IS NULL THEN 1
+                     ELSE ROW_NUMBER() OVER (PARTITION BY doi
+                                             ORDER BY arxiv_id)
+                END AS rn
+    FROM {src} r) WHERE rn = 1"""
+
+
+@query("pipeline_parity_incremental", oracle=rf"""
+WITH raw1 AS (
+  {_arxiv_raw_sql("doc_id % 10 = 0")}),
+raw2 AS (
+  {_arxiv_raw_sql("doc_id % 5 = 0")}),
+d1 AS ({_INCR_DEDUP.format(src="raw1")}),
+pubs1 AS (
+  SELECT arxiv_id, title, doi,
+         CAST(ROW_NUMBER() OVER (ORDER BY arxiv_id) AS BIGINT) AS pub_id
+  FROM d1),
+d2 AS ({_INCR_DEDUP.format(src="raw2")}),
+new2 AS (
+  SELECT * FROM d2
+  WHERE doi IS NULL
+     OR doi NOT IN (SELECT doi FROM pubs1 WHERE doi IS NOT NULL)),
+pubs2 AS (
+  SELECT arxiv_id, title, doi,
+         CAST((SELECT MAX(pub_id) FROM pubs1)
+              + ROW_NUMBER() OVER (ORDER BY arxiv_id) AS BIGINT) AS pub_id
+  FROM new2)
+SELECT pub_id, arxiv_id, title, doi FROM pubs1
+UNION ALL
+SELECT pub_id, arxiv_id, title, doi FROM pubs2""")
+def pipeline_parity_incremental(spark, sf_dir):
+    """EP1 cadence parity: the DAILY RE-RUN — wave 1 loads half the corpus,
+    wave 2 re-ingests everything (half duplicate, half new). Cross-run
+    ON CONFLICT(doi) semantics: existing non-null dois drop, NULL dois
+    re-insert (Postgres NULLs-distinct — the duplicate the reference's
+    daily job really creates), and surrogate ids CONTINUE after the
+    wave-1 max. The oracle replicates both waves end to end."""
+    from .plans.pipeline import ingest, ingest_incremental
+    pubs1 = ingest(_arxiv_raw(spark, sf_dir, keep_mod=10))
+    pubs2 = ingest_incremental(pubs1, _arxiv_raw(spark, sf_dir, keep_mod=5))
+    return pubs2.select("pub_id", "arxiv_id", "title", "doi")
 
 
 #: DuckDB replica of the enrich stage over ``_parity_fetch``: top-2-per-
@@ -1844,7 +1900,7 @@ DRIVER_PRIORITY = [
     "scd2_asof", "decontaminate_corpus", "sessionize_events",
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     "udtf_split_authors", "histogram_prices", "sample_per_group",
-    "key_skew_profile",
+    "key_skew_profile", "pipeline_parity_incremental",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify

@@ -53,20 +53,56 @@ BIBTEX_TYPES = [
 ]
 
 
-def ingest(raw: DataFrame) -> DataFrame:
-    """Stage 1 (``process_publications_dag.py:45-88``): normalize the nested
-    JSON into the publications hub with NULL-doi-passthrough dedup and a
-    deterministic surrogate id."""
-    pubs = raw.select(
+def _project_raw(raw: DataFrame) -> DataFrame:
+    """The raw→hub projection shared by the initial load and daily
+    incremental runs."""
+    return raw.select(
         F.col("id").alias("arxiv_id"), "submitter", "authors",
         F.col("title"), "comments",
         F.col("journal_ref"), F.col("doi"), F.col("report_no"),
         "categories", "license", "abstract",
         F.to_date("update_date").alias("update_date"))
-    deduped = dedup_by_key(pubs, ["doi"], [F.asc("arxiv_id")], null_passthrough=True)
+
+
+def ingest(raw: DataFrame) -> DataFrame:
+    """Stage 1 (``process_publications_dag.py:45-88``): normalize the nested
+    JSON into the publications hub with NULL-doi-passthrough dedup and a
+    deterministic surrogate id."""
+    deduped = dedup_by_key(_project_raw(raw), ["doi"], [F.asc("arxiv_id")],
+                           null_passthrough=True)
     # deterministic surrogate ids WITHOUT a single-task global window:
     # range-partitioned per-partition offsets (operators.merge.assign_ids)
     return assign_ids(deduped, ["arxiv_id"], id_col="pub_id")
+
+
+def ingest_incremental(pubs: DataFrame, raw: DataFrame) -> DataFrame:
+    """Stage 1, DAILY RE-RUN form (the reference's ``@daily`` cadence,
+    ``process_publications_dag.py:547-552`` + the ON CONFLICT(doi) insert
+    at ``:67``): re-ingesting a batch against an EXISTING hub.
+
+    - in-batch NULL-passthrough dedup (same as the initial load);
+    - rows whose non-null doi already exists in the hub DROP (the
+      cross-run ON CONFLICT DO NOTHING; NULL dois re-insert — Postgres
+      NULLs-distinct parity, so a re-ingested null-doi doc duplicates,
+      exactly as the reference's daily job would);
+    - survivors get surrogate ids CONTINUING after the current max
+      (1-row scalar probe + distributed ``assign_ids``).
+
+    Scale: the existing-doi probe is an anti join on the doi key — at
+    warehouse scale the hub side is the big one, so this is one hash
+    shuffle of (doi) pairs (or a broadcast of the DELTA's dois flipped
+    into a right-anti formulation when the batch is small); no windows
+    over the combined table.
+    """
+    deduped = dedup_by_key(_project_raw(raw), ["doi"], [F.asc("arxiv_id")],
+                           null_passthrough=True)
+    existing = pubs.select("doi").where(F.col("doi").isNotNull()).distinct()
+    new_rows = deduped.join(existing, "doi", "left_anti")
+    max_id = pubs.agg(F.coalesce(F.max("pub_id"), F.lit(0)).alias("m")) \
+                 .collect()[0][0]
+    with_ids = assign_ids(new_rows, ["arxiv_id"], id_col="pub_id",
+                          start=int(max_id) + 1)
+    return pubs.unionByName(with_ids.select(*pubs.columns))
 
 
 def normalize(pubs: DataFrame) -> dict[str, DataFrame]:
