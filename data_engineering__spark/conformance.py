@@ -1901,6 +1901,7 @@ DRIVER_PRIORITY = [
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     "udtf_split_authors", "histogram_prices", "sample_per_group",
     "key_skew_profile", "pipeline_parity_incremental",
+    "null_profile_events",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2245,6 +2246,29 @@ def ivf_topk_q(spark, sf_dir):
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivf_topk(e, qdf, 10, centroid_mod=50, nprobe=2) \
             .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
+# =================== skew diagnosis + null profiling (r3, EXT)
+
+@query("null_profile_events", oracle="""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+SELECT col AS column, n.n_rows, cnt AS n_null,
+       ROUND(CAST(cnt AS DOUBLE) / n.n_rows, 6) AS null_frac
+FROM (
+  SELECT 'props' AS col,
+         COUNT(CASE WHEN props IS NULL THEN 1 END) AS cnt FROM events
+  UNION ALL
+  SELECT 'value', COUNT(CASE WHEN value IS NULL THEN 1 END) FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(CASE WHEN user_id IS NULL THEN 1 END) FROM events
+) CROSS JOIN n""")
+def null_profile_events(spark, sf_dir):
+    """EXT profiling: per-column completeness audit in ONE aggregation
+    pass — the first query an onboarding audit runs on a new 100 TB
+    table (with the histogram and skew profile)."""
+    from .operators.quality import null_profile
+    ev = read_table(spark, sf_dir, "events")
+    return null_profile(ev, ["props", "value", "user_id"])
 
 
 # =================== skew diagnosis (r3, EXT)

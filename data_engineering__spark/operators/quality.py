@@ -115,3 +115,27 @@ def key_skew_profile(df: DataFrame, key_cols: list[str],
             .drop("__total")
             .orderBy(F.col("n").desc(), *[F.asc(c) for c in key_cols])
             .limit(k))
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """EXT profiling: per-column null counts and ratio — (column, n_rows,
+    n_null, null_frac). ONE aggregation pass computes every column's
+    count (map-side partial agg, no per-column scans), then a constant
+    unpivot reshapes the single result row; nothing shuffles but one
+    row. The completeness complement of ``key_skew_profile`` and the
+    histogram — the trio a 100 TB onboarding audit runs first."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs += [F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}")
+             for c in cols]
+    row = df.agg(*aggs)
+    pairs = []
+    for c in cols:
+        pairs.extend([F.lit(c), F.col(f"__null_{c}")])
+    return (row.select(
+        F.col("__n"),
+        F.explode(F.map_from_arrays(
+            F.array(*pairs[::2]), F.array(*pairs[1::2])))
+        .alias("column", "n_null"))
+        .select("column", F.col("__n").alias("n_rows"), "n_null",
+                F.round(F.col("n_null") / F.col("__n"), 6).alias("null_frac")))

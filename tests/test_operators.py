@@ -511,3 +511,17 @@ def test_orc_and_csv_round_trip(spark, sf_dir, tmp_path):
     csv_back = (spark.read.schema(src.schema)
                 .option("header", "true").csv(csv_path))
     assert sorted(map(tuple, csv_back.collect())) == want
+
+
+def test_null_profile_counts_and_default_cols(spark):
+    """One-pass completeness audit: exact null counts per column, ratio
+    rounded to 6dp; cols=None profiles every column."""
+    from data_engineering__spark.operators.quality import null_profile
+    rows = [Row(a=1, b=None, c="x"), Row(a=None, b=None, c="y"),
+            Row(a=3, b=4, c=None), Row(a=4, b=5, c="z")]
+    df = spark.createDataFrame(rows)
+    got = {r.column: (r.n_rows, r.n_null, r.null_frac)
+           for r in null_profile(df).collect()}
+    assert got == {"a": (4, 1, 0.25), "b": (4, 2, 0.5), "c": (4, 1, 0.25)}
+    sub = null_profile(df, ["b"]).collect()
+    assert [r.column for r in sub] == ["b"] and sub[0].n_null == 2
