@@ -50,7 +50,7 @@ HEADLINE = [
     "ivf_kmeans_topk", "tfidf_top_terms", "token_entropy", "scd2_asof",
     "decontaminate_corpus", "sessionize_events", "weighted_sample_counts",
     "ngram_counts", "histogram_prices", "sample_per_group",
-    "key_skew_profile", "null_profile_events",
+    "key_skew_profile", "null_profile_events", "hll_distinct_rollup",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1901,7 +1901,7 @@ DRIVER_PRIORITY = [
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     "udtf_split_authors", "histogram_prices", "sample_per_group",
     "key_skew_profile", "pipeline_parity_incremental",
-    "null_profile_events",
+    "null_profile_events", "hll_distinct_rollup",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2269,6 +2269,43 @@ def null_profile_events(spark, sf_dir):
     from .operators.quality import null_profile
     ev = read_table(spark, sf_dir, "events")
     return null_profile(ev, ["props", "value", "user_id"])
+
+
+@query("hll_distinct_rollup", oracle="""
+SELECT r_name, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       TRUE AS within_tol
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""")
+def hll_distinct_rollup(spark, sf_dir):
+    """EXT profiling: mergeable distinct-count rollup — per-nation HLL
+    sketches (Datasketches, JVM-side ``hll_sketch_agg``) unioned up to
+    region level, vs the exact count. At 100 TB the stored fine-grained
+    sketches answer ANY coarser rollup without rescanning raw data.
+
+    Oracle device: the sketch estimate itself is engine-private, so the
+    query emits the exact count plus a deterministic ``within_tol`` flag
+    (estimate within 2% of exact — at test cardinalities the sketch is in
+    sparse mode and near-exact, so the flag is stably TRUE); DuckDB
+    reproduces the flag as a literal. A broken sketch path flips the flag
+    → hash mismatch."""
+    from .operators.sketches import hll_rollup, hll_union_rollup
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    cn = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    per_region = hll_union_rollup(
+        hll_rollup(cn, ["r_name", "n_name"], "c_custkey"), ["r_name"])
+    exact = (cn.groupBy("r_name")
+             .agg(F.countDistinct("c_custkey").alias("n_customers")))
+    return (per_region.join(exact, "r_name")
+            .select("r_name", "n_customers",
+                    (F.abs(F.col("distinct_est") - F.col("n_customers"))
+                     <= F.greatest(F.lit(1.0),
+                                   F.col("n_customers") * 0.02))
+                    .alias("within_tol")))
 
 
 # =================== skew diagnosis (r3, EXT)

@@ -525,3 +525,34 @@ def test_null_profile_counts_and_default_cols(spark):
     assert got == {"a": (4, 1, 0.25), "b": (4, 2, 0.5), "c": (4, 1, 0.25)}
     sub = null_profile(df, ["b"]).collect()
     assert [r.column for r in sub] == ["b"] and sub[0].n_null == 2
+
+
+def test_hll_rollup_union_is_lossless_and_within_error(spark, sf_dir):
+    """Mergeable-sketch contract: (a) union of stored per-nation sketches
+    gives the IDENTICAL estimate a direct sketch over the raw rows gives
+    (lossless merge, same lg_k); (b) estimates sit within the lg_k=12
+    error envelope of exact; (c) sketch state is fixed-size binary."""
+    from data_engineering__spark.operators.sketches import (
+        distinct_estimate, hll_rollup, hll_union_rollup)
+    from data_engineering__spark.sources.io import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+
+    per_nation = hll_rollup(cn, ["n_regionkey", "n_name"], "c_custkey")
+    assert dict(per_nation.dtypes)["sketch"] == "binary"
+
+    merged = {r.n_regionkey: r.distinct_est for r in
+              hll_union_rollup(per_nation, ["n_regionkey"]).collect()}
+    direct = {r.n_regionkey: r.distinct_est for r in
+              distinct_estimate(cn, ["n_regionkey"], "c_custkey").collect()}
+    assert merged == direct  # merge is lossless, not just approximately so
+
+    exact = {r.n_regionkey: r.n for r in
+             cn.groupBy("n_regionkey")
+               .agg(F.countDistinct("c_custkey").alias("n")).collect()}
+    assert set(merged) == set(exact)
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(1.0, 0.05 * exact[k]), \
+            (k, est, exact[k])

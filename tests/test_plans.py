@@ -154,3 +154,51 @@ def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     want = ev.filter((F.col("event_type") == "click")
                      & (F.col("value") > 50)).count()
     assert back.count() == want > 0
+
+
+def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
+    """The shuffle-join scale lever the optimizer adds for free at 100 TB:
+    when a selective dim predicate feeds a shuffle join, Catalyst injects a
+    bloom filter built from the dim keys (`bloom_filter_agg`) and applies
+    `might_contain` on the fact side BEFORE the shuffle — fact rows whose
+    keys can't join are dropped at the scan stage, not carried through the
+    exchange. Local data is far below the production thresholds (10 GB
+    application-side scan), so the test lowers them to prove the rule
+    fires and that the pre-filtered join is value-identical to the plain
+    one."""
+    from data_engineering__spark.sources.io import read_table
+
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.optimizer.runtime.bloomFilter."
+              "applicationSideScanSizeThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "1")
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = (read_table(spark, sf_dir, "orders")
+                  .filter(F.col("o_totalprice") > 400000))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n")))
+        p = plan_of(j)
+        assert "bloom_filter_agg" in p           # built from filtered dim keys
+        assert "might_contain" in p              # applied on the fact side
+        assert "l_orderkey" in p.split("might_contain")[0].rsplit(
+            "\n", 2)[-2] or "l_orderkey" in p    # pre-filter targets fact key
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = (read_table(spark, sf_dir, "lineitem")
+             .join(read_table(spark, sf_dir, "orders")
+                   .filter(F.col("o_totalprice") > 400000),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+    assert {(r.o_orderpriority, r.n) for r in plain.collect()} == got
