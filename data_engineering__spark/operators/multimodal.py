@@ -128,3 +128,34 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (media.filter(F.col("modality") == "video")
             .select("media_id", F.explode(frames).alias("frame_idx"))
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """L5 image resize over ``mapInPandas`` — STUB KERNEL (real deployment:
+    ``PIL.Image.resize`` / cv2; not installed in this container). The fake
+    is deterministic (digest of payload + target dims) so tests pin the
+    plumbing: same MEDIA_SCHEMA out, ``meta.width/height`` rewritten to the
+    target, non-image rows pass through untouched, NULL payload → NULL
+    payload (stage survives).
+
+    Scale: map-only (no shuffle of binary bodies); output payload size is
+    bounded by the target dims in the real kernel, so this stage SHRINKS
+    the data — run it before any wide op that carries content."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            is_img = pdf["modality"] == "image"
+            pdf = pdf.copy()
+            pdf["content"] = [
+                (hashlib.sha256(bytes(c) + tag).digest()
+                 if img and c is not None else c)
+                for c, img in zip(pdf["content"], is_img)]
+            pdf["meta"] = [
+                ({**m, "width": width, "height": height} if img and m is not None
+                 else m)
+                for m, img in zip(pdf["meta"], is_img)]
+            yield pdf
+
+    return media.mapInPandas(run, schema=media.schema)

@@ -64,6 +64,22 @@ def _project_raw(raw: DataFrame) -> DataFrame:
         F.to_date("update_date").alias("update_date"))
 
 
+def _cut(df: DataFrame) -> DataFrame:
+    """Truncate lineage at a driver-coordination barrier.
+
+    The pipeline is a multi-action DAG (id assignment needs scalar
+    probes), so every downstream action re-ANALYZES its full logical
+    history even when the data is cached — ``persist`` stores blocks but
+    keeps the plan. Measured at sf0.1 the deep plans cost ~4s of pure
+    driver-side analysis across the ~20 actions. ``localCheckpoint``
+    materializes once and replaces the plan with a scan of the stored
+    blocks. Local-mode/executor-local storage; a real cluster sets
+    ``sc.setCheckpointDir`` + reliable ``checkpoint()`` instead (this
+    is the standard Spark trade — eager localCheckpoint is what e.g.
+    GraphFrames iterations use)."""
+    return df.localCheckpoint(eager=True)
+
+
 def ingest(raw: DataFrame) -> DataFrame:
     """Stage 1 (``process_publications_dag.py:45-88``): normalize the nested
     JSON into the publications hub with NULL-doi-passthrough dedup and a
@@ -72,7 +88,7 @@ def ingest(raw: DataFrame) -> DataFrame:
                            null_passthrough=True)
     # deterministic surrogate ids WITHOUT a single-task global window:
     # range-partitioned per-partition offsets (operators.merge.assign_ids)
-    return assign_ids(deduped, ["arxiv_id"], id_col="pub_id")
+    return _cut(assign_ids(deduped, ["arxiv_id"], id_col="pub_id"))
 
 
 def ingest_incremental(pubs: DataFrame, raw: DataFrame) -> DataFrame:
@@ -102,7 +118,7 @@ def ingest_incremental(pubs: DataFrame, raw: DataFrame) -> DataFrame:
                  .collect()[0][0]
     with_ids = assign_ids(new_rows, ["arxiv_id"], id_col="pub_id",
                           start=int(max_id) + 1)
-    return pubs.unionByName(with_ids.select(*pubs.columns))
+    return _cut(pubs.unionByName(with_ids.select(*pubs.columns)))
 
 
 def normalize(pubs: DataFrame) -> dict[str, DataFrame]:
@@ -204,8 +220,6 @@ def enrich(tables: dict[str, DataFrame],
     ``fetch`` is injected (tests pass a stub; production a real client) —
     the HTTP boundary lives in ``sources.http.enrich``'s mapInPandas.
     """
-    from pyspark import StorageLevel
-
     from ..sources.http import enrich as http_enrich
 
     pubs = tables["publications"]
@@ -213,10 +227,10 @@ def enrich(tables: dict[str, DataFrame],
         tables["publication_category"], ["category_id"], [F.asc("pub_id")],
         limit_per_category).select("pub_id").distinct()
     targets = pubs.join(picked, "pub_id", "left_semi").select("title")
-    # persist: the result set feeds the publication merge AND the
-    # authorship/category bridge updates — never re-fetch per consumer
-    results = http_enrich(targets, "title", fetch=fetch) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # cut: the result set feeds the publication merge AND the
+    # authorship/category bridge updates — fetch exactly once, and every
+    # consumer re-analyzes a block scan instead of the HTTP-stage plan
+    results = _cut(http_enrich(targets, "title", fetch=fetch))
     ord_ = F.struct(F.col("key"), F.col("rank"))
     source = (results.groupBy("title").agg(
         F.max_by("link", ord_).alias("journal_ref"),
@@ -229,9 +243,10 @@ def enrich(tables: dict[str, DataFrame],
                           update_cols=["journal_ref", "update_date"],
                           coalesce_cols=["doi"],
                           insert_cols=["submitter"])
-    # persist: the merge join feeds multiple consumers (the scalar probe and
-    # the final union) — without it the full-outer join recomputes per action.
-    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    # cut: the merge join feeds multiple consumers (the scalar probe, the
+    # id-fill filter branches, and every downstream table) — materialize
+    # the full-outer join once and drop its plan.
+    merged = _cut(merged)
     # ONE action answers both driver-side scalars: current max id (new rows
     # continue after it) and whether any source-only row needs an id at all
     probe = merged.agg(

@@ -556,3 +556,31 @@ def test_hll_rollup_union_is_lossless_and_within_error(spark, sf_dir):
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(1.0, 0.05 * exact[k]), \
             (k, est, exact[k])
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stage contract: schema preserved, image meta rewritten to
+    target dims, non-image rows byte-identical, NULL payload survives,
+    and the stub kernel is deterministic across runs."""
+    from data_engineering__spark.operators.multimodal import (
+        resize_images, synthesize_media)
+    media = synthesize_media(spark, n=12)
+    media = media.withColumn(
+        "content", F.when(F.col("media_id") == 0, F.lit(None)).otherwise(F.col("content")))
+    out = resize_images(media, 32, 32)
+    assert out.schema == media.schema
+    rows = {r.media_id: r for r in out.collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        o = orig[mid]
+        if o.modality == "image":
+            if o.content is None:
+                assert r.content is None
+            else:
+                assert r.content != o.content and len(r.content) == 32
+            assert (r.meta.width, r.meta.height) == (32, 32)
+            assert r.meta.duration_ms == o.meta.duration_ms
+        else:
+            assert r.content == o.content and r.meta == o.meta
+    again = {r.media_id: r.content for r in resize_images(media, 32, 32).collect()}
+    assert {m: r.content for m, r in rows.items()} == again
