@@ -51,6 +51,7 @@ HEADLINE = [
     "decontaminate_corpus", "sessionize_events", "weighted_sample_counts",
     "ngram_counts", "histogram_prices", "sample_per_group",
     "key_skew_profile", "null_profile_events", "hll_distinct_rollup",
+    "redact_pii_docs",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

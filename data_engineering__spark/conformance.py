@@ -1901,7 +1901,7 @@ DRIVER_PRIORITY = [
     "weighted_sample_counts", "streaming_join_interval", "ngram_counts",
     "udtf_split_authors", "histogram_prices", "sample_per_group",
     "key_skew_profile", "pipeline_parity_incremental",
-    "null_profile_events", "hll_distinct_rollup",
+    "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2588,6 +2588,63 @@ def token_entropy_q(spark, sf_dir):
     docs = (read_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 5 == 0))
     return X.token_entropy(docs, "doc_id", "text")
+
+
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ssn 123-45-6789 card 4111 1111 1111 1111 tel +1 (415) 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents WHERE doc_id % 7 = 0"""
+
+
+@query("redact_pii_docs", oracle="""
+WITH aug AS (""" + _PII_AUG_SQL + """)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+       '\\b\\d{4}[ -]?\\d{4}[ -]?\\d{4}[ -]?\\d{4}\\b', '<CARD>', 'g'),
+       '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+       '\\+?\\d{1,2}[ .-]?\\(\\d{3}\\)[ .-]?\\d{3}[ .-]?\\d{4}\\b', '<PHONE>', 'g')
+    AS redacted,
+  CAST(length(regexp_extract_all(
+    t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(length(regexp_extract_all(
+    t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ip
+FROM aug""")
+def redact_pii_docs(spark, sf_dir):
+    """EXT training-data scrub: PII redaction (emails, SSNs, cards, IPv4s,
+    phones → typed placeholders) as a pure codegen ``regexp_replace``
+    chain — map-only, scan-speed at 100 TB (operators.text.redact_pii).
+
+    The synthetic corpus carries no real PII, so the query PLANTS a
+    deterministic specimen of every pattern (derived from doc_id) before
+    scrubbing; the oracle replicates the same augmentation and the same
+    ordered regex chain (all patterns chosen dialect-portable between
+    Java regex and RE2). Redaction counts come from ``regexp_count``
+    pre-scrub."""
+    from .operators.text import PII_PATTERNS, redact_pii
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 card 4111 1111 1111 1111 "
+                  "tel +1 (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")).alias("t"))
+    email_re, ip_re = PII_PATTERNS[0][1], PII_PATTERNS[3][1]
+    return (redact_pii(aug, "t", out_col="redacted")
+            .select("doc_id", "redacted",
+                    F.regexp_count(F.col("t"), F.lit(email_re))
+                    .cast("long").alias("n_email"),
+                    F.regexp_count(F.col("t"), F.lit(ip_re))
+                    .cast("long").alias("n_ip")))
 
 
 # ===================== k-means-trained IVF with full training oracle (r3)

@@ -584,3 +584,18 @@ def test_resize_images_plumbing(spark):
             assert r.content == o.content and r.meta == o.meta
     again = {r.media_id: r.content for r in resize_images(media, 32, 32).collect()}
     assert {m: r.content for m, r in rows.items()} == again
+
+
+def test_redact_pii_order_and_kinds(spark):
+    """Card is scrubbed before phone (a 16-digit card must never be
+    half-eaten by the phone pattern); kinds=[...] limits the chain."""
+    from data_engineering__spark.operators.text import redact_pii
+    rows = [Row(id=1, t="mail a.b+c@x-mail.co.uk card 4111-1111-1111-1111 "
+                       "call +1 (415) 555-0142 from 192.168.0.1 ssn 123-45-6789")]
+    df = spark.createDataFrame(rows)
+    out = redact_pii(df, "t").collect()[0].t
+    assert out == ("mail <EMAIL> card <CARD> call <PHONE> from <IP> "
+                   "ssn <SSN>")
+    only_email = redact_pii(df, "t", kinds=["email"]).collect()[0].t
+    assert "<EMAIL>" in only_email and "<CARD>" not in only_email
+    assert "4111-1111-1111-1111" in only_email
