@@ -35,18 +35,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushed into the scan by Catalyst (verify with ``.explain`` →
     ``PushedFilters`` / ``ReadSchema``).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark has no
-    native type for (PARQUET_TYPE_ILLEGAL): read nanos as long
+    ``events.ts`` arrives in either of two parquet layouts depending on the
+    writer (the driver has shipped both): TIMESTAMP(NANOS), which Spark has
+    no native type for (PARQUET_TYPE_ILLEGAL) — read nanos as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer
     ``div`` (never float division — 1.7e18 ns exceeds double's 53-bit
-    mantissa).
+    mantissa) — or TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+    reads as TIMESTAMP_NTZ — cast to the session-zone TIMESTAMP (the
+    session zone is pinned UTC, so the epoch value is unchanged and
+    DuckDB's naive read of the same file agrees). Both normalize to the
+    same TIMESTAMP column, so everything downstream is layout-agnostic.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", _normalize_event_ts(df))
     return spark.read.parquet(path)
+
+
+def _normalize_event_ts(df: DataFrame) -> F.Column:
+    """TIMESTAMP column from whichever physical layout ``ts`` arrived in."""
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":          # TIMESTAMP(NANOS) via nanosAsLong
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if ts_type == "timestamp_ntz":   # TIMESTAMP(MICROS), not UTC-adjusted
+        return F.col("ts").cast("timestamp")
+    return F.col("ts")
 
 
 def read_json_array(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

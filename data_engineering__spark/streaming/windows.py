@@ -30,7 +30,8 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file stream sources take a DIRECTORY; glob-filter to the one table
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.io import _normalize_event_ts
+    return stream.withColumn("ts", _normalize_event_ts(stream))
 
 
 def tumbling_agg(events: DataFrame, width: str = "10 minutes",
