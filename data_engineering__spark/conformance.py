@@ -1902,6 +1902,7 @@ DRIVER_PRIORITY = [
     "udtf_split_authors", "histogram_prices", "sample_per_group",
     "key_skew_profile", "pipeline_parity_incremental",
     "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
+    "chunk_documents", "pack_training_sequences", "repetition_flags",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2938,3 +2939,120 @@ def scd2_asof(spark, sf_dir):
                         | (F.col("valid_to_asof") > F.col("ts"))))
              .select("k", F.date_format("ts", "yyyy-MM-dd").alias("ts"),
                      F.col("attr_asof").alias("attr")))
+
+
+# =================== chunking / packing / repetition (r3, EXT training prep)
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 16, 4          # step = 12
+_PACK_CAP, _PACK_BUCKET = 256, 64
+
+
+@query("chunk_documents", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, {_CHUNK_SIZE - _CHUNK_OVERLAP})) AS s
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id,
+       CAST(s // {_CHUNK_SIZE - _CHUNK_OVERLAP} AS INT) AS chunk_id,
+       CAST(len(toks[s + 1 : s + {_CHUNK_SIZE}]) AS INT) AS n_tokens,
+       array_to_string(toks[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text
+FROM c""")
+def chunk_documents(spark, sf_dir):
+    """EXT training prep: document → overlapping fixed-token chunks
+    (size 16, overlap 4) — the context-window slicing step before
+    embedding or packing. Pure per-row array arithmetic (no shuffle, no
+    Python); the oracle regenerates every window with DuckDB list
+    slicing. Blank docs yield zero chunks."""
+    from .operators.chunking import chunk_tokens
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_tokens(d, "doc_id", "text",
+                        size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP)
+
+
+@query("pack_training_sequences", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents),
+nz AS (SELECT doc_id, n FROM t WHERE n > 0),
+placed AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM nz),
+spans AS (
+  SELECT off, n,
+         unnest(generate_series(off // {_PACK_CAP},
+                                (off + n - 1) // {_PACK_CAP})) AS seq_id
+  FROM placed)
+SELECT seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((seq_id + 1) * {_PACK_CAP}, off + n)
+                - GREATEST(seq_id * {_PACK_CAP}, off)) AS BIGINT) AS n_tokens
+FROM spans GROUP BY seq_id""")
+def pack_training_sequences(spark, sf_dir):
+    """EXT training prep: concat-and-cut sequence packing — the corpus
+    token stream in doc_id order cut every 256 tokens, GPT-pretraining
+    style (docs straddle cuts). The Spark side is a two-level distributed
+    prefix sum (bucket totals + per-bucket window — no corpus-wide
+    single-partition window); the oracle is the straightforward global
+    running sum, so the distributed decomposition is verified against
+    the sequential definition."""
+    from .operators.chunking import pack_sequences
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text",
+                          capacity=_PACK_CAP, bucket_size=_PACK_BUCKET)
+
+
+@query("repetition_flags", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+g2 AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM nz WHERE len(toks) >= 2)),
+m2 AS (
+  SELECT doc_id, MAX(c) AS top2
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+  GROUP BY 1),
+sig AS (
+  SELECT nz.doc_id,
+         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6) AS unique_ratio,
+         ROUND(CASE WHEN n >= 2 THEN CAST(top2 AS DOUBLE) / (n - 1)
+                    ELSE 0.0 END, 6) AS top_bigram_share,
+         ROUND(CASE WHEN n >= 5 THEN
+                 1 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, n - 4),
+                       i -> array_to_string(toks[i : i + 4], ' ')))) AS DOUBLE)
+                     / (n - 4)
+               ELSE 0.0 END, 6) AS dup5_frac
+  FROM nz LEFT JOIN m2 ON nz.doc_id = m2.doc_id)
+SELECT doc_id, unique_ratio, top_bigram_share, dup5_frac,
+       (unique_ratio >= 0.40 AND top_bigram_share <= 0.05
+        AND dup5_frac <= 0.30) AS keep
+FROM sig""")
+def repetition_flags(spark, sf_dir):
+    """EXT quality: Gopher-style within-document repetition filter —
+    unique-token ratio, top-bigram share, duplicate-5-gram fraction, and
+    the composite keep flag (thresholds chosen to split this corpus:
+    ~45% of docs fail the diversity bound, ~30% the bigram bound). The
+    ratio signals are per-row array arithmetic; only (id, bigram, count)
+    rows ever shuffle. The oracle recomputes all three signals and the
+    flag from first principles."""
+    from .operators.chunking import repetition_profile
+    d = read_table(spark, sf_dir, "documents")
+    return repetition_profile(d, "doc_id", "text",
+                              max_bigram_share=0.05, max_dup5_frac=0.30,
+                              min_unique_ratio=0.40)

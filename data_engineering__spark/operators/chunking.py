@@ -1,0 +1,166 @@
+"""Document chunking and sequence packing for LLM training pipelines (EXT
+mandate — the step between a cleaned corpus and a trainer's fixed-length
+batches).
+
+Two operators:
+
+- ``chunk_tokens``: document → overlapping fixed-token-count chunks (the
+  context-window slicing step; overlap preserves cross-boundary context for
+  retrieval / next-token training).
+- ``pack_sequences``: concat-and-cut packing — the corpus token stream, in
+  deterministic document order, cut every ``capacity`` tokens into training
+  sequences (documents may straddle sequence boundaries, exactly like GPT-
+  style pretraining packing). Implemented as a distributed two-level prefix
+  sum: per-bucket token totals (one small aggregate) feed bucket offsets,
+  then a window PARTITIONED BY bucket computes within-bucket offsets — no
+  global single-partition window over the corpus, so the plan scales: the
+  only ordered pass is over ~n_docs/bucket_size bucket-total rows.
+
+Everything is built-in-function codegen; nothing drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def chunk_tokens(df: DataFrame, id_col: str, text_col: str,
+                 size: int = 32, overlap: int = 8) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap.
+
+    Chunk ``i`` covers tokens ``[i*(size-overlap), i*(size-overlap)+size)``
+    of the whitespace-lowercase token stream; the final chunk may be short.
+    Documents with no tokens produce zero chunks (mirrors the UDTF split's
+    NULL/blank → 0 rows convention). Pure per-row array arithmetic — no
+    shuffle, no Python; chunk explosion multiplies rows ~len/(size-overlap).
+
+    Returns ``id_col, chunk_id, n_tokens, chunk_text``.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(step))
+    exploded = (df.select(F.col(id_col), toks.alias("__toks"))
+                  .filter(F.size("__toks") > 0)
+                  .select(id_col, "__toks",
+                          F.posexplode(starts).alias("chunk_id", "__start")))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   capacity: int = 512, bucket_size: int = 1024) -> DataFrame:
+    """Concat-and-cut sequence packing index over the corpus token stream.
+
+    Documents are laid end-to-end in ``id_col`` order and the stream is cut
+    every ``capacity`` tokens; a document whose span crosses a cut
+    contributes to both neighboring sequences. Returns one row per training
+    sequence: ``seq_id, n_docs`` (documents overlapping the sequence) and
+    ``n_tokens`` (== capacity except the final sequence).
+
+    Scale shape: global prefix sums are computed as bucket totals (one
+    partial-agg shuffle down to ~n_docs/bucket_size rows) + an ordered
+    window over those few bucket rows + a per-bucket window for
+    within-bucket offsets — the classic two-level scan tree, so no window
+    ever sees the whole corpus in one partition. ``id_col`` must be
+    numeric; any dense or sparse ordering works (only its ORDER matters).
+    """
+    docs = (df.select(F.col(id_col).alias("__id"),
+                      F.size(tokens(text_col)).cast("long").alias("__n"))
+              .filter(F.col("__n") > 0)
+              .withColumn("__bucket", F.expr(f"__id div {bucket_size}")))
+
+    bucket_totals = docs.groupBy("__bucket").agg(F.sum("__n").alias("__bt"))
+    w_buckets = (Window.orderBy("__bucket")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    bucket_offsets = bucket_totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(w_buckets), F.lit(0)).alias("__boff"))
+
+    w_in_bucket = (Window.partitionBy("__bucket").orderBy("__id")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    placed = (docs.join(F.broadcast(bucket_offsets), "__bucket")
+              .withColumn("__inoff",
+                          F.coalesce(F.sum("__n").over(w_in_bucket), F.lit(0)))
+              .withColumn("__off", F.col("__boff") + F.col("__inoff")))
+
+    first_seq = F.expr(f"__off div {capacity}")
+    last_seq = F.expr(f"(__off + __n - 1) div {capacity}")
+    spans = placed.select(
+        "__off", "__n",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+    contrib = (F.least((F.col("seq_id") + 1) * capacity,
+                       F.col("__off") + F.col("__n"))
+               - F.greatest(F.col("seq_id") * capacity, F.col("__off")))
+    return (spans.select("seq_id", contrib.alias("__c"))
+            .groupBy("seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__c").alias("n_tokens")))
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str,
+                       max_bigram_share: float = 0.18,
+                       max_dup5_frac: float = 0.30,
+                       min_unique_ratio: float = 0.20) -> DataFrame:
+    """Gopher-style within-document repetition signals + keep flag.
+
+    Per document over the whitespace-lowercase token stream:
+
+    - ``unique_ratio``  — distinct tokens / tokens (low = repetitive);
+    - ``top_bigram_share`` — occurrences of the most frequent bigram /
+      total bigrams (high = a phrase loops);
+    - ``dup5_frac``     — 1 − distinct 5-grams / total 5-grams (the
+      fraction of 5-gram slots that are repeats);
+    - ``keep``          — all three within thresholds (documents shorter
+      than the n-gram need trivially pass that signal).
+
+    unique_ratio and dup5_frac are per-row ``array_distinct`` arithmetic
+    (no shuffle). The bigram mode count needs a per-(doc, bigram) count —
+    an explode + two hash aggs whose shuffle rows are (id, short bigram,
+    count), never document bodies; at extreme scale the bigram string
+    swaps for its sha bucket exactly as in ``text.ngram_counts``. Ratios
+    round to 6 dp (cross-engine float discipline).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+
+    def grams(k: int):
+        cnt = F.greatest(n - F.lit(k - 1), F.lit(0))
+        return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), cnt),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, k))))
+
+    g5 = grams(5)
+    base = (df.select(F.col(id_col), toks.alias("__toks"),
+                      grams(2).alias("__g2"), g5.alias("__g5"))
+            .filter(F.size("__toks") > 0))
+
+    mode2 = (base.select(id_col, F.explode("__g2").alias("bg"))
+             .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+             .groupBy(id_col).agg(F.max("c").alias("__top2")))
+
+    nn = F.size("__toks")
+    n2 = F.size("__g2")
+    n5 = F.size("__g5")
+    prof = (base.join(mode2, id_col, "left")
+            .select(
+                id_col,
+                F.round(F.size(F.array_distinct("__toks"))
+                        / nn.cast("double"), 6).alias("unique_ratio"),
+                F.round(F.when(n2 > 0, F.col("__top2") / n2.cast("double"))
+                         .otherwise(F.lit(0.0)), 6).alias("top_bigram_share"),
+                F.round(F.when(n5 > 0, 1.0 - F.size(F.array_distinct("__g5"))
+                                             / n5.cast("double"))
+                         .otherwise(F.lit(0.0)), 6).alias("dup5_frac")))
+    keep = ((F.col("unique_ratio") >= min_unique_ratio)
+            & (F.col("top_bigram_share") <= max_bigram_share)
+            & (F.col("dup5_frac") <= max_dup5_frac))
+    return prof.withColumn("keep", keep)

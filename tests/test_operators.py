@@ -599,3 +599,57 @@ def test_redact_pii_order_and_kinds(spark):
     only_email = redact_pii(df, "t", kinds=["email"]).collect()[0].t
     assert "<EMAIL>" in only_email and "<CARD>" not in only_email
     assert "4111-1111-1111-1111" in only_email
+
+
+def test_chunk_tokens_windows_and_edges(spark):
+    from data_engineering__spark.operators.chunking import chunk_tokens
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g"),   # 7 tokens
+         Row(doc_id=2, text="   "),             # blank → 0 chunks
+         Row(doc_id=3, text="x")])              # single token
+    out = chunk_tokens(docs, "doc_id", "text", size=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc
+    # doc 1: starts 0,2,4,6 → windows of ≤4 tokens, step 2
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_text for r in c1] == [
+        "a b c d", "c d e f", "e f g", "g"]
+    assert [r.n_tokens for r in c1] == [4, 4, 3, 1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert by_doc[3][0].chunk_text == "x"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_tokens(docs, "doc_id", "text", size=4, overlap=4)
+
+
+def test_pack_sequences_conserves_tokens_and_bounds(spark):
+    from data_engineering__spark.operators.chunking import pack_sequences
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["t"] * n))
+         for i, n in enumerate([5, 9, 3, 14, 1, 7, 0, 6])])
+    out = pack_sequences(docs, "doc_id", "text",
+                         capacity=10, bucket_size=3).collect()
+    total = sum(r.n_tokens for r in out)
+    assert total == 5 + 9 + 3 + 14 + 1 + 7 + 6  # blank doc contributes 0
+    seqs = sorted(out, key=lambda r: r.seq_id)
+    assert [r.seq_id for r in seqs] == list(range(len(seqs)))
+    assert all(r.n_tokens == 10 for r in seqs[:-1])      # full except last
+    assert seqs[-1].n_tokens == total - 10 * (len(seqs) - 1)
+    # doc 3 (14 tokens, offset 17) straddles seqs 1..3 → counted in each
+    assert sum(r.n_docs for r in seqs) >= len(seqs) + 2
+
+
+def test_repetition_profile_flags_loops(spark):
+    from data_engineering__spark.operators.chunking import repetition_profile
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="spam ham " * 30),          # looping bigram
+         Row(doc_id=2, text="one two three four five six seven eight"),
+         Row(doc_id=3, text="")])
+    out = {r.doc_id: r for r in
+           repetition_profile(docs, "doc_id", "text").collect()}
+    assert 3 not in out                        # empty doc → no profile row
+    assert out[1].keep is False and out[2].keep is True
+    assert out[1].unique_ratio < 0.1 and out[1].dup5_frac > 0.9
+    assert out[2].unique_ratio == 1.0 and out[2].top_bigram_share > 0
