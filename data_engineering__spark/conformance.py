@@ -1903,6 +1903,7 @@ DRIVER_PRIORITY = [
     "key_skew_profile", "pipeline_parity_incremental",
     "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
+    "approx_quantile_check",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3056,3 +3057,26 @@ def repetition_flags(spark, sf_dir):
     return repetition_profile(d, "doc_id", "text",
                               max_bigram_share=0.05, max_dup5_frac=0.30,
                               min_unique_ratio=0.40)
+
+
+@query("approx_quantile_check", oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type""")
+def approx_quantile_check(spark, sf_dir):
+    """EXT profiling: mergeable quantile sketches (percentile_approx,
+    accuracy 200 -> rank error <= 0.5%) audited against exact interpolated
+    quantiles at p +/- 0.02 (4x the sketch guarantee, so the flag is stably
+    TRUE down to ~200-row groups while a broken sketch still lands far
+    outside). Same oracle device as the HLL rollup: emitted columns are
+    n + raw MIN/MAX (bit-exact existing values) + the within-window flags;
+    the interpolated bounds themselves are dropped - two valid lerp orders
+    can straddle a rounding boundary, so they never cross the engine
+    boundary (observed: 156.63595 rounding 4 dp differently)."""
+    from .operators.sketches import quantile_sketch_check
+    ev = read_table(spark, sf_dir, "events")
+    chk = quantile_sketch_check(ev, ["event_type"], "value",
+                                probs=[0.5, 0.95], accuracy=200,
+                                rank_tol=0.02)
+    return chk.select("event_type", "n", "vmin", "vmax", "p50_ok", "p95_ok")

@@ -53,3 +53,57 @@ def distinct_estimate(df: DataFrame, group_cols: list[str], value_col: str,
             .agg(F.hll_sketch_estimate(
                 F.hll_sketch_agg(value_col, F.lit(lg_k)))
                 .alias("distinct_est")))
+
+
+def approx_quantiles(df: DataFrame, group_cols: list[str], value_col: str,
+                     probs: list[float], accuracy: int = 200) -> DataFrame:
+    """Per-group approximate quantiles via Spark's mergeable
+    ``percentile_approx`` sketch (rank error ≤ 1/accuracy, fixed-size
+    per-group state map-side — the same scale argument as the HLL
+    rollup: at 100 TB only sketches cross the exchange, and sketches
+    for fine groups merge into any coarser rollup)."""
+    return (df.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile_approx(
+                     value_col, F.array(*[F.lit(p) for p in probs]),
+                     F.lit(accuracy)).alias("approx")))
+
+
+def quantile_sketch_check(df: DataFrame, group_cols: list[str],
+                          value_col: str, probs: list[float],
+                          accuracy: int = 200,
+                          rank_tol: float | None = None) -> DataFrame:
+    """Approx-vs-exact quantile audit: for each probability ``p`` emit the
+    EXACT interpolated quantiles at ``p ± rank_tol`` (the sketch's rank
+    guarantee, default 1.5/accuracy) plus a boolean ``p<NN>_ok`` — the
+    sketch estimate lies within that exact-rank window.
+
+    Output per group: ``n``, raw ``vmin``/``vmax`` (existing values —
+    bit-exact on any engine), and per-p ``p<NN>_lo, p<NN>_hi, p<NN>_ok``
+    (bounds rounded to 4 dp). NOTE for cross-engine hashing: interpolated
+    quantiles are NOT safe to hash-compare (two lerp orders can land either
+    side of a rounding boundary — observed at 4 dp on real data); oracle
+    queries should project n/vmin/vmax + the flags and DROP lo/hi,
+    mirroring ``hll_distinct_rollup``'s exact-value-plus-flag device."""
+    tol = rank_tol if rank_tol is not None else 1.5 / accuracy
+    agg = [F.count(F.lit(1)).alias("n"),
+           F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")]
+    for p in probs:
+        tag = f"p{int(round(p * 100)):02d}"
+        lo_p, hi_p = max(p - tol, 0.0), min(p + tol, 1.0)
+        agg += [
+            F.round(F.percentile(value_col, F.lit(lo_p)), 4).alias(f"{tag}_lo"),
+            F.round(F.percentile(value_col, F.lit(hi_p)), 4).alias(f"{tag}_hi"),
+            F.percentile_approx(value_col, F.lit(p), F.lit(accuracy))
+             .alias(f"__{tag}_a"),
+            F.percentile(value_col, F.lit(lo_p)).alias(f"__{tag}_l"),
+            F.percentile(value_col, F.lit(hi_p)).alias(f"__{tag}_h"),
+        ]
+    out = df.groupBy(*group_cols).agg(*agg)
+    for p in probs:
+        tag = f"p{int(round(p * 100)):02d}"
+        out = out.withColumn(
+            f"{tag}_ok",
+            (F.col(f"__{tag}_a") >= F.col(f"__{tag}_l"))
+            & (F.col(f"__{tag}_a") <= F.col(f"__{tag}_h")))
+    return out.drop(*[c for c in out.columns if c.startswith("__")])

@@ -653,3 +653,23 @@ def test_repetition_profile_flags_loops(spark):
     assert out[1].keep is False and out[2].keep is True
     assert out[1].unique_ratio < 0.1 and out[1].dup5_frac > 0.9
     assert out[2].unique_ratio == 1.0 and out[2].top_bigram_share > 0
+
+
+def test_quantile_sketch_check_flags_and_bounds(spark):
+    from data_engineering__spark.operators.sketches import (
+        approx_quantiles, quantile_sketch_check)
+    import random
+    rng = random.Random(7)
+    rows = [Row(g="a", v=rng.uniform(0, 100)) for _ in range(500)] \
+         + [Row(g="b", v=float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in
+           quantile_sketch_check(df, ["g"], "v", [0.5, 0.95],
+                                 accuracy=100).collect()}
+    for g, n in (("a", 500), ("b", 200)):
+        r = out[g]
+        assert r.n == n and r.p50_ok and r.p95_ok
+        assert r.p50_lo <= r.p50_hi <= r.p95_lo <= r.p95_hi
+        assert r.vmin <= r.p50_lo and r.p95_hi <= r.vmax
+    aq = approx_quantiles(df, ["g"], "v", [0.5, 0.95]).collect()
+    assert all(len(r.approx) == 2 and r.approx[0] <= r.approx[1] for r in aq)
