@@ -53,7 +53,7 @@ HEADLINE = [
     "key_skew_profile", "null_profile_events", "hll_distinct_rollup",
     "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
-    "approx_quantile_check",
+    "approx_quantile_check", "semantic_dedup",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1903,7 +1903,7 @@ DRIVER_PRIORITY = [
     "key_skew_profile", "pipeline_parity_incremental",
     "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
-    "approx_quantile_check",
+    "approx_quantile_check", "semantic_dedup",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -2651,22 +2651,25 @@ def redact_pii_docs(spark, sf_dir):
 
 # ===================== k-means-trained IVF with full training oracle (r3)
 
-def _kmeans_ivf_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
-                           nprobe: int = 2, topk: int = 10,
-                           round_dp: int = 6) -> str:
-    """DuckDB replica of kmeans_fit + ivf_topk_trained END TO END: Lloyd
-    iterations unrolled as CTE pairs (assign by squared L2 with the same
-    left-associated summation order as the Spark fold, centroid update =
-    per-component AVG rounded to ``round_dp``), final corpus assignment,
-    L2 cell probing, cosine re-rank. The round between iterations is what
-    makes float averaging cross-engine stable — see kmeans_fit."""
-    def l2sq(a: str, b: str) -> str:
-        return " + ".join(
-            f"(({a}[{i}])-({b}[{i}]))*(({a}[{i}])-({b}[{i}]))"
-            for i in range(1, dim + 1))
+def _l2sq_chain(a: str, b: str, dim: int) -> str:
+    """Squared-L2 as a left-associated per-component expression chain —
+    the same summation order as the Spark fold / dim-by-dim Arrow kernel."""
+    return " + ".join(
+        f"(({a}[{i}])-({b}[{i}]))*(({a}[{i}])-({b}[{i}]))"
+        for i in range(1, dim + 1))
 
-    ev = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
-    ctes = [f"ev AS ({ev})",
+
+def _kmeans_train_ctes(src_sql: str, k: int = 8, n_iter: int = 2,
+                       dim: int = 64, round_dp: int = 6) -> list[str]:
+    """DuckDB CTE chain replicating ``kmeans_fit`` + final assignment over
+    an arbitrary ``(vec_id, v DOUBLE[])`` source: ``ev`` (the source),
+    ``c0``..``c{n_iter}`` (Lloyd iterations — assign by squared L2 with
+    the left-fold summation order, centroid update = per-component AVG
+    rounded to ``round_dp``), and ``af`` (vec_id, cell) — the corpus
+    assignment under the FINAL centroids. The round between iterations is
+    what makes float averaging cross-engine stable — see kmeans_fit.
+    Shared by the trained-IVF and semantic-dedup oracles."""
+    ctes = [f"ev AS ({src_sql})",
             f"""c0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cell, v AS cvec FROM ev
   WHERE vec_id < {k})"""]
@@ -2676,7 +2679,7 @@ def _kmeans_ivf_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {l2sq("e.v", "c.cvec")} ASC,
+                              ORDER BY {_l2sq_chain("e.v", "c.cvec", dim)} ASC,
                                        c.cell ASC) AS rn
     FROM ev e CROSS JOIN {prev} c) WHERE rn = 1)""")
         ctes.append(f"""{cur} AS (
@@ -2688,21 +2691,33 @@ def _kmeans_ivf_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
     GROUP BY cell, i)
   GROUP BY cell)""")
     fin = f"c{n_iter}"
+    ctes.append(f"""af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2sq_chain("e.v", "c.cvec", dim)} ASC,
+                                       c.cell ASC) AS rn
+    FROM ev e CROSS JOIN {fin} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _kmeans_ivf_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
+                           nprobe: int = 2, topk: int = 10,
+                           round_dp: int = 6) -> str:
+    """DuckDB replica of kmeans_fit + ivf_topk_trained END TO END — the
+    shared training CTEs plus L2 cell probing and cosine re-rank."""
+    ctes = _kmeans_train_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        k=k, n_iter=n_iter, dim=dim, round_dp=round_dp)
+    fin = f"c{n_iter}"
     cos = _IVF_COS.format(a="e.embedding", b="q.v")
     cte_block = ",\n".join(ctes)
     return f"""
 WITH {cte_block},
-af AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {l2sq("e.v", "c.cvec")} ASC,
-                                       c.cell ASC) AS rn
-    FROM ev e CROSS JOIN {fin} c) WHERE rn = 1),
 qv AS (SELECT v FROM ev WHERE vec_id = 0),
 qc AS (
   SELECT cell FROM (
-    SELECT c.cell, {l2sq("q.v", "c.cvec")} AS d2
+    SELECT c.cell, {_l2sq_chain("q.v", "c.cvec", dim)} AS d2
     FROM {fin} c CROSS JOIN qv q)
   ORDER BY d2 ASC, cell ASC LIMIT {nprobe}),
 probe AS (
@@ -3080,3 +3095,51 @@ def approx_quantile_check(spark, sf_dir):
                                 probs=[0.5, 0.95], accuracy=200,
                                 rank_tol=0.02)
     return chk.select("event_type", "n", "vmin", "vmax", "p50_ok", "p95_ok")
+
+
+# ===================== SemDeDup-style semantic dedup (r3, EXT L-family)
+
+_SEMDEDUP_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 7 = 0)"""
+
+
+def _semantic_dedup_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
+                               threshold: float = 0.95) -> str:
+    ctes = _kmeans_train_ctes(_SEMDEDUP_SRC, k=k, n_iter=n_iter, dim=dim)
+    cos = _IVF_COS.format(a="va.v", b="vb.v")
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+dropped AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN ev va ON va.vec_id = a.vec_id
+  JOIN ev vb ON vb.vec_id = b.vec_id
+  WHERE {cos} >= {threshold})
+SELECT af.vec_id, af.cell FROM af
+WHERE af.vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+
+@query("semantic_dedup", oracle=_semantic_dedup_oracle_sql())
+def semantic_dedup_q(spark, sf_dir):
+    """EXT L-family: SemDeDup-style semantic deduplication — k-means
+    clusters (the shared trained-index oracle CTEs), then within-cluster
+    cosine >= 0.95 against any lower-id clustermate drops a vector.
+    Planted 1.001-scaled twins (cosine ~ 1) are the guaranteed semantic
+    dups; natural pairs top out at ~0.45 on this corpus, so the threshold
+    sits nowhere near a float boundary. The oracle replicates TRAINING,
+    assignment, and the greedy drop rule from first principles; output is
+    the surviving (vec_id, cell) — no float columns cross the engine
+    boundary."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = (e.filter(F.col("vec_id") % 7 == 0)
+             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(1.001)).cast("float"))
+                      .alias("embedding")))
+    corpus = e.unionByName(twins)
+    return V.semantic_dedup(corpus, k=8, n_iter=2, dim=64, threshold=0.95)

@@ -363,3 +363,42 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
              .filter(F.col("cosine") >= threshold)
              .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
              .distinct())
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8, n_iter: int = 2,
+                   dim: int = 64, threshold: float = 0.95,
+                   round_dp: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    k-means-cluster the corpus (``kmeans_fit`` — deterministic init /
+    rounds / tie-breaks), then WITHIN each cluster drop every vector whose
+    cosine similarity to a lower-id clustermate reaches ``threshold``
+    (one-pass greedy: the comparison is against all lower-id mates,
+    whether or not they themselves survive — deterministic without
+    chained passes). Returns surviving ``(id_col, cell)``.
+
+    Scale shape: clustering is the IVF training cost (broadcast
+    assignment + one partial-agg shuffle per iteration); the pairwise
+    verify self-joins ONLY within a cell — the quadratic term is bounded
+    by cell size (n/k on balanced data), the exact reason SemDeDup
+    clusters before comparing. Vectors ship solely into same-cell pairs,
+    Arrow-vectorized cosine, no driver loops."""
+    cents = kmeans_fit(df, k, n_iter, id_col, vec_col, dim, round_dp)
+    rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                  for r in cents.select("cell", "cvec").collect())
+    cent_lit = df.sparkSession.createDataFrame(
+        rows, "cell long, cvec array<double>")
+    assign = kmeans_assign(df, cent_lit, id_col, vec_col)
+    vecs = df.select(F.col(id_col).alias("__id"),
+                     as_double_array(vec_col).alias("__v"))
+    placed = assign.join(vecs, F.col(id_col) == F.col("__id")).drop("__id")
+    x = placed.select(F.col("cell"), F.col(id_col).alias("__ida"),
+                      F.col("__v").alias("__va"))
+    y = placed.select(F.col("cell"), F.col(id_col).alias("__idb"),
+                      F.col("__v").alias("__vb"))
+    dropped = (x.join(y, "cell")
+               .filter(F.col("__ida") < F.col("__idb"))
+               .withColumn("__cos", cosine_pairs_pandas())
+               .filter(F.col("__cos") >= threshold)
+               .select(F.col("__idb").alias(id_col)).distinct())
+    return assign.join(dropped, id_col, "left_anti")

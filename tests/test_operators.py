@@ -673,3 +673,19 @@ def test_quantile_sketch_check_flags_and_bounds(spark):
         assert r.vmin <= r.p50_lo and r.p95_hi <= r.vmax
     aq = approx_quantiles(df, ["g"], "v", [0.5, 0.95]).collect()
     assert all(len(r.approx) == 2 and r.approx[0] <= r.approx[1] for r in aq)
+
+
+def test_semantic_dedup_drops_twins_keeps_distinct(spark):
+    from data_engineering__spark.operators.vector import semantic_dedup
+    rows = [Row(vec_id=0, embedding=[1.0, 0.0, 0.1, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.1]),
+            Row(vec_id=2, embedding=[0.7, 0.7, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.1, 0.9, 0.0, 0.2]),
+            # exact-direction twins of 0 and 1 (scaled) → must drop
+            Row(vec_id=10, embedding=[2.0, 0.0, 0.2, 0.0]),
+            Row(vec_id=11, embedding=[0.0, 3.0, 0.0, 0.3])]
+    df = spark.createDataFrame(rows)
+    out = semantic_dedup(df, k=2, n_iter=2, dim=4, threshold=0.99)
+    ids = sorted(r.vec_id for r in out.collect())
+    assert 10 not in ids and 11 not in ids
+    assert {0, 1, 2, 3} <= set(ids)
