@@ -231,3 +231,65 @@ def test_pagerank_cycle_closed_form(spark):
         [{"src": i, "dst": (i + 1) % k} for i in range(k)])
     got = {r.id: r.rank for r in pagerank(edges, n_iter=4).collect()}
     assert got == {i: 0.1 for i in range(k)}
+
+
+@given(ns=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+       cap=st.integers(3, 20), bucket=st.integers(1, 7))
+@SETTINGS
+def test_pack_sequences_matches_sequential_definition(spark, ns, cap, bucket):
+    """The distributed two-level prefix sum must equal the sequential
+    concat-and-cut definition for ANY doc sizes / capacity / bucketing:
+    token conservation, every sequence full except the last, doc-overlap
+    counts exact."""
+    from data_engineering__spark.operators.chunking import pack_sequences
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * n)) for i, n in enumerate(ns)])
+    got = {r.seq_id: (r.n_docs, r.n_tokens)
+           for r in pack_sequences(docs, "doc_id", "text",
+                                   capacity=cap, bucket_size=bucket).collect()}
+    # sequential reference
+    want: dict[int, list[int]] = {}
+    off = 0
+    for n in ns:
+        if n == 0:
+            continue
+        for seq in range(off // cap, (off + n - 1) // cap + 1):
+            tok = min((seq + 1) * cap, off + n) - max(seq * cap, off)
+            d, t = want.get(seq, (0, 0))
+            want[seq] = (d + 1, t + tok)
+        off += n
+    assert got == want
+
+
+@given(ns=st.lists(st.integers(0, 30), min_size=1, max_size=12),
+       size=st.integers(2, 10), overlap=st.integers(0, 8))
+@SETTINGS
+def test_chunk_tokens_cover_stream_with_exact_overlap(spark, ns, size, overlap):
+    """Chunks tile each doc: chunk i starts at i*step, consecutive chunks
+    overlap by exactly `overlap` tokens (final chunk may be short), and
+    concatenating each chunk's fresh suffix rebuilds the token stream."""
+    from data_engineering__spark.operators.chunking import chunk_tokens
+    if overlap >= size:
+        overlap = size - 1
+    step = size - overlap
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate(ns)])
+    out = chunk_tokens(docs, "doc_id", "text", size=size, overlap=overlap)
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split(" ")
+    for i, n in enumerate(ns):
+        toks = [f"t{j}" for j in range(n)]
+        chunks = by_doc.get(i, {})
+        if n == 0:
+            assert chunks == {}
+            continue
+        assert sorted(chunks) == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for cid in sorted(chunks):
+            c = chunks[cid]
+            assert c == toks[cid * step: cid * step + size]
+            rebuilt.extend(c if cid == 0 else c[overlap:] if len(c) > overlap else [])
+        # every chunk start < n → full stream covered
+        assert rebuilt[:n] == toks
