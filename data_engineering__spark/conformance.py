@@ -1904,6 +1904,7 @@ DRIVER_PRIORITY = [
     "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
+    "resample_locf_events", "grouping_sets_counts",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3143,3 +3144,74 @@ def semantic_dedup_q(spark, sf_dir):
                       .alias("embedding")))
     corpus = e.unionByName(twins)
     return V.semantic_dedup(corpus, k=8, n_iter=2, dim=64, threshold=0.95)
+
+
+# ============== hypertable-style resample + LOCF gap fill (r3, EXT temporal)
+
+@query("resample_locf_events", oracle="""
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 1000000) // 3600) * 3600 AS bucket_start,
+         value
+  FROM events WHERE user_id < 30),
+agg AS (
+  SELECT user_id, bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 100) AS v
+  FROM ev GROUP BY 1, 2),
+span AS (
+  SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+  FROM agg GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_start
+  FROM span),
+j AS (
+  SELECT g.user_id, g.bucket_start,
+         COALESCE(a.n, 0) AS n, a.v
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket_start))
+SELECT user_id, bucket_start, n, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM j""")
+def resample_locf_events(spark, sf_dir):
+    """EXT temporal (the 'hypertable rollup' family): per-user hourly
+    resample of the event stream with dense gap buckets and
+    last-observation-carried-forward fill. One shuffle to (user, bucket)
+    partial aggregates; the dense grid explodes from each user's 2-scalar
+    span; LOCF is a per-user ordered window (state = one carried value).
+    The per-bucket mean is an exact scaled-integer-cents division (NOT
+    ROUND(AVG) — 2-row means sit on .xx5 half-boundaries where Spark's
+    decimal-string HALF_UP and DuckDB's binary-double round disagree).
+    Bucket boundaries are epoch-second arithmetic (floor), matching the
+    oracle's integer formulation exactly."""
+    from .operators.temporal import resample_locf
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return resample_locf(ev, "ts", ["user_id"], "value",
+                         every_seconds=3600, round_dp=2)
+
+
+@query("grouping_sets_counts", oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), (o_orderstatus), ())""")
+def grouping_sets_counts(spark, sf_dir):
+    """A10 generalization: explicit GROUPING SETS (the superset operator
+    rollup and cube compile to) through the SQL API, with the GROUPING()
+    marker disambiguating the all-rows NULL from a genuine NULL group.
+    One shuffle: Spark expands the sets map-side, aggregates once."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority) * 2
+                    + GROUPING(o_orderstatus) AS INT) AS gid,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())""")

@@ -95,3 +95,55 @@ def range_join_bucketed(facts: DataFrame, ranges: DataFrame, value_col: str,
                              F.floor((F.col(hi_col) - 1) / bucket_width))))
     cond = (F.col(value_col) >= rb[lo_col]) & (F.col(value_col) < rb[hi_col])
     return fb.join(rb, ["__bucket"], "inner").filter(cond).drop("__bucket")
+
+
+def resample_locf(df: DataFrame, ts_col: str, key_cols: list[str],
+                  value_col: str, every_seconds: int = 3600,
+                  round_dp: int = 2) -> DataFrame:
+    """Hypertable-style resample: bucket events into fixed intervals per
+    key, fill EMPTY buckets between each key's first and last observation,
+    and carry the last observed aggregate forward (LOCF — the standard
+    gap-fill for sensor/metric series).
+
+    Output per (key, bucket): ``bucket_start`` (epoch seconds), ``n``
+    (observed rows, 0 for gap buckets), ``v`` (per-bucket mean of
+    ``value_col``), ``v_filled`` (LOCF).
+
+    Engine parity: the mean is computed as an EXACT scaled-integer sum
+    (``Σ round(value·10^round_dp)`` — a long) divided by ``10^round_dp·n``
+    — one IEEE division of exact integers, bit-identical on any engine.
+    ``ROUND(AVG(x), 2)`` is NOT safe to hash: a 2-row mean lands on the
+    .xx5 half-boundary constantly, where Spark's round (decimal-string
+    HALF_UP) and DuckDB's (binary-double) disagree — observed 39.785 →
+    39.79 vs 39.78.
+
+    Scale shape: ONE hash shuffle to (key, bucket) partial aggregates —
+    raw rows never re-shuffle; the dense grid explodes from each key's
+    2-scalar span (span/every rows per key); the carry-forward is a
+    window per key over bucket order. State = one carried value per key,
+    same skew profile as the key itself. The grid join is a left join of
+    generated buckets to the tiny aggregate frame on (key, bucket).
+    """
+    scale = 10 ** round_dp
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / every_seconds)
+              * every_seconds).cast("long")
+    agg = (df.select(*key_cols, bucket.alias("bucket_start"),
+                     F.round(F.col(value_col) * scale).cast("long")
+                      .alias("__cents"))
+           .groupBy(*key_cols, "bucket_start")
+           .agg(F.count(F.lit(1)).alias("n"),
+                (F.sum("__cents").cast("double")
+                 / (F.count(F.lit(1)) * scale)).alias("v")))
+    span = (agg.groupBy(*key_cols)
+            .agg(F.min("bucket_start").alias("__lo"),
+                 F.max("bucket_start").alias("__hi")))
+    grid = span.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.lit(every_seconds))).alias("bucket_start"))
+    joined = (grid.join(agg, [*key_cols, "bucket_start"], "left")
+              .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    w = (Window.partitionBy(*key_cols).orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.withColumn("v_filled",
+                             F.last("v", ignorenulls=True).over(w))

@@ -689,3 +689,25 @@ def test_semantic_dedup_drops_twins_keeps_distinct(spark):
     ids = sorted(r.vec_id for r in out.collect())
     assert 10 not in ids and 11 not in ids
     assert {0, 1, 2, 3} <= set(ids)
+
+
+def test_resample_locf_fills_gaps_and_carries(spark):
+    from datetime import datetime
+
+    from data_engineering__spark.operators.temporal import resample_locf
+    rows = [Row(k="a", ts=datetime(2024, 1, 1, 0, 10), v=10.0),
+            Row(k="a", ts=datetime(2024, 1, 1, 0, 50), v=20.0),
+            # 2-hour gap → buckets 01:00 and 02:00 empty, filled with 15.0
+            Row(k="a", ts=datetime(2024, 1, 1, 3, 5), v=40.0),
+            Row(k="b", ts=datetime(2024, 1, 1, 5, 0), v=7.0)]
+    df = spark.createDataFrame(rows)
+    out = {(r.k, r.bucket_start): r for r in
+           resample_locf(df, "ts", ["k"], "v", every_seconds=3600).collect()}
+    h0 = 1704067200  # 2024-01-01T00:00Z
+    assert len([1 for k, _ in out if k == "a"]) == 4   # dense 00..03
+    assert out[("a", h0)].v == 15.0 and out[("a", h0)].n == 2
+    for hour in (1, 2):                                # gap buckets
+        r = out[("a", h0 + 3600 * hour)]
+        assert r.n == 0 and r.v is None and r.v_filled == 15.0
+    assert out[("a", h0 + 3600 * 3)].v_filled == 40.0
+    assert out[("b", h0 + 3600 * 5)].v_filled == 7.0   # single-bucket key
