@@ -122,43 +122,48 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str,
     - ``keep``          — all three within thresholds (documents shorter
       than the n-gram need trivially pass that signal).
 
-    unique_ratio and dup5_frac are per-row ``array_distinct`` arithmetic
-    (no shuffle). The bigram mode count needs a per-(doc, bigram) count —
-    an explode + two hash aggs whose shuffle rows are (id, short bigram,
-    count), never document bodies; at extreme scale the bigram string
-    swaps for its sha bucket exactly as in ``text.ngram_counts``. Ratios
-    round to 6 dp (cross-engine float discipline).
+    Formulation: posexplode the token stream ONCE (the tokenizer runs one
+    time per row in the Generate), build bigrams/5-grams with window
+    ``lead`` over (doc, pos) — ONE hash shuffle on doc_id that the
+    n-gram windows and every per-doc aggregate all reuse. An earlier
+    array-HOF formulation (``transform(sequence, slice(tokens(...)))``)
+    re-evaluated the regex tokenizer PER ELEMENT inside the interpreted
+    lambda — ~25× slower at sf0.1 (the same pitfall SURVEY R20 records
+    for signature kernels). Shuffle rows are (id, pos, short n-grams) —
+    never document bodies. Ratios round to 6 dp (cross-engine float
+    discipline; 6-dp ties round identically in Spark and DuckDB).
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
+    tok = (df.select(F.col(id_col),
+                     F.posexplode(tokens(text_col)).alias("__pos", "__tok")))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    leads = [F.lead("__tok", i).over(w).alias(f"__t{i}") for i in range(1, 5)]
+    g = tok.select(id_col, "__pos", "__tok", *leads).select(
+        id_col, "__tok",
+        F.when(F.col("__t1").isNotNull(),
+               F.concat_ws(" ", "__tok", "__t1")).alias("__bg"),
+        F.when(F.col("__t4").isNotNull(),
+               F.concat_ws(" ", "__tok", "__t1", "__t2", "__t3", "__t4"))
+         .alias("__g5"))
 
-    def grams(k: int):
-        cnt = F.greatest(n - F.lit(k - 1), F.lit(0))
-        return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
-            F.transform(F.sequence(F.lit(1), cnt),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, k))))
-
-    g5 = grams(5)
-    base = (df.select(F.col(id_col), toks.alias("__toks"),
-                      grams(2).alias("__g2"), g5.alias("__g5"))
-            .filter(F.size("__toks") > 0))
-
-    mode2 = (base.select(id_col, F.explode("__g2").alias("bg"))
-             .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    base = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct("__tok").alias("__du"),
+        F.count("__bg").alias("__n2"),
+        F.countDistinct("__g5").alias("__d5"),
+        F.count("__g5").alias("__n5"))
+    mode2 = (g.filter(F.col("__bg").isNotNull())
+             .groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("c"))
              .groupBy(id_col).agg(F.max("c").alias("__top2")))
 
-    nn = F.size("__toks")
-    n2 = F.size("__g2")
-    n5 = F.size("__g5")
+    n2, n5 = F.col("__n2"), F.col("__n5")
     prof = (base.join(mode2, id_col, "left")
             .select(
                 id_col,
-                F.round(F.size(F.array_distinct("__toks"))
-                        / nn.cast("double"), 6).alias("unique_ratio"),
+                F.round(F.col("__du") / F.col("__n").cast("double"), 6)
+                 .alias("unique_ratio"),
                 F.round(F.when(n2 > 0, F.col("__top2") / n2.cast("double"))
                          .otherwise(F.lit(0.0)), 6).alias("top_bigram_share"),
-                F.round(F.when(n5 > 0, 1.0 - F.size(F.array_distinct("__g5"))
-                                             / n5.cast("double"))
+                F.round(F.when(n5 > 0, 1.0 - F.col("__d5") / n5.cast("double"))
                          .otherwise(F.lit(0.0)), 6).alias("dup5_frac")))
     keep = ((F.col("unique_ratio") >= min_unique_ratio)
             & (F.col("top_bigram_share") <= max_bigram_share)
