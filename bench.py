@@ -54,7 +54,7 @@ HEADLINE = [
     "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
-    "resample_locf_events", "grouping_sets_counts",
+    "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

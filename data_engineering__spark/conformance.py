@@ -1904,7 +1904,7 @@ DRIVER_PRIORITY = [
     "null_profile_events", "hll_distinct_rollup", "redact_pii_docs",
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
-    "resample_locf_events", "grouping_sets_counts",
+    "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3215,3 +3215,78 @@ def grouping_sets_counts(spark, sf_dir):
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus), ())""")
+
+
+# ============ end-to-end corpus curation funnel (r3, EXT training prep)
+
+@query("curate_corpus_funnel", oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+tk AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM corpus),
+t1 AS (SELECT * FROM tk WHERE len(toks) BETWEEN 20 AND 100),
+g2 AS (
+  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS bg
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t1 WHERE len(toks) >= 2)),
+m2 AS (
+  SELECT doc_id, MAX(c) AS top2
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+sig AS (
+  SELECT t1.doc_id, t1.text,
+         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uq,
+         ROUND(CASE WHEN len(toks) >= 2
+                    THEN CAST(top2 AS DOUBLE) / (len(toks) - 1)
+                    ELSE 0.0 END, 6) AS bgs,
+         ROUND(CASE WHEN len(toks) >= 5 THEN
+                 1 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(toks) - 4),
+                       i -> array_to_string(toks[i : i + 4], ' ')))) AS DOUBLE)
+                     / (len(toks) - 4)
+               ELSE 0.0 END, 6) AS d5
+  FROM t1 LEFT JOIN m2 USING (doc_id)),
+t2 AS (SELECT doc_id, text FROM sig
+       WHERE uq >= 0.40 AND bgs <= 0.05 AND d5 <= 0.30),
+t3 AS (SELECT doc_id FROM t2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                                  ORDER BY doc_id) = 1)
+SELECT 'p0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM corpus
+UNION ALL SELECT 'p1_length', CAST(COUNT(*) AS BIGINT) FROM t1
+UNION ALL SELECT 'p2_repetition', CAST(COUNT(*) AS BIGINT) FROM t2
+UNION ALL SELECT 'p3_exact_dedup', CAST(COUNT(*) AS BIGINT) FROM t3""")
+def curate_corpus_funnel(spark, sf_dir):
+    """EXT training prep: the end-to-end curation funnel — token-length
+    gate → repetition filter (R62 signals, same thresholds) → exact
+    near-identity dedup (planted byte-identical twins at doc_id+3e6
+    guarantee the dedup stage actually drops rows) — reported as
+    per-stage surviving-row counts, the number every corpus curation run
+    publishes. Each stage composes the SHIPPED operators; the oracle
+    recomputes the whole funnel from first principles."""
+    from .operators.chunking import repetition_profile
+    from .operators.dedup import exact_text_dedup
+    from .operators.text import token_count
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (d.filter(F.col("doc_id") % 9 == 0)
+               .select((F.col("doc_id") + 3000000).alias("doc_id"), "text"))
+    corpus = d.unionByName(planted)
+    t1 = corpus.filter(token_count("text").between(20, 100))
+    keep = (repetition_profile(t1, "doc_id", "text",
+                               max_bigram_share=0.05, max_dup5_frac=0.30,
+                               min_unique_ratio=0.40)
+            .filter(F.col("keep")).select("doc_id"))
+    t2 = t1.join(keep, "doc_id")
+    t3 = exact_text_dedup(t2, "text", [F.asc("doc_id")])
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n")) \
+                 .select(F.lit(name).alias("stage"), "n")
+
+    return (stage(corpus, "p0_input")
+            .unionByName(stage(t1, "p1_length"))
+            .unionByName(stage(t2, "p2_repetition"))
+            .unionByName(stage(t3, "p3_exact_dedup")))

@@ -711,3 +711,36 @@ def test_resample_locf_fills_gaps_and_carries(spark):
         assert r.n == 0 and r.v is None and r.v_filled == 15.0
     assert out[("a", h0 + 3600 * 3)].v_filled == 40.0
     assert out[("b", h0 + 3600 * 5)].v_filled == 7.0   # single-bucket key
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """The clustered writer must produce parquet files whose footer
+    min/max ranges on the cluster key are pairwise non-overlapping —
+    that disjointness IS the data-skipping guarantee (a predicate
+    touches one range's files, every other footer rules itself out)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_engineering__spark.sources.io import write_clustered
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+              .select("l_orderkey", "l_quantity")
+    out = str(tmp_path / "clustered")
+    write_clustered(li, out, ["l_orderkey"], n_ranges=4)
+    ranges = []
+    total = 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            los.append(st.min); his.append(st.max)
+        ranges.append((min(los), max(his)))
+    assert total == li.count()
+    ranges.sort()
+    assert len(ranges) >= 3               # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                 # pairwise disjoint (sorted files)
