@@ -55,6 +55,7 @@ HEADLINE = [
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
+    "normalize_text_docs",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1905,6 +1905,7 @@ DRIVER_PRIORITY = [
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
+    "normalize_text_docs",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3290,3 +3291,35 @@ def curate_corpus_funnel(spark, sf_dir):
             .unionByName(stage(t1, "p1_length"))
             .unionByName(stage(t2, "p2_repetition"))
             .unionByName(stage(t3, "p3_exact_dedup")))
+
+
+@query("normalize_text_docs", oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' caf' || chr(101) || chr(769) || ' A' || chr(776)
+              || 'ring man' || chr(771) || 'ana' || chr(9)
+              || ' spaced  end ' AS t
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+         strip_accents(nfc_normalize(t)),
+         '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS normalized
+FROM aug""")
+def normalize_text_docs(spark, sf_dir):
+    """EXT curation preprocessing: Unicode NFC + accent strip + control/
+    whitespace cleanup. The corpus is ASCII, so the query PLANTS decomposed
+    specimens (e + combining acute, A + combining diaeresis, n + combining
+    tilde, a tab, double spaces) before normalizing; the oracle replicates
+    with DuckDB's nfc_normalize/strip_accents — byte-for-byte because both
+    engines implement the same Unicode-standard transforms (parity
+    spot-checked on composed AND decomposed forms)."""
+    from .operators.text import normalize_text
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 11 == 0))
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" café Äring mañana\t"
+                       " spaced  end ")).alias("t"))
+    return normalize_text(aug, "t", out_col="normalized").select(
+        "doc_id", "normalized")

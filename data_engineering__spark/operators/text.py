@@ -318,3 +318,42 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None,
         if name in want:
             col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col, col)
+
+
+def normalize_text(df: DataFrame, text_col: str,
+                   out_col: str | None = None) -> DataFrame:
+    """EXT curation preprocessing: Unicode normalization — NFC compose,
+    accent/diacritic strip (NFD → drop combining marks → NFC), control
+    chars → space, whitespace collapse, trim.
+
+    The Unicode steps run in ONE Arrow-batched pandas UDF (there is no
+    JVM-builtin normalizer in Spark SQL); the whitespace/control cleanup
+    stays in codegen ``regexp_replace`` AFTER the UDF so the regex share
+    of the work is JVM-side. Both steps are deterministic Unicode-standard
+    transforms, so a SQL engine with ``nfc_normalize``/``strip_accents``
+    (DuckDB) reproduces them byte-for-byte — the conformance oracle does.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    out_col = out_col or text_col
+
+    # NB: hint-free on purpose — `from __future__ import annotations`
+    # stringifies hints and pandas_udf cannot resolve local names
+    def strip_marks(ser):
+        import unicodedata
+
+        def one(s):
+            if s is None:
+                return None
+            s = unicodedata.normalize("NFC", s)
+            s = "".join(c for c in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(c))
+            return unicodedata.normalize("NFC", s)
+
+        return ser.map(one)
+
+    deaccented = pandas_udf(strip_marks, "string")(F.col(text_col))
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(deaccented, r"[\x00-\x1f\x7f]", " "),
+        r"\s+", " "))
+    return df.withColumn(out_col, cleaned)

@@ -744,3 +744,16 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) >= 3               # range partitioner actually split
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2                 # pairwise disjoint (sorted files)
+
+
+def test_normalize_text_unicode_forms(spark):
+    from data_engineering__spark.operators.text import normalize_text
+    rows = [Row(id=1, t="café"),            # precomposed é
+            Row(id=2, t="café"),           # e + combining acute
+            Row(id=3, t="a\tb\x0cc  d "),        # controls + runs
+            Row(id=4, t=None)]
+    out = {r.id: r.norm for r in
+           normalize_text(spark.createDataFrame(rows), "t", "norm").collect()}
+    assert out[1] == out[2] == "cafe"            # both forms converge
+    assert out[3] == "a b c d"
+    assert out[4] is None
