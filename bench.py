@@ -55,7 +55,8 @@ HEADLINE = [
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
-    "normalize_text_docs",
+    "normalize_text_docs", "cohort_retention_weekly",
+    "conversion_funnel_steps",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

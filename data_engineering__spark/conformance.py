@@ -1905,7 +1905,8 @@ DRIVER_PRIORITY = [
     "chunk_documents", "pack_training_sequences", "repetition_flags",
     "approx_quantile_check", "semantic_dedup",
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
-    "normalize_text_docs",
+    "normalize_text_docs", "cohort_retention_weekly",
+    "conversion_funnel_steps",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3323,3 +3324,50 @@ def normalize_text_docs(spark, sf_dir):
                        " spaced  end ")).alias("t"))
     return normalize_text(aug, "t", out_col="normalized").select(
         "doc_id", "normalized")
+
+
+# ============ behavioral analytics: cohorts + funnels (r3, EXT OLAP)
+
+@query("cohort_retention_weekly", oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_us(ts) // 1000000) // 604800 AS w
+  FROM events),
+cohort AS (SELECT u, MIN(w) AS cw FROM act GROUP BY u)
+SELECT c.cw AS cohort_week, a.w - c.cw AS week_offset,
+       CAST(COUNT(DISTINCT a.u) AS BIGINT) AS n_users
+FROM act a JOIN cohort c ON a.u = c.u
+GROUP BY 1, 2""")
+def cohort_retention_weekly(spark, sf_dir):
+    """EXT OLAP: weekly cohort retention — users keyed by the epoch-week
+    of their first event, counted at each later active week's offset.
+    Pure integer epoch-week arithmetic (floor), two partial aggregates +
+    one user-keyed join."""
+    from .operators.analytics import cohort_retention
+    ev = read_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+@query("conversion_funnel_steps", oracle="""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS t,
+         (epoch_us(ts) // 1000000) AS s
+  FROM events),
+s0 AS (SELECT u, MIN(s) AS ft FROM ev WHERE t = 'view' GROUP BY u),
+s1 AS (SELECT e.u, MIN(e.s) AS ft FROM ev e JOIN s0 ON e.u = s0.u
+       WHERE e.t = 'click' AND e.s > s0.ft GROUP BY e.u),
+s2 AS (SELECT e.u, MIN(e.s) AS ft FROM ev e JOIN s1 ON e.u = s1.u
+       WHERE e.t = 'purchase' AND e.s > s1.ft GROUP BY e.u)
+SELECT 'view' AS step, CAST(0 AS INT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 'click', CAST(1 AS INT), CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 'purchase', CAST(2 AS INT), CAST(COUNT(*) AS BIGINT) FROM s2""")
+def conversion_funnel_steps(spark, sf_dir):
+    """EXT OLAP: ordered view → click → purchase funnel — a user reaches
+    step k at the earliest step-k event strictly after their step-(k-1)
+    time; per-step user counts. Epoch-second comparisons only (no float
+    crosses the boundary); each step is a user-keyed join + conditional
+    min."""
+    from .operators.analytics import conversion_funnel
+    ev = read_table(spark, sf_dir, "events")
+    return conversion_funnel(ev, ["view", "click", "purchase"])

@@ -1,0 +1,78 @@
+"""Behavioral analytics over the event stream (EXT: the OLAP query
+patterns an analytics engine is expected to answer out of the box —
+cohort retention and ordered conversion funnels).
+
+Both are pure integer/epoch arithmetic + hash aggregates: no windows over
+the whole stream, no Python, shuffles carry (user, week/stage) rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WEEK_SECONDS = 7 * 86400
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     max_offset: int | None = None) -> DataFrame:
+    """Weekly cohort retention matrix: users bucket into the epoch-week of
+    their FIRST event (cohort); each later active week counts them at
+    ``week_offset = active_week - cohort_week``. Returns
+    (cohort_week, week_offset, n_users) with epoch-week integers (floor
+    of epoch seconds / 604800 — cross-engine exact).
+
+    Plan: one distinct-activity aggregate, one min-per-user aggregate
+    (both partial map-side), a join on user, and the final count —
+    every shuffle keyed on the user id."""
+    week = F.floor(F.unix_timestamp(F.col(ts_col)) / WEEK_SECONDS) \
+            .cast("long")
+    act = (events.select(F.col(user_col).alias("u"), week.alias("w"))
+           .distinct())
+    cohort = act.groupBy("u").agg(F.min("w").alias("cw"))
+    ret = (act.join(cohort, "u")
+           .select("u", F.col("cw").alias("cohort_week"),
+                   (F.col("w") - F.col("cw")).alias("week_offset")))
+    if max_offset is not None:
+        ret = ret.filter(F.col("week_offset") <= max_offset)
+    return (ret.groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("u").alias("n_users")))
+
+
+def conversion_funnel(events: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k at the EARLIEST
+    event of type ``steps[k]`` that is strictly after their step-(k-1)
+    time. Returns one row per step: (step, stage, n_users) with ``stage``
+    the 0-based index — the canonical activation/checkout report.
+
+    Plan: one conditional-min aggregate per user for step 0, then per
+    later step a semi-structured self-pass — events of that type joined
+    to the running frontier on user with ts > frontier, min-aggregated.
+    Each pass is a hash join + partial-agg shuffle on the user id; the
+    event table is scanned once per step with the type filter pushed to
+    the parquet scan."""
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.col(type_col).alias("t"),
+                       F.unix_timestamp(F.col(ts_col)).alias("s"))
+    frontier = (ev.filter(F.col("t") == steps[0])
+                .groupBy("u").agg(F.min("s").alias("ft")))
+    out = [(steps[0], 0, frontier)]
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (ev.filter(F.col("t") == step)
+               .join(frontier, "u")
+               .filter(F.col("s") > F.col("ft"))
+               .groupBy("u").agg(F.min("s").alias("ft")))
+        out.append((step, k, nxt))
+        frontier = nxt
+    parts = [
+        f.agg(F.count(F.lit(1)).alias("n_users"))
+         .select(F.lit(name).alias("step"),
+                 F.lit(k).cast("int").alias("stage"), "n_users")
+        for name, k, f in out]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res

@@ -757,3 +757,41 @@ def test_normalize_text_unicode_forms(spark):
     assert out[1] == out[2] == "cafe"            # both forms converge
     assert out[3] == "a b c d"
     assert out[4] is None
+
+
+def test_conversion_funnel_is_order_sensitive(spark):
+    from datetime import datetime
+
+    from data_engineering__spark.operators.analytics import conversion_funnel
+
+    def e(u, t, m):
+        return Row(user_id=u, event_type=t, ts=datetime(2024, 1, 1, 0, m))
+    rows = [
+        # u1 completes in order
+        e(1, "view", 1), e(1, "click", 2), e(1, "purchase", 3),
+        # u2 clicks BEFORE viewing → click must not count
+        e(2, "click", 1), e(2, "view", 2),
+        # u3 views only
+        e(3, "view", 5),
+        # u4 purchase before click → stops at click
+        e(4, "view", 1), e(4, "purchase", 2), e(4, "click", 3),
+    ]
+    out = {r.step: r.n_users for r in conversion_funnel(
+        spark.createDataFrame(rows), ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import cohort_retention
+    base = datetime(2024, 1, 4)          # mid-week; offsets via +7d steps
+    rows = [Row(user_id=1, ts=base), Row(user_id=1, ts=base + timedelta(days=7)),
+            Row(user_id=1, ts=base + timedelta(days=15)),
+            Row(user_id=2, ts=base + timedelta(days=7))]
+    out = {(r.cohort_week, r.week_offset): r.n_users for r in
+           cohort_retention(spark.createDataFrame(rows)).collect()}
+    w0 = int(base.timestamp()) // 604800
+    assert out[(w0, 0)] == 1                       # u1's first week
+    assert out[(w0 + 1, 0)] == 1                   # u2's own cohort
+    assert out[(w0, 1)] == 1 and out[(w0, 2)] == 1  # u1 retained wk1, wk2
