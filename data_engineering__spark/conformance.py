@@ -1906,7 +1906,7 @@ DRIVER_PRIORITY = [
     "approx_quantile_check", "semantic_dedup",
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
     "normalize_text_docs", "cohort_retention_weekly",
-    "conversion_funnel_steps",
+    "conversion_funnel_steps", "time_weighted_avg_users",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3371,3 +3371,30 @@ def conversion_funnel_steps(spark, sf_dir):
     from .operators.analytics import conversion_funnel
     ev = read_table(spark, sf_dir, "events")
     return conversion_funnel(ev, ["view", "click", "purchase"])
+
+
+@query("time_weighted_avg_users", oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 100),
+stepped AS (
+  SELECT user_id, us, cents,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us) AS next_us
+  FROM ev),
+seg AS (SELECT * FROM stepped WHERE next_us IS NOT NULL)
+SELECT user_id,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_obs,
+       CAST(SUM(cents * (next_us - us)) AS DOUBLE)
+         / (100 * (MAX(next_us) - MIN(us))) AS twa
+FROM seg GROUP BY user_id""")
+def time_weighted_avg_users(spark, sf_dir):
+    """EXT temporal (hypertable family #3): per-user time-weighted average
+    of the irregular value series — each observation holds until the next
+    (LOCF step integral) so sparse bursts don't dominate the mean. The
+    weighted sum is EXACT integer cents x epoch-microsecond gaps with one
+    final IEEE division (never a hashed parallel float sum); the oracle is
+    the identical integer formulation over LEAD()."""
+    from .operators.temporal import time_weighted_avg
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return time_weighted_avg(ev, "ts", ["user_id"], "value")

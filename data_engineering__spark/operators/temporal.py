@@ -147,3 +147,42 @@ def resample_locf(df: DataFrame, ts_col: str, key_cols: list[str],
          .rowsBetween(Window.unboundedPreceding, 0))
     return joined.withColumn("v_filled",
                              F.last("v", ignorenulls=True).over(w))
+
+
+def time_weighted_avg(df: DataFrame, ts_col: str, key_cols: list[str],
+                      value_col: str, round_dp: int = 2) -> DataFrame:
+    """Hypertable-family: per-key time-weighted average of an irregular
+    series — each observation's value holds until the next observation
+    (the LOCF step function), so TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first).
+    Keys with fewer than 2 observations drop (zero span — no area).
+
+    Engine parity by exact integers: value scales to cents (long), gaps
+    are epoch-microsecond longs, the weighted sum Σ cents·gap_µs is exact
+    64-bit (≤ ~1e17 at this data scale, far from overflow), and ONE final
+    IEEE division by (100 · span_µs) produces a bit-identical double on
+    any engine — the same discipline as ``resample_locf``: never hash a
+    parallel float sum.
+
+    Plan: one shuffle on the key for the lead() window, then a partial
+    aggregate on the same partitioning (no second exchange).
+    """
+    scale = 10 ** round_dp
+    w = Window.partitionBy(*key_cols).orderBy("__us")
+    us = F.unix_micros(F.col(ts_col))
+    stepped = (df.select(*key_cols,
+                         us.alias("__us"),
+                         F.round(F.col(value_col) * scale).cast("long")
+                          .alias("__cents"))
+               .withColumn("__next_us", F.lead("__us").over(w)))
+    seg = stepped.filter(F.col("__next_us").isNotNull()).select(
+        *key_cols,
+        (F.col("__cents") * (F.col("__next_us") - F.col("__us")))
+        .alias("__area"), "__us", "__next_us")
+    return (seg.groupBy(*key_cols)
+            .agg(F.sum("__area").alias("__a"),
+                 F.min("__us").alias("__lo"), F.max("__next_us").alias("__hi"),
+                 (F.count(F.lit(1)) + 1).alias("n_obs"))
+            .select(*key_cols, "n_obs",
+                    (F.col("__a").cast("double")
+                     / (F.lit(scale) * (F.col("__hi") - F.col("__lo"))))
+                    .alias("twa")))

@@ -795,3 +795,18 @@ def test_cohort_retention_offsets(spark):
     assert out[(w0, 0)] == 1                       # u1's first week
     assert out[(w0 + 1, 0)] == 1                   # u2's own cohort
     assert out[(w0, 1)] == 1 and out[(w0, 2)] == 1  # u1 retained wk1, wk2
+
+
+def test_time_weighted_avg_step_integral(spark):
+    from datetime import datetime
+
+    from data_engineering__spark.operators.temporal import time_weighted_avg
+    rows = [  # v=10 holds 3h, v=40 holds 1h → twa = (10*3 + 40*1)/4 = 17.5
+        Row(k="a", ts=datetime(2024, 1, 1, 0), v=10.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 3), v=40.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 4), v=99.0),   # last obs: no gap
+        Row(k="b", ts=datetime(2024, 1, 1, 0), v=5.0)]    # single obs drops
+    out = {r.k: r for r in time_weighted_avg(
+        spark.createDataFrame(rows), "ts", ["k"], "v").collect()}
+    assert "b" not in out
+    assert out["a"].n_obs == 3 and out["a"].twa == 17.5
