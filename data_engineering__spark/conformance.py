@@ -1907,6 +1907,7 @@ DRIVER_PRIORITY = [
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
     "normalize_text_docs", "cohort_retention_weekly",
     "conversion_funnel_steps", "time_weighted_avg_users",
+    "apply_cdc_snapshot",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3398,3 +3399,54 @@ def time_weighted_avg_users(spark, sf_dir):
     from .operators.temporal import time_weighted_avg
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     return time_weighted_avg(ev, "ts", ["user_id"], "value")
+
+
+@query("apply_cdc_snapshot", oracle="""
+WITH snap AS (
+  SELECT s_suppkey AS k, s_nationkey AS v
+  FROM supplier WHERE s_suppkey < 60),
+chg AS (
+  -- three deterministic change waves: updates on %3=0, deletes on %5=0
+  -- (higher seq wins), inserts of brand-new keys
+  SELECT s_suppkey AS k, 1 AS seq, 'U' AS op, s_nationkey * 10 AS v
+  FROM supplier WHERE s_suppkey < 60 AND s_suppkey % 3 = 0
+  UNION ALL
+  SELECT s_suppkey, 2, 'D', NULL
+  FROM supplier WHERE s_suppkey < 60 AND s_suppkey % 5 = 0
+  UNION ALL
+  SELECT s_suppkey + 500, 3, 'I', s_nationkey + 100
+  FROM supplier WHERE s_suppkey < 20),
+latest AS (
+  SELECT k, op, v FROM chg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                             ORDER BY seq DESC, op DESC) = 1)
+SELECT s.k, s.v FROM snap s
+WHERE s.k NOT IN (SELECT k FROM latest)
+UNION ALL
+SELECT k, v FROM latest WHERE op <> 'D'""")
+def apply_cdc_snapshot(spark, sf_dir):
+    """EXT warehouse: CDC apply — an ordered I/U/D change stream collapses
+    onto the supplier-derived snapshot (highest log sequence wins; deletes
+    on %5 keys override the %3 updates they overlap; fresh keys insert).
+    The oracle recomputes last-change-wins + anti-join + union from first
+    principles."""
+    from .operators.merge import apply_cdc
+    s = read_table(spark, sf_dir, "supplier")
+    snap = (s.filter(F.col("s_suppkey") < 60)
+            .select(F.col("s_suppkey").alias("k"),
+                    F.col("s_nationkey").alias("v")))
+    chg = (s.filter((F.col("s_suppkey") < 60) & (F.col("s_suppkey") % 3 == 0))
+           .select(F.col("s_suppkey").alias("k"), F.lit(1).alias("seq"),
+                   F.lit("U").alias("op"),
+                   (F.col("s_nationkey") * 10).alias("v"))
+           .unionByName(
+               s.filter((F.col("s_suppkey") < 60) & (F.col("s_suppkey") % 5 == 0))
+               .select(F.col("s_suppkey").alias("k"), F.lit(2).alias("seq"),
+                       F.lit("D").alias("op"),
+                       F.lit(None).cast("long").alias("v")))
+           .unionByName(
+               s.filter(F.col("s_suppkey") < 20)
+               .select((F.col("s_suppkey") + 500).alias("k"),
+                       F.lit(3).alias("seq"), F.lit("I").alias("op"),
+                       (F.col("s_nationkey") + 100).alias("v"))))
+    return apply_cdc(snap, chg, ["k"], "seq")

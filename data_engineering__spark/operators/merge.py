@@ -195,3 +195,33 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str,
             expr = F.col(f"t.{c}")
         out_cols.append(expr.alias(c))
     return joined.select(*out_cols)
+
+
+def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
+              seq_col: str, op_col: str = "op",
+              value_cols: list[str] | None = None) -> DataFrame:
+    """EXT warehouse: apply an ordered CDC stream to a snapshot — the
+    replication-consumer primitive (Debezium-style I/U/D records).
+
+    Per key, the HIGHEST-``seq_col`` change wins: op 'D' removes the key,
+    'I'/'U' upsert the change's values; keys with no change pass through
+    unchanged. ``seq_col`` must be unique per key (log offsets are);
+    ties would make the survivor undefined, so the window orders by
+    (seq DESC, op DESC) to stay deterministic even on dirty input.
+
+    Plan: ONE window pass over the changes keyed on the key (the same
+    shuffle the final anti-join/union reuses), no driver loops; snapshot
+    rows shuffle once for the anti join. Idempotent: re-applying the same
+    change batch is a no-op.
+    """
+    value_cols = value_cols or [c for c in snapshot.columns
+                                if c not in key_cols]
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(seq_col).desc(), F.col(op_col).desc()))
+    latest = (changes.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1))
+    upserts = (latest.filter(F.col(op_col) != "D")
+               .select(*key_cols, *value_cols))
+    untouched = snapshot.join(latest.select(*key_cols), key_cols,
+                              "left_anti")
+    return untouched.unionByName(upserts)

@@ -810,3 +810,23 @@ def test_time_weighted_avg_step_integral(spark):
         spark.createDataFrame(rows), "ts", ["k"], "v").collect()}
     assert "b" not in out
     assert out["a"].n_obs == 3 and out["a"].twa == 17.5
+
+
+def test_apply_cdc_last_wins_delete_and_idempotence(spark):
+    from data_engineering__spark.operators.merge import apply_cdc
+    snap = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20),
+                                  Row(k=3, v=30)])
+    chg = spark.createDataFrame([
+        Row(k=1, seq=1, op="U", v=11),
+        Row(k=1, seq=2, op="U", v=12),      # later update wins
+        Row(k=2, seq=1, op="U", v=21),
+        Row(k=2, seq=2, op="D", v=None),    # delete overrides update
+        Row(k=4, seq=1, op="I", v=40),      # fresh insert
+        Row(k=5, seq=1, op="I", v=50),
+        Row(k=5, seq=2, op="D", v=None)])   # insert then delete → absent
+    out = apply_cdc(snap, chg, ["k"], "seq")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 12, 3: 30, 4: 40}
+    # idempotence: re-applying the same batch changes nothing
+    again = apply_cdc(out, chg, ["k"], "seq")
+    assert {r.k: r.v for r in again.collect()} == got
