@@ -1907,7 +1907,7 @@ DRIVER_PRIORITY = [
     "resample_locf_events", "grouping_sets_counts", "curate_corpus_funnel",
     "normalize_text_docs", "cohort_retention_weekly",
     "conversion_funnel_steps", "time_weighted_avg_users",
-    "apply_cdc_snapshot",
+    "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3450,3 +3450,65 @@ def apply_cdc_snapshot(spark, sf_dir):
                        F.lit(3).alias("seq"), F.lit("I").alias("op"),
                        (F.col("s_nationkey") + 100).alias("v"))))
     return apply_cdc(snap, chg, ["k"], "seq")
+
+
+@query("rolling_hour_window", oracle="""
+SELECT event_id, user_id,
+       (epoch_us(ts) // 1000000) AS s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_1h
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""")
+def rolling_hour_window(spark, sf_dir):
+    """W3 extension: TIME-RANGE window frame — trailing 1-hour event count
+    and integer-cents sum per user (RANGE frames bound by the ORDER value,
+    not row offsets: the frame adapts to event density, the capability row
+    frames cannot express). Epoch-second ordering keys and cents sums keep
+    every value integer-exact across engines."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    s = F.unix_timestamp(F.col("ts")).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("s")
+         .rangeBetween(-3599, 0))
+    return (ev.select("event_id", "user_id", s.alias("s"),
+                      F.round(F.col("value") * 100).cast("long")
+                       .alias("__cents"))
+            .select("event_id", "user_id", "s",
+                    F.count(F.lit(1)).over(w).alias("n_1h"),
+                    F.sum("__cents").over(w).alias("cents_1h")))
+
+
+@query("null_safe_join_counts", oracle="""
+WITH l AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderkey % 5 END AS grp
+  FROM orders WHERE o_orderkey < 2000),
+r AS (
+  SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+              ELSE n_nationkey % 5 END AS grp,
+         n_nationkey AS tag
+  FROM nation)
+SELECT l.grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT l.k) AS BIGINT) AS n_left
+FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+GROUP BY l.grp""")
+def null_safe_join_counts(spark, sf_dir):
+    """J-family extension: NULL-safe equi-join (``<=>`` / IS NOT DISTINCT
+    FROM) — NULL keys MATCH each other instead of dropping, the semantic
+    SQL joins can't express with plain equality. Catalyst plans <=> as a
+    hash join (null-safe keys hash like values), so the scale shape is
+    unchanged; the query proves the NULL bucket joins symmetrically."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    n = read_table(spark, sf_dir, "nation")
+    l = o.select(F.col("o_orderkey").alias("k"),
+                 F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+                  .otherwise(F.col("o_orderkey") % 5).alias("grp"))
+    r = n.select(F.when(F.col("n_nationkey") % 7 == 0, F.lit(None))
+                  .otherwise(F.col("n_nationkey") % 5).alias("grp"),
+                 F.col("n_nationkey").alias("tag"))
+    j = l.join(r, l["grp"].eqNullSafe(r["grp"]))
+    return (j.groupBy(l["grp"].alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("k").alias("n_left")))

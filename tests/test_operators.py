@@ -830,3 +830,17 @@ def test_apply_cdc_last_wins_delete_and_idempotence(spark):
     # idempotence: re-applying the same batch changes nothing
     again = apply_cdc(out, chg, ["k"], "seq")
     assert {r.k: r.v for r in again.collect()} == got
+
+
+def test_merge_schema_read_unifies_columns(spark, tmp_path):
+    """Schema-evolution read: a v2 batch adds a column; mergeSchema=true
+    unifies the footer schemas and back-fills NULL for v1 rows — the
+    append-only evolution path a long-lived 100 TB table lives on."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(p)
+    spark.createDataFrame([Row(id=2, a="y", b=7)]) \
+         .write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "a", "b"}
+    got = {r.id: (r.a, r.b) for r in df.collect()}
+    assert got == {1: ("x", None), 2: ("y", 7)}
