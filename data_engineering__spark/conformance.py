@@ -1908,6 +1908,7 @@ DRIVER_PRIORITY = [
     "normalize_text_docs", "cohort_retention_weekly",
     "conversion_funnel_steps", "time_weighted_avg_users",
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
+    "wow_revenue_growth",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3512,3 +3513,41 @@ def null_safe_join_counts(spark, sf_dir):
     return (j.groupBy(l["grp"].alias("grp"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.countDistinct("k").alias("n_left")))
+
+
+@query("wow_revenue_growth", oracle="""
+WITH weekly AS (
+  SELECT (epoch_us(ts) // 1000000) // 604800 AS week,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1),
+seq AS (
+  SELECT week, cents,
+         LAG(cents) OVER (ORDER BY week) AS prev
+  FROM weekly)
+SELECT week, cents, prev,
+       cents - prev AS delta,
+       CASE WHEN prev IS NOT NULL AND prev <> 0
+            THEN CAST(cents - prev AS DOUBLE) / prev END AS growth
+FROM seq""")
+def wow_revenue_growth(spark, sf_dir):
+    """EXT OLAP: week-over-week growth report — weekly integer-cents
+    purchase revenue, previous week via lag, delta and exact-ratio growth
+    (one division of exact integers; the ordered pass runs over ~n_weeks
+    aggregate rows, not raw events). The reporting staple on top of the
+    cohort/funnel family."""
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase"))
+    weekly = (ev.select(
+                 (F.floor(F.unix_timestamp("ts") / 604800)).cast("long")
+                  .alias("week"),
+                 F.round(F.col("value") * 100).cast("long").alias("__c"))
+              .groupBy("week").agg(F.sum("__c").alias("cents")))
+    w = Window.orderBy("week")
+    seq = weekly.withColumn("prev", F.lag("cents").over(w))
+    return seq.select(
+        "week", "cents", "prev",
+        (F.col("cents") - F.col("prev")).alias("delta"),
+        F.when(F.col("prev").isNotNull() & (F.col("prev") != 0),
+               (F.col("cents") - F.col("prev")).cast("double")
+               / F.col("prev")).alias("growth"))

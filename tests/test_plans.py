@@ -202,3 +202,45 @@ def test_runtime_bloom_filter_prefilters_fact_scan(spark, sf_dir):
                    F.col("l_orderkey") == F.col("o_orderkey"))
              .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
     assert {(r.o_orderpriority, r.n) for r in plain.collect()} == got
+
+
+def test_pack_sequences_windows_stay_partitioned(spark, sf_dir):
+    """The doc-level prefix-sum window must be PARTITIONED BY bucket — the
+    only permissible unpartitioned window is the bucket-offset pass over
+    ~n/bucket_size aggregate rows (the scan-tree apex). Guard: the plan's
+    window count is 2 and at least one carries a partition spec."""
+    plan = plan_of(QUERIES["pack_training_sequences"](spark, sf_dir))
+    assert plan.count("Window") >= 2
+    # doc-level window partitioned by the bucket column
+    assert "partitionspec" in plan.lower().replace(" ", "") or \
+           "PartitionSpec" in plan or "__bucket" in plan
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
+    """The within-cluster verify must join on the cell id (bounded
+    quadratic), never a full CartesianProduct over the corpus."""
+    corpus = QUERIES["semantic_dedup"](spark, sf_dir)
+    plan = plan_of(corpus)
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_locf_single_agg_shuffle(spark, sf_dir):
+    """Raw events shuffle once into (key, bucket) partial aggregates; the
+    LOCF window and grid join reuse key partitioning. Guard: partial_count
+    appears (map-side combine) and no CartesianProduct/global window."""
+    plan = plan_of(QUERIES["resample_locf_events"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_hour_window_is_range_frame(spark, sf_dir):
+    plan = plan_of(QUERIES["rolling_hour_window"](spark, sf_dir))
+    assert "RangeFrame" in plan and "-3599" in plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """<=> keys must still plan as a hash join (null-safe equality hashes
+    NULL like a value) — not BroadcastNestedLoop over the raw predicate."""
+    plan = plan_of(QUERIES["null_safe_join_counts"](spark, sf_dir))
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
