@@ -1908,7 +1908,7 @@ DRIVER_PRIORITY = [
     "normalize_text_docs", "cohort_retention_weekly",
     "conversion_funnel_steps", "time_weighted_avg_users",
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
-    "wow_revenue_growth",
+    "wow_revenue_growth", "temperature_mix_counts",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3551,3 +3551,41 @@ def wow_revenue_growth(spark, sf_dir):
         F.when(F.col("prev").isNotNull() & (F.col("prev") != 0),
                (F.col("cents") - F.col("prev")).cast("double")
                / F.col("prev")).alias("growth"))
+
+
+@query("temperature_mix_counts", oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS nm FROM counts),
+rates AS (
+  SELECT lang, n, sqrt(CAST(m.nm AS DOUBLE) / n) AS rate
+  FROM counts CROSS JOIN m),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "tempmix")}
+        < FLOOR(r.rate * 10000))
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_total, r.rate,
+       CAST(COUNT(k.lang) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+GROUP BY r.lang, r.n, r.rate""")
+def temperature_mix_counts(spark, sf_dir):
+    """EXT data mixing: temperature (T=2) language rebalancing — stratum
+    keep-rate sqrt(n_min/n_l), rarest language passes whole. sqrt and
+    division are IEEE correctly rounded (unlike pow), so the rate and the
+    floor(rate x 10000) bucket threshold are bit-identical across
+    engines; membership is the standard sha-bucket arithmetic. Output:
+    per-language totals, the exact rate, and kept counts."""
+    from .operators.sampling import temperature_mix
+    d = read_table(spark, sf_dir, "documents")
+    kept = temperature_mix(d, "lang", "doc_id")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    nmin = counts.agg(F.min("n_total").alias("m"))
+    rates = (counts.crossJoin(F.broadcast(nmin))
+             .select("lang", "n_total",
+                     F.sqrt(F.col("m").cast("double") / F.col("n_total"))
+                      .alias("rate")))
+    kc = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (rates.join(kc, "lang", "left")
+            .select("lang", "n_total", "rate",
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))

@@ -115,3 +115,31 @@ def weighted_sample(df: DataFrame, key_col: str, accept_prob: Column,
     """
     b = hash_bucket(F.col(key_col), _BUCKETS, salt)
     return df.filter(b < F.floor(accept_prob * _BUCKETS))
+
+
+def temperature_mix(df: DataFrame, stratum_col: str, key_col: str,
+                    salt: str = "tempmix") -> DataFrame:
+    """EXT data mixing: temperature-based stratum rebalancing (the
+    mT5/XLM-R rule at temperature T=2, i.e. sampling share ∝ p^(1/T) =
+    √p) WITHOUT replacement: stratum ``l`` with ``n_l`` rows keeps rows
+    at rate ``√(n_min / n_l)`` — the rarest stratum passes whole, common
+    strata shrink toward it, flattening the distribution while never
+    duplicating data.
+
+    The √ formulation is deliberate: general ``p^(α-1)`` needs ``pow``,
+    which is NOT guaranteed correctly rounded and can differ by an ulp
+    across engines — ``sqrt`` and division ARE correctly rounded (IEEE
+    754), so the acceptance threshold is bit-reproducible anywhere.
+    Membership uses the same sha-bucket arithmetic as every sampler here:
+    rerun/append/repartition-stable, zero shuffle beyond the tiny
+    stratum-count aggregate (broadcast back).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__m"))
+    rates = (counts.crossJoin(F.broadcast(n_min))
+             .select(stratum_col,
+                     F.sqrt(F.col("__m").cast("double") / F.col("__n"))
+                      .alias("__rate")))
+    placed = df.join(F.broadcast(rates), stratum_col)
+    return weighted_sample(placed, key_col, F.col("__rate"), salt=salt) \
+        .drop("__rate")

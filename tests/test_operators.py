@@ -844,3 +844,19 @@ def test_merge_schema_read_unifies_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "b"}
     got = {r.id: (r.a, r.b) for r in df.collect()}
     assert got == {1: ("x", None), 2: ("y", 7)}
+
+
+def test_temperature_mix_flattens_and_keeps_rarest(spark):
+    from data_engineering__spark.operators.sampling import temperature_mix
+    rows = [Row(k=i, lang="en") for i in range(400)] \
+         + [Row(k=i + 1000, lang="fr") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    kept = temperature_mix(df, "lang", "k").groupBy("lang").count()
+    got = {r.lang: r["count"] for r in kept.collect()}
+    assert got["fr"] == 100                       # rarest passes whole
+    # en targets 400·√(100/400) = 200; sha-bucket sampling has ~±few %
+    assert 160 <= got["en"] <= 240
+    # determinism: rerun yields identical membership
+    again = {r.lang: r["count"] for r in
+             temperature_mix(df, "lang", "k").groupBy("lang").count().collect()}
+    assert again == got
