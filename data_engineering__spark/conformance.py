@@ -1909,6 +1909,7 @@ DRIVER_PRIORITY = [
     "conversion_funnel_steps", "time_weighted_avg_users",
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
+    "contamination_report_docs",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3589,3 +3590,56 @@ def temperature_mix_counts(spark, sf_dir):
     return (rates.join(kc, "lang", "left")
             .select("lang", "n_total", "rate",
                     F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+
+
+@query("contamination_report_docs", oracle=r"""
+WITH base AS (SELECT doc_id, text FROM documents),
+bench AS (SELECT doc_id, text FROM base WHERE doc_id % 50 = 0),
+corpus AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, 'leak marker ' || text AS text
+  FROM bench),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM corpus),
+csh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+7], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM ctoks WHERE len(toks) >= 8)),
+bsh AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+7], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+    FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t <> '') AS toks
+          FROM bench)
+    WHERE len(toks) >= 8))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN h IN (SELECT h FROM bsh) THEN 1 END) AS BIGINT)
+         AS n_matched,
+       CAST(COUNT(CASE WHEN h IN (SELECT h FROM bsh) THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS frac
+FROM csh GROUP BY doc_id""")
+def contamination_report_docs(spark, sf_dir):
+    """EXT L-family: contamination audit — per-doc distinct 8-token
+    shingles, benchmark matches, overlap fraction (the evidence table
+    behind a drop-threshold decision; `decontaminate_corpus` is the
+    drop-on-any enforcement of the same signal). Planted full-text leaks
+    at doc_id+2e6 show fractions near 1; clean docs sit at 0. The
+    fraction is one exact integer division."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    contaminated = bench.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("leak marker "), F.col("text")).alias("text"))
+    corpus = d.filter(F.col("doc_id") % 50 != 0).unionByName(contaminated)
+    return D.contamination_report(corpus, bench, "doc_id", "text",
+                                  shingle_n=8)

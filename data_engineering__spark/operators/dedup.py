@@ -807,3 +807,33 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
     contaminated = (csh.join(F.broadcast(bsh), "__h", "left_semi")
                     .select(id_col).distinct())
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         id_col: str, text_col: str,
+                         shingle_n: int = 8) -> DataFrame:
+    """Contamination AUDIT companion to ``decontaminate``: instead of
+    dropping, report per corpus doc the distinct n-token shingle count,
+    how many appear in the benchmark set, and the overlap fraction —
+    the evidence table a leakage review reads before choosing a drop
+    threshold (drop-on-any, drop-on->x%, manual review band).
+
+    Same scale shape as the guard: benchmark shingle hashes broadcast;
+    the corpus explodes (id, 8-byte hash) rows only — one hash aggregate,
+    bodies never shuffle. The fraction is one exact division of two
+    integers (bit-reproducible)."""
+    bsh = (benchmark
+           .select(F.explode(shingle_sha_hashes(text_col, shingle_n))
+                   .alias("h")).distinct())
+    csh = (corpus
+           .select(F.col(id_col),
+                   F.explode(shingle_sha_hashes(text_col, shingle_n))
+                   .alias("h")).distinct())
+    marked = csh.join(F.broadcast(bsh.withColumn("__hit", F.lit(1))),
+                      "h", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.count("__hit").alias("n_matched"))
+            .withColumn("frac",
+                        F.col("n_matched").cast("double")
+                        / F.col("n_shingles")))
