@@ -860,3 +860,48 @@ def test_temperature_mix_flattens_and_keeps_rarest(spark):
     again = {r.lang: r["count"] for r in
              temperature_mix(df, "lang", "k").groupBy("lang").count().collect()}
     assert again == got
+
+
+def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
+    """ST5 x CDC: streaming the change log through foreachBatch with
+    apply_cdc per micro-batch must land on the same snapshot as one batch
+    apply — the one-code-path-for-batch-and-streaming contract for the
+    replication consumer. Waves are delivered IN LOG ORDER (one file per
+    trigger): sequential apply is only equivalent to the global
+    last-seq-wins collapse when delivery respects the log, which is the
+    CDC transport's contract."""
+    import time as _time
+
+    from data_engineering__spark.operators.merge import apply_cdc
+    from data_engineering__spark.streaming.sinks import foreach_batch_merge
+
+    snap0 = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(20)])
+    waves = [
+        [Row(k=i, seq=1, op="U", v=i * 100) for i in range(0, 20, 3)],
+        [Row(k=i, seq=2, op="D", v=None) for i in range(0, 20, 5)],
+        [Row(k=i + 900, seq=3, op="I", v=i) for i in range(4)],
+    ]
+    schema = "k long, seq int, op string, v long"
+    cdc_dir = tmp_path / "cdc_in"; cdc_dir.mkdir()
+    out_dir = str(tmp_path / "snap")
+    snap0.write.parquet(out_dir)
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1)              .write.parquet(str(tmp_path / f"w{i}"))
+        part = next((tmp_path / f"w{i}").glob("part-*.parquet"))
+        part.rename(cdc_dir / f"{i:03d}.parquet")
+        _time.sleep(1.1)   # distinct mtimes → deterministic file order
+
+    def apply_batch(batch_df, _bid):
+        cur = spark.read.parquet(out_dir)
+        nxt = apply_cdc(cur, batch_df, ["k"], "seq").localCheckpoint()
+        nxt.write.mode("overwrite").parquet(out_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(cdc_dir)))
+    q = foreach_batch_merge(stream, apply_batch, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(out_dir).collect()}
+    all_chg = spark.createDataFrame(
+        [r for wave in waves for r in wave], schema)
+    want = {r.k: r.v for r in apply_cdc(snap0, all_chg, ["k"], "seq").collect()}
+    assert got == want and 0 not in got and 903 in got
