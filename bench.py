@@ -59,7 +59,7 @@ HEADLINE = [
     "conversion_funnel_steps", "time_weighted_avg_users",
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
-    "contamination_report_docs",
+    "contamination_report_docs", "triangle_counts_graph",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

@@ -1909,7 +1909,7 @@ DRIVER_PRIORITY = [
     "conversion_funnel_steps", "time_weighted_avg_users",
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
-    "contamination_report_docs",
+    "contamination_report_docs", "triangle_counts_graph",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3643,3 +3643,37 @@ def contamination_report_docs(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 50 != 0).unionByName(contaminated)
     return D.contamination_report(corpus, bench, "doc_id", "text",
                                   shingle_n=8)
+
+
+@query("triangle_counts_graph", oracle="""
+WITH nodes AS (
+  SELECT DISTINCT doc_id % 50 AS x FROM documents WHERE doc_id < 400),
+raw AS (
+  SELECT x AS a, (x + 1) % 50 AS b FROM nodes
+  UNION ALL
+  SELECT x, (x + 2) % 50 FROM nodes),
+g AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM raw WHERE a <> b)
+SELECT e1.u AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM g e1
+JOIN g e2 ON e1.v = e2.u
+JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v
+GROUP BY e1.u""")
+def triangle_counts_graph(spark, sf_dir):
+    """EXT graph #3: triangle counting — oriented low-to-high edge join
+    finds each triangle exactly once, attributed to its smallest vertex.
+    Graph: the doc-derived ring with chords {x, x+1} + {x, x+2} mod 50
+    (every consecutive triple closes -> 50 triangles; the CC/PageRank
+    multiplicative graph is triangle-free, useless here). The oracle is
+    the identical 3-way self-join."""
+    from .operators.graph import triangle_count
+    d = (read_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400)
+         .select((F.col("doc_id") % 50).alias("x")).distinct())
+    edges = (d.select(F.col("x").alias("id_a"),
+                      ((F.col("x") + 1) % 50).alias("id_b"))
+             .unionByName(
+                 d.select(F.col("x").alias("id_a"),
+                          ((F.col("x") + 2) % 50).alias("id_b")))
+             .filter(F.col("id_a") != F.col("id_b")))
+    return triangle_count(edges, src="id_a", dst="id_b")

@@ -61,3 +61,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Triangle counting via the canonical oriented edge-join — the local
+    clustering signal (spam/link-farm detection on a web corpus graph,
+    community density profiling).
+
+    Edges orient low→high (deduplicated, self-loops dropped), so each
+    triangle {a<b<c} is found exactly once as (a,b)⋈(b,c)⋈(a,c).
+    Returns (node, n_triangles) attributing each triangle to its SMALLEST
+    vertex (deterministic attribution; SUM(n_triangles) is the global
+    count).
+
+    Scale: two hash joins on single-node keys — the standard formulation
+    whose cost is Σ deg(u)·deg(v) over edges; orientation bounds the
+    wedge generation by out-degree under the low→high order (the
+    classic mitigation that keeps hub nodes from exploding the join).
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .filter(F.col("u") < F.col("v")).distinct())
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (e1.join(e2, "b").join(e3, ["a", "c"])
+           .select(F.col("a").alias("node")))
+    return tri.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -905,3 +905,15 @@ def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
         [r for wave in waves for r in wave], schema)
     want = {r.k: r.v for r in apply_cdc(snap0, all_chg, ["k"], "seq").collect()}
     assert got == want and 0 not in got and 903 in got
+
+
+def test_triangle_count_known_graph(spark):
+    from data_engineering__spark.operators.graph import triangle_count
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge 4-5 + triangle {6,7,8}
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (6, 7), (7, 8), (8, 6),
+             (2, 1)]               # reversed duplicate must not double-count
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 1, 6: 1}     # K4's 4 triangles: 3 at node1, 1 at node2
+    assert sum(got.values()) == 5
