@@ -1910,6 +1910,7 @@ DRIVER_PRIORITY = [
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
     "contamination_report_docs", "triangle_counts_graph",
+    "related_docs_topk", "union_schema_drift",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3677,3 +3678,77 @@ def triangle_counts_graph(spark, sf_dir):
                           ((F.col("x") + 2) % 50).alias("id_b")))
              .filter(F.col("id_a") != F.col("id_b")))
     return triangle_count(edges, src="id_a", dst="id_b")
+
+
+@query("related_docs_topk", oracle=r"""
+WITH docs0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, text FROM docs0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
+           ' ') AS text
+  FROM docs0),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM corpus),
+idx AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+  FROM toks WHERE len(tk) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s FROM idx),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2),
+sym AS (
+  SELECT id_a AS doc_id, id_b AS related_id, jaccard FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, jaccard FROM pairs)
+SELECT doc_id, CAST(rn AS INT) AS rank, related_id, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, related_id ASC) AS rn
+  FROM sym) WHERE rn <= 3""")
+def related_docs_topk_q(spark, sf_dir):
+    """EXT similarity: per-doc top-3 related documents by exact n-gram
+    Jaccard (threshold 0.2, symmetric pairs, rounded-score ranking with
+    id tie-break) — the related-items / duplicate-review-queue query over
+    the same planted near-dup corpus as ngram_jaccard_pairs."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
+    return D.related_docs_topk(corpus, "doc_id", "text",
+                               k=3, shingle_n=3, min_jaccard=0.2)
+
+
+@query("union_schema_drift", oracle="""
+SELECT k, price, status FROM (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 1000
+  UNION ALL BY NAME
+  SELECT o_orderkey AS k, o_orderstatus AS status
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)""")
+def union_schema_drift(spark, sf_dir):
+    """T2 extension: union across DRIFTED schemas —
+    ``unionByName(allowMissingColumns=True)`` aligns by column name and
+    NULL-fills each side's missing columns (DuckDB: UNION ALL BY NAME),
+    the append path when a feed adds or drops fields mid-stream. Raw
+    existing values only; no computed floats cross the boundary."""
+    o = read_table(spark, sf_dir, "orders")
+    a = (o.filter(F.col("o_orderkey") < 1000)
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_totalprice").alias("price")))
+    b = (o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+         .select(F.col("o_orderkey").alias("k"),
+                 F.col("o_orderstatus").alias("status")))
+    return a.unionByName(b, allowMissingColumns=True) \
+            .select("k", "price", "status")

@@ -837,3 +837,30 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
             .withColumn("frac",
                         F.col("n_matched").cast("double")
                         / F.col("n_shingles")))
+
+
+def related_docs_topk(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, shingle_n: int = 3,
+                      min_jaccard: float = 0.2) -> DataFrame:
+    """Per-document top-k most similar documents by exact n-gram Jaccard —
+    the "related items" panel / nearest-duplicate review queue. Symmetric:
+    each qualifying pair serves both endpoints.
+
+    Ranking is on the ROUNDED (6 dp) similarity with the related id as
+    the tie-break, so the selected set is engine-reproducible. Shuffles
+    inherit ``ngram_jaccard_pairs``'s bound (shared-shingle
+    co-occurrence, never n²); the final rank is a per-doc
+    ``row_number`` ≤ k → WindowGroupLimit."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n,
+                                jaccard_threshold=min_jaccard)
+    sym = (pairs.select(F.col("id_a").alias(id_col),
+                        F.col("id_b").alias("related_id"), "jaccard")
+           .unionByName(
+               pairs.select(F.col("id_b").alias(id_col),
+                            F.col("id_a").alias("related_id"), "jaccard")))
+    w = Window.partitionBy(id_col).orderBy(F.col("jaccard").desc(),
+                                           F.col("related_id").asc())
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, F.col("rank").cast("int").alias("rank"),
+                    "related_id", "jaccard"))

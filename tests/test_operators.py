@@ -917,3 +917,21 @@ def test_triangle_count_known_graph(spark):
     got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
     assert got == {1: 3, 2: 1, 6: 1}     # K4's 4 triangles: 3 at node1, 1 at node2
     assert sum(got.values()) == 5
+
+
+def test_related_docs_topk_symmetric_and_ranked(spark):
+    from data_engineering__spark.operators.dedup import related_docs_topk
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f"),
+         Row(doc_id=2, text="a b c d e f"),        # identical to 1
+         Row(doc_id=3, text="a b c d x y"),        # partial overlap
+         Row(doc_id=4, text="q r s t u v")])       # unrelated
+    out = related_docs_topk(docs, "doc_id", "text", k=3, min_jaccard=0.1)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.related_id, r.jaccard))
+    assert 4 not in by_doc                          # no relations above floor
+    # identical pair is each other's #1 with jaccard 1.0, symmetric
+    assert sorted(by_doc[1])[0] == (1, 2, 1.0)
+    assert sorted(by_doc[2])[0] == (1, 1, 1.0)
+    assert {rid for _, rid, _ in by_doc[3]} <= {1, 2}
