@@ -60,7 +60,8 @@ HEADLINE = [
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
     "contamination_report_docs", "triangle_counts_graph",
-    "related_docs_topk", "union_schema_drift",
+    "related_docs_topk", "union_schema_drift", "event_transition_matrix",
+    "expectation_suite_lineitem",
     # end-to-end pipeline parity (round 2): full ingest→…→analytics DAG
     "pipeline_parity_authors", "pipeline_parity_categories",
     "pipeline_parity_citations",

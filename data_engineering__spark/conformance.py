@@ -1910,7 +1910,8 @@ DRIVER_PRIORITY = [
     "apply_cdc_snapshot", "rolling_hour_window", "null_safe_join_counts",
     "wow_revenue_growth", "temperature_mix_counts",
     "contamination_report_docs", "triangle_counts_graph",
-    "related_docs_topk", "union_schema_drift",
+    "related_docs_topk", "union_schema_drift", "event_transition_matrix",
+    "expectation_suite_lineitem",
     # --- FAILED in r02 (HUGEINT oracle casts fixed): must re-verify green
     "cond_agg_flags", "grouped_map_gaps",
     # --- implementation or oracle changed in round 3: re-verify
@@ -3752,3 +3753,69 @@ def union_schema_drift(spark, sf_dir):
                  F.col("o_orderstatus").alias("status")))
     return a.unionByName(b, allowMissingColumns=True) \
             .select("k", "price", "status")
+
+
+@query("event_transition_matrix", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_type ASC) AS from_type
+  FROM events),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       CAST(c.n AS DOUBLE) / t.t AS frac
+FROM counts c JOIN totals t USING (from_type)""")
+def event_transition_matrix(spark, sf_dir):
+    """EXT OLAP: first-order Markov transition matrix over per-user event
+    sequences — counts and row-normalized probabilities for the
+    behavioral baseline. Deterministic ordering (ts, then type for
+    same-timestamp ties); frac is one exact division of counts."""
+    from .operators.analytics import transition_matrix
+    return transition_matrix(read_table(spark, sf_dir, "events"))
+
+
+@query("expectation_suite_lineitem", oracle="""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                         THEN 1 END) AS BIGINT) AS v_qty_positive,
+         CAST(COUNT(CASE WHEN NOT COALESCE(l_extendedprice >= 0, FALSE)
+                         THEN 1 END) AS BIGINT) AS v_price_nonneg,
+         CAST(COUNT(CASE WHEN NOT COALESCE(l_linenumber BETWEEN 1 AND 7,
+                                           FALSE)
+                         THEN 1 END) AS BIGINT) AS v_linenumber_band,
+         CAST(COUNT(CASE WHEN NOT COALESCE(
+                l_returnflag IN ('A', 'N', 'R'), FALSE)
+                         THEN 1 END) AS BIGINT) AS v_returnflag_enum,
+         CAST(COUNT(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.99,
+                                           FALSE)
+                         THEN 1 END) AS BIGINT) AS v_discount_band
+  FROM lineitem)
+SELECT 'qty_positive' AS check, n AS n_rows,
+       v_qty_positive AS n_violations, v_qty_positive = 0 AS passed FROM agg
+UNION ALL SELECT 'price_nonneg', n, v_price_nonneg, v_price_nonneg = 0 FROM agg
+UNION ALL SELECT 'linenumber_band', n, v_linenumber_band,
+                 v_linenumber_band = 0 FROM agg
+UNION ALL SELECT 'returnflag_enum', n, v_returnflag_enum,
+                 v_returnflag_enum = 0 FROM agg
+UNION ALL SELECT 'discount_band', n, v_discount_band,
+                 v_discount_band = 0 FROM agg""")
+def expectation_suite_lineitem(spark, sf_dir):
+    """Q-family generalization: a 5-check expectation suite over lineitem
+    (positivity, non-negativity, ordinal band, enum membership, value
+    band) evaluated in ONE aggregation pass — conditional counts fold
+    map-side, so suite size doesn't add scans. NULL predicate results
+    count as violations on both engines."""
+    from .operators.quality import expectations
+    li = read_table(spark, sf_dir, "lineitem")
+    return expectations(li, {
+        "qty_positive": F.col("l_quantity") > 0,
+        "price_nonneg": F.col("l_extendedprice") >= 0,
+        "linenumber_band": F.col("l_linenumber").between(1, 7),
+        "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
+        "discount_band": F.col("l_discount").between(0, 0.99),
+    })

@@ -8,7 +8,7 @@ the whole stream, no Python, shuffles carry (user, week/stage) rows only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WEEK_SECONDS = 7 * 86400
@@ -76,3 +76,28 @@ def conversion_funnel(events: DataFrame, steps: list[str],
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: (from_type, to_type, n, frac) where ``frac`` is the
+    row-normalized transition probability — the behavioral-model /
+    anomaly-baseline table. Events order by (ts, event id is not needed —
+    ties break on the type string for determinism).
+
+    One shuffle on the user key for the lag window; the count and the
+    per-from normalization are hash aggregates over the tiny
+    type-pair domain. ``frac`` is one exact division of two counts."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                             F.col("to_type").asc())
+    seq = (events.select(user_col, ts_col, F.col(type_col).alias("to_type"))
+           .withColumn("from_type", F.lag("to_type").over(w))
+           .filter(F.col("from_type").isNotNull()))
+    counts = (seq.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return (counts.join(totals, "from_type")
+            .select("from_type", "to_type", "n",
+                    (F.col("n").cast("double") / F.col("__t")).alias("frac")))

@@ -139,3 +139,32 @@ def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         .alias("column", "n_null"))
         .select("column", F.col("__n").alias("n_rows"), "n_null",
                 F.round(F.col("n_null") / F.col("__n"), 6).alias("null_frac")))
+
+
+def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """EXT data quality: a named expectation suite in ONE aggregation pass
+    — each check is a boolean Column (TRUE = row passes); the report is
+    (check, n_rows, n_violations, passed). The generic form of the
+    reference's validation queries (`process_publications_dag.py`'s
+    count-based checks): declare once, run at scan speed, alert on any
+    ``passed = false``.
+
+    Single partial-agg job regardless of check count (conditional counts
+    fold map-side); the constant-width unpivot mirrors ``null_profile``.
+    NULL predicate results count as violations (a check that cannot
+    evaluate did not pass)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in checks.items():
+        aggs.append(F.count(F.when(~F.coalesce(cond, F.lit(False)),
+                                   F.lit(1))).alias(f"__v_{name}"))
+    row = df.agg(*aggs)
+    parts = [
+        row.select(F.lit(name).alias("check"),
+                   F.col("__n").alias("n_rows"),
+                   F.col(f"__v_{name}").alias("n_violations"),
+                   (F.col(f"__v_{name}") == 0).alias("passed"))
+        for name in checks]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

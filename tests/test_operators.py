@@ -935,3 +935,20 @@ def test_related_docs_topk_symmetric_and_ranked(spark):
     assert sorted(by_doc[1])[0] == (1, 2, 1.0)
     assert sorted(by_doc[2])[0] == (1, 1, 1.0)
     assert {rid for _, rid, _ in by_doc[3]} <= {1, 2}
+
+
+def test_expectations_counts_violations_and_nulls(spark):
+    from data_engineering__spark.operators.quality import expectations
+    df = spark.createDataFrame(
+        [Row(x=1, y="a"), Row(x=-2, y="b"), Row(x=3, y=None),
+         Row(x=None, y="a")])
+    out = {r.check: r for r in expectations(df, {
+        "x_positive": F.col("x") > 0,
+        "y_present": F.col("y").isNotNull(),
+        "y_enum": F.col("y").isin("a", "b"),
+    }).collect()}
+    assert all(r.n_rows == 4 for r in out.values())
+    # NULL predicate result (x NULL) counts as a violation
+    assert out["x_positive"].n_violations == 2 and not out["x_positive"].passed
+    assert out["y_present"].n_violations == 1
+    assert out["y_enum"].n_violations == 1      # NULL y fails the enum too
