@@ -70,8 +70,9 @@ HEADLINE = [
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]
-# excluded: streaming_* / stateful_profile (Structured Streaming lifecycle,
-# not query throughput), http_enrich / multimodal_features (stubbed kernels),
+# excluded: streaming_* (incl. streaming_rate_tumbling) / stateful_profile
+# (Structured Streaming lifecycle, not query throughput),
+# http_enrich / multimodal_features (stubbed kernels),
 # udtf_split_authors (row-at-a-time Python API-coverage demo; its codegen
 # twin explode_split IS benched),
 # pipeline_parity_*_enriched (same DAG as the three benched pipeline

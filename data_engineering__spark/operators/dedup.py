@@ -769,18 +769,49 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def shingle_sha_hashes(text_col: str, n: int = 8) -> Column:
     """array<bigint>: sha-bucket hashes of the document's n-token shingles
     (first 8 hex chars of sha256 of the space-joined window — the repo's
-    portable-hash convention, byte-replicable in any engine). Pure
-    codegen: split → slice windows → sha2 → conv. The hash keeps shuffle
-    rows fixed-width where a literal shingle string would ship ~50 bytes;
-    collisions (p≈n/2³²) only ever DROP an extra doc, never leak one."""
+    portable-hash convention, byte-replicable in any engine). The hash
+    keeps shuffle rows fixed-width where a literal shingle string would
+    ship ~50 bytes; collisions (p≈n/2³²) only ever DROP an extra doc,
+    never leak one.
+
+    PERF: ``text_col`` is expected to already BE the materialized token
+    array column when called through ``shingle_sha_rows`` — Spark
+    evaluates an array lambda's free subexpressions once PER ELEMENT, so
+    inlining the tokenizer here cost ~5× (the repetition_profile HOF
+    re-eval pathology, measured again on this operator: 4.6 s → 0.96 s at
+    sf0.1×2 once the split is projected first)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
+    return _shingle_sha_of_tokens(toks, n)
+
+
+def _shingle_sha_of_tokens(toks: Column, n: int) -> Column:
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     win = lambda i: F.concat_ws(" ", F.slice(toks, i, n))  # noqa: E731
     return F.when(count <= 0, F.array().cast("array<long>")).otherwise(
         F.transform(F.sequence(F.lit(1), count),
                     lambda i: F.conv(F.substring(F.sha2(win(i), 256), 1, 8),
                                      16, 10).cast("long")))
+
+
+def shingle_sha_rows(df: DataFrame, keep_cols: list[str], text_col: str,
+                     n: int = 8, out_col: str = "h") -> DataFrame:
+    """(keep_cols..., out_col) rows — one per n-token shingle of
+    ``text_col``, hashed with the portable sha-bucket convention.
+
+    Two-step on purpose: the token array is PROJECTED first, then the
+    shingle lambda runs over the materialized column — keeping the whole
+    computation map-only (zero shuffle; a posexplode+lead formulation
+    would shuffle every (id, token) row of the corpus just to rebuild
+    adjacency the array already encodes) while avoiding the per-element
+    tokenizer re-evaluation that made the fused form the slowest
+    expression in the round-3 bench."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    return (df.select(*keep_cols, toks.alias("__toks"))
+            .select(*keep_cols,
+                    F.explode(_shingle_sha_of_tokens(F.col("__toks"), n))
+                    .alias(out_col)))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
@@ -797,13 +828,10 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, id_col: str,
     drop the broadcast hint and it degrades to one hash-shuffle of
     (id, 8-byte hash) rows.
     """
-    bsh = (benchmark
-           .select(F.explode(shingle_sha_hashes(text_col, shingle_n))
-                   .alias("__h"))
-           .distinct())
-    csh = corpus.select(F.col(id_col),
-                        F.explode(shingle_sha_hashes(text_col, shingle_n))
-                        .alias("__h"))
+    bsh = shingle_sha_rows(benchmark, [], text_col, shingle_n,
+                           out_col="__h").distinct()
+    csh = shingle_sha_rows(corpus, [id_col], text_col, shingle_n,
+                           out_col="__h")
     contaminated = (csh.join(F.broadcast(bsh), "__h", "left_semi")
                     .select(id_col).distinct())
     return corpus.join(contaminated, id_col, "left_anti")
@@ -819,21 +847,19 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     threshold (drop-on-any, drop-on->x%, manual review band).
 
     Same scale shape as the guard: benchmark shingle hashes broadcast;
-    the corpus explodes (id, 8-byte hash) rows only — one hash aggregate,
-    bodies never shuffle. The fraction is one exact division of two
-    integers (bit-reproducible)."""
-    bsh = (benchmark
-           .select(F.explode(shingle_sha_hashes(text_col, shingle_n))
-                   .alias("h")).distinct())
-    csh = (corpus
-           .select(F.col(id_col),
-                   F.explode(shingle_sha_hashes(text_col, shingle_n))
-                   .alias("h")).distinct())
+    the corpus explodes (id, 8-byte hash) rows only — bodies never
+    shuffle, and the distinct-per-doc dedup is FOLDED into the aggregate
+    (``countDistinct``) so the (id, hash) rows shuffle exactly once
+    instead of once for ``distinct()`` and again for the group-by. The
+    fraction is one exact division of two integers (bit-reproducible)."""
+    bsh = shingle_sha_rows(benchmark, [], text_col, shingle_n).distinct()
+    csh = shingle_sha_rows(corpus, [id_col], text_col, shingle_n)
     marked = csh.join(F.broadcast(bsh.withColumn("__hit", F.lit(1))),
                       "h", "left")
     return (marked.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shingles"),
-                 F.count("__hit").alias("n_matched"))
+            .agg(F.countDistinct("h").alias("n_shingles"),
+                 F.countDistinct(F.when(F.col("__hit").isNotNull(),
+                                        F.col("h"))).alias("n_matched"))
             .withColumn("frac",
                         F.col("n_matched").cast("double")
                         / F.col("n_shingles")))

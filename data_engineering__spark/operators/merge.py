@@ -197,6 +197,61 @@ def upsert_merge(target: DataFrame, source: DataFrame, key: str,
     return joined.select(*out_cols)
 
 
+def merge_into_managed(spark, table: str, source: DataFrame, key: str,
+                       update_cols: list[str] | None = None,
+                       coalesce_cols: list[str] | None = None,
+                       insert_cols: list[str] | None = None) -> None:
+    """A8 managed-table variant (SURVEY §2.4 A8 note): apply
+    ``upsert_merge`` semantics IN PLACE to a catalog table.
+
+    Two execution paths, same row-level semantics:
+
+    - **Delta Lake available** (``delta`` importable and the table is
+      Delta): a real transactional ``MERGE INTO`` — ``whenMatchedUpdate``
+      with the update/coalesce column resolution and
+      ``whenNotMatchedInsertAll``. This is the path a production
+      deployment runs: ACID, concurrent-writer-safe, no table rewrite.
+    - **Fallback (this container: plain parquet catalog tables)**:
+      read → ``upsert_merge`` → overwrite. Correct and idempotent, but
+      the overwrite is NOT transactional — a failure mid-write can leave
+      the table truncated, and concurrent readers may observe the swap.
+      Suitable for single-writer batch jobs only; the docstring caveat is
+      the contract.
+
+    The reference's analog is the per-row ``ON CONFLICT DO UPDATE``
+    (``process_publications_dag.py:224-232``) against a managed Postgres
+    table — this operator is that statement lifted to warehouse scale.
+    """
+    update_cols = update_cols or []
+    coalesce_cols = coalesce_cols or []
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+
+        dt = DeltaTable.forName(spark, table)
+        upd = {c: F.col(f"s.{c}") for c in update_cols}
+        upd.update({c: F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+                    for c in coalesce_cols})
+        (dt.alias("t")
+           .merge(source.alias("s"), f"t.{key} = s.{key}")
+           .whenMatchedUpdate(set=upd)
+           .whenNotMatchedInsertAll()
+           .execute())
+        return
+    except ImportError:
+        pass
+    target = spark.table(table)
+    merged = upsert_merge(target, source, key, update_cols=update_cols,
+                          coalesce_cols=coalesce_cols,
+                          insert_cols=insert_cols)
+    # stage the merge result in a sibling table BEFORE overwriting the one
+    # it reads from (overwriting a table mid-scan is undefined), then swap
+    # — fully distributed, never driver-materialized
+    staging = f"{table}__merge_staging"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    spark.table(staging).write.mode("overwrite").saveAsTable(table)
+    spark.sql(f"DROP TABLE `{staging}`")
+
+
 def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
               seq_col: str, op_col: str = "op",
               value_cols: list[str] | None = None) -> DataFrame:

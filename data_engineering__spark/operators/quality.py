@@ -152,18 +152,21 @@ def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     Single partial-agg job regardless of check count (conditional counts
     fold map-side); the constant-width unpivot mirrors ``null_profile``.
     NULL predicate results count as violations (a check that cannot
-    evaluate did not pass)."""
+    evaluate did not pass). Check names are carried only as literals —
+    internal aggregate columns are indexed, so a name containing dots,
+    backticks, or other column-reference metacharacters cannot break
+    resolution."""
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, cond in checks.items():
+    for i, cond in enumerate(checks.values()):
         aggs.append(F.count(F.when(~F.coalesce(cond, F.lit(False)),
-                                   F.lit(1))).alias(f"__v_{name}"))
+                                   F.lit(1))).alias(f"__v_{i}"))
     row = df.agg(*aggs)
     parts = [
         row.select(F.lit(name).alias("check"),
                    F.col("__n").alias("n_rows"),
-                   F.col(f"__v_{name}").alias("n_violations"),
-                   (F.col(f"__v_{name}") == 0).alias("passed"))
-        for name in checks]
+                   F.col(f"__v_{i}").alias("n_violations"),
+                   (F.col(f"__v_{i}") == 0).alias("passed"))
+        for i, name in enumerate(checks)]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

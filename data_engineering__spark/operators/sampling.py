@@ -133,13 +133,20 @@ def temperature_mix(df: DataFrame, stratum_col: str, key_col: str,
     Membership uses the same sha-bucket arithmetic as every sampler here:
     rerun/append/repartition-stable, zero shuffle beyond the tiny
     stratum-count aggregate (broadcast back).
+
+    A NULL stratum is a stratum like any other: the rate join is
+    null-safe (``eqNullSafe``), so rows with a NULL stratum value are
+    rebalanced at the NULL group's own rate instead of silently vanishing
+    through a null-rejecting equi-join.
     """
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
     n_min = counts.agg(F.min("__n").alias("__m"))
     rates = (counts.crossJoin(F.broadcast(n_min))
-             .select(stratum_col,
+             .select(F.col(stratum_col).alias("__stratum"),
                      F.sqrt(F.col("__m").cast("double") / F.col("__n"))
                       .alias("__rate")))
-    placed = df.join(F.broadcast(rates), stratum_col)
+    placed = (df.join(F.broadcast(rates),
+                      F.col(stratum_col).eqNullSafe(F.col("__stratum")))
+              .drop("__stratum"))
     return weighted_sample(placed, key_col, F.col("__rate"), salt=salt) \
         .drop("__rate")

@@ -165,9 +165,16 @@ def time_weighted_avg(df: DataFrame, ts_col: str, key_cols: list[str],
 
     Plan: one shuffle on the key for the lead() window, then a partial
     aggregate on the same partitioning (no second exchange).
+
+    Duplicate timestamps within a key are ordered by the scaled value as
+    a deterministic tie-break (the larger value "holds" until the next
+    distinct timestamp; the earlier duplicates contribute zero-width
+    segments) — without it the holder, and therefore the TWA, would be
+    shuffle-order-dependent. The oracle's LEAD uses the same two-key
+    ordering.
     """
     scale = 10 ** round_dp
-    w = Window.partitionBy(*key_cols).orderBy("__us")
+    w = Window.partitionBy(*key_cols).orderBy("__us", "__cents")
     us = F.unix_micros(F.col(ts_col))
     stepped = (df.select(*key_cols,
                          us.alias("__us"),

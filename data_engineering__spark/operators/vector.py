@@ -289,19 +289,31 @@ def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 2,
     columns per cell — no explode, no per-element rows). Centroid count
     stays driver-small; the corpus never re-shuffles between iterations.
     Empty cells drop (both the oracle and any engine agree on that).
+
+    Each iteration's centroids are RE-EMITTED as a literal relation
+    (one k-row collect — the driver-small budget class): without the
+    cut, every later centroid consumer (the next iteration's assign
+    collect, the caller's IVF localization) re-executes the whole
+    preceding Lloyd lineage — measured ~2× the assignment jobs on the
+    trained-IVF and SemDeDup queries. Exactness is preserved: collect
+    round-trips the post-round IEEE doubles bit-identically.
     """
     cents = (df.filter(F.col(id_col) < k)
                .select(F.col(id_col).cast("long").alias("cell"),
                        as_double_array(vec_col).alias("cvec")))
     vec = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
+    spark = df.sparkSession
     for _ in range(n_iter):
         assigned = kmeans_assign(df, cents, id_col, vec_col)
-        cents = (assigned.join(vec, id_col)
-                 .groupBy("cell")
-                 .agg(*[F.round(F.avg(F.col("__v")[i]), round_dp)
-                        .alias(f"__c{i}") for i in range(dim)])
-                 .select("cell", F.array(*[F.col(f"__c{i}")
-                                           for i in range(dim)]).alias("cvec")))
+        agg = (assigned.join(vec, id_col)
+               .groupBy("cell")
+               .agg(*[F.round(F.avg(F.col("__v")[i]), round_dp)
+                      .alias(f"__c{i}") for i in range(dim)])
+               .select("cell", F.array(*[F.col(f"__c{i}")
+                                         for i in range(dim)]).alias("cvec")))
+        cents = spark.createDataFrame(
+            [(r["cell"], list(r["cvec"])) for r in agg.collect()],
+            schema="cell bigint, cvec array<double>")
     return cents
 
 

@@ -34,6 +34,36 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", _normalize_event_ts(stream))
 
 
+def stream_rate_events(spark: SparkSession, rows_per_batch: int = 2000,
+                       n_users: int = 7, start_epoch: int = 1_700_000_000,
+                       step_s: int = 30) -> DataFrame:
+    """S6 generator variant: the built-in ``rate-micro-batch`` source
+    mapped onto the events shape — a file-less stream for soak tests and
+    for exercising the streaming stack where no landing directory exists
+    (the file-source path is ``stream_events``).
+
+    Deterministic by construction: batch k carries values
+    ``[k·rowsPerBatch, (k+1)·rowsPerBatch)`` and every derived column is
+    pure integer arithmetic on ``value``, so an ``availableNow`` run
+    (exactly one batch) is replayable and ORACLE-checkable — the same
+    stream≡batch verification device as the file-source queries. Values
+    are quarters (``(v mod 1000)/4``): exactly representable doubles, so
+    cross-engine sums are bit-identical."""
+    s = (spark.readStream.format("rate-micro-batch")
+         .option("rowsPerBatch", rows_per_batch)
+         .option("numPartitions", 8)
+         .option("startTimestamp", 0)
+         .load())
+    v = F.col("value")
+    return s.select(
+        v.alias("event_id"),
+        (v % n_users).alias("user_id"),
+        F.element_at(F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+                     (v % 3 + 1).cast("int")).alias("event_type"),
+        F.timestamp_seconds(F.lit(start_epoch) + v * step_s).alias("ts"),
+        ((v % 1000).cast("double") / 4).alias("value"))
+
+
 def tumbling_agg(events: DataFrame, width: str = "10 minutes",
                  watermark: str = "1 hour") -> DataFrame:
     """ST1+ST3: watermarked tumbling-window aggregate."""

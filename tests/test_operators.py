@@ -812,6 +812,25 @@ def test_time_weighted_avg_step_integral(spark):
     assert out["a"].n_obs == 3 and out["a"].twa == 17.5
 
 
+def test_time_weighted_avg_duplicate_ts_deterministic(spark):
+    """Two observations at the SAME (key, timestamp) must not make the
+    TWA shuffle-order-dependent: the value tie-break makes the larger
+    value the holder (the earlier duplicate contributes a zero-width
+    segment), every run, any partitioning."""
+    from datetime import datetime
+
+    from data_engineering__spark.operators.temporal import time_weighted_avg
+    rows = [Row(k="a", ts=datetime(2024, 1, 1, 0), v=10.0),
+            Row(k="a", ts=datetime(2024, 1, 1, 0), v=30.0),  # dup ts
+            Row(k="a", ts=datetime(2024, 1, 1, 2), v=0.0)]
+    expect = 30.0  # larger value holds the whole 2h span
+    for trial in range(3):
+        df = spark.createDataFrame(rows).repartition(4 + trial)
+        got = {r.k: r for r in
+               time_weighted_avg(df, "ts", ["k"], "v").collect()}
+        assert got["a"].twa == expect and got["a"].n_obs == 3
+
+
 def test_apply_cdc_last_wins_delete_and_idempotence(spark):
     from data_engineering__spark.operators.merge import apply_cdc
     snap = spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20),
@@ -860,6 +879,20 @@ def test_temperature_mix_flattens_and_keeps_rarest(spark):
     again = {r.lang: r["count"] for r in
              temperature_mix(df, "lang", "k").groupBy("lang").count().collect()}
     assert again == got
+
+
+def test_temperature_mix_null_stratum_participates(spark):
+    """Rows whose stratum is NULL are a stratum of their own — the
+    null-safe rate join must keep them (at their group's rate), not drop
+    them through a null-rejecting equi-join."""
+    from data_engineering__spark.operators.sampling import temperature_mix
+    rows = [Row(k=i, lang="en") for i in range(300)] \
+         + [Row(k=i + 1000, lang=None) for i in range(75)]
+    got = {r.lang: r["count"] for r in
+           temperature_mix(spark.createDataFrame(rows), "lang", "k")
+           .groupBy("lang").count().collect()}
+    assert got.get(None) == 75             # rarest stratum: passes whole
+    assert 100 <= got["en"] <= 200         # 300·√(75/300) = 150 target
 
 
 def test_streaming_cdc_apply_equals_batch(spark, tmp_path):
@@ -952,3 +985,16 @@ def test_expectations_counts_violations_and_nulls(spark):
     assert out["x_positive"].n_violations == 2 and not out["x_positive"].passed
     assert out["y_present"].n_violations == 1
     assert out["y_enum"].n_violations == 1      # NULL y fails the enum too
+
+
+def test_expectations_hostile_check_names(spark):
+    """Check names are user strings, not column identifiers: dots,
+    backticks, spaces, and braces must pass through as literals without
+    breaking internal aggregate-column resolution."""
+    from data_engineering__spark.operators.quality import expectations
+    df = spark.createDataFrame([Row(x=1), Row(x=-1)])
+    names = ["orders.total > 0", "weird `tick` name", "a b{c}d%s"]
+    out = {r.check: r for r in expectations(
+        df, {n: F.col("x") > 0 for n in names}).collect()}
+    assert set(out) == set(names)
+    assert all(r.n_violations == 1 and not r.passed for r in out.values())

@@ -153,6 +153,41 @@ def test_upsert_merge_semantics(spark):
     assert out.count() == out.select("title").distinct().count()
 
 
+def test_merge_into_managed_table_in_place(spark):
+    """A8 managed variant: the same MERGE semantics applied IN PLACE to a
+    catalog table (Delta MERGE INTO when available; staged overwrite
+    fallback here). Re-merging the same source is idempotent and the
+    staging table never survives."""
+    from data_engineering__spark.operators.merge import merge_into_managed
+    table = "merge_managed_t1"
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    spark.createDataFrame([
+        Row(title="t1", journal_ref="old1", doi="d1"),
+        Row(title="t2", journal_ref="old2", doi=None),
+        Row(title="t3", journal_ref="old3", doi="d3"),
+    ]).write.saveAsTable(table)
+    source = spark.createDataFrame([
+        Row(title="t1", journal_ref="new-link-1", doi=None),
+        Row(title="t2", journal_ref="new-link-2", doi="d2new"),
+        Row(title="t4", journal_ref="new-link-4", doi="d4"),
+    ])
+    expect = {
+        "t1": ("new-link-1", "d1"),
+        "t2": ("new-link-2", "d2new"),
+        "t3": ("old3", "d3"),
+        "t4": ("new-link-4", "d4"),
+    }
+    for _ in range(2):  # second pass: idempotence on the merged state
+        merge_into_managed(spark, table, source, "title",
+                           update_cols=["journal_ref"],
+                           coalesce_cols=["doi"])
+        got = {r.title: (r.journal_ref, r.doi)
+               for r in spark.table(table).collect()}
+        assert got == expect
+    assert not spark.catalog.tableExists(f"{table}__merge_staging")
+    spark.sql(f"DROP TABLE `{table}`")
+
+
 def test_missing_value_audit(spark):
     df = spark.createDataFrame([Row(doi="x", aff="a"), Row(doi=None, aff=" "),
                                 Row(doi="", aff=None)])
