@@ -244,3 +244,39 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     plan = plan_of(QUERIES["null_safe_join_counts"](spark, sf_dir))
     assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_probe_is_map_side_broadcast(spark, sf_dir):
+    """The contamination probe's scale contract: benchmark shingle hashes
+    BROADCAST into a left-outer hash join against the corpus's exploded
+    (id, hash) rows — the corpus branch is map-only up to the join (its
+    only Exchanges are the aggregate's own two-phase shuffle), bodies
+    never sort-merge, and the per-doc dedup is folded into the aggregate
+    (no separate distinct shuffle: at most the countDistinct Expand's two
+    agg exchanges plus the benchmark's own distinct)."""
+    import re
+
+    plan = plan_of(QUERIES["contamination_report_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin LeftOuter" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # distinct folded into the aggregate: benchmark distinct (1) + the
+    # two-phase countDistinct (2) — a reintroduced corpus-side distinct()
+    # would add a fourth shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_shingle_rows_project_tokens_before_lambda(spark, sf_dir):
+    """The shingle kernel's perf contract (HOF re-eval pathology): the
+    token array must be PROJECTED into a real column before the shingle
+    lambda runs — the fused form re-evaluates the regex tokenizer per
+    array element (measured 4.6 s vs 0.96 s at sf0.1×2). Guard: the
+    explode's input is a bare column reference (__toks), not an inline
+    split(...) expression."""
+    from data_engineering__spark.operators.dedup import shingle_sha_rows
+    from data_engineering__spark.sources.io import read_table
+
+    df = read_table(spark, sf_dir, "documents")
+    plan = plan_of(shingle_sha_rows(df, ["doc_id"], "text", 8))
+    gen = [ln for ln in plan.splitlines()
+           if "Input" in ln and "__toks" in ln]
+    assert gen, "Generate/Project should consume a materialized __toks column"
