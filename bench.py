@@ -67,6 +67,10 @@ HEADLINE = [
     "pipeline_parity_citations",
     # round 3: the daily re-run (cross-batch dedup + id continuation)
     "pipeline_parity_incremental",
+    # round 4: script triage, dedup evidence, bounded-memory heavy hitters,
+    # incremental dedup index probe
+    "script_profile_docs", "dedup_cluster_sizes", "token_heavy_hitters",
+    "minhash_incremental_pairs",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

@@ -1978,7 +1978,9 @@ DRIVER_PRIORITY = [
     "pipeline_parity_authors", "pipeline_parity_categories",
     "connected_components_graph", "connected_components_star_graph",
     # --- NEW this round
-    "streaming_rate_tumbling",
+    "streaming_rate_tumbling", "script_profile_docs",
+    "dedup_cluster_sizes", "token_heavy_hitters",
+    "minhash_incremental_pairs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -2183,6 +2185,46 @@ def minhash_near_dup_portable(spark, sf_dir):
     return D.minhash_verified_pairs(corpus, "doc_id", "text",
                                     jaccard_threshold=0.8, num_hashes=32,
                                     bands=16, tok_hash="sha", bucket="slice")
+
+
+def _minhash_incremental_oracle_sql() -> str:
+    """Full-recompute pair oracle restricted to pairs touching the new
+    batch (ids ≥ 1_000_000) — the incremental probe's equivalence
+    contract: probe(index, batch) ≡ recompute(corpus ∪ batch) ∩ touching
+    batch."""
+    ctes = _minhash_pair_ctes(keep_mod=10, num_hashes=32, bands=16,
+                              shingle_n=3, seed=42)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b, jaccard_est FROM est
+WHERE jaccard_est >= 0.8 AND (id_a >= 1000000 OR id_b >= 1000000)"""
+
+
+@query("minhash_incremental_pairs", oracle=_minhash_incremental_oracle_sql())
+def minhash_incremental_pairs(spark, sf_dir):
+    """L2 incremental (R90): daily-append dedup — the existing corpus's
+    signature INDEX is built once; the new batch (the planted perturbed
+    twins) signs only itself and probes the index for near-dup pairs.
+    The oracle recomputes the FULL portable pipeline over corpus ∪ batch
+    and restricts to pairs touching the batch — proving the incremental
+    path emits exactly the pairs a from-scratch run would, at batch-sized
+    cost."""
+    docs = (read_table(spark, sf_dir, "documents").select("doc_id", "text")
+            .filter(F.col("doc_id") % 10 == 0))
+    toks = F.split(F.col("text"), " ")
+    batch = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1,
+                                                     F.lit(1)))).alias("text"))
+    n_parts = spark.sparkContext.defaultParallelism
+    from .operators.dedup import _minhash_signatures_pandas, minhash_index_probe
+    index = _minhash_signatures_pandas(
+        docs.repartition(n_parts), "doc_id", "text",
+        num_hashes=32, shingle_n=3, seed=42, tok_hash="sha").persist()
+    return minhash_index_probe(index, batch.repartition(n_parts),
+                               "doc_id", "text", jaccard_threshold=0.8,
+                               num_hashes=32, bands=16, tok_hash="sha",
+                               bucket="slice")
 
 
 @query("minhash_cc_dedup",
@@ -2896,6 +2938,24 @@ def connected_components_star_graph(spark, sf_dir):
     return D.connected_components_star(_cc_edges(spark, sf_dir))
 
 
+@query("dedup_cluster_sizes", oracle=f"""
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM (SELECT component, COUNT(*) AS cluster_size
+      FROM ({_CC_ORACLE}) GROUP BY component)
+GROUP BY cluster_size""")
+def dedup_cluster_sizes(spark, sf_dir):
+    """EXT dedup evidence (R88): cluster-size histogram of the connected
+    components — the first table a dedup review reads (fat head =
+    boilerplate families, pair tail = ordinary near-dups). Composes the
+    shipped CC operator with ``cluster_size_profile``; the oracle
+    recomputes the closure (recursive reachability CTE) and both
+    aggregations from first principles."""
+    from .operators.dedup import cluster_size_profile
+    comps = D.connected_components(_cc_edges(spark, sf_dir))
+    return cluster_size_profile(comps)
+
+
 # ============================ SCD2 dimension history (round 2, EXT warehouse)
 
 #: Shared CTE chain replicating ``scd2_merge`` over the deterministic
@@ -3161,6 +3221,30 @@ def approx_quantile_check(spark, sf_dir):
     return chk.select("event_type", "n", "vmin", "vmax", "p50_ok", "p95_ok")
 
 
+@query("token_heavy_hitters", oracle=r"""
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+n AS (SELECT COUNT(*) AS total FROM t)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t, n GROUP BY term, n.total
+HAVING COUNT(*) * 50 > n.total""")
+def token_heavy_hitters(spark, sf_dir):
+    """EXT profiling (R89): exact heavy-hitter tokens under bounded
+    memory — two-pass Misra-Gries (per-partition capacity-50 candidate
+    counters, then one exact filtered count). The MG guarantee makes the
+    candidate superset lossless for the reported set (count × 50 > n), so
+    the plain exact-SQL oracle verifies the bounded-memory path
+    bit-for-bit."""
+    from .operators.sketches import heavy_hitters
+    from .operators.text import tokens
+    toks = (read_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("term")))
+    return (heavy_hitters(toks, "term", capacity=50)
+            .select("term", F.col("count").alias("cnt")))
+
+
 # ===================== SemDeDup-style semantic dedup (r3, EXT L-family)
 
 _SEMDEDUP_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (
@@ -3385,6 +3469,58 @@ def normalize_text_docs(spark, sf_dir):
                        " spaced  end ")).alias("t"))
     return normalize_text(aug, "t", out_col="normalized").select(
         "doc_id", "normalized")
+
+
+def _script_profile_oracle_sql() -> str:
+    """Oracle generated FROM ``text.SCRIPT_CLASSES`` so both engines
+    receive byte-identical literal codepoint-range classes (no \\u vs
+    \\x{{}} escape dialect drift), and the dominance CASE mirrors the
+    operator's first-wins chain exactly."""
+    from .operators.text import SCRIPT_CLASSES
+    names = [n for n, _ in SCRIPT_CLASSES]
+    counts = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES)
+    whens = []
+    for i, name in enumerate(names):
+        conds = [f"n_{name} > 0"] + [f"n_{name} >= n_{m}"
+                                     for m in names[i + 1:]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'other' END"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ''
+           WHEN 1 THEN ' Привет мир 2024'
+           WHEN 2 THEN ' 你好世界 データ'
+           ELSE ' مرحبا بالعالم' END AS t
+  FROM documents WHERE doc_id % 7 = 0),
+counted AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         {counts}
+  FROM aug)
+SELECT *, {case} AS dominant FROM counted"""
+
+
+@query("script_profile_docs", oracle=_script_profile_oracle_sql())
+def script_profile_docs(spark, sf_dir):
+    """EXT multilingual triage (R87): per-doc Unicode-script character
+    counts + dominant script. The corpus is ASCII, so the query PLANTS
+    Cyrillic / CJK+kana / Arabic specimens on a doc_id-keyed rotation
+    before profiling; the oracle recomputes every count from the SAME
+    literal codepoint classes (shared source of truth:
+    ``text.SCRIPT_CLASSES``) and replicates the first-wins dominance
+    chain."""
+    from .operators.text import script_profile
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 0))
+    sfx = F.element_at(
+        F.array(F.lit(""), F.lit(" Привет мир 2024"),
+                F.lit(" 你好世界 データ"), F.lit(" مرحبا بالعالم")),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    aug = docs.select("doc_id", F.concat(F.col("text"), sfx).alias("t"))
+    return script_profile(aug, "doc_id", "t")
 
 
 # ============ behavioral analytics: cohorts + funnels (r3, EXT OLAP)

@@ -270,9 +270,9 @@ def _minhash_signatures_pandas(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(run, out_schema)
 
 
-def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
-                          bucket: str = "hash") -> DataFrame:
-    """LSH banding over a (doc, sig) table → candidate pairs (id_a < id_b).
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int,
+                  bucket: str = "hash") -> DataFrame:
+    """(doc, band, bucket) rows — each doc's LSH band keys.
 
     ``bucket="hash"`` (default) shuffles an 8-byte xxhash64 of each band
     slice; ``bucket="slice"`` joins on the raw slice itself (rows_per_band
@@ -283,9 +283,15 @@ def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
     slice_col = F.slice(F.col("sig"),
                         F.col("band") * rows_per_band + 1, rows_per_band)
     bucket_col = slice_col if bucket == "slice" else F.xxhash64(slice_col)
-    buckets = (sig.select("doc", "sig", band_idx)
-                  .withColumn("bucket", bucket_col)
-                  .select("doc", "band", "bucket"))
+    return (sig.select("doc", "sig", band_idx)
+               .withColumn("bucket", bucket_col)
+               .select("doc", "band", "bucket"))
+
+
+def _band_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                          bucket: str = "hash") -> DataFrame:
+    """LSH banding over a (doc, sig) table → candidate pairs (id_a < id_b)."""
+    buckets = _band_buckets(sig, num_hashes, bands, bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (a.join(b, ["band", "bucket"])
@@ -336,6 +342,54 @@ def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     return _verify_pairs(sig, num_hashes, bands, jaccard_threshold, bucket)
 
 
+def minhash_index_probe(index_sig: DataFrame, new_docs: DataFrame,
+                        id_col: str, text_col: str,
+                        jaccard_threshold: float = 0.8,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 42,
+                        tok_hash: str = "pandas",
+                        bucket: str = "hash") -> DataFrame:
+    """INCREMENTAL near-dup detection: probe a persisted signature index
+    with a new document batch — (id_a, id_b, jaccard_est) for every
+    near-dup pair involving ≥1 new doc, WITHOUT re-reading or re-signing
+    the existing corpus.
+
+    This is the daily-append shape of web-scale dedup: the corpus's
+    (doc, sig) table is computed once and persisted (``minhash_signatures``
+    — bucket it by band key at cluster scale); each new batch signs only
+    its own rows (map-only over the batch), bands them, and joins its
+    band keys against the index's. Cost scales with the BATCH, not the
+    corpus: the index side of the join ships (doc, 16B) band rows, and at
+    cluster scale a band-bucketed layout makes it shuffle-free.
+
+    New-new pairs within the batch are included (the batch probes the
+    union index), so appending batch B then probing B' ≡ probing B∪B' —
+    the pair surface is exactly the full recompute's pairs restricted to
+    pairs touching the new batch (same hash family ⇒ bit-identical
+    estimates; the conformance oracle checks that equivalence)."""
+    new_sig = _minhash_signatures_pandas(new_docs, id_col, text_col,
+                                         num_hashes, shingle_n, seed,
+                                         tok_hash).persist()
+    all_sig = index_sig.unionByName(new_sig)
+    nb = _band_buckets(new_sig, num_hashes, bands, bucket).alias("n")
+    ab = _band_buckets(all_sig, num_hashes, bands, bucket).alias("a")
+    pairs = (nb.join(ab, ["band", "bucket"])
+             .filter(F.col("n.doc") != F.col("a.doc"))
+             .select(F.least(F.col("n.doc"), F.col("a.doc")).alias("id_a"),
+                     F.greatest(F.col("n.doc"), F.col("a.doc")).alias("id_b"))
+             .distinct())
+    sa = all_sig.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = all_sig.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard_est",
+                        agree.cast("double") / F.lit(float(num_hashes)))
+            .filter(F.col("jaccard_est") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard_est"))
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 64, bands: int = 16,
                             shingle_n: int = 3, seed: int = 42) -> DataFrame:
@@ -382,6 +436,25 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------- connected components
+
+def cluster_size_profile(components: DataFrame,
+                         comp_col: str = "component") -> DataFrame:
+    """(cluster_size, n_clusters): the size histogram of near-dup
+    components — the evidence table a dedup review reads first (a fat
+    head means boilerplate/mirror families; a long tail of pairs means
+    ordinary near-dups). Companion to ``contamination_report``'s
+    role for decontamination.
+
+    Two tiny aggregations over (id, component) rows — component labels,
+    never bodies: the first shuffles on the component key (map-side
+    combine), the second on the ~distinct-sizes keys (driver-small
+    cardinality). Composes with any component source (``minhash_dedup_cc``
+    closure, ``connected_components``, embedding clusters)."""
+    sizes = (components.groupBy(comp_col)
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20,

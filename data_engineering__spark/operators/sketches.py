@@ -107,3 +107,57 @@ def quantile_sketch_check(df: DataFrame, group_cols: list[str],
             (F.col(f"__{tag}_a") >= F.col(f"__{tag}_l"))
             & (F.col(f"__{tag}_a") <= F.col(f"__{tag}_h")))
     return out.drop(*[c for c in out.columns if c.startswith("__")])
+
+
+def heavy_hitters(df: DataFrame, value_col: str,
+                  capacity: int = 200) -> DataFrame:
+    """EXT profiling: EXACT heavy hitters under bounded memory — every
+    value whose global count exceeds ``n/capacity``, with its exact count,
+    via the standard two-pass Misra-Gries scheme:
+
+    1. **Candidate pass (map-only, bounded state):** each partition keeps
+       at most ``capacity`` counters (batch-decrement Misra-Gries over
+       Arrow batches — merging a batch's exact ``value_counts``, then
+       subtracting the smallest counts until ≤ capacity remain). A
+       partition's undercount is ≤ n_p/capacity, so any value with
+       partition share > n_p/capacity survives; by averaging, any GLOBAL
+       heavy hitter exceeds that share in ≥1 partition → it is a
+       candidate. Vocabulary never materializes: state is O(capacity) per
+       partition regardless of distinct count.
+    2. **Exact pass:** one broadcast semi join on the (≤ capacity ×
+       n_partitions) candidate set, then a count aggregate and the
+       threshold filter ``count × capacity > n`` — integer arithmetic,
+       no float threshold.
+
+    The result is bit-identical to the unbounded exact formulation (the
+    guarantee makes the candidate superset lossless for the reported
+    set), so a plain SQL oracle verifies it — the same exactness-device
+    as ``quantile_sketch_check``'s flags and ``hll_distinct_rollup``.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            excess = len(counters) - capacity
+            if excess > 0:
+                d = sorted(counters.values())[excess - 1]
+                counters = {v: c - d for v, c in counters.items() if c > d}
+        if counters:
+            yield pd.DataFrame({value_col: list(counters)})
+
+    vtype = dict(df.dtypes)[value_col]
+    cands = (df.select(value_col)
+             .mapInPandas(mg, f"{value_col} {vtype}")
+             .distinct())
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (df.join(F.broadcast(cands), value_col, "left_semi")
+            .groupBy(value_col)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("count") * capacity > F.col("__n"))
+            .select(value_col, F.col("count").cast("long").alias("count")))

@@ -301,6 +301,47 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: Unicode-script character classes as LITERAL codepoint ranges — the
+#: class strings embed actual characters (not engine-specific \u / \x{}
+#: escapes), so Java regex and RE2 (DuckDB) interpret them identically.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", f"[A-Za-z{chr(0xC0)}-{chr(0x24F)}]"),
+    ("cyrillic", f"[{chr(0x400)}-{chr(0x4FF)}]"),
+    ("cjk", f"[{chr(0x4E00)}-{chr(0x9FFF)}{chr(0x3040)}-{chr(0x30FF)}"
+            f"{chr(0xAC00)}-{chr(0xD7AF)}]"),
+    ("arabic", f"[{chr(0x600)}-{chr(0x6FF)}]"),
+    ("digit", "[0-9]"),
+]
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """EXT multilingual triage: per-doc character counts by Unicode script
+    (Latin incl. Latin-1/Extended, Cyrillic, CJK+kana+hangul, Arabic,
+    digits) plus the dominant script — the signal a corpus router reads
+    before language-specific processing (lang-id models assume the script;
+    mixed-script docs are the classic mojibake/spam tell).
+
+    Pure codegen ``regexp_count`` over literal codepoint-range classes —
+    map-only, scan-speed, no Python. Dominance ties break in
+    ``SCRIPT_CLASSES`` declaration order (first wins), so the label is
+    deterministic and engine-reproducible; 'other' wins only when every
+    class counts zero."""
+    col = F.col(text_col)
+    counts = {name: F.regexp_count(col, F.lit(pat)).cast("long")
+              for name, pat in SCRIPT_CLASSES}
+    names = [n for n, _ in SCRIPT_CLASSES]
+    dom = F.lit("other")
+    for name in reversed(names):
+        later = [F.col(f"n_{m}") for m in names[names.index(name) + 1:]]
+        cond = (F.col(f"n_{name}") > 0)
+        for o in later:
+            cond = cond & (F.col(f"n_{name}") >= o)
+        dom = F.when(cond, F.lit(name)).otherwise(dom)
+    return (df.select(F.col(id_col), F.length(col).cast("long").alias("n_chars"),
+                      *[c.alias(f"n_{n}") for n, c in counts.items()])
+            .withColumn("dominant", dom))
+
+
 def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None,
                kinds: list[str] | None = None) -> DataFrame:
     """EXT training-data scrub: replace emails / SSNs / card numbers /

@@ -998,3 +998,89 @@ def test_expectations_hostile_check_names(spark):
         df, {n: F.col("x") > 0 for n in names}).collect()}
     assert set(out) == set(names)
     assert all(r.n_violations == 1 and not r.passed for r in out.values())
+
+
+def test_script_profile_counts_and_dominance(spark):
+    from data_engineering__spark.operators.text import script_profile
+    rows = [Row(id=1, t="hello world"),            # pure latin
+            Row(id=2, t="Привет мир"),             # pure cyrillic
+            Row(id=3, t="hi 你好你好你好"),          # cjk outnumbers latin
+            Row(id=4, t="abc АБВ"),                # tie latin/cyrillic → latin
+            Row(id=5, t="123 456"),                # digits only
+            Row(id=6, t="?!... ")]                 # nothing → other
+    out = {r.id: r for r in script_profile(
+        spark.createDataFrame(rows), "id", "t").collect()}
+    assert out[1].dominant == "latin" and out[1].n_latin == 10
+    assert out[2].dominant == "cyrillic" and out[2].n_cyrillic == 9
+    assert out[3].dominant == "cjk" and out[3].n_cjk == 6
+    assert out[4].dominant == "latin"     # first-wins tie-break
+    assert out[5].dominant == "digit" and out[5].n_digit == 6
+    assert out[6].dominant == "other"
+
+
+def test_cluster_size_profile_histogram(spark):
+    from data_engineering__spark.operators.dedup import (
+        cluster_size_profile,
+        connected_components,
+    )
+    # components: {1,2,3} (chain), {10,11}, {20,21}, singleton edge-free
+    # ids never appear — profile sees two pairs and one triple
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+         Row(id_a=10, id_b=11), Row(id_a=20, id_b=21)])
+    prof = {r.cluster_size: r.n_clusters for r in
+            cluster_size_profile(connected_components(edges)).collect()}
+    assert prof == {3: 1, 2: 2}
+
+
+def test_heavy_hitters_exact_and_survives_adversarial_batches(spark):
+    """A heavy hitter spread THIN across every batch (never a within-batch
+    top item early on) must still be reported with its EXACT global count
+    — the Misra-Gries candidate guarantee, not a per-batch top-k."""
+    from data_engineering__spark.operators.sketches import heavy_hitters
+    # 'hh' appears 120x distributed evenly; 600 unique fillers appear once
+    # each; capacity 8 << 601 distinct values. n=720, threshold n/8=90.
+    rows = []
+    for i in range(600):
+        rows.append(Row(v=f"u{i}"))
+        if i % 5 == 0:
+            rows.append(Row(v="hh"))
+    base = spark.createDataFrame(rows).repartition(4)
+    out = {r.v: r["count"] for r in
+           heavy_hitters(base, "v", capacity=8).collect()}
+    assert out == {"hh": 120}
+    # and exactness against the unbounded formulation at a looser capacity
+    exact = {r.v: r.c for r in
+             base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") * 8 > 720).collect()}
+    assert out == exact
+
+
+def test_minhash_index_probe_equals_full_recompute(spark, sf_dir):
+    """Incremental contract: probing the persisted index with a batch must
+    emit exactly the full-recompute pair set restricted to pairs touching
+    the batch — same hash family, bit-identical estimates."""
+    from data_engineering__spark.operators.dedup import (
+        minhash_index_probe,
+        minhash_signatures,
+        minhash_verified_pairs,
+    )
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") % 10 == 0))
+    toks = F.split(F.col("text"), " ")
+    batch = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1,
+                                                     F.lit(1)))).alias("text"))
+    index = minhash_signatures(docs, "doc_id", "text",
+                               num_hashes=32).persist()
+    got = {(r.id_a, r.id_b, r.jaccard_est) for r in
+           minhash_index_probe(index, batch, "doc_id", "text",
+                               jaccard_threshold=0.5, num_hashes=32,
+                               bands=16).collect()}
+    full = {(r.id_a, r.id_b, r.jaccard_est) for r in
+            minhash_verified_pairs(docs.unionByName(batch), "doc_id", "text",
+                                   jaccard_threshold=0.5, num_hashes=32,
+                                   bands=16).collect()
+            if r.id_a >= 1000000 or r.id_b >= 1000000}
+    assert got == full and got          # equal AND non-trivial

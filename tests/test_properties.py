@@ -293,3 +293,30 @@ def test_chunk_tokens_cover_stream_with_exact_overlap(spark, ns, size, overlap):
             rebuilt.extend(c if cid == 0 else c[overlap:] if len(c) > overlap else [])
         # every chunk start < n → full stream covered
         assert rebuilt[:n] == toks
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.sampled_from(list("ab c\tXY.\n")), max_size=60),
+    min_size=1, max_size=8),
+    n=st.integers(2, 5))
+@SETTINGS
+def test_shingle_sha_rows_matches_python_reference(spark, texts, n):
+    """The projected-token shingle kernel must emit exactly the reference
+    set: for each doc, one row per n-token window, hash = first 8 hex
+    chars of sha256 of the space-joined window — for ANY whitespace/case
+    mess and any window width."""
+    import hashlib
+
+    from data_engineering__spark.operators.dedup import shingle_sha_rows
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = sorted((r.doc_id, r.h) for r in
+                 shingle_sha_rows(df, ["doc_id"], "text", n).collect())
+    want = []
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().strip().split() if x]
+        for j in range(len(toks) - n + 1):
+            win = " ".join(toks[j:j + n])
+            want.append(
+                (i, int(hashlib.sha256(win.encode()).hexdigest()[:8], 16)))
+    assert got == sorted(want)
