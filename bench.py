@@ -67,10 +67,10 @@ HEADLINE = [
     "pipeline_parity_citations",
     # round 3: the daily re-run (cross-batch dedup + id continuation)
     "pipeline_parity_incremental",
-    # round 4: script triage, dedup evidence, bounded-memory heavy hitters,
-    # incremental dedup index probe
-    "script_profile_docs", "dedup_cluster_sizes", "token_heavy_hitters",
-    "minhash_incremental_pairs",
+    # round 4: script triage, bounded-memory heavy hitters, incremental
+    # dedup index probe
+    "script_profile_docs", "token_heavy_hitters",
+    "minhash_incremental_pairs", "bm25_search_docs",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]
@@ -81,9 +81,9 @@ HEADLINE = [
 # twin explode_split IS benched),
 # pipeline_parity_*_enriched (same DAG as the three benched pipeline
 # queries + bridge updates — correctness surface, not new throughput),
-# connected_components_*_graph + pagerank_graph (50-node demo graphs whose
-# wall is pure per-iteration job overhead — minhash_cc_dedup benches CC
-# throughput)
+# connected_components_*_graph + pagerank_graph + dedup_cluster_sizes
+# (50-node demo graphs whose wall is pure per-iteration job overhead —
+# minhash_cc_dedup benches CC throughput)
 
 
 def main() -> None:

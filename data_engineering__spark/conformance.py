@@ -1980,7 +1980,7 @@ DRIVER_PRIORITY = [
     # --- NEW this round
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
-    "minhash_incremental_pairs",
+    "minhash_incremental_pairs", "bm25_search_docs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -3219,6 +3219,63 @@ def approx_quantile_check(spark, sf_dir):
                                 probs=[0.5, 0.95], accuracy=200,
                                 rank_tol=0.02)
     return chk.select("event_type", "n", "vmin", "vmax", "p50_ok", "p95_ok")
+
+
+def _bm25_oracle_sql(terms: list[str], k1: float = 1.2, b: float = 0.75,
+                     topk: int = 20) -> str:
+    """Oracle generated from the SAME constants as ``bm25_rank``: every
+    float literal is the Python ``repr`` of the value the Spark plan
+    embeds (the pagerank device), the score sum is the identical explicit
+    left-fold in query-term order, and ln rounds at 6 dp (the
+    driver-proven tfidf discipline)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    fold = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in terms)
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({inlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+per AS (
+  SELECT tf.doc, tf.term,
+         ln(1.0 + (((n_docs - df) + 0.5) / (df + 0.5)))
+         * (tf * {k1 + 1.0!r})
+         / (tf + {k1!r} * ({1.0 - b!r}
+                           + ({b!r} * CAST(dl AS DOUBLE))
+                             / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+  FROM tf JOIN docs USING (doc) JOIN dfreq USING (term) CROSS JOIN stats),
+tot AS (SELECT doc, {fold} AS total FROM per GROUP BY doc)
+SELECT doc, ROUND(total, 6) AS bm25 FROM tot
+ORDER BY ROUND(total, 6) DESC, doc ASC LIMIT {topk}"""
+
+
+_BM25_TERMS = ["join", "filter", "scan"]
+
+
+@query("bm25_search_docs", oracle=_bm25_oracle_sql(_BM25_TERMS))
+def bm25_search_docs(spark, sf_dir):
+    """EXT retrieval (R91): BM25 keyword search top-20 — the lexical
+    complement of the L3 vector family (and the lexical half of hybrid
+    search). Only query-term matches ever shuffle (the corpus-wide work
+    is one filtered map-side explode + a map-only length projection);
+    N/avgdl/df broadcast. The oracle is generated from the operator's own
+    constants and folds the per-term scores in the same explicit order —
+    see ``_bm25_oracle_sql``."""
+    from .operators.text import bm25_rank
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, "doc_id", "text", _BM25_TERMS, topk=20)
 
 
 @query("token_heavy_hitters", oracle=r"""

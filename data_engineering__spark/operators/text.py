@@ -398,3 +398,52 @@ def normalize_text(df: DataFrame, text_col: str,
         F.regexp_replace(deaccented, r"[\x00-\x1f\x7f]", " "),
         r"\s+", " "))
     return df.withColumn(out_col, cleaned)
+
+
+def bm25_rank(df: DataFrame, id_col: str, text_col: str, terms: list[str],
+              k1: float = 1.2, b: float = 0.75, topk: int = 20) -> DataFrame:
+    """EXT retrieval: BM25 ranked search over the corpus for a bag of
+    query terms — (doc, bm25) top-k. The keyword complement of the
+    vector-search family (L3): corpus triage, eval-set retrieval, and
+    the lexical half of hybrid search run on exactly this shape.
+
+    Scale shape: the only data-proportional work is one map-side token
+    explode FILTERED to the query terms before any shuffle (a q-term IN
+    list — the match stream is a tiny fraction of the corpus); document
+    lengths are a map-only projection; N/avgdl/df are broadcast scalars.
+    One (doc, term) aggregate shuffle + one per-doc fold.
+
+    Engine parity discipline: avgdl is Σdl/N (ONE division of exact
+    integers — never a parallel float AVG); every float constant is
+    inlined from the SAME Python value the oracle generator reprs; the
+    per-doc score sum is an EXPLICIT left-fold in query-term order
+    (float + is not associative — a parallel SUM would hash-diverge),
+    and the emitted score rounds to 6 dp with the id as tie-break, the
+    ``tfidf_top_terms`` convention (ln at 6 dp is driver-proven)."""
+    toks = df.select(F.col(id_col).alias("doc"),
+                     F.explode(tokens(text_col)).alias("term"))
+    docs = df.select(F.col(id_col).alias("doc"),
+                     token_count(text_col).cast("long").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("sum_dl"))
+    tf = (toks.filter(F.col("term").isin(list(terms)))
+          .groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(F.lit(1.0) + ((F.col("n_docs") - F.col("df")) + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    inner = F.lit(1.0 - b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+    score = (idf * (F.col("tf") * F.lit(k1 + 1.0))
+             / (F.col("tf") + F.lit(k1) * inner))
+    per_term = (tf.join(docs, "doc").join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(stats))
+                .select("doc", "term", score.alias("s")))
+    aggs = [F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"__s{i}")
+            for i, t in enumerate(terms)]
+    folded = per_term.groupBy("doc").agg(*aggs)
+    total = F.coalesce(F.col("__s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return (folded.select("doc", F.round(total, 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc").asc())
+            .limit(topk))

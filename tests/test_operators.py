@@ -1084,3 +1084,23 @@ def test_minhash_index_probe_equals_full_recompute(spark, sf_dir):
                                    bands=16).collect()
             if r.id_a >= 1000000 or r.id_b >= 1000000}
     assert got == full and got          # equal AND non-trivial
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    """BM25 sanity on a hand-checkable corpus: higher tf wins within equal
+    doc length; a rare term outweighs a common one; docs without any query
+    term never appear."""
+    from data_engineering__spark.operators.text import bm25_rank
+    rows = [
+        Row(doc_id=1, text="cat cat cat dog dog dog"),   # tf(cat)=3
+        Row(doc_id=2, text="cat dog dog dog dog dog"),   # tf(cat)=1
+        Row(doc_id=3, text="dog dog dog dog dog dog"),   # no cat
+        Row(doc_id=4, text="cat zebra dog dog dog dog"), # cat + rare zebra
+    ]
+    out = bm25_rank(spark.createDataFrame(rows), "doc_id", "text",
+                    ["cat", "zebra"], topk=10).collect()
+    ranked = [r.doc for r in out]
+    assert 3 not in ranked                    # no query term → absent
+    assert ranked[0] == 4                     # rare-term doc on top
+    assert ranked.index(1) < ranked.index(2)  # tf(cat)=3 beats tf=1
+    assert all(out[i].bm25 >= out[i + 1].bm25 for i in range(len(out) - 1))
