@@ -70,7 +70,7 @@ HEADLINE = [
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",
-    "minhash_incremental_pairs", "bm25_search_docs",
+    "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

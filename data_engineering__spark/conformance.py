@@ -1980,7 +1980,7 @@ DRIVER_PRIORITY = [
     # --- NEW this round
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
-    "minhash_incremental_pairs", "bm25_search_docs",
+    "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -3262,6 +3262,93 @@ ORDER BY ROUND(total, 6) DESC, doc ASC LIMIT {topk}"""
 
 
 _BM25_TERMS = ["join", "filter", "scan"]
+
+
+def _hybrid_rrf_oracle_sql(terms: list[str], k: int = 60, n_each: int = 50,
+                           topk: int = 20) -> str:
+    """Both rankings + the RRF fold, all from first principles. Rank keys
+    are ROUNDED scores with id tie-breaks (the only cross-engine-stable
+    rank ordering); the fusion adds the lexical term then the dense term
+    — the operator's exact fold order."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    fold = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)"
+        for t in terms)
+    return rf"""
+WITH docs AS (
+  SELECT doc_id AS doc,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM docs),
+toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ({inlist}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+per AS (
+  SELECT tf.doc, tf.term,
+         ln(1.0 + (((n_docs - df) + 0.5) / (df + 0.5)))
+         * (tf * 2.2)
+         / (tf + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE))
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s
+  FROM tf JOIN docs USING (doc) JOIN dfreq USING (term) CROSS JOIN stats),
+tot AS (SELECT doc, {fold} AS total FROM per GROUP BY doc),
+lex AS (
+  SELECT doc AS id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(total, 6) DESC, doc ASC) AS ra
+  FROM tot QUALIFY ra <= {n_each}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+  FROM embeddings e, q),
+den AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(cos, 6) DESC, vec_id ASC) AS rb
+  FROM scored QUALIFY rb <= {n_each}),
+fused AS (
+  SELECT COALESCE(l.id, d.id) AS id,
+         (CASE WHEN l.ra IS NOT NULL THEN 1.0 / ({k} + l.ra) ELSE 0.0 END)
+       + (CASE WHEN d.rb IS NOT NULL THEN 1.0 / ({k} + d.rb) ELSE 0.0 END)
+         AS s
+  FROM lex l FULL JOIN den d ON l.id = d.id)
+SELECT id, ROUND(s, 6) AS rrf FROM fused
+ORDER BY ROUND(s, 6) DESC, id ASC LIMIT {topk}"""
+
+
+@query("hybrid_search_rrf", oracle=_hybrid_rrf_oracle_sql(_BM25_TERMS))
+def hybrid_search_rrf(spark, sf_dir):
+    """EXT hybrid retrieval (R93): Reciprocal Rank Fusion of the lexical
+    (BM25 over documents) and dense (cosine over embeddings, query
+    vec 0) top-50 lists — the standard production hybrid-search shape.
+    Ranks are row_numbers over ROUNDED scores with id tie-breaks on both
+    sides (the only rank ordering that is cross-engine-stable); the
+    oracle recomputes BOTH retrieval pipelines and the fusion fold."""
+    from pyspark.sql import Window
+    from .operators.text import bm25_rank
+    from .operators.vector import rrf_fuse
+    docs = read_table(spark, sf_dir, "documents")
+    lex = (bm25_rank(docs, "doc_id", "text", _BM25_TERMS, topk=50)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("bm25").desc(), F.col("doc").asc())))
+           .select(F.col("doc").alias("id"), "rank"))
+    e = read_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0)
+    den = (V.cosine_topk(e, qdf, 50)
+           .select("vec_id", F.round("cosine", 6).alias("__c6"))
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.col("__c6").desc(), F.col("vec_id").asc())))
+           .select(F.col("vec_id").alias("id"), "rank"))
+    return rrf_fuse(lex, den, "id", k=60, topk=20)
 
 
 @query("bm25_search_docs", oracle=_bm25_oracle_sql(_BM25_TERMS))

@@ -414,3 +414,30 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                .filter(F.col("__cos") >= threshold)
                .select(F.col("__idb").alias(id_col)).distinct())
     return assign.join(dropped, id_col, "left_anti")
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
+             k: int = 60, topk: int = 20) -> DataFrame:
+    """EXT hybrid retrieval: Reciprocal Rank Fusion of two ranked lists —
+    score(id) = Σ 1/(k + rankᵢ) over the systems that returned the id.
+    The standard lexical+dense fusion rule (k=60 per the original RRF
+    paper): rank-based, so the two systems' incomparable score scales
+    never mix.
+
+    Inputs are (id, rank) frames — ranks MUST be deterministic (rank over
+    ROUNDED scores with the id as tie-break, the repo's ordering
+    discipline) or fusion inherits the instability. Both lists are top-k
+    small by construction, so the full-outer join broadcasts; the fold
+    adds the two reciprocal terms in fixed a-then-b order (exact: two
+    correctly-rounded divisions + one addition), rounds at 6 dp, and
+    tie-breaks on id."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("__ra"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("__rb"))
+    j = a.join(b, id_col, "full_outer")
+    sa = F.when(F.col("__ra").isNotNull(),
+                F.lit(1.0) / (F.lit(k) + F.col("__ra"))).otherwise(F.lit(0.0))
+    sb = F.when(F.col("__rb").isNotNull(),
+                F.lit(1.0) / (F.lit(k) + F.col("__rb"))).otherwise(F.lit(0.0))
+    return (j.select(id_col, F.round(sa + sb, 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+            .limit(topk))

@@ -166,3 +166,49 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_ranges: int = 16, bits: int = 16) -> None:
+    """S3 scale variant #3: Z-ORDER clustered write — multi-dimensional
+    file skipping where ``write_clustered`` only serves its leading
+    column.
+
+    Both columns min/max-scale to ``bits``-bit integers (one scalar agg,
+    broadcast), their bits INTERLEAVE into a z-value (pure codegen
+    shift/mask arithmetic — no UDF), and the write range-partitions +
+    sorts on z. Because the z-curve preserves locality in BOTH
+    dimensions, every output file's parquet footer carries a tight
+    min/max range on EACH column — predicates on either (or both) skip
+    to a handful of files, the property the layout test measures against
+    real footers. This is the standard lakehouse Z-ORDER device
+    (Delta/Iceberg `OPTIMIZE ZORDER BY`) expressed as plain DataFrame
+    ops; extend to k columns by interleaving k streams.
+
+    Scaling uses ranks-free min/max normalization: one pass, no global
+    sort per dimension. For heavily skewed columns substitute quantile
+    boundaries (``approx_quantiles``) for the linear scale — the
+    interleave stays identical."""
+    stats = df.agg(F.min(col_a).alias("__a_lo"), F.max(col_a).alias("__a_hi"),
+                   F.min(col_b).alias("__b_lo"), F.max(col_b).alias("__b_hi"))
+    top = (1 << bits) - 1
+
+    def scaled(c: str, lo: str, hi: str):
+        span = F.col(hi).cast("double") - F.col(lo).cast("double")
+        frac = F.when(span > 0,
+                      (F.col(c).cast("double") - F.col(lo).cast("double"))
+                      / span).otherwise(F.lit(0.0))
+        return F.least(F.floor(frac * top).cast("long"), F.lit(top))
+
+    za, zb = scaled(col_a, "__a_lo", "__a_hi"), scaled(col_b, "__b_lo", "__b_hi")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(za, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(zb, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = (df.crossJoin(F.broadcast(stats))
+           .withColumn("__z", z)
+           .repartitionByRange(n_ranges, "__z")
+           .sortWithinPartitions("__z")
+           .drop("__a_lo", "__a_hi", "__b_lo", "__b_hi", "__z"))
+    out.write.mode("overwrite").parquet(path)
