@@ -212,3 +212,58 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
            .sortWithinPartitions("__z")
            .drop("__a_lo", "__a_hi", "__b_lo", "__b_hi", "__z"))
     out.write.mode("overwrite").parquet(path)
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema: T.StructType,
+                   header: bool = True, sep: str = ",",
+                   mode: str = "PERMISSIVE",
+                   corrupt_col: str | None = None) -> DataFrame:
+    """S1 format variant: CSV ingest with an EXPLICIT schema — never
+    ``inferSchema`` (which buys its guess with a full extra pass over the
+    data; at 100 TB that is a second scan for nothing, and the guess can
+    drift between daily files). ``mode='PERMISSIVE'`` + ``corrupt_col``
+    lands malformed lines in a quarantine column instead of failing the
+    job — the standard poison-row pattern for third-party feeds;
+    ``mode='FAILFAST'`` for trusted internal data."""
+    r = (spark.read.schema(schema)
+         .option("header", str(header).lower()).option("sep", sep)
+         .option("mode", mode))
+    if corrupt_col:
+        r = r.option("columnNameOfCorruptRecord", corrupt_col)
+    return r.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 format variant: ORC scan — columnar like parquet (predicate
+    pushdown, column pruning, footer statistics all apply); Spark ships
+    the reader built-in. Avro, by contrast, needs the external
+    ``spark-avro`` module — absent in this environment, so Avro feeds
+    route through their own loader or land as JSON/parquet first."""
+    return spark.read.orc(path)
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_rows_per_file: int,
+                  out_path: str | None = None) -> int:
+    """S3 maintenance: SMALL-FILES COMPACTION — rewrite a parquet
+    directory into ⌈n/target⌉ right-sized files and return the new file
+    count. Streaming sinks and fine-grained partition writes accrete
+    kilobyte files; at 100 TB the resulting open/seek overhead and
+    NameNode/listing pressure dominate scan time, so periodic compaction
+    is a standing maintenance job in every lakehouse.
+
+    One distributed pass: count (metadata-only for parquet) → coalesce to
+    the target file count — ``coalesce`` narrows partitions WITHOUT a
+    shuffle (each output task concatenates whole input partitions).
+    Writes to ``out_path`` (default: swap directory `<path>__compact`) —
+    rewriting a directory while reading it is undefined, and the caller
+    owns the atomic swap (rename/catalog repoint) just like
+    ``merge_into_managed``'s staging contract."""
+    import math
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    dest = out_path or f"{path}__compact"
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    return n_files

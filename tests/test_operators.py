@@ -1162,3 +1162,57 @@ def test_rrf_fuse_combines_and_ranks(spark):
     assert out[3] > out[1] > out[2]
     assert round(1 / 62, 6) == out[4]        # dense-only doc present
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_csv_typed_round_trip_with_quarantine(spark, tmp_path):
+    """S1 CSV variant: explicit-schema read (no inference pass), malformed
+    rows quarantined into the corrupt column instead of failing the job."""
+    from pyspark.sql import types as T
+
+    from data_engineering__spark.sources.io import read_csv_typed
+    p = str(tmp_path / "feed.csv")
+    with open(p, "w") as f:
+        f.write("id,qty,price\n1,5,9.5\n2,7,1.25\nbad,not_an_int,x\n4,2,3.0\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("_bad", T.StringType()),
+    ])
+    df = read_csv_typed(spark, p, schema, corrupt_col="_bad").cache()
+    good = df.filter(F.col("_bad").isNull())
+    assert {r.id: (r.qty, r.price) for r in good.collect()} == \
+        {1: (5, 9.5), 2: (7, 1.25), 4: (2, 3.0)}
+    quarantined = df.filter(F.col("_bad").isNotNull()).collect()
+    assert len(quarantined) == 1 and "not_an_int" in quarantined[0]._bad
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    """S1 ORC variant: columnar round-trip content equality vs the parquet
+    source (same rows, same values)."""
+    from data_engineering__spark.sources.io import read_orc
+    src = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+           .select("s_suppkey", "s_name", "s_nationkey"))
+    p = str(tmp_path / "supplier_orc")
+    src.write.orc(p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_compact_files_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
+    """S3 maintenance: a directory fragmented into ~60 small files
+    compacts to the computed target without row loss or value change."""
+    import glob
+
+    from data_engineering__spark.sources.io import compact_files
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    frag = str(tmp_path / "frag")
+    src.repartition(60).write.parquet(frag)
+    assert len(glob.glob(f"{frag}/*.parquet")) >= 50
+    n = src.count()
+    n_files = compact_files(spark, frag, target_rows_per_file=(n + 3) // 4)
+    out = f"{frag}__compact"
+    assert n_files == 4
+    assert len(glob.glob(f"{out}/*.parquet")) == 4
+    assert (sorted(map(tuple, spark.read.parquet(out).collect()))
+            == sorted(map(tuple, src.collect())))
