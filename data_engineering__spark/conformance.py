@@ -1981,6 +1981,7 @@ DRIVER_PRIORITY = [
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
+    "corpus_report_docs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -3259,6 +3260,42 @@ per AS (
 tot AS (SELECT doc, {fold} AS total FROM per GROUP BY doc)
 SELECT doc, ROUND(total, 6) AS bm25 FROM tot
 ORDER BY ROUND(total, 6) DESC, doc ASC LIMIT {topk}"""
+
+
+@query("corpus_report_docs", oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS nt,
+         sha256(lower(trim(text))) AS dig
+  FROM documents),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         MAX(nt) AS max_tokens, MIN(nt) AS min_tokens,
+         CAST(COUNT(CASE WHEN nt < 20 THEN 1 END) AS BIGINT) AS n_short,
+         CAST(COUNT(DISTINCT dig) AS BIGINT) AS n_distinct
+  FROM base)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM agg
+UNION ALL SELECT 'mean_tokens',
+  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
+UNION ALL SELECT 'max_tokens', CAST(max_tokens AS DOUBLE) FROM agg
+UNION ALL SELECT 'min_tokens', CAST(min_tokens AS DOUBLE) FROM agg
+UNION ALL SELECT 'short_frac',
+  CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg
+UNION ALL SELECT 'exact_dup_frac',
+  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM agg""")
+def corpus_report_docs(spark, sf_dir):
+    """EXT audit capstone (R95): the one-call corpus report — exact doc/
+    token counts, Σ/N mean (one exact-integer division), short-doc and
+    exact-dup fractions (digest-distinct over sha256 of normalized text).
+    The oracle recomputes every metric from first principles; every value
+    is exact integer arithmetic + single IEEE divisions, so no rounding
+    is needed anywhere."""
+    from .operators.text import corpus_report
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_report(docs, "doc_id", "text")
 
 
 _BM25_TERMS = ["join", "filter", "scan"]

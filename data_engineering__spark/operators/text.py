@@ -447,3 +447,52 @@ def bm25_rank(df: DataFrame, id_col: str, text_col: str, terms: list[str],
     return (folded.select("doc", F.round(total, 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col("doc").asc())
             .limit(topk))
+
+
+def corpus_report(df: DataFrame, id_col: str, text_col: str,
+                  short_tokens: int = 20) -> DataFrame:
+    """EXT audit capstone: the one-call corpus report — (metric, value)
+    rows for the numbers every dataset review reads first:
+
+    - ``n_docs``, ``n_tokens`` (exact counts)
+    - ``mean_tokens`` = Σtokens/N (ONE exact-integer division — the same
+      discipline as BM25's avgdl, never a parallel float AVG)
+    - ``max_tokens``, ``min_tokens`` (raw existing values)
+    - ``short_frac``: share of docs under ``short_tokens`` tokens (exact
+      count ratio)
+    - ``exact_dup_frac``: 1 − distinct(normalized text)/N — the upper
+      bound exact-dedup would remove (lower/trim normalization, the L1
+      convention)
+
+    ONE aggregation pass over map-side projections (token counts are
+    per-row codegen; the only extra shuffle is the distinct-text count,
+    which hashes 8-byte digests, not bodies). Long (metric, value) shape
+    so downstream dashboards/asserts consume rows, not columns."""
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("__nt"),
+        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("__dig"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.max("__nt").alias("max_tokens"),
+        F.min("__nt").alias("min_tokens"),
+        F.count(F.when(F.col("__nt") < short_tokens, 1)).alias("n_short"),
+        F.countDistinct("__dig").alias("n_distinct"))
+    n = F.col("n_docs").cast("double")
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("mean_tokens", F.col("n_tokens").cast("double") / n),
+        ("max_tokens", F.col("max_tokens").cast("double")),
+        ("min_tokens", F.col("min_tokens").cast("double")),
+        ("short_frac", F.col("n_short").cast("double") / n),
+        ("exact_dup_frac",
+         F.lit(1.0) - F.col("n_distinct").cast("double") / n),
+    ]
+    parts = [agg.select(F.lit(name).alias("metric"), col.alias("value"))
+             for name, col in metrics]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1216,3 +1216,20 @@ def test_compact_files_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
     assert len(glob.glob(f"{out}/*.parquet")) == 4
     assert (sorted(map(tuple, spark.read.parquet(out).collect()))
             == sorted(map(tuple, src.collect())))
+
+
+def test_corpus_report_metrics_exact(spark):
+    from data_engineering__spark.operators.text import corpus_report
+    rows = [Row(id=1, t="a b c"),             # 3 tokens, short
+            Row(id=2, t="a b c"),             # exact dup of 1
+            Row(id=3, t=" ".join(["w"] * 25)),  # 25 tokens, not short
+            Row(id=4, t="x y")]               # 2 tokens, short
+    out = {r.metric: r.value for r in
+           corpus_report(spark.createDataFrame(rows), "id", "t",
+                         short_tokens=20).collect()}
+    assert out["n_docs"] == 4.0
+    assert out["n_tokens"] == 33.0
+    assert out["mean_tokens"] == 33.0 / 4.0
+    assert out["max_tokens"] == 25.0 and out["min_tokens"] == 2.0
+    assert out["short_frac"] == 3.0 / 4.0
+    assert out["exact_dup_frac"] == 1.0 - 3.0 / 4.0   # one dup pair
