@@ -84,7 +84,11 @@ HEADLINE = [
 # queries + bridge updates — correctness surface, not new throughput),
 # connected_components_*_graph + pagerank_graph + dedup_cluster_sizes
 # (50-node demo graphs whose wall is pure per-iteration job overhead —
-# minhash_cc_dedup benches CC throughput)
+# minhash_cc_dedup benches CC throughput),
+# fuzzy_join_suppliers (TPC-H's shared-prefix synthetic names collapse the
+# blocking into ONE block — a deliberate worst-case correctness fixture,
+# so its wall measures the quadratic verify, not the operator's blocked
+# shape on real name distributions)
 
 
 def main() -> None:

@@ -1981,7 +1981,7 @@ DRIVER_PRIORITY = [
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
-    "corpus_report_docs",
+    "corpus_report_docs", "fuzzy_join_suppliers",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -3260,6 +3260,47 @@ per AS (
 tot AS (SELECT doc, {fold} AS total FROM per GROUP BY doc)
 SELECT doc, ROUND(total, 6) AS bm25 FROM tot
 ORDER BY ROUND(total, 6) DESC, doc ASC LIMIT {topk}"""
+
+
+@query("fuzzy_join_suppliers", oracle="""
+WITH feed AS (
+  -- deterministic dirty feed: typo at char 5 for %3=0 keys, a dropped
+  -- char 6 for %3=1, clean pass-through otherwise
+  SELECT s_suppkey AS feed_key,
+         CASE s_suppkey % 3
+           WHEN 0 THEN substr(s_name, 1, 4) || 'x' || substr(s_name, 6)
+           WHEN 1 THEN substr(s_name, 1, 5) || substr(s_name, 7)
+           ELSE s_name END AS feed_name
+  FROM supplier),
+a AS (SELECT s_suppkey, s_name, lower(trim(s_name)) AS ln FROM supplier),
+b AS (SELECT feed_key, feed_name, lower(trim(feed_name)) AS rn FROM feed)
+SELECT a.s_suppkey, b.feed_key,
+       CAST(levenshtein(a.ln, b.rn) AS INT) AS edit_dist
+FROM a JOIN b
+  ON substr(a.ln, 1, 2) = substr(b.rn, 1, 2)
+ AND abs(length(a.ln) - length(b.rn)) <= 2
+WHERE levenshtein(a.ln, b.rn) <= 2""")
+def fuzzy_join_suppliers(spark, sf_dir):
+    """EXT record linkage (R96): edit-distance join of the supplier dim
+    against a deterministically-corrupted feed of itself (substitution at
+    char 5, deletion at char 6 — never in the 2-char block prefix, so
+    every planted pair is recoverable under the blocking contract). The
+    oracle replicates blocking AND levenshtein verification — exact
+    integers end to end."""
+    from .operators.relational import fuzzy_join_blocked
+    s = read_table(spark, sf_dir, "supplier")
+    feed = s.select(
+        F.col("s_suppkey").alias("feed_key"),
+        F.when(F.col("s_suppkey") % 3 == 0,
+               F.concat(F.substring("s_name", 1, 4), F.lit("x"),
+                        F.expr("substr(s_name, 6)")))
+         .when(F.col("s_suppkey") % 3 == 1,
+               F.concat(F.substring("s_name", 1, 5),
+                        F.expr("substr(s_name, 7)")))
+         .otherwise(F.col("s_name")).alias("feed_name"))
+    out = fuzzy_join_blocked(s.select("s_suppkey", "s_name"), feed,
+                             "s_name", "feed_name", max_dist=2, prefix=2)
+    return out.select("s_suppkey", "feed_key", "edit_dist")
 
 
 @query("corpus_report_docs", oracle=r"""

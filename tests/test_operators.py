@@ -1233,3 +1233,18 @@ def test_corpus_report_metrics_exact(spark):
     assert out["max_tokens"] == 25.0 and out["min_tokens"] == 2.0
     assert out["short_frac"] == 3.0 / 4.0
     assert out["exact_dup_frac"] == 1.0 - 3.0 / 4.0   # one dup pair
+
+
+def test_fuzzy_join_blocked_matches_and_contract(spark):
+    from data_engineering__spark.operators.relational import fuzzy_join_blocked
+    a = spark.createDataFrame([Row(id=1, name="Acme Corp"),
+                               Row(id=2, name="Zenith Ltd")])
+    b = spark.createDataFrame([Row(key=10, cand="Acme C0rp"),    # 1 sub
+                               Row(key=11, cand="acme corp"),    # case only
+                               Row(key=12, cand="Acme Corporation"),  # +7
+                               Row(key=13, cand="Xcme Corp")])   # typo IN prefix
+    out = {(r.id, r.key): r.edit_dist for r in
+           fuzzy_join_blocked(a, b, "name", "cand", max_dist=2).collect()}
+    assert out == {(1, 10): 1, (1, 11): 0}
+    # (1,12) excluded by the length band; (1,13) is the documented
+    # blocking-recall miss (prefix char differs)
