@@ -1981,7 +1981,7 @@ DRIVER_PRIORITY = [
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
-    "corpus_report_docs", "fuzzy_join_suppliers",
+    "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4234,3 +4234,78 @@ def expectation_suite_lineitem(spark, sf_dir):
         "returnflag_enum": F.col("l_returnflag").isin("A", "N", "R"),
         "discount_band": F.col("l_discount").between(0, 0.99),
     })
+
+
+# ==================================== EXT round-4 additions (R97+)
+
+_BOILER_HEADER = "accept cookies to continue"
+_BOILER_FOOTER = "copyright example corp all rights reserved"
+
+
+def _multiline_docs(spark, sf_dir):
+    """Deterministic multi-line corpus fixture for line-level dedup: the
+    raw documents carry no newlines, so re-segment each doc's tokens into
+    8-token 'lines' and plant boilerplate (a cookie banner on doc_id%3==0,
+    a copyright footer on doc_id%5==0) — the web-scrape shape CCNet/Dolma
+    line-dedup exists for. Replicated verbatim in the oracle SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    segs = [F.array_join(F.slice(toks, k * 8 + 1, 8), " ") for k in range(4)]
+    lns = F.concat(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.array(F.lit(_BOILER_HEADER))).otherwise(F.array().cast("array<string>")),
+        F.array(*segs),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.array(F.lit(_BOILER_FOOTER))).otherwise(F.array().cast("array<string>")))
+    return docs.select("doc_id", F.array_join(lns, "\n").alias("mtext"))
+
+
+_MULTILINE_SQL = rf"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents),
+built AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN ['{_BOILER_HEADER}']
+               ELSE CAST([] AS VARCHAR[]) END
+          || [array_to_string(tk[1:8], ' '), array_to_string(tk[9:16], ' '),
+              array_to_string(tk[17:24], ' '), array_to_string(tk[25:32], ' ')]
+          || CASE WHEN doc_id % 5 = 0 THEN ['{_BOILER_FOOTER}']
+               ELSE CAST([] AS VARCHAR[]) END) AS lns
+  FROM toks)"""
+
+
+@query("line_dedup_docs", oracle=_mat(rf"""
+WITH {_MULTILINE_SQL},
+lines AS (
+  SELECT doc_id, pos, trim(raw) AS line FROM (
+    SELECT doc_id, unnest(lns) AS raw,
+           unnest(generate_series(1, len(lns))) AS pos
+    FROM built)
+  WHERE trim(raw) <> ''),
+boiler AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+reb AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)"""))
+def line_dedup_docs(spark, sf_dir):
+    """EXT R97: corpus-level duplicate-line removal (CCNet/Dolma
+    boilerplate filter) over the synthetic multi-line corpus. The planted
+    banner/footer appear in >=2 docs and are stripped everywhere; the
+    8-token body lines are corpus-unique and survive. Only xxhash64
+    digests shuffle for the duplicate count; the oracle matches on the
+    line strings themselves (same partition of the corpus)."""
+    from .operators.dedup import line_dedup
+    mdocs = _multiline_docs(spark, sf_dir)
+    return line_dedup(mdocs, "doc_id", "mtext", min_docs=2)

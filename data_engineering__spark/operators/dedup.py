@@ -963,3 +963,52 @@ def related_docs_topk(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("rank") <= k)
             .select(id_col, F.col("rank").cast("int").alias("rank"),
                     "related_id", "jaccard"))
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
+               min_docs: int = 2, out_col: str = "clean_text") -> DataFrame:
+    """EXT (R97): corpus-level duplicate-line removal — the CCNet/Dolma
+    boilerplate filter. A (trimmed) line that occurs in >= ``min_docs``
+    DISTINCT documents is boilerplate (navigation bars, cookie banners,
+    license headers) and is stripped from EVERY document; surviving lines
+    are re-joined in original order. Whitespace-only lines are dropped.
+
+    Returns (id, ``out_col``, n_kept, n_removed) — one row per input doc,
+    docs whose every line was boilerplate keep an empty ``out_col``.
+
+    Scale shape (100 TB): lines explode map-side with their position; the
+    duplicate count groups on an 8-byte ``xxhash64`` digest, so only
+    (digest, doc-id-hash) pairs shuffle — never line bodies. The resulting
+    boilerplate digest set is tiny by construction (only lines repeated
+    across docs) and broadcasts back onto the exploded lines; the final
+    re-assembly is ONE shuffle on the doc id with ``array_sort`` over
+    (pos, line) structs — no per-doc window. Digest collisions (~2^-64
+    per pair) would remove a unique line; for a removal audit rerun with
+    ``sha2`` digests.
+    """
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                        .alias("__pos", "__raw"))
+             .withColumn("__line", F.trim(F.col("__raw")))
+             .filter(F.col("__line") != "")
+             .withColumn("__dig", F.xxhash64(F.col("__line"))))
+    boiler = (lines.groupBy("__dig")
+              .agg(F.countDistinct(id_col).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__dig"))
+    kept = lines.join(F.broadcast(boiler), "__dig", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct(F.col("__pos"), F.col("__line")))).alias("__ls"))
+               .select(F.col(id_col),
+                       F.array_join(F.transform("__ls", lambda s: s["__line"]),
+                                    sep).alias(out_col),
+                       F.size("__ls").cast("long").alias("n_kept")))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count("*").alias("__n_lines")))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(out_col, F.lit("")).alias(out_col),
+                    F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+                    (F.col("__n_lines") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

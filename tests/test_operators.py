@@ -1248,3 +1248,26 @@ def test_fuzzy_join_blocked_matches_and_contract(spark):
     assert out == {(1, 10): 1, (1, 11): 0}
     # (1,12) excluded by the length band; (1,13) is the documented
     # blocking-recall miss (prefix char differs)
+
+
+def test_line_dedup_strips_boilerplate_keeps_order(spark):
+    from data_engineering__spark.operators.dedup import line_dedup
+    rows = [
+        Row(id=1, t="COOKIE BANNER\nunique alpha line\nfooter text\n  "),
+        Row(id=2, t="cookie banner\nunique beta line\nfooter text"),
+        Row(id=3, t="only original content here\nsecond original line"),
+        Row(id=4, t="cookie banner\nfooter text"),   # all lines boilerplate
+    ]
+    out = {r.id: r for r in
+           line_dedup(spark.createDataFrame(rows), "id", "t",
+                      min_docs=2).collect()}
+    # matching is on TRIMMED lines, case-sensitive: 'COOKIE BANNER' (doc 1)
+    # is NOT the same line as 'cookie banner' (docs 2 and 4)
+    assert out[1].clean_text == "COOKIE BANNER\nunique alpha line"
+    assert out[1].n_kept == 2 and out[1].n_removed == 1  # blank line dropped
+    assert out[2].clean_text == "unique beta line"
+    assert out[2].n_kept == 1 and out[2].n_removed == 2
+    assert out[3].clean_text == "only original content here\nsecond original line"
+    assert out[3].n_removed == 0
+    # a doc whose every line is boilerplate survives with empty clean_text
+    assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_removed == 2
