@@ -1982,6 +1982,7 @@ DRIVER_PRIORITY = [
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
+    "join_health_orders",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4309,3 +4310,60 @@ def line_dedup_docs(spark, sf_dir):
     from .operators.dedup import line_dedup
     mdocs = _multiline_docs(spark, sf_dir)
     return line_dedup(mdocs, "doc_id", "mtext", min_docs=2)
+
+
+@query("join_health_orders", oracle=_mat("""
+WITH l AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders),
+r AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 5 <> 0),
+lk AS (SELECT k, COUNT(*) AS lc FROM l WHERE k IS NOT NULL GROUP BY k),
+rk AS (SELECT k, COUNT(*) AS rc FROM r WHERE k IS NOT NULL GROUP BY k),
+keys AS (SELECT lk.k AS klk, rk.k AS krk, lc, rc
+         FROM lk FULL OUTER JOIN rk ON lk.k = rk.k),
+agg AS (
+  SELECT CAST(COUNT(CASE WHEN lc IS NOT NULL THEN 1 END) AS BIGINT) AS l_distinct,
+         CAST(COUNT(CASE WHEN rc IS NOT NULL THEN 1 END) AS BIGINT) AS r_distinct,
+         CAST(COUNT(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL THEN 1 END)
+              AS BIGINT) AS matched,
+         CAST(COUNT(CASE WHEN rc IS NULL THEN 1 END) AS BIGINT) AS l_orphan,
+         CAST(COUNT(CASE WHEN lc IS NULL THEN 1 END) AS BIGINT) AS r_orphan,
+         CAST(COALESCE(MAX(rc), 0) AS BIGINT) AS max_r_fanout,
+         CAST(COALESCE(SUM(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+                                THEN lc * rc END), 0) AS BIGINT) AS join_rows
+  FROM keys),
+lrow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS l_rows,
+         CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS l_null_rows
+  FROM l),
+rrow AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS r_rows,
+         CAST(COUNT(CASE WHEN k IS NULL THEN 1 END) AS BIGINT) AS r_null_rows
+  FROM r)
+SELECT 'l_rows' AS metric, l_rows AS value FROM lrow
+UNION ALL SELECT 'r_rows', r_rows FROM rrow
+UNION ALL SELECT 'l_null_rows', l_null_rows FROM lrow
+UNION ALL SELECT 'r_null_rows', r_null_rows FROM rrow
+UNION ALL SELECT 'l_distinct', l_distinct FROM agg
+UNION ALL SELECT 'r_distinct', r_distinct FROM agg
+UNION ALL SELECT 'matched', matched FROM agg
+UNION ALL SELECT 'l_orphan', l_orphan FROM agg
+UNION ALL SELECT 'r_orphan', r_orphan FROM agg
+UNION ALL SELECT 'max_r_fanout', max_r_fanout FROM agg
+UNION ALL SELECT 'join_rows', join_rows FROM agg"""))
+def join_health_orders(spark, sf_dir):
+    """EXT R98: pre-join health audit over a deliberately degraded
+    (orders → customer) pair — NULLed keys on the fact side (o_orderkey %
+    97) and a filtered dim (c_custkey % 5 removed) so every report slot
+    is exercised: NULL-key drop counts, orphans both ways, fanout, and
+    the exact inner-join output cardinality. Key tables, never fact rows,
+    meet in the full-outer compare."""
+    from .operators.quality import join_health
+    o = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+         .otherwise(F.col("o_custkey")).alias("k"))
+    c = (read_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 5 != 0)
+         .select(F.col("c_custkey").alias("k")))
+    return join_health(o, c, "k", "k")

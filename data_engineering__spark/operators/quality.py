@@ -171,3 +171,54 @@ def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_health(left: DataFrame, right: DataFrame, lkey: str,
+                rkey: str) -> DataFrame:
+    """EXT (R98): pre-join health report for a (fact, dim) key pair — the
+    audit a data engineer runs BEFORE shipping a join. One (metric, value)
+    row each for: row counts, distinct non-null keys, NULL-key rows per
+    side (dropped by an inner equi-join), matched distinct keys, orphan
+    distinct keys per side, the right side's max per-key fanout (the
+    row-explosion risk), and the exact inner-join output cardinality
+    (Σ lcnt·rcnt over matched keys) — all exact integers.
+
+    Scale shape: each side collapses to a (key, count) table first (one
+    shuffle each, partial counts fold map-side), so the full-outer key
+    join compares key tables, never fact rows. Nothing here is driver-
+    side; the report is a 10-row DataFrame."""
+    lk = (left.groupBy(F.col(lkey).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__lc")))
+    rk = (right.groupBy(F.col(rkey).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__rc")))
+    lnn = lk.filter(F.col("__k").isNotNull())
+    rnn = rk.filter(F.col("__k").isNotNull())
+    keys = lnn.join(rnn, "__k", "full_outer")
+    agg = keys.agg(
+        F.count(F.when(F.col("__lc").isNotNull(), 1)).alias("l_distinct"),
+        F.count(F.when(F.col("__rc").isNotNull(), 1)).alias("r_distinct"),
+        F.count(F.when(F.col("__lc").isNotNull() & F.col("__rc").isNotNull(),
+                       1)).alias("matched"),
+        F.count(F.when(F.col("__rc").isNull(), 1)).alias("l_orphan"),
+        F.count(F.when(F.col("__lc").isNull(), 1)).alias("r_orphan"),
+        F.coalesce(F.max("__rc"), F.lit(0)).alias("max_r_fanout"),
+        F.coalesce(F.sum(F.when(
+            F.col("__lc").isNotNull() & F.col("__rc").isNotNull(),
+            F.col("__lc") * F.col("__rc"))), F.lit(0)).alias("join_rows"))
+    lrow = left.agg(
+        F.count(F.lit(1)).alias("l_rows"),
+        F.count(F.when(F.col(lkey).isNull(), 1)).alias("l_null_rows"))
+    rrow = right.agg(
+        F.count(F.lit(1)).alias("r_rows"),
+        F.count(F.when(F.col(rkey).isNull(), 1)).alias("r_null_rows"))
+    one = agg.crossJoin(lrow).crossJoin(rrow)   # three 1-row frames
+    metrics = ["l_rows", "r_rows", "l_null_rows", "r_null_rows",
+               "l_distinct", "r_distinct", "matched", "l_orphan",
+               "r_orphan", "max_r_fanout", "join_rows"]
+    parts = [one.select(F.lit(m).alias("metric"),
+                        F.col(m).cast("long").alias("value"))
+             for m in metrics]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

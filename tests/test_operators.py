@@ -1271,3 +1271,20 @@ def test_line_dedup_strips_boilerplate_keeps_order(spark):
     assert out[3].n_removed == 0
     # a doc whose every line is boilerplate survives with empty clean_text
     assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_removed == 2
+
+
+def test_join_health_report_exact(spark):
+    from data_engineering__spark.operators.quality import join_health
+    left = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=2), Row(k=None), Row(k=9)])
+    right = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=1), Row(k=3)])
+    out = {r.metric: r.value for r in
+           join_health(left, right, "k", "k").collect()}
+    assert out == {
+        "l_rows": 5, "r_rows": 4, "l_null_rows": 1, "r_null_rows": 0,
+        "l_distinct": 3, "r_distinct": 2, "matched": 1,
+        "l_orphan": 2, "r_orphan": 1,
+        "max_r_fanout": 3,          # key 1 appears 3x on the right
+        "join_rows": 6,             # 2 left rows x 3 right rows on key 1
+    }
