@@ -1982,7 +1982,7 @@ DRIVER_PRIORITY = [
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
-    "join_health_orders",
+    "join_health_orders", "corr_matrix_lineitem",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4367,3 +4367,54 @@ def join_health_orders(spark, sf_dir):
          .filter(F.col("c_custkey") % 5 != 0)
          .select(F.col("c_custkey").alias("k")))
     return join_health(o, c, "k", "k")
+
+
+def _corr_oracle_sql() -> str:
+    """corr_matrix oracle generated from the operator's own pair order:
+    exact HUGEINT moments (the int128 twin of Spark's decimal(38,0)
+    accumulators), then the identical final IEEE cast/sqrt/divide."""
+    names = ["qty_c", "price_c", "disc_bp", "tax_bp"]
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for nm in names:
+        moments.append(f"SUM(CAST({nm} AS HUGEINT)) AS s_{nm}")
+        moments.append(f"SUM(CAST({nm} AS HUGEINT)*{nm}) AS ss_{nm}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"SUM(CAST({a} AS HUGEINT)*{b}) AS p_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        sel.append(f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n*ss_{a} - s_{a}*s_{a} > 0 AND n*ss_{b} - s_{b}*s_{b} > 0
+            THEN CAST(n*p_{a}_{b} - s_{a}*s_{b} AS DOUBLE)
+                 / (sqrt(CAST(n*ss_{a} - s_{a}*s_{a} AS DOUBLE))
+                    * sqrt(CAST(n*ss_{b} - s_{b}*s_{b} AS DOUBLE)))
+       END AS corr FROM s""")
+    return ("""
+WITH scaled AS (
+  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+         CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+  FROM lineitem),
+s AS (
+  SELECT """ + ",\n         ".join(moments) + """
+  FROM scaled)
+""" + "\nUNION ALL ".join(sel))
+
+
+@query("corr_matrix_lineitem", oracle=_corr_oracle_sql())
+def corr_matrix_lineitem(spark, sf_dir):
+    """EXT R99: exact Pearson correlation matrix over lineitem's numeric
+    columns, pre-scaled to integers (cents / basis points). All moments
+    accumulate exactly (decimal(38,0) vs HUGEINT) so the result is
+    partition-order-invariant; only the final cast/sqrt/divide is float,
+    and both engines evaluate that identical expression."""
+    from .operators.analytics import corr_matrix
+    li = read_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, {
+        "qty_c": F.round(F.col("l_quantity") * 100).cast("long"),
+        "price_c": F.round(F.col("l_extendedprice") * 100).cast("long"),
+        "disc_bp": F.round(F.col("l_discount") * 10000).cast("long"),
+        "tax_bp": F.round(F.col("l_tax") * 10000).cast("long"),
+    })

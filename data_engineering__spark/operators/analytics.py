@@ -101,3 +101,48 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
     return (counts.join(totals, "from_type")
             .select("from_type", "to_type", "n",
                     (F.col("n").cast("double") / F.col("__t")).alias("frac")))
+
+
+def corr_matrix(df: DataFrame, int_cols: dict[str, "F.Column"]) -> DataFrame:
+    """EXT (R99): exact Pearson correlation matrix over pre-scaled INTEGER
+    expressions (cents / basis points — caller chooses the scale, which
+    cancels out of r). Every moment — n, Σx, Σx², Σxy — accumulates in
+    decimal(38,0), so the sums are EXACT regardless of partitioning and
+    add order; the only float ops are the final cast/sqrt/divide, a fixed
+    IEEE expression both engines evaluate identically. This is the
+    engine-invariant alternative to ``corr()``, whose streaming float
+    accumulation is partition-order-dependent.
+
+    One aggregation pass for the whole matrix (all moments fold map-side;
+    adding a column pair adds no scan); returns (col_x, col_y, n, corr)
+    for each unordered pair, corr NULL when either variance is zero.
+    Magnitude budget: decimal(38,0) holds Σx² for ~1e9 rows of 1e7-scale
+    values with 10^14 headroom — sized for 100 TB fact tables."""
+    names = list(int_cols)
+    dec = {n: int_cols[n].cast("decimal(38,0)") for n in names}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for n in names:
+        aggs.append(F.sum(dec[n]).alias(f"__s_{n}"))
+        aggs.append(F.sum(dec[n] * dec[n]).alias(f"__ss_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"__p_{a}_{b}"))
+    one = df.agg(*aggs)
+    n_ = F.col("__n")
+    parts = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = n_ * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            vx = n_ * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            vy = n_ * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            corr = F.when(
+                (vx > 0) & (vy > 0),
+                num.cast("double") /
+                (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
+            parts.append(one.select(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                n_.cast("long").alias("n"), corr.alias("corr")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1288,3 +1288,25 @@ def test_join_health_report_exact(spark):
         "max_r_fanout": 3,          # key 1 appears 3x on the right
         "join_rows": 6,             # 2 left rows x 3 right rows on key 1
     }
+
+
+def test_corr_matrix_exact_known_values(spark):
+    import math
+
+    from data_engineering__spark.operators.analytics import corr_matrix
+    rows = [Row(x=1, y=2, z=5, w=7),
+            Row(x=2, y=4, z=3, w=7),
+            Row(x=3, y=6, z=1, w=7)]
+    out = {(r.col_x, r.col_y): r for r in
+           corr_matrix(spark.createDataFrame(rows), {
+               "x": F.col("x"), "y": F.col("y"),
+               "z": F.col("z"), "w": F.col("w")}).collect()}
+    assert len(out) == 6 and all(r.n == 3 for r in out.values())
+    # sqrt(v)*sqrt(v) reconstitutes v only to 1 ULP — determinism, not
+    # textbook exactness, is the operator's contract
+    assert abs(out[("x", "y")].corr - 1.0) < 1e-12      # y = 2x
+    assert abs(out[("x", "z")].corr + 1.0) < 1e-12      # z = 6 - 2x
+    assert abs(out[("y", "z")].corr + 1.0) < 1e-12
+    # zero-variance column -> NULL corr, never inf/NaN
+    assert out[("x", "w")].corr is None
+    assert out[("y", "w")].corr is None and out[("z", "w")].corr is None
