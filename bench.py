@@ -72,7 +72,7 @@ HEADLINE = [
     "script_profile_docs", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "line_dedup_docs", "join_health_orders",
-    "corr_matrix_lineitem",
+    "corr_matrix_lineitem", "length_bucketed_batches",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

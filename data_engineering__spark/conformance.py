@@ -1983,6 +1983,7 @@ DRIVER_PRIORITY = [
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     "join_health_orders", "corr_matrix_lineitem",
+    "length_bucketed_batches",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4418,3 +4419,39 @@ def corr_matrix_lineitem(spark, sf_dir):
         "disc_bp": F.round(F.col("l_discount") * 10000).cast("long"),
         "tax_bp": F.round(F.col("l_tax") * 10000).cast("long"),
     })
+
+
+@query("length_bucketed_batches", oracle=_mat(r"""
+WITH docs AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS n
+  FROM documents),
+nz AS (
+  SELECT id, LEAST(n, 4096) AS nc FROM docs WHERE n > 0),
+bk AS (
+  SELECT id, nc,
+         CASE WHEN (nc & (nc - 1)) = 0 THEN nc
+              ELSE CAST(1 << length(bin(nc)) AS BIGINT) END AS bucket
+  FROM nz),
+rn AS (
+  SELECT bucket, nc,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY nc ASC, id ASC) AS r
+  FROM bk)
+SELECT bucket, CAST((r - 1) // 8 AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(MAX(nc) AS BIGINT) AS batch_width,
+       CAST(SUM(nc) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * MAX(nc) AS BIGINT) AS padded_tokens,
+       CAST(COUNT(*) * MAX(nc) - SUM(nc) AS BIGINT) AS waste_tokens
+FROM rn GROUP BY bucket, CAST((r - 1) // 8 AS BIGINT)"""))
+def length_bucketed_batches(spark, sf_dir):
+    """EXT R100: length-bucketed dynamic batching over documents —
+    power-of-2 length buckets (exact integer bit arithmetic, no float
+    log2), deterministic (length, id) order within bucket, batches of 8,
+    per-batch padded-width / real-token / waste report. The oracle
+    replicates bucket assignment bit for bit via DuckDB's bin()."""
+    from .operators.chunking import length_bucketed_batches as lbb
+    docs = read_table(spark, sf_dir, "documents")
+    return lbb(docs, "doc_id", "text", batch_size=8)

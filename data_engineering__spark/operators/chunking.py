@@ -169,3 +169,53 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str,
             & (F.col("top_bigram_share") <= max_bigram_share)
             & (F.col("dup5_frac") <= max_dup5_frac))
     return prof.withColumn("keep", keep)
+
+
+def length_bucketed_batches(df: DataFrame, id_col: str, text_col: str,
+                            batch_size: int = 32,
+                            max_len: int = 4096) -> DataFrame:
+    """EXT (R100): length-bucketed dynamic batching — the padding-waste
+    killer for attention training. Sequences bucket by the power-of-2
+    ceiling of their token count (1-2, 3-4, 5-8, ... capped at
+    ``max_len``), order deterministically inside each bucket (length,
+    then id — so near-equal lengths batch together), and cut into batches
+    of ``batch_size``. Per (bucket, batch): member count, the batch's max
+    length (its padded width), total real tokens, padded slots, and
+    ``waste_tokens = padded - real`` — the number a data engineer tunes
+    bucket granularity against.
+
+    Scale shape: bucket assignment is map-side integer log2 arithmetic;
+    the only window partitions by bucket (tens of partitions, each
+    length-sorted — for corpora where one bucket dominates, raise the
+    bucket resolution or sub-salt the window key); the report aggregates
+    per (bucket, batch). Nothing Python, nothing driver-side."""
+    docs = (df.select(F.col(id_col).alias("__id"),
+                      F.size(tokens(text_col)).cast("long").alias("__n"))
+            .filter(F.col("__n") > 0)
+            .withColumn("__nc", F.least(F.col("__n"), F.lit(max_len)))
+            # next power of two >= n, in EXACT integer arithmetic (float
+            # log2/pow can straddle a ULP at exact powers and flip the
+            # bucket): powers of two map to themselves, everything else to
+            # 1 << bit_length(n)
+            .withColumn("__bucket", F.when(
+                F.expr("(__nc & (__nc - 1)) = 0"), F.col("__nc"))
+                .otherwise(F.expr(
+                    "CAST(shiftleft(1L, length(conv(__nc, 10, 2))) AS BIGINT)"))))
+    w = Window.partitionBy("__bucket").orderBy(F.col("__nc").asc(),
+                                               F.col("__id").asc())
+    batched = (docs.withColumn("__rn", F.row_number().over(w))
+               # `div`, not `/ + cast`: float division + cast truncates in
+               # Spark but ROUNDS in a DuckDB CAST — integer division is
+               # the only cross-engine-stable batch cut
+               .withColumn("batch_id",
+                           F.expr(f"CAST((__rn - 1) DIV {batch_size} "
+                                  "AS BIGINT)")))
+    return (batched.groupBy(F.col("__bucket").alias("bucket"), "batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"),
+                 F.max("__nc").cast("long").alias("batch_width"),
+                 F.sum("__nc").cast("long").alias("real_tokens"))
+            .withColumn("padded_tokens",
+                        (F.col("n_seqs") * F.col("batch_width")).cast("long"))
+            .withColumn("waste_tokens",
+                        (F.col("padded_tokens") - F.col("real_tokens"))
+                        .cast("long")))

@@ -1310,3 +1310,24 @@ def test_corr_matrix_exact_known_values(spark):
     # zero-variance column -> NULL corr, never inf/NaN
     assert out[("x", "w")].corr is None
     assert out[("y", "w")].corr is None and out[("z", "w")].corr is None
+
+
+def test_length_bucketed_batches_buckets_and_waste(spark):
+    from data_engineering__spark.operators.chunking import (
+        length_bucketed_batches)
+    mk = lambda i, n: Row(id=i, t=" ".join(["w"] * n))
+    # bucket 4: lengths 3,4,4 ; bucket 8: lengths 5,7 ; bucket 16: 16
+    rows = [mk(1, 3), mk(2, 4), mk(3, 4), mk(4, 5), mk(5, 7), mk(6, 16)]
+    out = {(r.bucket, r.batch_id): r for r in
+           length_bucketed_batches(spark.createDataFrame(rows), "id", "t",
+                                   batch_size=2).collect()}
+    # bucket 4, batch 0: lengths (3,4) -> width 4, waste 1
+    b = out[(4, 0)]
+    assert (b.n_seqs, b.batch_width, b.real_tokens,
+            b.padded_tokens, b.waste_tokens) == (2, 4, 7, 8, 1)
+    # bucket 4, batch 1: the leftover length-4 doc -> zero waste
+    b = out[(4, 1)]
+    assert (b.n_seqs, b.batch_width, b.waste_tokens) == (1, 4, 0)
+    # bucket 8: (5,7) -> width 7, waste 2; 16 is a power of two -> its own bucket
+    assert out[(8, 0)].waste_tokens == 2
+    assert out[(16, 0)].batch_width == 16 and out[(16, 0)].waste_tokens == 0
