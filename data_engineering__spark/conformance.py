@@ -1983,7 +1983,7 @@ DRIVER_PRIORITY = [
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     "join_health_orders", "corr_matrix_lineitem",
-    "length_bucketed_batches",
+    "length_bucketed_batches", "token_rarity_docs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4455,3 +4455,27 @@ def length_bucketed_batches(spark, sf_dir):
     from .operators.chunking import length_bucketed_batches as lbb
     docs = read_table(spark, sf_dir, "documents")
     return lbb(docs, "doc_id", "text", batch_size=8)
+
+
+@query("token_rarity_docs", oracle=_mat(r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           t -> t <> '')) AS t
+  FROM documents),
+tf AS (
+  SELECT t, COUNT(*) AS f FROM toks GROUP BY t)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tok_freq,
+       CAST(COUNT(CASE WHEN f <= 1 THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+FROM toks JOIN tf USING (t)
+GROUP BY doc_id"""))
+def token_rarity_docs(spark, sf_dir):
+    """EXT R101: word-frequency quality proxy per document — exact
+    integer corpus term frequencies, per-doc mean frequency and hapax
+    fraction as single IEEE divisions."""
+    from .operators.text import token_rarity
+    docs = read_table(spark, sf_dir, "documents")
+    return token_rarity(docs, "doc_id", "text")

@@ -496,3 +496,38 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """EXT (R101): word-frequency quality proxy — the cheap stand-in for a
+    unigram-LM perplexity filter. Each doc scores the corpus-level
+    occurrence counts of its own tokens: ``mean_tok_freq`` high = stock
+    phrasing, low = rare/misspelled/garbled vocabulary (the tail a
+    quality filter inspects); ``oov_frac`` = fraction of tokens occurring
+    ≤1 time in the corpus (hapax — typo/noise signal).
+
+    All accumulation is exact integers; the two output ratios are single
+    IEEE divisions, so the score is engine- and partition-invariant
+    (a float mean of -log p would not be).
+
+    Scale shape: term frequencies aggregate map-side before one token
+    shuffle; the (doc, token) explode joins the tf table on the token key
+    (tf tables are Zipf-small relative to the corpus — broadcastable
+    when the vocabulary fits, AQE decides); the final per-doc aggregate
+    shuffles (doc, count) pairs only. No vocab-wide ranking window —
+    rank-based rarity needs a total order over the vocabulary, which a
+    frequency score gives for free."""
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t")))
+    tf = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    return (toks.join(tf, "__t")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("__tf").cast("long").alias("__sum_tf"),
+                 F.count(F.when(F.col("__tf") <= 1, 1)).cast("long")
+                  .alias("n_hapax"))
+            .select(F.col(id_col),
+                    "n_tokens",
+                    (F.col("__sum_tf").cast("double") /
+                     F.col("n_tokens").cast("double")).alias("mean_tok_freq"),
+                    (F.col("n_hapax").cast("double") /
+                     F.col("n_tokens").cast("double")).alias("oov_frac")))

@@ -1331,3 +1331,16 @@ def test_length_bucketed_batches_buckets_and_waste(spark):
     # bucket 8: (5,7) -> width 7, waste 2; 16 is a power of two -> its own bucket
     assert out[(8, 0)].waste_tokens == 2
     assert out[(16, 0)].batch_width == 16 and out[(16, 0)].waste_tokens == 0
+
+
+def test_token_rarity_exact_fractions(spark):
+    from data_engineering__spark.operators.text import token_rarity
+    rows = [Row(id=1, t="the the cat"),      # 'the' x2 corpus f=4, cat f=1
+            Row(id=2, t="the the zzz")]      # zzz hapax
+    out = {r.id: r for r in
+           token_rarity(spark.createDataFrame(rows), "id", "t").collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].mean_tok_freq == (4 + 4 + 1) / 3.0
+    assert out[1].oov_frac == 1 / 3.0        # 'cat' is hapax
+    assert out[2].mean_tok_freq == (4 + 4 + 1) / 3.0
+    assert out[2].oov_frac == 1 / 3.0        # 'zzz' is hapax
