@@ -1983,7 +1983,7 @@ DRIVER_PRIORITY = [
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     "join_health_orders", "corr_matrix_lineitem",
-    "length_bucketed_batches", "token_rarity_docs",
+    "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4479,3 +4479,30 @@ def token_rarity_docs(spark, sf_dir):
     from .operators.text import token_rarity
     docs = read_table(spark, sf_dir, "documents")
     return token_rarity(docs, "doc_id", "text")
+
+
+@query("epoch_shuffle_head", oracle=_mat(r"""
+WITH h AS (
+  SELECT doc_id,
+         substr(sha256('epoch-1:' || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS shuffle_key
+  FROM documents),
+head AS (
+  SELECT doc_id, shuffle_key FROM h
+  ORDER BY shuffle_key ASC, doc_id ASC LIMIT 100)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key ASC, doc_id ASC)
+            AS BIGINT) AS pos,
+       doc_id, shuffle_key
+FROM head"""))
+def epoch_shuffle_head(spark, sf_dir):
+    """EXT R102: deterministic epoch shuffle — the data-loader
+    permutation as sha256(epoch ‖ key) total order. The probe takes the
+    first 100 rows of epoch 1's permutation with their positions; the
+    full-scale path is the same orderBy written out (range partition +
+    local sort, no single-partition stage)."""
+    from .operators.sampling import epoch_shuffle
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    head = epoch_shuffle(docs, "doc_id", epoch=1).limit(100)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return head.withColumn("pos", F.row_number().over(w).cast("long")) \
+               .select("pos", "doc_id", "shuffle_key")

@@ -150,3 +150,24 @@ def temperature_mix(df: DataFrame, stratum_col: str, key_col: str,
               .drop("__stratum"))
     return weighted_sample(placed, key_col, F.col("__rate"), salt=salt) \
         .drop("__rate")
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
+                  out_col: str = "shuffle_key") -> DataFrame:
+    """EXT (R102): deterministic global shuffle for training epochs — the
+    data-loader permutation, reproducible across reruns and resumes.
+    Order by ``sha256(epoch ‖ key)``: every epoch is a fresh, uniform,
+    seed-addressable permutation with no RNG state and no driver-side
+    index. Returns the rows totally ordered by ``out_col`` (write the
+    result with ``.write`` and downstream readers stream the epoch in
+    shuffled order).
+
+    Scale shape: ``orderBy`` over the hash is Spark's range-partition +
+    local-sort total order (sampled range bounds, no single-partition
+    sort); the hash itself is pure codegen. A salted hex prefix is
+    enough — ties on the first 16 hex chars fall back to the key, so the
+    permutation is total and collision-safe."""
+    h = F.sha2(F.concat(F.lit(f"epoch-{epoch}:"),
+                        F.col(key_col).cast("string")), 256)
+    return (df.withColumn(out_col, F.substring(h, 1, 16))
+            .orderBy(F.col(out_col).asc(), F.col(key_col).asc()))

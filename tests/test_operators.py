@@ -1344,3 +1344,15 @@ def test_token_rarity_exact_fractions(spark):
     assert out[1].oov_frac == 1 / 3.0        # 'cat' is hapax
     assert out[2].mean_tok_freq == (4 + 4 + 1) / 3.0
     assert out[2].oov_frac == 1 / 3.0        # 'zzz' is hapax
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    from data_engineering__spark.operators.sampling import epoch_shuffle
+    df = spark.range(200).withColumnRenamed("id", "k")
+    e1a = [r.k for r in epoch_shuffle(df, "k", epoch=1).collect()]
+    e1b = [r.k for r in epoch_shuffle(df, "k", epoch=1).collect()]
+    e2 = [r.k for r in epoch_shuffle(df, "k", epoch=2).collect()]
+    assert e1a == e1b                      # rerun-stable
+    assert sorted(e1a) == list(range(200))  # a permutation
+    assert e1a != e2                       # epochs differ
+    assert e1a != list(range(200))         # actually shuffled
