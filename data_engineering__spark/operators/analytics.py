@@ -129,7 +129,7 @@ def corr_matrix(df: DataFrame, int_cols: dict[str, "F.Column"]) -> DataFrame:
             aggs.append(F.sum(dec[a] * dec[b]).alias(f"__p_{a}_{b}"))
     one = df.agg(*aggs)
     n_ = F.col("__n")
-    parts = []
+    pairs = []
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             num = n_ * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
@@ -139,10 +139,11 @@ def corr_matrix(df: DataFrame, int_cols: dict[str, "F.Column"]) -> DataFrame:
                 (vx > 0) & (vy > 0),
                 num.cast("double") /
                 (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
-            parts.append(one.select(
+            pairs.append(F.struct(
                 F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
                 n_.cast("long").alias("n"), corr.alias("corr")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE explode over the single moment row — a union of per-pair
+    # selects would re-run the whole-moment aggregation (and its scan)
+    # once per pair in the physical plan
+    return (one.select(F.explode(F.array(*pairs)).alias("__p"))
+            .select("__p.col_x", "__p.col_y", "__p.n", "__p.corr"))

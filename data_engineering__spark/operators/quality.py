@@ -161,16 +161,17 @@ def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         aggs.append(F.count(F.when(~F.coalesce(cond, F.lit(False)),
                                    F.lit(1))).alias(f"__v_{i}"))
     row = df.agg(*aggs)
-    parts = [
-        row.select(F.lit(name).alias("check"),
-                   F.col("__n").alias("n_rows"),
-                   F.col(f"__v_{i}").alias("n_violations"),
-                   (F.col(f"__v_{i}") == 0).alias("passed"))
-        for i, name in enumerate(checks)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE explode over the single aggregate row — a union of per-check
+    # selects would duplicate the aggregate subtree (and its scan) once
+    # per check in the physical plan
+    return (row.select(F.explode(F.array(*[
+                F.struct(F.lit(name).alias("check"),
+                         F.col("__n").alias("n_rows"),
+                         F.col(f"__v_{i}").alias("n_violations"),
+                         (F.col(f"__v_{i}") == 0).alias("passed"))
+                for i, name in enumerate(checks)])).alias("__c"))
+            .select("__c.check", "__c.n_rows", "__c.n_violations",
+                    "__c.passed"))
 
 
 def join_health(left: DataFrame, right: DataFrame, lkey: str,
@@ -183,42 +184,48 @@ def join_health(left: DataFrame, right: DataFrame, lkey: str,
     row-explosion risk), and the exact inner-join output cardinality
     (Σ lcnt·rcnt over matched keys) — all exact integers.
 
-    Scale shape: each side collapses to a (key, count) table first (one
-    shuffle each, partial counts fold map-side), so the full-outer key
-    join compares key tables, never fact rows. Nothing here is driver-
-    side; the report is a 10-row DataFrame."""
+    Scale shape: each fact table is scanned EXACTLY ONCE, collapsing to
+    a (key, count) table (partial counts fold map-side) that keeps the
+    NULL-key group as a row; the two key tables meet in one full-outer
+    join (NULL keys never equality-match, so each side's NULL group
+    surfaces as a one-sided row the aggregate classifies by ``__k IS
+    NULL``), and every metric — row totals, NULL drops, orphans, fanout,
+    output cardinality — falls out of ONE aggregate over that join. The
+    report is one explode over the single aggregate row; nothing is
+    driver-side."""
     lk = (left.groupBy(F.col(lkey).alias("__k"))
           .agg(F.count(F.lit(1)).alias("__lc")))
     rk = (right.groupBy(F.col(rkey).alias("__k"))
           .agg(F.count(F.lit(1)).alias("__rc")))
-    lnn = lk.filter(F.col("__k").isNotNull())
-    rnn = rk.filter(F.col("__k").isNotNull())
-    keys = lnn.join(rnn, "__k", "full_outer")
-    agg = keys.agg(
-        F.count(F.when(F.col("__lc").isNotNull(), 1)).alias("l_distinct"),
-        F.count(F.when(F.col("__rc").isNotNull(), 1)).alias("r_distinct"),
+    keys = lk.join(rk, "__k", "full_outer")
+    k_ok = F.col("__k").isNotNull()
+    one = keys.agg(
+        F.coalesce(F.sum("__lc"), F.lit(0)).alias("l_rows"),
+        F.coalesce(F.sum("__rc"), F.lit(0)).alias("r_rows"),
+        F.coalesce(F.sum(F.when(~k_ok, F.col("__lc"))),
+                   F.lit(0)).alias("l_null_rows"),
+        F.coalesce(F.sum(F.when(~k_ok, F.col("__rc"))),
+                   F.lit(0)).alias("r_null_rows"),
+        F.count(F.when(k_ok & F.col("__lc").isNotNull(), 1))
+         .alias("l_distinct"),
+        F.count(F.when(k_ok & F.col("__rc").isNotNull(), 1))
+         .alias("r_distinct"),
         F.count(F.when(F.col("__lc").isNotNull() & F.col("__rc").isNotNull(),
                        1)).alias("matched"),
-        F.count(F.when(F.col("__rc").isNull(), 1)).alias("l_orphan"),
-        F.count(F.when(F.col("__lc").isNull(), 1)).alias("r_orphan"),
-        F.coalesce(F.max("__rc"), F.lit(0)).alias("max_r_fanout"),
+        F.count(F.when(k_ok & F.col("__lc").isNotNull() &
+                       F.col("__rc").isNull(), 1)).alias("l_orphan"),
+        F.count(F.when(k_ok & F.col("__rc").isNotNull() &
+                       F.col("__lc").isNull(), 1)).alias("r_orphan"),
+        F.coalesce(F.max(F.when(k_ok, F.col("__rc"))), F.lit(0))
+         .alias("max_r_fanout"),
         F.coalesce(F.sum(F.when(
             F.col("__lc").isNotNull() & F.col("__rc").isNotNull(),
             F.col("__lc") * F.col("__rc"))), F.lit(0)).alias("join_rows"))
-    lrow = left.agg(
-        F.count(F.lit(1)).alias("l_rows"),
-        F.count(F.when(F.col(lkey).isNull(), 1)).alias("l_null_rows"))
-    rrow = right.agg(
-        F.count(F.lit(1)).alias("r_rows"),
-        F.count(F.when(F.col(rkey).isNull(), 1)).alias("r_null_rows"))
-    one = agg.crossJoin(lrow).crossJoin(rrow)   # three 1-row frames
     metrics = ["l_rows", "r_rows", "l_null_rows", "r_null_rows",
                "l_distinct", "r_distinct", "matched", "l_orphan",
                "r_orphan", "max_r_fanout", "join_rows"]
-    parts = [one.select(F.lit(m).alias("metric"),
-                        F.col(m).cast("long").alias("value"))
-             for m in metrics]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (one.select(F.explode(F.array(*[
+                F.struct(F.lit(m).alias("metric"),
+                         F.col(m).cast("long").alias("value"))
+                for m in metrics])).alias("__m"))
+            .select("__m.metric", "__m.value"))

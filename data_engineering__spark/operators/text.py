@@ -490,12 +490,14 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str,
         ("exact_dup_frac",
          F.lit(1.0) - F.col("n_distinct").cast("double") / n),
     ]
-    parts = [agg.select(F.lit(name).alias("metric"), col.alias("value"))
-             for name, col in metrics]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE explode over the single aggregate row — a union of per-metric
+    # selects would duplicate the whole aggregate subtree (and its scan)
+    # once per metric in the physical plan
+    return (agg.select(F.explode(F.array(*[
+                F.struct(F.lit(name).alias("metric"),
+                         col.cast("double").alias("value"))
+                for name, col in metrics])).alias("__m"))
+            .select("__m.metric", "__m.value"))
 
 
 def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -280,3 +280,26 @@ def test_shingle_rows_project_tokens_before_lambda(spark, sf_dir):
     gen = [ln for ln in plan.splitlines()
            if "Input" in ln and "__toks" in ln]
     assert gen, "Generate/Project should consume a materialized __toks column"
+
+
+def test_metric_reports_scan_once(spark, sf_dir):
+    """The (metric, value) report family must EXPLODE one aggregate row,
+    never union per-metric selects — a union duplicates the aggregate
+    subtree (and its fact scan) once per metric in the physical plan
+    (corr_matrix was 6 scans, join_health 44, before the rewrite)."""
+    for name, max_scans in [("corr_matrix_lineitem", 1),
+                            ("expectation_suite_lineitem", 1),
+                            ("corpus_report_docs", 1),
+                            ("join_health_orders", 2)]:   # one per side
+        import re
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        # formatted explain lists each scan twice (tree + detail section);
+        # count the numbered detail headers only
+        n = len(re.findall(r"\(\d+\) Scan parquet", p))
+        assert n <= max_scans, f"{name}: {n} scans"
+
+
+def test_line_dedup_boilerplate_join_broadcasts(spark, sf_dir):
+    p = plan_of(QUERIES["line_dedup_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
