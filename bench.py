@@ -73,7 +73,7 @@ HEADLINE = [
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
     "corpus_report_docs", "line_dedup_docs", "join_health_orders",
     "corr_matrix_lineitem", "length_bucketed_batches",
-    "token_rarity_docs", "epoch_shuffle_head",
+    "token_rarity_docs", "epoch_shuffle_head", "collocations_docs",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

@@ -1984,6 +1984,7 @@ DRIVER_PRIORITY = [
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
+    "collocations_docs",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4506,3 +4507,36 @@ def epoch_shuffle_head(spark, sf_dir):
     w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
     return head.withColumn("pos", F.row_number().over(w).cast("long")) \
                .select("pos", "doc_id", "shuffle_key")
+
+
+@query("collocations_docs", oracle=_mat(r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+ucnt AS (
+  SELECT t AS tok, COUNT(*) AS c
+  FROM (SELECT unnest(tk) AS t FROM t) GROUP BY t),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM ucnt),
+pairs AS (
+  SELECT tk[i] AS a, tk[i + 1] AS b
+  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM t WHERE len(tk) >= 2)),
+big AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY a, b HAVING COUNT(*) >= 5)
+SELECT a, b, c_ab,
+       CAST(n_total * c_ab AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+FROM big
+JOIN ucnt ua ON big.a = ua.tok
+JOIN ucnt ub ON big.b = ub.tok
+CROSS JOIN tot
+ORDER BY lift DESC, a ASC, b ASC LIMIT 50"""))
+def collocations_docs(spark, sf_dir):
+    """EXT R103: top-50 collocations by exact lift N·c(ab)/(c(a)·c(b)) —
+    the PMI-family multiword-expression detector without the float log.
+    Counts are exact integers, lift is one IEEE division, ranking is
+    engine-stable with (a, b) tie-breaks."""
+    from .operators.text import collocations
+    docs = read_table(spark, sf_dir, "documents")
+    return collocations(docs, "text", min_count=5, k=50)

@@ -533,3 +533,47 @@ def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      F.col("n_tokens").cast("double")).alias("mean_tok_freq"),
                     (F.col("n_hapax").cast("double") /
                      F.col("n_tokens").cast("double")).alias("oov_frac")))
+
+
+def collocations(df: DataFrame, text_col: str, min_count: int = 5,
+                 k: int = 50) -> DataFrame:
+    """EXT (R103): collocation mining by exact lift — the PMI-family
+    statistic without the float log. For adjacent token pairs (a, b):
+
+        ``lift = N · c(a,b) / (c(a) · c(b))``
+
+    (> 1 = the pair co-occurs more than independence predicts — the
+    multiword-expression / stock-phrase detector used for tokenizer merge
+    candidates and boilerplate phrase discovery). All counts are exact
+    integers; lift is ONE IEEE division of exact products, so ranking on
+    it is engine-stable (a −Σ log formulation would not hash-match).
+    Pairs below ``min_count`` are noise-filtered (standard collocation
+    practice). Returns the top ``k`` by (lift desc, a, b).
+
+    Scale shape: bigrams come from a map-side ``arrays_zip`` of the token
+    array with its own tail — no window, no posexplode self-join; unigram
+    and bigram count tables are Zipf-small and meet on the token key
+    (broadcastable — AQE decides); the total token count is a 1-row
+    crossJoin. Final top-k is a TakeOrdered, never a global sort."""
+    toks = df.select(tokens(text_col).alias("__tk"))
+    pairs = (toks.filter(F.size("__tk") >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.slice("__tk", 1, F.size("__tk") - 1),
+                 F.slice(F.col("__tk"), 2, F.size("__tk") - 1))).alias("__p"))
+             .select(F.col("__p.0").alias("a"), F.col("__p.1").alias("b")))
+    uni = (toks.select(F.explode("__tk").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c")))
+    total = uni.agg(F.sum("c").alias("n_total"))
+    big = (pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+           .filter(F.col("c_ab") >= min_count))
+    out = (big
+           .join(uni.select(F.col("t").alias("a"), F.col("c").alias("c_a")), "a")
+           .join(uni.select(F.col("t").alias("b"), F.col("c").alias("c_b")), "b")
+           .crossJoin(total)
+           .select("a", "b", F.col("c_ab").cast("long").alias("c_ab"),
+                   ((F.col("n_total") * F.col("c_ab")).cast("double") /
+                    (F.col("c_a") * F.col("c_b")).cast("double"))
+                   .alias("lift")))
+    return (out.orderBy(F.col("lift").desc(), F.col("a").asc(),
+                        F.col("b").asc())
+            .limit(k))

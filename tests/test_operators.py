@@ -1356,3 +1356,21 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
     assert sorted(e1a) == list(range(200))  # a permutation
     assert e1a != e2                       # epochs differ
     assert e1a != list(range(200))         # actually shuffled
+
+
+def test_collocations_lift_exact(spark):
+    from data_engineering__spark.operators.text import collocations
+    # 'new york' always adjacent (lift high); 'the cat' adjacent but 'the'
+    # is everywhere (lift ~1); singletons filtered by min_count
+    docs = [Row(t="new york " * 3 + "the cat the dog the cow"),
+            Row(t="new york city the cat sat on the mat")]
+    out = {(r.a, r.b): r for r in
+           collocations(spark.createDataFrame(docs), "t",
+                        min_count=2, k=10).collect()}
+    # counts: 'new'=4, 'york'=4, c(new,york)=4; N = total tokens
+    N = sum(len(r.t.split()) for r in docs)
+    got = out[("new", "york")]
+    assert got.c_ab == 4
+    assert got.lift == (N * 4) / (4 * 4)
+    assert ("the", "cat") in out          # c=2 meets min_count
+    assert out[("the", "cat")].lift < got.lift
