@@ -1984,7 +1984,7 @@ DRIVER_PRIORITY = [
     "corpus_report_docs", "fuzzy_join_suppliers", "line_dedup_docs",
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
-    "collocations_docs",
+    "collocations_docs", "winsorized_stats_events",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -4540,3 +4540,51 @@ def collocations_docs(spark, sf_dir):
     from .operators.text import collocations
     docs = read_table(spark, sf_dir, "documents")
     return collocations(docs, "text", min_count=5, k=50)
+
+
+@query("winsorized_stats_events", oracle=_mat(r"""
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+hist AS (
+  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals GROUP BY event_type, v),
+cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cm
+  FROM hist),
+ks AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST((SUM(c) * 1 + 99) // 100 AS BIGINT) AS k_lo,
+         CAST((SUM(c) * 99 + 99) // 100 AS BIGINT) AS k_hi
+  FROM hist GROUP BY event_type),
+thr AS (
+  SELECT cum.event_type, MAX(n) AS n,
+         MIN(CASE WHEN cm >= k_lo THEN v END) AS lo,
+         MIN(CASE WHEN cm >= k_hi THEN v END) AS hi
+  FROM cum JOIN ks ON cum.event_type = ks.event_type
+  GROUP BY cum.event_type)
+SELECT h.event_type,
+       CAST(MAX(t.n) AS BIGINT) AS n,
+       CAST(MAX(t.lo) AS BIGINT) AS lo,
+       CAST(MAX(t.hi) AS BIGINT) AS hi,
+       CAST(COALESCE(SUM(CASE WHEN h.v < t.lo THEN h.c END), 0) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(COALESCE(SUM(CASE WHEN h.v > t.hi THEN h.c END), 0) AS BIGINT)
+         AS n_clipped_hi,
+       CAST(SUM(h.c * LEAST(GREATEST(h.v, t.lo), t.hi)) AS DOUBLE)
+         / CAST(MAX(t.n) AS DOUBLE) AS winsorized_mean
+FROM hist h JOIN thr t ON h.event_type = t.event_type
+GROUP BY h.event_type"""))
+def winsorized_stats_events(spark, sf_dir):
+    """EXT R104: exact per-type winsorization of event values (cents) —
+    1st/99th-percentile thresholds as true k-th order statistics over a
+    value histogram (never an approximate or interpolated quantile),
+    clip counts, and the winsorized mean as one final division."""
+    from .operators.analytics import winsorized_stats
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return winsorized_stats(ev, ["event_type"],
+                            F.round(F.col("value") * 100).cast("long"))

@@ -147,3 +147,70 @@ def corr_matrix(df: DataFrame, int_cols: dict[str, "F.Column"]) -> DataFrame:
     # once per pair in the physical plan
     return (one.select(F.explode(F.array(*pairs)).alias("__p"))
             .select("__p.col_x", "__p.col_y", "__p.n", "__p.corr"))
+
+
+def winsorized_stats(df: DataFrame, group_cols: list[str],
+                     value_int: "F.Column",
+                     p_lo: tuple[int, int] = (1, 100),
+                     p_hi: tuple[int, int] = (99, 100)) -> DataFrame:
+    """EXT (R104): exact per-group winsorization report — percentile
+    thresholds as true k-th order statistics (``k = ceil(p·n)`` in pure
+    integer arithmetic, never an interpolated or approximate quantile),
+    clip counts, and the winsorized mean. ``value_int`` must be a
+    pre-scaled integer expression (cents — same discipline as
+    ``corr_matrix``); ``p_lo``/``p_hi`` are exact rationals (num, den).
+
+    The k-th order statistic is tie-order-independent, and every number
+    here is exact-integer until the single final division, so the report
+    is engine- and partition-invariant.
+
+    Scale shape: raw rows collapse to a per-(group, value) HISTOGRAM
+    first (one shuffle, partial counts fold map-side) — the cumulative
+    window then runs over distinct values per group, typically orders of
+    magnitude smaller than the data, instead of a per-row rank window
+    that would serialize each group. Thresholds broadcast back onto the
+    histogram, never onto raw rows."""
+    g = [F.col(c) for c in group_cols]
+    hist = (df.select(*g, value_int.cast("long").alias("__v"))
+            .groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    totals = (hist.groupBy(*group_cols)
+              .agg(F.sum("__c").alias("__n")))
+    ln, ld = p_lo
+    hn, hd = p_hi
+    ks = totals.select(
+        *group_cols, "__n",
+        # ceil(n * num / den) in pure INTEGER arithmetic (DIV — a float
+        # divide + CAST truncates in Spark but rounds in a DuckDB CAST)
+        F.expr(f"CAST((__n * {ln} + {ld - 1}) DIV {ld} AS BIGINT)")
+         .alias("__k_lo"),
+        F.expr(f"CAST((__n * {hn} + {hd - 1}) DIV {hd} AS BIGINT)")
+         .alias("__k_hi"))
+    both = cum.join(ks, group_cols)
+    thr = (both.groupBy(*group_cols)
+           .agg(F.max("__n").alias("n"),
+                F.min(F.when(F.col("__cum") >= F.col("__k_lo"),
+                             F.col("__v"))).alias("lo"),
+                F.min(F.when(F.col("__cum") >= F.col("__k_hi"),
+                             F.col("__v"))).alias("hi")))
+    rep = (hist.join(thr, group_cols)
+           .groupBy(*group_cols)
+           .agg(F.max("n").cast("long").alias("n"),
+                F.max("lo").cast("long").alias("lo"),
+                F.max("hi").cast("long").alias("hi"),
+                F.coalesce(F.sum(F.when(F.col("__v") < F.col("lo"),
+                                        F.col("__c"))), F.lit(0))
+                 .cast("long").alias("n_clipped_lo"),
+                F.coalesce(F.sum(F.when(F.col("__v") > F.col("hi"),
+                                        F.col("__c"))), F.lit(0))
+                 .cast("long").alias("n_clipped_hi"),
+                F.sum(F.col("__c") *
+                      F.least(F.greatest(F.col("__v"), F.col("lo")),
+                              F.col("hi"))).alias("__wsum")))
+    return rep.select(
+        *group_cols, "n", "lo", "hi", "n_clipped_lo", "n_clipped_hi",
+        (F.col("__wsum").cast("double") / F.col("n").cast("double"))
+        .alias("winsorized_mean"))

@@ -1374,3 +1374,23 @@ def test_collocations_lift_exact(spark):
     assert got.lift == (N * 4) / (4 * 4)
     assert ("the", "cat") in out          # c=2 meets min_count
     assert out[("the", "cat")].lift < got.lift
+
+
+def test_winsorized_stats_order_statistics(spark):
+    from data_engineering__spark.operators.analytics import winsorized_stats
+    # group g: values 1..100 (cents) -> p10 = 10, p90 = 90 exactly
+    rows = [Row(g="g", v=i) for i in range(1, 101)]
+    out = winsorized_stats(spark.createDataFrame(rows), ["g"], F.col("v"),
+                           p_lo=(10, 100), p_hi=(90, 100)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.lo, r.hi) == (100, 10, 90)
+    assert r.n_clipped_lo == 9 and r.n_clipped_hi == 10
+    # winsorized sum: 9 values clipped up to 10, 10 values down to 90
+    wsum = 9 * 10 + sum(range(10, 91)) + 10 * 90
+    assert r.winsorized_mean == wsum / 100.0
+    # ceil semantics: n=3, p=50% -> k=2 (the true median order statistic)
+    rows2 = [Row(g="h", v=x) for x in (1, 5, 9)]
+    r2 = winsorized_stats(spark.createDataFrame(rows2), ["g"], F.col("v"),
+                          p_lo=(50, 100), p_hi=(50, 100)).collect()[0]
+    assert r2.lo == 5 and r2.hi == 5
