@@ -1970,14 +1970,9 @@ DRIVER_PRIORITY = [
     "contamination_report_docs", "related_docs_topk", "minhash_cc_dedup",
     # --- erred in r3 AFTER their oracles were refactored: need fresh rows
     "scd2_dim_history", "minhash_near_dup_portable",
-    # --- oracle text changed THIS round (CTEs forced MATERIALIZED — results
-    # verified identical locally, but the driver record should re-prove it)
-    "pipeline_parity_citations", "pipeline_parity_authors_enriched",
-    "pipeline_parity_categories_enriched", "ivf_kmeans_topk",
-    "semantic_dedup", "pagerank_graph", "pipeline_parity_incremental",
-    "pipeline_parity_authors", "pipeline_parity_categories",
-    "connected_components_graph", "connected_components_star_graph",
-    # --- NEW this round
+    # --- NEW this round (no driver record exists at all yet — these
+    # outrank the changed-oracle block, whose keys have old green rows
+    # plus local re-verification)
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
@@ -1985,6 +1980,15 @@ DRIVER_PRIORITY = [
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
+    # --- oracle text changed this round (CTEs forced MATERIALIZED;
+    # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
+    # single-explode plans — results verified identical locally). ~7 of
+    # these fit the 50-slot window; the rest re-prove next round.
+    "pipeline_parity_citations", "pipeline_parity_authors_enriched",
+    "pipeline_parity_categories_enriched", "ivf_kmeans_topk",
+    "semantic_dedup", "pagerank_graph", "pipeline_parity_incremental",
+    "pipeline_parity_authors", "pipeline_parity_categories",
+    "connected_components_graph", "connected_components_star_graph",
     # --- rotation: r1-verified keys with the oldest green rows cycle
     # through the remaining ~15 slots so nothing ages unseen
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
