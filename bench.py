@@ -74,7 +74,7 @@ HEADLINE = [
     "corpus_report_docs", "line_dedup_docs", "join_health_orders",
     "corr_matrix_lineitem", "length_bucketed_batches",
     "token_rarity_docs", "epoch_shuffle_head", "collocations_docs",
-    "winsorized_stats_events",
+    "winsorized_stats_events", "journey_paths_events",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

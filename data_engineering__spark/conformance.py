@@ -1980,6 +1980,7 @@ DRIVER_PRIORITY = [
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
+    "journey_paths_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4592,3 +4593,38 @@ def winsorized_stats_events(spark, sf_dir):
           .filter(F.col("value").isNotNull()))
     return winsorized_stats(ev, ["event_type"],
                             F.round(F.col("value") * 100).cast("long"))
+
+
+@query("journey_paths_events", oracle=_mat(r"""
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS s, event_type AS t
+  FROM events),
+lagd AS (
+  SELECT u, s, t,
+         LAG(s) OVER (PARTITION BY u ORDER BY s ASC, t ASC) AS ps
+  FROM ev),
+sess AS (
+  SELECT u, s, t,
+         SUM(CASE WHEN ps IS NULL OR s - ps > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY u ORDER BY s ASC, t ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagd),
+paths AS (
+  SELECT t || ' > ' ||
+         LEAD(t, 1) OVER (PARTITION BY u, sid ORDER BY s ASC, t ASC) ||
+         ' > ' ||
+         LEAD(t, 2) OVER (PARTITION BY u, sid ORDER BY s ASC, t ASC)
+           AS path,
+         LEAD(t, 2) OVER (PARTITION BY u, sid ORDER BY s ASC, t ASC) AS t3
+  FROM sess)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM paths WHERE t3 IS NOT NULL
+GROUP BY path ORDER BY n DESC, path ASC LIMIT 25"""))
+def journey_paths_events(spark, sf_dir):
+    """EXT R105: top-25 common 3-step user journeys within 30-minute
+    sessions — sessionization (lag + running sum, µs integers) and the
+    path windows share one user-key shuffle; tied timestamps order by
+    event type so paths can't flip between engines."""
+    from .operators.analytics import journey_paths
+    ev = read_table(spark, sf_dir, "events")
+    return journey_paths(ev)

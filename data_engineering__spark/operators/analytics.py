@@ -214,3 +214,43 @@ def winsorized_stats(df: DataFrame, group_cols: list[str],
         *group_cols, "n", "lo", "hi", "n_clipped_lo", "n_clipped_hi",
         (F.col("__wsum").cast("double") / F.col("n").cast("double"))
         .alias("winsorized_mean"))
+
+
+def journey_paths(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  gap_us: int = 30 * 60 * 1_000_000,
+                  k: int = 25) -> DataFrame:
+    """EXT (R105): top-k common user journeys — length-3 event-type paths
+    within gap-delimited sessions (the product-analytics "what do users
+    actually do" table; generalizes ``transition_matrix`` from edges to
+    paths). Sessions come from the same lag+running-sum device as
+    ``sessionize``; the path window orders by (event time, type) so tied
+    timestamps cannot flip a path between runs or engines.
+
+    One shuffle on the user key serves BOTH the session labeling and the
+    path windows (same partition key family); path counting is a hash
+    aggregate over the tiny path domain; the cut is TakeOrdered with a
+    path tie-break."""
+    us = F.unix_micros(F.col(ts_col))
+    ev = events.select(F.col(user_col).alias("__u"),
+                       us.alias("__s"), F.col(type_col).alias("__t"))
+    w = Window.partitionBy("__u").orderBy(F.col("__s").asc(),
+                                          F.col("__t").asc())
+    prev = F.lag("__s").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("__s") - prev) > gap_us),
+                   1).otherwise(0)
+    run = (Window.partitionBy("__u")
+           .orderBy(F.col("__s").asc(), F.col("__t").asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = ev.withColumn("__sid", F.sum(new_s).over(run))
+    pw = Window.partitionBy("__u", "__sid").orderBy(F.col("__s").asc(),
+                                                    F.col("__t").asc())
+    paths = (sess.withColumn("__t2", F.lead("__t", 1).over(pw))
+             .withColumn("__t3", F.lead("__t", 2).over(pw))
+             .filter(F.col("__t2").isNotNull() & F.col("__t3").isNotNull())
+             .select(F.concat_ws(" > ", "__t", "__t2", "__t3")
+                     .alias("path")))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).cast("long")
+                                      .alias("n"))
+            .orderBy(F.col("n").desc(), F.col("path").asc())
+            .limit(k))

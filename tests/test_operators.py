@@ -1394,3 +1394,28 @@ def test_winsorized_stats_order_statistics(spark):
     r2 = winsorized_stats(spark.createDataFrame(rows2), ["g"], F.col("v"),
                           p_lo=(50, 100), p_hi=(50, 100)).collect()[0]
     assert r2.lo == 5 and r2.hi == 5
+
+
+def test_journey_paths_session_bounded(spark):
+    from datetime import datetime
+
+    from data_engineering__spark.operators.analytics import journey_paths
+    T = datetime
+    rows = [
+        # user 1, one session: a -> b -> c -> d (two trigram paths)
+        Row(user_id=1, ts=T(2024, 1, 1, 10, 0), event_type="a"),
+        Row(user_id=1, ts=T(2024, 1, 1, 10, 1), event_type="b"),
+        Row(user_id=1, ts=T(2024, 1, 1, 10, 2), event_type="c"),
+        Row(user_id=1, ts=T(2024, 1, 1, 10, 3), event_type="d"),
+        # >30 min gap -> NEW session: paths never cross the boundary
+        Row(user_id=1, ts=T(2024, 1, 1, 11, 0), event_type="x"),
+        Row(user_id=1, ts=T(2024, 1, 1, 11, 1), event_type="y"),
+        Row(user_id=1, ts=T(2024, 1, 1, 11, 2), event_type="z"),
+        # user 2 repeats a -> b -> c
+        Row(user_id=2, ts=T(2024, 1, 1, 9, 0), event_type="a"),
+        Row(user_id=2, ts=T(2024, 1, 1, 9, 1), event_type="b"),
+        Row(user_id=2, ts=T(2024, 1, 1, 9, 2), event_type="c"),
+    ]
+    out = {r.path: r.n for r in
+           journey_paths(spark.createDataFrame(rows)).collect()}
+    assert out == {"a > b > c": 2, "b > c > d": 1, "x > y > z": 1}
