@@ -1980,7 +1980,7 @@ DRIVER_PRIORITY = [
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
-    "journey_paths_events",
+    "journey_paths_events", "shard_by_tokens_docs",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4628,3 +4628,35 @@ def journey_paths_events(spark, sf_dir):
     from .operators.analytics import journey_paths
     ev = read_table(spark, sf_dir, "events")
     return journey_paths(ev)
+
+
+@query("shard_by_tokens_docs", oracle=_mat(r"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS nt
+  FROM documents),
+nz AS (SELECT doc_id, nt FROM docs WHERE nt > 0),
+off AS (
+  SELECT doc_id, nt,
+         COALESCE(SUM(nt) OVER (ORDER BY doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM nz),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS t FROM nz)
+SELECT CAST(o // ((t + 7) // 8) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
+FROM off CROSS JOIN tot
+GROUP BY 1"""))
+def shard_by_tokens_docs(spark, sf_dir):
+    """EXT R106: token-balanced 8-way shard assignment, reported as the
+    per-shard balance table (n_docs, n_tokens). Every shard's token mass
+    is within one document of total/8; the global offset is the
+    pack_sequences two-level prefix-sum tree — no corpus-wide
+    single-partition window."""
+    from .operators.chunking import shard_by_tokens
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shard_by_tokens(docs, "doc_id", "text", n_shards=8)
+    return (sh.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))

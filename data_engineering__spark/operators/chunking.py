@@ -219,3 +219,47 @@ def length_bucketed_batches(df: DataFrame, id_col: str, text_col: str,
             .withColumn("waste_tokens",
                         (F.col("padded_tokens") - F.col("real_tokens"))
                         .cast("long")))
+
+
+def shard_by_tokens(df: DataFrame, id_col: str, text_col: str,
+                    n_shards: int = 8,
+                    bucket_size: int = 1024) -> DataFrame:
+    """EXT (R106): contiguous token-balanced shard assignment — the
+    output-sharding step of a training-data pipeline (equal-WORK output
+    files, not equal-row: a shard of long docs must not dwarf a shard of
+    tweets). Documents keep ``id_col`` order; each is assigned to shard
+    ``token_offset div ceil(total_tokens / n_shards)`` — every shard's
+    token mass is within one document of the ideal, deterministic, and
+    order-preserving (so shard k is a contiguous id range, cheap to
+    re-read selectively).
+
+    Scale shape: the global token offset reuses the ``pack_sequences``
+    two-level prefix-sum tree (bucket totals shuffle down ~n/bucket_size
+    rows, one ordered window over those bucket rows, a per-bucket window
+    for within-bucket offsets) — no corpus-wide single-partition window;
+    the total is a 1-row broadcast crossJoin. Returns (id, shard,
+    n_tokens)."""
+    docs = (df.select(F.col(id_col).alias("__id"),
+                      F.size(tokens(text_col)).cast("long").alias("__n"))
+            .filter(F.col("__n") > 0)
+            .withColumn("__bucket", F.expr(f"__id div {bucket_size}")))
+    bucket_totals = docs.groupBy("__bucket").agg(F.sum("__n").alias("__bt"))
+    w_buckets = (Window.orderBy("__bucket")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    bucket_offsets = bucket_totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(w_buckets), F.lit(0)).alias("__boff"))
+    w_in_bucket = (Window.partitionBy("__bucket").orderBy("__id")
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    total = docs.agg(F.sum("__n").alias("__tot"))
+    placed = (docs.join(F.broadcast(bucket_offsets), "__bucket")
+              .withColumn("__inoff",
+                          F.coalesce(F.sum("__n").over(w_in_bucket), F.lit(0)))
+              .withColumn("__off", F.col("__boff") + F.col("__inoff"))
+              .crossJoin(F.broadcast(total)))
+    return (placed
+            .withColumn("__ss",
+                        F.expr(f"(__tot + {n_shards - 1}) div {n_shards}"))
+            .select(F.col("__id").alias(id_col),
+                    F.expr("CAST(__off div __ss AS BIGINT)").alias("shard"),
+                    F.col("__n").cast("long").alias("n_tokens")))

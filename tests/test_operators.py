@@ -1419,3 +1419,22 @@ def test_journey_paths_session_bounded(spark):
     out = {r.path: r.n for r in
            journey_paths(spark.createDataFrame(rows)).collect()}
     assert out == {"a > b > c": 2, "b > c > d": 1, "x > y > z": 1}
+
+
+def test_shard_by_tokens_balance_and_contiguity(spark):
+    from data_engineering__spark.operators.chunking import shard_by_tokens
+    # 10 docs x 10 tokens = 100 tokens, 4 shards -> ceil(100/4)=25 ->
+    # shards of exactly 25 tokens; doc boundaries land on shard cuts
+    rows = [Row(id=i, t=" ".join(["w"] * 10)) for i in range(10)]
+    out = shard_by_tokens(spark.createDataFrame(rows), "id", "t",
+                          n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.id)
+    # offsets 0,10,20 -> shard 0; 30,40 -> 1; 50,60,70 -> 2; 80,90 -> 3
+    assert {s: sorted(ids) for s, ids in by_shard.items()} == {
+        0: [0, 1, 2], 1: [3, 4], 2: [5, 6, 7], 3: [8, 9]}
+    # contiguity: each shard is a contiguous id range
+    for ids in by_shard.values():
+        assert ids == sorted(ids)
+        assert ids[-1] - ids[0] == len(ids) - 1
