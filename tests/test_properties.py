@@ -320,3 +320,64 @@ def test_shingle_sha_rows_matches_python_reference(spark, texts, n):
             want.append(
                 (i, int(hashlib.sha256(win.encode()).hexdigest()[:8], 16)))
     assert got == sorted(want)
+
+
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+       plo=st.integers(1, 50), phi=st.integers(50, 100))
+@SETTINGS
+def test_winsorized_stats_matches_sequential_reference(spark, vals, plo, phi):
+    """The histogram order-statistic formulation must equal the sequential
+    definition for ANY values and percentile rationals: lo/hi are the
+    ceil(p·n)-th smallest values, clips count strictly-outside rows, and
+    the winsorized mean is the clipped sum over n."""
+    import math
+
+    from data_engineering__spark.operators.analytics import winsorized_stats
+    df = spark.createDataFrame([Row(g="g", v=v) for v in vals])
+    r = winsorized_stats(df, ["g"], F.col("v"),
+                         p_lo=(plo, 100), p_hi=(phi, 100)).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    lo = s[math.ceil(n * plo / 100) - 1]
+    hi = s[math.ceil(n * phi / 100) - 1]
+    assert (r.n, r.lo, r.hi) == (n, lo, hi)
+    assert r.n_clipped_lo == sum(1 for v in vals if v < lo)
+    assert r.n_clipped_hi == sum(1 for v in vals if v > hi)
+    assert r.winsorized_mean == sum(min(max(v, lo), hi) for v in vals) / n
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["dup one", "dup two", "uniq"]),
+             min_size=0, max_size=5),
+    min_size=1, max_size=6),
+    min_docs=st.integers(2, 3))
+@SETTINGS
+def test_line_dedup_matches_python_reference(spark, docs, min_docs):
+    """line_dedup ≡ the sequential definition: count DISTINCT docs per
+    trimmed non-blank line, strip lines at or above min_docs, rebuild in
+    order — for arbitrary line multisets including repeated lines within
+    one doc (which must NOT count as cross-doc duplication by themselves)."""
+    from data_engineering__spark.operators.dedup import line_dedup
+    # make 'uniq' lines actually unique per (doc, position)
+    texts = ["\n".join(f"uniq {i} {j}" if ln == "uniq" else ln
+                       for j, ln in enumerate(lines))
+             for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(
+        [Row(id=i, t=t) for i, t in enumerate(texts)])
+    got = {r.id: (r.clean_text, r.n_kept, r.n_removed)
+           for r in line_dedup(df, "id", "t", min_docs=min_docs).collect()}
+    from collections import defaultdict
+    docs_per_line: dict[str, set] = defaultdict(set)
+    parsed = {}
+    for i, t in enumerate(texts):
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        parsed[i] = lines
+        for ln in lines:
+            docs_per_line[ln].add(i)
+    boiler = {ln for ln, ds in docs_per_line.items() if len(ds) >= min_docs}
+    for i, lines in parsed.items():
+        if not lines:
+            continue        # zero non-blank lines -> doc absent from output
+        keep = [ln for ln in lines if ln not in boiler]
+        assert got[i] == ("\n".join(keep), len(keep),
+                          len(lines) - len(keep)), (i, lines)
