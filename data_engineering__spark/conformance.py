@@ -1980,7 +1980,7 @@ DRIVER_PRIORITY = [
     "join_health_orders", "corr_matrix_lineitem",
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
-    "journey_paths_events", "shard_by_tokens_docs",
+    "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4660,3 +4660,72 @@ def shard_by_tokens_docs(spark, sf_dir):
     return (sh.groupBy("shard")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
+def _pq_oracle_sql(m: int = 4, dim: int = 64, k: int = 8,
+                   n_iter: int = 1, round_dp: int = 6) -> str:
+    """Per-subspace replica of the kmeans training chain (prefixed CTE
+    names), ending in the per-(subspace, cell) assignment histogram —
+    the compact full-corpus verification of PQ codebook training AND
+    encoding."""
+    sub = dim // m
+    ctes, selects = [], []
+    for j in range(m):
+        p = f"s{j}"
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(f"{p}ev AS (SELECT vec_id, "
+                    f"CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS v "
+                    f"FROM embeddings)")
+        ctes.append(f"{p}c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, "
+                    f"v AS cvec FROM {p}ev WHERE vec_id < {k})")
+        for it in range(1, n_iter + 1):
+            prev, cur = f"{p}c{it - 1}", f"{p}c{it}"
+            ctes.append(f"""{p}a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2sq_chain("e.v", "c.cvec", sub)} ASC,
+                                       c.cell ASC) AS rn
+    FROM {p}ev e CROSS JOIN {prev} c) WHERE rn = 1)""")
+            ctes.append(f"""{cur} AS (
+  SELECT cell, list(m ORDER BY i) AS cvec FROM (
+    SELECT cell, i, ROUND(AVG(val), {round_dp}) AS m FROM (
+      SELECT a.cell, u.i, e.v[u.i] AS val
+      FROM {p}a{it} a JOIN {p}ev e USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS i) u)
+    GROUP BY cell, i)
+  GROUP BY cell)""")
+        fin = f"{p}c{n_iter}"
+        ctes.append(f"""{p}af AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_l2sq_chain("e.v", "c.cvec", sub)} ASC,
+                                       c.cell ASC) AS rn
+    FROM {p}ev e CROSS JOIN {fin} c) WHERE rn = 1)""")
+        selects.append(f"SELECT {j} AS subspace, cell, "
+                       f"CAST(COUNT(*) AS BIGINT) AS n "
+                       f"FROM {p}af GROUP BY cell")
+    return ("WITH " + ",\n".join(ctes) + "\n" +
+            "\nUNION ALL ".join(selects))
+
+
+@query("pq_code_histogram", oracle=_mat(_pq_oracle_sql()))
+def pq_code_histogram(spark, sf_dir):
+    """EXT R107: product quantization end to end — per-subspace k-means
+    codebooks (kmeans_fit on sliced embeddings) and a single-pass Arrow
+    encode, verified as the per-(subspace, cell) assignment histogram
+    over the WHOLE corpus. The oracle replicates codebook training from
+    first principles per subspace, so PQ training and encoding are both
+    cross-engine checked."""
+    e = read_table(spark, sf_dir, "embeddings")
+    books = V.pq_train(e, m=4, dim=64, k=8, n_iter=1)
+    codes = V.pq_encode(e, books, dim=64)
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(j).cast("int").alias("subspace"),
+                 F.col(f"code_{j}").alias("cell"))
+        for j in range(4)])).alias("__s")
+    return (codes.select(pairs)
+            .select("__s.subspace", "__s.cell")
+            .groupBy("subspace", "cell")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))

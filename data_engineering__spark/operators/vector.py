@@ -441,3 +441,76 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
     return (j.select(id_col, F.round(sa + sb, 6).alias("rrf"))
             .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
             .limit(topk))
+
+
+def pq_train(df: DataFrame, m: int = 4, dim: int = 64, k: int = 8,
+             n_iter: int = 1, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             round_dp: int = 6) -> list[DataFrame]:
+    """EXT (R107): product-quantization codebook training — one
+    ``kmeans_fit`` per subspace over the sliced embedding (subspace j
+    sees components [j·dim/m, (j+1)·dim/m)). Returns the m centroid
+    frames. Inherits kmeans_fit's determinism contract (lowest-id init,
+    fixed iterations, inter-iteration rounding, smallest-cell ties), so
+    codebook training itself is cross-engine verifiable."""
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sl = df.select(
+            F.col(id_col),
+            F.slice(as_double_array(vec_col), j * sub + 1, sub)
+             .alias(vec_col))
+        books.append(kmeans_fit(sl, k=k, n_iter=n_iter, id_col=id_col,
+                                vec_col=vec_col, dim=sub,
+                                round_dp=round_dp))
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[DataFrame], dim: int = 64,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """EXT (R107): product-quantization encoding — each vector compresses
+    to m codebook cells (64 floats → m bytes at k ≤ 256: the standard
+    memory lever for billion-vector ANN; IVF-PQ = ``ivf_topk_trained``'s
+    cell partition + these codes for in-cell distance approximation).
+
+    ONE map-side Arrow pass assigns ALL m subspaces: the m centroid
+    matrices broadcast as numpy (k·dim doubles total — driver-small),
+    and per batch each subspace does one vectorized argmin. No shuffle,
+    no per-subspace join. Bit-reproducibility: squared distances
+    accumulate dim-by-dim in the oracle's left-fold order (np.sum's
+    pairwise order could flip an argmin at ulp distance); ties take the
+    smallest cell. Returns (id, code_0..code_{m-1})."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = dim // m
+    mats = []
+    for cents in codebooks:
+        rows = sorted((r["cell"], list(r["cvec"]))
+                      for r in cents.select("cell", "cvec").collect())
+        mats.append((np.array([c for c, _ in rows], dtype=np.int64),
+                     np.array([v for _, v in rows], dtype=np.float64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cols = {id_col: pdf[id_col]}
+            for j, (cells, cmat) in enumerate(mats):
+                vj = v[:, j * sub:(j + 1) * sub]
+                d2 = np.zeros((len(vj), len(cells)))
+                for t in range(sub):
+                    dt = vj[:, t:t + 1] - cmat[None, :, t]
+                    d2 = d2 + dt * dt
+                cols[f"code_{j}"] = cells[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(cols)
+
+    out_schema = (f"{id_col} {dict(df.dtypes)[id_col]}, " +
+                  ", ".join(f"code_{j} bigint" for j in range(m)))
+    return (df.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+            .mapInPandas(run, out_schema))

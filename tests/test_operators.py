@@ -1438,3 +1438,21 @@ def test_shard_by_tokens_balance_and_contiguity(spark):
     for ids in by_shard.values():
         assert ids == sorted(ids)
         assert ids[-1] - ids[0] == len(ids) - 1
+
+
+def test_pq_train_encode_known_clusters(spark):
+    from data_engineering__spark.operators.vector import pq_encode, pq_train
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0, 10.0, 10.0]),
+            Row(vec_id=1, embedding=[5.0, 5.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.1, 0.0, 10.0, 10.1]),
+            Row(vec_id=3, embedding=[5.0, 5.1, 9.9, 10.0])]
+    df = spark.createDataFrame(rows)
+    books = pq_train(df, m=2, dim=4, k=2, n_iter=1)
+    assert len(books) == 2
+    out = {r.vec_id: (r.code_0, r.code_1) for r in
+           pq_encode(df, books, dim=4).collect()}
+    # subspace 0 (dims 0-1): clusters {0,2} around [0,0], {1,3} around [5,5]
+    # subspace 1 (dims 2-3): clusters {0,2,3} around [10,10], {1} at [0,0]
+    assert out[0][0] == out[2][0] and out[1][0] == out[3][0]
+    assert out[0][0] != out[1][0]
+    assert out[0][1] == out[2][1] == out[3][1] != out[1][1]
