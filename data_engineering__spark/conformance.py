@@ -1981,6 +1981,7 @@ DRIVER_PRIORITY = [
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
+    "ivfpq_adc_topk",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4729,3 +4730,65 @@ def pq_code_histogram(spark, sf_dir):
             .select("__s.subspace", "__s.cell")
             .groupBy("subspace", "cell")
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _ivfpq_oracle_sql(m: int = 4, dim: int = 64, k_cells: int = 8,
+                      n_iter: int = 1, nprobe: int = 2, topk: int = 10,
+                      round_dp: int = 6) -> str:
+    """IVF-PQ ADC end to end: the coarse kmeans chain (unprefixed CTEs)
+    + the per-subspace PQ chains (prefixed), then probed-cell candidates
+    scored as the fixed-order sum of per-subspace squared distances to
+    their ASSIGNED codebook centroids."""
+    sub = dim // m
+    coarse = _kmeans_train_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        k=k_cells, n_iter=n_iter, dim=dim, round_dp=round_dp)
+    pq = _pq_oracle_sql(m=m, dim=dim, k=k_cells, n_iter=n_iter,
+                        round_dp=round_dp)
+    # reuse only the CTE block of the PQ oracle (strip "WITH " and the
+    # final histogram selects)
+    pq_ctes = pq[len("WITH "):pq.index("\nSELECT 0 AS subspace")]
+    fin = f"c{n_iter}"
+    adc_terms = []
+    joins = []
+    for j in range(m):
+        p = f"s{j}"
+        joins.append(f"JOIN {p}af a{j} ON a{j}.vec_id = cand.vec_id")
+        joins.append(f"JOIN {p}{fin} b{j} ON b{j}.cell = a{j}.cell")
+        comps = " + ".join(
+            f"((q.v[{j * sub + t}])-(b{j}.cvec[{t}]))"
+            f"*((q.v[{j * sub + t}])-(b{j}.cvec[{t}]))"
+            for t in range(1, sub + 1))
+        adc_terms.append(f"({comps})")
+    coarse_block = ",\n".join(coarse)
+    join_block = "\n".join(joins)
+    return f"""
+WITH {coarse_block},
+{pq_ctes},
+qv AS (SELECT v FROM ev WHERE vec_id = 0),
+qc AS (
+  SELECT cell FROM (
+    SELECT c.cell, {_l2sq_chain("q.v", "c.cvec", dim)} AS d2
+    FROM {fin} c CROSS JOIN qv q)
+  ORDER BY d2 ASC, cell ASC LIMIT {nprobe}),
+cand AS (SELECT af.vec_id FROM af JOIN qc USING (cell))
+SELECT cand.vec_id,
+       ROUND({" + ".join(adc_terms)}, {round_dp}) AS adc
+FROM cand
+{join_block}
+CROSS JOIN qv q
+ORDER BY adc ASC, cand.vec_id ASC LIMIT {topk}"""
+
+
+@query("ivfpq_adc_topk", oracle=_mat(_ivfpq_oracle_sql()))
+def ivfpq_adc_topk(spark, sf_dir):
+    """EXT R108: IVF-PQ ADC search — coarse trained cells bound which
+    vectors are scored, PQ codes bound the score cost (m literal-map
+    lookups + fixed-order sum). Coarse training, codebook training,
+    encoding, probing, and ADC ranking are ALL replicated in the oracle
+    from first principles."""
+    e = read_table(spark, sf_dir, "embeddings")
+    coarse = V.kmeans_fit(e, k=8, n_iter=1)
+    books = V.pq_train(e, m=4, dim=64, k=8, n_iter=1)
+    qdf = e.filter(F.col("vec_id") == 0)
+    return V.ivfpq_topk(e, qdf, 10, coarse, books, nprobe=2, dim=64)

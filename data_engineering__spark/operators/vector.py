@@ -514,3 +514,60 @@ def pq_encode(df: DataFrame, codebooks: list[DataFrame], dim: int = 64,
                   ", ".join(f"code_{j} bigint" for j in range(m)))
     return (df.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
             .mapInPandas(run, out_schema))
+
+
+def ivfpq_topk(candidates: DataFrame, query: DataFrame, k: int,
+               coarse_centroids: DataFrame, codebooks: list[DataFrame],
+               nprobe: int = 2, dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """EXT (R108): IVF-PQ search with asymmetric distance computation
+    (ADC) — the composition that makes billion-vector ANN tractable:
+    coarse cells bound WHICH vectors are scored (``nprobe`` of the
+    trained cells), PQ codes bound HOW MUCH each score costs (m map
+    lookups instead of a dim-component distance; raw vectors never
+    touched at query time).
+
+    The query builds one m×k lookup table driver-side (lut[j][cell] =
+    squared L2 between the query's subvector j and that codebook
+    centroid, accumulated left-to-right — the oracle's exact summation
+    order) and embeds it as literal codegen maps: scoring a candidate is
+    m ``map[code_j]`` lookups + a fixed-order sum, rounded to 6 dp for
+    rank stability. No Python, no shuffle in the scoring path; the only
+    joins key on the candidate id and the tiny probed-cell set. In a
+    deployment the cell assignment and codes are precomputed columns;
+    here they derive on the fly from the passed index frames."""
+    rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                  for r in coarse_centroids.select("cell", "cvec").collect())
+    coarse = candidates.sparkSession.createDataFrame(
+        rows, "cell long, cvec array<double>")
+    assign = kmeans_assign(candidates, coarse, id_col, vec_col)
+    qv_arr = as_double_array(vec_col)
+    qcells = (query.select(qv_arr.alias("__q"))
+              .crossJoin(F.broadcast(coarse))
+              .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
+              .orderBy(F.col("__d2").asc(), F.col("cell").asc())
+              .limit(nprobe).select("cell"))
+    codes = pq_encode(candidates, codebooks, dim, id_col, vec_col)
+    qv = [float(x) for x in
+          query.select(qv_arr.alias("__q")).collect()[0]["__q"]]
+    m = len(codebooks)
+    sub = dim // m
+    terms = []
+    for j, book in enumerate(codebooks):
+        entries = []
+        for cell, cv in sorted((int(r["cell"]), list(r["cvec"]))
+                               for r in book.select("cell", "cvec").collect()):
+            acc = 0.0
+            for t in range(sub):
+                d = qv[j * sub + t] - float(cv[t])
+                acc = acc + d * d
+            entries += [F.lit(cell), F.lit(acc)]
+        terms.append(F.create_map(*entries)[F.col(f"code_{j}")])
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    probe = (codes.join(assign, id_col)
+             .join(F.broadcast(qcells), "cell"))
+    return (probe.select(F.col(id_col), F.round(adc, 6).alias("adc"))
+            .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+            .limit(k))

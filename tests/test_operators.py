@@ -1456,3 +1456,24 @@ def test_pq_train_encode_known_clusters(spark):
     assert out[0][0] == out[2][0] and out[1][0] == out[3][0]
     assert out[0][0] != out[1][0]
     assert out[0][1] == out[2][1] == out[3][1] != out[1][1]
+
+
+def test_ivfpq_adc_ranks_near_neighbors_first(spark):
+    from data_engineering__spark.operators.vector import (
+        ivfpq_topk, kmeans_fit, pq_train)
+    rows = [Row(vec_id=0, embedding=[0.0, 0.0, 10.0, 10.0]),
+            Row(vec_id=1, embedding=[5.0, 5.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.1, 0.0, 10.0, 10.1]),
+            Row(vec_id=3, embedding=[5.0, 5.1, 9.9, 10.0]),
+            Row(vec_id=4, embedding=[5.1, 5.0, 0.1, 0.0])]
+    df = spark.createDataFrame(rows)
+    coarse = kmeans_fit(df, k=2, n_iter=1, dim=4)
+    books = pq_train(df, m=2, dim=4, k=2, n_iter=1)
+    q = df.filter(F.col("vec_id") == 0)
+    out = ivfpq_topk(df, q, 5, coarse, books, nprobe=2, dim=4).collect()
+    order = [r.vec_id for r in out]
+    # the query's own cluster-mates (0, 2) must outrank the far cluster
+    assert set(order[:2]) == {0, 2}
+    # ADC distances are nonneg and nondecreasing in rank order
+    adcs = [r.adc for r in out]
+    assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
