@@ -52,19 +52,24 @@ def conversion_funnel(events: DataFrame, steps: list[str],
     later step a semi-structured self-pass — events of that type joined
     to the running frontier on user with ts > frontier, min-aggregated.
     Each pass is a hash join + partial-agg shuffle on the user id; the
-    event table is scanned once per step with the type filter pushed to
-    the parquet scan."""
+    event table is scanned ONCE per step with the type filter pushed to
+    the parquet scan. Every frontier is ``localCheckpoint``ed (the CC
+    iteration device): both its consumers — the next step's join and its
+    own count — read the materialized frame, so the lineage pyramid that
+    would re-scan events 1+2+…+n_steps times never forms."""
     ev = events.select(F.col(user_col).alias("u"),
                        F.col(type_col).alias("t"),
                        F.unix_timestamp(F.col(ts_col)).alias("s"))
     frontier = (ev.filter(F.col("t") == steps[0])
-                .groupBy("u").agg(F.min("s").alias("ft")))
+                .groupBy("u").agg(F.min("s").alias("ft"))
+                .localCheckpoint())
     out = [(steps[0], 0, frontier)]
     for k, step in enumerate(steps[1:], start=1):
         nxt = (ev.filter(F.col("t") == step)
                .join(frontier, "u")
                .filter(F.col("s") > F.col("ft"))
-               .groupBy("u").agg(F.min("s").alias("ft")))
+               .groupBy("u").agg(F.min("s").alias("ft"))
+               .localCheckpoint())
         out.append((step, k, nxt))
         frontier = nxt
     parts = [
