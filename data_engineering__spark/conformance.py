@@ -3077,7 +3077,11 @@ def scd2_asof(spark, sf_dir):
     from .operators.merge import scd2_merge
     from .operators.temporal import asof_join
     hist, changes = _scd2_frames(spark, sf_dir)
-    merged = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15")
+    # localCheckpoint: probes AND the as-of right side both consume the
+    # merged history — without the cut each re-runs the whole SCD2 merge
+    # lineage (16 scans on the bare plan)
+    merged = scd2_merge(hist, changes, "k", ["attr"], "2024-01-15") \
+        .localCheckpoint()
     probes = (merged.select("k").distinct()
               .withColumn("ts", F.explode(F.array(
                   *[F.to_date(F.lit(d)) for d in _SCD2_PROBE_DATES]))))
@@ -3652,12 +3656,17 @@ def curate_corpus_funnel(spark, sf_dir):
     planted = (d.filter(F.col("doc_id") % 9 == 0)
                .select((F.col("doc_id") + 3000000).alias("doc_id"), "text"))
     corpus = d.unionByName(planted)
-    t1 = corpus.filter(token_count("text").between(20, 100))
+    # each stage localCheckpoints (the funnel/CC lineage device): the
+    # per-stage counts and the next stage both read the materialized
+    # frame instead of re-running the whole upstream funnel (was 16
+    # document scans for 4 stage counts)
+    t1 = corpus.filter(token_count("text").between(20, 100)) \
+               .localCheckpoint()
     keep = (repetition_profile(t1, "doc_id", "text",
                                max_bigram_share=0.05, max_dup5_frac=0.30,
                                min_unique_ratio=0.40)
             .filter(F.col("keep")).select("doc_id"))
-    t2 = t1.join(keep, "doc_id")
+    t2 = t1.join(keep, "doc_id").localCheckpoint()
     t3 = exact_text_dedup(t2, "text", [F.asc("doc_id")])
 
     def stage(df, name):

@@ -80,9 +80,13 @@ def triangle_count(edges: DataFrame, src: str = "src",
     wedge generation by out-degree under the low→high order (the
     classic mitigation that keeps hub nodes from exploding the join).
     """
+    # persist: the oriented edge table feeds all THREE join legs —
+    # without the cache each leg re-runs the dedup shuffle and the
+    # upstream edge derivation (caller-owned cache, the
+    # minhash_verified_pairs convention)
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                       F.greatest(F.col(src), F.col(dst)).alias("v"))
-         .filter(F.col("u") < F.col("v")).distinct())
+         .filter(F.col("u") < F.col("v")).distinct().persist())
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -403,7 +403,11 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     assign = kmeans_assign(df, cent_lit, id_col, vec_col)
     vecs = df.select(F.col(id_col).alias("__id"),
                      as_double_array(vec_col).alias("__v"))
-    placed = assign.join(vecs, F.col(id_col) == F.col("__id")).drop("__id")
+    # localCheckpoint: the (id, cell, vec) table feeds BOTH self-join
+    # sides and the survivor projection — without the cut each consumer
+    # re-runs the corpus scan + Arrow assignment (was 10 scans)
+    placed = (assign.join(vecs, F.col(id_col) == F.col("__id"))
+              .drop("__id").localCheckpoint())
     x = placed.select(F.col("cell"), F.col(id_col).alias("__ida"),
                       F.col("__v").alias("__va"))
     y = placed.select(F.col("cell"), F.col(id_col).alias("__idb"),
@@ -413,7 +417,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                .withColumn("__cos", cosine_pairs_pandas())
                .filter(F.col("__cos") >= threshold)
                .select(F.col("__idb").alias(id_col)).distinct())
-    return assign.join(dropped, id_col, "left_anti")
+    return placed.select(id_col, "cell").join(dropped, id_col, "left_anti")
 
 
 def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,

@@ -303,3 +303,22 @@ def test_line_dedup_boilerplate_join_broadcasts(spark, sf_dir):
     p = plan_of(QUERIES["line_dedup_docs"](spark, sf_dir))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_shared_intermediates_cut_lineage(spark, sf_dir):
+    """Multi-consumer intermediates (self-join sides, per-stage counts,
+    as-of probes) must read a persisted/checkpointed frame, not re-run
+    their upstream lineage: scan budgets pin the round-4 fixes
+    (ngram_jaccard 8→, related_docs 16→, curate funnel 16→,
+    scd2_asof 16→, semantic_dedup 10→, conversion_funnel 6→ scans)."""
+    import re
+    for name, max_scans in [("ngram_jaccard_pairs", 2),
+                            ("related_docs_topk", 2),
+                            ("curate_corpus_funnel", 2),
+                            ("scd2_asof", 1),
+                            ("semantic_dedup", 2),
+                            ("conversion_funnel_steps", 0),
+                            ("triangle_counts_graph", 2)]:
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        n = len(re.findall(r"\(\d+\) Scan parquet", p))
+        assert n <= max_scans, f"{name}: {n} scans"
