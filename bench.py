@@ -75,7 +75,7 @@ HEADLINE = [
     "corr_matrix_lineitem", "length_bucketed_batches",
     "token_rarity_docs", "epoch_shuffle_head", "collocations_docs",
     "winsorized_stats_events", "journey_paths_events",
-    "shard_by_tokens_docs", "pq_code_histogram",
+    "shard_by_tokens_docs", "pq_code_histogram", "split_leakage_report",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

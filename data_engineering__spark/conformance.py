@@ -1981,7 +1981,7 @@ DRIVER_PRIORITY = [
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
-    "ivfpq_adc_topk",
+    "ivfpq_adc_topk", "split_leakage_report",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4801,3 +4801,47 @@ def ivfpq_adc_topk(spark, sf_dir):
     books = V.pq_train(e, m=4, dim=64, k=8, n_iter=1)
     qdf = e.filter(F.col("vec_id") == 0)
     return V.ivfpq_topk(e, qdf, 10, coarse, books, nprobe=2, dim=64)
+
+
+def _split_leakage_oracle_sql(keep_mod: int = 10, num_hashes: int = 32,
+                              bands: int = 16, shingle_n: int = 3,
+                              seed: int = 42,
+                              threshold: float = 0.8) -> str:
+    """Portable minhash pair CTEs + hash_split bucket arithmetic →
+    (split_a, split_b, n_pairs)."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    bucket = _bucket_sql("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+WITH {ctes},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < 8000 THEN 'train'
+              WHEN {bucket} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM corpus),
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE jaccard_est >= {threshold})
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN splits sa ON sa.doc_id = pairs.id_a
+JOIN splits sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2"""
+
+
+@query("split_leakage_report", oracle=_mat(_split_leakage_oracle_sql()))
+def split_leakage_report_q(spark, sf_dir):
+    """EXT R109: cross-split near-dup leakage — the planted near-dup
+    corpus is hash-split train/val/test, then the portable MinHash pair
+    surface is counted by the split pair it straddles. Off-diagonal rows
+    are evaluation data leaking into training through near-duplicates
+    that exact dedup cannot see."""
+    from .operators.sampling import hash_split, split_leakage_report
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
+    pairs = D.minhash_verified_pairs(corpus, "doc_id", "text",
+                                     jaccard_threshold=0.8, num_hashes=32,
+                                     bands=16, tok_hash="sha",
+                                     bucket="slice").select("id_a", "id_b")
+    splits = hash_split(corpus.select("doc_id"), "doc_id")
+    return split_leakage_report(pairs, splits)

@@ -171,3 +171,30 @@ def epoch_shuffle(df: DataFrame, key_col: str, epoch: int,
                         F.col(key_col).cast("string")), 256)
     return (df.withColumn(out_col, F.substring(h, 1, 16))
             .orderBy(F.col(out_col).asc(), F.col(key_col).asc()))
+
+
+def split_leakage_report(pairs: DataFrame, splits: DataFrame,
+                         id_col: str = "doc_id",
+                         split_col: str = "split") -> DataFrame:
+    """EXT (R109): cross-split near-duplicate leakage table — near-dup
+    pairs counted by the (unordered) split pair they straddle. Exact
+    dedup before splitting misses NEAR-duplicates, so a train/test pair
+    of near-identical docs silently leaks evaluation data into training;
+    this is the report that catches it (any row where
+    ``split_a <> split_b`` is leakage; the diagonal is benign intra-split
+    redundancy).
+
+    ``pairs`` is any (id_a, id_b) pair surface (MinHash/SimHash/n-gram/
+    embedding families all emit it); ``splits`` any (id, split)
+    assignment (``hash_split``). The pair table is already sub-quadratic
+    by construction; two hash joins key on the doc ids and the report
+    aggregates over the tiny split-pair domain."""
+    sa = splits.select(F.col(id_col).alias("id_a"),
+                       F.col(split_col).alias("__sa"))
+    sb = splits.select(F.col(id_col).alias("id_b"),
+                       F.col(split_col).alias("__sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("__sa", "__sb").alias("split_a"),
+                    F.greatest("__sa", "__sb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))

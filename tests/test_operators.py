@@ -1477,3 +1477,21 @@ def test_ivfpq_adc_ranks_near_neighbors_first(spark):
     # ADC distances are nonneg and nondecreasing in rank order
     adcs = [r.adc for r in out]
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+
+
+def test_split_leakage_report_counts_cross_pairs(spark):
+    from data_engineering__spark.operators.sampling import (
+        split_leakage_report)
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=1, id_b=3), Row(id_a=4, id_b=5),
+         Row(id_a=2, id_b=3)])
+    splits = spark.createDataFrame(
+        [Row(doc_id=1, split="train"), Row(doc_id=2, split="test"),
+         Row(doc_id=3, split="train"), Row(doc_id=4, split="val"),
+         Row(doc_id=5, split="val")])
+    out = {(r.split_a, r.split_b): r.n_pairs for r in
+           split_leakage_report(pairs, splits).collect()}
+    # (1,2) train-test leak; (2,3) test-train leak (order-normalized);
+    # (1,3) train-train and (4,5) val-val are intra-split redundancy
+    assert out == {("test", "train"): 2, ("train", "train"): 1,
+                   ("val", "val"): 1}
