@@ -1972,7 +1972,8 @@ DRIVER_PRIORITY = [
     "scd2_dim_history", "minhash_near_dup_portable",
     # --- NEW this round (no driver record exists at all yet — these
     # outrank the changed-oracle block, whose keys have old green rows
-    # plus local re-verification)
+    # plus local re-verification). 24 + 2 + 22 new = 48; the first ~2
+    # changed-oracle keys round out the 50-slot window.
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
@@ -1981,7 +1982,7 @@ DRIVER_PRIORITY = [
     "length_bucketed_batches", "token_rarity_docs", "epoch_shuffle_head",
     "collocations_docs", "winsorized_stats_events",
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
-    "ivfpq_adc_topk", "split_leakage_report",
+    "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4741,7 +4742,7 @@ def pq_code_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n")))
 
 
-def _ivfpq_oracle_sql(m: int = 4, dim: int = 64, k_cells: int = 8,
+def _ivfpq_oracle_sql(m: int = 4, dim: int = 16, k_cells: int = 8,
                       n_iter: int = 1, nprobe: int = 2, topk: int = 10,
                       round_dp: int = 6) -> str:
     """IVF-PQ ADC end to end: the coarse kmeans chain (unprefixed CTEs)
@@ -4749,8 +4750,14 @@ def _ivfpq_oracle_sql(m: int = 4, dim: int = 64, k_cells: int = 8,
     scored as the fixed-order sum of per-subspace squared distances to
     their ASSIGNED codebook centroids."""
     sub = dim // m
+    # the fixture runs on the FIRST `dim` embedding components: the full
+    # 64-dim expression chains pushed DuckDB's allocator ~20k virtual
+    # mappings in one query (the vm.max_map_count churn class); a 16-dim
+    # slice verifies the identical pipeline at a quarter of the
+    # expression budget
     coarse = _kmeans_train_ctes(
-        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        f"SELECT vec_id, CAST(embedding[1:{dim}] AS DOUBLE[]) AS v "
+        "FROM embeddings",
         k=k_cells, n_iter=n_iter, dim=dim, round_dp=round_dp)
     pq = _pq_oracle_sql(m=m, dim=dim, k=k_cells, n_iter=n_iter,
                         round_dp=round_dp)
@@ -4758,19 +4765,27 @@ def _ivfpq_oracle_sql(m: int = 4, dim: int = 64, k_cells: int = 8,
     # final histogram selects)
     pq_ctes = pq[len("WITH "):pq.index("\nSELECT 0 AS subspace")]
     fin = f"c{n_iter}"
-    adc_terms = []
-    joins = []
+    # per-subspace distances live in their own MATERIALIZED CTEs joined
+    # on the candidate set: a single final select over 10+ relations sent
+    # DuckDB's join-order planning into allocator-churn territory
+    # (~20k virtual mappings — the vm.max_map_count failure class the
+    # envelope test guards); 4 small CTEs + a 5-relation final stays flat
+    dist_ctes = []
     for j in range(m):
         p = f"s{j}"
-        joins.append(f"JOIN {p}af a{j} ON a{j}.vec_id = cand.vec_id")
-        joins.append(f"JOIN {p}{fin} b{j} ON b{j}.cell = a{j}.cell")
         comps = " + ".join(
-            f"((q.v[{j * sub + t}])-(b{j}.cvec[{t}]))"
-            f"*((q.v[{j * sub + t}])-(b{j}.cvec[{t}]))"
+            f"((q.v[{j * sub + t}])-(b.cvec[{t}]))"
+            f"*((q.v[{j * sub + t}])-(b.cvec[{t}]))"
             for t in range(1, sub + 1))
-        adc_terms.append(f"({comps})")
+        dist_ctes.append(f"""{p}d AS (
+  SELECT a.vec_id, {comps} AS d
+  FROM {p}af a JOIN cand ON cand.vec_id = a.vec_id
+  JOIN {p}{fin} b ON b.cell = a.cell CROSS JOIN qv q)""")
     coarse_block = ",\n".join(coarse)
-    join_block = "\n".join(joins)
+    dist_block = ",\n".join(dist_ctes)
+    adc_sum = " + ".join(f"s{j}d.d" for j in range(m))
+    dist_joins = "\n".join(
+        f"JOIN s{j}d ON s{j}d.vec_id = cand.vec_id" for j in range(m))
     return f"""
 WITH {coarse_block},
 {pq_ctes},
@@ -4780,12 +4795,12 @@ qc AS (
     SELECT c.cell, {_l2sq_chain("q.v", "c.cvec", dim)} AS d2
     FROM {fin} c CROSS JOIN qv q)
   ORDER BY d2 ASC, cell ASC LIMIT {nprobe}),
-cand AS (SELECT af.vec_id FROM af JOIN qc USING (cell))
+cand AS (SELECT af.vec_id FROM af JOIN qc USING (cell)),
+{dist_block}
 SELECT cand.vec_id,
-       ROUND({" + ".join(adc_terms)}, {round_dp}) AS adc
+       ROUND({adc_sum}, {round_dp}) AS adc
 FROM cand
-{join_block}
-CROSS JOIN qv q
+{dist_joins}
 ORDER BY adc ASC, cand.vec_id ASC LIMIT {topk}"""
 
 
@@ -4796,11 +4811,12 @@ def ivfpq_adc_topk(spark, sf_dir):
     lookups + fixed-order sum). Coarse training, codebook training,
     encoding, probing, and ADC ranking are ALL replicated in the oracle
     from first principles."""
-    e = read_table(spark, sf_dir, "embeddings")
-    coarse = V.kmeans_fit(e, k=8, n_iter=1)
-    books = V.pq_train(e, m=4, dim=64, k=8, n_iter=1)
+    e = (read_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.slice("embedding", 1, 16).alias("embedding")))
+    coarse = V.kmeans_fit(e, k=8, n_iter=1, dim=16)
+    books = V.pq_train(e, m=4, dim=16, k=8, n_iter=1)
     qdf = e.filter(F.col("vec_id") == 0)
-    return V.ivfpq_topk(e, qdf, 10, coarse, books, nprobe=2, dim=64)
+    return V.ivfpq_topk(e, qdf, 10, coarse, books, nprobe=2, dim=16)
 
 
 def _split_leakage_oracle_sql(keep_mod: int = 10, num_hashes: int = 32,
@@ -4845,3 +4861,37 @@ def split_leakage_report_q(spark, sf_dir):
                                      bucket="slice").select("id_a", "id_b")
     splits = hash_split(corpus.select("doc_id"), "doc_id")
     return split_leakage_report(pairs, splits)
+
+
+@query("attribution_report_events", oracle=_mat(r"""
+WITH conv AS (
+  SELECT user_id AS u, epoch_us(ts) AS cs
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, epoch_us(ts) AS tu, event_type AS tt
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT c.u, c.cs,
+         CASE WHEN t.tu IS NOT NULL AND t.tu < c.cs
+                   AND t.tu >= c.cs - 86400000000
+              THEN lpad(CAST(t.tu AS VARCHAR), 20, '0') || t.tt END AS k
+  FROM conv c LEFT JOIN touch t ON c.u = t.u),
+per AS (
+  SELECT u, cs, MIN(k) AS fk, MAX(k) AS lk
+  FROM j GROUP BY u, cs),
+models AS (
+  SELECT 'first_touch' AS model,
+         COALESCE(substr(fk, 21), '(none)') AS touch_type FROM per
+  UNION ALL
+  SELECT 'last_touch', COALESCE(substr(lk, 21), '(none)') FROM per)
+SELECT model, touch_type, CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM models GROUP BY model, touch_type"""))
+def attribution_report_events(spark, sf_dir):
+    """EXT R110: first/last-touch conversion attribution — purchases
+    credited to the earliest and latest click/view in a 24h per-user
+    lookback, both models in one pass, '(none)' bucket for unattributed
+    conversions. Boundary picks min/max a fixed-width (µs ‖ type) string
+    key so ties are engine-stable."""
+    from .operators.analytics import attribution_report
+    ev = read_table(spark, sf_dir, "events")
+    return attribution_report(ev, "purchase", ["click", "view"])

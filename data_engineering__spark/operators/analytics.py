@@ -259,3 +259,53 @@ def journey_paths(events: DataFrame, user_col: str = "user_id",
                                       .alias("n"))
             .orderBy(F.col("n").desc(), F.col("path").asc())
             .limit(k))
+
+
+def attribution_report(events: DataFrame, conversion_type: str,
+                       touch_types: list[str],
+                       lookback_us: int = 24 * 3600 * 1_000_000,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """EXT (R110): first-touch / last-touch conversion attribution — for
+    each conversion event, which touch channel gets the credit: the
+    EARLIEST (first-touch) and the LATEST (last-touch) qualifying touch
+    in the per-user lookback window strictly before the conversion.
+    Returns (model, touch_type, n_conversions) for both models in one
+    pass — the canonical marketing-mix table.
+
+    Ties: the boundary pick min/maxes a FIXED-WIDTH string key
+    (zero-padded µs ‖ type) — lexicographic order ≡ (ts, type) order,
+    identical bytes in any engine, so the credited channel is
+    deterministic without relying on struct-comparison semantics.
+    Conversions with no qualifying touch count under touch_type =
+    '(none)' — dropped conversions would silently skew the channel mix.
+
+    Scale shape: touches and conversions are two pushed-filter scans of
+    the event stream; they meet in ONE user-keyed join bounded by the
+    lookback interval, and the min/max keys per conversion fold
+    map-side. No window over the whole stream, no Python."""
+    us = F.unix_micros(F.col(ts_col))
+    conv = (events.filter(F.col(type_col) == conversion_type)
+            .select(F.col(user_col).alias("__u"), us.alias("__cs")))
+    touch = (events.filter(F.col(type_col).isin(touch_types))
+             .select(F.col(user_col).alias("__u"), us.alias("__ts"),
+                     F.col(type_col).alias("__tt")))
+    key = F.concat(F.lpad(F.col("__ts").cast("string"), 20, "0"),
+                   F.col("__tt"))
+    ok = (F.col("__ts").isNotNull() &
+          (F.col("__ts") < F.col("__cs")) &
+          (F.col("__ts") >= F.col("__cs") - lookback_us))
+    per_conv = (conv.join(touch, "__u", "left")
+                .groupBy("__u", "__cs")
+                .agg(F.min(F.when(ok, key)).alias("__first"),
+                     F.max(F.when(ok, key)).alias("__last")))
+    pick = lambda c: F.coalesce(  # noqa: E731
+        F.substring(c, 21, 1_000), F.lit("(none)"))
+    both = per_conv.select(F.explode(F.array(
+        F.struct(F.lit("first_touch").alias("model"),
+                 pick(F.col("__first")).alias("touch_type")),
+        F.struct(F.lit("last_touch").alias("model"),
+                 pick(F.col("__last")).alias("touch_type")))).alias("__m"))
+    return (both.select("__m.model", "__m.touch_type")
+            .groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_conversions")))

@@ -1495,3 +1495,29 @@ def test_split_leakage_report_counts_cross_pairs(spark):
     # (1,3) train-train and (4,5) val-val are intra-split redundancy
     assert out == {("test", "train"): 2, ("train", "train"): 1,
                    ("val", "val"): 1}
+
+
+def test_attribution_first_last_touch_models(spark):
+    from datetime import datetime
+
+    from data_engineering__spark.operators.analytics import (
+        attribution_report)
+    T = datetime
+    rows = [
+        # user 1: view -> click -> purchase (first=view, last=click)
+        Row(user_id=1, ts=T(2024, 1, 1, 10, 0), event_type="view"),
+        Row(user_id=1, ts=T(2024, 1, 1, 11, 0), event_type="click"),
+        Row(user_id=1, ts=T(2024, 1, 1, 12, 0), event_type="purchase"),
+        # user 2: touch OUTSIDE the 24h lookback -> (none)
+        Row(user_id=2, ts=T(2024, 1, 1, 0, 0), event_type="click"),
+        Row(user_id=2, ts=T(2024, 1, 3, 0, 0), event_type="purchase"),
+        # user 3: touch AT the conversion instant does not count (strict <)
+        Row(user_id=3, ts=T(2024, 1, 1, 9, 0), event_type="purchase"),
+        Row(user_id=3, ts=T(2024, 1, 1, 9, 0), event_type="click"),
+    ]
+    out = {(r.model, r.touch_type): r.n_conversions for r in
+           attribution_report(spark.createDataFrame(rows), "purchase",
+                              ["click", "view"]).collect()}
+    assert out == {("first_touch", "view"): 1, ("last_touch", "click"): 1,
+                   ("first_touch", "(none)"): 2,
+                   ("last_touch", "(none)"): 2}
