@@ -1972,8 +1972,9 @@ DRIVER_PRIORITY = [
     "scd2_dim_history", "minhash_near_dup_portable",
     # --- NEW this round (no driver record exists at all yet — these
     # outrank the changed-oracle block, whose keys have old green rows
-    # plus local re-verification). 24 + 2 + 22 new = 48; the first ~2
-    # changed-oracle keys round out the 50-slot window.
+    # plus local re-verification). 24 + 2 + 23 new = 49; the first ~1-3
+    # changed-oracle keys round out the 50-slot window, the rest re-prove
+    # next round.
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
