@@ -76,7 +76,7 @@ HEADLINE = [
     "token_rarity_docs", "epoch_shuffle_head", "collocations_docs",
     "winsorized_stats_events", "journey_paths_events",
     "shard_by_tokens_docs", "pq_code_histogram", "split_leakage_report",
-    "attribution_report_events",
+    "attribution_report_events", "rate_cap_events",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

@@ -1984,6 +1984,7 @@ DRIVER_PRIORITY = [
     "collocations_docs", "winsorized_stats_events",
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
+    "rate_cap_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4896,3 +4897,37 @@ def attribution_report_events(spark, sf_dir):
     from .operators.analytics import attribution_report
     ev = read_table(spark, sf_dir, "events")
     return attribution_report(ev, "purchase", ["click", "view"])
+
+
+@query("rate_cap_events", oracle=_mat(r"""
+WITH bucketed AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 3600000000 AS hour_bucket
+  FROM events),
+ranked AS (
+  SELECT event_id, user_id, hour_bucket,
+         ROW_NUMBER() OVER (PARTITION BY user_id, hour_bucket
+                            ORDER BY event_id ASC) AS rn
+  FROM bucketed)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_input,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ranked WHERE rn <= 3"""))
+def rate_cap_events(spark, sf_dir):
+    """EXT R111: windowed frequency capping — at most 3 events per user
+    per hour (the feed/training-pipeline rate limiter: one hot entity
+    must not dominate a time slice). Pure composition: ``quota_per_group``
+    on (user, epoch-hour) with the event id as the deterministic keep
+    order — WindowGroupLimit caps rows per group before the final
+    exchange. Reported as kept/input/user counts."""
+    from .operators.sampling import quota_per_group
+    ev = (read_table(spark, sf_dir, "events")
+          .withColumn("hour_bucket",
+                      F.expr("unix_micros(ts) div 3600000000")))
+    capped = quota_per_group(ev, ["user_id", "hour_bucket"],
+                             [F.asc("event_id")], k=3)
+    total = read_table(spark, sf_dir, "events").count()
+    return capped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.lit(total).cast("long").alias("n_input"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))

@@ -322,3 +322,21 @@ def test_shared_intermediates_cut_lineage(spark, sf_dir):
         p = plan_of(QUERIES[name](spark, sf_dir))
         n = len(re.findall(r"\(\d+\) Scan parquet", p))
         assert n <= max_scans, f"{name}: {n} scans"
+
+
+def test_rate_cap_uses_window_group_limit(spark, sf_dir):
+    p = plan_of(QUERIES["rate_cap_events"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_pq_encode_is_map_only(spark, sf_dir):
+    """PQ encoding must be a pure map pass: one Arrow eval over the scan,
+    ZERO exchanges — the property that makes encoding a 100 TB corpus a
+    single linear sweep."""
+    from data_engineering__spark.operators.vector import pq_encode, pq_train
+    from data_engineering__spark.sources.io import read_table
+    e = read_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=4, dim=64, k=4, n_iter=1)
+    p = plan_of(pq_encode(e, books, dim=64))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
