@@ -77,6 +77,7 @@ HEADLINE = [
     "winsorized_stats_events", "journey_paths_events",
     "shard_by_tokens_docs", "pq_code_histogram", "split_leakage_report",
     "attribution_report_events", "rate_cap_events",
+    "dedup_keep_best_docs", "user_growth_weekly",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

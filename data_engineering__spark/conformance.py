@@ -1984,7 +1984,7 @@ DRIVER_PRIORITY = [
     "collocations_docs", "winsorized_stats_events",
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
-    "rate_cap_events",
+    "rate_cap_events", "dedup_keep_best_docs", "user_growth_weekly",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -4931,3 +4931,78 @@ def rate_cap_events(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.lit(total).cast("long").alias("n_input"),
         F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+def _keep_best_oracle_sql(keep_mod: int = 20, num_hashes: int = 32,
+                          bands: int = 16, shingle_n: int = 3,
+                          seed: int = 42, threshold: float = 0.5) -> str:
+    """Portable pair CTEs → recursive closure → per-component argmax of a
+    pseudo-random quality (Knuth-hash of the id — deterministic, and it
+    INVERTS the id order on ~half the clusters, so a min-id fallback
+    cannot fake a pass)."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS (
+  SELECT id_a, id_b FROM est WHERE jaccard_est >= {threshold}),
+bidir AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT u AS id, u AS r FROM bidir
+  UNION
+  SELECT b.u, r.r FROM bidir b JOIN reach r ON b.v = r.id),
+comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT c.doc_id, COALESCE(comp.component, c.doc_id) AS cmp,
+         (c.doc_id * 2654435761) % 2147483648 AS q
+  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)
+SELECT doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cmp
+                                    ORDER BY q DESC, doc_id ASC) AS rn
+  FROM scored) WHERE rn = 1"""
+
+
+@query("dedup_keep_best_docs", oracle=_keep_best_oracle_sql())
+def dedup_keep_best_docs(spark, sf_dir):
+    """EXT R112: quality-aware near-dup survivor selection — each
+    duplicate cluster keeps its highest-quality member instead of the
+    min id (the curation policy: keep the best copy, not the first
+    crawled). Quality here is a Knuth multiplicative hash of the id so
+    ~half the clusters keep the NON-min member — a min-id fallback
+    cannot fake a green row. Oracle replicates pairs, closure, and the
+    argmax policy end to end."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=20)
+    pairs = D.minhash_verified_pairs(corpus, "doc_id", "text",
+                                     jaccard_threshold=0.5, num_hashes=32,
+                                     bands=16, tok_hash="sha",
+                                     bucket="slice").select("id_a", "id_b")
+    quality = F.pmod(F.col("doc_id") * F.lit(2654435761),
+                     F.lit(2 ** 31))
+    return D.dedup_keep_best(corpus, "doc_id", pairs, quality) \
+            .select("doc_id")
+
+
+@query("user_growth_weekly", oracle=_mat(r"""
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS first_week
+  FROM events GROUP BY user_id),
+per_week AS (
+  SELECT CAST(first_week AS BIGINT) AS week,
+         CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY first_week)
+SELECT week, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY week ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_week"""))
+def user_growth_weekly(spark, sf_dir):
+    """EXT R113: cumulative-user growth curve — first-appearance week
+    per user, new and cumulative user counts per epoch-week. The
+    running-sum window runs over the WEEK domain (tens of rows), never
+    the event stream."""
+    from .operators.analytics import user_growth_curve
+    ev = read_table(spark, sf_dir, "events")
+    return user_growth_curve(ev)

@@ -309,3 +309,27 @@ def attribution_report(events: DataFrame, conversion_type: str,
     return (both.select("__m.model", "__m.touch_type")
             .groupBy("model", "touch_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_conversions")))
+
+
+def user_growth_curve(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """EXT (R113): cumulative-user growth curve — per epoch-week, how
+    many users appeared for the FIRST time and the running total of
+    users ever seen (the canonical product growth chart; exact, not a
+    sampled estimate — cumulative COUNT(DISTINCT) done right).
+
+    Scale shape: one min-per-user aggregate (partial map-side) collapses
+    the stream to a users-sized table, a week-level count collapses that
+    to tens of rows, and only THEN does the running-sum window run —
+    over the week domain, never the event stream. Epoch-week integers
+    (floor epoch-seconds / 604800) are cross-engine exact."""
+    week = F.floor(F.unix_timestamp(F.col(ts_col)) / WEEK_SECONDS) \
+            .cast("long")
+    firsts = (events.select(F.col(user_col).alias("__u"), week.alias("__w"))
+              .groupBy("__u").agg(F.min("__w").alias("first_week")))
+    per_week = (firsts.groupBy(F.col("first_week").alias("week"))
+                .agg(F.count(F.lit(1)).cast("long").alias("new_users")))
+    w = (Window.orderBy(F.col("week").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return per_week.withColumn(
+        "cum_users", F.sum("new_users").over(w).cast("long"))

@@ -1020,3 +1020,29 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
                     F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
                     (F.col("__n_lines") - F.coalesce("n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def dedup_keep_best(df: DataFrame, id_col: str, pairs: DataFrame,
+                    quality: Column) -> DataFrame:
+    """EXT (R112): quality-aware near-dup survivor selection — instead of
+    the min-id convention, each duplicate CLUSTER keeps its highest-
+    ``quality`` member (tie: smallest id). This is the policy real
+    curation wants: among near-identical pages keep the longest / least
+    boilerplate / highest-scoring copy, not whichever crawled first.
+
+    ``pairs`` is any near-dup pair surface; clusters come from the exact
+    transitive closure (``connected_components`` — O(log n) rounds);
+    documents in no pair form singleton clusters via a null-safe
+    component fallback and always survive. One shuffle keys the cluster
+    window; at most one row per cluster survives it
+    (``row_number() = 1`` → WindowGroupLimit)."""
+    comps = connected_components(pairs)
+    scored = (df.withColumn("__q", quality)
+              .join(comps.select(F.col("id").alias(id_col),
+                                 F.col("component").alias("__c")),
+                    id_col, "left")
+              .withColumn("__c", F.coalesce(F.col("__c"), F.col(id_col))))
+    w = Window.partitionBy("__c").orderBy(F.col("__q").desc(),
+                                          F.col(id_col).asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", "__q", "__c"))

@@ -1521,3 +1521,19 @@ def test_attribution_first_last_touch_models(spark):
     assert out == {("first_touch", "view"): 1, ("last_touch", "click"): 1,
                    ("first_touch", "(none)"): 2,
                    ("last_touch", "(none)"): 2}
+
+
+def test_dedup_keep_best_policy_beats_min_id(spark):
+    from data_engineering__spark.operators.dedup import dedup_keep_best
+    docs = spark.createDataFrame(
+        [Row(id=1, q=5), Row(id=2, q=9), Row(id=3, q=1),
+         Row(id=10, q=7), Row(id=11, q=7),    # tie -> smallest id
+         Row(id=20, q=0)])                    # singleton, always survives
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),   # chain {1,2,3}
+         Row(id_a=10, id_b=11)])
+    kept = sorted(r.id for r in
+                  dedup_keep_best(docs, "id", pairs, F.col("q")).collect())
+    # cluster {1,2,3}: id 2 has the best quality (NOT the min id);
+    # cluster {10,11}: quality tie -> min id 10; singleton 20 survives
+    assert kept == [2, 10, 20]
