@@ -1972,9 +1972,10 @@ DRIVER_PRIORITY = [
     "scd2_dim_history", "minhash_near_dup_portable",
     # --- NEW this round (no driver record exists at all yet — these
     # outrank the changed-oracle block, whose keys have old green rows
-    # plus local re-verification). 24 + 2 + 23 new = 49; the first ~1-3
-    # changed-oracle keys round out the 50-slot window, the rest re-prove
-    # next round.
+    # plus local re-verification). 24 + 2 + 26 new = 52: the last ~2 new
+    # keys (dedup_keep_best_docs, user_growth_weekly) and the whole
+    # changed-oracle block ride to next round — all are locally
+    # hash-verified via tests/oracle.py and the driver-sim sweep.
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
