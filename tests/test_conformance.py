@@ -54,46 +54,69 @@ def test_oracle_sweep_survives_driver_resource_envelope():
     and default (32-way) threading at the driver's verify scale (sf0.01),
     and pins the process's virtual-mapping growth to a small fraction of
     the kernel limit. A future memory- or churn-heavy oracle fails HERE,
-    not in a driver round."""
+    not in a driver round.
+
+    The sweep runs in a FRESH subprocess, like the driver's own oracle
+    process: measuring /proc/self/maps inside the pytest process is
+    context-noisy (the Py4J/Spark client and glibc arenas spawned by
+    earlier tests shift baseline placement by >10k mappings), which made
+    the in-process version of this guard flake when the whole suite ran
+    before it."""
+    import json
     import os
-
-    import duckdb
-
-    from data_engineering__spark.sources.io import TABLES
+    import subprocess
+    import sys
 
     sf_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(sf_dir):
         pytest.skip("driver-scale testdata not present")
 
-    def n_maps() -> int:
-        with open(f"/proc/{os.getpid()}/maps") as f:
-            return sum(1 for _ in f)
+    prog = r"""
+import json, os
+import duckdb
+from data_engineering__spark.conformance import ORACLE
+from data_engineering__spark.sources.io import TABLES
 
-    con = duckdb.connect()
-    con.execute("SET memory_limit='500MB'")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
-    start = n_maps()
-    failures, peak = [], start
-    for name, sql in ORACLE.items():
-        try:
-            con.execute(sql).fetchall()
-        except Exception as e:  # noqa: BLE001 — collect every offender
-            failures.append(f"{name}: {e}")
-        peak = max(peak, n_maps())
-    con.close()
-    assert not failures, f"oracles broke the 500MB envelope: {failures}"
-    growth = peak - start
+sf_dir = %r
+
+def n_maps():
+    with open("/proc/self/maps") as f:
+        return sum(1 for _ in f)
+
+con = duckdb.connect()
+con.execute("SET memory_limit='500MB'")
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+start = n_maps()
+failures, peak = [], start
+for name, sql in ORACLE.items():
+    try:
+        con.execute(sql).fetchall()
+    except Exception as e:
+        failures.append(f"{name}: {e}")
+    peak = max(peak, n_maps())
+con.close()
+print(json.dumps({"failures": failures, "growth": peak - start,
+                  "peak": peak}))
+""" % sf_dir
+    proc = subprocess.run([sys.executable, "-c", prog],
+                          capture_output=True, text=True, timeout=900,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    assert proc.returncode == 0, f"sweep subprocess died: {proc.stderr[-2000:]}"
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert not out["failures"], (
+        f"oracles broke the 500MB envelope: {out['failures']}")
     # budget 20k: the full ~150-oracle sweep measures 3.7k-11k mappings
-    # run to run (glibc arena placement is context-noisy); the driver's
-    # exposure is ~50 oracles/process, a third of this sweep. 20k still
-    # catches both known churn classes — CTE inlining (pre-_mat
-    # ivf_kmeans: +7.5k alone) and wide join-order planning (pre-slim
-    # ivfpq_adc: +22.9k alone) — with 3x headroom under vm.max_map_count.
-    assert growth < 20_000, (
-        f"oracle sweep grew the process by {growth} virtual mappings "
-        f"(peak {peak}); vm.max_map_count is 65530 and the driver batches "
-        "~50 oracles per process — keep per-sweep growth well under 20k "
-        "(see conformance._mat and _ivfpq_oracle_sql for the known churn "
-        "sources)")
+    # run to run; the driver's exposure is ~50 oracles/process, a third of
+    # this sweep. 20k still catches both known churn classes — CTE
+    # inlining (pre-_mat ivf_kmeans: +7.5k alone) and wide join-order
+    # planning (pre-slim ivfpq_adc: +22.9k alone) — with 3x headroom
+    # under vm.max_map_count.
+    assert out["growth"] < 20_000, (
+        f"oracle sweep grew a fresh process by {out['growth']} virtual "
+        f"mappings (peak {out['peak']}); vm.max_map_count is 65530 and the "
+        "driver batches ~50 oracles per process — keep per-sweep growth "
+        "well under 20k (see conformance._mat and _ivfpq_oracle_sql for "
+        "the known churn sources)")
