@@ -78,6 +78,11 @@ HEADLINE = [
     "shard_by_tokens_docs", "pq_code_histogram", "split_leakage_report",
     "attribution_report_events", "rate_cap_events",
     "dedup_keep_best_docs", "user_growth_weekly",
+    # round 4 main session: span dedup, privacy/outlier audits, PCA
+    # moments, source triage
+    "duplicate_passages_docs", "dup_span_profile_docs",
+    "k_anonymity_customer", "outlier_zscore_events",
+    "embedding_cov_block", "source_curation_docs",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

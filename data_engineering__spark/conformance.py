@@ -1986,6 +1986,11 @@ DRIVER_PRIORITY = [
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
     "rate_cap_events", "dedup_keep_best_docs", "user_growth_weekly",
+    # --- round-4 main-session additions (locally hash-verified at
+    # sf0.001 + sf0.01; driver rows land when the rotation reaches them)
+    "duplicate_passages_docs", "dup_span_profile_docs",
+    "k_anonymity_customer", "outlier_zscore_events",
+    "embedding_cov_block", "source_curation_docs",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5007,3 +5012,211 @@ def user_growth_weekly(spark, sf_dir):
     from .operators.analytics import user_growth_curve
     ev = read_table(spark, sf_dir, "events")
     return user_growth_curve(ev)
+
+
+# ==================== round-4 additions: span dedup, audits, PCA moments
+
+#: 12-token shingle rows with the portable sha-bucket hash, as a DuckDB
+#: fragment (the decontaminate/contamination convention at n=12)
+_DUCK_SPAN12 = r"""
+sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+11], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 11)) AS i
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+    WHERE len(toks) >= 12))"""
+
+
+@query("duplicate_passages_docs", oracle=_mat(f"""
+WITH {_DUCK_SPAN12}
+SELECT h AS passage_h,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2"""))
+def duplicate_passages_docs(spark, sf_dir):
+    """EXT R114: cross-doc duplicate passage detection (Lee et al. span
+    dedup, discovery pass) — exact 12-token windows in ≥2 distinct docs
+    with doc/occurrence counts. Map-side sha-bucket hashing + ONE hash
+    aggregation; passage text never shuffles. Oracle recomputes windows
+    and both counts from first principles."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_passages(docs, "doc_id", "text", n=12, min_docs=2)
+
+
+@query("dup_span_profile_docs", oracle=_mat(f"""
+WITH {_DUCK_SPAN12},
+shared AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT s.doc_id, CASE WHEN x.h IS NOT NULL THEN 1 END AS hit
+  FROM sh s LEFT JOIN shared x ON s.h = x.h),
+prof AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(COUNT(hit) AS BIGINT) AS n_shared
+  FROM marked GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_shared, 0) AS n_shared,
+       ROUND(CASE WHEN COALESCE(p.n_spans, 0) > 0
+                  THEN CAST(p.n_shared AS DOUBLE) / p.n_spans
+                  ELSE 0.0 END, 6) AS shared_frac
+FROM documents d LEFT JOIN prof p ON d.doc_id = p.doc_id"""))
+def dup_span_profile_docs(spark, sf_dir):
+    """EXT R115: per-doc duplicated-span coverage — the cut/cap decision
+    input of span-level dedup. Docs under 12 tokens emit no spans and
+    report zeros (the left-join fill path, exercised for real: the
+    corpus's shortest doc is 10 tokens). Shared-set membership is a
+    fixed-width hash join, never a broadcast of a corpus-sized set."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.duplicate_span_profile(docs, "doc_id", "text",
+                                    n=12, min_docs=2)
+
+
+@query("k_anonymity_customer", oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       COUNT(*) < 10 AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment""")
+def k_anonymity_customer(spark, sf_dir):
+    """EXT R116: k-anonymity audit over the (nation, market-segment)
+    quasi-identifier — equivalence classes with size and at-risk flag
+    (k=10). ONE hash aggregation; at sf0.01 the 125 classes include 35
+    genuinely at-risk ones, so both flag branches are exercised."""
+    cust = read_table(spark, sf_dir, "customer")
+    return Q.k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+@query("outlier_zscore_events", oracle=_mat("""
+WITH v AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS HUGEINT) AS c
+  FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM v GROUP BY event_type)
+SELECT v.event_id, v.event_type,
+       ROUND(CAST(n * c - s1 AS DOUBLE)
+             / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS z
+FROM v JOIN s USING (event_type)
+WHERE n * s2 - s1 * s1 > 0
+  AND ABS(ROUND(CAST(n * c - s1 AS DOUBLE)
+                / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)) >= 2.5"""))
+def outlier_zscore_events(spark, sf_dir):
+    """EXT R117: exact per-type z-score outliers over integer cents —
+    moments in decimal(38,0) (HUGEINT twin in the oracle), z in the
+    integer-numerator form (n·x − Σx)/√(n·Σx² − Σx²) so the only float
+    ops are one cast/sqrt/divide both engines evaluate identically."""
+    from .operators.analytics import zscore_outliers
+    ev = read_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, ["event_type"],
+                           F.round(F.col("value") * 100).cast("long"),
+                           ["event_id"], threshold=2.5)
+
+
+def _cov_oracle_sql(dims: int = 8, scale: int = 10_000) -> str:
+    """cov_block oracle generated from the operator's own cell order:
+    exact HUGEINT moments, then the identical final cast/divide."""
+    xs = ",\n         ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) "
+        f"AS HUGEINT) AS x{i}" for i in range(dims))
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i in range(dims):
+        moments.append(f"SUM(x{i}) AS s{i}")
+    for i in range(dims):
+        for j in range(i, dims):
+            moments.append(f"SUM(x{i} * x{j}) AS p{i}_{j}")
+    sel = []
+    for i in range(dims):
+        for j in range(i, dims):
+            sel.append(
+                f"SELECT {i} AS i, {j} AS j, CAST(n AS BIGINT) AS n, "
+                f"ROUND(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) / "
+                f"CAST(n * n * {scale * scale} AS DOUBLE), 10) AS cov "
+                "FROM s")
+    return _mat(
+        "WITH scaled AS (\n  SELECT " + xs +
+        f"\n  FROM embeddings WHERE len(embedding) >= {dims}),\n"
+        "s AS (\n  SELECT " + ",\n         ".join(moments) +
+        "\n  FROM scaled)\n" + "\nUNION ALL ".join(sel))
+
+
+@query("embedding_cov_block", oracle=_cov_oracle_sql())
+def embedding_cov_block(spark, sf_dir):
+    """EXT R118: exact covariance block over the first 8 embedding
+    components — the aggregation half of distributed PCA (d² decimal
+    moments fold map-side in ONE pass; the driver would eigensolve the
+    tiny d×d result and broadcast the projection back)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return V.cov_block(e, "embedding", dims=8, scale=10_000)
+
+
+@query("source_curation_docs", oracle=_mat(fr"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source
+  FROM documents WHERE doc_id % 40 < 10),
+toks AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM corpus),
+feat AS (
+  SELECT source,
+         len(tk) AS n_toks,
+         sha256(lower(trim(text))) AS dig,
+         length(text) AS n_chars,
+         CASE WHEN len(tk) > 0 THEN
+           CAST(list_sum(list_transform(tk, s -> length(s))) AS DOUBLE)
+             / len(tk)
+         ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(text) > 0 THEN
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                AS DOUBLE) / length(text)
+         ELSE 0.0 END AS punct_ratio,
+         greatest({_duck_sw_ratio('en')}, {_duck_sw_ratio('es')},
+                  {_duck_sw_ratio('fr')}, {_duck_sw_ratio('de')}) AS any_sw
+  FROM toks),
+scored AS (
+  SELECT source, dig, n_toks,
+         CAST(round(ROUND(
+             (CASE WHEN n_chars BETWEEN 200 AND 50000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mean_tok_len BETWEEN 3 AND 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN punct_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN any_sw > 0.05 THEN 0.25 ELSE 0.0 END), 2) * 4)
+           AS BIGINT) AS q4
+  FROM feat),
+rep AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(1.0 - CAST(COUNT(DISTINCT dig) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+         ROUND(CAST(COUNT(*) FILTER (n_toks < 20) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS short_frac,
+         ROUND(CAST(SUM(q4) AS DOUBLE)
+               / (4.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_quality
+  FROM scored GROUP BY source)
+SELECT source, n_docs, dup_frac, short_frac, mean_quality,
+       CASE WHEN dup_frac > 0.3 THEN 'drop'
+            WHEN mean_quality < 0.5 THEN 'review'
+            ELSE 'keep' END AS decision
+FROM rep"""))
+def source_curation_docs(spark, sf_dir):
+    """EXT R119: per-source curation decision report over a corpus with
+    planted exact duplicates (docs with id % 40 < 10 re-inserted, so
+    sources src0–src9 cross the 30% dup threshold and land 'drop' while
+    src10–src19 decide on quality) — every decision branch is data-driven
+    and the oracle rebuilds digests, quality rules, and thresholds from
+    first principles."""
+    d = read_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text", "source")
+    planted = (d.filter(F.col("doc_id") % 40 < 10)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       "text", "source"))
+    corpus = d.unionByName(planted).drop("doc_id")
+    return X.source_curation_report(corpus, "text", "source")

@@ -333,3 +333,42 @@ def user_growth_curve(events: DataFrame, user_col: str = "user_id",
          .rowsBetween(Window.unboundedPreceding, 0))
     return per_week.withColumn(
         "cum_users", F.sum("new_users").over(w).cast("long"))
+
+
+def zscore_outliers(df: DataFrame, group_cols: list[str], value_int,
+                    keep_cols: list[str],
+                    threshold: float = 2.5) -> DataFrame:
+    """EXT (R117): exact per-group z-score outlier flags over a pre-scaled
+    INTEGER value expression (cents / basis points — the caller picks the
+    scale, which cancels out of z). Returns the flagged rows only:
+    ``keep_cols`` + the group key + ``z`` (rounded 6dp), for every row
+    with |z| ≥ ``threshold`` within its group.
+
+    Engine-invariant by the same discipline as ``corr_matrix``: the
+    moments n, Σx, Σx² accumulate in decimal(38,0) — exact under any
+    partitioning/add order — and z reduces to the integer-numerator form
+        z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²)
+    so the ONLY float ops are one cast, one sqrt, one divide: a fixed
+    IEEE expression DuckDB evaluates bit-identically. Groups with zero
+    variance (or a single row) emit nothing.
+
+    Scale shape (100 TB): one partial-agg shuffle for the per-group
+    moments; the moment table (one row per group) broadcasts back, so
+    flagging is map-side — the fact rows never shuffle. NULL values are
+    excluded up front (a NULL measurement is a missing-data problem, not
+    an outlier)."""
+    base = df.filter(value_int.isNotNull()) \
+             .withColumn("__v", value_int.cast("decimal(38,0)"))
+    stats = (base.groupBy(*group_cols)
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                  F.sum("__v").alias("__s1"),
+                  F.sum(F.col("__v") * F.col("__v")).alias("__s2")))
+    den = F.col("__n") * F.col("__s2") - F.col("__s1") * F.col("__s1")
+    z = F.round(
+        (F.col("__n") * F.col("__v") - F.col("__s1")).cast("double")
+        / F.sqrt(den.cast("double")), 6)
+    return (base.join(F.broadcast(stats), group_cols)
+            .filter(den > 0)
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) >= threshold)
+            .select(*keep_cols, *group_cols, "z"))

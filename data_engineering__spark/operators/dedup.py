@@ -1046,3 +1046,68 @@ def dedup_keep_best(df: DataFrame, id_col: str, pairs: DataFrame,
                                           F.col(id_col).asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", "__q", "__c"))
+
+
+# ------------------------------------------ cross-doc duplicate passages
+
+def duplicate_passages(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 12, min_docs: int = 2) -> DataFrame:
+    """EXT (R114): cross-document duplicate PASSAGE detection — exact
+    n-token windows appearing in ≥ ``min_docs`` distinct documents, with
+    their document and occurrence counts. This is the discovery pass of
+    span-level dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better": repeated ~50-token spans dominate residual
+    duplication after doc-level dedup); the output ranks the boilerplate/
+    template passages a curation pass would cut or cap.
+
+    Scale shape (100 TB): windows are hashed map-side with the portable
+    sha-bucket convention (``shingle_sha_rows`` — fixed 8-byte rows, the
+    passage TEXT never shuffles), then ONE hash aggregation computes both
+    counts. No joins, no windows; the reduce-side cardinality is bounded
+    by distinct windows, and the ``min_docs`` filter runs on the
+    aggregate before anything is returned. Hash collisions (p≈2^-32 per
+    pair) can only merge two passages' counts, never drop a real one."""
+    sh = shingle_sha_rows(df, [id_col], text_col, n, out_col="passage_h")
+    return (sh.groupBy("passage_h")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 12, min_docs: int = 2) -> DataFrame:
+    """EXT (R115): per-document duplicated-span coverage — for each doc,
+    how many of its n-token windows are shared with at least
+    ``min_docs - 1`` other documents, and the shared fraction. This is
+    the decision input for span-level cut/cap policies (drop docs that
+    are mostly template, trim docs with one boilerplate header) and the
+    audit twin of ``duplicate_passages``.
+
+    Scale shape: the shared-window set is corpus-sized, so it is NOT
+    broadcast — the membership probe is a shuffle-on-hash join of two
+    fixed-width (id, 8-byte hash) surfaces (the standard big-big shape;
+    bodies never shuffle), followed by one per-doc aggregation. The
+    shingle projection is evaluated once per side off the same scan;
+    at warehouse scale you'd persist the shingle surface before the
+    self-aggregation instead of recomputing it (two scans here keeps the
+    local plan allocation-free). Docs shorter than ``n`` tokens emit no
+    windows and report (0, 0, 0.0) via the left join + coalesce."""
+    sh = shingle_sha_rows(df, [id_col], text_col, n, out_col="__h")
+    shared = (sh.groupBy("__h")
+              .agg(F.countDistinct(id_col).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__h", F.lit(1).alias("__hit")))
+    marked = sh.join(shared, "__h", "left")
+    prof = (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.count(F.when(F.col("__hit").isNotNull(), 1))
+                 .alias("n_shared")))
+    return (df.select(id_col).join(prof, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                    .alias("n_shared"),
+                    F.round(F.when(F.col("n_spans") > 0,
+                                   F.col("n_shared") / F.col("n_spans"))
+                            .otherwise(F.lit(0.0)), 6).alias("shared_frac")))

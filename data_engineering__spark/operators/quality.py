@@ -229,3 +229,24 @@ def join_health(left: DataFrame, right: DataFrame, lkey: str,
                          F.col(m).cast("long").alias("value"))
                 for m in metrics])).alias("__m"))
             .select("__m.metric", "__m.value"))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 10) -> DataFrame:
+    """EXT (R116): k-anonymity audit over a quasi-identifier combination —
+    one row per equivalence class (the distinct quasi-identifier tuple)
+    with its size and an ``at_risk`` flag for classes smaller than ``k``.
+    This is the re-identification screen run before releasing or joining
+    user-adjacent tables: any at-risk class pins an individual to ≤ k-1
+    candidates. NULL quasi values form their own classes (GROUP BY
+    null-groups them), matching the release semantics where NULL is a
+    visible value, not an absence.
+
+    Scale shape (100 TB): ONE hash aggregation on the quasi tuple
+    (partial counts fold map-side); output cardinality = distinct
+    classes, which for release-worthy quasi sets is orders of magnitude
+    below row count. Downstream suppression/generalization is then an
+    ordinary broadcast-join of the at-risk classes back onto the table."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("at_risk", F.col("class_size") < k))

@@ -577,3 +577,49 @@ def collocations(df: DataFrame, text_col: str, min_count: int = 5,
     return (out.orderBy(F.col("lift").desc(), F.col("a").asc(),
                         F.col("b").asc())
             .limit(k))
+
+
+def source_curation_report(df: DataFrame, text_col: str,
+                           source_col: str, dup_drop: float = 0.3,
+                           quality_review: float = 0.5,
+                           short_tokens: int = 20) -> DataFrame:
+    """EXT (R119): per-SOURCE curation decision report — the domain/feed
+    triage table a crawl pipeline reads before ingesting a source at
+    full volume. One row per source: doc count, exact-duplicate fraction
+    (1 − distinct(normalized digest)/n — the share doc-level dedup would
+    cut), short-doc fraction, mean quality score, and a policy decision:
+    ``drop`` when the source is mostly duplicates (> ``dup_drop``),
+    ``review`` when mean quality is low (< ``quality_review``), else
+    ``keep``. Thresholding happens on the ROUNDED fractions so the
+    decision column is engine-reproducible.
+
+    Exactness: quality scores are exact quarters (see ``quality_score``),
+    summed as integers (score·4) and divided once; every fraction is an
+    exact-integer ratio with a single double division. Scale shape
+    (100 TB): one map-side projection (token count, sha-digest, quality
+    rules — all codegen), one hash aggregation keyed by source; digests
+    shuffle as 32-byte hashes, bodies never leave the scan."""
+    scored = quality_score(df.select(source_col, text_col), text_col,
+                           "__q", impl="expr")
+    base = scored.select(
+        F.col(source_col),
+        token_count(text_col).cast("long").alias("__nt"),
+        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("__dig"),
+        F.round(F.col("__q") * 4).cast("long").alias("__q4"))
+    agg = (base.groupBy(source_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("__dig").alias("__ndist"),
+                F.count(F.when(F.col("__nt") < short_tokens, 1))
+                .alias("__nshort"),
+                F.sum("__q4").alias("__sq4")))
+    n = F.col("n_docs").cast("double")
+    dup_frac = F.round(F.lit(1.0) - F.col("__ndist").cast("double") / n, 6)
+    short_frac = F.round(F.col("__nshort").cast("double") / n, 6)
+    mean_q = F.round(F.col("__sq4").cast("double") / (F.lit(4.0) * n), 6)
+    return (agg.select(
+        F.col(source_col), F.col("n_docs"),
+        dup_frac.alias("dup_frac"), short_frac.alias("short_frac"),
+        mean_q.alias("mean_quality"),
+        F.when(dup_frac > dup_drop, F.lit("drop"))
+         .when(mean_q < quality_review, F.lit("review"))
+         .otherwise(F.lit("keep")).alias("decision")))

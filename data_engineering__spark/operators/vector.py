@@ -575,3 +575,53 @@ def ivfpq_topk(candidates: DataFrame, query: DataFrame, k: int,
     return (probe.select(F.col(id_col), F.round(adc, 6).alias("adc"))
             .orderBy(F.col("adc").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
+              scale: int = 10_000) -> DataFrame:
+    """EXT (R118): exact covariance block over the first ``dims``
+    components of an embedding column — the aggregation half of
+    distributed PCA. Returns (i, j, n, cov) for every 0-based pair
+    i ≤ j (j==i rows are the variances). Full PCA at scale is exactly
+    this shape: the d×d covariance accumulates in ONE partial-agg pass
+    (d² sums fold map-side; nothing but the single moment row ever
+    reaches the driver), the driver eigendecomposes the tiny d×d matrix,
+    and the projection back onto the corpus is a broadcast map — the
+    corpus is scanned twice, shuffled never.
+
+    Engine-invariance discipline (same as ``corr_matrix``): components
+    quantize to ``scale`` ticks (float32 → double widening is exact, and
+    v·10⁴ can never land exactly on .5, so round() agrees everywhere);
+    moments n, Σxᵢ, Σxᵢxⱼ accumulate in decimal(38,0); the final
+        cov = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) / (n²·scale²)
+    is one exact-integer numerator/denominator pair cast to double for a
+    single divide, rounded 10dp. Vectors shorter than ``dims`` are
+    excluded (their missing components would otherwise skew the moments).
+    """
+    xs = [F.round(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
+                  * scale).cast("decimal(38,0)").alias(f"__x{i}")
+          for i in range(dims)]
+    base = (df.filter(F.size(vec_col) >= dims).select(*xs))
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for i in range(dims):
+        aggs.append(F.sum(F.col(f"__x{i}")).alias(f"__s{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(F.col(f"__x{i}") * F.col(f"__x{j}"))
+                        .alias(f"__p{i}_{j}"))
+    one = base.agg(*aggs)
+    n_ = F.col("__n")
+    den = (n_ * n_ * F.lit(scale * scale).cast("decimal(38,0)"))
+    cells = []
+    for i in range(dims):
+        for j in range(i, dims):
+            num = n_ * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")
+            cells.append(F.struct(
+                F.lit(i).alias("i"), F.lit(j).alias("j"),
+                n_.cast("long").alias("n"),
+                F.round(num.cast("double") / den.cast("double"), 10)
+                .alias("cov")))
+    # ONE explode over the single moment row (the corr_matrix discipline:
+    # per-cell selects would clone the whole aggregation subtree)
+    return (one.select(F.explode(F.array(*cells)).alias("__c"))
+            .select("__c.i", "__c.j", "__c.n", "__c.cov"))

@@ -1537,3 +1537,91 @@ def test_dedup_keep_best_policy_beats_min_id(spark):
     # cluster {1,2,3}: id 2 has the best quality (NOT the min id);
     # cluster {10,11}: quality tie -> min id 10; singleton 20 survives
     assert kept == [2, 10, 20]
+
+
+# -------------------- round-4 main session: span dedup / audits / PCA prep
+
+def test_duplicate_passages_finds_cross_doc_window_only(spark):
+    """A 4-token window shared by docs 1+2 is reported with n_docs=2;
+    doc 3's internally-REPEATED window stays below min_docs (1 doc) and
+    must not appear."""
+    from data_engineering__spark.operators.dedup import duplicate_passages
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"intro {shared} outro one"),
+        Row(doc_id=2, text=f"different lead {shared} tail"),
+        Row(doc_id=3, text=f"solo solo2 solo3 solo4 x solo solo2 solo3 solo4"),
+    ])
+    out = duplicate_passages(df, "doc_id", "text", n=4, min_docs=2).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].n_occurrences == 2
+
+
+def test_duplicate_span_profile_zero_fill_and_fraction(spark):
+    from data_engineering__spark.operators.dedup import duplicate_span_profile
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"{shared}"),           # 1 span, shared
+        Row(doc_id=2, text=f"x {shared}"),         # 2 spans, 1 shared
+        Row(doc_id=3, text="too short"),           # <4 tokens → zeros
+    ])
+    got = {r.doc_id: (r.n_spans, r.n_shared, r.shared_frac)
+           for r in duplicate_span_profile(df, "doc_id", "text",
+                                           n=4, min_docs=2).collect()}
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_k_anonymity_flags_small_and_null_classes(spark):
+    from data_engineering__spark.operators.quality import k_anonymity
+    rows = [Row(seg="a", nat=1)] * 5 + [Row(seg="b", nat=2)] * 2 \
+        + [Row(seg=None, nat=3)]
+    out = k_anonymity(spark.createDataFrame(rows), ["seg", "nat"], k=3)
+    got = {(r.seg, r.nat): (r.class_size, r.at_risk) for r in out.collect()}
+    assert got[("a", 1)] == (5, False)
+    assert got[("b", 2)] == (2, True)
+    assert got[(None, 3)] == (1, True)  # NULL quasi is a visible class
+
+
+def test_zscore_outliers_flags_exact_outlier_and_skips_constant_group(spark):
+    from data_engineering__spark.operators.analytics import zscore_outliers
+    rows = ([Row(g="a", id=i, v=100) for i in range(9)]
+            + [Row(g="a", id=99, v=1100)]          # the lone spike
+            + [Row(g="c", id=7, v=5), Row(g="c", id=8, v=5)])  # zero var
+    out = zscore_outliers(spark.createDataFrame(rows), ["g"],
+                          F.col("v").cast("long"), ["id"], threshold=2.5)
+    got = out.collect()
+    assert [r.id for r in got] == [99]
+    assert abs(got[0].z - 3.0) < 1e-9  # (1100-200)/sd_pop=300 → exactly 3
+
+
+def test_cov_block_matches_numpy_population_covariance(spark):
+    import numpy as np
+    from data_engineering__spark.operators.vector import cov_block
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 4)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(embedding=[float(x) for x in row]) for row in vecs])
+    out = cov_block(df, "embedding", dims=4, scale=10_000).collect()
+    got = {(r.i, r.j): r.cov for r in out}
+    ref = np.cov(vecs.astype("float64").T, bias=True)
+    assert len(got) == 10
+    for (i, j), c in got.items():
+        # 1e-4 quantization → covariance error bound well under 1e-6
+        assert abs(c - ref[i][j]) < 5e-5, (i, j, c, ref[i][j])
+
+
+def test_source_curation_decisions(spark):
+    from data_engineering__spark.operators.text import source_curation_report
+    body = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the field " * 5)
+    rows = ([Row(source="dupfarm", text=body)] * 4          # all duplicates
+            + [Row(source="fine", text=body + f" tail{i}") for i in range(4)])
+    out = source_curation_report(spark.createDataFrame(rows),
+                                 "text", "source")
+    got = {r.source: r for r in out.collect()}
+    assert got["dupfarm"].decision == "drop"
+    assert got["dupfarm"].dup_frac == 0.75
+    assert got["fine"].decision == "keep"
+    assert got["fine"].dup_frac == 0.0
