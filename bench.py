@@ -83,6 +83,7 @@ HEADLINE = [
     "duplicate_passages_docs", "dup_span_profile_docs",
     "k_anonymity_customer", "outlier_zscore_events",
     "embedding_cov_block", "source_curation_docs",
+    "exact_quantiles_prices", "top_pc_loadings",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

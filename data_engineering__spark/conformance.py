@@ -1991,6 +1991,7 @@ DRIVER_PRIORITY = [
     "duplicate_passages_docs", "dup_span_profile_docs",
     "k_anonymity_customer", "outlier_zscore_events",
     "embedding_cov_block", "source_curation_docs",
+    "exact_quantiles_prices", "top_pc_loadings",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5220,3 +5221,91 @@ def source_curation_docs(spark, sf_dir):
                        "text", "source"))
     corpus = d.unionByName(planted).drop("doc_id")
     return X.source_curation_report(corpus, "text", "source")
+
+
+@query("exact_quantiles_prices", oracle=_mat("""
+WITH vals AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+hist AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v, c,
+         CAST(SUM(c) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cm
+  FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM vals),
+spec(q_num, q_den) AS (
+  VALUES (1, 100), (1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+ranks AS (
+  SELECT CAST(q_num AS DOUBLE) / q_den AS q,
+         CAST((nn * q_num + q_den - 1) // q_den AS BIGINT) AS r
+  FROM spec CROSS JOIN n)
+SELECT q, r AS rank, v AS value
+FROM cum JOIN ranks ON cm >= r AND cm - c < r"""))
+def exact_quantiles_prices(spark, sf_dir):
+    """EXT R120: exact global quantiles of lineitem price cents as true
+    k-th order statistics (k = ceil(q·n) in pure integer arithmetic) —
+    the exact twin of the KLL sketch path. Histogram + two-level scan
+    tree; no global sort, no corpus-wide single-partition window."""
+    from .operators.analytics import exact_quantiles
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, F.round(F.col("l_extendedprice") * 100).cast("long"),
+        [(1, 100), (1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+        bucket_width=100_000)
+
+
+def _toppc_oracle_sql(dims: int = 8, scale: int = 10_000) -> str:
+    """top_pc_power oracle generated with the operator's own fold order:
+    exact HUGEINT moments and matrix-vector products, then the identical
+    fixed-order float norm/sqrt/divide expressions."""
+    xs = ",\n         ".join(
+        f"CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) "
+        f"AS HUGEINT) AS x{i}" for i in range(dims))
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i in range(dims):
+        moments.append(f"SUM(x{i}) AS s{i}")
+    for i in range(dims):
+        for j in range(i, dims):
+            moments.append(f"SUM(x{i} * x{j}) AS p{i}_{j}")
+
+    def m(i: int, j: int) -> str:
+        a, b = (i, j) if i <= j else (j, i)
+        return f"(n * p{a}_{b} - s{a} * s{b})"
+
+    v1 = ",\n         ".join(
+        " + ".join(m(k, j) for k in range(dims)) + f" AS v1_{j}"
+        for j in range(dims))
+    v2 = ",\n         ".join(
+        " + ".join(f"{m(i, j)} * v1_{j}" for j in range(dims)) + f" AS v2_{i}"
+        for i in range(dims))
+    n2v1 = " + ".join(f"CAST(v1_{j} AS DOUBLE) * CAST(v1_{j} AS DOUBLE)"
+                      for j in range(dims))
+    n2v2 = " + ".join(f"CAST(v2_{i} AS DOUBLE) * CAST(v2_{i} AS DOUBLE)"
+                      for i in range(dims))
+    sel = []
+    for i in range(dims):
+        sel.append(
+            f"SELECT {i} AS i, "
+            f"ROUND(CAST(v2_{i} AS DOUBLE) / sqrt({n2v2}), 6) AS loading, "
+            f"ROUND(sqrt({n2v2}) / sqrt({n2v1}) / "
+            f"CAST(n * n * {scale * scale} AS DOUBLE), 8) AS eigenvalue "
+            "FROM v2")
+    return _mat(
+        "WITH scaled AS (\n  SELECT " + xs +
+        f"\n  FROM embeddings WHERE len(embedding) >= {dims}),\n"
+        "s AS (\n  SELECT " + ",\n         ".join(moments) +
+        "\n  FROM scaled),\n"
+        "v1 AS (\n  SELECT *,\n         " + v1 + "\n  FROM s),\n"
+        "v2 AS (\n  SELECT *,\n         " + v2 + "\n  FROM v1)\n" +
+        "\nUNION ALL ".join(sel))
+
+
+@query("top_pc_loadings", oracle=_toppc_oracle_sql())
+def top_pc_loadings(spark, sf_dir):
+    """EXT R121: dominant-PC estimate via two exact-integer power-
+    iteration steps over the moment matrix — iterative linear algebra as
+    ONE declarative plan (single partial-agg pass + single-row algebra;
+    no per-iteration jobs, no driver round-trips)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return V.top_pc_power(e, "embedding", dims=8, scale=10_000)

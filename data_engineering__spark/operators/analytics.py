@@ -372,3 +372,50 @@ def zscore_outliers(df: DataFrame, group_cols: list[str], value_int,
             .withColumn("z", z)
             .filter(F.abs(F.col("z")) >= threshold)
             .select(*keep_cols, *group_cols, "z"))
+
+
+def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
+                    bucket_width: int = 1_000) -> DataFrame:
+    """EXT (R120): exact GLOBAL quantiles as true k-th order statistics —
+    the exact twin of the KLL-sketch path (``sketches.approx_quantiles``):
+    sketches answer at 100 TB with ε error; this operator answers exactly
+    when the SLA demands it, without ever sorting the data or running a
+    corpus-wide single-partition window. ``qs`` are exact rationals
+    (num, den); ranks are ``k = ceil(n·num/den)`` in pure integer
+    arithmetic (``(n·num + den − 1) DIV den`` — no float ceil), so the
+    result is engine- and partition-invariant, tie-order-independent.
+
+    Scale shape (100 TB): raw rows collapse to a VALUE HISTOGRAM (one
+    shuffle; partial counts fold map-side), the global cumulative count
+    is the classic two-level scan tree over value-range buckets — bucket
+    totals (tiny) get the ordered window, within-bucket cumsums run
+    partitioned — so no window ever sees more than one bucket of
+    distinct values in one partition. The k-rank spec (|qs| rows) and
+    bucket offsets broadcast; the rank→value probe is a broadcast
+    range-join against the histogram."""
+    vals = df.select(value_int.cast("long").alias("__v")) \
+             .filter(F.col("__v").isNotNull())
+    hist = (vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__bucket", F.expr(f"__v div {bucket_width}")))
+    btot = hist.groupBy("__bucket").agg(F.sum("__c").alias("__bt"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket", F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__boff"))
+    w_in = (Window.partitionBy("__bucket").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.join(F.broadcast(boff), "__bucket")
+           .withColumn("__cum", F.col("__boff") + F.sum("__c").over(w_in)))
+    n1 = vals.agg(F.count(F.lit(1)).alias("__n"))
+    spec = df.sparkSession.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long")
+    ranks = (spec.crossJoin(F.broadcast(n1))
+             .select("q_num", "q_den", "__n",
+                     F.expr("CAST((__n * q_num + q_den - 1) DIV q_den "
+                            "AS BIGINT)").alias("__r")))
+    return (cum.join(F.broadcast(ranks),
+                     (F.col("__cum") >= F.col("__r"))
+                     & (F.col("__cum") - F.col("__c") < F.col("__r")))
+            .select((F.col("q_num").cast("double") / F.col("q_den"))
+                    .alias("q"),
+                    F.col("__r").alias("rank"),
+                    F.col("__v").alias("value")))

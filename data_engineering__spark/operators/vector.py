@@ -577,6 +577,26 @@ def ivfpq_topk(candidates: DataFrame, query: DataFrame, k: int,
             .limit(k))
 
 
+def _moment_row(df: DataFrame, vec_col: str, dims: int,
+                scale: int) -> DataFrame:
+    """ONE-row frame of exact decimal(38,0) moments over the first
+    ``dims`` quantized components: __n, __s{i} = Σxᵢ, __p{i}_{j} = Σxᵢxⱼ
+    for i ≤ j. Shared by ``cov_block`` and ``top_pc_power`` — every
+    second-moment consumer is one partial-agg pass over this row."""
+    xs = [F.round(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
+                  * scale).cast("decimal(38,0)").alias(f"__x{i}")
+          for i in range(dims)]
+    base = (df.filter(F.size(vec_col) >= dims).select(*xs))
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for i in range(dims):
+        aggs.append(F.sum(F.col(f"__x{i}")).alias(f"__s{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(F.col(f"__x{i}") * F.col(f"__x{j}"))
+                        .alias(f"__p{i}_{j}"))
+    return base.agg(*aggs)
+
+
 def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
               scale: int = 10_000) -> DataFrame:
     """EXT (R118): exact covariance block over the first ``dims``
@@ -598,18 +618,7 @@ def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
     single divide, rounded 10dp. Vectors shorter than ``dims`` are
     excluded (their missing components would otherwise skew the moments).
     """
-    xs = [F.round(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
-                  * scale).cast("decimal(38,0)").alias(f"__x{i}")
-          for i in range(dims)]
-    base = (df.filter(F.size(vec_col) >= dims).select(*xs))
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
-    for i in range(dims):
-        aggs.append(F.sum(F.col(f"__x{i}")).alias(f"__s{i}"))
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(F.col(f"__x{i}") * F.col(f"__x{j}"))
-                        .alias(f"__p{i}_{j}"))
-    one = base.agg(*aggs)
+    one = _moment_row(df, vec_col, dims, scale)
     n_ = F.col("__n")
     den = (n_ * n_ * F.lit(scale * scale).cast("decimal(38,0)"))
     cells = []
@@ -625,3 +634,57 @@ def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
     # per-cell selects would clone the whole aggregation subtree)
     return (one.select(F.explode(F.array(*cells)).alias("__c"))
             .select("__c.i", "__c.j", "__c.n", "__c.cov"))
+
+
+def top_pc_power(df: DataFrame, vec_col: str, dims: int = 8,
+                 scale: int = 10_000) -> DataFrame:
+    """EXT (R121): top-principal-component estimate by TWO unnormalized
+    power-iteration steps over the exact integer moment matrix — the
+    iterative-linear-algebra-as-one-declarative-plan counterpart of
+    ``cov_block``. Returns one row per component: (i, loading,
+    eigenvalue), where loading is the i-th entry of M²·1 normalized to
+    unit length and eigenvalue ≈ ‖M²·1‖/‖M·1‖ rescaled to covariance
+    units (M = n²·scale²·Cov, PSD, so the unnormalized iteration drifts
+    toward the dominant eigenvector).
+
+    Engine-invariance: M's cells are the exact decimal(38,0) numerators
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, and both matrix-vector products stay in decimal —
+    EXACT, partition/add-order free (v2 magnitudes bound by d²·(n·scale²·
+    n)² ≈ 10²⁹ for n=500, inside decimal(38,0); at 10⁹-row scale a
+    production variant would normalize per step in float and give up
+    bit-parity). The only float ops are the final fixed-order norm sums,
+    two sqrts and divides — one IEEE expression the DuckDB oracle
+    evaluates identically. Plan shape: ONE partial-agg pass over the
+    corpus (the shared ``_moment_row``), then pure single-row expression
+    algebra — no shuffle, no driver round-trip, no iteration jobs."""
+    from functools import reduce
+
+    one = _moment_row(df, vec_col, dims, scale)
+
+    def m(i: int, j: int):
+        a, b = (i, j) if i <= j else (j, i)
+        return (F.col("__n") * F.col(f"__p{a}_{b}")
+                - F.col(f"__s{a}") * F.col(f"__s{b}"))
+
+    add = lambda x, y: x + y  # noqa: E731 — fixed left-fold order
+    s1 = one.select(
+        "*", *[reduce(add, [m(k, j) for k in range(dims)]).alias(f"__v1_{j}")
+               for j in range(dims)])
+    s2 = s1.select(
+        "*", *[reduce(add, [m(i, j) * F.col(f"__v1_{j}")
+                            for j in range(dims)]).alias(f"__v2_{i}")
+               for i in range(dims)])
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    n2v1 = reduce(add, [dbl(f"__v1_{j}") * dbl(f"__v1_{j}")
+                        for j in range(dims)])
+    n2v2 = reduce(add, [dbl(f"__v2_{i}") * dbl(f"__v2_{i}")
+                        for i in range(dims)])
+    den = (F.col("__n") * F.col("__n")
+           * F.lit(scale * scale).cast("decimal(38,0)")).cast("double")
+    rows = [F.struct(
+        F.lit(i).alias("i"),
+        F.round(dbl(f"__v2_{i}") / F.sqrt(n2v2), 6).alias("loading"),
+        F.round(F.sqrt(n2v2) / F.sqrt(n2v1) / den, 8).alias("eigenvalue"))
+        for i in range(dims)]
+    return (s2.select(F.explode(F.array(*rows)).alias("__r"))
+            .select("__r.i", "__r.loading", "__r.eigenvalue"))

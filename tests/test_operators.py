@@ -1625,3 +1625,38 @@ def test_source_curation_decisions(spark):
     assert got["dupfarm"].dup_frac == 0.75
     assert got["fine"].decision == "keep"
     assert got["fine"].dup_frac == 0.0
+
+
+def test_exact_quantiles_known_ranks_with_ties(spark):
+    from data_engineering__spark.operators.analytics import exact_quantiles
+    # ten values with a tie block: sorted = [1,2,2,2,3,4,5,6,7,8]
+    vals = [1, 2, 2, 2, 3, 4, 5, 6, 7, 8]
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    out = exact_quantiles(df, F.col("v"), [(1, 4), (1, 2), (9, 10)],
+                          bucket_width=3)
+    got = {r.q: (r.rank, r.value) for r in out.collect()}
+    # k = ceil(q*10): 3 → 2 (tie block), 5 → 3, 9 → 7
+    assert got[0.25] == (3, 2)
+    assert got[0.5] == (5, 3)
+    assert got[0.9] == (9, 7)
+
+
+def test_top_pc_power_matches_numpy_dominant_eigenvector(spark):
+    import numpy as np
+    from data_engineering__spark.operators.vector import top_pc_power
+    rng = np.random.default_rng(11)
+    u = rng.normal(size=4)
+    u /= np.linalg.norm(u)
+    # strong rank-1 structure + light noise → 2 power steps converge
+    x = (rng.normal(size=(200, 1)) * 0.9) @ u[None, :] \
+        + rng.normal(size=(200, 4)) * 0.05
+    df = spark.createDataFrame(
+        [Row(embedding=[float(t) for t in row]) for row in x.astype("float32")])
+    out = top_pc_power(df, "embedding", dims=4, scale=10_000).collect()
+    load = np.zeros(4)
+    for r in out:
+        load[r.i] = r.loading
+    cov = np.cov(x.astype("float64").T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    assert abs(abs(load @ v[:, -1])) > 0.99   # same direction up to sign
+    assert abs(out[0].eigenvalue - w[-1]) / w[-1] < 0.05
