@@ -84,6 +84,8 @@ HEADLINE = [
     "k_anonymity_customer", "outlier_zscore_events",
     "embedding_cov_block", "source_curation_docs",
     "exact_quantiles_prices", "top_pc_loadings",
+    "brand_basket_pairs", "experiment_report_events",
+    "edit_neighbors_suppliers",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

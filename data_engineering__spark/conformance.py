@@ -1992,6 +1992,8 @@ DRIVER_PRIORITY = [
     "k_anonymity_customer", "outlier_zscore_events",
     "embedding_cov_block", "source_curation_docs",
     "exact_quantiles_prices", "top_pc_loadings",
+    "brand_basket_pairs", "experiment_report_events",
+    "edit_neighbors_suppliers",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5309,3 +5311,90 @@ def top_pc_loadings(spark, sf_dir):
     no per-iteration jobs, no driver round-trips)."""
     e = read_table(spark, sf_dir, "embeddings")
     return V.top_pc_power(e, "embedding", dims=8, scale=10_000)
+
+
+@query("brand_basket_pairs", oracle=_mat("""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS k, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+pairs AS (
+  SELECT a.it AS item_a, b.it AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a JOIN items b ON a.k = b.k AND a.it < b.it
+  GROUP BY a.it, b.it)
+SELECT item_a, item_b, support FROM pairs WHERE support >= 25"""))
+def brand_basket_pairs(spark, sf_dir):
+    """EXT R122: market-basket co-occurrence of part brands within an
+    order — distinct (order, brand) first, self-join bounded by basket
+    size, map-side support fold. min_support=25 actually filters at the
+    sf0.001 test scale (214/300 pairs survive)."""
+    from .operators.analytics import cooccurrence_pairs
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(pt, li.l_partkey == pt.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    return cooccurrence_pairs(baskets, "l_orderkey", "p_brand",
+                              min_support=25)
+
+
+@query("experiment_report_events", oracle=_mat(f"""
+WITH conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT cv,
+         ({_bucket_sql("CAST(user_id AS VARCHAR)", "exp1")}) < 5000 AS is_a
+  FROM conv),
+agg AS (
+  SELECT CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(cv) FILTER (is_a), 0) AS BIGINT) AS conv_a,
+         CAST(COALESCE(SUM(cv) FILTER (NOT is_a), 0) AS BIGINT) AS conv_b
+  FROM armed)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(CASE WHEN n_a > 0
+                  THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END,
+             6) AS rate_a,
+       ROUND(CASE WHEN n_b > 0
+                  THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END,
+             6) AS rate_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                   AND conv_a + conv_b > 0
+                   AND conv_a + conv_b < n_a + n_b
+             THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                  / CAST(n_a + n_b AS DOUBLE))
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE))) END, 6) AS z
+FROM agg"""))
+def experiment_report_events(spark, sf_dir):
+    """EXT R123: A/B readout — sha-bucket 50/50 arms over users,
+    conversion = any 'purchase' event, pooled two-proportion z. The
+    oracle rebuilds the bucket arithmetic and the exact z expression."""
+    from .operators.analytics import experiment_report
+    ev = read_table(spark, sf_dir, "events")
+    return experiment_report(ev, "user_id",
+                             F.col("event_type") == "purchase",
+                             salt="exp1")
+
+
+@query("edit_neighbors_suppliers", oracle="""
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(lower(trim(a.s_name)), lower(trim(b.s_name)))
+            AS INTEGER) AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(lower(trim(a.s_name)), lower(trim(b.s_name))) <= 1""")
+def edit_neighbors_suppliers(spark, sf_dir):
+    """EXT R124: recall-complete distance-1 linkage over supplier names
+    via deletion neighborhoods (FastSS) — the skew-proof complement of
+    prefix-blocked fuzzy join (TPC-H names share one prefix block; here
+    candidates key on near-unique variant hashes). The oracle is an
+    INDEPENDENT brute-force ground truth (all-pairs levenshtein), so a
+    recall hole in the neighborhood construction cannot self-confirm."""
+    sup = read_table(spark, sf_dir, "supplier")
+    return R.edit_neighbors(sup, "s_suppkey", "s_name")

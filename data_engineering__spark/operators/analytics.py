@@ -419,3 +419,79 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     .alias("q"),
                     F.col("__r").alias("rank"),
                     F.col("__v").alias("value")))
+
+
+def cooccurrence_pairs(df: DataFrame, key_col: str, item_col: str,
+                       min_support: int = 2) -> DataFrame:
+    """EXT (R122): market-basket co-occurrence — (item_a, item_b,
+    support) for unordered item pairs appearing together under the same
+    key (order, session, user), support = number of distinct keys. The
+    frequent-pair half of association mining; ``collocations`` is the
+    sequence-adjacent cousin, this is the set-membership one.
+
+    Scale shape (100 TB): rows collapse to DISTINCT (key, item) first
+    (one shuffle — kills within-key duplicates before any pairing), the
+    pair surface is a self-equi-join on the key whose fanout is bounded
+    by the per-key distinct-item count (baskets are small by domain
+    construction; a pathological hub key would need a per-key item cap
+    upstream — ``quota_per_group``), and the support count folds
+    map-side. ``a.item < b.item`` keeps each pair once."""
+    items = df.select(F.col(key_col).alias("__k"),
+                      F.col(item_col).alias("__it")).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (a.join(b, (F.col("a.__k") == F.col("b.__k"))
+                   & (F.col("a.__it") < F.col("b.__it")))
+            .groupBy(F.col("a.__it").alias("item_a"),
+                     F.col("b.__it").alias("item_b"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support))
+
+
+def experiment_report(events: DataFrame, user_col: str, convert_pred,
+                      salt: str = "exp", buckets: int = 10_000) -> DataFrame:
+    """EXT (R123): A/B experiment readout — deterministic 50/50 arm
+    assignment by ``sha256(salt‖user)`` bucket (the ``hash_split``
+    discipline: reruns, appends and repartitions never reassign a user),
+    per-user conversion (any event satisfying ``convert_pred``), and the
+    two-proportion pooled z statistic. ONE row: arm sizes, conversions,
+    rates, z.
+
+    Engine-invariance: arms and conversions are exact integers; rates
+    and z are ONE fixed-shape IEEE expression over those integers
+    (pooled p̂, then (p̂ₐ−p̂ᵦ)/√(p̂(1−p̂)(1/nₐ+1/nᵦ))), rounded 6dp.
+    Scale shape: one shuffle to the per-user grain, then a scalar
+    aggregate; the assignment hash is pure codegen — no RNG state, no
+    assignment table to join."""
+    from .sampling import hash_bucket
+    users = (events.groupBy(user_col)
+             .agg(F.max(F.when(convert_pred, F.lit(1)).otherwise(F.lit(0)))
+                  .alias("__conv")))
+    arm_a = hash_bucket(F.col(user_col), buckets, salt) < buckets // 2
+    agg = users.agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.count(F.when(~arm_a, 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(arm_a, F.col("__conv"))), F.lit(0))
+         .cast("long").alias("conv_a"),
+        F.coalesce(F.sum(F.when(~arm_a, F.col("__conv"))), F.lit(0))
+         .cast("long").alias("conv_b"))
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = ((F.col("conv_a") + F.col("conv_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    var = (pooled * (F.lit(1.0) - pooled)
+           * (F.lit(1.0) / F.col("n_a").cast("double")
+              + F.lit(1.0) / F.col("n_b").cast("double")))
+    # Degenerate experiments — an empty arm, or everyone/no one converts
+    # (pooled variance 0) — report NULL instead of tripping ANSI
+    # divide-by-zero. The guards are INTEGER-only predicates so no float
+    # division ever evaluates outside its CASE branch (Spark ANSI raises
+    # on double/0.0 even when the result would feed a later WHEN).
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    conv = F.col("conv_a") + F.col("conv_b")
+    mixed = (conv > 0) & (conv < F.col("n_a") + F.col("n_b"))
+    z = F.when(both & mixed, (p_a - p_b) / F.sqrt(var))
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(F.when(F.col("n_a") > 0, p_a), 6).alias("rate_a"),
+        F.round(F.when(F.col("n_b") > 0, p_b), 6).alias("rate_b"),
+        F.round(z, 6).alias("z"))

@@ -216,3 +216,49 @@ def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
             .withColumn(out_dist, dist.cast("int"))
             .filter(F.col(out_dist) <= max_dist)
             .drop("__lk", "__rk", "__ln", "__rn"))
+
+
+def edit_neighbors(df: DataFrame, id_col: str, name_col: str,
+                   out_dist: str = "edit_dist") -> DataFrame:
+    """EXT (R124): recall-COMPLETE edit-distance-1 self-join via deletion
+    neighborhoods (FastSS): every string expands to itself plus its
+    single-deletion variants; two strings within edit distance 1 are
+    GUARANTEED to share a variant (substitution → delete the differing
+    position from both; insertion/deletion → the longer one's deletion
+    equals the shorter; equality → identity), so exact ``levenshtein``
+    verification of variant-join candidates loses nothing. This closes
+    both holes of ``fuzzy_join_blocked``: no prefix-blocking recall gap
+    (typos in char 1 are found) and no skew collapse when every string
+    shares a prefix block (TPC-H's 'Supplier#...' names put ALL rows in
+    one block there; here candidates group by full variant, which is
+    near-unique).
+
+    Scale shape (100 TB): fanout = len+1 variant rows per string, each
+    carried as an 8-byte ``xxhash64`` (variants never shuffle as
+    strings); the join is hash-equi on that digest, candidate pairs
+    dedupe before the exact verify, and hash collisions only ever ADD
+    candidates the verification kills. Pairs emit once (``id_a <
+    id_b``)."""
+    nm = F.lower(F.trim(F.col(name_col)))
+    base = df.select(F.col(id_col).alias("__id"), nm.alias("__nm"))
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("__nm")),
+        lambda i: F.concat(F.col("__nm").substr(F.lit(1), i - 1),
+                           F.col("__nm").substr(i + 1,
+                                                F.length("__nm") - i)))
+    var = (base.select("__id", "__nm",
+                       F.explode(F.array_union(F.array(F.col("__nm")), dels))
+                       .alias("__v"))
+           .select("__id", "__nm", F.xxhash64("__v").alias("__vh")))
+    a, b = var.alias("a"), var.alias("b")
+    cand = (a.join(b, (F.col("a.__vh") == F.col("b.__vh"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.col("a.__nm").alias("__na"),
+                    F.col("b.__nm").alias("__nb"))
+            .distinct())
+    return (cand.withColumn(out_dist,
+                            F.levenshtein("__na", "__nb").cast("int"))
+            .filter(F.col(out_dist) <= 1)
+            .select("id_a", "id_b", out_dist))

@@ -1660,3 +1660,42 @@ def test_top_pc_power_matches_numpy_dominant_eigenvector(spark):
     w, v = np.linalg.eigh(cov)
     assert abs(abs(load @ v[:, -1])) > 0.99   # same direction up to sign
     assert abs(out[0].eigenvalue - w[-1]) / w[-1] < 0.05
+
+
+def test_cooccurrence_pairs_distinct_and_support(spark):
+    from data_engineering__spark.operators.analytics import cooccurrence_pairs
+    rows = [Row(k=1, it="a"), Row(k=1, it="b"), Row(k=1, it="b"),  # dup row
+            Row(k=2, it="a"), Row(k=2, it="b"),
+            Row(k=3, it="a"), Row(k=3, it="c")]
+    out = cooccurrence_pairs(spark.createDataFrame(rows), "k", "it",
+                             min_support=2).collect()
+    assert {(r.item_a, r.item_b, r.support) for r in out} == {("a", "b", 2)}
+
+
+def test_experiment_report_degenerate_all_convert_gives_null_z(spark):
+    from data_engineering__spark.operators.analytics import experiment_report
+    rows = [Row(user_id=i, event_type="purchase") for i in range(30)]
+    out = experiment_report(spark.createDataFrame(rows), "user_id",
+                            F.col("event_type") == "purchase").collect()[0]
+    assert out.n_a + out.n_b == 30
+    assert out.conv_a == out.n_a and out.conv_b == out.n_b
+    assert out.rate_a == 1.0 and out.rate_b == 1.0
+    assert out.z is None  # pooled variance 0 → no z, not an ANSI error
+
+
+def test_edit_neighbors_catches_first_char_typo_and_insertion(spark):
+    """The cases prefix blocking misses: a typo in character 1 and a
+    leading insertion. Distance-2 pairs must be absent."""
+    from data_engineering__spark.operators.relational import edit_neighbors
+    df = spark.createDataFrame([
+        Row(id=1, name="market"),
+        Row(id=2, name="warket"),    # substitution at char 1
+        Row(id=3, name="xmarket"),   # leading insertion
+        Row(id=4, name="warkex"),    # dist 2 from market
+        Row(id=5, name="market"),    # exact dup (dist 0)
+    ])
+    got = {(r.id_a, r.id_b): r.edit_dist
+           for r in edit_neighbors(df, "id", "name").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 5)] == 0
+    assert (1, 4) not in got
+    assert (2, 4) in got  # warket→warkex IS distance 1
