@@ -340,3 +340,47 @@ def test_pq_encode_is_map_only(spark, sf_dir):
     p = plan_of(pq_encode(e, books, dim=64))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_zscore_outliers_broadcasts_moments(spark, sf_dir):
+    """The per-group moment table must broadcast back onto the fact rows
+    — the fact side never shuffles for the flag pass."""
+    p = plan_of(QUERIES["outlier_zscore_events"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_exact_quantiles_never_globally_sorts_values(spark, sf_dir):
+    """Two-level scan tree contract: the value histogram is windowed per
+    bucket (hash partitioning); only the tiny bucket-total frame may hit
+    a single partition. A global range sort of the histogram would show
+    up as rangepartitioning on __v."""
+    p = plan_of(QUERIES["exact_quantiles_prices"](spark, sf_dir))
+    assert "rangepartitioning(__v" not in p.lower()
+    assert "hashpartitioning(__bucket" in p
+
+
+def test_cov_block_and_top_pc_are_single_scan_single_agg(spark, sf_dir):
+    """The moment row folds map-side: exactly one parquet scan, no join,
+    no repeated aggregation subtree per output cell."""
+    for name in ("embedding_cov_block", "top_pc_loadings"):
+        p = plan_of(QUERIES[name](spark, sf_dir))
+        # formatted explain names each physical scan twice (tree node +
+        # detail header) — 2 mentions == ONE scan
+        assert p.count("Scan parquet") == 2, name
+        assert "Join" not in p, name
+
+
+def test_edit_neighbors_joins_on_digest_not_cartesian(spark, sf_dir):
+    """FastSS candidates meet in a hash equi-join on the 8-byte variant
+    digest — never a cartesian/nested-loop pass, never a sort-merge."""
+    p = plan_of(QUERIES["edit_neighbors_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_passages_single_aggregation_no_join(spark, sf_dir):
+    """Discovery pass = map-side window hashing + ONE hash aggregation."""
+    p = plan_of(QUERIES["duplicate_passages_docs"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Scan parquet") == 2  # tree + detail = ONE scan
