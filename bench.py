@@ -86,6 +86,7 @@ HEADLINE = [
     "exact_quantiles_prices", "top_pc_loadings",
     "brand_basket_pairs", "experiment_report_events",
     "edit_neighbors_suppliers",
+    "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

@@ -1994,6 +1994,7 @@ DRIVER_PRIORITY = [
     "exact_quantiles_prices", "top_pc_loadings",
     "brand_basket_pairs", "experiment_report_events",
     "edit_neighbors_suppliers",
+    "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5398,3 +5399,99 @@ def edit_neighbors_suppliers(spark, sf_dir):
     recall hole in the neighborhood construction cannot self-confirm."""
     sup = read_table(spark, sf_dir, "supplier")
     return R.edit_neighbors(sup, "s_suppkey", "s_name")
+
+
+@query("trend_slope_events", oracle=_mat("""
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS HUGEINT) AS x,
+         CAST(round(value * 100) AS HUGEINT) AS y
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM base GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6)
+         AS intercept
+FROM agg"""))
+def trend_slope_events(spark, sf_dir):
+    """EXT R125: per-type OLS trend of value cents on epoch-hour — exact
+    decimal moments, one integer-numerator divide for the slope, fixed
+    IEEE expression for the intercept."""
+    from .operators.analytics import trend_slope
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return trend_slope(
+        ev, ["event_type"],
+        F.expr("CAST(unix_micros(ts) DIV 3600000000 AS LONG)"),
+        F.round(F.col("value") * 100).cast("long"))
+
+
+@query("ewma_user_values", oracle=_mat("""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+lists AS (
+  SELECT user_id, event_id,
+         list_reverse(list(c) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS rev
+  FROM base),
+calc AS (
+  SELECT user_id, event_id,
+         CAST(list_sum(list_transform(range(1, len(rev) + 1),
+              i -> rev[i] * ([2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4,
+                              2, 1])[i])) AS BIGINT) AS num,
+         CAST(list_sum(([2048, 1024, 512, 256, 128, 64, 32, 16, 8, 4, 2,
+                         1])[1:len(rev)]) AS BIGINT) AS den
+  FROM lists)
+SELECT user_id, event_id,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 6) AS ewma
+FROM calc"""))
+def ewma_user_values(spark, sf_dir):
+    """EXT R126: per-user EWMA (α=1/2, 12-row truncation) — binary-
+    fraction weights integerize the weighted sum exactly; one division
+    per row. The oracle folds the same reversed window list against the
+    same constant weight vector."""
+    from .operators.temporal import ewma
+    ev = read_table(spark, sf_dir, "events")
+    return ewma(ev, "ts", ["user_id"], "value", id_col="event_id",
+                window_rows=12)
+
+
+@query("incremental_agg_merge", oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events WHERE value IS NOT NULL GROUP BY user_id""")
+def incremental_agg_merge(spark, sf_dir):
+    """EXT R127: incremental rollup maintenance — history (epoch-day <
+    19738) pre-aggregated per user, the new batch aggregated alone, then
+    ONE full-outer merge with null-safe addition. The oracle recomputes
+    from ALL raw rows, so the merge algebra (commutative-monoid counts /
+    integer-cents sums) is verified against ground truth, not against
+    itself."""
+    from .operators.merge import merge_aggregates
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .withColumn("__day",
+                      F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)")))
+
+    def per_user(d):
+        return (d.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .alias("cents")))
+
+    base = per_user(ev.filter(F.col("__day") < 19738))
+    delta = per_user(ev.filter(F.col("__day") >= 19738))
+    return merge_aggregates(base, delta, ["user_id"],
+                            ["n_events", "cents"])

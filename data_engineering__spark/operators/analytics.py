@@ -495,3 +495,37 @@ def experiment_report(events: DataFrame, user_col: str, convert_pred,
         F.round(F.when(F.col("n_a") > 0, p_a), 6).alias("rate_a"),
         F.round(F.when(F.col("n_b") > 0, p_b), 6).alias("rate_b"),
         F.round(z, 6).alias("z"))
+
+
+def trend_slope(df: DataFrame, group_cols: list[str], x_int, y_int,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (R125): per-group ordinary-least-squares trend — slope and
+    intercept of y on x from exact decimal(38,0) moments (n, Σx, Σy,
+    Σxx, Σxy), the regression member of the ``corr_matrix`` family.
+    ``x_int``/``y_int`` are pre-scaled INTEGER expressions (epoch-hours,
+    cents); slope = (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²) is one exact-integer
+    numerator/denominator divide, intercept = (Σy − slope·Σx)/n reuses
+    the slope double in a fixed IEEE expression. Zero-variance groups
+    (all x equal) report NULLs.
+
+    Scale shape: ONE partial-agg shuffle; five moments per group fold
+    map-side; adding a group costs nothing but its output row."""
+    base = df.select(*group_cols,
+                     x_int.cast("decimal(38,0)").alias("__x"),
+                     y_int.cast("decimal(38,0)").alias("__y"))
+    agg = (base.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+                F.sum(F.col("__x") * F.col("__y")).alias("__sxy")))
+    n_ = F.col("__n")
+    den = n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("__sy").cast("double")
+                  - slope * F.col("__sx").cast("double"))
+                 / n_.cast("double"))
+    return agg.select(
+        *group_cols, n_.cast("long").alias("n"),
+        F.round(F.when(den > 0, slope), round_dp).alias("slope"),
+        F.round(F.when(den > 0, intercept), round_dp).alias("intercept"))

@@ -280,3 +280,34 @@ def apply_cdc(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
     untouched = snapshot.join(latest.select(*key_cols), key_cols,
                               "left_anti")
     return untouched.unionByName(upserts)
+
+
+def merge_aggregates(base: DataFrame, delta: DataFrame, keys: list[str],
+                     sum_cols: list[str]) -> DataFrame:
+    """EXT (R127): incremental rollup maintenance — merge a pre-computed
+    per-key aggregate with a new batch's aggregate so the daily job
+    reprocesses only the delta, never the history. Both inputs carry the
+    same additive measure columns (counts, integer-cents sums — every
+    algebraic aggregate decomposes into these plus finishers); the merge
+    is a FULL OUTER join on the keys with null-safe addition, keys
+    present on either side survive.
+
+    This is the batch twin of the streaming ``foreachBatch`` merge sink
+    and the algebra behind every incremental materialized view: correct
+    iff the measures are commutative monoids, which integer counts/sums
+    are (float sums would drift per merge order — the repo's cents
+    discipline applies). Scale shape: ONE join keyed on the rollup key;
+    the base side is the compact aggregate (orders of magnitude below
+    raw), the delta is one batch's worth."""
+    b, d = base.alias("b"), delta.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    merged = b.join(d, cond, "full_outer")
+    sel = [F.coalesce(F.col(f"b.{k}"), F.col(f"d.{k}")).alias(k)
+           for k in keys]
+    sel += [(F.coalesce(F.col(f"b.{c}"), F.lit(0))
+             + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
+            for c in sum_cols]
+    return merged.select(*sel)

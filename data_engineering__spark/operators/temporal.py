@@ -193,3 +193,50 @@ def time_weighted_avg(df: DataFrame, ts_col: str, key_cols: list[str],
                     (F.col("__a").cast("double")
                      / (F.lit(scale) * (F.col("__hi") - F.col("__lo"))))
                     .alias("twa")))
+
+
+def ewma(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
+         id_col: str = "event_id", window_rows: int = 12,
+         out_col: str = "ewma") -> DataFrame:
+    """EXT (R126): exponentially weighted moving average (α = 1/2) over
+    the last ``window_rows`` observations per key — the smoothing curve
+    monitoring dashboards draw over noisy per-entity series. Truncated
+    form: y_t = Σ_{k<m} v_{t−k}·2⁻ᵏ / Σ_{k<m} 2⁻ᵏ with m = available
+    history (≤ ``window_rows``), so early rows are exact partial EWMAs,
+    not zero-padded.
+
+    α = 1/2 on purpose: every weight is a BINARY fraction, so the
+    weighted sum integerizes exactly — num = Σ cents·2^(W−1−k), den =
+    Σ 2^(W−1−k) — and the result is ONE exact-integer division, engine-
+    and partition-invariant (an arbitrary-α EWMA accumulates float
+    powers and loses cross-engine bit parity). The weight vector is a
+    CONSTANT array literal; both folds run over ≤``window_rows``
+    elements per row. Window order carries the id tie-break
+    (same-timestamp rows would otherwise swap between runs — the
+    time_weighted_avg lesson).
+
+    Scale shape: one shuffle keys the window; no corpus-wide array ever
+    materializes."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(*key_cols)
+         .orderBy("__us", "__id")
+         .rowsBetween(-(window_rows - 1), 0))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(*key_cols, F.col(id_col).alias("__id"),
+                     us.alias("__us"), cents.alias("__c"))
+    # newest-first array: rev[k] = v_{t-k} pairs with weight 2^(W-1-k)
+    rev = F.reverse(F.collect_list("__c").over(w))
+    wts = F.array(*[F.lit(1 << (window_rows - 1 - k)).cast("long")
+                    for k in range(window_rows)])
+    # zip_with pads the shorter side with NULL → coalesce keeps the fold
+    # exact for rows with < window_rows history
+    num = F.aggregate(F.zip_with(rev, wts,
+                                 lambda v, wt: F.coalesce(v * wt, F.lit(0))),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    den = F.aggregate(F.slice(wts, 1, F.size(rev)),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (base.withColumn("__num", num).withColumn("__den", den)
+            .select(*key_cols, F.col("__id").alias(id_col),
+                    F.round(F.col("__num").cast("double")
+                            / F.col("__den").cast("double") / 100.0, 6)
+                    .alias(out_col)))

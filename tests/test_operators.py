@@ -1699,3 +1699,45 @@ def test_edit_neighbors_catches_first_char_typo_and_insertion(spark):
     assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 5)] == 0
     assert (1, 4) not in got
     assert (2, 4) in got  # warket→warkex IS distance 1
+
+
+def test_trend_slope_exact_line_and_zero_variance_group(spark):
+    from data_engineering__spark.operators.analytics import trend_slope
+    rows = [Row(g="lin", x=x, y=2 * x + 3) for x in range(10)] \
+        + [Row(g="flat", x=5, y=v) for v in (1, 2, 3)]   # all x equal
+    out = trend_slope(spark.createDataFrame(rows), ["g"],
+                      F.col("x").cast("long"), F.col("y").cast("long"))
+    got = {r.g: (r.slope, r.intercept) for r in out.collect()}
+    assert got["lin"] == (2.0, 3.0)
+    assert got["flat"] == (None, None)
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    """The truncated binary-weight form IS pandas ewm(alpha=.5,
+    adjust=True) for series shorter than the truncation window."""
+    import pandas as pd
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.temporal import ewma
+    vals = [1.00, 2.00, 1.50, 4.00, 0.25]
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [Row(user_id=1, event_id=i, ts=t0 + timedelta(minutes=i), value=v)
+         for i, v in enumerate(vals)])
+    out = {r.event_id: r.ewma
+           for r in ewma(df, "ts", ["user_id"], "value").collect()}
+    ref = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(out[i] - round(ref[i], 6)) < 1e-9, (i, out[i], ref[i])
+
+
+def test_merge_aggregates_full_outer_with_null_key(spark):
+    from data_engineering__spark.operators.merge import merge_aggregates
+    base = spark.createDataFrame(
+        [Row(k="a", n=2, s=10), Row(k=None, n=1, s=5)])
+    delta = spark.createDataFrame(
+        [Row(k="a", n=3, s=7), Row(k="b", n=4, s=1), Row(k=None, n=1, s=5)])
+    out = {r.k: (r.n, r.s)
+           for r in merge_aggregates(base, delta, ["k"], ["n", "s"]).collect()}
+    assert out["a"] == (5, 17)
+    assert out["b"] == (4, 1)      # delta-only key survives
+    assert out[None] == (2, 10)    # NULL keys merge null-safely
