@@ -1995,6 +1995,7 @@ DRIVER_PRIORITY = [
     "brand_basket_pairs", "experiment_report_events",
     "edit_neighbors_suppliers",
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
+    "column_drift_orders", "benford_prices",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5495,3 +5496,94 @@ def incremental_agg_merge(spark, sf_dir):
     delta = per_user(ev.filter(F.col("__day") >= 19738))
     return merge_aggregates(base, delta, ["user_id"],
                             ["n_events", "cents"])
+
+
+@query("column_drift_orders", oracle=_mat("""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+aft AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_orderstatus || 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM o WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 5000000, o_totalprice, o_orderstatus
+  FROM o WHERE o_orderkey % 17 = 0),
+j AS (
+  SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+         b.o_totalprice AS btp, a.o_totalprice AS atp,
+         b.o_orderstatus AS bst, a.o_orderstatus AS ast
+  FROM o b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey),
+agg AS (
+  SELECT CAST(COUNT(*) FILTER (ak IS NOT NULL AND bk IS NULL) AS BIGINT)
+           AS keys_added,
+         CAST(COUNT(*) FILTER (bk IS NOT NULL AND ak IS NULL) AS BIGINT)
+           AS keys_removed,
+         CAST(COUNT(*) FILTER (bk IS NOT NULL AND ak IS NOT NULL) AS BIGINT)
+           AS keys_matched,
+         CAST(COUNT(*) FILTER (bk IS NOT NULL AND ak IS NOT NULL
+                               AND btp IS DISTINCT FROM atp) AS BIGINT)
+           AS ch_tp,
+         CAST(COUNT(*) FILTER (bk IS NOT NULL AND ak IS NOT NULL
+                               AND bst IS DISTINCT FROM ast) AS BIGINT)
+           AS ch_st
+  FROM j)
+SELECT 'keys_added' AS metric, keys_added AS value FROM agg
+UNION ALL SELECT 'keys_removed', keys_removed FROM agg
+UNION ALL SELECT 'keys_matched', keys_matched FROM agg
+UNION ALL SELECT 'changed:o_totalprice', ch_tp FROM agg
+UNION ALL SELECT 'changed:o_orderstatus', ch_st FROM agg"""))
+def column_drift_orders(spark, sf_dir):
+    """EXT R128: snapshot drift report over a deterministic perturbation
+    of orders (mod-7 price bumps, mod-11 status edits, mod-13 deletes,
+    mod-17 inserts at +5M ids) — every metric row is exercised by
+    construction. ONE full-outer join + ONE aggregate."""
+    o = read_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    aft = (o.filter(k % 13 != 0)
+           .select(k.alias("o_orderkey"),
+                   F.when(k % 7 == 0, F.col("o_totalprice") + 1.0)
+                    .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+                   F.when(k % 11 == 0, F.concat("o_orderstatus", F.lit("X")))
+                    .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"))
+           .unionByName(
+               o.filter(k % 17 == 0)
+               .select((k + 5000000).alias("o_orderkey"),
+                       "o_totalprice", "o_orderstatus")))
+    return Q.drift_report(o, aft, ["o_orderkey"],
+                          ["o_totalprice", "o_orderstatus"])
+
+
+@query("benford_prices", oracle=_mat("""
+WITH f AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM counts),
+e(digit, expected) AS (
+  VALUES (1, 0.30103),
+         (2, 0.176091),
+         (3, 0.124939),
+         (4, 0.09691),
+         (5, 0.079181),
+         (6, 0.066947),
+         (7, 0.057992),
+         (8, 0.051153),
+         (9, 0.045757))
+SELECT c.digit, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6) AS frac,
+       CAST(e.expected AS DOUBLE) AS expected,
+       ROUND(ROUND(CAST(c.n AS DOUBLE) / CAST(t.tt AS DOUBLE), 6)
+             - CAST(e.expected AS DOUBLE), 6) AS excess
+FROM counts c CROSS JOIN t JOIN e ON c.digit = e.digit"""))
+def benford_prices(spark, sf_dir):
+    """EXT R129: Benford first-digit audit of lineitem prices — integer
+    leading-digit extraction (never double formatting), exact count
+    ratios, driver-literal expectations (no cross-libm log10)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return Q.benford_audit(li, F.col("l_extendedprice"))

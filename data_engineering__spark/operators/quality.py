@@ -250,3 +250,77 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).alias("class_size"))
             .withColumn("at_risk", F.col("class_size") < k))
+
+
+def drift_report(before: DataFrame, after: DataFrame, key_cols: list[str],
+                 compare_cols: list[str]) -> DataFrame:
+    """EXT (R128): snapshot drift report — the data-contract monitor run
+    between two versions of a keyed table. Long (metric, value) rows:
+    ``keys_added`` / ``keys_removed`` / ``keys_matched``, and one
+    ``changed:<col>`` row per compared column counting matched keys
+    whose value differs (NULL-safe: NULL→value and value→NULL count as
+    changes, NULL→NULL does not). ``audit_diff_keyed`` emits the per-row
+    change log; this is its aggregate twin for dashboards/alerts.
+
+    Scale shape: ONE full-outer join on the key, then ONE aggregate —
+    every per-column counter folds map-side off the same joined row;
+    adding a compared column adds no scan and no shuffle."""
+    b, a = before.alias("b"), after.alias("a")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
+        cond = c if cond is None else cond & c
+    k0 = key_cols[0]
+    j = b.join(a, cond, "full_outer")
+    in_b = F.col(f"b.{k0}").isNotNull()
+    in_a = F.col(f"a.{k0}").isNotNull()
+    aggs = [
+        F.count(F.when(in_a & ~in_b, 1)).alias("keys_added"),
+        F.count(F.when(in_b & ~in_a, 1)).alias("keys_removed"),
+        F.count(F.when(in_b & in_a, 1)).alias("keys_matched"),
+    ]
+    names = ["keys_added", "keys_removed", "keys_matched"]
+    for c in compare_cols:
+        nm = f"changed:{c}"
+        aggs.append(F.count(F.when(
+            in_b & in_a & ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}")), 1))
+            .alias(f"__ch_{len(names)}"))
+        names.append(nm)
+    one = j.agg(*aggs)
+    cols = one.columns
+    return (one.select(F.explode(F.array(*[
+                F.struct(F.lit(nm).alias("metric"),
+                         F.col(cols[i]).cast("long").alias("value"))
+                for i, nm in enumerate(names)])).alias("__m"))
+            .select("__m.metric", "__m.value"))
+
+
+def benford_audit(df: DataFrame, value_col, min_value: int = 1) -> DataFrame:
+    """EXT (R129): Benford first-digit audit — the classic fabricated-
+    numbers screen for financial/measurement columns. One row per
+    leading digit 1-9: observed count, observed fraction, the Benford
+    expectation log10(1+1/d), and the excess (obs − expected). Values
+    below ``min_value`` are excluded (Benford applies to magnitudes
+    spanning decades, not zeros/fractions).
+
+    Engine-invariance: the leading digit comes from the INTEGER part via
+    bigint→string (never double formatting); fractions are exact count
+    ratios; the expected constants are driver-side literals, so no
+    cross-libm log10 enters either plan. ONE aggregation over a map-side
+    projection."""
+    import math
+    digit = F.substring(F.floor(value_col).cast("long").cast("string"), 1, 1)
+    counts = (df.filter(value_col >= min_value)
+              .select(digit.cast("int").alias("digit"))
+              .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("__t"))
+    exp_map = F.create_map(*[x for d in range(1, 10)
+                             for x in (F.lit(d),
+                                       F.lit(round(math.log10(1 + 1 / d), 6)))])
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("frac", F.round(F.col("n").cast("double")
+                                        / F.col("__t").cast("double"), 6))
+            .withColumn("expected", exp_map[F.col("digit")])
+            .select("digit", "n", "frac", "expected",
+                    F.round(F.col("frac") - F.col("expected"), 6)
+                    .alias("excess")))

@@ -1741,3 +1741,31 @@ def test_merge_aggregates_full_outer_with_null_key(spark):
     assert out["a"] == (5, 17)
     assert out["b"] == (4, 1)      # delta-only key survives
     assert out[None] == (2, 10)    # NULL keys merge null-safely
+
+
+def test_drift_report_counts_nullsafe_changes(spark):
+    from data_engineering__spark.operators.quality import drift_report
+    before = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30), Row(k=4, v=40)])
+    after = spark.createDataFrame(
+        [Row(k=1, v=10),        # unchanged
+         Row(k=2, v=20),        # NULL -> value = change
+         Row(k=3, v=None),      # value -> NULL = change
+         Row(k=5, v=50)])       # added; k=4 removed
+    got = {r.metric: r.value
+           for r in drift_report(before, after, ["k"], ["v"]).collect()}
+    assert got == {"keys_added": 1, "keys_removed": 1, "keys_matched": 3,
+                   "changed:v": 2}
+
+
+def test_benford_audit_fractions_and_expectations(spark):
+    import math
+    from data_engineering__spark.operators.quality import benford_audit
+    # 1, 10..19 weight digit 1; exclude the sub-min value
+    rows = [Row(v=float(x)) for x in [1, 12, 15, 19, 2, 25, 0.5, 9]]
+    out = {r.digit: r for r in
+           benford_audit(spark.createDataFrame(rows), F.col("v")).collect()}
+    assert out[1].n == 4 and out[2].n == 2 and out[9].n == 1
+    assert 0.5 not in [r.n for r in out.values()]  # min_value filter
+    assert abs(out[1].expected - round(math.log10(2), 6)) < 1e-12
+    assert out[1].frac == round(4 / 7, 6)
