@@ -223,17 +223,23 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     the selected row set — is reproducible across engines (raw float
     products differ in the last ulps between ln implementations).
 
-    Scale shape: explode → two hash aggs (term-frequency, doc-frequency)
-    sharing the (id, term) shuffle key family; N rides as a broadcast
-    1-row frame (no driver collect); ranking is a per-doc window fed by
-    ≤ |terms-per-doc| rows — never a global sort. Shuffles carry (id,
-    term, count) rows, not document bodies.
+    Scale shape: explode → ONE (id, term) hash agg; doc frequency and N
+    both DERIVE from that tf table (its rows are already distinct (id,
+    term) pairs), so the explode is evaluated once and the tf exchange
+    is reused for every branch — df/N never re-scan the corpus. N rides
+    as a broadcast 1-row frame (no driver collect); ranking is a per-doc
+    window fed by ≤ |terms-per-doc| rows — never a global sort. Shuffles
+    carry (id, term, count) rows, not document bodies.
     """
     toks = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (toks.select(id_col, "term").distinct()
-             .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
-    n = toks.agg(F.count_distinct(F.col(id_col)).alias("n"))
+    # localCheckpoint: three consumers (scores join, df, N) read the
+    # materialized tf table — without it each branch re-runs the corpus
+    # explode (column pruning makes the subtrees non-identical, so
+    # exchange reuse can't dedupe them)
+    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.count_distinct(F.col(id_col)).alias("n"))
     scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n))
               .withColumn("score", F.round(
@@ -257,8 +263,12 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Scale: explode → (id, term) hash agg → (id) hash agg; both shuffles
     carry counted token rows, never bodies; docs with zero tokens drop
     (no distribution to measure)."""
+    # localCheckpoint: both consumers (per-doc totals, the p·ln p join)
+    # read the materialized (id, term, c) table instead of re-running
+    # the corpus explode per branch
     tf = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c")))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint())
     tot = tf.groupBy(id_col).agg(F.sum("c").alias("t"))
     p = F.col("c").cast("double") / F.col("t")
     return (tf.join(tot, id_col)
