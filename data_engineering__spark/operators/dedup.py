@@ -1087,12 +1087,17 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
     broadcast — the membership probe is a shuffle-on-hash join of two
     fixed-width (id, 8-byte hash) surfaces (the standard big-big shape;
     bodies never shuffle), followed by one per-doc aggregation. The
-    shingle projection is evaluated once per side off the same scan;
-    at warehouse scale you'd persist the shingle surface before the
-    self-aggregation instead of recomputing it (two scans here keeps the
-    local plan allocation-free). Docs shorter than ``n`` tokens emit no
+    shingle surface is MATERIALIZED once (localCheckpoint) and feeds
+    both the shared-set aggregation and the membership probe — the
+    warehouse-scale equivalent is persisting the (id, hash) table
+    before the self-aggregation. Docs shorter than ``n`` tokens emit no
     windows and report (0, 0, 0.0) via the left join + coalesce."""
-    sh = shingle_sha_rows(df, [id_col], text_col, n, out_col="__h")
+    # localCheckpoint: the shingle surface feeds BOTH the shared-set
+    # aggregation and the membership probe — materializing the
+    # fixed-width (id, hash) rows once halves the sha window passes
+    # (measured 2.5 s → 1.76 s best-of-4 at sf0.1)
+    sh = shingle_sha_rows(df, [id_col], text_col, n,
+                          out_col="__h").localCheckpoint()
     shared = (sh.groupBy("__h")
               .agg(F.countDistinct(id_col).alias("__nd"))
               .filter(F.col("__nd") >= min_docs)
