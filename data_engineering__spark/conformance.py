@@ -1995,7 +1995,7 @@ DRIVER_PRIORITY = [
     "brand_basket_pairs", "experiment_report_events",
     "edit_neighbors_suppliers",
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
-    "column_drift_orders", "benford_prices",
+    "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5587,3 +5587,32 @@ def benford_prices(spark, sf_dir):
     ratios, driver-literal expectations (no cross-libm log10)."""
     li = read_table(spark, sf_dir, "lineitem")
     return Q.benford_audit(li, F.col("l_extendedprice"))
+
+
+@query("pysource_sensor_rollup", oracle="""
+WITH g AS (
+  SELECT i, (i * 2654435761) % 2147483648 AS h
+  FROM generate_series(0, 19999) t(i)),
+r AS (
+  SELECT 'sensor' || CAST(h % 50 AS VARCHAR) AS sensor,
+         h % 10000 AS centi, (h // 7) % 86400 AS sod
+  FROM g)
+SELECT sensor, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(centi) AS BIGINT) AS sum_centi,
+       CAST(MIN(sod) AS BIGINT) AS min_sod,
+       CAST(MAX(sod) AS BIGINT) AS max_sod
+FROM r GROUP BY sensor""")
+def pysource_sensor_rollup(spark, sf_dir):
+    """EXT R130: custom Python DataSource (Spark 4 datasource API) — the
+    declare-your-own-parallel-source path for any Python-reachable
+    system (the reference's HTTP sampler generalized). 20k deterministic
+    generator rows over 16 planned partitions, rolled up per sensor; the
+    oracle reproduces the id→row arithmetic from generate_series, so the
+    whole source→scan→agg path is hash-verified."""
+    from .sources.pysource import read_synthetic_events
+    df = read_synthetic_events(spark, n=20_000, parts=16)
+    return (df.groupBy("sensor")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("centi_value").alias("sum_centi"),
+                 F.min("second_of_day").alias("min_sod"),
+                 F.max("second_of_day").alias("max_sod")))

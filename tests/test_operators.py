@@ -1769,3 +1769,15 @@ def test_benford_audit_fractions_and_expectations(spark):
     assert 0.5 not in [r.n for r in out.values()]  # min_value filter
     assert abs(out[1].expected - round(math.log10(2), 6)) < 1e-12
     assert out[1].frac == round(4 / 7, 6)
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom source must honor its declared partitioning and return
+    identical rows on re-read (rerun-stable generator contract)."""
+    from data_engineering__spark.sources.pysource import read_synthetic_events
+    a = read_synthetic_events(spark, n=500, parts=4)
+    assert a.rdd.getNumPartitions() == 4
+    assert a.count() == 500
+    r1 = sorted(map(tuple, a.collect()))
+    r2 = sorted(map(tuple, read_synthetic_events(spark, n=500, parts=7).collect()))
+    assert r1 == r2  # partitioning never changes content
