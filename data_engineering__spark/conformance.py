@@ -1996,6 +1996,7 @@ DRIVER_PRIORITY = [
     "edit_neighbors_suppliers",
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
+    "sq8_error_report",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5616,3 +5617,47 @@ def pysource_sensor_rollup(spark, sf_dir):
                  F.sum("centi_value").alias("sum_centi"),
                  F.min("second_of_day").alias("min_sod"),
                  F.max("second_of_day").alias("max_sod")))
+
+
+@query("sq8_error_report", oracle=_mat("""WITH base AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(embedding[3] AS DOUBLE) AS x2,
+         CAST(embedding[4] AS DOUBLE) AS x3,
+         CAST(embedding[5] AS DOUBLE) AS x4,
+         CAST(embedding[6] AS DOUBLE) AS x5,
+         CAST(embedding[7] AS DOUBLE) AS x6,
+         CAST(embedding[8] AS DOUBLE) AS x7
+  FROM embeddings WHERE len(embedding) >= 8),
+stats AS (
+  SELECT MIN(x0) AS mn0, MAX(x0) AS mx0, MIN(x1) AS mn1, MAX(x1) AS mx1, MIN(x2) AS mn2, MAX(x2) AS mx2, MIN(x3) AS mn3, MAX(x3) AS mx3, MIN(x4) AS mn4, MAX(x4) AS mx4, MIN(x5) AS mn5, MAX(x5) AS mx5, MIN(x6) AS mn6, MAX(x6) AS mx6, MIN(x7) AS mn7, MAX(x7) AS mx7 FROM base),
+enc AS (
+  SELECT CAST(round((CASE WHEN mx0 > mn0 THEN (x0 - (mn0 + round((x0 - mn0) / ((mx0 - mn0) / 255.0)) * ((mx0 - mn0) / 255.0))) * (x0 - (mn0 + round((x0 - mn0) / ((mx0 - mn0) / 255.0)) * ((mx0 - mn0) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t0,
+         CAST(round((CASE WHEN mx1 > mn1 THEN (x1 - (mn1 + round((x1 - mn1) / ((mx1 - mn1) / 255.0)) * ((mx1 - mn1) / 255.0))) * (x1 - (mn1 + round((x1 - mn1) / ((mx1 - mn1) / 255.0)) * ((mx1 - mn1) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t1,
+         CAST(round((CASE WHEN mx2 > mn2 THEN (x2 - (mn2 + round((x2 - mn2) / ((mx2 - mn2) / 255.0)) * ((mx2 - mn2) / 255.0))) * (x2 - (mn2 + round((x2 - mn2) / ((mx2 - mn2) / 255.0)) * ((mx2 - mn2) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t2,
+         CAST(round((CASE WHEN mx3 > mn3 THEN (x3 - (mn3 + round((x3 - mn3) / ((mx3 - mn3) / 255.0)) * ((mx3 - mn3) / 255.0))) * (x3 - (mn3 + round((x3 - mn3) / ((mx3 - mn3) / 255.0)) * ((mx3 - mn3) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t3,
+         CAST(round((CASE WHEN mx4 > mn4 THEN (x4 - (mn4 + round((x4 - mn4) / ((mx4 - mn4) / 255.0)) * ((mx4 - mn4) / 255.0))) * (x4 - (mn4 + round((x4 - mn4) / ((mx4 - mn4) / 255.0)) * ((mx4 - mn4) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t4,
+         CAST(round((CASE WHEN mx5 > mn5 THEN (x5 - (mn5 + round((x5 - mn5) / ((mx5 - mn5) / 255.0)) * ((mx5 - mn5) / 255.0))) * (x5 - (mn5 + round((x5 - mn5) / ((mx5 - mn5) / 255.0)) * ((mx5 - mn5) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t5,
+         CAST(round((CASE WHEN mx6 > mn6 THEN (x6 - (mn6 + round((x6 - mn6) / ((mx6 - mn6) / 255.0)) * ((mx6 - mn6) / 255.0))) * (x6 - (mn6 + round((x6 - mn6) / ((mx6 - mn6) / 255.0)) * ((mx6 - mn6) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t6,
+         CAST(round((CASE WHEN mx7 > mn7 THEN (x7 - (mn7 + round((x7 - mn7) / ((mx7 - mn7) / 255.0)) * ((mx7 - mn7) / 255.0))) * (x7 - (mn7 + round((x7 - mn7) / ((mx7 - mn7) / 255.0)) * ((mx7 - mn7) / 255.0))) ELSE 0.0 END) * 1e12) AS BIGINT) AS t7,
+         mn0, mx0, mn1, mx1, mn2, mx2, mn3, mx3, mn4, mx4, mn5, mx5, mn6, mx6, mn7, mx7
+  FROM base CROSS JOIN stats),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t0) AS BIGINT) AS s0, CAST(SUM(t1) AS BIGINT) AS s1, CAST(SUM(t2) AS BIGINT) AS s2, CAST(SUM(t3) AS BIGINT) AS s3, CAST(SUM(t4) AS BIGINT) AS s4, CAST(SUM(t5) AS BIGINT) AS s5, CAST(SUM(t6) AS BIGINT) AS s6, CAST(SUM(t7) AS BIGINT) AS s7, MIN(mn0) AS mn0, MAX(mx0) AS mx0, MIN(mn1) AS mn1, MAX(mx1) AS mx1, MIN(mn2) AS mn2, MAX(mx2) AS mx2, MIN(mn3) AS mn3, MAX(mx3) AS mx3, MIN(mn4) AS mn4, MAX(mx4) AS mx4, MIN(mn5) AS mn5, MAX(mx5) AS mx5, MIN(mn6) AS mn6, MAX(mx6) AS mx6, MIN(mn7) AS mn7, MAX(mx7) AS mx7
+  FROM enc)
+SELECT 0 AS i, n, mn0 AS lo, mx0 AS hi, CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 1 AS i, n, mn1 AS lo, mx1 AS hi, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 2 AS i, n, mn2 AS lo, mx2 AS hi, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 3 AS i, n, mn3 AS lo, mx3 AS hi, CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 4 AS i, n, mn4 AS lo, mx4 AS hi, CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 5 AS i, n, mn5 AS lo, mx5 AS hi, CAST(s5 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 6 AS i, n, mn6 AS lo, mx6 AS hi, CAST(s6 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg
+UNION ALL SELECT 7 AS i, n, mn7 AS lo, mx7 AS hi, CAST(s7 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12 AS mse FROM agg"""))
+def sq8_error_report_q(spark, sf_dir):
+    """EXT R131: scalar int8 quantization error report over the first 8
+    embedding dimensions — stats pass (min/max broadcast back) + encode
+    pass, error accumulated as exact integer ticks so the MSE is
+    partition-order-free. The oracle replicates the full affine
+    code/reconstruct/error chain."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return V.sq8_error_report(e, "embedding", dims=8)

@@ -688,3 +688,52 @@ def top_pc_power(df: DataFrame, vec_col: str, dims: int = 8,
         for i in range(dims)]
     return (s2.select(F.explode(F.array(*rows)).alias("__r"))
             .select("__r.i", "__r.loading", "__r.eigenvalue"))
+
+
+def sq8_error_report(df: DataFrame, vec_col: str,
+                     dims: int = 8) -> DataFrame:
+    """EXT (R131): scalar (int8) quantization — the OTHER standard ANN
+    memory lever next to PQ: per-dimension affine [min, max] → 0..255
+    codes (4× smaller than float32, no training loop, exact nearest-tick
+    reconstruction bound). Returns one row per dimension: (i, n, lo, hi,
+    mse) — the quantization-error evidence a deployment reads before
+    choosing SQ8 vs PQ vs raw.
+
+    Two passes, like any SQ deployment: a stats pass (per-dim min/max —
+    ONE tiny aggregate that broadcasts back) and an encode pass (pure
+    map-side arithmetic). Engine-invariance: min/max select EXISTING
+    float32-widened values (bit-exact); code/reconstruction/error are a
+    fixed IEEE expression chain; the mean-squared error accumulates as
+    exact integer TICKS (err·10¹² rounded) so the cross-partition sum is
+    order-free — a raw float Σerr² would differ run to run. Constant
+    dimensions (hi == lo) quantize to code 0 with zero error (the CASE
+    guard also keeps ANSI double/0.0 from raising)."""
+    xs = [F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
+          .alias(f"__x{i}") for i in range(dims)]
+    base = df.filter(F.size(vec_col) >= dims).select(*xs)
+    stats = base.agg(*[f for i in range(dims) for f in
+                       (F.min(f"__x{i}").alias(f"__mn{i}"),
+                        F.max(f"__x{i}").alias(f"__mx{i}"))])
+    enc = base.crossJoin(F.broadcast(stats))
+    ticks = []
+    for i in range(dims):
+        x, mn, mx = F.col(f"__x{i}"), F.col(f"__mn{i}"), F.col(f"__mx{i}")
+        scale = (mx - mn) / F.lit(255.0)
+        code = F.when(mx > mn, F.round((x - mn) / scale)).otherwise(F.lit(0.0))
+        xhat = mn + code * scale
+        err = (x - xhat) * (x - xhat)
+        ticks.append(F.round(err * F.lit(1e12)).cast("long")
+                     .alias(f"__t{i}"))
+    agg = enc.select(*ticks, *[F.col(f"__mn{i}") for i in range(dims)],
+                     *[F.col(f"__mx{i}") for i in range(dims)]) \
+        .groupBy(*[F.col(f"__mn{i}") for i in range(dims)],
+                 *[F.col(f"__mx{i}") for i in range(dims)]) \
+        .agg(F.count(F.lit(1)).alias("__n"),
+             *[F.sum(f"__t{i}").alias(f"__s{i}") for i in range(dims)])
+    cells = [F.struct(
+        F.lit(i).alias("i"), F.col("__n").cast("long").alias("n"),
+        F.col(f"__mn{i}").alias("lo"), F.col(f"__mx{i}").alias("hi"),
+        (F.col(f"__s{i}").cast("double") / F.col("__n").cast("double")
+         / F.lit(1e12)).alias("mse")) for i in range(dims)]
+    return (agg.select(F.explode(F.array(*cells)).alias("__c"))
+            .select("__c.i", "__c.n", "__c.lo", "__c.hi", "__c.mse"))

@@ -1781,3 +1781,18 @@ def test_python_datasource_partitions_and_determinism(spark):
     r1 = sorted(map(tuple, a.collect()))
     r2 = sorted(map(tuple, read_synthetic_events(spark, n=500, parts=7).collect()))
     assert r1 == r2  # partitioning never changes content
+
+
+def test_sq8_error_bounded_by_half_tick_and_constant_dim_zero(spark):
+    import numpy as np
+    from data_engineering__spark.operators.vector import sq8_error_report
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-1, 1, size=(100, 3)).astype("float32")
+    vecs[:, 2] = 0.25  # constant dim → zero error, no ANSI div-by-zero
+    df = spark.createDataFrame(
+        [Row(embedding=[float(x) for x in r]) for r in vecs])
+    out = {r.i: r for r in sq8_error_report(df, "embedding", dims=3).collect()}
+    for i in (0, 1):
+        half_tick = (out[i].hi - out[i].lo) / 255.0 / 2.0
+        assert 0 < out[i].mse <= half_tick ** 2
+    assert out[2].mse == 0.0 and out[2].lo == out[2].hi
