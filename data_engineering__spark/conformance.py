@@ -1972,10 +1972,13 @@ DRIVER_PRIORITY = [
     "scd2_dim_history", "minhash_near_dup_portable",
     # --- NEW this round (no driver record exists at all yet — these
     # outrank the changed-oracle block, whose keys have old green rows
-    # plus local re-verification). 24 + 2 + 26 new = 52: the last ~2 new
-    # keys (dedup_keep_best_docs, user_growth_weekly) and the whole
-    # changed-oracle block ride to next round — all are locally
-    # hash-verified via tests/oracle.py and the driver-sim sweep.
+    # plus local re-verification). Window accounting: 24 never-verified
+    # + 26 resumed-session new fill the driver's 50 slots exactly; the
+    # 18 main-session new keys below them and the changed-oracle block
+    # ride to next round. EVERY key here is locally verified — this
+    # session's vanilla-session sweep ran ALL oracle-backed queries at
+    # sf0.01: 169/169 green (plus the later-added R130/R131, verified
+    # individually the same way).
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
@@ -1986,8 +1989,9 @@ DRIVER_PRIORITY = [
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
     "rate_cap_events", "dedup_keep_best_docs", "user_growth_weekly",
-    # --- round-4 main-session additions (locally hash-verified at
-    # sf0.001 + sf0.01; driver rows land when the rotation reaches them)
+    # --- round-4 main-session additions R114-R131 (each hash-verified at
+    # sf0.001 + sf0.01 AND under the vanilla-session driver sim; driver
+    # rows land when the rotation reaches them next round)
     "duplicate_passages_docs", "dup_span_profile_docs",
     "k_anonymity_customer", "outlier_zscore_events",
     "embedding_cov_block", "source_curation_docs",
