@@ -120,3 +120,14 @@ print(json.dumps({"failures": failures, "growth": peak - start,
         "driver batches ~50 oracles per process — keep per-sweep growth "
         "well under 20k (see conformance._mat and _ivfpq_oracle_sql for "
         "the known churn sources)")
+
+
+def test_driver_window_spends_no_slot_without_an_oracle():
+    """The driver hash-verifies only the first ~50 ``queries()`` entries
+    per round; a rows-only key in that window would burn a verification
+    slot on a weaker check. Guard: every windowed key carries an oracle
+    and every prioritized key exists."""
+    from data_engineering__spark.conformance import DRIVER_PRIORITY
+
+    assert [k for k in DRIVER_PRIORITY[:50] if k not in ORACLE] == []
+    assert [k for k in DRIVER_PRIORITY if k not in QUERIES] == []
