@@ -381,3 +381,69 @@ def test_line_dedup_matches_python_reference(spark, docs, min_docs):
         keep = [ln for ln in lines if ln not in boiler]
         assert got[i] == ("\n".join(keep), len(keep),
                           len(lines) - len(keep)), (i, lines)
+
+
+@given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+       num=st.integers(1, 99))
+@SETTINGS
+def test_exact_quantiles_matches_sorted_rank(spark, vals, num):
+    """For any q = num/100, the reported value IS sorted(vals)[ceil(q·n)-1]
+    and the reported rank is ceil(q·n) — the textbook k-th order statistic,
+    ties and all."""
+    from data_engineering__spark.operators.analytics import exact_quantiles
+    df = spark.createDataFrame([Row(v=v) for v in vals], "v long")
+    out = exact_quantiles(df, F.col("v"), [(num, 100)], bucket_width=7).collect()
+    n = len(vals)
+    k = -(-n * num // 100)  # ceil
+    assert len(out) == 1
+    assert out[0].rank == k
+    assert out[0].value == sorted(vals)[k - 1]
+
+
+@given(vals=st.lists(st.integers(-100, 100), min_size=1, max_size=25))
+@SETTINGS
+def test_ewma_matches_sequential_reference(spark, vals):
+    """Truncated α=1/2 EWMA vs a direct Python fold over the last 12
+    observations (binary weights, exact rational arithmetic)."""
+    from datetime import datetime, timedelta
+    from fractions import Fraction
+    from data_engineering__spark.operators.temporal import ewma
+    t0 = datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [Row(user_id=1, event_id=i, ts=t0 + timedelta(seconds=i),
+             value=float(v)) for i, v in enumerate(vals)])
+    got = {r.event_id: r.ewma
+           for r in ewma(df, "ts", ["user_id"], "value").collect()}
+    for t in range(len(vals)):
+        window = vals[max(0, t - 11):t + 1][::-1]  # newest first
+        num = sum(Fraction(c * 100) * Fraction(1, 2 ** k)
+                  for k, c in enumerate(window))
+        den = sum(Fraction(1, 2 ** k) for k in range(len(window)))
+        ref = float(num / den) / 100.0
+        assert abs(got[t] - round(ref, 6)) < 1e-9, (t, got[t], ref)
+
+
+@given(names=st.lists(st.text(alphabet="abc", min_size=1, max_size=5),
+                      min_size=2, max_size=12, unique=True))
+@SETTINGS
+def test_edit_neighbors_matches_bruteforce(spark, names):
+    """FastSS candidates + verify == brute-force all-pairs levenshtein≤1
+    (recall completeness over a hostile tiny alphabet)."""
+    from data_engineering__spark.operators.relational import edit_neighbors
+    df = spark.createDataFrame(
+        [Row(id=i, name=nm) for i, nm in enumerate(names)])
+    got = {(r.id_a, r.id_b) for r in
+           edit_neighbors(df, "id", "name").collect()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {(i, j) for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= 1}
+    assert got == want
