@@ -2000,7 +2000,7 @@ DRIVER_PRIORITY = [
     "edit_neighbors_suppliers",
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
-    "sq8_error_report",
+    "sq8_error_report", "interval_concurrency_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5665,3 +5665,36 @@ def sq8_error_report_q(spark, sf_dir):
     code/reconstruct/error chain."""
     e = read_table(spark, sf_dir, "embeddings")
     return V.sq8_error_report(e, "embedding", dims=8)
+
+
+@query("interval_concurrency_events", oracle=_mat("""
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 1000000) AS BIGINT) AS e
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv),
+swept AS (
+  SELECT event_type,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc,
+         LEAD(t) OVER (PARTITION BY event_type ORDER BY t, d) - t AS seg
+  FROM b)
+SELECT event_type,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(COALESCE(SUM(CASE WHEN conc >= 2 AND seg IS NOT NULL
+                              THEN seg ELSE 0 END), 0) AS BIGINT) AS busy_us
+FROM swept GROUP BY event_type"""))
+def interval_concurrency_events(spark, sf_dir):
+    """EXT R132: sweep-line concurrency over [ts, ts + value·1s)
+    intervals per event type — peak simultaneous intervals and total µs
+    at concurrency ≥ 2, as pure window algebra (the (t, delta) tie-break
+    makes half-open semantics and tie determinism fall out)."""
+    from .operators.temporal import interval_concurrency
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    start = F.unix_micros(F.col("ts"))
+    end = start + F.round(F.col("value") * 1_000_000).cast("long")
+    return interval_concurrency(ev, ["event_type"], start, end, k=2)

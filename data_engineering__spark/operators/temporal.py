@@ -240,3 +240,40 @@ def ewma(df: DataFrame, ts_col: str, key_cols: list[str], value_col: str,
                     F.round(F.col("__num").cast("double")
                             / F.col("__den").cast("double") / 100.0, 6)
                     .alias(out_col)))
+
+
+def interval_concurrency(df: DataFrame, key_cols: list[str], start_us,
+                         end_us, k: int = 2) -> DataFrame:
+    """EXT (R132): sweep-line interval concurrency — per key, the peak
+    number of simultaneously-open intervals and the total microseconds
+    spent at concurrency ≥ ``k``. The capacity-planning / overlap-billing
+    / "how often were ≥k sessions live" query, and the one interval
+    question LOCF/range-frame windows cannot answer.
+
+    Classic sweep line as pure window algebra: each [start, end) interval
+    emits (+1 at start, −1 at end) boundary rows; the running sum over
+    (t, delta) order IS the concurrency; segment length = next boundary −
+    this one. Half-open semantics fall out of the (t asc, delta asc)
+    tie-break (−1 sorts first, so an interval ending exactly when another
+    starts never overlaps it). Determinism under ties: rows with equal
+    (t, delta) are interchangeable — they produce the same multiset of
+    running values — and tie segments have ZERO length, so neither the
+    busy time nor the peak depends on their internal order.
+
+    Scale shape: the boundary explode is map-side (2 rows per interval);
+    ONE shuffle keys the sweep windows (running sum + lead share the
+    order); the final rollup is a hash agg on the same key."""
+    b = (df.select(*key_cols, start_us.alias("__t"),
+                   F.lit(1).alias("__d"))
+         .unionByName(df.select(*key_cols, end_us.alias("__t"),
+                                F.lit(-1).alias("__d"))))
+    w = Window.partitionBy(*key_cols).orderBy("__t", "__d")
+    swept = (b.withColumn("__conc", F.sum("__d").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .withColumn("__next_t", F.lead("__t").over(w)))
+    seg_busy = F.when((F.col("__conc") >= k)
+                      & F.col("__next_t").isNotNull(),
+                      F.col("__next_t") - F.col("__t")).otherwise(F.lit(0))
+    return (swept.groupBy(*key_cols)
+            .agg(F.max("__conc").cast("long").alias("peak_concurrency"),
+                 F.sum(seg_busy).cast("long").alias("busy_us")))

@@ -1796,3 +1796,18 @@ def test_sq8_error_bounded_by_half_tick_and_constant_dim_zero(spark):
         half_tick = (out[i].hi - out[i].lo) / 255.0 / 2.0
         assert 0 < out[i].mse <= half_tick ** 2
     assert out[2].mse == 0.0 and out[2].lo == out[2].hi
+
+
+def test_interval_concurrency_halfopen_and_peak(spark):
+    from data_engineering__spark.operators.temporal import interval_concurrency
+    # g: [0,10) [5,15) [20,30) → overlap [5,10) = 5µs, peak 2;
+    #    [10,20) starts exactly when [0,10) ends → NO overlap (half-open)
+    rows = [Row(g="g", s=0, e=10), Row(g="g", s=5, e=15),
+            Row(g="g", s=20, e=30), Row(g="g", s=10, e=20),
+            Row(g="solo", s=0, e=100)]
+    out = {r.g: (r.peak_concurrency, r.busy_us)
+           for r in interval_concurrency(
+               spark.createDataFrame(rows), ["g"],
+               F.col("s").cast("long"), F.col("e").cast("long"), k=2).collect()}
+    assert out["g"] == (2, 10)   # [5,15)∩[0,10)=5 plus [10,15)∩[10,20)=5
+    assert out["solo"] == (1, 0)
