@@ -2001,6 +2001,7 @@ DRIVER_PRIORITY = [
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
     "sq8_error_report", "interval_concurrency_events",
+    "mad_profile_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5698,3 +5699,58 @@ def interval_concurrency_events(spark, sf_dir):
     start = F.unix_micros(F.col("ts"))
     end = start + F.round(F.col("value") * 1_000_000).cast("long")
     return interval_concurrency(ev, ["event_type"], start, end, k=2)
+
+
+@query("mad_profile_events", oracle=_mat("""
+WITH hist AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, v),
+tot AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+         CAST((SUM(c) + 1) // 2 AS BIGINT) AS k
+  FROM hist GROUP BY event_type),
+cum AS (
+  SELECT event_type, v, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM hist),
+med AS (
+  SELECT c2.event_type, MAX(t.n) AS n,
+         MIN(CASE WHEN c2.cm >= t.k THEN c2.v END) AS med
+  FROM cum c2 JOIN tot t ON c2.event_type = t.event_type
+  GROUP BY c2.event_type),
+dev AS (
+  SELECT h.event_type, ABS(h.v - m.med) AS d,
+         CAST(SUM(h.c) AS BIGINT) AS c
+  FROM hist h JOIN med m ON h.event_type = m.event_type
+  GROUP BY h.event_type, ABS(h.v - m.med)),
+dcum AS (
+  SELECT event_type, d, c,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM dev),
+mad AS (
+  SELECT dc.event_type,
+         MIN(CASE WHEN dc.cm >= t.k THEN dc.d END) AS mad
+  FROM dcum dc JOIN tot t ON dc.event_type = t.event_type
+  GROUP BY dc.event_type),
+outs AS (
+  SELECT d.event_type,
+         CAST(COALESCE(SUM(CASE WHEN d.d > 3 * ma.mad THEN d.c END), 0)
+              AS BIGINT) AS n_outliers
+  FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+  GROUP BY d.event_type)
+SELECT m.event_type, m.n, m.med AS median, ma.mad, o.n_outliers
+FROM med m JOIN mad ma ON m.event_type = ma.event_type
+JOIN outs o ON m.event_type = o.event_type"""))
+def mad_profile_events(spark, sf_dir):
+    """EXT R133: robust per-type dispersion — lower median, MAD, and
+    |x−med| > 3·MAD outlier counts over value cents, all in exact
+    integer arithmetic (zero float ops end to end)."""
+    from .operators.analytics import mad_profile
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return mad_profile(ev, ["event_type"],
+                       F.round(F.col("value") * 100).cast("long"), c=3)

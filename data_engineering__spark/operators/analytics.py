@@ -529,3 +529,60 @@ def trend_slope(df: DataFrame, group_cols: list[str], x_int, y_int,
         *group_cols, n_.cast("long").alias("n"),
         F.round(F.when(den > 0, slope), round_dp).alias("slope"),
         F.round(F.when(den > 0, intercept), round_dp).alias("intercept"))
+
+
+def mad_profile(df: DataFrame, group_cols: list[str], value_int,
+                c: int = 3) -> DataFrame:
+    """EXT (R133): robust dispersion profile per group — lower median,
+    median absolute deviation, and the count of |x − med| > c·MAD
+    outliers. The robust twin of ``zscore_outliers``: one wild spike
+    inflates a standard deviation but barely moves the MAD, so this is
+    the screen that survives corrupted feeds. ``value_int`` is a
+    pre-scaled integer expression; EVERY quantity here — medians as
+    k-th order statistics (k = ceil(n/2), integer DIV), deviations,
+    the c·MAD threshold — is exact INTEGER arithmetic: the whole report
+    contains zero float operations.
+
+    Scale shape (the ``winsorized_stats`` discipline, twice): raw rows
+    collapse to a per-(group, value) histogram; the cumulative window
+    runs over distinct values per group, never raw rows; the per-group
+    median (one row per group) broadcasts back onto the histogram to
+    form the deviation histogram, and the same order-statistic device
+    yields the MAD. Three hash aggregations, two tiny broadcasts."""
+    hist = (df.select(*group_cols, value_int.cast("long").alias("__v"))
+            .groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).alias("__c")))
+
+    def order_stat(h, val_col):
+        """min val with cumcount ≥ ceil(n/2), per group — (group, stat, n)."""
+        w = (Window.partitionBy(*group_cols).orderBy(F.col(val_col).asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum = h.withColumn("__cum", F.sum("__c").over(w))
+        tot = h.groupBy(*group_cols).agg(F.sum("__c").alias("__n"))
+        ks = tot.select(*group_cols, "__n",
+                        F.expr("CAST((__n + 1) DIV 2 AS BIGINT)").alias("__k"))
+        return (cum.join(F.broadcast(ks), group_cols)
+                .groupBy(*group_cols)
+                .agg(F.max("__n").alias("__n"),
+                     F.min(F.when(F.col("__cum") >= F.col("__k"),
+                                  F.col(val_col))).alias("__stat")))
+
+    med = order_stat(hist, "__v").select(
+        *group_cols, F.col("__n"), F.col("__stat").alias("__med"))
+    dev_hist = (hist.join(F.broadcast(med.select(*group_cols, "__med")),
+                          group_cols)
+                .groupBy(*group_cols,
+                         F.abs(F.col("__v") - F.col("__med")).alias("__d"))
+                .agg(F.sum("__c").alias("__c")))
+    mad = order_stat(dev_hist, "__d").select(
+        *group_cols, F.col("__stat").alias("__mad"))
+    out_counts = (dev_hist.join(F.broadcast(mad), group_cols)
+                  .groupBy(*group_cols)
+                  .agg(F.coalesce(F.sum(F.when(
+                      F.col("__d") > F.lit(c) * F.col("__mad"),
+                      F.col("__c"))), F.lit(0)).alias("__nout")))
+    return (med.join(mad, group_cols).join(out_counts, group_cols)
+            .select(*group_cols, F.col("__n").cast("long").alias("n"),
+                    F.col("__med").cast("long").alias("median"),
+                    F.col("__mad").cast("long").alias("mad"),
+                    F.col("__nout").cast("long").alias("n_outliers")))

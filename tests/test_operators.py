@@ -1811,3 +1811,17 @@ def test_interval_concurrency_halfopen_and_peak(spark):
                F.col("s").cast("long"), F.col("e").cast("long"), k=2).collect()}
     assert out["g"] == (2, 10)   # [5,15)∩[0,10)=5 plus [10,15)∩[10,20)=5
     assert out["solo"] == (1, 0)
+
+
+def test_mad_profile_matches_numpy_and_resists_spike(spark):
+    import numpy as np
+    from data_engineering__spark.operators.analytics import mad_profile
+    vals = [10, 12, 14, 16, 18, 20, 22, 1000]   # one wild spike
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    out = mad_profile(df, ["g"], F.col("v").cast("long"), c=3).collect()[0]
+    arr = np.array(vals)
+    lower_med = int(np.sort(arr)[(len(arr) + 1) // 2 - 1])
+    assert out.median == lower_med
+    devs = np.sort(np.abs(arr - lower_med))
+    assert out.mad == int(devs[(len(arr) + 1) // 2 - 1])
+    assert out.n_outliers == 1   # only the spike exceeds 3*MAD
