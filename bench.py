@@ -89,7 +89,7 @@ HEADLINE = [
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
     "sq8_error_report", "interval_concurrency_events",
-    "mad_profile_events",
+    "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

@@ -2001,7 +2001,7 @@ DRIVER_PRIORITY = [
     "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
     "sq8_error_report", "interval_concurrency_events",
-    "mad_profile_events",
+    "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5754,3 +5754,66 @@ def mad_profile_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return mad_profile(ev, ["event_type"],
                        F.round(F.col("value") * 100).cast("long"), c=3)
+
+
+@query("pareto_abc_brands", oracle=_mat("""
+WITH ent AS (
+  SELECT p_brand, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand),
+tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM ent),
+ranked AS (
+  SELECT p_brand, v,
+         CAST(SUM(v) OVER (ORDER BY v DESC, p_brand ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM ent)
+SELECT p_brand, v AS value,
+       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+       CASE WHEN cum * 100 <= 80 * t THEN 'A'
+            WHEN cum * 100 <= 95 * t THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked CROSS JOIN tot"""))
+def pareto_abc_brands(spark, sf_dir):
+    """EXT R134: ABC classification of brands by revenue cents — class
+    boundaries tested in pure integer arithmetic (cum·100 ≤ pct·total),
+    windows over the 25-brand entity domain, never the fact table."""
+    from .operators.analytics import pareto_abc
+    li = read_table(spark, sf_dir, "lineitem")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(pt, li.l_partkey == pt.p_partkey)
+    return pareto_abc(j, "p_brand",
+                      F.round(F.col("l_extendedprice") * 100).cast("long"))
+
+
+@query("concentration_suppliers", oracle=_mat("""
+WITH ent AS (
+  SELECT l_suppkey, CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS HUGEINT) AS v
+  FROM lineitem GROUP BY l_suppkey),
+ranked AS (
+  SELECT v,
+         CAST(ROW_NUMBER() OVER (ORDER BY v ASC, l_suppkey ASC)
+              AS HUGEINT) AS r,
+         ROW_NUMBER() OVER (ORDER BY v DESC, l_suppkey ASC) AS rd
+  FROM ent),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(v) AS t,
+         SUM(v * v) AS ss, SUM(r * v) AS rv,
+         SUM(CASE WHEN rd <= 10 THEN v ELSE 0 END) AS top
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+       ROUND(CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+             6) AS hhi,
+       ROUND(CAST(2 * rv - (n + 1) * t AS DOUBLE) / CAST(n * t AS DOUBLE),
+             6) AS gini,
+       ROUND(CAST(top AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top10_share
+FROM agg"""))
+def concentration_suppliers(spark, sf_dir):
+    """EXT R135: supplier revenue concentration — HHI, exact Gini (rank
+    moments in decimal/HUGEINT with one division each), top-10 share."""
+    from .operators.analytics import concentration_report
+    li = read_table(spark, sf_dir, "lineitem")
+    return concentration_report(
+        li, "l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("long"))

@@ -586,3 +586,78 @@ def mad_profile(df: DataFrame, group_cols: list[str], value_int,
                     F.col("__med").cast("long").alias("median"),
                     F.col("__mad").cast("long").alias("mad"),
                     F.col("__nout").cast("long").alias("n_outliers")))
+
+
+def pareto_abc(df: DataFrame, key_col: str, value_int,
+               a_pct: int = 80, b_pct: int = 95) -> DataFrame:
+    """EXT (R134): Pareto / ABC classification — entities ranked by an
+    integer measure, cumulative share computed exactly, and classed
+    A (first entities covering ≤ ``a_pct``% of the total), B (to
+    ``b_pct``%), else C — the inventory/effort-prioritization report.
+
+    Exactness: the class boundary test is pure integer arithmetic —
+    ``cum·100 ≤ pct·total`` — never a float share comparison; the
+    emitted ``cum_share`` is one exact division rounded 6dp. Ranking
+    carries the key as tie-break so equal measures class identically
+    everywhere. Scale shape: ONE aggregation to the entity grain (the
+    only corpus-sized shuffle), then windows over the ENTITY domain
+    (orders of magnitude smaller); the running sum is a range-sort
+    window over that compact domain, not the fact table."""
+    ent = (df.groupBy(key_col)
+           .agg(F.sum(value_int.cast("long")).alias("__v")))
+    w = (Window.orderBy(F.col("__v").desc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = ent.agg(F.sum("__v").alias("__t"))
+    ranked = (ent.withColumn("__cum", F.sum("__v").over(w))
+              .crossJoin(F.broadcast(tot)))
+    cls = (F.when(F.col("__cum") * 100 <= F.lit(a_pct) * F.col("__t"), "A")
+           .when(F.col("__cum") * 100 <= F.lit(b_pct) * F.col("__t"), "B")
+           .otherwise("C"))
+    return ranked.select(
+        F.col(key_col), F.col("__v").alias("value"),
+        F.round(F.col("__cum").cast("double") / F.col("__t").cast("double"),
+                6).alias("cum_share"),
+        cls.alias("abc_class"))
+
+
+def concentration_report(df: DataFrame, key_col: str,
+                         value_int) -> DataFrame:
+    """EXT (R135): market-concentration summary over an entity measure —
+    ONE row: n entities, total, HHI (Σ shareᵢ² — the antitrust screen),
+    exact Gini coefficient, and the top-10 share. Every statistic
+    reduces to integer moments with ONE final division each:
+    HHI = Σvᵢ²/T², Gini = (2·Σ rankᵢ·vᵢ − (n+1)·T)/(n·T) over ascending
+    rank (key tie-break), top10 = Σ(top-10 v)/T. decimal(38,0)
+    accumulators keep Σv² exact at warehouse scale.
+
+    Scale shape: entity-grain aggregation, then windows/sums over the
+    compact entity domain; the only corpus-sized shuffle is the first
+    rollup."""
+    ent = (df.groupBy(key_col)
+           .agg(F.sum(value_int.cast("long")).alias("__v")))
+    w_rank = Window.orderBy(F.col("__v").asc(), F.col(key_col).asc())
+    w_desc = Window.orderBy(F.col("__v").desc(), F.col(key_col).asc())
+    ranked = (ent
+              .withColumn("__r", F.row_number().over(w_rank))
+              .withColumn("__rd", F.row_number().over(w_desc))
+              .select(F.col("__v").cast("decimal(38,0)").alias("__v"),
+                      F.col("__r").cast("decimal(38,0)").alias("__r"),
+                      "__rd"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__v").alias("__t"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+        F.sum(F.col("__r") * F.col("__v")).alias("__rv"),
+        F.sum(F.when(F.col("__rd") <= 10, F.col("__v"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__top"))
+    n_, t_ = F.col("__n"), F.col("__t")
+    hhi = (F.col("__ss").cast("double")
+           / (t_.cast("double") * t_.cast("double")))
+    gini = ((F.lit(2).cast("decimal(38,0)") * F.col("__rv")
+             - (n_ + F.lit(1).cast("decimal(38,0)")) * t_).cast("double")
+            / (n_ * t_).cast("double"))
+    return agg.select(
+        n_.cast("long").alias("n"), t_.cast("long").alias("total"),
+        F.round(hhi, 6).alias("hhi"), F.round(gini, 6).alias("gini"),
+        F.round(F.col("__top").cast("double") / t_.cast("double"), 6)
+        .alias("top10_share"))

@@ -1825,3 +1825,27 @@ def test_mad_profile_matches_numpy_and_resists_spike(spark):
     devs = np.sort(np.abs(arr - lower_med))
     assert out.mad == int(devs[(len(arr) + 1) // 2 - 1])
     assert out.n_outliers == 1   # only the spike exceeds 3*MAD
+
+
+def test_pareto_abc_integer_boundaries(spark):
+    from data_engineering__spark.operators.analytics import pareto_abc
+    # values 50, 30, 15, 5 → cum shares 50%, 80%, 95%, 100%
+    rows = [Row(k="w", v=50), Row(k="x", v=30), Row(k="y", v=15),
+            Row(k="z", v=5)]
+    got = {r.k: r.abc_class for r in pareto_abc(
+        spark.createDataFrame(rows), "k", F.col("v")).collect()}
+    # 80 and 95 land EXACTLY on the boundaries → inclusive A / B
+    assert got == {"w": "A", "x": "A", "y": "B", "z": "C"}
+
+
+def test_concentration_report_closed_forms(spark):
+    from data_engineering__spark.operators.analytics import concentration_report
+    # equal values → gini 0, hhi = 1/n
+    eq = spark.createDataFrame([Row(k=i, v=10) for i in range(8)])
+    r = concentration_report(eq, "k", F.col("v")).collect()[0]
+    assert r.gini == 0.0 and r.hhi == round(1 / 8, 6)
+    # one entity owns everything → gini = (n-1)/n, hhi = 1
+    mono = spark.createDataFrame(
+        [Row(k=0, v=100)] + [Row(k=i, v=0) for i in range(1, 5)])
+    r2 = concentration_report(mono, "k", F.col("v")).collect()[0]
+    assert r2.hhi == 1.0 and r2.gini == round(4 / 5, 6)
