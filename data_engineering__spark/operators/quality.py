@@ -324,3 +324,22 @@ def benford_audit(df: DataFrame, value_col, min_value: int = 1) -> DataFrame:
             .select("digit", "n", "frac", "expected",
                     F.round(F.col("frac") - F.col("expected"), 6)
                     .alias("excess")))
+
+
+def observe_metrics(df: DataFrame, name: str, metrics: dict):
+    """EXT (R136): zero-cost pipeline observability via ``df.observe`` —
+    named aggregate metrics (row counts, null counts, sums) collected as
+    a SIDE EFFECT of whatever action already runs the frame: no second
+    scan, no extra job, exactly the numbers for the batch the sink
+    actually wrote (a separate metrics query could race a changing
+    source). This is the engine-native form of the reference's
+    validation queries (`process_publications_dag.py:486-535`), which
+    re-scan every table they audit.
+
+    Returns ``(df_observed, observation)``; read
+    ``observation.get`` AFTER an action. Metrics must be aggregate
+    expressions (Spark enforces); per-row asserts belong to
+    ``expectations``."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    return df.observe(obs, *[expr.alias(nm) for nm, expr in metrics.items()]), obs

@@ -1849,3 +1849,26 @@ def test_concentration_report_closed_forms(spark):
         [Row(k=0, v=100)] + [Row(k=i, v=0) for i in range(1, 5)])
     r2 = concentration_report(mono, "k", F.col("v")).collect()[0]
     assert r2.hhi == 1.0 and r2.gini == round(4 / 5, 6)
+
+
+def test_observe_metrics_rides_the_action_no_extra_scan(spark, sf_dir):
+    """df.observe metrics arrive as a side effect of the ONE write action
+    and match a direct aggregation of the same frame."""
+    from data_engineering__spark.operators.quality import observe_metrics
+    from data_engineering__spark.sources.io import read_table
+    li = read_table(spark, sf_dir, "lineitem")
+    observed, obs = observe_metrics(li, "wq", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_ship": F.count(F.when(F.col("l_shipdate").isNull(), 1)),
+        "qty_cents": F.sum(F.round(F.col("l_quantity") * 100).cast("long")),
+    })
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("nn"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q")
+    ).collect()[0]
+    assert got["n_rows"] == want.n
+    assert got["n_null_ship"] == want.nn
+    assert got["qty_cents"] == want.q
