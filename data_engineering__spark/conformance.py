@@ -2002,6 +2002,7 @@ DRIVER_PRIORITY = [
     "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
     "sq8_error_report", "interval_concurrency_events",
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
+    "containment_pairs_docs", "psi_value_drift",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5817,3 +5818,96 @@ def concentration_suppliers(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     return concentration_report(
         li, "l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("long"))
+
+
+@query("containment_pairs_docs", oracle=_mat("""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(list_filter(regexp_split_to_array(
+             lower(trim(text)), '\\s+'), t -> t <> '')[1:15], ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+2], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM corpus)
+    WHERE len(toks) >= 3)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS it
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+sized AS (
+  SELECT i.ia, i.ib, i.it, sa.n AS na, sb.n AS nb
+  FROM inter i JOIN sizes sa ON i.ia = sa.doc_id
+               JOIN sizes sb ON i.ib = sb.doc_id),
+orient AS (
+  SELECT ia AS id_a, ib AS id_b, CAST(it AS DOUBLE) / na AS c FROM sized
+  UNION ALL
+  SELECT ib, ia, CAST(it AS DOUBLE) / nb FROM sized)
+SELECT id_a, id_b, ROUND(c, 6) AS containment
+FROM orient WHERE c >= 0.8"""))
+def containment_pairs_docs(spark, sf_dir):
+    """EXT R137: asymmetric shingle containment over a corpus with
+    planted excerpts (docs id%25==0 re-inserted as their first 15
+    tokens) — every planted fragment is ≥0.8-contained in its source
+    while symmetric Jaccard would miss it. Candidate pairs from the
+    shared-shingle join, both orientations from one intersection."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    planted = (docs.filter(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                       F.array_join(F.slice(toks, 1, 15), " ").alias("text")))
+    corpus = docs.unionByName(planted)
+    return D.containment_pairs(corpus, "doc_id", "text",
+                               shingle_n=3, threshold=0.8)
+
+
+@query("psi_value_drift", oracle=_mat("""
+WITH ev AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events WHERE value IS NOT NULL),
+hb AS (
+  SELECT c // 2500 AS bin, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM ev WHERE day < 19738 GROUP BY c // 2500),
+hc AS (
+  SELECT c // 2500 AS bin, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM ev WHERE day >= 19738 GROUP BY c // 2500),
+bins AS (
+  SELECT COALESCE(hb.bin, hc.bin) AS bin,
+         COALESCE(cb, 0) AS cb, COALESCE(cc, 0) AS cc
+  FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin),
+tots AS (
+  SELECT CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(cc) AS BIGINT) AS nc,
+         CAST(COUNT(*) AS BIGINT) AS B
+  FROM bins)
+SELECT bin, cb AS n_base, cc AS n_current,
+       ROUND(CAST(cb + 1 AS DOUBLE) / CAST(nb + B AS DOUBLE), 8) AS p,
+       ROUND(CAST(cc + 1 AS DOUBLE) / CAST(nc + B AS DOUBLE), 8) AS q,
+       ROUND((CAST(cb + 1 AS DOUBLE) / CAST(nb + B AS DOUBLE)
+              - CAST(cc + 1 AS DOUBLE) / CAST(nc + B AS DOUBLE))
+             * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + B AS DOUBLE))
+                  / (CAST(cc + 1 AS DOUBLE) / CAST(nc + B AS DOUBLE))), 8)
+         AS psi_contrib
+FROM bins CROSS JOIN tots"""))
+def psi_value_drift(spark, sf_dir):
+    """EXT R138: PSI drift report for event values between the first and
+    second half of the stream (epoch-day split) — 25-unit bins, add-one
+    smoothing over the union bin domain, per-bin contributions."""
+    from .operators.quality import psi_report
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    day = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS LONG)")
+    base = ev.filter(day < 19738)
+    cur = ev.filter(day >= 19738)
+    return Q.psi_report(base, cur,
+                        F.round(F.col("value") * 100).cast("long"),
+                        bin_width=2500)

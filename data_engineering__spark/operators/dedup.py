@@ -1116,3 +1116,44 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
                     F.round(F.when(F.col("n_spans") > 0,
                                    F.col("n_shared") / F.col("n_spans"))
                             .otherwise(F.lit(0.0)), 6).alias("shared_frac")))
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      shingle_n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """EXT (R137): asymmetric n-gram CONTAINMENT — pairs where doc A's
+    shingle set is ≥ ``threshold`` contained in doc B's
+    (|A∩B| / |A|). Jaccard misses exactly these: a short quote embedded
+    in a long article scores near-zero symmetric similarity but 1.0
+    containment — this is the quote/excerpt/boilerplate-wrapper detector
+    (and the dedup policy input for "keep the superset, drop the
+    fragment"). Returns (id_a, id_b, containment): A contained in B.
+
+    Scale shape: per-doc DISTINCT shingle sha-hashes (set semantics —
+    within-doc repeats must not inflate containment), candidate pairs
+    from the shared-shingle co-occurrence join (never n²), both
+    orientations derived from ONE undirected intersection count. The
+    shingle surface is materialized once for its three consumers (sizes
+    + both join sides)."""
+    sh = (shingle_sha_rows(df, [id_col], text_col, shingle_n, out_col="__h")
+          .distinct().localCheckpoint())
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "__h")
+             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .groupBy(F.col(f"a.{id_col}").alias("__ia"),
+                      F.col(f"b.{id_col}").alias("__ib"))
+             .agg(F.count(F.lit(1)).alias("__inter")))
+    sized = (inter
+             .join(sizes.select(F.col(id_col).alias("__ia"),
+                                F.col("__n").alias("__na")), "__ia")
+             .join(sizes.select(F.col(id_col).alias("__ib"),
+                                F.col("__n").alias("__nb")), "__ib"))
+    both = sized.select(F.explode(F.array(
+        F.struct(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
+                 (F.col("__inter") / F.col("__na")).alias("c")),
+        F.struct(F.col("__ib").alias("id_a"), F.col("__ia").alias("id_b"),
+                 (F.col("__inter") / F.col("__nb")).alias("c")),
+    )).alias("__p")).select("__p.id_a", "__p.id_b", "__p.c")
+    return (both.filter(F.col("c") >= threshold)
+            .select("id_a", "id_b", F.round("c", 6).alias("containment")))

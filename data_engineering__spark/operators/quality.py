@@ -343,3 +343,47 @@ def observe_metrics(df: DataFrame, name: str, metrics: dict):
     from pyspark.sql import Observation
     obs = Observation(name)
     return df.observe(obs, *[expr.alias(nm) for nm, expr in metrics.items()]), obs
+
+
+def psi_report(base: DataFrame, current: DataFrame, value_int,
+               bin_width: int) -> DataFrame:
+    """EXT (R138): population stability index report — the standard
+    ML-monitoring drift metric between a baseline and a current window
+    of the same measure. One row per occupied bin: counts, smoothed
+    shares p/q, and the PSI contribution (p−q)·ln(p/q); the total PSI is
+    the caller's sum (per-bin rows show WHICH bins drifted — the number
+    alone does not). Rule of thumb: Σ < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted.
+
+    Determinism: bins are integer ``value DIV bin_width``; shares use
+    add-one smoothing over the union bin domain — (c+1)/(n+B) with B =
+    occupied union bins — so empty-on-one-side bins contribute finite
+    terms, and every share is an exact-integer ratio evaluated in one
+    fixed IEEE expression (the ln is the same libm call the green
+    TF-IDF oracle already crosses engines with). Scale shape: two
+    histogram aggregations (map-side partials), a full-outer join on the
+    tiny bin domain, scalar totals broadcast back."""
+    def hist(d, out):
+        # floor-div, NOT float-div+CAST: a bare CAST truncates in Spark
+        # but ROUNDS in DuckDB (the R100 lesson)
+        return (d.select(F.floor(value_int.cast("long") / F.lit(bin_width))
+                         .cast("long").alias("__bin"))
+                .groupBy("__bin").agg(F.count(F.lit(1)).alias(out)))
+
+    hb, hc = hist(base, "__cb"), hist(current, "__cc")
+    bins = hb.join(hc, "__bin", "full_outer") \
+             .select("__bin", F.coalesce("__cb", F.lit(0)).alias("__cb"),
+                     F.coalesce("__cc", F.lit(0)).alias("__cc"))
+    tots = bins.agg(F.sum("__cb").alias("__nb"), F.sum("__cc").alias("__nc"),
+                    F.count(F.lit(1)).alias("__B"))
+    j = bins.crossJoin(F.broadcast(tots))
+    p = ((F.col("__cb") + 1).cast("double")
+         / (F.col("__nb") + F.col("__B")).cast("double"))
+    q = ((F.col("__cc") + 1).cast("double")
+         / (F.col("__nc") + F.col("__B")).cast("double"))
+    return j.select(
+        F.col("__bin").alias("bin"),
+        F.col("__cb").cast("long").alias("n_base"),
+        F.col("__cc").cast("long").alias("n_current"),
+        F.round(p, 8).alias("p"), F.round(q, 8).alias("q"),
+        F.round((p - q) * F.log(p / q), 8).alias("psi_contrib"))

@@ -1872,3 +1872,33 @@ def test_observe_metrics_rides_the_action_no_extra_scan(spark, sf_dir):
     assert got["n_rows"] == want.n
     assert got["n_null_ship"] == want.nn
     assert got["qty_cents"] == want.q
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    from data_engineering__spark.operators.dedup import containment_pairs
+    article = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron pi rho sigma tau upsilon")
+    quote = "alpha beta gamma delta epsilon"        # first 5 tokens
+    df = spark.createDataFrame([Row(id=1, text=article),
+                                Row(id=2, text=quote),
+                                Row(id=3, text="unrelated words only here")])
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, "id", "text",
+                                      shingle_n=3, threshold=0.8).collect()}
+    assert got[(2, 1)] == 1.0          # quote fully contained in article
+    assert (1, 2) not in got           # article NOT contained in quote
+    assert all(3 not in k for k in got)
+
+
+def test_psi_report_zero_for_identical_and_positive_for_shifted(spark):
+    from data_engineering__spark.operators.quality import psi_report
+    base = spark.createDataFrame([Row(v=v) for v in [10, 10, 20, 30, 40] * 4])
+    same = spark.createDataFrame([Row(v=v) for v in [10, 10, 20, 30, 40] * 4])
+    shifted = spark.createDataFrame([Row(v=v + 20)
+                                     for v in [10, 10, 20, 30, 40] * 4])
+    zero = psi_report(base, same, F.col("v"), bin_width=10).collect()
+    assert all(r.psi_contrib == 0.0 for r in zero)  # identical → every term 0
+    drift = psi_report(base, shifted, F.col("v"), bin_width=10).collect()
+    assert sum(r.psi_contrib for r in drift) > 0.25  # clearly shifted
+    assert all(r.psi_contrib >= 0 or r.n_base + r.n_current > 0
+               for r in drift)
