@@ -91,6 +91,7 @@ HEADLINE = [
     "sq8_error_report", "interval_concurrency_events",
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
+    "funnel_gap_stats_events",
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

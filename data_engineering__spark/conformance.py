@@ -2003,6 +2003,7 @@ DRIVER_PRIORITY = [
     "sq8_error_report", "interval_concurrency_events",
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
+    "funnel_gap_stats_events",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5911,3 +5912,52 @@ def psi_value_drift(spark, sf_dir):
     return Q.psi_report(base, cur,
                         F.round(F.col("value") * 100).cast("long"),
                         bin_width=2500)
+
+
+@query("funnel_gap_stats_events", oracle=_mat("""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS s FROM events),
+f0 AS (SELECT u, MIN(s) AS ft FROM ev WHERE t = 'view' GROUP BY u),
+f1 AS (
+  SELECT e.u, MIN(e.s) AS nt, MAX(f0.ft) AS pt
+  FROM ev e JOIN f0 ON e.u = f0.u AND e.s > f0.ft
+  WHERE e.t = 'click' GROUP BY e.u),
+f2 AS (
+  SELECT e.u, MIN(e.s) AS nt, MAX(f1.nt) AS pt
+  FROM ev e JOIN f1 ON e.u = f1.u AND e.s > f1.nt
+  WHERE e.t = 'purchase' GROUP BY e.u),
+gaps AS (
+  SELECT 'view->click' AS step, 1 AS stage, nt - pt AS g FROM f1
+  UNION ALL
+  SELECT 'click->purchase' AS step, 2 AS stage, nt - pt AS g FROM f2),
+hist AS (
+  SELECT step, stage, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM gaps GROUP BY step, stage, g),
+cum AS (
+  SELECT step, stage, g, c,
+         CAST(SUM(c) OVER (PARTITION BY step, stage ORDER BY g ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM hist),
+tot AS (
+  SELECT step, stage, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(g * c) AS BIGINT) AS sm,
+         CAST((SUM(c) + 1) // 2 AS BIGINT) AS k50,
+         CAST((SUM(c) * 9 + 9) // 10 AS BIGINT) AS k90
+  FROM hist GROUP BY step, stage)
+SELECT c2.step, CAST(c2.stage AS INTEGER) AS stage, t.n AS n_users,
+       CAST(MIN(CASE WHEN c2.cm >= t.k50 THEN c2.g END) AS BIGINT)
+         AS median_us,
+       CAST(MIN(CASE WHEN c2.cm >= t.k90 THEN c2.g END) AS BIGINT)
+         AS p90_us,
+       ROUND(CAST(MAX(t.sm) AS DOUBLE) / CAST(MAX(t.n) AS DOUBLE), 2)
+         AS mean_us
+FROM cum c2 JOIN tot t ON c2.step = t.step AND c2.stage = t.stage
+GROUP BY c2.step, c2.stage, t.n"""))
+def funnel_gap_stats_events(spark, sf_dir):
+    """EXT R139: time-to-convert distribution for the view→click→
+    purchase funnel — per-step latency as exact order statistics
+    (median/p90 over a gap histogram) plus one-division means."""
+    from .operators.analytics import funnel_gap_stats
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_gap_stats(ev, ["view", "click", "purchase"])

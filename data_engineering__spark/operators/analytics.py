@@ -661,3 +661,66 @@ def concentration_report(df: DataFrame, key_col: str,
         F.round(hhi, 6).alias("hhi"), F.round(gini, 6).alias("gini"),
         F.round(F.col("__top").cast("double") / t_.cast("double"), 6)
         .alias("top10_share"))
+
+
+def funnel_gap_stats(events: DataFrame, steps: list[str],
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """EXT (R139): time-to-convert distribution — for each adjacent
+    funnel step pair, the per-user latency between reaching step k−1 and
+    step k (same earliest-strictly-after semantics as
+    ``conversion_funnel``), summarized as exact order statistics:
+    n converting users, median and p90 gap in microseconds, plus the
+    mean as one exact division. The product question behind every
+    funnel: not just HOW MANY convert, but HOW LONG it takes.
+
+    Exactness: gaps are integer epoch-µs differences; median/p90 are
+    k-th order statistics (k = ceil(p·n), integer DIV) over a per-step
+    gap histogram — the ``winsorized_stats`` device — and the mean is
+    Σgap/n with a single divide. Scale shape: per-step frontiers are
+    user-keyed joins + min-aggregates (each localCheckpointed for its
+    two consumers, the CC/funnel convention); the order-statistic window
+    runs over distinct gap values per step, never raw users."""
+    ev = events.select(F.col(user_col).alias("__u"),
+                       F.col(type_col).alias("__t"),
+                       F.unix_micros(F.col(ts_col)).alias("__s"))
+    frontier = (ev.filter(F.col("__t") == steps[0])
+                .groupBy("__u").agg(F.min("__s").alias("__ft"))
+                .localCheckpoint())
+    gap_frames = []
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (ev.filter(F.col("__t") == step)
+               .join(frontier, "__u")
+               .filter(F.col("__s") > F.col("__ft"))
+               .groupBy("__u").agg(F.min("__s").alias("__nt"),
+                                   F.max("__ft").alias("__pt"))
+               .localCheckpoint())
+        gap_frames.append(
+            nxt.select(F.lit(f"{steps[k-1]}->{step}").alias("step"),
+                       F.lit(k).cast("int").alias("stage"),
+                       (F.col("__nt") - F.col("__pt")).alias("__g")))
+        frontier = nxt.select("__u", F.col("__nt").alias("__ft"))
+    gaps = gap_frames[0]
+    for g in gap_frames[1:]:
+        gaps = gaps.unionByName(g)
+    hist = (gaps.groupBy("step", "stage", "__g")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy("step", "stage").orderBy(F.col("__g").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = (hist.groupBy("step", "stage")
+           .agg(F.sum("__c").alias("__n"),
+                F.sum(F.col("__g") * F.col("__c")).alias("__sum")))
+    ks = tot.select("step", "stage", "__n", "__sum",
+                    F.expr("CAST((__n + 1) DIV 2 AS BIGINT)").alias("__k50"),
+                    F.expr("CAST((__n * 9 + 9) DIV 10 AS BIGINT)")
+                    .alias("__k90"))
+    return (cum.join(F.broadcast(ks), ["step", "stage"])
+            .groupBy("step", "stage")
+            .agg(F.max("__n").cast("long").alias("n_users"),
+                 F.min(F.when(F.col("__cum") >= F.col("__k50"),
+                              F.col("__g"))).cast("long").alias("median_us"),
+                 F.min(F.when(F.col("__cum") >= F.col("__k90"),
+                              F.col("__g"))).cast("long").alias("p90_us"),
+                 F.round(F.max("__sum").cast("double")
+                         / F.max("__n").cast("double"), 2).alias("mean_us")))

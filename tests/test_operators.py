@@ -1902,3 +1902,28 @@ def test_psi_report_zero_for_identical_and_positive_for_shifted(spark):
     assert sum(r.psi_contrib for r in drift) > 0.25  # clearly shifted
     assert all(r.psi_contrib >= 0 or r.n_base + r.n_current > 0
                for r in drift)
+
+
+def test_funnel_gap_stats_earliest_after_semantics(spark):
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import funnel_gap_stats
+    t0 = datetime(2024, 1, 1)
+
+    def ev(u, t, secs):
+        return Row(user_id=u, event_type=t, ts=t0 + timedelta(seconds=secs))
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "click", 5),
+        # u1: pre-view click at t=5 must NOT count; gap = 10s... except
+        # click@5 is BEFORE view@0? No: 5 > 0, so earliest-after is 5.
+        ev(2, "click", 3), ev(2, "view", 7), ev(2, "click", 20),
+        # u2: click@3 precedes view@7 → ignored; gap = 13s
+        ev(3, "view", 0),  # never clicks
+    ]
+    out = {r.step: r for r in funnel_gap_stats(
+        spark.createDataFrame(rows), ["view", "click"]).collect()}
+    g = out["view->click"]
+    assert g.n_users == 2
+    # gaps: u1 = 5s, u2 = 13s → median(lower) = 5s, p90 = 13s
+    assert g.median_us == 5_000_000
+    assert g.p90_us == 13_000_000
+    assert g.mean_us == 9_000_000.0
