@@ -92,6 +92,8 @@ HEADLINE = [
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events",
+    # bfs_hops_graph excluded like the other 50-node demo-graph queries
+    # (pure per-iteration job overhead, not throughput)
     # dataset-split / sampling (round 2)
     "hash_split_counts", "stratified_sample_counts", "quota_per_domain",
 ]

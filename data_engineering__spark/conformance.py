@@ -2003,7 +2003,7 @@ DRIVER_PRIORITY = [
     "sq8_error_report", "interval_concurrency_events",
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
-    "funnel_gap_stats_events",
+    "funnel_gap_stats_events", "bfs_hops_graph",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5961,3 +5961,28 @@ def funnel_gap_stats_events(spark, sf_dir):
     from .operators.analytics import funnel_gap_stats
     ev = read_table(spark, sf_dir, "events")
     return funnel_gap_stats(ev, ["view", "click", "purchase"])
+
+
+@query("bfs_hops_graph", oracle=_mat("""
+WITH RECURSIVE g AS (
+  SELECT doc_id % 50 AS a, (doc_id * 3 + 1) % 50 AS b
+  FROM documents WHERE doc_id < 400 AND doc_id % 50 <> (doc_id * 3 + 1) % 50),
+bidir AS (
+  SELECT a AS u, b AS v FROM g UNION SELECT b, a FROM g),
+reach(id, hops) AS (
+  SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(7 AS BIGINT), 0))
+  UNION ALL
+  SELECT CAST(b.v AS BIGINT), r.hops + 1
+  FROM reach r JOIN bidir b ON b.u = r.id
+  WHERE r.hops < 6)
+SELECT id, CAST(MIN(hops) AS INTEGER) AS hops
+FROM reach GROUP BY id"""))
+def bfs_hops_graph(spark, sf_dir):
+    """EXT R140: BFS hop distances from seeds {0, 7} over the shared
+    50-node demo graph — frontier expansion with settled-node anti-join
+    (each node joins edges once across the whole run). The oracle is a
+    bounded recursive closure reduced by MIN(hops) — first-discovery
+    BFS semantics proven against the full reachability relation."""
+    from .operators.graph import bfs_hops
+    return bfs_hops(_cc_edges(spark, sf_dir), [0, 7],
+                    src="id_a", dst="id_b", max_hops=6)

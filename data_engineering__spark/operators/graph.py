@@ -93,3 +93,41 @@ def triangle_count(edges: DataFrame, src: str = "src",
     tri = (e1.join(e2, "b").join(e3, ["a", "c"])
            .select(F.col("a").alias("node")))
     return tri.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, seeds: list[int], src: str = "src",
+             dst: str = "dst", max_hops: int = 6) -> DataFrame:
+    """EXT (R140): breadth-first hop distances from a seed set over an
+    UNDIRECTED graph — (id, hops) for every node within ``max_hops``.
+    The "distance from known-good/known-bad" signal: seed a few vetted
+    (or spammy) sources and every document inherits a proximity feature;
+    also the blast-radius query for incident triage.
+
+    Frontier iteration, the connected-components discipline: each round
+    expands the CURRENT frontier only (never re-expands settled nodes —
+    the anti-join guarantees every node joins edges exactly once over
+    the whole run), min-distance semantics fall out of first-discovery
+    order, and both accumulators are ``localCheckpoint``ed per round so
+    the lineage stays flat. The empty-frontier early exit is a scalar
+    driver probe (the documented legitimate collect class). Rounds =
+    graph diameter ∧ ``max_hops``; each is one join + distinct +
+    anti-join shuffle on the node id."""
+    spark = edges.sparkSession
+    bidir = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionByName(edges.select(F.col(dst).alias("u"),
+                                       F.col(src).alias("v")))
+             .distinct().localCheckpoint())
+    dist = spark.createDataFrame([(int(s), 0) for s in seeds],
+                                 "id long, hops int")
+    frontier = dist.select("id")
+    for i in range(1, max_hops + 1):
+        nxt = (frontier.join(bidir, frontier.id == bidir.u)
+               .select(F.col("v").alias("id")).distinct()
+               .join(dist.select("id"), "id", "left_anti")
+               .withColumn("hops", F.lit(i).cast("int"))
+               .localCheckpoint())
+        if not nxt.take(1):
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return dist

@@ -1927,3 +1927,16 @@ def test_funnel_gap_stats_earliest_after_semantics(spark):
     assert g.median_us == 5_000_000
     assert g.p90_us == 13_000_000
     assert g.mean_us == 9_000_000.0
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    from data_engineering__spark.operators.graph import bfs_hops
+    # chain 1-2-3-4 plus isolated pair 8-9; seed at 1
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=8, dst=9)])
+    got = {r.id: r.hops for r in bfs_hops(edges, [1], max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}   # 8, 9 unreachable → absent
+    # max_hops truncates the frontier
+    short = {r.id: r.hops for r in bfs_hops(edges, [1], max_hops=2).collect()}
+    assert short == {1: 0, 2: 1, 3: 2}
