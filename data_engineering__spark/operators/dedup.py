@@ -1134,7 +1134,12 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     from the shared-shingle co-occurrence join (never n²), both
     orientations derived from ONE undirected intersection count. The
     shingle surface is materialized once for its three consumers (sizes
-    + both join sides)."""
+    + both join sides). The co-occurrence bound assumes a Zipf
+    vocabulary; on tiny-vocab / boilerplate-heavy corpora where most
+    shingles are shared it degrades toward n² — raise ``shingle_n``
+    (5+) there so shingles become discriminative again (measured: the
+    25-word synthetic corpus probes 3.1× wall for 10× docs at n=3, the
+    documented worst case)."""
     sh = (shingle_sha_rows(df, [id_col], text_col, shingle_n, out_col="__h")
           .distinct().localCheckpoint())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
