@@ -91,7 +91,7 @@ HEADLINE = [
     "sq8_error_report", "interval_concurrency_events",
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
-    "funnel_gap_stats_events",
+    "funnel_gap_stats_events", "incremental_join_orders", "skyline_parts",
     # bfs_hops_graph excluded like the other 50-node demo-graph queries
     # (pure per-iteration job overhead, not throughput)
     # dataset-split / sampling (round 2)

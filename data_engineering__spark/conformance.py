@@ -2004,6 +2004,7 @@ DRIVER_PRIORITY = [
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events", "bfs_hops_graph",
+    "incremental_join_orders", "skyline_parts",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -5986,3 +5987,51 @@ def bfs_hops_graph(spark, sf_dir):
     from .operators.graph import bfs_hops
     return bfs_hops(_cc_edges(spark, sf_dir), [0, 7],
                     src="id_a", dst="id_b", max_hops=6)
+
+
+@query("incremental_join_orders", oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey""")
+def incremental_join_orders(spark, sf_dir):
+    """EXT R141: incremental join maintenance — orders/customer split
+    into stored sides + append batches (mod-4 / mod-5), maintained as
+    stored⋈stored UNION the three delta-rule terms; hash parity with a
+    flat join of the full tables PROVES the algebra (history × history
+    is never recomputed once stored)."""
+    from .operators.merge import incremental_join_delta
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k"), "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment")
+    oa, od = o.filter(F.col("o_orderkey") % 4 != 0), \
+        o.filter(F.col("o_orderkey") % 4 == 0)
+    ca, cd = c.filter(F.col("k") % 5 != 0), c.filter(F.col("k") % 5 == 0)
+    base = oa.join(ca, "k")
+    delta = incremental_join_delta(oa, od, ca, cd, "k")
+    return (base.unionByName(delta)
+            .select("o_orderkey", "o_custkey", "cents", "c_mktsegment"))
+
+
+@query("skyline_parts", oracle="""
+WITH pts AS (
+  SELECT p_size AS s, CAST(round(p_retailprice * 100) AS BIGINT) AS p
+  FROM part),
+dpts AS (SELECT DISTINCT s, p FROM pts)
+SELECT a.s AS max_val, a.p AS min_val, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM dpts b
+  WHERE b.s >= a.s AND b.p <= a.p AND (b.s > a.s OR b.p < a.p))
+GROUP BY a.s, a.p""")
+def skyline_parts(spark, sf_dir):
+    """EXT R142: Pareto frontier of parts — largest size for the lowest
+    price. The operator's linear collapsed-scan result is verified
+    against an INDEPENDENT brute-force NOT EXISTS dominance oracle, so a
+    strictness bug in the frontier scan cannot self-confirm."""
+    from .operators.relational import skyline_2d
+    pt = read_table(spark, sf_dir, "part")
+    return skyline_2d(pt, F.col("p_size").cast("long"),
+                      F.round(F.col("p_retailprice") * 100).cast("long"))

@@ -311,3 +311,25 @@ def merge_aggregates(base: DataFrame, delta: DataFrame, keys: list[str],
              + F.coalesce(F.col(f"d.{c}"), F.lit(0))).alias(c)
             for c in sum_cols]
     return merged.select(*sel)
+
+
+def incremental_join_delta(old_a: DataFrame, delta_a: DataFrame,
+                           old_b: DataFrame, delta_b: DataFrame,
+                           key: str) -> DataFrame:
+    """EXT (R141): incremental JOIN maintenance — the classic delta rule
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    returns exactly the rows the maintained join gains when batches ΔA
+    and ΔB land (append-only inputs). Paired with ``merge_aggregates``
+    this is the algebra behind every incrementally-maintained
+    materialized view: the daily job joins only the deltas against the
+    stored sides — never history × history.
+
+    Scale shape: three key-shuffled joins whose LARGEST input is one
+    stored side; the history-sized A_old ⋈ B_old term — the whole point
+    — is never recomputed. Inputs must be disjoint from their old sides
+    (append semantics); updates/deletes compose via the CDC operator
+    first."""
+    d1 = delta_a.join(old_b, key)
+    d2 = old_a.join(delta_b, key)
+    d3 = delta_a.join(delta_b, key)
+    return d1.unionByName(d2).unionByName(d3)

@@ -21,7 +21,7 @@ Scale notes that apply module-wide:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -262,3 +262,32 @@ def edit_neighbors(df: DataFrame, id_col: str, name_col: str,
                             F.levenshtein("__na", "__nb").cast("int"))
             .filter(F.col(out_dist) <= 1)
             .select("id_a", "id_b", out_dist))
+
+
+def skyline_2d(df: DataFrame, max_col, min_col,
+               count_alias: str = "n_rows") -> DataFrame:
+    """EXT (R142): 2-D skyline / Pareto frontier — the points no other
+    point dominates (≥ on the maximized axis, ≤ on the minimized one,
+    strict somewhere): "largest size for the lowest price" tradeoff
+    queries. Returns (max_val, min_val, n_rows) per frontier point.
+
+    The quadratic dominance definition collapses to a LINEAR scan in
+    2-D: within one maximized value only the minimal ``min_col``
+    survives (same-axis dominance), and a collapsed point is on the
+    frontier iff its cost is STRICTLY below every cost at a larger
+    size — one running-min window over the distinct-value domain,
+    descending. Scale shape: the only corpus-sized operation is the
+    (max_val, min_val) collapse (one hash agg); the window runs over
+    distinct maximized values (compact by construction)."""
+    pts = (df.select(max_col.alias("__s"), min_col.alias("__p"))
+           .groupBy("__s", "__p").agg(F.count(F.lit(1)).alias("__n")))
+    best = (pts.groupBy("__s").agg(F.min("__p").alias("__p")))
+    w = (Window.orderBy(F.col("__s").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (best.withColumn("__m", F.min("__p").over(w))
+                .filter(F.col("__m").isNull() | (F.col("__p") < F.col("__m")))
+                .select("__s", "__p"))
+    return (pts.join(frontier, ["__s", "__p"])
+            .select(F.col("__s").alias("max_val"),
+                    F.col("__p").alias("min_val"),
+                    F.col("__n").cast("long").alias(count_alias)))

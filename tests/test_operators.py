@@ -1940,3 +1940,31 @@ def test_bfs_hops_chain_and_unreachable(spark):
     # max_hops truncates the frontier
     short = {r.id: r.hops for r in bfs_hops(edges, [1], max_hops=2).collect()}
     assert short == {1: 0, 2: 1, 3: 2}
+
+
+def test_incremental_join_delta_rule_completeness(spark):
+    from data_engineering__spark.operators.merge import incremental_join_delta
+    oa = spark.createDataFrame([Row(k=1, a="a1"), Row(k=2, a="a2")])
+    da = spark.createDataFrame([Row(k=2, a="a3"), Row(k=3, a="a4")])
+    ob = spark.createDataFrame([Row(k=2, b="b1")])
+    db = spark.createDataFrame([Row(k=1, b="b2"), Row(k=3, b="b3")])
+    delta = {(r.k, r.a, r.b) for r in
+             incremental_join_delta(oa, da, ob, db, "k").collect()}
+    full = {(r.k, r.a, r.b) for r in
+            oa.unionByName(da).join(ob.unionByName(db), "k").collect()}
+    base = {(r.k, r.a, r.b) for r in oa.join(ob, "k").collect()}
+    assert delta == full - base         # exactly the gained rows
+    assert base | delta == full
+
+
+def test_skyline_strict_dominance_and_tie_points(spark):
+    from data_engineering__spark.operators.relational import skyline_2d
+    rows = [Row(s=10, p=100), Row(s=10, p=100),   # frontier, 2 rows
+            Row(s=10, p=120),                      # same size, pricier → out
+            Row(s=8, p=100),                       # price tied, smaller → out
+            Row(s=8, p=90),                        # frontier
+            Row(s=12, p=150)]                      # largest size → frontier
+    got = {(r.max_val, r.min_val): r.n_rows for r in skyline_2d(
+        spark.createDataFrame(rows), F.col("s").cast("long"),
+        F.col("p").cast("long")).collect()}
+    assert got == {(12, 150): 1, (10, 100): 2, (8, 90): 1}
