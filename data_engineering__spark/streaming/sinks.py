@@ -31,3 +31,45 @@ def foreach_batch_merge(stream: DataFrame,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def idempotent_batch_write(df: DataFrame, path: str, batch_id: int) -> bool:
+    """EXT (R143): the exactly-once half of the foreachBatch contract —
+    an idempotent, batch-id-keyed append. Structured Streaming replays a
+    micro-batch after failure with the SAME batch_id; a sink is
+    exactly-once iff the replay is a no-op. Layout: each batch lands in
+    its own ``batch_id=N`` partition directory, and a zero-byte
+    ``_batch_N.committed`` marker (written AFTER the data) gates
+    re-execution — data without a marker is an aborted attempt that the
+    retry overwrites in place.
+
+    Returns True if the batch was written, False if it was already
+    committed (replayed). The marker check-then-write is safe under the
+    streaming engine's guarantee that one batch_id never runs
+    concurrently with itself. Readers take only committed batches:
+    ``read_committed_batches``."""
+    import os
+
+    marker = os.path.join(path, f"_batch_{batch_id}.committed")
+    if os.path.exists(marker):
+        return False
+    (df.write.mode("overwrite")
+       .parquet(os.path.join(path, f"batch_id={batch_id}")))
+    with open(marker, "w"):
+        pass
+    return True
+
+
+def read_committed_batches(spark, path: str) -> DataFrame:
+    """Read ONLY committed batches of an ``idempotent_batch_write``
+    layout — aborted attempts (data, no marker) are invisible, which is
+    what makes the sink's crash window safe for readers."""
+    import os
+
+    ids = sorted(int(f[len("_batch_"):-len(".committed")])
+                 for f in os.listdir(path)
+                 if f.startswith("_batch_") and f.endswith(".committed"))
+    paths = [os.path.join(path, f"batch_id={i}") for i in ids]
+    if not paths:
+        raise ValueError(f"no committed batches under {path}")
+    return spark.read.parquet(*paths)

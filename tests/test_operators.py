@@ -1968,3 +1968,25 @@ def test_skyline_strict_dominance_and_tie_points(spark):
         spark.createDataFrame(rows), F.col("s").cast("long"),
         F.col("p").cast("long")).collect()}
     assert got == {(12, 150): 1, (10, 100): 2, (8, 90): 1}
+
+
+def test_idempotent_batch_write_replay_is_noop(spark, tmp_path):
+    from data_engineering__spark.streaming.sinks import (
+        idempotent_batch_write, read_committed_batches)
+    out = str(tmp_path / "sink")
+    import os
+    os.makedirs(out)
+    b0 = spark.createDataFrame([Row(k=1), Row(k=2)])
+    b1 = spark.createDataFrame([Row(k=3)])
+    assert idempotent_batch_write(b0, out, 0) is True
+    assert idempotent_batch_write(b1, out, 1) is True
+    # replay of batch 0 (streaming retry) must be a no-op
+    replay = spark.createDataFrame([Row(k=99)])
+    assert idempotent_batch_write(replay, out, 0) is False
+    got = sorted(r.k for r in read_committed_batches(spark, out).collect())
+    assert got == [1, 2, 3]
+    # an aborted attempt (data, no marker) stays invisible
+    b2 = spark.createDataFrame([Row(k=7)])
+    b2.write.mode("overwrite").parquet(os.path.join(out, "batch_id=2"))
+    got2 = sorted(r.k for r in read_committed_batches(spark, out).collect())
+    assert got2 == [1, 2, 3]
