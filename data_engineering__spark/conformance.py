@@ -1974,11 +1974,12 @@ DRIVER_PRIORITY = [
     # outrank the changed-oracle block, whose keys have old green rows
     # plus local re-verification). Window accounting: 24 never-verified
     # + 26 resumed-session new fill the driver's 50 slots exactly; the
-    # 18 main-session new keys below them and the changed-oracle block
-    # ride to next round. EVERY key here is locally verified — this
-    # session's vanilla-session sweep ran ALL oracle-backed queries at
-    # sf0.01: 169/169 green (plus the later-added R130/R131, verified
-    # individually the same way).
+    # 28 main-session new keys (R114-R143) below them and the
+    # changed-oracle block ride to next round. EVERY key here is locally
+    # verified — this session's vanilla-session sweeps ran ALL
+    # oracle-backed queries at sf0.01 green (169/169 then 177/177 as the
+    # registry grew; later additions verified individually the same
+    # way).
     "streaming_rate_tumbling", "script_profile_docs",
     "dedup_cluster_sizes", "token_heavy_hitters",
     "minhash_incremental_pairs", "bm25_search_docs", "hybrid_search_rrf",
