@@ -2005,7 +2005,7 @@ DRIVER_PRIORITY = [
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events", "bfs_hops_graph",
-    "incremental_join_orders", "skyline_parts",
+    "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6036,3 +6036,34 @@ def skyline_parts(spark, sf_dir):
     pt = read_table(spark, sf_dir, "part")
     return skyline_2d(pt, F.col("p_size").cast("long"),
                       F.round(F.col("p_retailprice") * 100).cast("long"))
+
+
+@query("bpe_pair_counts_docs", oracle=_mat(r"""
+WITH w AS (
+  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                        '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY t),
+prs AS (
+  SELECT cs[i] AS left_sym, cs[i + 1] AS right_sym, freq
+  FROM (SELECT freq, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+        FROM (SELECT freq, string_split(word, '') AS cs FROM w)
+        WHERE len(cs) >= 2)),
+counts AS (
+  SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM prs GROUP BY left_sym, right_sym)
+SELECT left_sym, right_sym, pair_count
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, left_sym ASC,
+                                   right_sym ASC) AS rn
+      FROM counts)
+WHERE rn <= 20"""))
+def bpe_pair_counts_docs(spark, sf_dir):
+    """EXT R144: BPE tokenizer-training inner loop — first-iteration
+    adjacent symbol-pair counts over the corpus's weighted word table,
+    top-20 with lexicographic tie-break. The corpus is touched once
+    (bpe_init); every training iteration after that aggregates the
+    Zipf-small vocabulary."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.bpe_pair_counts(X.bpe_init(docs, "text"), k=20)

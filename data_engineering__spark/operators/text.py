@@ -633,3 +633,65 @@ def source_curation_report(df: DataFrame, text_col: str,
         F.when(dup_frac > dup_drop, F.lit("drop"))
          .when(mean_q < quality_review, F.lit("review"))
          .otherwise(F.lit("keep")).alias("decision")))
+
+
+def bpe_init(df: DataFrame, text_col: str) -> DataFrame:
+    """(symbols: array<string>, freq) word table for BPE training —
+    whitespace words collapsed to a Zipf-small frequency table (the
+    standard trick: all pair statistics weight by word FREQUENCY, so
+    every later iteration runs over the vocabulary, not the corpus),
+    each word exploded to its character symbols."""
+    w = (df.select(F.explode(tokens(text_col)).alias("__w"))
+         .groupBy("__w").agg(F.count(F.lit(1)).alias("freq")))
+    return w.select(F.split("__w", "").alias("symbols"), "freq")
+
+
+def bpe_pair_counts(words: DataFrame, k: int = 20,
+                    sym_col: str = "symbols",
+                    freq_col: str = "freq") -> DataFrame:
+    """EXT (R144): one BPE-training iteration's statistics — adjacent
+    symbol-pair counts over the weighted word table, top-k by count
+    (pair lexicographic tie-break, so the selected merge is
+    engine-reproducible). This IS the scalable inner loop of BPE
+    tokenizer training: the corpus is touched once (``bpe_init``);
+    every iteration after that is one hash aggregation over the
+    vocabulary — the shape that lets a 100 TB corpus train a tokenizer
+    on its true word distribution instead of a sample.
+
+    Pairs come from zipping the symbol array against itself shifted
+    (map-side arrays_zip, no window); counts are exact integer
+    Σ freq."""
+    n = F.size(F.col(sym_col))
+    pairs = F.arrays_zip(
+        F.slice(F.col(sym_col), 1, n - 1).alias("l"),
+        F.slice(F.col(sym_col), 2, n - 1).alias("r"))
+    exploded = (words.filter(n >= 2)
+                .select(F.col(freq_col).alias("__f"),
+                        F.explode(pairs).alias("__p"))
+                .select(F.col("__p.l").alias("left_sym"),
+                        F.col("__p.r").alias("right_sym"), "__f"))
+    counts = (exploded.groupBy("left_sym", "right_sym")
+              .agg(F.sum("__f").alias("pair_count")))
+    w = Window.orderBy(F.col("pair_count").desc(),
+                       F.col("left_sym").asc(), F.col("right_sym").asc())
+    return (counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("left_sym", "right_sym", "pair_count"))
+
+
+def apply_bpe_merge(words: DataFrame, left: str, right: str,
+                    sym_col: str = "symbols") -> DataFrame:
+    """Apply one BPE merge (left, right) → "leftright" to the word
+    table, greedy left-to-right (the reference BPE semantics: in
+    'aaa' the pair (a,a) merges positions 1-2, leaving ['aa','a']).
+    One bounded fold per VOCABULARY row — the corpus is never touched
+    again after ``bpe_init``."""
+    merged = F.lit(left + right)
+    fold = F.aggregate(
+        F.col(sym_col), F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
+        .otherwise(F.concat(acc, F.array(s))))
+    return words.withColumn(sym_col, fold)

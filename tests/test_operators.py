@@ -1990,3 +1990,50 @@ def test_idempotent_batch_write_replay_is_noop(spark, tmp_path):
     b2.write.mode("overwrite").parquet(os.path.join(out, "batch_id=2"))
     got2 = sorted(r.k for r in read_committed_batches(spark, out).collect())
     assert got2 == [1, 2, 3]
+
+
+def test_bpe_three_iterations_match_python_reference(spark):
+    """Three full BPE training iterations (count → pick top merge →
+    apply) against a pure-Python reference implementation."""
+    from data_engineering__spark.operators.text import (
+        apply_bpe_merge, bpe_init, bpe_pair_counts)
+    corpus = ["low low low lower lowest", "new newer newest low"]
+    df = spark.createDataFrame([Row(text=t) for t in corpus])
+
+    # --- python reference
+    from collections import Counter
+    words = Counter(w for t in corpus for w in t.lower().split())
+    vocab = {tuple(w): f for w, f in words.items()}
+
+    def ref_counts(v):
+        c = Counter()
+        for syms, f in v.items():
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += f
+        return c
+
+    def ref_merge(v, pair):
+        out = {}
+        for syms, f in v.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == pair):
+                    merged.append(syms[i] + syms[i + 1]); i += 2
+                else:
+                    merged.append(syms[i]); i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + f
+        return out
+
+    sdf = bpe_init(df, "text")
+    for _ in range(3):
+        top = bpe_pair_counts(sdf, k=1).collect()[0]
+        rc = ref_counts(vocab)
+        best = min(rc.items(),
+                   key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        assert (top.left_sym, top.right_sym) == best
+        assert top.pair_count == rc[best]
+        sdf = apply_bpe_merge(sdf, *best)
+        vocab = ref_merge(vocab, best)
+    final = {tuple(r.symbols) for r in sdf.collect()}
+    assert final == set(vocab)
