@@ -92,7 +92,7 @@ HEADLINE = [
     "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events", "incremental_join_orders", "skyline_parts",
-    "bpe_pair_counts_docs",
+    "bpe_pair_counts_docs", "negative_samples_embeddings",
     # bfs_hops_graph excluded like the other 50-node demo-graph queries
     # (pure per-iteration job overhead, not throughput)
     # dataset-split / sampling (round 2)

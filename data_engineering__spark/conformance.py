@@ -2006,6 +2006,7 @@ DRIVER_PRIORITY = [
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events", "bfs_hops_graph",
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
+    "negative_samples_embeddings",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6067,3 +6068,26 @@ def bpe_pair_counts_docs(spark, sf_dir):
     Zipf-small vocabulary."""
     docs = read_table(spark, sf_dir, "documents")
     return X.bpe_pair_counts(X.bpe_init(docs, "text"), k=20)
+
+
+@query("negative_samples_embeddings", oracle=_mat("""
+WITH n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+cand AS (
+  SELECT e.vec_id, e.label AS ag, t.j, n1.n,
+         CAST(('0x' || substr(sha256('neg|' || CAST(e.vec_id AS VARCHAR)
+                                     || '|' || CAST(t.j AS VARCHAR)),
+                              1, 8)) AS BIGINT) % n1.n AS neg_id
+  FROM embeddings e CROSS JOIN n1
+  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) t)
+SELECT c.vec_id AS anchor_id, CAST(c.j AS INTEGER) AS j, c.neg_id
+FROM cand c JOIN embeddings x ON c.neg_id = x.vec_id
+WHERE c.neg_id <> c.vec_id
+  AND x.label IS DISTINCT FROM c.ag"""))
+def negative_samples_embeddings(spark, sf_dir):
+    """EXT R145: deterministic contrastive negative sampling over the
+    embedding table — 3 sha-drawn uniform negatives per anchor,
+    excluding self and same-label candidates (false-negative guard);
+    the oracle recomputes the sha slot arithmetic and exclusions."""
+    from .operators.sampling import negative_samples
+    e = read_table(spark, sf_dir, "embeddings")
+    return negative_samples(e, "vec_id", "label", k=3, salt="neg")

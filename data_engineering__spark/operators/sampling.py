@@ -198,3 +198,40 @@ def split_leakage_report(pairs: DataFrame, splits: DataFrame,
                     F.greatest("__sa", "__sb").alias("split_b"))
             .groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
+def negative_samples(items: DataFrame, id_col: str, group_col: str,
+                     k: int = 3, salt: str = "neg") -> DataFrame:
+    """EXT (R145): deterministic negative sampling for contrastive /
+    triplet training — per anchor, up to ``k`` uniform negatives drawn
+    by sha-arithmetic (slot ``j`` → candidate id ``sha(salt‖anchor‖j)
+    mod n``), excluding the anchor itself and any candidate sharing the
+    anchor's ``group_col`` (label/near-dup cluster — the "false
+    negative" guard). The ``hash_split`` discipline: reruns, appends
+    and repartitions reproduce the same negatives; a new epoch resamples
+    by changing ``salt``.
+
+    Ids must be DENSE [0, n) (the training-data convention after
+    ``assign_ids``); n is computed once as a scalar and broadcast.
+    Anchors can emit < k rows when slots collide with self/same-group —
+    accepted and standard (the next epoch's salt redraws); nothing
+    re-rolls, so the operator stays one map-side projection + one
+    group-lookup join. Scale shape: the only joins key on candidate id
+    against the (id, group) table — no shuffle of anything wider."""
+    n1 = items.agg(F.count(F.lit(1)).alias("__n"))
+    cand = (items.select(F.col(id_col), F.col(group_col).alias("__ag"))
+            .crossJoin(F.broadcast(n1))
+            .select(id_col, "__ag", "__n",
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("j")))
+    h = F.conv(F.substring(F.sha2(F.concat(
+        F.lit(salt), F.lit("|"), F.col(id_col).cast("string"),
+        F.lit("|"), F.col("j").cast("string")), 256), 1, 8), 16, 10) \
+        .cast("long")
+    cand = cand.withColumn("neg_id", F.pmod(h, F.col("__n")))
+    lookup = items.select(F.col(id_col).alias("neg_id"),
+                          F.col(group_col).alias("__ng"))
+    return (cand.filter(F.col("neg_id") != F.col(id_col))
+            .join(lookup, "neg_id")
+            .filter(~F.col("__ng").eqNullSafe(F.col("__ag")))
+            .select(F.col(id_col).alias("anchor_id"), "j", "neg_id"))

@@ -2037,3 +2037,19 @@ def test_bpe_three_iterations_match_python_reference(spark):
         vocab = ref_merge(vocab, best)
     final = {tuple(r.symbols) for r in sdf.collect()}
     assert final == set(vocab)
+
+
+def test_negative_samples_deterministic_and_guarded(spark):
+    from data_engineering__spark.operators.sampling import negative_samples
+    items = spark.createDataFrame(
+        [Row(id=i, lbl=i % 2) for i in range(10)])
+    a = negative_samples(items, "id", "lbl", k=4, salt="s1").collect()
+    b = negative_samples(items, "id", "lbl", k=4, salt="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    lbl = {i: i % 2 for i in range(10)}
+    for r in a:
+        assert r.neg_id != r.anchor_id
+        assert lbl[r.neg_id] != lbl[r.anchor_id]  # never same group
+    # a different salt redraws (some difference expected)
+    c = negative_samples(items, "id", "lbl", k=4, salt="s2").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
