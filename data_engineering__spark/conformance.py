@@ -2006,7 +2006,7 @@ DRIVER_PRIORITY = [
     "containment_pairs_docs", "psi_value_drift",
     "funnel_gap_stats_events", "bfs_hops_graph",
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
-    "negative_samples_embeddings",
+    "negative_samples_embeddings", "rendezvous_shard_report",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6091,3 +6091,41 @@ def negative_samples_embeddings(spark, sf_dir):
     from .operators.sampling import negative_samples
     e = read_table(spark, sf_dir, "embeddings")
     return negative_samples(e, "vec_id", "label", k=3, salt="neg")
+
+
+@query("rendezvous_shard_report", oracle=_mat("""
+WITH keys AS (SELECT c_custkey AS k FROM customer),
+sb(s) AS (VALUES ('shard-0'), ('shard-1'), ('shard-2'), ('shard-3'),
+                 ('shard-4')),
+sa(s) AS (VALUES ('shard-0'), ('shard-1'), ('shard-2'), ('shard-3'),
+                 ('shard-4'), ('shard-5')),
+wb AS (
+  SELECT k, arg_max(s, CAST(('0x' || substr(sha256(s || '|' ||
+             CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS sh
+  FROM keys CROSS JOIN sb GROUP BY k),
+wa AS (
+  SELECT k, arg_max(s, CAST(('0x' || substr(sha256(s || '|' ||
+             CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)) AS sh
+  FROM keys CROSS JOIN sa GROUP BY k),
+j AS (SELECT wb.sh AS b, wa.sh AS a FROM wb JOIN wa ON wb.k = wa.k),
+by_b AS (
+  SELECT b AS shard, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(COUNT(*) FILTER (a = b) AS BIGINT) AS n_stayed
+  FROM j GROUP BY b),
+by_a AS (
+  SELECT a AS shard, CAST(COUNT(*) AS BIGINT) AS n_after FROM j GROUP BY a)
+SELECT COALESCE(by_b.shard, by_a.shard) AS shard,
+       COALESCE(n_before, 0) AS n_before,
+       COALESCE(n_after, 0) AS n_after,
+       COALESCE(n_stayed, 0) AS n_stayed
+FROM by_b FULL OUTER JOIN by_a ON by_b.shard = by_a.shard"""))
+def rendezvous_shard_report(spark, sf_dir):
+    """EXT R146: rendezvous (HRW) resharding impact — customer keys
+    assigned under 5 vs 6 shards; Σ(n_before − n_stayed) measures the
+    movement, ≈ n/6 for HRW vs ≈ 5n/6 for mod-N. 60-bit weights make
+    ties a 2⁻⁶⁰ event, so the oracle's plain arg_max is exact."""
+    from .operators.sampling import rendezvous_report
+    cust = read_table(spark, sf_dir, "customer")
+    before = [f"shard-{i}" for i in range(5)]
+    after = [f"shard-{i}" for i in range(6)]
+    return rendezvous_report(cust, "c_custkey", before, after)

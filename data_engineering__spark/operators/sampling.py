@@ -235,3 +235,51 @@ def negative_samples(items: DataFrame, id_col: str, group_col: str,
             .join(lookup, "neg_id")
             .filter(~F.col("__ng").eqNullSafe(F.col("__ag")))
             .select(F.col(id_col).alias("anchor_id"), "j", "neg_id"))
+
+
+def rendezvous_assign(key_col: str, shards: list[str],
+                      out_col: str = "shard") -> Column:
+    """Highest-random-weight (rendezvous) shard assignment expression:
+    shard = argmax over shards of sha256(shard ‖ key) — pure codegen,
+    no ring state. Unlike ``key mod N``, growing the shard set moves
+    ONLY the keys whose new shard wins their weight race (≈ n/(N+1)),
+    not ~all of them — the property that makes cache/shard topology
+    changes cheap. Weights take 60 sha bits (15 hex chars), so a tie is
+    a ~2⁻⁶⁰ event — which is what lets the DuckDB oracle use a plain
+    arg_max instead of replicating struct-comparison tie semantics."""
+    weights = F.array(*[
+        F.struct(
+            F.conv(F.substring(F.sha2(F.concat(
+                F.lit(s), F.lit("|"), F.col(key_col).cast("string")), 256),
+                1, 15), 16, 10).cast("long").alias("w"),
+            F.lit(s).alias("s"))
+        for s in shards])
+    return F.array_max(weights)["s"].alias(out_col)
+
+
+def rendezvous_report(df: DataFrame, key_col: str, before: list[str],
+                      after: list[str]) -> DataFrame:
+    """EXT (R146): resharding impact report — per shard (union of both
+    topologies): keys assigned under the BEFORE set, under the AFTER
+    set, and how many of its before-keys STAYED. Σ(n_before − n_stayed)
+    is the total movement; for rendezvous growth N → N+1 that is ≈ n/(N+1)
+    versus ≈ n·N/(N+1) for mod-N — the entire point, made measurable.
+    ONE map-side projection (both argmax expressions per row) + one hash
+    aggregation; nothing shuffles but (shard, counters)."""
+    assigned = df.select(
+        rendezvous_assign(key_col, before, "__b"),
+        rendezvous_assign(key_col, after, "__a"))
+    by_b = (assigned.groupBy(F.col("__b").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_before"),
+                 F.count(F.when(F.col("__a") == F.col("__b"), 1))
+                 .alias("n_stayed")))
+    by_a = (assigned.groupBy(F.col("__a").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_after")))
+    return (by_b.join(by_a, "shard", "full_outer")
+            .select("shard",
+                    F.coalesce("n_before", F.lit(0)).cast("long")
+                    .alias("n_before"),
+                    F.coalesce("n_after", F.lit(0)).cast("long")
+                    .alias("n_after"),
+                    F.coalesce("n_stayed", F.lit(0)).cast("long")
+                    .alias("n_stayed")))

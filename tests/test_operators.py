@@ -2053,3 +2053,20 @@ def test_negative_samples_deterministic_and_guarded(spark):
     # a different salt redraws (some difference expected)
     c = negative_samples(items, "id", "lbl", k=4, salt="s2").collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_rendezvous_growth_moves_minimal_keys(spark):
+    """HRW growth 4→5 shards must move ≈ n/5 keys (binomial tolerance),
+    while mod-N would move ≈ 4n/5 — the whole point of the technique."""
+    from data_engineering__spark.operators.sampling import rendezvous_report
+    df = spark.createDataFrame([Row(k=i) for i in range(2000)])
+    before = [f"s{i}" for i in range(4)]
+    after = [f"s{i}" for i in range(5)]
+    rep = rendezvous_report(df, "k", before, after).collect()
+    n = sum(r.n_before for r in rep)
+    moved = sum(r.n_before - r.n_stayed for r in rep)
+    assert n == 2000
+    assert 250 <= moved <= 550          # expectation 400 = n/5
+    # every moved key landed on the NEW shard (old shards only lose)
+    new = [r for r in rep if r.shard == "s4"][0]
+    assert new.n_before == 0 and new.n_after == moved
