@@ -2007,6 +2007,7 @@ DRIVER_PRIORITY = [
     "funnel_gap_stats_events", "bfs_hops_graph",
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
     "negative_samples_embeddings", "rendezvous_shard_report",
+    "countmin_token_check",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6129,3 +6130,46 @@ def rendezvous_shard_report(spark, sf_dir):
     before = [f"shard-{i}" for i in range(5)]
     after = [f"shard-{i}" for i in range(6)]
     return rendezvous_report(cust, "c_custkey", before, after)
+
+
+@query("countmin_token_check", oracle=_mat(r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'),
+                            t -> t <> '')) AS key
+  FROM documents),
+slots AS (
+  SELECT key, d,
+         CAST(('0x' || substr(sha256('cm|' || CAST(d AS VARCHAR) || '|'
+                                     || key), 1, 8)) AS BIGINT) % 256
+           AS slot
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds),
+cm AS (
+  SELECT d, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM slots GROUP BY d, slot),
+exact AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS exact FROM toks GROUP BY key),
+top AS (
+  SELECT key, exact FROM (
+    SELECT key, exact,
+           ROW_NUMBER() OVER (ORDER BY exact DESC, key ASC) AS rn
+    FROM exact) WHERE rn <= 20),
+probes AS (
+  SELECT t.key, t.exact, ds.d,
+         CAST(('0x' || substr(sha256('cm|' || CAST(ds.d AS VARCHAR) || '|'
+                                     || t.key), 1, 8)) AS BIGINT) % 256
+           AS slot
+  FROM top t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds)
+SELECT p.key, p.exact, CAST(MIN(cm.cnt) AS BIGINT) AS cm_estimate,
+       CAST(MIN(cm.cnt) - p.exact AS BIGINT) AS overestimate
+FROM probes p JOIN cm ON p.d = cm.d AND p.slot = cm.slot
+GROUP BY p.key, p.exact"""))
+def countmin_token_check(spark, sf_dir):
+    """EXT R147: Count-Min accuracy report over corpus tokens — exact
+    top-20 term frequencies vs their CM estimates (4×256 sketch);
+    overestimate ≥ 0 by construction, bounded in expectation by
+    n/width per row. Completes the sketch trio (HLL, KLL, CM)."""
+    from .operators.sketches import countmin_check
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
+    return countmin_check(toks, "tok", k=20, depth=4, width=256, salt="cm")

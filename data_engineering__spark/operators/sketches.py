@@ -18,7 +18,7 @@ IDENTICAL estimate the direct sketch over the raw rows would.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LG_K = 12  # ~1.6% relative standard error, 4 KiB per sketch
@@ -161,3 +161,61 @@ def heavy_hitters(df: DataFrame, value_col: str,
             .crossJoin(F.broadcast(total))
             .filter(F.col("count") * capacity > F.col("__n"))
             .select(value_col, F.col("count").cast("long").alias("count")))
+
+
+def _cm_slot(key: "F.Column", d: int, width: int, salt: str) -> "F.Column":
+    """Row-d Count-Min slot for a key: sha(salt‖d‖key) mod width —
+    portable hash arithmetic (the repo's sha-bucket convention)."""
+    h = F.sha2(F.concat(F.lit(salt), F.lit("|"), F.lit(str(d)),
+                        F.lit("|"), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def countmin_build(df: DataFrame, key_col: str, depth: int = 4,
+                   width: int = 256, salt: str = "cm") -> DataFrame:
+    """Count-Min sketch as a (d, slot, cnt) table — depth×width bounded
+    state regardless of input size, built in ONE aggregation (each row
+    contributes ``depth`` map-side slot increments). Mergeable by plain
+    addition (slot-wise sum — the ``merge_aggregates`` algebra), which
+    is what lets per-partition / per-day sketches roll up without
+    rescans. Completes the sketch trio: HLL (distinct), KLL (quantiles),
+    CM (frequency)."""
+    slots = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cm_slot(F.col(key_col), d, width, salt).alias("slot"))
+        for d in range(depth)])
+    return (df.select(F.explode(slots).alias("__s"))
+            .groupBy(F.col("__s.d").alias("d"),
+                     F.col("__s.slot").alias("slot"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def countmin_check(df: DataFrame, key_col: str, k: int = 20,
+                   depth: int = 4, width: int = 256,
+                   salt: str = "cm") -> DataFrame:
+    """EXT (R147): Count-Min accuracy report — the exact top-k keys by
+    frequency, each with its CM estimate (min over the depth rows) and
+    the overestimate. CM guarantees est ≥ exact (collisions only ADD),
+    with E[overestimate] ≤ n/width per row — this report makes the
+    bound observable on real data before anyone trusts the sketch for
+    capping/heavy-hitter work at scale. All arithmetic is exact
+    integers + portable sha slots; top-k ties break on the key."""
+    cm = countmin_build(df, key_col, depth, width, salt)
+    exact = (df.groupBy(F.col(key_col).alias("key"))
+             .agg(F.count(F.lit(1)).alias("exact")))
+    w = Window.orderBy(F.col("exact").desc(), F.col("key").asc())
+    top = (exact.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= k).drop("__rn"))
+    probes = top.select(
+        "key", "exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     _cm_slot(F.col("key"), d, width, salt).alias("slot"))
+            for d in range(depth)])).alias("__p")) \
+        .select("key", "exact", "__p.d", "__p.slot")
+    est = (probes.join(F.broadcast(cm), ["d", "slot"])
+           .groupBy("key", "exact")
+           .agg(F.min("cnt").alias("cm_estimate")))
+    return est.select("key", "exact", "cm_estimate",
+                      (F.col("cm_estimate") - F.col("exact"))
+                      .alias("overestimate"))

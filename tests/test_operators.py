@@ -2070,3 +2070,34 @@ def test_rendezvous_growth_moves_minimal_keys(spark):
     # every moved key landed on the NEW shard (old shards only lose)
     new = [r for r in rep if r.shard == "s4"][0]
     assert new.n_before == 0 and new.n_after == moved
+
+
+def test_countmin_never_underestimates_and_merges(spark):
+    from data_engineering__spark.operators.sketches import (
+        countmin_build, countmin_check)
+    rows = [Row(k=w) for w in
+            (["apple"] * 50 + ["pear"] * 20 + ["plum"] * 5
+             + [f"rare{i}" for i in range(200)])]
+    df = spark.createDataFrame(rows)
+    rep = {r.key: r for r in
+           countmin_check(df, "k", k=3, depth=4, width=64).collect()}
+    assert rep["apple"].exact == 50
+    for r in rep.values():
+        assert r.overestimate >= 0          # CM guarantee
+        assert r.cm_estimate >= r.exact
+    # sketch merge == sketch of the union (slot-wise addition);
+    # halves built explicitly so multiplicities are preserved
+    words = (["apple"] * 50 + ["pear"] * 20 + ["plum"] * 5
+             + [f"rare{i}" for i in range(200)])
+    half1 = spark.createDataFrame([Row(k=w) for w in words[:100]])
+    half2 = spark.createDataFrame([Row(k=w) for w in words[100:]])
+    import itertools
+
+    def tbl(d):
+        return {(r.d, r.slot): r.cnt
+                for r in countmin_build(d, "k", depth=4, width=64).collect()}
+    a, b, full = tbl(half1), tbl(half2), tbl(df)
+    merged = {}
+    for k2, v in itertools.chain(a.items(), b.items()):
+        merged[k2] = merged.get(k2, 0) + v
+    assert merged == full
