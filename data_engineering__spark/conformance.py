@@ -2007,7 +2007,7 @@ DRIVER_PRIORITY = [
     "funnel_gap_stats_events", "bfs_hops_graph",
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
     "negative_samples_embeddings", "rendezvous_shard_report",
-    "countmin_token_check",
+    "countmin_token_check", "token_budget_mix_docs",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6173,3 +6173,49 @@ def countmin_token_check(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(X.tokens("text")).alias("tok"))
     return countmin_check(toks, "tok", k=20, depth=4, width=256, salt="cm")
+
+
+_MIX_WEIGHTS = {f"src{i}": (0.10 if i < 5 else 0.02) for i in range(20)}
+
+
+@query("token_budget_mix_docs", oracle=_mat(f"""
+WITH base AS (
+  SELECT source AS src, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS nt
+  FROM documents),
+w(src, wt) AS (VALUES {", ".join(f"('src{i}', {0.10 if i < 5 else 0.02})"
+                                 for i in range(20))}),
+tot AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS docs_before,
+         CAST(SUM(nt) AS BIGINT) AS tokens_before
+  FROM base GROUP BY src),
+thr AS (
+  SELECT tot.src, docs_before, tokens_before,
+         LEAST(CAST(10000 AS BIGINT),
+               CAST(floor(CAST(wt AS DOUBLE) * 3000.0 * 10000.0
+                          / CAST(tokens_before AS DOUBLE)) AS BIGINT))
+           AS bucket_threshold
+  FROM tot JOIN w ON tot.src = w.src),
+marked AS (
+  SELECT b.src, b.nt,
+         ({_bucket_sql("CAST(b.doc_id AS VARCHAR)", "mix")})
+           < t.bucket_threshold AS keep
+  FROM base b JOIN thr t ON b.src = t.src)
+SELECT t.src AS source, t.docs_before, t.tokens_before, t.bucket_threshold,
+       CAST(COUNT(*) FILTER (m.keep) AS BIGINT) AS docs_after,
+       CAST(COALESCE(SUM(CASE WHEN m.keep THEN m.nt END), 0) AS BIGINT)
+         AS tokens_after
+FROM marked m JOIN thr t ON m.src = t.src
+GROUP BY t.src, t.docs_before, t.tokens_before, t.bucket_threshold"""))
+def token_budget_mix_docs(spark, sf_dir):
+    """EXT R148: token-budget mix sampling — sources downsample to their
+    token share of a 3000-token budget (src0-4 at 10%, the rest at 2%),
+    per-doc sha-bucket membership at the exact integer threshold. Both
+    branches (capped pass-through and genuine downsample) are exercised
+    at both test scales."""
+    from .operators.sampling import token_budget_mix
+    docs = read_table(spark, sf_dir, "documents")
+    return token_budget_mix(docs, "source", "text", "doc_id",
+                            _MIX_WEIGHTS, total_tokens=3000, salt="mix")

@@ -283,3 +283,57 @@ def rendezvous_report(df: DataFrame, key_col: str, before: list[str],
                     .alias("n_after"),
                     F.coalesce("n_stayed", F.lit(0)).cast("long")
                     .alias("n_stayed")))
+
+
+def token_budget_mix(df: DataFrame, source_col: str, text_col: str,
+                     key_col: str, weights: dict[str, float],
+                     total_tokens: int, salt: str = "mix") -> DataFrame:
+    """EXT (R148): pretraining-mix sampling by TOKEN budget — downsample
+    each source so it contributes ≈ ``weights[source] · total_tokens``
+    tokens (the level mixes are actually specified at; doc-count mixing
+    over-weights long-document sources). Acceptance is per-DOC
+    sha-bucket membership at rate budget/actual (capped at 1 — sources
+    under budget pass through; a real run would raise their epoch count
+    instead), so the mix is rerun/append/repartition-stable.
+
+    Returns the per-source audit report: docs/tokens before, the exact
+    bucket threshold applied, and docs/tokens after — the table a mix
+    review reads before training. Exactness: token counts are integer
+    sums; the rate is one integer-ratio division whose bucket threshold
+    floors into the sha-bucket domain (integer compare, the hash_split
+    discipline — never a float accept probability at row scope).
+
+    Scale shape: one pass to (source, token) totals (map-side partials),
+    the tiny per-source threshold table broadcasts back, membership is
+    pure codegen, and the after-totals fold in the same aggregation
+    shape. Bodies never shuffle."""
+    base = df.select(F.col(source_col).alias("__src"),
+                     F.col(key_col).alias("__k"),
+                     F.size(F.filter(
+                         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                         lambda t: t != "")).cast("long").alias("__nt"))
+    totals = (base.groupBy("__src")
+              .agg(F.count(F.lit(1)).alias("docs_before"),
+                   F.sum("__nt").alias("tokens_before")))
+    wmap = F.create_map(*[x for s, w in sorted(weights.items())
+                          for x in (F.lit(s), F.lit(float(w)))])
+    # threshold = floor(budget/actual · 10000), capped — INTEGER bucket
+    # compare downstream, so the applied rate is exactly threshold/10000
+    thr = F.least(
+        F.lit(10_000).cast("long"),
+        F.floor(wmap[F.col("__src")] * F.lit(float(total_tokens))
+                * F.lit(10_000.0) / F.col("tokens_before").cast("double"))
+        .cast("long"))
+    thresholds = totals.withColumn("bucket_threshold", thr)
+    marked = (base.join(F.broadcast(thresholds), "__src")
+              .withColumn("__keep",
+                          hash_bucket(F.col("__k"), _BUCKETS, salt)
+                          < F.col("bucket_threshold")))
+    return (marked.groupBy("__src", "docs_before", "tokens_before",
+                           "bucket_threshold")
+            .agg(F.count(F.when(F.col("__keep"), 1)).alias("docs_after"),
+                 F.coalesce(F.sum(F.when(F.col("__keep"), F.col("__nt"))),
+                            F.lit(0)).alias("tokens_after"))
+            .select(F.col("__src").alias("source"), "docs_before",
+                    "tokens_before", "bucket_threshold", "docs_after",
+                    "tokens_after"))

@@ -2101,3 +2101,20 @@ def test_countmin_never_underestimates_and_merges(spark):
     for k2, v in itertools.chain(a.items(), b.items()):
         merged[k2] = merged.get(k2, 0) + v
     assert merged == full
+
+
+def test_token_budget_mix_rates_and_cap(spark):
+    from data_engineering__spark.operators.sampling import token_budget_mix
+    rows = ([Row(src="big", id=i, text="a b c d e f g h i j") for i in range(200)]
+            + [Row(src="tiny", id=1000 + i, text="a b") for i in range(5)])
+    out = {r.source: r for r in token_budget_mix(
+        spark.createDataFrame(rows), "src", "text", "id",
+        {"big": 0.5, "tiny": 0.5}, total_tokens=1000).collect()}
+    big, tiny = out["big"], out["tiny"]
+    assert big.tokens_before == 2000 and tiny.tokens_before == 10
+    # big: budget 500/2000 → threshold 2500 (rate 0.25); tiny: capped
+    assert big.bucket_threshold == 2500
+    assert tiny.bucket_threshold == 10000
+    assert tiny.docs_after == 5                     # pass-through
+    assert 0 < big.docs_after < 200                 # genuinely sampled
+    assert big.tokens_after == big.docs_after * 10  # uniform doc length
