@@ -384,3 +384,26 @@ def test_duplicate_passages_single_aggregation_no_join(spark, sf_dir):
     p = plan_of(QUERIES["duplicate_passages_docs"](spark, sf_dir))
     assert "Join" not in p
     assert p.count("Scan parquet") == 2  # tree + detail = ONE scan
+
+
+def test_token_mix_broadcasts_thresholds(spark, sf_dir):
+    """The per-source threshold table must broadcast back onto the doc
+    surface — membership is map-side, bodies never shuffle."""
+    p = plan_of(QUERIES["token_budget_mix_docs"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_countmin_probe_broadcasts_sketch(spark, sf_dir):
+    """The bounded (d, slot, cnt) sketch joins the top-k probes as a
+    broadcast — the sketch is depth x width rows by construction."""
+    p = plan_of(QUERIES["countmin_token_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_negative_samples_no_cartesian_of_items(spark, sf_dir):
+    """Candidates join the (id, group) lookup on the candidate id — the
+    only cross join is the broadcast 1-row n scalar."""
+    p = plan_of(QUERIES["negative_samples_embeddings"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
