@@ -447,3 +447,50 @@ def test_edit_neighbors_matches_bruteforce(spark, names):
     want = {(i, j) for i in range(len(names)) for j in range(i + 1, len(names))
             if lev(names[i], names[j]) <= 1}
     assert got == want
+
+
+@given(iv=st.lists(st.tuples(st.integers(0, 40), st.integers(1, 15)),
+                   min_size=1, max_size=15))
+@SETTINGS
+def test_interval_concurrency_matches_pointwise_scan(spark, iv):
+    """Sweep-line result vs a brute-force per-unit-time scan of
+    half-open [s, s+len) intervals."""
+    from data_engineering__spark.operators.temporal import (
+        interval_concurrency)
+    rows = [Row(g="g", s=s, e=s + ln) for s, ln in iv]
+    out = interval_concurrency(
+        spark.createDataFrame(rows), ["g"],
+        F.col("s").cast("long"), F.col("e").cast("long"), k=2).collect()[0]
+    hi = max(s + ln for s, ln in iv)
+    conc = [sum(1 for s, ln in iv if s <= t < s + ln) for t in range(hi + 1)]
+    assert out.peak_concurrency == max(conc)
+    assert out.busy_us == sum(1 for c in conc if c >= 2)
+
+
+@given(texts=st.lists(st.lists(st.sampled_from("ab"), min_size=1,
+                               max_size=8).map(lambda cs: " ".join(cs)),
+                      min_size=2, max_size=8))
+@SETTINGS
+def test_duplicate_passages_matches_python_reference(spark, texts):
+    """Cross-doc n-token window detection vs a direct Python count
+    (tiny alphabet forces heavy sharing)."""
+    from collections import Counter, defaultdict
+    from data_engineering__spark.operators.dedup import duplicate_passages
+    n = 2
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {}
+    for r in duplicate_passages(df, "doc_id", "text",
+                                n=n, min_docs=2).collect():
+        got[r.passage_h] = (r.n_docs, r.n_occurrences)
+    docs_per = defaultdict(set)
+    occ = Counter()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for j in range(len(toks) - n + 1):
+            w = tuple(toks[j:j + n])
+            docs_per[w].add(i)
+            occ[w] += 1
+    want = sorted((len(docs_per[w]), occ[w])
+                  for w in docs_per if len(docs_per[w]) >= 2)
+    assert sorted(got.values()) == want  # hash ids differ; multisets match
