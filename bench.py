@@ -94,7 +94,7 @@ HEADLINE = [
     "funnel_gap_stats_events", "incremental_join_orders", "skyline_parts",
     "bpe_pair_counts_docs", "negative_samples_embeddings",
     "rendezvous_shard_report", "countmin_token_check",
-    "token_budget_mix_docs",
+    "token_budget_mix_docs", "grouped_split_counts",
     # bfs_hops_graph excluded like the other 50-node demo-graph queries
     # (pure per-iteration job overhead, not throughput)
     # dataset-split / sampling (round 2)

@@ -2008,6 +2008,7 @@ DRIVER_PRIORITY = [
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
     "negative_samples_embeddings", "rendezvous_shard_report",
     "countmin_token_check", "token_budget_mix_docs",
+    "grouped_split_counts",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6219,3 +6220,27 @@ def token_budget_mix_docs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return token_budget_mix(docs, "source", "text", "doc_id",
                             _MIX_WEIGHTS, total_tokens=3000, salt="mix")
+
+
+@query("grouped_split_counts", oracle=f"""
+WITH b AS (
+  SELECT source,
+         {_bucket_sql("source", "gsplit")} AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM b GROUP BY 1""")
+def grouped_split_counts(spark, sf_dir):
+    """EXT R149: leakage-safe grouped split — assignment keys on the
+    SOURCE, so correlated docs never straddle splits (prevention twin of
+    split_leakage_report). Oracle recomputes the bucket arithmetic on
+    the group key."""
+    from .operators.sampling import grouped_split
+    docs = read_table(spark, sf_dir, "documents")
+    return (grouped_split(docs, "source")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("source").alias("n_sources")))

@@ -337,3 +337,19 @@ def token_budget_mix(df: DataFrame, source_col: str, text_col: str,
             .select(F.col("__src").alias("source"), "docs_before",
                     "tokens_before", "bucket_threshold", "docs_after",
                     "tokens_after"))
+
+
+def grouped_split(df: DataFrame, group_col: str,
+                  fractions: dict[str, float] | None = None,
+                  salt: str = "gsplit", out_col: str = "split") -> DataFrame:
+    """EXT (R149): leakage-safe split — assignment keys on the GROUP
+    (source, near-dup cluster, author), so every correlated row lands in
+    the SAME split. Per-doc splitting leaks through correlation: two
+    near-identical docs from one source straddling train/test inflate
+    eval (exactly what ``split_leakage_report`` detects after the fact —
+    this operator PREVENTS it by construction, the belt to that
+    suspenders). Same sha-bucket stability contract as ``hash_split``;
+    the trade is granularity (split sizes now track group token mass,
+    not row counts — audit with ``token_budget_mix``-style reports when
+    groups are skewed)."""
+    return hash_split(df, group_col, fractions, salt, out_col)

@@ -2118,3 +2118,14 @@ def test_token_budget_mix_rates_and_cap(spark):
     assert tiny.docs_after == 5                     # pass-through
     assert 0 < big.docs_after < 200                 # genuinely sampled
     assert big.tokens_after == big.docs_after * 10  # uniform doc length
+
+
+def test_grouped_split_never_straddles_groups(spark, sf_dir):
+    from data_engineering__spark.operators.sampling import grouped_split
+    from data_engineering__spark.sources.io import read_table
+    docs = read_table(spark, sf_dir, "documents")
+    per_src = (grouped_split(docs, "source")
+               .groupBy("source")
+               .agg(F.countDistinct("split").alias("n_splits"))
+               .collect())
+    assert all(r.n_splits == 1 for r in per_src)
