@@ -265,15 +265,18 @@ def drift_report(before: DataFrame, after: DataFrame, key_cols: list[str],
     Scale shape: ONE full-outer join on the key, then ONE aggregate —
     every per-column counter folds map-side off the same joined row;
     adding a compared column adds no scan and no shuffle."""
-    b, a = before.alias("b"), after.alias("a")
+    # explicit presence markers, NOT key-null probes: a row whose key
+    # columns are themselves NULL is still PRESENT on its side (eqNullSafe
+    # matches it), and a key-null test would drop it from every counter
+    b = before.withColumn("__pb", F.lit(1)).alias("b")
+    a = after.withColumn("__pa", F.lit(1)).alias("a")
     cond = None
     for k in key_cols:
         c = F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}"))
         cond = c if cond is None else cond & c
-    k0 = key_cols[0]
     j = b.join(a, cond, "full_outer")
-    in_b = F.col(f"b.{k0}").isNotNull()
-    in_a = F.col(f"a.{k0}").isNotNull()
+    in_b = F.col("b.__pb").isNotNull()
+    in_a = F.col("a.__pa").isNotNull()
     aggs = [
         F.count(F.when(in_a & ~in_b, 1)).alias("keys_added"),
         F.count(F.when(in_b & ~in_a, 1)).alias("keys_removed"),

@@ -2129,3 +2129,16 @@ def test_grouped_split_never_straddles_groups(spark, sf_dir):
                .agg(F.countDistinct("split").alias("n_splits"))
                .collect())
     assert all(r.n_splits == 1 for r in per_src)
+
+
+def test_drift_report_null_keyed_rows_stay_visible(spark):
+    """A row whose KEY is NULL is still present on its side — presence
+    must come from side markers, not key-null probes (null keys match
+    null-safely and count as matched/changed like any other)."""
+    from data_engineering__spark.operators.quality import drift_report
+    before = spark.createDataFrame([Row(k=None, v=1), Row(k=1, v=2)])
+    after = spark.createDataFrame([Row(k=None, v=9), Row(k=2, v=3)])
+    got = {r.metric: r.value
+           for r in drift_report(before, after, ["k"], ["v"]).collect()}
+    assert got == {"keys_added": 1, "keys_removed": 1, "keys_matched": 1,
+                   "changed:v": 1}
