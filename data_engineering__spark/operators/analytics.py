@@ -681,6 +681,9 @@ def funnel_gap_stats(events: DataFrame, steps: list[str],
     user-keyed joins + min-aggregates (each localCheckpointed for its
     two consumers, the CC/funnel convention); the order-statistic window
     runs over distinct gap values per step, never raw users."""
+    if len(steps) < 2:
+        raise ValueError("funnel_gap_stats needs >= 2 steps (got "
+                         f"{steps!r}) — a gap needs two endpoints")
     ev = events.select(F.col(user_col).alias("__u"),
                        F.col(type_col).alias("__t"),
                        F.unix_micros(F.col(ts_col)).alias("__s"))
