@@ -2008,7 +2008,7 @@ DRIVER_PRIORITY = [
     "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
     "negative_samples_embeddings", "rendezvous_shard_report",
     "countmin_token_check", "token_budget_mix_docs",
-    "grouped_split_counts",
+    "grouped_split_counts", "apportioned_sample_docs",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6244,3 +6244,41 @@ def grouped_split_counts(spark, sf_dir):
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.countDistinct("source").alias("n_sources")))
+
+
+@query("apportioned_sample_docs", oracle=_mat("""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ng FROM documents
+  GROUP BY source),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n FROM counts),
+q AS (
+  SELECT source, ng,
+         CAST((100 * ng) // n AS BIGINT) AS base,
+         CAST((100 * ng) % n AS BIGINT) AS frac
+  FROM counts CROSS JOIN tot),
+rem AS (SELECT CAST(100 - SUM(base) AS BIGINT) AS r FROM q),
+quotas AS (
+  SELECT source,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC,
+                                             source ASC) <= rem.r
+                     THEN 1 ELSE 0 END AS quota
+  FROM q CROSS JOIN rem),
+picked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+         qu.quota
+  FROM documents d JOIN quotas qu ON d.source = qu.source)
+SELECT doc_id, source FROM picked WHERE rn <= quota"""))
+def apportioned_sample_docs(spark, sf_dir):
+    """EXT R150: exactly-100-doc apportioned selection across sources
+    (largest-remainder method, pure integer arithmetic), longest docs
+    first within each source. The oracle replicates quotas, remainder
+    distribution, and the per-group cut; the row COUNT being exactly
+    100 is itself part of the hash contract."""
+    from .operators.sampling import apportioned_sample
+    docs = read_table(spark, sf_dir, "documents")
+    return apportioned_sample(
+        docs, "source", 100,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "source")

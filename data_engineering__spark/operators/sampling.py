@@ -353,3 +353,47 @@ def grouped_split(df: DataFrame, group_col: str,
     not row counts — audit with ``token_budget_mix``-style reports when
     groups are skewed)."""
     return hash_split(df, group_col, fractions, salt, out_col)
+
+
+def apportioned_sample(df: DataFrame, group_col: str, total_n: int,
+                       order_by: list, out_quota_col: str | None = None
+                       ) -> DataFrame:
+    """EXT (R150): select EXACTLY ``total_n`` rows apportioned across
+    groups proportionally to group size — the largest-remainder
+    (Hamilton) method, the thing quota sampling cannot do ("about 10%
+    per group" drifts; review queues, eval-set builders and fixed-budget
+    labeling runs need an exact total with fair shares). Within each
+    group the ``order_by`` ranking picks WHICH rows (quality desc, id
+    tie-break — deterministic survivors, the dedup discipline).
+
+    Exactness: base quota = (N·n_g) DIV n in pure integers; the
+    remainder R = N − Σ base goes to the R groups with the largest
+    fractional part N·n_g mod n (group tie-break) — every step integer
+    arithmetic, so the selection is engine- and partition-invariant.
+    Scale shape: group counts (one partial agg), the quota table is
+    group-domain-sized (windows over it are compact), quotas broadcast
+    back, and the per-group cut is row_number ≤ quota →
+    WindowGroupLimit prunes before the exchange."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    tot = counts.agg(F.sum("__ng").alias("__n"))
+    q = (counts.crossJoin(F.broadcast(tot))
+         .withColumn("__base", F.expr(f"CAST(({total_n} * __ng) DIV __n "
+                                      "AS BIGINT)"))
+         .withColumn("__frac", F.expr(f"CAST(({total_n} * __ng) % __n "
+                                      "AS BIGINT)")))
+    w_rem = Window.orderBy(F.col("__frac").desc(), F.col(group_col).asc())
+    quotas = (q.withColumn("__rr", F.row_number().over(w_rem))
+              .crossJoin(F.broadcast(
+                  q.agg((F.lit(total_n) - F.sum("__base")).alias("__rem"))))
+              .withColumn("quota",
+                          (F.col("__base")
+                           + F.when(F.col("__rr") <= F.col("__rem"), 1)
+                           .otherwise(0)).cast("long"))
+              .select(group_col, "quota"))
+    w_pick = Window.partitionBy(group_col).orderBy(*order_by)
+    picked = (df.join(F.broadcast(quotas), group_col)
+              .withColumn("__rn", F.row_number().over(w_pick))
+              .filter(F.col("__rn") <= F.col("quota")))
+    if out_quota_col:
+        return picked.drop("__rn").withColumnRenamed("quota", out_quota_col)
+    return picked.drop("__rn", "quota")

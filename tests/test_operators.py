@@ -2142,3 +2142,24 @@ def test_drift_report_null_keyed_rows_stay_visible(spark):
            for r in drift_report(before, after, ["k"], ["v"]).collect()}
     assert got == {"keys_added": 1, "keys_removed": 1, "keys_matched": 1,
                    "changed:v": 1}
+
+
+def test_apportioned_sample_exact_total_and_fair_shares(spark):
+    from data_engineering__spark.operators.sampling import apportioned_sample
+    # groups of 7, 5, 3 rows; pick exactly 10: quotas 4/3/2 by
+    # largest remainder (floor 4,3,2 sums to 9; +1 to largest frac)
+    rows = ([Row(g="a", id=i, q=i) for i in range(7)]
+            + [Row(g="b", id=100 + i, q=i) for i in range(5)]
+            + [Row(g="c", id=200 + i, q=i) for i in range(3)])
+    out = apportioned_sample(
+        spark.createDataFrame(rows), "g", 10,
+        [F.col("q").desc(), F.col("id").asc()]).collect()
+    assert len(out) == 10                         # EXACT total
+    from collections import Counter
+    by_g = Counter(r.g for r in out)
+    # floors: 10*7//15=4, 10*5//15=3, 10*3//15=2 → sum 9; remainder 1
+    # goes to the largest fractional part: a=70%15=10, b=50%15=5,
+    # c=30%15=0 → 'a' gets it
+    assert by_g == {"a": 5, "b": 3, "c": 2}
+    # within-group picks are the TOP-q rows by the order
+    assert {r.id for r in out if r.g == "c"} == {202, 201}
