@@ -1974,7 +1974,7 @@ DRIVER_PRIORITY = [
     # outrank the changed-oracle block, whose keys have old green rows
     # plus local re-verification). Window accounting: 24 never-verified
     # + 26 resumed-session new fill the driver's 50 slots exactly; the
-    # 28 main-session new keys (R114-R143) below them and the
+    # 35 main-session new keys (R114-R150) below them and the
     # changed-oracle block ride to next round. EVERY key here is locally
     # verified — this session's vanilla-session sweeps ran ALL
     # oracle-backed queries at sf0.01 green (169/169 then 177/177 as the
@@ -1990,7 +1990,7 @@ DRIVER_PRIORITY = [
     "journey_paths_events", "shard_by_tokens_docs", "pq_code_histogram",
     "ivfpq_adc_topk", "split_leakage_report", "attribution_report_events",
     "rate_cap_events", "dedup_keep_best_docs", "user_growth_weekly",
-    # --- round-4 main-session additions R114-R131 (each hash-verified at
+    # --- round-4 main-session additions R114-R150 (each hash-verified at
     # sf0.001 + sf0.01 AND under the vanilla-session driver sim; driver
     # rows land when the rotation reaches them next round)
     "duplicate_passages_docs", "dup_span_profile_docs",
