@@ -95,7 +95,7 @@ HEADLINE = [
     "bpe_pair_counts_docs", "negative_samples_embeddings",
     "rendezvous_shard_report", "countmin_token_check",
     "token_budget_mix_docs", "grouped_split_counts",
-    "apportioned_sample_docs",
+    "apportioned_sample_docs", "auc_quality_vs_lang",
     # bfs_hops_graph excluded like the other 50-node demo-graph queries
     # (pure per-iteration job overhead, not throughput)
     # dataset-split / sampling (round 2)

@@ -2009,6 +2009,7 @@ DRIVER_PRIORITY = [
     "negative_samples_embeddings", "rendezvous_shard_report",
     "countmin_token_check", "token_budget_mix_docs",
     "grouped_split_counts", "apportioned_sample_docs",
+    "auc_quality_vs_lang",
     # --- oracle text changed this round (CTEs forced MATERIALIZED;
     # expectation_suite/corpus_report/join_health/corr_matrix rebuilt as
     # single-explode plans — results verified identical locally). ~7 of
@@ -6282,3 +6283,35 @@ def apportioned_sample_docs(spark, sf_dir):
         docs, "source", 100,
         [F.col("n_chars").desc(), F.col("doc_id").asc()]
     ).select("doc_id", "source")
+
+
+@query("auc_quality_vs_lang", oracle=_mat("""
+WITH base AS (
+  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS HUGEINT) AS c, CAST(SUM(y) AS HUGEINT) AS cp
+  FROM base GROUP BY s),
+ranked AS (
+  SELECT s, c, cp,
+         COALESCE(SUM(c) OVER (ORDER BY s ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS HUGEINT)) AS bef
+  FROM hist),
+agg AS (
+  SELECT SUM(cp * (2 * bef + c + 1)) AS s2,
+         SUM(cp) AS np, SUM(c) - SUM(cp) AS nn
+  FROM ranked)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CASE WHEN np > 0 AND nn > 0
+            THEN ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                       / CAST(2 * np * nn AS DOUBLE), 6) END AS auc
+FROM agg"""))
+def auc_quality_vs_lang(spark, sf_dir):
+    """EXT R151: exact ROC-AUC (Mann-Whitney with midrank ties) of the
+    doc-length score against the lang=='en' label — the corpus-scale
+    scorer-evaluation readout; ~0.5 expected on this independent pair,
+    which is itself the sanity check."""
+    from .operators.analytics import auc_report
+    docs = read_table(spark, sf_dir, "documents")
+    return auc_report(docs, F.col("n_chars"), F.col("lang") == "en")

@@ -727,3 +727,46 @@ def funnel_gap_stats(events: DataFrame, steps: list[str],
                               F.col("__g"))).cast("long").alias("p90_us"),
                  F.round(F.max("__sum").cast("double")
                          / F.max("__n").cast("double"), 2).alias("mean_us")))
+
+
+def auc_report(df: DataFrame, score_int, label_bool) -> DataFrame:
+    """EXT (R151): exact ROC-AUC via the Mann-Whitney U statistic — the
+    ranking-quality readout for any scorer (quality filter, dedup
+    ranker, relevance model) evaluated at corpus scale without a
+    single-partition sort. ONE row: (n_pos, n_neg, auc).
+
+    Ties handled the standard way (midranks), EXACTLY: per distinct
+    score, 2·midrank = 2·cum_before + c + 1 stays integer, so
+    2·Σ_pos midranks accumulates in decimal(38,0) and
+        AUC = (S − n₊(n₊+1)/2) / (n₊·n₋)
+    is one integer-numerator divide (doubled numerator and denominator
+    cancel). Scale shape: rows collapse to a per-score histogram with
+    positive counts (one shuffle); the cumulative window runs over
+    distinct scores (compact); the rest is a scalar aggregate. Degenerate
+    inputs (no positives or no negatives) report NULL."""
+    base = df.select(score_int.cast("long").alias("__s"),
+                     F.when(label_bool, 1).otherwise(0).alias("__y"))
+    hist = (base.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__c"),
+                 F.sum("__y").alias("__cp")))
+    w = (Window.orderBy(F.col("__s").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = hist.withColumn("__before",
+                             F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    # 2·midrank for every row at this score: 2·before + c + 1
+    two_mid = (F.lit(2).cast("decimal(38,0)")
+               * F.col("__before").cast("decimal(38,0)")
+               + F.col("__c").cast("decimal(38,0)") + F.lit(1))
+    agg = ranked.agg(
+        F.sum(F.col("__cp").cast("decimal(38,0)") * two_mid).alias("__2s"),
+        F.sum("__cp").cast("decimal(38,0)").alias("__np"),
+        (F.sum("__c") - F.sum("__cp")).cast("decimal(38,0)").alias("__nn"))
+    np_, nn_ = F.col("__np"), F.col("__nn")
+    num = F.col("__2s") - np_ * (np_ + F.lit(1))
+    auc = F.when((np_ > 0) & (nn_ > 0),
+                 F.round(num.cast("double")
+                         / (F.lit(2).cast("decimal(38,0)") * np_ * nn_)
+                         .cast("double"), 6))
+    return agg.select(np_.cast("long").alias("n_pos"),
+                      nn_.cast("long").alias("n_neg"),
+                      auc.alias("auc"))

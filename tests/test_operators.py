@@ -2163,3 +2163,30 @@ def test_apportioned_sample_exact_total_and_fair_shares(spark):
     assert by_g == {"a": 5, "b": 3, "c": 2}
     # within-group picks are the TOP-q rows by the order
     assert {r.id for r in out if r.g == "c"} == {202, 201}
+
+
+def test_auc_matches_sklearn_free_reference(spark):
+    """Exact AUC vs a direct pairwise computation (ties → 0.5 credit),
+    including a perfect separator and a tie-heavy case."""
+    from data_engineering__spark.operators.analytics import auc_report
+
+    def ref(scores, labels):
+        pos = [s for s, y in zip(scores, labels) if y]
+        neg = [s for s, y in zip(scores, labels) if not y]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                   for p in pos for n in neg)
+        return wins / (len(pos) * len(neg))
+
+    cases = [
+        ([1, 2, 3, 4, 5, 6], [0, 0, 0, 1, 1, 1]),   # perfect → 1.0
+        ([5, 5, 5, 5], [0, 1, 0, 1]),               # all ties → 0.5
+        ([3, 1, 4, 1, 5, 9, 2, 6], [1, 0, 1, 0, 0, 1, 0, 1]),
+    ]
+    for scores, labels in cases:
+        df = spark.createDataFrame(
+            [Row(s=s, y=bool(y)) for s, y in zip(scores, labels)])
+        got = auc_report(df, F.col("s"), F.col("y")).collect()[0]
+        assert got.auc == round(ref(scores, labels), 6), (scores, labels)
+    # degenerate: single class → NULL
+    one = spark.createDataFrame([Row(s=1, y=True), Row(s=2, y=True)])
+    assert auc_report(one, F.col("s"), F.col("y")).collect()[0].auc is None
