@@ -87,6 +87,11 @@ def n_maps():
 
 con = duckdb.connect()
 con.execute("SET memory_limit='500MB'")
+# fixed thread count: allocator ARENA mappings scale with concurrency,
+# so at 32 threads the measurement tracks box load (the full pytest
+# suite saturating the cores shifted it >30%% run to run) instead of
+# the SQL-structure churn this guard exists to catch
+con.execute("SET threads TO 8")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
