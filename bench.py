@@ -67,6 +67,8 @@ HEADLINE = [
     "pipeline_parity_citations",
     # round 3: the daily re-run (cross-batch dedup + id continuation)
     "pipeline_parity_incremental",
+    # round 6: authors_parsed clean-split pipeline mode
+    "pipeline_clean_authors",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",
@@ -158,14 +160,41 @@ def main() -> None:
         sf_value: float | str = float(sf_label)
     except ValueError:
         sf_value = sf_label
-    result = {
+
+    # The driver captures only the TAIL of stdout (observed: last 2000
+    # chars) and parses the final JSON line. A ~170-entry queries map blows
+    # that budget (BENCH_r03..r05 all recorded "parsed": null), so the full
+    # per-query map goes to bench_detail.json next to this script and the
+    # printed line carries the summary plus only the slowest queries —
+    # compact enough to survive the capture window intact.
+    detail = {
         "metric": "headline_query_set_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_value,
     }
-    print(json.dumps(result))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    result = {
+        "metric": "headline_query_set_wall_clock",
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_value,
+        "queries": slowest,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(result)
+    # hard guard: never exceed the driver's capture window
+    while len(line) > 1800 and result["queries"]:
+        result["queries"].popitem()
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1120,7 +1120,8 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
     """EXT (R137): asymmetric n-gram CONTAINMENT — pairs where doc A's
     shingle set is ≥ ``threshold`` contained in doc B's
     (|A∩B| / |A|). Jaccard misses exactly these: a short quote embedded
@@ -1131,23 +1132,51 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
 
     Scale shape: per-doc DISTINCT shingle sha-hashes (set semantics —
     within-doc repeats must not inflate containment), candidate pairs
-    from the shared-shingle co-occurrence join (never n²), both
-    orientations derived from ONE undirected intersection count. The
-    shingle surface is materialized once for its three consumers (sizes
-    + both join sides). The co-occurrence bound assumes a Zipf
-    vocabulary; on tiny-vocab / boilerplate-heavy corpora where most
-    shingles are shared it degrades toward n² — raise ``shingle_n``
-    (5+) there so shingles become discriminative again (measured: the
-    25-word synthetic corpus probes 3.1× wall for 10× docs at n=3, the
-    documented worst case)."""
+    from the shared-shingle co-occurrence join, both orientations derived
+    from ONE undirected intersection count. The co-occurrence join is
+    STRUCTURALLY bounded (round 6): shingles with document frequency >
+    ``max_df`` (default ``greatest(64, 0.5% of docs)``, computed inside
+    the plan — no extra driver action) are dropped from CANDIDATE
+    GENERATION only — the same boilerplate-threshold device as
+    ``line_dedup`` — so the join cost is ≤ max_df × |shingle rows| even
+    on tiny-vocab corpora where every doc shares every shingle. The
+    VERIFY stage then counts the exact intersection over ALL shingles
+    (pruned ones included) for just the candidate pairs, so reported
+    containment values are exact. Recall tradeoff, documented: a pair
+    whose EVERY shared shingle exceeds max_df (pure-boilerplate overlap)
+    yields no candidate — at the default cap that doc is boilerplate by
+    definition. Measured on the corpus tables: max observed shingle DF
+    is 7 (sf0.01) / 25 (sf0.1) and the worst qualifying pair's rarest
+    shared shingle has DF 3 / 11 — the default cap prunes nothing there.
+    """
     sh = (shingle_sha_rows(df, [id_col], text_col, shingle_n, out_col="__h")
           .distinct().localCheckpoint())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (a.join(b, "__h")
-             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .groupBy(F.col(f"a.{id_col}").alias("__ia"),
-                      F.col(f"b.{id_col}").alias("__ib"))
+    dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is None:
+        ndocs = sh.select(id_col).distinct().agg(
+            F.count(F.lit(1)).alias("__ndocs"))
+        keep = (dfreq.crossJoin(F.broadcast(ndocs))
+                .filter(F.col("__df") <= F.greatest(
+                    F.lit(64),
+                    (F.lit(0.005) * F.col("__ndocs")).cast("long")))
+                .select("__h"))
+    else:
+        keep = dfreq.filter(F.col("__df") <= max_df).select("__h")
+    rare = sh.join(keep, "__h")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (a.join(b, "__h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("__ia"),
+                    F.col(f"b.{id_col}").alias("__ib"))
+            .distinct())
+    # exact verify: |A ∩ B| over the FULL shingle sets of candidate pairs
+    inter = (cand
+             .join(sh.select(F.col(id_col).alias("__ia"),
+                             F.col("__h")), "__ia")
+             .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h")),
+                   ["__ib", "__h"], "left_semi")
+             .groupBy("__ia", "__ib")
              .agg(F.count(F.lit(1)).alias("__inter")))
     sized = (inter
              .join(sizes.select(F.col(id_col).alias("__ia"),

@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns + typed metadata structs.
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual codecs (PIL/ffmpeg/librosa) are
-NOT in this container, so the decode kernels are clearly-marked deterministic
-fakes behind the same interface (swap the kernel, keep the plan).
+signatures — is real and tested. The decode kernels are CODEC-GUARDED:
+when PIL is importable the image kernels decode/resize real pixels; when it
+is not (this container), they fall back to clearly-marked deterministic
+fakes behind the same interface. Audio/video kernels stay deterministic
+fakes pending soundfile/pyav (same guard pattern, same plan either way).
 
 Scale notes:
 - binary payloads ride in parquet/Arrow pages; NEVER groupBy/shuffle on a
@@ -72,19 +74,60 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
         F.lit(16000).alias("sample_rate")))
 
 
-def _decode_kernel(content: bytes, modality: str) -> list[float]:
-    """STUB DECODE KERNEL — deterministic fake.
+def _pil():
+    """Codec guard: the PIL ``Image`` module when installed, else ``None``.
 
-    Real deployment: PIL.Image.open / librosa.load / pyav frame-sample here.
-    Those libraries are not installed in this container, so we derive a
-    deterministic 8-dim "feature" from the payload bytes. The UDF interface,
-    batch shape, and schema are exactly what the real kernel would use.
+    Import is retried per process (executor workers are separate
+    interpreters) but memoized after first success/failure. Tests can
+    monkeypatch this to a stub module to exercise the real-codec wiring
+    without PIL installed.
+    """
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNRESOLVED:
+        try:
+            from PIL import Image  # not in this container; guarded
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+_UNRESOLVED = object()
+_PIL_IMAGE = _UNRESOLVED
+
+
+def _decode_kernel(content: bytes, modality: str) -> list[float]:
+    """Decode kernel: REAL pixels when PIL is importable, deterministic
+    fake otherwise.
+
+    Real image path: decode → grayscale → 16×16 thumbnail → 8 stripe-mean
+    floats (a tiny perceptual signature; swap in a model embedding in a
+    real deployment — the interface, batch shape, and schema are the
+    contract). Payloads PIL can't parse, non-image modalities, and
+    codec-less environments all take the deterministic byte-derived fake,
+    so the stage never fails on one bad payload. Audio/video real kernels
+    pend soundfile/pyav behind the same guard pattern.
     """
     if content is None:
         # MEDIA_SCHEMA declares content nullable; FEATURE_SCHEMA allows a
         # NULL feature — a null payload degrades to a null feature row
         # instead of failing the whole mapInPandas stage.
         return None
+    if modality == "image":
+        image_mod = _pil()
+        if image_mod is not None:
+            try:
+                import io
+                img = image_mod.open(io.BytesIO(content))
+                img = img.convert("L").resize((16, 16))
+                px = list(img.getdata())
+                acc = [0.0] * 8
+                for i, v in enumerate(px):
+                    acc[i % 8] += float(v)
+                stripe = len(px) / 8.0
+                return [round(v / stripe / 255.0, 6) for v in acc]
+            except Exception:
+                pass  # undecodable payload → deterministic fallback below
     acc = [0.0] * 8
     for i, byte in enumerate(content[:256]):
         acc[i % 8] += float(byte)
@@ -130,26 +173,42 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms))
 
 
+def _resize_kernel(content: bytes, width: int, height: int) -> bytes:
+    """Resize one image payload: REAL ``PIL.Image.resize`` + PNG re-encode
+    when PIL is importable AND the payload decodes; deterministic digest
+    fake otherwise (same guard pattern as ``_decode_kernel``)."""
+    image_mod = _pil()
+    if image_mod is not None:
+        try:
+            import io
+            img = image_mod.open(io.BytesIO(content))
+            buf = io.BytesIO()
+            img.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+        except Exception:
+            pass  # undecodable payload → deterministic fallback below
+    import hashlib
+    return hashlib.sha256(content + f"{width}x{height}".encode()).digest()
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """L5 image resize over ``mapInPandas`` — STUB KERNEL (real deployment:
-    ``PIL.Image.resize`` / cv2; not installed in this container). The fake
-    is deterministic (digest of payload + target dims) so tests pin the
-    plumbing: same MEDIA_SCHEMA out, ``meta.width/height`` rewritten to the
-    target, non-image rows pass through untouched, NULL payload → NULL
-    payload (stage survives).
+    """L5 image resize over ``mapInPandas`` — codec-guarded kernel
+    (``_resize_kernel``: real PIL resize when installed, deterministic
+    digest fake in this container). Tests pin the plumbing either way:
+    same MEDIA_SCHEMA out, ``meta.width/height`` rewritten to the target,
+    non-image rows pass through untouched, NULL payload → NULL payload
+    (stage survives).
 
     Scale: map-only (no shuffle of binary bodies); output payload size is
     bounded by the target dims in the real kernel, so this stage SHRINKS
     the data — run it before any wide op that carries content."""
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tag = f"{width}x{height}".encode()
         for pdf in batches:
             is_img = pdf["modality"] == "image"
             pdf = pdf.copy()
             pdf["content"] = [
-                (hashlib.sha256(bytes(c) + tag).digest()
+                (_resize_kernel(bytes(c), width, height)
                  if img and c is not None else c)
                 for c, img in zip(pdf["content"], is_img)]
             pdf["meta"] = [

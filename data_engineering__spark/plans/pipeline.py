@@ -55,13 +55,19 @@ BIBTEX_TYPES = [
 
 def _project_raw(raw: DataFrame) -> DataFrame:
     """The raw→hub projection shared by the initial load and daily
-    incremental runs."""
-    return raw.select(
-        F.col("id").alias("arxiv_id"), "submitter", "authors",
-        F.col("title"), "comments",
+    incremental runs. ``authors_parsed`` (the dataset's pre-parsed
+    [last, first(, suffix)] arrays — unused by the reference, SURVEY
+    §1.1) rides along when the source carries it, feeding
+    ``normalize(split_mode="clean")``."""
+    cols = [
+        F.col("id").alias("arxiv_id"), F.col("submitter"), F.col("authors"),
+        F.col("title"), F.col("comments"),
         F.col("journal_ref"), F.col("doi"), F.col("report_no"),
-        "categories", "license", "abstract",
-        F.to_date("update_date").alias("update_date"))
+        F.col("categories"), F.col("license"), F.col("abstract"),
+        F.to_date("update_date").alias("update_date")]
+    if "authors_parsed" in raw.columns:
+        cols.insert(3, F.col("authors_parsed"))
+    return raw.select(*cols)
 
 
 def _cut(df: DataFrame) -> DataFrame:
@@ -121,12 +127,39 @@ def ingest_incremental(pubs: DataFrame, raw: DataFrame) -> DataFrame:
     return _cut(pubs.unionByName(with_ids.select(*pubs.columns)))
 
 
-def normalize(pubs: DataFrame) -> dict[str, DataFrame]:
+def normalize(pubs: DataFrame,
+              split_mode: str = "parity") -> dict[str, DataFrame]:
     """Stage 1b (``process_publications_dag.py:61-77``): explode authors
-    (literal ', ' split — naive-split parity) and categories (whitespace
-    split); build dims with deterministic ids + bridge tables."""
+    and categories (whitespace split); build dims with deterministic ids +
+    bridge tables.
+
+    ``split_mode``:
+    - ``"parity"`` (default): literal ``', '`` split — reproduces the
+      reference bug-for-bug ("A and B" stays ONE author,
+      ``process_publications_dag.py:73``).
+    - ``"clean"``: the SURVEY §1.3 extension — display names from the
+      dataset's pre-parsed ``authors_parsed`` [last, first(, suffix)]
+      arrays when the column exists ("First Last Suffix"), else a
+      ``',' | ' and '`` regex split of the raw string. "A and B" becomes
+      TWO authors.
+    """
+    if split_mode == "clean":
+        if "authors_parsed" in pubs.columns:
+            # F.get: NULL (not an ANSI error) when the suffix slot is
+            # absent — real dataset rows are [last, first] or
+            # [last, first, suffix]
+            names = F.transform(
+                "authors_parsed",
+                lambda a: F.trim(F.concat_ws(
+                    " ", F.get(a, 1), F.get(a, 0), F.get(a, 2))))
+        else:
+            names = F.split(F.col("authors"), r",\s*|\s+and\s+")
+    elif split_mode == "parity":
+        names = F.split(F.col("authors"), ", ")
+    else:
+        raise ValueError(f"unknown split_mode: {split_mode!r}")
     authors_exploded = (pubs.select(
-        "pub_id", F.explode(F.split("authors", ", ")).alias("name"))
+        "pub_id", F.explode(names).alias("name"))
         .filter(F.trim("name") != ""))
     cats_exploded = (pubs.select(
         "pub_id", F.explode(F.split("categories", r"\s+")).alias("category_name"))
@@ -374,7 +407,8 @@ def validate(tables: dict[str, DataFrame]) -> DataFrame:
 
 def run_pipeline(raw: DataFrame,
                  fetch: Callable[[str], dict] | None = None,
-                 enrich_bridges: bool = True) -> dict[str, DataFrame]:
+                 enrich_bridges: bool = True,
+                 split_mode: str = "parity") -> dict[str, DataFrame]:
     """EP1 composition: the full DAG as function composition — insert >>
     clean >> enrich >> citations >> validate (``process_publications_dag.py:
     606-612``). The enrich/citations stages run only when a ``fetch``
@@ -384,7 +418,7 @@ def run_pipeline(raw: DataFrame,
     from pyspark import StorageLevel
 
     pubs = ingest(raw)
-    tables = normalize(pubs)
+    tables = normalize(pubs, split_mode=split_mode)
     before = tables["publications"].select("pub_id", "title", "doi")
     tables = clean(tables)
     tables = derive_types(tables)

@@ -8,11 +8,15 @@ partition, batched requests, backoff in-place; results come back as columns.
 The dead ``doi_cache = {}`` at ``process_publications_dag.py:139`` becomes a
 real per-partition memo dict.
 
-No network in tests/CI: the fetch function is injected; the default raises.
+No network in tests/CI: the fetch function is injected; the default raises
+unless ``SPARK_GRAFT_HTTP_LIVE=1`` opts into the real ``requests`` transport
+(``live_fetch_factory`` — same base-URL/param/backoff shape as the
+reference, credentials via ``SPARK_GRAFT_HTTP_API_KEY``).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable, Iterator
 
@@ -32,10 +36,67 @@ ENRICHED_SCHEMA = T.StructType([
 ])
 
 
+class RateLimitError(ConnectionError):
+    """HTTP 429 — retryable by ``retry_backoff``'s default filter, matching
+    the reference's 429-only ``2**attempt`` sleep loop
+    (``process_publications_dag.py:141-157``)."""
+
+
+def live_fetch_factory(base_url: str | None = None,
+                       api_key: str | None = None,
+                       engine: str = "google_scholar",
+                       num: int = 2,
+                       timeout: float = 30.0,
+                       session=None) -> Callable[[str], dict]:
+    """Real HTTP transport with the reference's request shape
+    (``process_publications_dag.py:181-199``): GET ``base_url`` with
+    ``engine/q/start/num/api_key/hl`` params, JSON body back.
+
+    ``requests`` is imported lazily so environments without it still import
+    this module; credentials come from ``SPARK_GRAFT_HTTP_API_KEY`` (never
+    hard-coded), the endpoint from ``SPARK_GRAFT_HTTP_BASE_URL``. A 429
+    raises :class:`RateLimitError` so ``retry_backoff`` applies the
+    reference's exponential backoff; other HTTP errors raise through.
+
+    One factory call per partition (inside ``enrich``'s partition function
+    or injected by the caller) keeps a pooled ``requests.Session`` per
+    partition — connection reuse across the partition's batched keys.
+    """
+    import requests  # lazy: optional dependency, guarded import
+
+    sess = session or requests.Session()
+    base = base_url or os.environ.get(
+        "SPARK_GRAFT_HTTP_BASE_URL", "https://serpapi.com/search")
+    key = api_key if api_key is not None else os.environ.get(
+        "SPARK_GRAFT_HTTP_API_KEY", "")
+
+    def fetch(query: str) -> dict:
+        params = {"engine": engine, "q": query, "start": 0, "num": num,
+                  "hl": "en"}
+        if key:
+            params["api_key"] = key
+        resp = sess.get(base, params=params, timeout=timeout)
+        if resp.status_code == 429:
+            raise RateLimitError(f"429 rate limit from {base}")
+        resp.raise_for_status()
+        return resp.json()
+
+    return fetch
+
+
+#: per-process live client, built on first use inside each executor worker
+_live_fetch: Callable[[str], dict] | None = None
+
+
 def default_fetch(query: str) -> dict:
-    """Placeholder for the real HTTP GET (``requests.get`` over
-    ``https://serpapi.com/search`` in the reference). Tests inject a stub;
-    production injects a real client."""
+    """Default transport: live ``requests`` GET when the deployment opts in
+    with ``SPARK_GRAFT_HTTP_LIVE=1``; otherwise raise so tests/CI must
+    inject a stub (no accidental network egress from a test run)."""
+    if os.environ.get("SPARK_GRAFT_HTTP_LIVE") == "1":
+        global _live_fetch
+        if _live_fetch is None:
+            _live_fetch = live_fetch_factory()
+        return _live_fetch(query)
     raise NotImplementedError("inject a fetch(query) -> payload dict callable")
 
 

@@ -586,6 +586,78 @@ def test_resize_images_plumbing(spark):
     assert {m: r.content for m, r in rows.items()} == again
 
 
+def test_multimodal_codec_guarded_real_path(monkeypatch):
+    """Codec guard wiring: with a (stub) PIL module resolvable, the decode
+    and resize kernels take the REAL path (decode → thumbnail stripes /
+    resize → re-encode); undecodable payloads and codec-less environments
+    fall back to the deterministic byte fake. Driver-side kernel test — the
+    Spark-level tests pin the fallback path this container actually runs."""
+    from data_engineering__spark.operators import multimodal as mm
+
+    class FakeImg:
+        def __init__(self, data):
+            self.data = data
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, size):
+            self.size = size
+            return self
+
+        def getdata(self):
+            # 256 deterministic "pixels" derived from the payload
+            return [(self.data[i % len(self.data)] + i) % 256
+                    for i in range(256)]
+
+        def save(self, buf, format):
+            buf.write(b"\x89PNG" + bytes(self.size) + self.data[:8])
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            data = buf.read()
+            if not data.startswith(b"FAKEIMG"):
+                raise ValueError("cannot identify image file")
+            return FakeImg(data)
+
+    monkeypatch.setattr(mm, "_PIL_IMAGE", FakePIL)
+
+    good = b"FAKEIMG" + bytes(range(64))
+    bad = b"not-an-image" * 4
+
+    # real decode path: 8 stripe means over the fake 16x16 grayscale
+    px = FakePIL.open(__import__("io").BytesIO(good)).getdata()
+    acc = [0.0] * 8
+    for i, v in enumerate(px):
+        acc[i % 8] += float(v)
+    expect = [round(v / 32.0 / 255.0, 6) for v in acc]
+    assert mm._decode_kernel(good, "image") == expect
+
+    # undecodable payload / non-image modality -> byte-fake fallback
+    fallback = [0.0] * 8
+    for i, byte in enumerate(bad[:256]):
+        fallback[i % 8] += float(byte)
+    fallback = [round(v / 255.0, 6) for v in fallback]
+    assert mm._decode_kernel(bad, "image") == fallback
+    assert mm._decode_kernel(good, "audio") != expect  # image-only kernel
+
+    # real resize path: PNG-ish re-encode carrying the target dims
+    out = mm._resize_kernel(good, 32, 24)
+    assert out.startswith(b"\x89PNG") and bytes([32, 24]) in out
+    # fallback resize: 32-byte digest, deterministic
+    assert mm._resize_kernel(bad, 32, 24) == mm._resize_kernel(bad, 32, 24)
+    assert len(mm._resize_kernel(bad, 32, 24)) == 32
+
+    # no PIL resolvable -> decode falls back even for decodable payloads
+    monkeypatch.setattr(mm, "_PIL_IMAGE", None)
+    good_fallback = [0.0] * 8
+    for i, byte in enumerate(good[:256]):
+        good_fallback[i % 8] += float(byte)
+    good_fallback = [round(v / 255.0, 6) for v in good_fallback]
+    assert mm._decode_kernel(good, "image") == good_fallback
+
+
 def test_redact_pii_order_and_kinds(spark):
     """Card is scrubbed before phone (a 16-digit card must never be
     half-eaten by the phone pattern); kinds=[...] limits the chain."""
@@ -1888,6 +1960,36 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert got[(2, 1)] == 1.0          # quote fully contained in article
     assert (1, 2) not in got           # article NOT contained in quote
     assert all(3 not in k for k in got)
+
+
+def test_containment_df_bound_is_structural(spark):
+    """Boilerplate-DF bound (round 6): on a corpus where 200 identical
+    boilerplate docs share every shingle, those shingles exceed the DF cap
+    and generate ZERO candidates (the join is bounded structurally, not
+    advisorily) — while a rare-shingle quote/article pair is still found
+    with its EXACT containment (verify counts all shingles)."""
+    from data_engineering__spark.operators.dedup import containment_pairs
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    article = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lam mu nu xi omicron pi rho sigma tau upsilon")
+    quote = "alpha beta gamma delta epsilon"
+    rows = [Row(id=i, text=boiler) for i in range(200)]
+    rows += [Row(id=1000, text=article), Row(id=1001, text=quote)]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {(r.id_a, r.id_b): r.containment
+           for r in containment_pairs(df, "id", "text",
+                                      shingle_n=3, threshold=0.8).collect()}
+    # the 200 boilerplate docs would be 200*199/2 ≈ 20k pairs without the
+    # bound; with it they produce none (every shared shingle has DF=200>64)
+    assert got == {(1001, 1000): 1.0}
+    # explicit max_df large enough re-admits the boilerplate cluster —
+    # the cap is a parameter, not a silent truncation
+    full = containment_pairs(df.filter(F.col("id") < 5).unionByName(
+        df.filter(F.col("id") >= 1000)), "id", "text",
+        shingle_n=3, threshold=0.8, max_df=10_000).collect()
+    boiler_pairs = [(r.id_a, r.id_b) for r in full
+                    if r.id_a < 200 and r.id_b < 200]
+    assert len(boiler_pairs) == 5 * 4  # 5 identical docs, both orientations
 
 
 def test_psi_report_zero_for_identical_and_positive_for_shifted(spark):

@@ -3,6 +3,7 @@ includes every mandated dirty row) + streaming batch-equivalence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -131,6 +132,136 @@ def test_http_enrichment_stubbed(spark):
            len(rows) == 3  # memo dedups within a partition; 'a' rows identical
     got = {r.key for r in out.collect()}
     assert got == {"a", "b"}
+
+
+def test_normalize_clean_split_modes(spark):
+    """SURVEY §1.3 extension: parity mode keeps "A and B" as ONE author
+    (bug-for-bug); clean mode yields TWO — via the pre-parsed
+    ``authors_parsed`` arrays when present, else a ','/' and ' regex
+    split of the raw string, and the two clean routes agree."""
+    from data_engineering__spark.plans.pipeline import normalize
+
+    pubs = spark.createDataFrame([
+        Row(pub_id=1, authors="Ileana Streinu and Louis Theran",
+            authors_parsed=[["Streinu", "Ileana"], ["Theran", "Louis"]],
+            categories="cs.CG"),
+        Row(pub_id=2, authors="A One, B Two and C Three",
+            authors_parsed=[["One", "A"], ["Two", "B"], ["Three", "C"]],
+            categories="math.CO"),
+        Row(pub_id=3, authors="Solo Author",
+            authors_parsed=[["Author", "Solo", "Jr."]],
+            categories="cs.DB"),
+    ])
+
+    parity = normalize(pubs.drop("authors_parsed"))
+    parity_names = {r.name for r in parity["authors"].collect()}
+    assert "Ileana Streinu and Louis Theran" in parity_names  # ONE author
+    assert len(parity_names) == 4  # 1 + 2 + 1
+
+    clean = normalize(pubs, split_mode="clean")
+    clean_names = {r.name for r in clean["authors"].collect()}
+    assert clean_names == {"Ileana Streinu", "Louis Theran", "A One",
+                           "B Two", "C Three", "Solo Author Jr."}
+
+    # string-split fallback (no authors_parsed column) agrees modulo the
+    # suffix only the parsed arrays carry
+    fallback = normalize(pubs.drop("authors_parsed"), split_mode="clean")
+    fb_names = {r.name for r in fallback["authors"].collect()}
+    assert fb_names == {"Ileana Streinu", "Louis Theran", "A One",
+                        "B Two", "C Three", "Solo Author"}
+
+    with pytest.raises(ValueError):
+        normalize(pubs, split_mode="nope")
+
+
+def test_http_live_transport_against_local_server(spark):
+    """S4 live path: ``live_fetch_factory`` drives a real ``requests`` GET
+    with the reference's param shape (engine/q/start/num/api_key/hl,
+    ``process_publications_dag.py:181-199``) and 429-backoff retry, proven
+    against a local in-process HTTP server — no external network."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from data_engineering__spark.sources.http import (
+        RateLimitError, enrich, live_fetch_factory, retry_backoff)
+
+    hits: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            qs = {k: v[0] for k, v in
+                  parse_qs(urlparse(self.path).query).items()}
+            hits.append(qs)
+            # first request per key rate-limited -> retry path must fire
+            if sum(1 for h in hits if h.get("q") == qs.get("q")) == 1:
+                self.send_response(429)
+                self.end_headers()
+                return
+            body = _json.dumps({"organic_results": [{
+                "title": f"T-{qs['q']}", "link": f"http://x/{qs['q']}",
+                "result_id": f"rid-{qs['q']}",
+                "publication_info": {
+                    "authors": [{"name": "A Author"}],
+                    "summary": f"A Author - Venue, {qs['q']}"}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/search"
+        fetch = live_fetch_factory(base_url=url, api_key="test-key")
+
+        # direct: 429 then 200 through retry_backoff
+        payload = retry_backoff(lambda: fetch("direct"), attempts=3,
+                                base_sleep=0.0)
+        assert payload["organic_results"][0]["result_id"] == "rid-direct"
+
+        # end-to-end through the mapInPandas operator (single partition so
+        # the local server sees a deterministic sequence)
+        df = spark.createDataFrame([Row(doi="x"), Row(doi="y")]).coalesce(1)
+        out = enrich(df, "doi", fetch=fetch, attempts=3, base_sleep=0.0)
+        rows = {(r.key, r.title, r.first_author) for r in out.collect()}
+        assert rows == {("x", "T-x", "A Author"), ("y", "T-y", "A Author")}
+
+        # reference param shape reached the wire
+        sample = hits[-1]
+        assert sample["engine"] == "google_scholar"
+        assert sample["api_key"] == "test-key"
+        assert sample["start"] == "0" and sample["num"] == "2"
+        assert sample["hl"] == "en"
+
+        # a 429 with retries exhausted surfaces as the retryable class
+        with pytest.raises(RateLimitError):
+            retry_backoff(lambda: fetch("direct2"), attempts=1,
+                          base_sleep=0.0)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_default_fetch_gated(monkeypatch):
+    """Without ``SPARK_GRAFT_HTTP_LIVE=1`` the default transport refuses to
+    touch the network; with it, it delegates to the live client."""
+    from data_engineering__spark.sources import http as http_mod
+
+    monkeypatch.delenv("SPARK_GRAFT_HTTP_LIVE", raising=False)
+    with pytest.raises(NotImplementedError):
+        http_mod.default_fetch("anything")
+
+    monkeypatch.setenv("SPARK_GRAFT_HTTP_LIVE", "1")
+    monkeypatch.setattr(http_mod, "_live_fetch", lambda q: {"q": q})
+    assert http_mod.default_fetch("abc") == {"q": "abc"}
+    monkeypatch.setattr(http_mod, "_live_fetch", None)
 
 
 def test_http_enrichment_one_row_per_organic_result(spark):

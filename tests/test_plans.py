@@ -324,9 +324,15 @@ def test_shared_intermediates_cut_lineage(spark, sf_dir):
         assert n <= max_scans, f"{name}: {n} scans"
 
 
-def test_rate_cap_uses_window_group_limit(spark, sf_dir):
+def test_rate_cap_single_scan_no_window(spark, sf_dir):
+    """The rate-cap REPORT is pure counts: one parquet scan, two-level
+    hash aggregation, zero window operators, and no eager plan-build-time
+    count job (the row-selecting cap's WindowGroupLimit is pinned via
+    quota_per_domain / sample_per_group)."""
+    import re
     p = plan_of(QUERIES["rate_cap_events"](spark, sf_dir))
-    assert "WindowGroupLimit" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Window" not in p
 
 
 def test_pq_encode_is_map_only(spark, sf_dir):
