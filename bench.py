@@ -67,8 +67,11 @@ HEADLINE = [
     "pipeline_parity_citations",
     # round 3: the daily re-run (cross-batch dedup + id continuation)
     "pipeline_parity_incremental",
-    # round 6: authors_parsed clean-split pipeline mode
-    "pipeline_clean_authors",
+    # round 6: authors_parsed clean-split pipeline mode; VARIANT ingest;
+    # fixed-vocab OOV coverage; semantic split-leakage
+    "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
+    "embedding_leakage_report", "recursive_rollup_docs",
+    "resample_interpolate_events", "ks_drift_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -1516,6 +1516,49 @@ def json_struct_parse(spark, sf_dir):
                          F.col("__p.source").alias("source"))
 
 
+@query("variant_props_stats", oracle=_mat(r"""
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN '!' || props ELSE props END AS payload
+  FROM events),
+j AS (
+  SELECT event_type,
+         CASE WHEN json_valid(payload) THEN payload ELSE NULL END AS v
+  FROM p)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(v) AS BIGINT) AS n_parsed,
+       CAST(SUM(CAST(json_extract(v, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract(v, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM j GROUP BY event_type"""))
+def variant_props_stats(spark, sf_dir):
+    """F11 EXT R153 (round 6): Spark 4 VARIANT ingestion of
+    semi-structured payloads — ``try_parse_json`` (malformed rows degrade
+    to NULL instead of failing the scan; every 13th payload gets a
+    LEADING junk byte to prove it — leading, because Spark's Jackson
+    parser stops after one complete JSON value and silently tolerates
+    TRAILING garbage) into ``VariantType``, then typed
+    ``try_variant_get`` path extraction. VARIANT stores a parsed binary form: ONE parse per
+    row at ingest, every downstream path access is a cheap binary probe —
+    the semi-structured answer to "don't re-parse JSON text per
+    expression per row" at corpus scale. Oracle replays the same
+    corruption + ``json_valid`` gate + path extraction in DuckDB JSON."""
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.when(F.col("event_id") % 13 == 0,
+                     F.concat(F.lit("!"), F.col("props"))) \
+               .otherwise(F.col("props"))
+    parsed = ev.select(
+        "event_type", F.try_parse_json(payload).alias("v"))
+    ex = parsed.select(
+        "event_type", "v",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"))
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_parsed"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").cast("long").alias("max_k"))
+
+
 @query("window_ntile", oracle="""
 SELECT c_custkey,
        CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -2024,7 +2067,10 @@ DRIVER_PRIORITY = [
     "auc_quality_vs_lang",
     # --- new or changed this round (round 6): new key / implementation
     # touched — needs a fresh row even where an older green row exists
-    "pipeline_clean_authors",
+    "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
+    "embedding_leakage_report", "recursive_rollup_docs",
+    "resample_interpolate_events", "resample_locf_events",
+    "ks_drift_events",
     "rate_cap_events", "multimodal_features", "http_enrich",
     # --- rotation: keys whose only green driver row is round 1 cycle
     # through the remaining ~11 slots; the rest ride to round 7
@@ -3608,6 +3654,101 @@ def resample_locf_events(spark, sf_dir):
                          every_seconds=3600, round_dp=2)
 
 
+@query("ks_drift_events", oracle=_mat("""
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b' END AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')),
+hist AS (
+  SELECT v,
+         COUNT(CASE WHEN g = 'a' THEN 1 END) AS ca,
+         COUNT(CASE WHEN g = 'b' THEN 1 END) AS cb
+  FROM tagged GROUP BY v),
+cum AS (
+  -- OVER specs inlined: a WINDOW clause's "name AS (" would be caught
+  -- by _mat's CTE-materialization rewrite
+  SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM hist),
+tot AS (
+  SELECT CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS n_b
+  FROM tagged)
+SELECT n_a, n_b,
+       ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / n_a
+                     - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks_stat
+FROM cum CROSS JOIN tot GROUP BY n_a, n_b"""))
+def ks_drift_events(spark, sf_dir):
+    """EXT R158: exact two-sample Kolmogorov–Smirnov distance between
+    the click and purchase value distributions — integer CDFs over the
+    cents support, one IEEE division per support point, order-invariant
+    sup. The binning-free sibling of ``psi_value_drift``. The Spark
+    side's two-level scan tree must agree with the oracle's flat
+    cumulative window to the last bit."""
+    from .operators.analytics import ks_two_sample
+    ev = read_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, F.col("event_type"),
+                         F.round(F.col("value") * 100),
+                         "click", "purchase")
+
+
+@query("resample_interpolate_events", oracle="""
+WITH ev AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 1000000) // 3600) * 3600 AS bucket_start,
+         value
+  FROM events WHERE user_id < 30),
+agg AS (
+  SELECT user_id, bucket_start, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 100) AS v
+  FROM ev GROUP BY 1, 2),
+span AS (
+  SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+  FROM agg GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_start
+  FROM span),
+j AS (
+  SELECT g.user_id, g.bucket_start,
+         COALESCE(a.n, 0) AS n, a.v
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket_start)),
+nb AS (
+  SELECT user_id, bucket_start, n, v,
+         last_value(v IGNORE NULLS) OVER wp AS vp,
+         last_value(CASE WHEN n > 0 THEN bucket_start END IGNORE NULLS)
+           OVER wp AS tp,
+         first_value(v IGNORE NULLS) OVER wn AS vn,
+         first_value(CASE WHEN n > 0 THEN bucket_start END IGNORE NULLS)
+           OVER wn AS tn
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY bucket_start
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, bucket_start, n, v,
+       CASE WHEN n > 0 THEN v
+            ELSE vp + (vn - vp) *
+                 (CAST(bucket_start - tp AS DOUBLE)
+                  / CAST(tn - tp AS DOUBLE))
+       END AS v_interp
+FROM nb""")
+def resample_interpolate_events(spark, sf_dir):
+    """EXT R157: per-user hourly resample with LINEAR gap interpolation —
+    the continuous-signal sibling of ``resample_locf_events``. Gap
+    buckets interpolate between neighbouring observed buckets with one
+    fixed IEEE expression tree (identical operand order in both engines);
+    observed buckets keep their exact scaled-integer-cents mean."""
+    from .operators.temporal import resample_interpolate
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    return resample_interpolate(ev, "ts", ["user_id"], "value",
+                                every_seconds=3600, round_dp=2)
+
+
 @query("grouping_sets_counts", oracle="""
 SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
@@ -4532,6 +4673,36 @@ def token_rarity_docs(spark, sf_dir):
     return token_rarity(docs, "doc_id", "text")
 
 
+@query("vocab_coverage_docs", oracle=_mat(r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           t -> t <> '')) AS t
+  FROM documents),
+tf AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+vocab AS (SELECT t FROM tf ORDER BY c DESC, t ASC LIMIT 1000),
+per_doc AS (
+  SELECT toks.doc_id, COUNT(*) AS n,
+         COUNT(CASE WHEN v.t IS NULL THEN 1 END) AS oov
+  FROM toks LEFT JOIN vocab v ON toks.t = v.t
+  GROUP BY toks.doc_id)
+SELECT LEAST(CAST(floor((CAST(oov AS DOUBLE) / CAST(n AS DOUBLE)) * 10)
+                  AS BIGINT), 9) AS oov_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(oov) AS BIGINT) AS n_oov
+FROM per_doc GROUP BY 1"""))
+def vocab_coverage_docs(spark, sf_dir):
+    """EXT R154: fixed-vocabulary OOV histogram — documents bucketed by
+    their out-of-vocab token fraction against the corpus top-1000
+    vocabulary (the shipping-tokenizer coverage question). Vocab is a
+    deterministic sort-limit over the Zipf-small tf table, broadcast
+    into the membership probe; deciles are engine-stable IEEE ops."""
+    from .operators.text import vocab_coverage
+    docs = read_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "doc_id", "text", vocab_size=1000)
+
+
 @query("epoch_shuffle_head", oracle=_mat(r"""
 WITH h AS (
   SELECT doc_id,
@@ -4895,6 +5066,62 @@ def split_leakage_report_q(spark, sf_dir):
                                      bucket="slice").select("id_a", "id_b")
     splits = hash_split(corpus.select("doc_id"), "doc_id")
     return split_leakage_report(pairs, splits)
+
+
+@query("embedding_leakage_report", oracle=_mat(f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding
+  FROM base WHERE vec_id % 3 = 0),
+sp AS (
+  SELECT vec_id, embedding,
+         CASE WHEN {_bucket_sql("CAST(vec_id AS VARCHAR)", "emb-split")}
+                   < 2000 THEN 'test' ELSE 'train' END AS split
+  FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.split AS sa, b.split AS sb
+  FROM sp a JOIN sp b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) /
+        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])))) >= 0.99),
+cross_p AS (SELECT * FROM pairs WHERE sa <> sb),
+leaked AS (
+  SELECT DISTINCT CASE WHEN sa = 'test' THEN id_a ELSE id_b END AS tid
+  FROM cross_p)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE split = 'train')
+         AS n_train,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE split = 'test')
+         AS n_test,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cross_p) AS n_cross_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked) AS n_leaked_test"""))
+def embedding_leakage_report(spark, sf_dir):
+    """EXT R155: semantic train/test contamination — perturbed-copy
+    near-dups planted into a sha-bucket 80/20 split, then
+    ``cross_split_leakage`` counts train↔test near-dup pairs (RP-LSH
+    candidates + exact cosine ≥0.99 verify) and the distinct leaked
+    test vectors. Oracle is BRUTE-FORCE all-pairs cosine plus the same
+    sha-bucket arithmetic — matching it proves the LSH path's recall on
+    this corpus, same guarantee as ``embedding_near_dup``."""
+    from .operators.sampling import hash_bucket
+    e = (read_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding").filter(F.col("vec_id") % 7 == 0))
+    dup = (e.filter(F.col("vec_id") % 3 == 0)
+           .select((F.col("vec_id") + 2000000).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: (x * F.lit(1.001)).cast("float"))
+                    .alias("embedding")))
+    corpus = e.unionByName(dup).withColumn(
+        "split", F.when(hash_bucket(F.col("vec_id"), salt="emb-split") < 2000,
+                        F.lit("test")).otherwise(F.lit("train")))
+    return V.cross_split_leakage(corpus, "vec_id", "embedding", "split",
+                                 threshold=0.99, dim=64, n_planes=4)
 
 
 @query("attribution_report_events", oracle=_mat(r"""
@@ -6003,6 +6230,43 @@ def bfs_hops_graph(spark, sf_dir):
     from .operators.graph import bfs_hops
     return bfs_hops(_cc_edges(spark, sf_dir), [0, 7],
                     src="id_a", dst="id_b", max_hops=6)
+
+
+@query("recursive_rollup_docs", oracle=_mat("""
+WITH RECURSIVE anc(doc_id, cur, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT doc_id, cur // 10, depth + 1 FROM anc WHERE cur >= 10)
+SELECT CAST(cur AS BIGINT) AS root, CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM anc WHERE cur < 10
+GROUP BY cur, depth"""))
+def recursive_rollup_docs(spark, sf_dir):
+    """EXT R156 (round 6): SQL ``WITH RECURSIVE`` hierarchy ascent —
+    Spark 4.1's recursive-CTE executor (UnionLoop) proven against
+    DuckDB's. Every doc climbs its decimal-digit ancestry
+    (``parent = id div 10``) to a single-digit root — a forest with
+    DATA-DEPENDENT recursion depth (≈ log10 of the id space, so the
+    sf0.1 corpus recurses one level deeper than sf0.001) — then rolls
+    up (root, depth) cohort stats. The DataFrame-loop equivalents
+    (``bfs_hops``, connected components) remain the scale path — a
+    recursive CTE re-unions its full working set per level — but the
+    SQL surface is part of engine parity."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs.createOrReplaceTempView("___rcte_docs")
+    return spark.sql("""
+WITH RECURSIVE anc(doc_id, cur, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM ___rcte_docs
+  UNION ALL
+  SELECT doc_id, cur DIV 10, depth + 1 FROM anc WHERE cur >= 10)
+SELECT CAST(cur AS BIGINT) AS root, CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM anc WHERE cur < 10
+GROUP BY cur, depth""")
 
 
 @query("incremental_join_orders", oracle="""

@@ -531,6 +531,59 @@ def trend_slope(df: DataFrame, group_cols: list[str], x_int, y_int,
         F.round(F.when(den > 0, intercept), round_dp).alias("intercept"))
 
 
+def ks_two_sample(df: DataFrame, label_col, value_int,
+                  label_a: str, label_b: str) -> DataFrame:
+    """EXT (R158, round 6): exact two-sample Kolmogorov–Smirnov distance
+    — sup |F̂_a(x) − F̂_b(x)| between the empirical CDFs of two cohorts.
+    The classic distribution-drift test (training-batch vs reference
+    feature distributions, A/B invariance checks); PSI (R138) needs a
+    binning choice, KS does not.
+
+    One row out: ``n_a``, ``n_b``, ``ks_stat`` (6 dp).
+
+    Exactness: ``value_int`` is a pre-scaled integer expression; both
+    CDFs are integer cumulative counts over the merged value support, so
+    each CDF value is ONE IEEE division (cum/n) and the sup of exact
+    doubles is order-invariant — engine-stable without any tolerance.
+
+    Scale shape: raw rows collapse to a per-(value, cohort) histogram
+    (map-side partial agg — the shuffle moves distinct values, not
+    rows); cumulative counts run as a TWO-LEVEL scan tree (per-bucket
+    windows + a tiny window over bucket totals — the ``pack_sequences``
+    device, so no window ever sees the whole support in one partition);
+    the two cohort totals broadcast as a 1-row cross join; final MAX is
+    a scalar aggregate. No sort of raw data anywhere."""
+    bucket_size = 1024
+    tagged = df.select(
+        F.when(label_col == label_a, F.lit("a"))
+         .when(label_col == label_b, F.lit("b")).alias("__g"),
+        value_int.cast("long").alias("__v")).filter(F.col("__g").isNotNull())
+    hist = (tagged.groupBy("__v")
+            .agg(F.count(F.when(F.col("__g") == "a", 1)).alias("__ca"),
+                 F.count(F.when(F.col("__g") == "b", 1)).alias("__cb"))
+            .withColumn("__bucket", F.expr(f"__v div {bucket_size}")))
+    btot = hist.groupBy("__bucket").agg(F.sum("__ca").alias("__ba"),
+                                        F.sum("__cb").alias("__bb"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__offb"))
+    wi = (Window.partitionBy("__bucket").orderBy(F.col("__v").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.join(F.broadcast(boff), "__bucket")
+           .select((F.col("__offa") + F.sum("__ca").over(wi)).alias("__cuma"),
+                   (F.col("__offb") + F.sum("__cb").over(wi)).alias("__cumb")))
+    totals = tagged.agg(
+        F.count(F.when(F.col("__g") == "a", 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("__g") == "b", 1)).cast("long").alias("n_b"))
+    d = F.abs(F.col("__cuma").cast("double") / F.col("n_a")
+              - F.col("__cumb").cast("double") / F.col("n_b"))
+    return (cum.crossJoin(F.broadcast(totals))
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.round(F.max(d), 6).alias("ks_stat")))
+
+
 def mad_profile(df: DataFrame, group_cols: list[str], value_int,
                 c: int = 3) -> DataFrame:
     """EXT (R133): robust dispersion profile per group — lower median,

@@ -124,6 +124,20 @@ def resample_locf(df: DataFrame, ts_col: str, key_cols: list[str],
     same skew profile as the key itself. The grid join is a left join of
     generated buckets to the tiny aggregate frame on (key, bucket).
     """
+    joined = _bucket_grid(df, ts_col, key_cols, value_col, every_seconds,
+                          round_dp)
+    w = (Window.partitionBy(*key_cols).orderBy("bucket_start")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.withColumn("v_filled",
+                             F.last("v", ignorenulls=True).over(w))
+
+
+def _bucket_grid(df: DataFrame, ts_col: str, key_cols: list[str],
+                 value_col: str, every_seconds: int,
+                 round_dp: int) -> DataFrame:
+    """Shared resample prefix: per-(key, bucket) exact-cents mean, dense
+    bucket grid over each key's observed span, left-joined (gap buckets
+    get n=0, v NULL)."""
     scale = 10 ** round_dp
     bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / every_seconds)
               * every_seconds).cast("long")
@@ -141,12 +155,51 @@ def resample_locf(df: DataFrame, ts_col: str, key_cols: list[str],
         *key_cols,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
                              F.lit(every_seconds))).alias("bucket_start"))
-    joined = (grid.join(agg, [*key_cols, "bucket_start"], "left")
-              .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
-    w = (Window.partitionBy(*key_cols).orderBy("bucket_start")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return joined.withColumn("v_filled",
-                             F.last("v", ignorenulls=True).over(w))
+    return (grid.join(agg, [*key_cols, "bucket_start"], "left")
+            .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+
+
+def resample_interpolate(df: DataFrame, ts_col: str, key_cols: list[str],
+                         value_col: str, every_seconds: int = 3600,
+                         round_dp: int = 2) -> DataFrame:
+    """EXT (R157, round 6): hypertable-style resample with LINEAR
+    interpolation — ``resample_locf``'s sibling for continuous signals
+    (sensor telemetry, training-loss curves) where carrying a stale value
+    forward biases the series: each gap bucket gets
+
+        ``v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)``
+
+    between its key's neighbouring OBSERVED buckets. Observed buckets keep
+    their exact mean; trailing gaps cannot exist (the grid ends at the
+    last observation).
+
+    Engine parity: per-bucket means are exact scaled-integer divisions
+    (see ``resample_locf``); the interpolation is the same fixed IEEE
+    expression tree in Spark and the oracle — identical operands in
+    identical order, so results are bit-identical (no re-association).
+
+    Scale shape: identical to LOCF — one (key, bucket) partial-agg
+    shuffle, 2-scalar span explode, then TWO ordered windows per key
+    (previous/next observed value+time); window state is 2 scalars."""
+    joined = _bucket_grid(df, ts_col, key_cols, value_col, every_seconds,
+                          round_dp)
+    wprev = (Window.partitionBy(*key_cols).orderBy("bucket_start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wnext = (Window.partitionBy(*key_cols).orderBy("bucket_start")
+             .rowsBetween(0, Window.unboundedFollowing))
+    t_obs = F.when(F.col("n") > 0, F.col("bucket_start"))
+    out = (joined
+           .withColumn("__vp", F.last("v", ignorenulls=True).over(wprev))
+           .withColumn("__tp", F.last(t_obs, ignorenulls=True).over(wprev))
+           .withColumn("__vn", F.first("v", ignorenulls=True).over(wnext))
+           .withColumn("__tn", F.first(t_obs, ignorenulls=True).over(wnext)))
+    ratio = ((F.col("bucket_start") - F.col("__tp")).cast("double")
+             / (F.col("__tn") - F.col("__tp")).cast("double"))
+    interp = F.col("__vp") + (F.col("__vn") - F.col("__vp")) * ratio
+    return (out.withColumn(
+                "v_interp",
+                F.when(F.col("n") > 0, F.col("v")).otherwise(interp))
+            .select(*key_cols, "bucket_start", "n", "v", "v_interp"))
 
 
 def time_weighted_avg(df: DataFrame, ts_col: str, key_cols: list[str],

@@ -545,6 +545,47 @@ def token_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      F.col("n_tokens").cast("double")).alias("oov_frac")))
 
 
+def vocab_coverage(df: DataFrame, id_col: str, text_col: str,
+                   vocab_size: int = 1000, n_bins: int = 10) -> DataFrame:
+    """EXT (R154, round 6): tokenizer-vocabulary coverage report — fix a
+    vocabulary (the top-``vocab_size`` corpus tokens, deterministic
+    (count DESC, token ASC) order) and histogram documents by their
+    out-of-vocabulary token fraction. The curation question this answers:
+    "if the tokenizer ships with THIS vocab, which slice of the corpus
+    fragments into byte-fallback garbage?" — docs in the high-OOV deciles
+    are the re-tokenize/drop candidates. Differs from ``token_rarity``
+    (corpus-relative hapax rate, no fixed vocab): this scores against a
+    FIXED top-N vocabulary, the thing an actual tokenizer has.
+
+    Exactness: counts are integers; the per-doc OOV ratio is one IEEE
+    division and the decile is ``least(floor(ratio·n_bins), n_bins-1)`` —
+    identical double ops in any engine, so bins are engine-stable.
+
+    Scale shape: term frequencies aggregate map-side before one
+    token-key shuffle; the vocab is a sort-limit over the Zipf-small tf
+    table (top-N, never a corpus sort) and BROADCASTS into the probe
+    join — the (doc, token) explode never shuffles for membership; the
+    per-doc aggregate moves (doc, 2 counts) pairs; the final histogram
+    is ``n_bins`` rows."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    tf = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = (tf.orderBy(F.desc("__tf"), F.asc("__t")).limit(vocab_size)
+             .select("__t", F.lit(1).alias("__in_vocab")))
+    per_doc = (toks.join(F.broadcast(vocab), "__t", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.count(F.when(F.col("__in_vocab").isNull(), 1))
+                     .alias("__oov")))
+    ratio = F.col("__oov").cast("double") / F.col("__n").cast("double")
+    decile = F.least(F.floor(ratio * n_bins).cast("long"),
+                     F.lit(n_bins - 1).cast("long"))
+    return (per_doc.select(decile.alias("oov_decile"), "__n", "__oov")
+            .groupBy("oov_decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__n").cast("long").alias("n_tokens"),
+                 F.sum("__oov").cast("long").alias("n_oov")))
+
+
 def collocations(df: DataFrame, text_col: str, min_count: int = 5,
                  k: int = 50) -> DataFrame:
     """EXT (R103): collocation mining by exact lift — the PMI-family

@@ -377,6 +377,50 @@ def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
              .distinct())
 
 
+def cross_split_leakage(df: DataFrame, id_col: str, vec_col: str,
+                        split_col: str, test_label: str = "test",
+                        threshold: float = 0.99, dim: int = 64,
+                        n_planes: int = 4, seed: int = 42) -> DataFrame:
+    """EXT (R155, round 6): SEMANTIC train/test contamination report —
+    the embedding-space sibling of the shingle-based
+    ``split_leakage_report``. A test document whose embedding has a
+    near-identical train neighbour leaks the benchmark even when no
+    n-gram matches (paraphrases, translations, re-encodings); this
+    reports how much of the test split is semantically present in train.
+
+    One row out: ``n_train``, ``n_test``, ``n_cross_pairs``
+    (train↔test near-dup pairs at ``threshold``), ``n_leaked_test``
+    (distinct test members of such pairs).
+
+    Scale shape: candidate pairs come from ``embedding_near_dup_pairs``
+    (RP-LSH bucket self-join + Arrow exact-cosine verify — never
+    all-pairs); the split labels join onto the pair ends by id (ids and
+    labels only — vectors never ship again); the three 1-row aggregates
+    cross-join into the report (1×1×1, no data motion)."""
+    pairs = embedding_near_dup_pairs(df.select(id_col, vec_col), threshold,
+                                     id_col, vec_col, dim, n_planes, seed)
+    splits = df.select(F.col(id_col), F.col(split_col))
+    labelled = (pairs
+                .join(splits.select(F.col(id_col).alias("id_a"),
+                                    F.col(split_col).alias("__sa")), "id_a")
+                .join(splits.select(F.col(id_col).alias("id_b"),
+                                    F.col(split_col).alias("__sb")), "id_b"))
+    cross = labelled.filter(F.col("__sa") != F.col("__sb"))
+    counts = df.agg(
+        F.count(F.when(F.col(split_col) != test_label, 1)).cast("long")
+         .alias("n_train"),
+        F.count(F.when(F.col(split_col) == test_label, 1)).cast("long")
+         .alias("n_test"))
+    n_pairs = cross.agg(F.count(F.lit(1)).cast("long")
+                        .alias("n_cross_pairs"))
+    leaked = (cross.select(F.when(F.col("__sa") == test_label,
+                                  F.col("id_a"))
+                            .otherwise(F.col("id_b")).alias("__tid"))
+              .distinct()
+              .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_test")))
+    return counts.crossJoin(n_pairs).crossJoin(leaked)
+
+
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8, n_iter: int = 2,
                    dim: int = 64, threshold: float = 0.95,

@@ -233,6 +233,28 @@ def read_csv_typed(spark: SparkSession, path: str, schema: T.StructType,
     return r.csv(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """S1 format variant: XML ingest (built into Spark 4 — no external
+    module). ``rowTag`` picks the repeating element; pass an explicit
+    schema for production reads (same no-inference policy as CSV: schema
+    inference is an extra full pass over the data at scale)."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str,
+              root_tag: str = "rows", mode: str = "overwrite") -> None:
+    """S3 format variant: XML sink (Spark 4 built-in) — one file per
+    partition, same distributed-write semantics as the columnar sinks.
+    XML is an interchange format, not a lakehouse format: use it at the
+    edges (feeds in/out), parquet/ORC inside."""
+    (df.write.format("xml").option("rowTag", row_tag)
+       .option("rootTag", root_tag).mode(mode).save(path))
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """S1 format variant: ORC scan — columnar like parquet (predicate
     pushdown, column pruning, footer statistics all apply); Spark ships

@@ -1271,6 +1271,26 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_xml_round_trip(spark, sf_dir, tmp_path):
+    """S1/S3 XML variant (Spark 4 built-in source): write with rowTag,
+    read back with an explicit schema — content equality vs the parquet
+    source, no schema inference on the read path."""
+    from pyspark.sql import types as T
+
+    from data_engineering__spark.sources.io import read_xml, write_xml
+    src = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    p = str(tmp_path / "nation_xml")
+    write_xml(src, p, row_tag="nation")
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType())])
+    back = read_xml(spark, p, row_tag="nation", schema=schema)
+    assert sorted(map(tuple, back.collect())) == \
+           sorted(map(tuple, src.collect()))
+
+
 def test_compact_files_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
     """S3 maintenance: a directory fragmented into ~60 small files
     compacts to the computed target without row loss or value change."""
