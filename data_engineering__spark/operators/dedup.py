@@ -1139,10 +1139,14 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     the plan — no extra driver action) are dropped from CANDIDATE
     GENERATION only — the same boilerplate-threshold device as
     ``line_dedup`` — so the join cost is ≤ max_df × |shingle rows| even
-    on tiny-vocab corpora where every doc shares every shingle. The
-    VERIFY stage then counts the exact intersection over ALL shingles
-    (pruned ones included) for just the candidate pairs, so reported
-    containment values are exact. Recall tradeoff, documented: a pair
+    on tiny-vocab corpora where every doc shares every shingle. Counts
+    from the pruned join are already EXACT for every pair not touching a
+    hot-shingle doc; only pairs involving such docs re-verify their
+    intersection over the full shingle sets (an empty set — and a no-op
+    — on corpora where the cap prunes nothing, so the common path pays
+    one extra tiny agg + two null-producing joins, not the |cand|·|A|
+    verify). Reported containment values are exact either way. Recall
+    tradeoff, documented: a pair
     whose EVERY shared shingle exceeds max_df (pure-boilerplate overlap)
     yields no candidate — at the default cap that doc is boilerplate by
     definition. Measured on the corpus tables: max observed shingle DF
@@ -1156,28 +1160,50 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     if max_df is None:
         ndocs = sh.select(id_col).distinct().agg(
             F.count(F.lit(1)).alias("__ndocs"))
-        keep = (dfreq.crossJoin(F.broadcast(ndocs))
-                .filter(F.col("__df") <= F.greatest(
-                    F.lit(64),
-                    (F.lit(0.005) * F.col("__ndocs")).cast("long")))
-                .select("__h"))
+        marked_h = (dfreq.crossJoin(F.broadcast(ndocs))
+                    .withColumn("__hot", F.col("__df") > F.greatest(
+                        F.lit(64),
+                        (F.lit(0.005) * F.col("__ndocs")).cast("long"))))
     else:
-        keep = dfreq.filter(F.col("__df") <= max_df).select("__h")
-    rare = sh.join(keep, "__h")
+        marked_h = dfreq.withColumn("__hot", F.col("__df") > max_df)
+    keep = marked_h.filter(~F.col("__hot")).select("__h")
+    hot = marked_h.filter(F.col("__hot")).select("__h")
+    rare = sh.join(keep, "__h").localCheckpoint()
     a, b = rare.alias("a"), rare.alias("b")
-    cand = (a.join(b, "__h")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("__ia"),
-                    F.col(f"b.{id_col}").alias("__ib"))
-            .distinct())
-    # exact verify: |A ∩ B| over the FULL shingle sets of candidate pairs
-    inter = (cand
-             .join(sh.select(F.col(id_col).alias("__ia"),
-                             F.col("__h")), "__ia")
-             .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h")),
-                   ["__ib", "__h"], "left_semi")
-             .groupBy("__ia", "__ib")
-             .agg(F.count(F.lit(1)).alias("__inter")))
+    # one pruned co-occurrence join yields BOTH the candidate pairs and
+    # their rare-shingle intersection counts
+    inter_rare = (a.join(b, "__h")
+                  .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                  .groupBy(F.col(f"a.{id_col}").alias("__ia"),
+                           F.col(f"b.{id_col}").alias("__ib"))
+                  .agg(F.count(F.lit(1)).alias("__cr")))
+    # docs touching any hot (pruned) shingle: ONLY pairs involving such a
+    # doc can have their count changed by the prune — every other pair's
+    # rare-join count already equals the exact intersection, so the
+    # expensive |cand|·|A| verify runs on the hot-doc pairs alone (empty
+    # on corpora where the cap prunes nothing — the measured common case)
+    hot_docs = (sh.join(hot, "__h").select(id_col).distinct()
+                .withColumn("__hd", F.lit(1)))
+    marked = (inter_rare
+              .join(hot_docs.select(F.col(id_col).alias("__ia"),
+                                    F.col("__hd").alias("__pa")),
+                    "__ia", "left")
+              .join(hot_docs.select(F.col(id_col).alias("__ib"),
+                                    F.col("__hd").alias("__pb")),
+                    "__ib", "left"))
+    exact = (marked.filter(F.col("__pa").isNull() & F.col("__pb").isNull())
+             .select("__ia", "__ib", F.col("__cr").alias("__inter")))
+    dirty = (marked.filter(F.col("__pa").isNotNull()
+                           | F.col("__pb").isNotNull())
+             .select("__ia", "__ib"))
+    verified = (dirty
+                .join(sh.select(F.col(id_col).alias("__ia"),
+                                F.col("__h")), "__ia")
+                .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h")),
+                      ["__ib", "__h"], "left_semi")
+                .groupBy("__ia", "__ib")
+                .agg(F.count(F.lit(1)).alias("__inter")))
+    inter = exact.unionByName(verified)
     sized = (inter
              .join(sizes.select(F.col(id_col).alias("__ia"),
                                 F.col("__n").alias("__na")), "__ia")
