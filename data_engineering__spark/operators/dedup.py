@@ -1183,14 +1183,23 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     # expensive |cand|·|A| verify runs on the hot-doc pairs alone (empty
     # on corpora where the cap prunes nothing — the measured common case)
     hot_docs = (sh.join(hot, "__h").select(id_col).distinct()
-                .withColumn("__hd", F.lit(1)))
+                .withColumn("__hd", F.lit(1)).localCheckpoint())
+    # persist: `marked` feeds BOTH the exact and dirty branches — without
+    # the share each branch re-runs the co-occurrence join and the whole
+    # dfreq/threshold lineage (measured: 12 SortMergeJoins /
+    # 84 HashAggregates in one plan). Lazy persist computes the pair
+    # frame once and shares blocks; an eager localCheckpoint here
+    # measured SLOWER (it serializes the pair-level frame through a
+    # blocking write barrier)
+    from pyspark import StorageLevel
     marked = (inter_rare
               .join(hot_docs.select(F.col(id_col).alias("__ia"),
                                     F.col("__hd").alias("__pa")),
                     "__ia", "left")
               .join(hot_docs.select(F.col(id_col).alias("__ib"),
                                     F.col("__hd").alias("__pb")),
-                    "__ib", "left"))
+                    "__ib", "left")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     exact = (marked.filter(F.col("__pa").isNull() & F.col("__pb").isNull())
              .select("__ia", "__ib", F.col("__cr").alias("__inter")))
     dirty = (marked.filter(F.col("__pa").isNotNull()

@@ -324,6 +324,32 @@ def test_shared_intermediates_cut_lineage(spark, sf_dir):
         assert n <= max_scans, f"{name}: {n} scans"
 
 
+def test_round6_query_plan_shapes(spark, sf_dir):
+    """Round-6 operator plan pins: the vocab probe broadcasts a
+    sort-limited top-N (never a corpus sort), the recursive CTE runs
+    through the UnionLoop executor, the embedding-leakage verify stays
+    an Arrow kernel, and neither pair surface degenerates to a cartesian
+    product. Containment's exact/dirty split must SHARE the
+    co-occurrence pair frame (InMemoryRelation in the plan — unshared,
+    each branch re-ran the join + dfreq lineage; note the printed plan
+    repeats the cached subtree per consumer, so operator counts in the
+    TEXT overstate execution and are not asserted)."""
+    p = plan_of(QUERIES["vocab_coverage_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p and "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of(QUERIES["recursive_rollup_docs"](spark, sf_dir))
+    assert "UnionLoop" in p
+
+    p = plan_of(QUERIES["embedding_leakage_report"](spark, sf_dir))
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "CartesianProduct" not in p
+
+    p = plan_of(QUERIES["containment_pairs_docs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p
+
+
 def test_rate_cap_single_scan_no_window(spark, sf_dir):
     """The rate-cap REPORT is pure counts: one parquet scan, two-level
     hash aggregation, zero window operators, and no eager plan-build-time
