@@ -71,7 +71,8 @@ HEADLINE = [
     # fixed-vocab OOV coverage; semantic split-leakage
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
-    "resample_interpolate_events", "ks_drift_events",
+    "resample_interpolate_events", "ks_drift_events", "span_removal_docs",
+    "referential_integrity_report",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

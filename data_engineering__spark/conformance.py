@@ -2070,7 +2070,7 @@ DRIVER_PRIORITY = [
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "resample_locf_events",
-    "ks_drift_events",
+    "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "rate_cap_events", "multimodal_features", "http_enrich",
     # --- rotation: keys whose only green driver row is round 1 cycle
     # through the remaining ~11 slots; the rest ride to round 7
@@ -5332,6 +5332,98 @@ def dup_span_profile_docs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return D.duplicate_span_profile(docs, "doc_id", "text",
                                     n=12, min_docs=2)
+
+
+def _ri_check_sql(name: str, child: str, fk: str, parent: str,
+                  pk: str) -> str:
+    return f"""
+SELECT '{name}' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(COUNT(CASE WHEN c.{fk} IS NULL THEN 1 END) AS BIGINT)
+         AS n_null_fk_rows,
+       CAST(COUNT(CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL
+                       THEN 1 END) AS BIGINT) AS n_orphan_rows,
+       CAST(COUNT(DISTINCT CASE WHEN c.{fk} IS NOT NULL AND p.__pk IS NULL
+                                THEN c.{fk} END) AS BIGINT) AS n_orphan_keys
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {parent}) p ON c.{fk} = p.__pk"""
+
+
+_RI_CHECKS = [
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+]
+
+
+@query("referential_integrity_report",
+       oracle="\nUNION ALL\n".join(_ri_check_sql(*c) for c in _RI_CHECKS))
+def referential_integrity_report(spark, sf_dir):
+    """EXT R160: whole-schema referential-integrity sweep — one row per
+    declared FK across the warehouse (7 TPC-H relationships + the
+    events→customer link, which is genuinely orphaned in the synthetic
+    data so the non-zero branch is exercised). Each check is a
+    (key, count) collapse + dim-key anti join; the report unions 1-row
+    aggregates."""
+    from .operators.quality import referential_integrity
+    t = {n: read_table(spark, sf_dir, n)
+         for n in ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events")}
+    checks = [(name, t[child], fk, t[parent], pk)
+              for name, child, fk, parent, pk in _RI_CHECKS]
+    return referential_integrity(checks)
+
+
+@query("span_removal_docs", oracle=_mat(r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+sh AS (
+  SELECT doc_id, i - 1 AS i,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+11], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 11)) AS i
+        FROM base WHERE len(toks) >= 12)),
+shared AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+flagged AS (SELECT s.doc_id, s.i FROM sh s JOIN shared USING (h)),
+cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_flagged
+        FROM flagged GROUP BY doc_id),
+cov AS (SELECT doc_id, CAST(COUNT(DISTINCT p) AS BIGINT) AS n_tokens_covered
+        FROM (SELECT doc_id, unnest(generate_series(i, i + 11)) AS p
+              FROM flagged)
+        GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.n_spans_flagged, 0) AS n_spans_flagged,
+       COALESCE(v.n_tokens_covered, 0) AS n_tokens_covered,
+       ROUND(CASE WHEN b.n_tokens > 0
+                  THEN CAST(b.n_tokens - COALESCE(v.n_tokens_covered, 0)
+                            AS DOUBLE) / b.n_tokens
+                  ELSE 1.0 END, 6) AS keep_frac
+FROM base b LEFT JOIN cnt c USING (doc_id) LEFT JOIN cov v USING (doc_id)"""))
+def span_removal_docs(spark, sf_dir):
+    """EXT R159: span-removal accounting — per doc, the exact number of
+    tokens that survive cutting every cross-doc duplicated 12-gram
+    window. Spark computes the covered length as a per-doc interval-
+    union SWEEP (running max of window ends — cost ∝ flagged spans);
+    the oracle recomputes it as COUNT(DISTINCT position) over exploded
+    window positions — two independent formulations of the union."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.span_removal_profile(docs, "doc_id", "text", n=12, min_docs=2)
 
 
 @query("k_anonymity_customer", oracle="""

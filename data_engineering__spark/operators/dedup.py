@@ -1118,6 +1118,66 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
                             .otherwise(F.lit(0.0)), 6).alias("shared_frac")))
 
 
+def span_removal_profile(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 12, min_docs: int = 2) -> DataFrame:
+    """EXT (R159, round 6): span-REMOVAL accounting — the step after
+    discovery (``duplicate_passages``) and audit (``duplicate_span_
+    profile``) in Lee-et-al-style span dedup: if every window shared
+    with ≥ ``min_docs - 1`` other docs were cut, how much of each doc
+    survives? Output per doc: ``n_tokens``, ``n_spans_flagged``,
+    ``n_tokens_covered`` (tokens under ≥1 flagged window — the exact
+    interval-union length, since flagged windows overlap heavily by
+    construction: a 30-token duplicated passage flags 19 overlapping
+    12-grams covering 30 tokens, not 19·12), and ``keep_frac``.
+
+    Scale shape: window hashes are map-side (array transform — the
+    passage text never shuffles); the shared set comes from ONE hash
+    aggregation; the membership probe is a fixed-width semi join; the
+    interval union is a per-doc running-max SWEEP over flagged spans
+    (``Σ max(0, (i+n) − max(i, prev_max_end))``, exact integers) — NOT
+    an n× position explode, so the cost scales with flagged spans, not
+    flagged spans × n. Short docs (<n tokens) emit no windows and
+    report zeros with keep_frac 1."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    base = (df.select(F.col(id_col), toks.alias("__tk"))
+            .select(F.col(id_col), F.size("__tk").alias("n_tokens"),
+                    F.col("__tk"))
+            .localCheckpoint())
+    spans = (base.filter(F.col("n_tokens") >= n)
+             .select(F.col(id_col),
+                     F.posexplode(_shingle_sha_of_tokens(F.col("__tk"), n))
+                      .alias("__i", "__h"))
+             .localCheckpoint())
+    shared = (spans.groupBy("__h")
+              .agg(F.countDistinct(id_col).alias("__nd"))
+              .filter(F.col("__nd") >= min_docs)
+              .select("__h"))
+    flagged = spans.join(shared, "__h", "left_semi")
+    w = (Window.partitionBy(id_col).orderBy("__i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cov = (flagged
+           .withColumn("__prev_end", F.max(F.col("__i") + n).over(w))
+           .withColumn("__contrib", F.greatest(
+               F.lit(0),
+               (F.col("__i") + n) - F.greatest(
+                   F.col("__i"), F.coalesce(F.col("__prev_end"), F.lit(0)))))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_spans_flagged"),
+                F.sum("__contrib").cast("long").alias("n_tokens_covered")))
+    out = base.select(F.col(id_col), F.col("n_tokens").cast("long")
+                      .alias("n_tokens")).join(cov, id_col, "left")
+    covered = F.coalesce(F.col("n_tokens_covered"), F.lit(0))
+    return out.select(
+        F.col(id_col), "n_tokens",
+        F.coalesce(F.col("n_spans_flagged"), F.lit(0)).alias("n_spans_flagged"),
+        covered.alias("n_tokens_covered"),
+        F.round(F.when(F.col("n_tokens") > 0,
+                       (F.col("n_tokens") - covered).cast("double")
+                       / F.col("n_tokens"))
+                 .otherwise(F.lit(1.0)), 6).alias("keep_frac"))
+
+
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       shingle_n: int = 3,
                       threshold: float = 0.8,

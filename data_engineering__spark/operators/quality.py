@@ -231,6 +231,48 @@ def join_health(left: DataFrame, right: DataFrame, lkey: str,
             .select("__m.metric", "__m.value"))
 
 
+def referential_integrity(
+        checks: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """EXT (R160, round 6): whole-schema FK sweep — one report row per
+    declared (child.fk → parent.pk) relationship: child row count,
+    NULL-FK rows (silently dropped by inner joins), orphan rows and
+    distinct orphan keys (FK values with no parent). The schema-wide
+    generalization of ``join_health``'s single-pair audit — the nightly
+    RI check a warehouse runs over every declared relationship at once.
+
+    ``checks``: list of ``(name, child_df, fk_col, parent_df, pk_col)``.
+
+    Scale shape: each child collapses to a (key, count) surface with
+    map-side partial counts — child tables are scanned once and their
+    rows never shuffle; parent KEY SETS are dim-cardinality (broadcast
+    candidates, AQE decides) met by one anti join per FK; each check
+    reduces to a 1-row aggregate and the report is the union of those
+    single rows."""
+    from functools import reduce
+
+    outs = []
+    for name, child, fk, parent, pk in checks:
+        ck = (child.groupBy(F.col(fk).alias("__k"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+        parents = parent.select(F.col(pk).alias("__k")).distinct()
+        orphans = (ck.filter(F.col("__k").isNotNull())
+                   .join(parents, "__k", "left_anti"))
+        totals = ck.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long")
+             .alias("n_child_rows"),
+            F.coalesce(F.sum(F.when(F.col("__k").isNull(), F.col("__c"))),
+                       F.lit(0)).cast("long").alias("n_null_fk_rows"))
+        orph = orphans.agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long")
+             .alias("n_orphan_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_orphan_keys"))
+        outs.append(totals.crossJoin(orph).select(
+            F.lit(name).alias("fk"), "n_child_rows", "n_null_fk_rows",
+            "n_orphan_rows", "n_orphan_keys"))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
 def k_anonymity(df: DataFrame, quasi_cols: list[str],
                 k: int = 10) -> DataFrame:
     """EXT (R116): k-anonymity audit over a quasi-identifier combination —

@@ -259,9 +259,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """S1 format variant: ORC scan — columnar like parquet (predicate
     pushdown, column pruning, footer statistics all apply); Spark ships
     the reader built-in. Avro, by contrast, needs the external
-    ``spark-avro`` module — absent in this environment, so Avro feeds
-    route through their own loader or land as JSON/parquet first."""
+    ``spark-avro`` module — see :func:`read_avro`."""
     return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """S1 format variant, MODULE-GATED: Avro scan via the external
+    ``spark-avro`` connector (``org.apache.spark:spark-avro_2.13``, not
+    bundled with pyspark — this environment ships avro-core jars only).
+    Works as-is on a cluster deployed with the connector; raises a
+    actionable error otherwise instead of Spark's generic
+    'failed to find data source' (the same guarded-surface pattern as
+    the PIL codec kernels and the protobuf-gated state API)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: FAILED_FIND_DATA_SOURCE
+        if "avro" in str(e).lower():
+            raise RuntimeError(
+                "Avro needs the external spark-avro module: submit with "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+                "(route feeds through JSON/parquet/ORC in environments "
+                "without it)") from e
+        raise
 
 
 def compact_files(spark: SparkSession, path: str,

@@ -1271,6 +1271,17 @@ def test_orc_round_trip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_avro_gate_raises_actionable_error(spark, tmp_path):
+    """Avro is module-gated (spark-avro not bundled): the reader must
+    raise the actionable --packages message in this environment, and the
+    real path activates untouched wherever the connector is deployed."""
+    import pytest
+
+    from data_engineering__spark.sources.io import read_avro
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nothing.avro"))
+
+
 def test_xml_round_trip(spark, sf_dir, tmp_path):
     """S1/S3 XML variant (Spark 4 built-in source): write with rowTag,
     read back with an explicit schema — content equality vs the parquet
@@ -1980,6 +1991,36 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert got[(2, 1)] == 1.0          # quote fully contained in article
     assert (1, 2) not in got           # article NOT contained in quote
     assert all(3 not in k for k in got)
+
+
+def test_span_removal_interval_union_exact(spark):
+    """A 30-token passage duplicated across two docs flags 19 overlapping
+    12-gram windows but must count exactly 30 covered tokens (interval
+    union, not 19x12); unique text contributes zero; short docs report
+    zeros with keep_frac 1."""
+    from data_engineering__spark.operators.dedup import span_removal_profile
+    passage = " ".join(f"p{i}" for i in range(30))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame([
+        Row(id=1, text=f"{uniq_a} {passage}"),
+        Row(id=2, text=f"{passage} tail1 tail2"),
+        Row(id=3, text="too short to window"),
+    ])
+    out = {r.id: r for r in span_removal_profile(df, "id", "text",
+                                                 n=12, min_docs=2).collect()}
+    # doc 1: 50 tokens, passage occupies positions 20..49 → 19 windows
+    assert out[1].n_tokens == 50
+    assert out[1].n_spans_flagged == 19
+    assert out[1].n_tokens_covered == 30
+    assert out[1].keep_frac == round((50 - 30) / 50, 6)
+    # doc 2: passage at 0..29 → same 19 windows, same 30-token union
+    assert out[2].n_tokens == 32
+    assert out[2].n_spans_flagged == 19
+    assert out[2].n_tokens_covered == 30
+    # doc 3: under 12 tokens — no windows at all
+    assert out[3].n_spans_flagged == 0 and out[3].n_tokens_covered == 0
+    assert out[3].keep_frac == 1.0
 
 
 def test_containment_df_bound_is_structural(spark):
