@@ -1313,6 +1313,50 @@ def streaming_join_interval(spark, sf_dir):
     return spark.table(name)
 
 
+@query("streaming_left_outer_join", oracle="""
+WITH w AS (
+  SELECT to_timestamp(
+           (epoch_us(LEAST(
+              (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+              (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 1 HOUR) // 1000 * 1000) / 1000000.0) AS wm)
+SELECT l.event_id AS click_id, r.event_id AS purchase_id, l.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+CROSS JOIN w
+WHERE r.event_id IS NOT NULL OR l.ts + INTERVAL 10 MINUTE < w.wm""")
+def streaming_left_outer_join(spark, sf_dir):
+    """ST EXT R161: stream-stream LEFT OUTER interval join (clicks ⋈
+    purchases within a 10-minute conversion window, unconverted clicks
+    as NULL rows) through Structured Streaming. The oracle encodes the
+    null-emission rule itself: matched rows appear unconditionally
+    (inner semantics, eager emit); null-extended rows appear iff the
+    final GLOBAL watermark passed the click's match horizon — and that
+    watermark is ``min`` over the two (filtered) inputs of their own
+    max event time, minus the delay, FLOORED TO MILLISECONDS (Spark
+    tracks watermarks as epoch-ms longs; the per-input semantics were
+    measured — using the unfiltered source max overstates the watermark
+    by hours and admits one extra null row). Clicks newer than the
+    horizon cutoff are still in join state at shutdown and must NOT
+    appear."""
+    from .streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_left_join,
+    )
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = stream_stream_left_join(clicks, purchases).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"))
+    name, _ = run_to_memory(j, output_mode="append")
+    return spark.table(name)
+
+
 @query("streaming_dedup", oracle="""
 SELECT event_id, user_id, event_type FROM events""")
 def streaming_dedup(spark, sf_dir):
@@ -2071,6 +2115,7 @@ DRIVER_PRIORITY = [
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "resample_locf_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
+    "streaming_left_outer_join",
     "rate_cap_events", "multimodal_features", "http_enrich",
     # --- rotation: keys whose only green driver row is round 1 cycle
     # through the remaining ~11 slots; the rest ride to round 7

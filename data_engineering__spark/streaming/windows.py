@@ -134,6 +134,36 @@ def tumbling_window_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFr
                     "event_type", "cnt", "sum_value"))
 
 
+def stream_stream_left_join(left: DataFrame, right: DataFrame,
+                            user_col: str = "user_id",
+                            horizon: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """ST EXT (round 6): stream-STREAM LEFT OUTER interval join — for
+    each left event, right events of the same user within
+    [left.ts, left.ts + horizon]; lefts that never match emit a
+    NULL-right row ONLY once the watermark passes their match horizon
+    (the engine must know no future right can arrive before declaring
+    "unconverted"). This is the attribution/conversion shape: clicks ⋈
+    purchases with a conversion window, unconverted clicks included.
+
+    The OUTER side is exactly what the watermark gates: matched rows
+    emit eagerly (inner semantics), null-extended rows emit at
+    ``watermark(ts) > l.ts + horizon``, and state for both sides evicts
+    on the same boundary — bounded state where an unbounded outer join
+    would hold every left forever. A one-trigger ``availableNow`` run
+    therefore equals the BATCH left join restricted to lefts whose
+    horizon the final watermark (max event time − delay) passed —
+    SQL-expressible, so the oracle pins the null-emission rule itself."""
+    l = (left.withWatermark("ts", watermark).alias("l"))
+    r = (right.withWatermark("ts", watermark).alias("r"))
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter")
+
+
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 user_col: str = "user_id",
                                 lookback: str = "10 minutes",
