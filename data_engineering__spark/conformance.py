@@ -2110,15 +2110,18 @@ DRIVER_PRIORITY = [
     "grouped_split_counts", "apportioned_sample_docs",
     "auc_quality_vs_lang",
     # --- new or changed this round (round 6): new key / implementation
-    # touched — needs a fresh row even where an older green row exists
+    # touched — needs a fresh row even where an older green row exists.
+    # Window arithmetic: 36 never-sampled + 14 new/changed fill the
+    # driver's 50 slots exactly; the r1-rotation block below rides to
+    # round 7.
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "resample_locf_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "streaming_left_outer_join",
     "rate_cap_events", "multimodal_features", "http_enrich",
-    # --- rotation: keys whose only green driver row is round 1 cycle
-    # through the remaining ~11 slots; the rest ride to round 7
+    # --- rotation: keys whose only green driver row is round 1 queue
+    # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
     "anti_join", "semi_join", "group_having_dup", "dedup_by_key",
     "agg_stats", "rollup_counts", "topk_per_group", "window_rank",
