@@ -494,3 +494,71 @@ def test_duplicate_passages_matches_python_reference(spark, texts):
     want = sorted((len(docs_per[w]), occ[w])
                   for w in docs_per if len(docs_per[w]) >= 2)
     assert sorted(got.values()) == want  # hash ids differ; multisets match
+
+
+@given(vals=st.lists(st.tuples(st.sampled_from("ab"),
+                               st.integers(0, 12)),
+                     min_size=2, max_size=40))
+@SETTINGS
+def test_ks_two_sample_matches_python_reference(spark, vals):
+    """Exact two-sample KS distance vs a direct Python sup over the
+    merged support — the two-level prefix-sum scan tree must agree with
+    the naive cumulative formulation to the last bit."""
+    from data_engineering__spark.operators.analytics import ks_two_sample
+    a = [v for g, v in vals if g == "a"]
+    b = [v for g, v in vals if g == "b"]
+    if not a or not b:
+        return
+    df = spark.createDataFrame([Row(g=g, v=v) for g, v in vals])
+    out = ks_two_sample(df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    support = sorted(set(a) | set(b))
+    want = max(abs(sum(1 for x in a if x <= s) / len(a)
+                   - sum(1 for x in b if x <= s) / len(b))
+               for s in support)
+    assert out.ks_stat == round(want, 6)
+
+
+@given(obs=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 400)),
+                    min_size=1, max_size=12))
+@SETTINGS
+def test_resample_interpolate_matches_python_reference(spark, obs):
+    """Linear gap interpolation vs a direct Python reference over one
+    key's hourly grid: observed buckets keep their exact cents mean,
+    gap buckets interpolate between neighbouring observed buckets with
+    the same IEEE expression."""
+    from datetime import datetime, timezone
+
+    from data_engineering__spark.operators.temporal import (
+        resample_interpolate)
+    rows = [Row(u=1,
+                ts=datetime.fromtimestamp(1_700_000_000 + h * 3600 + 60,
+                                          tz=timezone.utc),
+                v=c / 100.0)
+            for h, c in obs]
+    df = spark.createDataFrame(rows)
+    got = {r.bucket_start: r for r in
+           resample_interpolate(df, "ts", ["u"], "v",
+                                every_seconds=3600, round_dp=2).collect()}
+    # python reference
+    from collections import defaultdict
+    buckets = defaultdict(list)
+    for h, c in obs:
+        bucket = ((1_700_000_000 + h * 3600 + 60) // 3600) * 3600
+        buckets[bucket].append(c)
+    means = {b: sum(cs) / (len(cs) * 100) for b, cs in buckets.items()}
+    lo, hi = min(means.keys()), max(means.keys())
+    grid = list(range(lo, hi + 1, 3600))
+    assert set(got) == set(grid)
+    obs_sorted = sorted(means)
+    for t in grid:
+        r = got[t]
+        if t in means:
+            assert r.n > 0 and r.v_interp == means[t]
+        else:
+            prev = max(x for x in obs_sorted if x < t)
+            nxt = min(x for x in obs_sorted if x > t)
+            vp, vn = means[prev], means[nxt]
+            # same IEEE expression tree as the operator -> exact equality
+            want = vp + (vn - vp) * (float(t - prev) / float(nxt - prev))
+            assert r.n == 0 and r.v_interp == want
