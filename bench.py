@@ -72,7 +72,7 @@ HEADLINE = [
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "ks_drift_events", "span_removal_docs",
-    "referential_integrity_report",
+    "referential_integrity_report", "lateral_topk_orders",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

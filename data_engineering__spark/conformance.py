@@ -795,6 +795,32 @@ def sql_api_join(spark, sf_dir):
         LIMIT 500""")
 
 
+@query("lateral_topk_orders", oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+WHERE c.c_custkey % 10 = 0""")
+def lateral_topk_orders(spark, sf_dir):
+    """EXT R162 (round 6): SQL LATERAL correlated subquery — per
+    customer, the top-3 orders by price through Spark's lateral-join
+    decorrelation (rewritten into a join + per-key limit under the
+    hood) vs DuckDB's lateral executor. Semantically ``topk_per_group``
+    (the DataFrame WindowGroupLimit path stays the scale idiom); the
+    LATERAL surface is engine parity for SQL-first users porting
+    Postgres-style queries off the reference's warehouse."""
+    read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0).createOrReplaceTempView("___lat_c")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("___lat_o")
+    return spark.sql("""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM ___lat_c c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM ___lat_o o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""")
+
+
 # ------------------------- rows-only (no SQL oracle; driver checks rows>0)
 
 def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):
@@ -2113,13 +2139,15 @@ DRIVER_PRIORITY = [
     # touched — needs a fresh row even where an older green row exists.
     # Window arithmetic: 36 never-sampled + 14 new/changed fill the
     # driver's 50 slots exactly; the r1-rotation block below rides to
-    # round 7.
+    # round 7. (http_enrich's round-6 change — the gated live transport —
+    # does not alter its driver-visible injected-stub path, so it keeps
+    # its r2 row and queues with the rotation instead of taking a slot.)
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "resample_locf_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
-    "streaming_left_outer_join",
-    "rate_cap_events", "multimodal_features", "http_enrich",
+    "streaming_left_outer_join", "lateral_topk_orders",
+    "rate_cap_events", "multimodal_features",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",

@@ -131,6 +131,26 @@ def test_kmeans_ivf_broadcasts_and_no_smj(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """DPP, the join-time sibling of static partition pruning (round 6):
+    when a hive-partitioned fact joins a filtered dim on the partition
+    key, the scan's PartitionFilters must carry a dynamicpruning
+    subquery — the dim side's surviving keys prune fact DIRECTORIES at
+    runtime, the mechanism that turns a selective dim filter into
+    skipping most of a 100 TB fact table."""
+    from data_engineering__spark.sources.io import read_table
+    o = read_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = spark.createDataFrame(
+        [Row(o_orderpriority=f"{i}-X", flag=i % 2) for i in range(1, 6)])
+    j = fact.join(dim.filter(F.col("flag") == 1), "o_orderpriority")
+    pl = plan_of(j)
+    assert "dynamicpruningexpression" in pl.lower()
+    assert "PartitionFilters" in pl
+
+
 def test_partitioned_layout_prunes_at_scan(spark, sf_dir, tmp_path):
     """The 100 TB table-layout story with plan evidence: a hive-
     partitioned write must let a reader's partition-key filter prune at
