@@ -2139,15 +2139,19 @@ DRIVER_PRIORITY = [
     # touched — needs a fresh row even where an older green row exists.
     # Window arithmetic: 36 never-sampled + 14 new/changed fill the
     # driver's 50 slots exactly; the r1-rotation block below rides to
-    # round 7. (http_enrich's round-6 change — the gated live transport —
-    # does not alter its driver-visible injected-stub path, so it keeps
-    # its r2 row and queues with the rotation instead of taking a slot.)
+    # round 7. (http_enrich and multimodal_features changed in round 6 —
+    # gated live transport / codec-guarded kernels — but neither change
+    # alters the driver-visible path: the conformance stub-injection and
+    # undecodable-payload fallback produce byte-identical results, so
+    # both keep their r2 rows and queue with the rotation instead of
+    # taking slots.)
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
     "resample_interpolate_events", "resample_locf_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "streaming_left_outer_join", "lateral_topk_orders",
-    "rate_cap_events", "multimodal_features",
+    "prefix_jaccard_docs",
+    "rate_cap_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -5461,6 +5465,54 @@ def referential_integrity_report(spark, sf_dir):
     checks = [(name, t[child], fk, t[parent], pk)
               for name, child, fk, parent, pk in _RI_CHECKS]
     return referential_integrity(checks)
+
+
+@query("prefix_jaccard_docs", oracle=_mat(r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+corpus AS (
+  SELECT doc_id, toks FROM t
+  UNION ALL
+  SELECT doc_id + 1000000, toks[1:len(toks) - 1] FROM t
+  WHERE len(toks) >= 4),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(sha256(array_to_string(toks[i:i+2], ' ')),
+                              1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM corpus WHERE len(toks) >= 3)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+          GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS it
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i.it AS DOUBLE) / (sa.n + sb.n - i.it), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+             JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE 5 * i.it >= 3 * (sa.n + sb.n - i.it)"""))
+def prefix_jaccard_docs(spark, sf_dir):
+    """EXT R163: exact Jaccard self-join with PPJoin-style prefix
+    filtering at threshold 3/5 over a corpus with planted drop-last-token
+    near-dups. The oracle is the BRUTE-FORCE co-occurrence join — hash
+    parity proves the prefix filter's 100% recall on this corpus, not
+    just that it returns plausible pairs. All selection arithmetic is
+    integer (rational threshold, integer ceil, cross-multiplied test)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("__tk"))
+    clipped = (base.filter(F.size("__tk") >= 4)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.slice("__tk", 1, F.size("__tk") - 1).alias("__tk")))
+    corpus = (base.unionByName(clipped)
+              .select("doc_id", F.array_join("__tk", " ").alias("text")))
+    return D.prefix_jaccard_pairs(corpus, "doc_id", "text", shingle_n=3,
+                                  threshold_num=3, threshold_den=5)
 
 
 @query("span_removal_docs", oracle=_mat(r"""

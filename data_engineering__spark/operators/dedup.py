@@ -1118,6 +1118,73 @@ def duplicate_span_profile(df: DataFrame, id_col: str, text_col: str,
                             .otherwise(F.lit(0.0)), 6).alias("shared_frac")))
 
 
+def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int = 3,
+                         threshold_num: int = 3,
+                         threshold_den: int = 5) -> DataFrame:
+    """EXT (R163, round 6): EXACT Jaccard self-join with PREFIX
+    FILTERING (the PPJoin family) — the scalable exact-similarity join:
+    order every doc's shingles by global rarity (document frequency,
+    ties by hash) and generate candidates ONLY from each doc's first
+    ``n − ceil(t·n) + 1`` rarest shingles. The prefix theorem guarantees
+    any pair with ``J ≥ t`` shares a prefix shingle under a consistent
+    global order, so recall is 100% by construction while the join
+    shrinks by roughly the threshold fraction — high-DF (boilerplate)
+    shingles land in suffixes and never generate candidates, which is
+    what keeps this sub-quadratic where the plain co-occurrence join
+    (``ngram_jaccard_pairs``) degrades.
+
+    EVERYTHING is integer-exact: the threshold is the rational
+    ``threshold_num/threshold_den``, the prefix length uses
+    ``ceil(n·p/q) = (n·p + q − 1) div q`` (no float ceil — IEEE
+    ``0.6·5 = 3.0000000000000004`` would ceil to 4 in one engine and 3
+    in another), and the final test is the cross-multiplied
+    ``q·|A∩B| ≥ p·|A∪B|``. Returns (id_a, id_b, jaccard).
+
+    Scale shape: DF ranking is one hash agg + a per-doc window over the
+    doc's own shingles; the candidate join runs over prefix rows only;
+    the exact verify counts full-set intersections for candidate pairs
+    (same verify device as ``containment_pairs``)."""
+    p, q = threshold_num, threshold_den
+    sh = (shingle_sha_rows(df, [id_col], text_col, shingle_n, out_col="__h")
+          .distinct().localCheckpoint())
+    dfreq = sh.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (sh.join(dfreq, "__h")
+              .withColumn("__rk", F.row_number().over(
+                  Window.partitionBy(id_col)
+                        .orderBy(F.asc("__df"), F.asc("__h")))))
+    prefix_len = (F.col("__n")
+                  - F.expr(f"CAST((__n * {p} + {q} - 1) DIV {q} AS INT)")
+                  + F.lit(1))
+    pref = (ranked.join(sizes, id_col)
+            .filter(F.col("__rk") <= prefix_len)
+            .select(F.col(id_col), F.col("__h")))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, "__h")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("__ia"),
+                    F.col(f"b.{id_col}").alias("__ib"))
+            .distinct())
+    inter = (cand
+             .join(sh.select(F.col(id_col).alias("__ia"),
+                             F.col("__h")), "__ia")
+             .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h")),
+                   ["__ib", "__h"], "left_semi")
+             .groupBy("__ia", "__ib")
+             .agg(F.count(F.lit(1)).alias("__it")))
+    sized = (inter
+             .join(sizes.select(F.col(id_col).alias("__ia"),
+                                F.col("__n").alias("__na")), "__ia")
+             .join(sizes.select(F.col(id_col).alias("__ib"),
+                                F.col("__n").alias("__nb")), "__ib"))
+    union_sz = F.col("__na") + F.col("__nb") - F.col("__it")
+    return (sized.filter(F.lit(q) * F.col("__it") >= F.lit(p) * union_sz)
+            .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
+                    F.round(F.col("__it").cast("double") / union_sz, 6)
+                     .alias("jaccard")))
+
+
 def span_removal_profile(df: DataFrame, id_col: str, text_col: str,
                          n: int = 12, min_docs: int = 2) -> DataFrame:
     """EXT (R159, round 6): span-REMOVAL accounting — the step after

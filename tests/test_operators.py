@@ -1993,6 +1993,29 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert all(3 not in k for k in got)
 
 
+def test_prefix_jaccard_recall_and_boilerplate_immunity(spark):
+    """PPJoin prefix filter: a planted near-identical pair is found with
+    its exact Jaccard; 40 docs sharing ONLY a boilerplate phrase (every
+    pair J < 3/5) produce nothing — their common shingles are the
+    globally most frequent, land in every doc's suffix, and never
+    generate candidates."""
+    from data_engineering__spark.operators.dedup import prefix_jaccard_pairs
+    boiler = "the quick brown fox jumps over the lazy dog"
+    rows = [Row(id=i, text=f"{boiler} unique{i}a unique{i}b unique{i}c "
+                           f"unique{i}d unique{i}e")
+            for i in range(40)]
+    near = " ".join(f"w{j}" for j in range(20))
+    rows += [Row(id=100, text=near),
+             Row(id=101, text=near + " extra")]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in prefix_jaccard_pairs(df, "id", "text", shingle_n=3,
+                                         threshold_num=3,
+                                         threshold_den=5).collect()}
+    # planted pair: 18 shared 3-gram shingles, sizes 18 and 19
+    assert got == {(100, 101): round(18 / (18 + 19 - 18), 6)}
+
+
 def test_span_removal_interval_union_exact(spark):
     """A 30-token passage duplicated across two docs flags 19 overlapping
     12-gram windows but must count exactly 30 covered tokens (interval
