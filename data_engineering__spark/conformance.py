@@ -2150,7 +2150,9 @@ DRIVER_PRIORITY = [
     "resample_interpolate_events", "resample_locf_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "streaming_left_outer_join", "lateral_topk_orders",
-    "prefix_jaccard_docs",
+    "prefix_jaccard_docs", "passjoin_suppliers",
+    # rate_cap_events (round-6 single-scan rewrite, hash-identical and
+    # driver-sim-verified at sf0.01) queues just past the 50-slot window
     "rate_cap_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -5465,6 +5467,47 @@ def referential_integrity_report(spark, sf_dir):
     checks = [(name, t[child], fk, t[parent], pk)
               for name, child, fk, parent, pk in _RI_CHECKS]
     return referential_integrity(checks)
+
+
+@query("passjoin_suppliers", oracle=_mat("""
+WITH feed AS (
+  SELECT s_suppkey AS feed_key,
+         CASE s_suppkey % 4
+           WHEN 0 THEN substr(s_name, 1, 4) || 'x' || substr(s_name, 6)
+           WHEN 1 THEN substr(s_name, 1, 5) || substr(s_name, 7)
+           WHEN 2 THEN 'x' || substr(s_name, 2)
+           ELSE s_name END AS feed_name
+  FROM supplier)
+SELECT a.s_suppkey, b.feed_key,
+       CAST(levenshtein(lower(trim(a.s_name)), lower(trim(b.feed_name)))
+            AS INT) AS edit_dist
+FROM supplier a JOIN feed b
+  ON levenshtein(lower(trim(a.s_name)), lower(trim(b.feed_name))) <= 2"""))
+def passjoin_suppliers(spark, sf_dir):
+    """EXT R164: recall-COMPLETE edit-distance join via Pass-Join
+    segment blocking, against a corrupted feed whose edits include a
+    FIRST-CHARACTER substitution (key % 4 == 2) — the planted case
+    prefix blocking (``fuzzy_join_suppliers``) structurally misses. The
+    oracle is the UNBLOCKED brute-force distance join: hash parity
+    proves Pass-Join's pigeonhole recall guarantee end to end (including
+    the many natural cross-supplier pairs whose names differ in ≤2
+    digits)."""
+    from .operators.relational import passjoin_pairs
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    feed = s.select(
+        F.col("s_suppkey").alias("feed_key"),
+        F.when(F.col("s_suppkey") % 4 == 0,
+               F.concat(F.substring("s_name", 1, 4), F.lit("x"),
+                        F.expr("substr(s_name, 6)")))
+         .when(F.col("s_suppkey") % 4 == 1,
+               F.concat(F.substring("s_name", 1, 5),
+                        F.expr("substr(s_name, 7)")))
+         .when(F.col("s_suppkey") % 4 == 2,
+               F.concat(F.lit("x"), F.expr("substr(s_name, 2)")))
+         .otherwise(F.col("s_name")).alias("feed_name"))
+    return (passjoin_pairs(s, feed, "s_suppkey", "s_name",
+                           "feed_key", "feed_name", max_dist=2)
+            .select("s_suppkey", "feed_key", "edit_dist"))
 
 
 @query("prefix_jaccard_docs", oracle=_mat(r"""

@@ -218,6 +218,87 @@ def fuzzy_join_blocked(left: DataFrame, right: DataFrame,
             .drop("__lk", "__rk", "__ln", "__rn"))
 
 
+def passjoin_pairs(left: DataFrame, right: DataFrame,
+                   left_id: str, left_col: str,
+                   right_id: str, right_col: str,
+                   max_dist: int = 2,
+                   out_dist: str = "edit_dist") -> DataFrame:
+    """EXT (R164, round 6): RECALL-COMPLETE edit-distance join via
+    Pass-Join segment blocking (Li et al.) — the structural fix for the
+    prefix-blocking trade ``fuzzy_join_blocked`` documents: each right
+    string splits into ``k+1`` even segments; by pigeonhole, ≤k edits
+    leave ≥1 segment untouched, and that segment survives in the left
+    string shifted by at most k positions. Candidates are therefore an
+    equi-join of right segments against the left side's
+    (segment-index, target-length, ±k-window substring) probes — NO
+    pair within distance k can be missed (verified against brute force
+    in the oracle AND a 3000-trial randomized prototype), unlike prefix
+    blocking, whose recall dies when an edit lands in the prefix.
+
+    Scale shape: both sides expand by small constants (right: k+1
+    segment rows; left: ≤ (2k+1)²(k+1) probe substrings, most pruned by
+    the position windows), the join keys on (substring, segment-index,
+    length) — discriminative even on shared-prefix corpora where
+    prefix blocking collapses into one quadratic block (TPC-H's
+    'Supplier#000…' names being the in-repo example) — and exact
+    ``levenshtein ≤ k`` verifies candidates. All arithmetic integer."""
+    k, m = max_dist, max_dist + 1
+    ln = F.lower(F.trim(F.col(left_col)))
+    rn = F.lower(F.trim(F.col(right_col)))
+    lside = (left.withColumn("__ls", ln)
+             .withColumn("__Lp", F.length("__ls")))
+    rside = (right.withColumn("__rs", rn)
+             .withColumn("__Lr", F.length("__rs")))
+
+    def seg_len(i: int, L: str) -> str:
+        return (f"(({L}) DIV {m}) + (CASE WHEN {i} >= {m} - (({L}) % {m}) "
+                f"THEN 1 ELSE 0 END)")
+
+    def seg_start(i: int, L: str) -> str:
+        return (f"{i} * (({L}) DIV {m}) "
+                f"+ GREATEST(0, {i} - ({m} - (({L}) % {m}))) + 1")
+
+    rseg = (rside.withColumn("__g", F.explode(F.array(*[
+                F.expr(f"struct({i} AS i, "
+                       f"CAST({seg_start(i, '__Lr')} AS INT) AS p, "
+                       f"CAST({seg_len(i, '__Lr')} AS INT) AS l)")
+                for i in range(m)])))
+            .filter(F.col("__g.l") >= 1)
+            .select(F.col(right_id), F.col(right_col), F.col("__rs"),
+                    F.col("__Lr").alias("__tl"),
+                    F.col("__g.i").alias("__i"),
+                    F.expr("substring(__rs, __g.p, __g.l)").alias("__sub")))
+
+    probe_arrays = []
+    for dL in range(-k, k + 1):
+        L = f"(__Lp + {dL})"
+        for i in range(m):
+            l_i, p_i = seg_len(i, L), seg_start(i, L)
+            lo = f"GREATEST(1, {p_i} - {k})"
+            hi = f"LEAST(__Lp - ({l_i}) + 1, {p_i} + {k})"
+            probe_arrays.append(F.expr(
+                f"CASE WHEN ({l_i}) >= 1 AND ({hi}) >= ({lo}) THEN "
+                f"transform(sequence(CAST({lo} AS INT), CAST({hi} AS INT)), "
+                f"  q -> struct({i} AS i, CAST({L} AS INT) AS tl, "
+                f"             substring(__ls, q, {l_i}) AS sub)) "
+                f"ELSE array() END"))
+    lprobe = (lside.withColumn(
+                "__g", F.explode(F.flatten(F.array(*probe_arrays))))
+              .select(F.col(left_id), F.col(left_col), F.col("__ls"),
+                      F.col("__g.i").alias("__i"),
+                      F.col("__g.tl").alias("__tl"),
+                      F.col("__g.sub").alias("__sub")))
+
+    cand = (lprobe.join(rseg, ["__sub", "__i", "__tl"])
+            .select(left_id, left_col, "__ls",
+                    right_id, right_col, "__rs")
+            .dropDuplicates([left_id, right_id]))
+    dist = F.levenshtein(F.col("__ls"), F.col("__rs"))
+    return (cand.withColumn(out_dist, dist.cast("int"))
+            .filter(F.col(out_dist) <= k)
+            .drop("__ls", "__rs"))
+
+
 def edit_neighbors(df: DataFrame, id_col: str, name_col: str,
                    out_dist: str = "edit_dist") -> DataFrame:
     """EXT (R124): recall-COMPLETE edit-distance-1 self-join via deletion
