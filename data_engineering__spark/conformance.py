@@ -629,6 +629,38 @@ def text_exact_dedup(spark, sf_dir):
             .select("doc_id", "text_hash")
 
 
+@query("weighted_dedup_docs", oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 27 = 0)
+SELECT doc_id, text_hash, weight FROM (
+  SELECT doc_id, sha256(lower(trim(text))) AS text_hash,
+         ROW_NUMBER() OVER (PARTITION BY sha256(lower(trim(text)))
+                            ORDER BY doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY sha256(lower(trim(text))))
+              AS BIGINT) AS weight
+  FROM corpus) WHERE rn = 1""")
+def weighted_dedup_docs(spark, sf_dir):
+    """EXT R165: count-preserving exact dedup — survivors carry their
+    duplicate multiplicity as a ``weight`` column (docs id%9==0 planted
+    twice, id%27==0 three times, so weights 1/2/3 are all exercised).
+    Plain dedup silently reweights the training distribution; the weight
+    column lets a sampler restore or temper the original frequency
+    mass."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0)
+            .select((F.col("doc_id") + 5000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 27 == 0)
+            .select((F.col("doc_id") + 6000000).alias("doc_id"), "text"))
+    return D.weighted_dedup(corpus, "text", [F.asc("doc_id")]) \
+            .select("doc_id", "text_hash", "weight")
+
+
 @query("text_stats", oracle="""
 SELECT lang, COUNT(*) AS n_docs,
        ROUND(AVG(n_chars), 2) AS avg_chars,
@@ -2147,13 +2179,15 @@ DRIVER_PRIORITY = [
     # taking slots.)
     "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
     "embedding_leakage_report", "recursive_rollup_docs",
-    "resample_interpolate_events", "resample_locf_events",
+    "resample_interpolate_events",
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "streaming_left_outer_join", "lateral_topk_orders",
-    "prefix_jaccard_docs", "passjoin_suppliers",
-    # rate_cap_events (round-6 single-scan rewrite, hash-identical and
-    # driver-sim-verified at sf0.01) queues just past the 50-slot window
-    "rate_cap_events",
+    "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
+    # rate_cap_events (round-6 single-scan rewrite) and
+    # resample_locf_events (mechanical _bucket_grid refactor) queue just
+    # past the 50-slot window — both hash-identical and
+    # driver-sim-verified at sf0.01 this round
+    "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",

@@ -73,6 +73,28 @@ def exact_text_dedup(df: DataFrame, text_col: str, order_by: list[Column]) -> Da
     return dedup_by_key(hashed, ["text_hash"], order_by, null_passthrough=False)
 
 
+def weighted_dedup(df: DataFrame, text_col: str,
+                   order_by: list[Column]) -> DataFrame:
+    """EXT (R165, round 6): COUNT-PRESERVING exact dedup — one survivor
+    per normalized-content group plus the group's multiplicity as a
+    ``weight`` column. Plain dedup silently reweights the training
+    distribution (a document crawled 10,000 times counts once); carrying
+    the duplicate count lets the sampler restore — or deliberately
+    temper (``weight^α``) — the original frequency mass. This is the
+    standard "dedup but keep counts" curation contract.
+
+    One extra aggregation over plain ``exact_text_dedup``: multiplicities
+    come from a (hash, count) map-side partial agg joined back onto the
+    survivors by the 8-byte hash key; document bodies never shuffle
+    twice."""
+    hashed = df.withColumn("text_hash", normalized_text_hash(text_col))
+    survivors = dedup_by_key(hashed, ["text_hash"], order_by,
+                             null_passthrough=False)
+    weights = (hashed.groupBy("text_hash")
+               .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+    return survivors.join(weights, "text_hash")
+
+
 # ----------------------------------------------------------- shingling utils
 
 def shingles(text_col: str, n: int = 3) -> Column:
