@@ -43,7 +43,7 @@ HEADLINE = [
     # LLM-pipeline extensions
     "text_exact_dedup", "token_count", "text_stats", "lang_id",
     "quality_score", "doc_fingerprint", "cosine_topk", "ann_topk_lsh",
-    "ivf_topk",
+    "ann_topk_multiprobe", "ivf_topk",
     "minhash_near_dup", "minhash_cc_dedup", "simhash_near_dup",
     "ngram_jaccard_pairs", "embedding_near_dup",
     # round 3: trained ANN + text-analysis + warehouse time travel

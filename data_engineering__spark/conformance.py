@@ -1003,6 +1003,38 @@ SELECT vec_id, label, ROUND(c, 4) AS cosine
 FROM probe ORDER BY c DESC, vec_id ASC LIMIT 10"""
 
 
+_MULTIPROBE_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding,
+         {_rp_sig_sql_expr('embedding', dim=64, n_planes=6, seed=42)} AS sig
+  FROM embeddings),
+q AS (SELECT sig, embedding AS qv FROM sigs WHERE vec_id = 0),
+probe AS (
+  SELECT s.vec_id, s.label,
+         list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) /
+         (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[]))) *
+          sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))) AS c
+  FROM sigs s JOIN q
+    ON s.sig IN (q.sig, xor(q.sig, 1), xor(q.sig, 2), xor(q.sig, 4),
+                 xor(q.sig, 8), xor(q.sig, 16), xor(q.sig, 32)))
+SELECT vec_id, label, ROUND(c, 4) AS cosine
+FROM probe ORDER BY c DESC, vec_id ASC LIMIT 10"""
+
+
+@query("ann_topk_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def ann_topk_multiprobe_q(spark, sf_dir):
+    """EXT R166: multi-probe LSH top-k — the query probes its own bucket
+    plus every Hamming-distance-1 bucket (one sign bit flipped), the
+    standard recall booster for hyperplane LSH at higher plane counts.
+    The oracle reproduces the seeded signatures as SQL literals, the
+    7-bucket probe set via XOR, and the exact-cosine re-rank end to
+    end."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 0)
+    return V.ann_topk_multiprobe(e, qdf, 10, dim=64, n_planes=6) \
+            .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+
+
 @query("ann_topk_lsh", oracle=_ANN_ORACLE)
 def ann_topk_lsh_q(spark, sf_dir):
     """L3 scale path: LSH-bucketed approximate top-k.
@@ -2183,11 +2215,12 @@ DRIVER_PRIORITY = [
     "ks_drift_events", "span_removal_docs", "referential_integrity_report",
     "streaming_left_outer_join", "lateral_topk_orders",
     "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
-    # rate_cap_events (round-6 single-scan rewrite) and
-    # resample_locf_events (mechanical _bucket_grid refactor) queue just
-    # past the 50-slot window — both hash-identical and
-    # driver-sim-verified at sf0.01 this round
-    "rate_cap_events", "resample_locf_events",
+    # --- round-7 queue head: the window above is exactly full, so these
+    # ride first next round — ann_topk_multiprobe (new, judge-verifiable),
+    # then rate_cap_events (round-6 single-scan rewrite) and
+    # resample_locf_events (mechanical _bucket_grid refactor), both
+    # hash-identical and driver-sim-verified at sf0.01 this round
+    "ann_topk_multiprobe", "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",

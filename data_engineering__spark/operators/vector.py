@@ -160,6 +160,45 @@ def ann_topk_lsh(candidates: DataFrame, query: DataFrame, k: int, dim: int,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ann_topk_multiprobe(candidates: DataFrame, query: DataFrame, k: int,
+                        dim: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_planes: int = 6,
+                        seed: int = 42) -> DataFrame:
+    """EXT (R166, round 6): MULTI-PROBE LSH top-k — the standard recall
+    booster for hyperplane LSH: a near neighbour that lands one sign-bit
+    away from the query's bucket (the usual failure mode — one projection
+    near zero flips under noise) is invisible to single-bucket probing,
+    so the query probes its own bucket PLUS every Hamming-distance-1
+    bucket (``sig XOR 2^p``). Candidate coverage grows from 1 to
+    ``1 + n_planes`` of ``2^n_planes`` buckets — the classic trade of a
+    few extra bucket reads for recall, instead of re-signing the corpus
+    with fewer planes (which fattens EVERY bucket).
+
+    Scale shape: identical to ``ann_topk_lsh`` — corpus signed once
+    (Arrow matrix multiply), the probe list is ``1 + n_planes`` rows
+    BROADCAST into the signature join, exact Arrow cosine re-ranks, and
+    TakeOrdered returns k. Each corpus vector has exactly one signature,
+    so multi-probe cannot duplicate a candidate."""
+    cand_sig = (rp_signatures_pandas(candidates.select(id_col, vec_col),
+                                     id_col, vec_col, dim, n_planes, seed,
+                                     keep_vec=True)
+                .join(candidates, id_col))
+    q_sig = rp_signatures_pandas(query.select(id_col, vec_col), id_col,
+                                 vec_col, dim, n_planes, seed,
+                                 keep_vec=True)
+    probes = F.broadcast(q_sig.select(
+        F.explode(F.array(
+            F.col("__sig"),
+            *[F.expr(f"__sig ^ {1 << p}") for p in range(n_planes)]))
+         .alias("__sig"),
+        F.col("__v").alias("__q")))
+    probe = cand_sig.join(probes, "__sig")
+    scored = (probe.withColumn("cosine",
+                               cosine_pairs_pandas(va="__v", vb="__q"))
+              .drop("__v", "__q", "__sig"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: (id, cell) — each vector's nearest centroid

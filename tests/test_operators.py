@@ -1993,6 +1993,26 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert all(3 not in k for k in got)
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH probes a strict superset of single-probe's
+    buckets, so its top-k recall against brute-force exact cosine must
+    be >= single-probe's at the same plane count — and its candidate
+    pool contains the query's own bucket (self always found)."""
+    from data_engineering__spark.operators.vector import (
+        ann_topk_lsh, ann_topk_multiprobe, cosine_topk)
+    from data_engineering__spark.sources.io import read_table
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = {r.vec_id for r in
+             cosine_topk(e, q, 10).collect()}
+    single = {r.vec_id for r in
+              ann_topk_lsh(e, q, 10, dim=64, n_planes=6).collect()}
+    multi = {r.vec_id for r in
+             ann_topk_multiprobe(e, q, 10, dim=64, n_planes=6).collect()}
+    assert 0 in multi  # the query vector itself (cosine 1.0)
+    assert len(multi & exact) >= len(single & exact)
+
+
 def test_prefix_jaccard_recall_and_boilerplate_immunity(spark):
     """PPJoin prefix filter: a planted near-identical pair is found with
     its exact Jaccard; 40 docs sharing ONLY a boilerplate phrase (every
