@@ -2220,7 +2220,8 @@ DRIVER_PRIORITY = [
     # then rate_cap_events (round-6 single-scan rewrite) and
     # resample_locf_events (mechanical _bucket_grid refactor), both
     # hash-identical and driver-sim-verified at sf0.01 this round
-    "ann_topk_multiprobe", "rate_cap_events", "resample_locf_events",
+    "ann_topk_multiprobe", "theil_sen_users",
+    "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
@@ -3801,6 +3802,41 @@ def resample_locf_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     return resample_locf(ev, "ts", ["user_id"], "value",
                          every_seconds=3600, round_dp=2)
+
+
+@query("theil_sen_users", oracle=_mat("""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, epoch_us(ts) // 86400000000),
+np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points
+       FROM pts GROUP BY user_id),
+pairs AS (
+  SELECT a.user_id, a.x AS x1, b.x AS x2,
+         CAST(b.v - a.v AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM pts a JOIN pts b ON a.user_id = b.user_id AND a.x < b.x),
+ranked AS (
+  SELECT user_id, s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY s ASC, x1 ASC, x2 ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS npairs
+  FROM pairs)
+SELECT r.user_id, np.n_points, CAST(r.npairs AS BIGINT) AS n_pairs,
+       ROUND(r.s, 6) AS ts_slope
+FROM ranked r JOIN np ON r.user_id = np.user_id
+WHERE r.rn = (r.npairs + 1) // 2"""))
+def theil_sen_users(spark, sf_dir):
+    """EXT R167: per-user Theil–Sen robust daily-value trend — median
+    pairwise slope over each user's (day, daily-cents-total) points;
+    the robust sibling of ``trend_slope``'s OLS. Slopes are single IEEE
+    divisions of exact integers; the lower-median order statistic is
+    engine-stable."""
+    from .operators.analytics import theil_sen
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return theil_sen(ev, ["user_id"],
+                     F.expr("unix_micros(ts) div 86400000000"),
+                     F.round(F.col("value") * 100))
 
 
 @query("ks_drift_events", oracle=_mat("""

@@ -1993,6 +1993,21 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert all(3 not in k for k in got)
 
 
+def test_theil_sen_robust_to_outlier(spark):
+    """One corrupted point wrecks the OLS slope but barely moves
+    Theil–Sen: on y = 2x with a single wild spike, Theil–Sen still
+    reports exactly 2 (most pairwise slopes are 2, so the median is)."""
+    from data_engineering__spark.operators.analytics import (
+        theil_sen, trend_slope)
+    rows = [Row(g=1, x=i, y=2 * i) for i in range(10)]
+    rows[5] = Row(g=1, x=5, y=100000)  # the spike
+    df = spark.createDataFrame(rows)
+    ts = theil_sen(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert ts.ts_slope == 2.0 and ts.n_points == 10 and ts.n_pairs == 45
+    ols = trend_slope(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert abs(ols.slope - 2.0) > 100  # OLS dragged far off by one point
+
+
 def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     """Multi-probe LSH probes a strict superset of single-probe's
     buckets, so its top-k recall against brute-force exact cosine must
