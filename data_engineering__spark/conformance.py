@@ -1094,6 +1094,73 @@ def lang_id_q(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_docs")).orderBy("lang_pred"))
 
 
+@query("kappa_lang_agreement", oracle=f"""
+WITH {_DUCK_TOKS},
+scored AS (
+  SELECT doc_id,
+         {_duck_sw_ratio('en')} AS s_en, {_duck_sw_ratio('es')} AS s_es,
+         {_duck_sw_ratio('fr')} AS s_fr, {_duck_sw_ratio('de')} AS s_de
+  FROM toks),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scored),
+conf AS (
+  SELECT d.lang AS a, p.lang_pred AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM conf),
+diag AS (SELECT CAST(COALESCE(SUM(CASE WHEN a = b THEN c END), 0) AS BIGINT)
+           AS agree FROM conf),
+marg AS (
+  SELECT CAST(COALESCE(SUM(ra.rc * cb.cc), 0) AS BIGINT) AS pe_num
+  FROM (SELECT a, SUM(c) AS rc FROM conf GROUP BY a) ra
+  JOIN (SELECT b, SUM(c) AS cc FROM conf GROUP BY b) cb ON ra.a = cb.b)
+SELECT tot.n AS n_docs, diag.agree AS n_agree,
+       ROUND(CAST(tot.n * diag.agree - marg.pe_num AS DOUBLE)
+             / CAST(tot.n * tot.n - marg.pe_num AS DOUBLE), 6) AS kappa
+FROM tot, diag, marg""")
+def kappa_lang_agreement(spark, sf_dir):
+    """EXT R168 (round 6): Cohen's kappa between the stored language
+    label and the stopword-heuristic ``lang_id`` prediction — the
+    chance-corrected agreement metric an annotation/classifier-eval
+    pipeline reports (raw accuracy flatters any skewed label
+    distribution; kappa subtracts the marginal-product chance term).
+    All-integer confusion counts; kappa = (n·agree − Σrᵢcᵢ)/(n² − Σrᵢcᵢ)
+    is ONE IEEE division of exact integers.
+
+    Scale: the confusion matrix is labels², built by one hash agg;
+    marginals and the chance term are label-count joins — nothing
+    row-scale past the first aggregation."""
+    from .operators.text import lang_id
+    docs = read_table(spark, sf_dir, "documents")
+    pred = lang_id(docs, "text")
+    conf = (pred.groupBy(F.col("lang").alias("a"),
+                         F.col("lang_pred").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint())
+    tot = conf.agg(F.sum("c").cast("long").alias("n"),
+                   F.coalesce(F.sum(F.when(F.col("a") == F.col("b"),
+                                           F.col("c"))), F.lit(0))
+                    .cast("long").alias("agree"))
+    ra = conf.groupBy("a").agg(F.sum("c").alias("rc"))
+    cb = conf.groupBy("b").agg(F.sum("c").alias("cc"))
+    marg = (ra.join(cb, F.col("a") == F.col("b"))
+            .agg(F.coalesce(F.sum(F.col("rc") * F.col("cc")), F.lit(0))
+                 .cast("long").alias("pe_num")))
+    return (tot.crossJoin(F.broadcast(marg))
+            .select(F.col("n").alias("n_docs"),
+                    F.col("agree").alias("n_agree"),
+                    F.round((F.col("n") * F.col("agree")
+                             - F.col("pe_num")).cast("double")
+                            / (F.col("n") * F.col("n")
+                               - F.col("pe_num")).cast("double"), 6)
+                     .alias("kappa")))
+
+
 @query("quality_score", oracle=f"""
 WITH {_DUCK_TOKS},
 feat AS (
@@ -2220,7 +2287,7 @@ DRIVER_PRIORITY = [
     # then rate_cap_events (round-6 single-scan rewrite) and
     # resample_locf_events (mechanical _bucket_grid refactor), both
     # hash-identical and driver-sim-verified at sf0.01 this round
-    "ann_topk_multiprobe", "theil_sen_users",
+    "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
