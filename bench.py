@@ -74,7 +74,7 @@ HEADLINE = [
     "resample_interpolate_events", "ks_drift_events", "span_removal_docs",
     "referential_integrity_report", "lateral_topk_orders",
     "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
-    "theil_sen_users", "kappa_lang_agreement",
+    "theil_sen_users", "kappa_lang_agreement", "mann_kendall_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

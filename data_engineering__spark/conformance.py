@@ -2288,6 +2288,7 @@ DRIVER_PRIORITY = [
     # resample_locf_events (mechanical _bucket_grid refactor), both
     # hash-identical and driver-sim-verified at sf0.01 this round
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
+    "mann_kendall_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7023,3 +7024,52 @@ def auc_quality_vs_lang(spark, sf_dir):
     from .operators.analytics import auc_report
     docs = read_table(spark, sf_dir, "documents")
     return auc_report(docs, F.col("n_chars"), F.col("lang") == "en")
+
+
+@query("mann_kendall_users", oracle=_mat("""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE user_id < 40
+  GROUP BY user_id, epoch_us(ts) // 86400000000),
+np AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points
+       FROM pts GROUP BY user_id),
+s AS (
+  SELECT a.user_id,
+         CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM pts a JOIN pts b ON a.user_id = b.user_id AND a.x < b.x
+  GROUP BY a.user_id),
+ties AS (
+  SELECT user_id,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT user_id, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM pts GROUP BY user_id, v)
+  GROUP BY user_id),
+base AS (
+  SELECT np.user_id, np.n_points,
+         COALESCE(s.s_stat, 0) AS s_stat,
+         np.n_points * (np.n_points - 1) * (2 * np.n_points + 5)
+           - ties.tie_term AS var_s_x18
+  FROM np JOIN ties ON np.user_id = ties.user_id
+  LEFT JOIN s ON np.user_id = s.user_id)
+SELECT user_id, n_points, s_stat, var_s_x18,
+       CASE WHEN var_s_x18 > 0 THEN
+         ROUND((CAST(s_stat AS DOUBLE)
+                - CASE WHEN s_stat > 0 THEN 1.0
+                       WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+               / sqrt(CAST(var_s_x18 AS DOUBLE) / 18.0), 6)
+       END AS mk_z
+FROM base"""))
+def mann_kendall_users(spark, sf_dir):
+    """EXT R169: Mann-Kendall trend significance per user over the same
+    daily integer-cents grid as ``theil_sen_users`` — estimator + test
+    as a matched pair (reference runs no trend tests; this is the
+    telemetry-drift surface a warehouse DAG grows next). Exact-integer
+    S and 18*Var(S); z is the only float, ROUND 6."""
+    from .operators.analytics import mann_kendall
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return mann_kendall(
+        ev, ["user_id"],
+        F.expr("unix_micros(ts) div 86400000000"),
+        F.round(F.col("value") * 100))

@@ -577,6 +577,67 @@ def theil_sen(df: DataFrame, group_cols: list[str], x_int, y_int,
                     F.round(F.col("__s"), round_dp).alias("ts_slope")))
 
 
+def mann_kendall(df: DataFrame, group_cols: list[str], x_int, y_int,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R169, round 6): per-group MANN–KENDALL trend test — the
+    significance companion to ``theil_sen`` (which estimates the slope
+    but not whether a trend exists at all). S = Σ sign(v_j − v_i) over
+    time-ordered pairs; the normal approximation
+    z = (S ∓ 1) / sqrt(Var S) with the standard tie correction
+    Var S = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 (Kendall 1975).
+    Sign-based, so a single corrupted point moves S by at most
+    2(n−1) — the hypothesis-test twin of the Theil–Sen estimator,
+    intended to run on the same (group, x) grid.
+
+    Output: group, ``n_points``, ``s_stat`` (exact integer),
+    ``var_s_x18`` (18·Var S — exact integer, published so the test is
+    reproducible without float trust), ``mk_z`` (6 dp; NULL when the
+    variance is zero — constant series or n < 2).
+
+    Exactness: the grid collapse sums pre-scaled integers; S and the
+    tie term are pure integer aggregates; z is division → sqrt →
+    division on exact integer inputs (each IEEE op exactly rounded,
+    identical expression shape on both engines) + ROUND 6.
+
+    Scale shape: identical to ``theil_sen`` — points collapse to the
+    per-(group, x) grid map-side, so the pairwise self-join is
+    C(grid, 2) per group, bounded by the x-domain (days), never by row
+    count; S and ties are hash aggregates on group keys."""
+    pts = (df.select(*group_cols, x_int.cast("long").alias("__x"),
+                     y_int.cast("long").alias("__y"))
+           .groupBy(*group_cols, "__x")
+           .agg(F.sum("__y").alias("__v")))
+    npts = pts.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"))
+    rhs = pts.select(*group_cols, F.col("__x").alias("__x2"),
+                     F.col("__v").alias("__v2"))
+    s = (pts.join(rhs, group_cols)
+         .filter(F.col("__x") < F.col("__x2"))
+         .groupBy(*group_cols)
+         .agg(F.sum(F.signum(F.col("__v2") - F.col("__v")).cast("long"))
+              .cast("long").alias("s_stat")))
+    ties = (pts.groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+            .groupBy(*group_cols)
+            .agg(F.sum(F.col("__t") * (F.col("__t") - 1)
+                       * (2 * F.col("__t") + 5)).cast("long")
+                 .alias("__tie_term")))
+    base = (npts.join(ties, group_cols)
+            .join(s, group_cols, "left")
+            .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0))
+                        .cast("long"))
+            .withColumn("var_s_x18",
+                        (F.col("n_points") * (F.col("n_points") - 1)
+                         * (2 * F.col("n_points") + 5)
+                         - F.col("__tie_term")).cast("long")))
+    z = (F.col("s_stat").cast("double")
+         - F.signum(F.col("s_stat")).cast("double")) \
+        / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0))
+    return base.select(
+        *group_cols, "n_points", "s_stat", "var_s_x18",
+        F.when(F.col("var_s_x18") > 0, F.round(z, round_dp)).alias("mk_z"))
+
+
 def ks_two_sample(df: DataFrame, label_col, value_int,
                   label_a: str, label_b: str) -> DataFrame:
     """EXT (R158, round 6): exact two-sample Kolmogorov–Smirnov distance

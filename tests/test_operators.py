@@ -2411,3 +2411,22 @@ def test_auc_matches_sklearn_free_reference(spark):
     # degenerate: single class → NULL
     one = spark.createDataFrame([Row(s=1, y=True), Row(s=2, y=True)])
     assert auc_report(one, F.col("s"), F.col("y")).collect()[0].auc is None
+
+
+def test_mann_kendall_monotone_and_constant(spark):
+    """On a strictly increasing 10-point series S = C(10,2) = 45 with no
+    ties (var18 = 10*9*25 = 2250, z = 44/sqrt(125)); on a constant
+    series S = 0 and the tie correction zeroes the variance, so mk_z is
+    NULL rather than a 0/0."""
+    import math
+    from data_engineering__spark.operators.analytics import mann_kendall
+    rows = [Row(g=1, x=i, y=3 * i + 7) for i in range(10)]
+    rows += [Row(g=2, x=i, y=5) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in
+           mann_kendall(df, ["g"], F.col("x"), F.col("y")).collect()}
+    up = out[1]
+    assert (up.n_points, up.s_stat, up.var_s_x18) == (10, 45, 2250)
+    assert up.mk_z == round(44.0 / math.sqrt(2250.0 / 18.0), 6)
+    flat = out[2]
+    assert (flat.s_stat, flat.var_s_x18, flat.mk_z) == (0, 0, None)
