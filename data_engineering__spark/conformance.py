@@ -2288,7 +2288,7 @@ DRIVER_PRIORITY = [
     # resample_locf_events (mechanical _bucket_grid refactor), both
     # hash-identical and driver-sim-verified at sf0.01 this round
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
-    "mann_kendall_users",
+    "mann_kendall_users", "l_diversity_customer",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7073,3 +7073,30 @@ def mann_kendall_users(spark, sf_dir):
         ev, ["user_id"],
         F.expr("unix_micros(ts) div 86400000000"),
         F.round(F.col("value") * 100))
+
+
+@query("l_diversity_customer", oracle="""
+WITH grid AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0 THEN 'neg'
+              WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 250000 THEN 'low'
+              WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 500000 THEN 'mid'
+              ELSE 'high' END AS s,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment,
+       CAST(SUM(c) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+       COUNT(*) < 3 AS below_l
+FROM grid GROUP BY c_nationkey, c_mktsegment""")
+def l_diversity_customer(spark, sf_dir):
+    """EXT R170: distinct-l l-diversity audit over the same
+    (nation, market-segment) quasi-identifier as ``k_anonymity_customer``,
+    with the account-balance BAND as the sensitive attribute (integer-cents
+    thresholds so the banding is engine-exact) — k-anonymity and
+    l-diversity as a matched release-screen pair."""
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    band = (F.when(cents < 0, "neg").when(cents < 250000, "low")
+            .when(cents < 500000, "mid").otherwise("high"))
+    return Q.l_diversity(cust, ["c_nationkey", "c_mktsegment"], band, l=3)

@@ -294,6 +294,30 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str],
             .withColumn("at_risk", F.col("class_size") < k))
 
 
+def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive,
+                l: int = 3) -> DataFrame:
+    """EXT (R170, round 6): l-diversity audit — the attribute-disclosure
+    companion to ``k_anonymity``. A class can be k-anonymous yet leak the
+    SENSITIVE value outright when every member shares it (the homogeneity
+    attack k-anonymity cannot see); l-diversity requires ≥ l DISTINCT
+    sensitive values per quasi-identifier equivalence class (Machanavajjhala
+    et al. 2007, distinct-l variant). One row per class:
+    ``class_size``, ``n_sensitive`` (distinct sensitive values, NULL
+    counted as a visible value like the quasi columns), ``below_l``.
+
+    Scale shape (100 TB): collapse to the (quasi, sensitive) grid first —
+    partial counts fold map-side, so the wide shuffle carries distinct
+    combinations, not rows; the second aggregation is over that grid.
+    ``count_distinct`` straight on the class would shuffle full rows."""
+    grid = (df.groupBy(*quasi_cols,
+                       sensitive.alias("__s"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    return (grid.groupBy(*quasi_cols)
+            .agg(F.sum("__c").cast("long").alias("class_size"),
+                 F.count(F.lit(1)).cast("long").alias("n_sensitive"))
+            .withColumn("below_l", F.col("n_sensitive") < l))
+
+
 def drift_report(before: DataFrame, after: DataFrame, key_cols: list[str],
                  compare_cols: list[str]) -> DataFrame:
     """EXT (R128): snapshot drift report — the data-contract monitor run

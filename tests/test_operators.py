@@ -2430,3 +2430,19 @@ def test_mann_kendall_monotone_and_constant(spark):
     assert up.mk_z == round(44.0 / math.sqrt(2250.0 / 18.0), 6)
     flat = out[2]
     assert (flat.s_stat, flat.var_s_x18, flat.mk_z) == (0, 0, None)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A class that is large (k-anonymous at k=3) but where every member
+    shares one sensitive value must be flagged below_l — the homogeneity
+    attack k_anonymity cannot see; a small-but-diverse class must not."""
+    from data_engineering__spark.operators.quality import l_diversity
+    rows = ([Row(q="a", s="x")] * 5
+            + [Row(q="b", s="x"), Row(q="b", s="y"), Row(q="b", s="z")])
+    df = spark.createDataFrame(rows)
+    out = {r.q: r for r in
+           l_diversity(df, ["q"], F.col("s"), l=3).collect()}
+    assert (out["a"].class_size, out["a"].n_sensitive,
+            out["a"].below_l) == (5, 1, True)
+    assert (out["b"].class_size, out["b"].n_sensitive,
+            out["b"].below_l) == (3, 3, False)
