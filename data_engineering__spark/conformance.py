@@ -2288,7 +2288,7 @@ DRIVER_PRIORITY = [
     # resample_locf_events (mechanical _bucket_grid refactor), both
     # hash-identical and driver-sim-verified at sf0.01 this round
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
-    "mann_kendall_users", "l_diversity_customer",
+    "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7100,3 +7100,40 @@ def l_diversity_customer(spark, sf_dir):
     band = (F.when(cents < 0, "neg").when(cents < 250000, "low")
             .when(cents < 500000, "mid").otherwise("high"))
     return Q.l_diversity(cust, ["c_nationkey", "c_mktsegment"], band, l=3)
+
+
+@query("assoc_rules_brands", oracle=_mat("""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS k, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM items),
+cnt AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY it),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(COUNT(*) AS BIGINT) AS s
+  FROM items a JOIN items b ON a.k = b.k AND a.it < b.it
+  GROUP BY a.it, b.it),
+rules AS (
+  SELECT ia AS antecedent, ib AS consequent, s FROM pairs WHERE s >= 25
+  UNION ALL
+  SELECT ib, ia, s FROM pairs WHERE s >= 25)
+SELECT r.antecedent, r.consequent, r.s AS support,
+       ROUND(CAST(r.s AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(r.s * n.n AS DOUBLE) / CAST(ca.c * cc.c AS DOUBLE), 6)
+         AS lift
+FROM rules r
+JOIN cnt ca ON r.antecedent = ca.it
+JOIN cnt cc ON r.consequent = cc.it
+CROSS JOIN n"""))
+def assoc_rules_brands(spark, sf_dir):
+    """EXT R171: directional association rules (confidence + lift) over
+    the same order-brand baskets as ``brand_basket_pairs`` — frequent
+    pairs complete to the Apriori readout; min_support=25 matches the
+    pair query so the two surfaces describe the same rule set."""
+    from .operators.analytics import association_rules
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(pt, li.l_partkey == pt.p_partkey)
+               .select("l_orderkey", "p_brand"))
+    return association_rules(baskets, "l_orderkey", "p_brand",
+                             min_support=25)

@@ -447,6 +447,58 @@ def cooccurrence_pairs(df: DataFrame, key_col: str, item_col: str,
             .filter(F.col("support") >= min_support))
 
 
+def association_rules(df: DataFrame, key_col: str, item_col: str,
+                      min_support: int = 2, round_dp: int = 6) -> DataFrame:
+    """EXT (R171, round 6): association rules over basket co-occurrence —
+    the directional completion of ``cooccurrence_pairs``: each frequent
+    unordered pair {a, b} yields both rules a→b and b→a with
+    ``support`` (baskets containing both), ``confidence``
+    (support / baskets containing the antecedent) and ``lift``
+    (support·N / (n_a·n_b) — how far above independence the pair sits;
+    lift ≈ 1 means co-occurrence is just popularity). The Apriori
+    readout a recommendation/affinity pipeline ships from basket data.
+
+    Exactness: support and the item/basket counts are exact integers;
+    confidence and lift are each ONE IEEE division of integer products,
+    ROUND 6.
+
+    Scale shape (100 TB): identical skeleton to ``cooccurrence_pairs``
+    (distinct (key, item) collapse → bounded self-join → map-side
+    support fold); item counts are one hash agg on the same grid; the
+    basket total is a 1-row broadcast cross join. The rules frame is
+    2·pairs rows — output-scale, not input-scale."""
+    items = df.select(F.col(key_col).alias("__k"),
+                      F.col(item_col).alias("__it")).distinct()
+    counts = items.groupBy("__it").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    n = items.agg(F.count_distinct("__k").cast("long").alias("__n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.__k") == F.col("b.__k"))
+                    & (F.col("a.__it") < F.col("b.__it")))
+             .groupBy(F.col("a.__it").alias("__ia"),
+                      F.col("b.__it").alias("__ib"))
+             .agg(F.count(F.lit(1)).cast("long").alias("support"))
+             .filter(F.col("support") >= min_support))
+    rules = (pairs.select(F.col("__ia").alias("antecedent"),
+                          F.col("__ib").alias("consequent"), "support")
+             .unionAll(pairs.select(F.col("__ib").alias("antecedent"),
+                                    F.col("__ia").alias("consequent"),
+                                    "support")))
+    ca = counts.select(F.col("__it").alias("antecedent"),
+                       F.col("__c").alias("__ca"))
+    cc = counts.select(F.col("__it").alias("consequent"),
+                       F.col("__c").alias("__cc"))
+    return (rules.join(ca, "antecedent").join(cc, "consequent")
+            .crossJoin(F.broadcast(n))
+            .select("antecedent", "consequent", "support",
+                    F.round(F.col("support").cast("double")
+                            / F.col("__ca").cast("double"),
+                            round_dp).alias("confidence"),
+                    F.round((F.col("support") * F.col("__n")).cast("double")
+                            / (F.col("__ca") * F.col("__cc")).cast("double"),
+                            round_dp).alias("lift")))
+
+
 def experiment_report(events: DataFrame, user_col: str, convert_pred,
                       salt: str = "exp", buckets: int = 10_000) -> DataFrame:
     """EXT (R123): A/B experiment readout — deterministic 50/50 arm

@@ -2446,3 +2446,23 @@ def test_l_diversity_flags_homogeneous_class(spark):
             out["a"].below_l) == (5, 1, True)
     assert (out["b"].class_size, out["b"].n_sensitive,
             out["b"].below_l) == (3, 3, False)
+
+
+def test_association_rules_confidence_and_lift(spark):
+    """4 baskets: {x,y} twice, {x} once, {y,z} once. Rule x→y: support 2,
+    confidence 2/3; y→x: 2/3 too (y in 3). Lift symmetric:
+    2*4/(3*3) = 8/9. z→y: confidence 1, lift 4/3."""
+    from data_engineering__spark.operators.analytics import association_rules
+    rows = [Row(k=1, it="x"), Row(k=1, it="y"),
+            Row(k=2, it="x"), Row(k=2, it="y"),
+            Row(k=3, it="x"),
+            Row(k=4, it="y"), Row(k=4, it="z")]
+    df = spark.createDataFrame(rows)
+    out = {(r.antecedent, r.consequent): r for r in
+           association_rules(df, "k", "it", min_support=1).collect()}
+    xy = out[("x", "y")]
+    assert (xy.support, xy.confidence, xy.lift) == (
+        2, round(2 / 3, 6), round(8 / 9, 6))
+    assert out[("y", "x")].lift == xy.lift
+    zy = out[("z", "y")]
+    assert (zy.support, zy.confidence, zy.lift) == (1, 1.0, round(4 / 3, 6))
