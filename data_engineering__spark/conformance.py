@@ -2289,6 +2289,7 @@ DRIVER_PRIORITY = [
     # hash-identical and driver-sim-verified at sf0.01 this round
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
+    "chi_square_lang_source",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7137,3 +7138,26 @@ def assoc_rules_brands(spark, sf_dir):
                .select("l_orderkey", "p_brand"))
     return association_rules(baskets, "l_orderkey", "p_brand",
                              min_support=25)
+
+
+@query("chi_square_lang_source", oracle=_mat("""
+WITH grid AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM grid GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM grid GROUP BY b),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid)
+SELECT grid.a AS lang, grid.b AS source, grid.o AS observed,
+       ROUND(CAST(ra.r * cb.c AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+         AS expected,
+       ROUND(CAST(grid.o * n.n - ra.r * cb.c AS DOUBLE)
+             * CAST(grid.o * n.n - ra.r * cb.c AS DOUBLE)
+             / CAST(ra.r * cb.c * n.n AS DOUBLE), 6) AS chi_cell
+FROM grid JOIN ra ON grid.a = ra.a JOIN cb ON grid.b = cb.b CROSS JOIN n"""))
+def chi_square_lang_source(spark, sf_dir):
+    """EXT R172: per-cell chi-square independence screen between the
+    document language and source columns — the categorical-association
+    companion to the KS/PSI numeric drift tests; per-cell contributions
+    name WHICH (lang, source) combination breaks independence."""
+    docs = read_table(spark, sf_dir, "documents")
+    return Q.chi_square_cells(docs, "lang", "source")

@@ -318,6 +318,47 @@ def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive,
             .withColumn("below_l", F.col("n_sensitive") < l))
 
 
+def chi_square_cells(df: DataFrame, col_a: str, col_b: str,
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (R172, round 6): chi-square independence screen between two
+    categorical columns, reported PER CELL — one row per observed
+    (a, b) combination with the observed count, the expected count
+    under independence, and the cell's chi-square contribution
+    (o − e)²/e. Per-cell rows instead of the summed statistic by
+    design: the multiset compare is order-free (a float SUM over cells
+    would be summation-order-dependent across engines), and the cells
+    ARE the diagnosis — the drilldown that says WHICH combination
+    breaks independence, which the scalar statistic cannot.
+
+    Exactness: o, row/column totals r, c and N are exact integers;
+    e = r·c/N and the contribution ((o·N − r·c)/N-free form
+    (o·N − r·c)²/(r·c·N)) are each ONE fixed-shape IEEE expression
+    over those integers, ROUND 6. Integer products stay in long range
+    for N·max(o) < 2⁶³ (petabyte tables should pre-aggregate or cast
+    the products to double first).
+
+    Scale shape (100 TB): one hash agg to the (a, b) grid (map-side
+    partial), two grid-sized aggs for the margins, margins broadcast
+    back onto the grid — nothing after the first agg is row-scale."""
+    grid = (df.groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__o")))
+    ra = grid.groupBy("__a").agg(F.sum("__o").cast("long").alias("__r"))
+    cb = grid.groupBy("__b").agg(F.sum("__o").cast("long").alias("__c"))
+    n = grid.agg(F.sum("__o").cast("long").alias("__n"))
+    d = (F.col("__o") * F.col("__n") - F.col("__r") * F.col("__c")) \
+        .cast("double")
+    chi = d * d / (F.col("__r") * F.col("__c") * F.col("__n")).cast("double")
+    return (grid.join(F.broadcast(ra), "__a")
+            .join(F.broadcast(cb), "__b")
+            .crossJoin(F.broadcast(n))
+            .select(F.col("__a").alias(col_a), F.col("__b").alias(col_b),
+                    F.col("__o").alias("observed"),
+                    F.round((F.col("__r") * F.col("__c")).cast("double")
+                            / F.col("__n").cast("double"),
+                            round_dp).alias("expected"),
+                    F.round(chi, round_dp).alias("chi_cell")))
+
+
 def drift_report(before: DataFrame, after: DataFrame, key_cols: list[str],
                  compare_cols: list[str]) -> DataFrame:
     """EXT (R128): snapshot drift report — the data-contract monitor run

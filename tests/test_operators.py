@@ -2466,3 +2466,20 @@ def test_association_rules_confidence_and_lift(spark):
     assert out[("y", "x")].lift == xy.lift
     zy = out[("z", "y")]
     assert (zy.support, zy.confidence, zy.lift) == (1, 1.0, round(4 / 3, 6))
+
+
+def test_chi_square_cells_independence_and_association(spark):
+    """On a perfectly independent 2x2 table every chi_cell is 0 and
+    expected == observed; on a diagonal-only table each cell carries
+    N/4 · ... — pinned against the hand-computed contribution."""
+    from data_engineering__spark.operators.quality import chi_square_cells
+    indep = ([Row(a="x", b="u")] * 4 + [Row(a="x", b="v")] * 4
+             + [Row(a="y", b="u")] * 4 + [Row(a="y", b="v")] * 4)
+    out = chi_square_cells(spark.createDataFrame(indep), "a", "b").collect()
+    assert all(r.chi_cell == 0.0 and r.expected == r.observed for r in out)
+    diag = [Row(a="x", b="u")] * 5 + [Row(a="y", b="v")] * 5
+    out2 = {(r.a, r.b): r for r in
+            chi_square_cells(spark.createDataFrame(diag), "a", "b").collect()}
+    # o=5, r=c=5, N=10 -> e=2.5, chi=(5-2.5)^2/2.5 = 2.5 per cell
+    assert out2[("x", "u")].expected == 2.5
+    assert out2[("x", "u")].chi_cell == 2.5
