@@ -76,7 +76,7 @@ HEADLINE = [
     "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
     "theil_sen_users", "kappa_lang_agreement", "mann_kendall_users",
     "l_diversity_customer", "assoc_rules_brands",
-    "chi_square_lang_source",
+    "chi_square_lang_source", "ann_recall_report",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

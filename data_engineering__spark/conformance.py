@@ -2289,7 +2289,7 @@ DRIVER_PRIORITY = [
     # hash-identical and driver-sim-verified at sf0.01 this round
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
-    "chi_square_lang_source",
+    "chi_square_lang_source", "ann_recall_report",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7161,3 +7161,55 @@ def chi_square_lang_source(spark, sf_dir):
     name WHICH (lang, source) combination breaks independence."""
     docs = read_table(spark, sf_dir, "documents")
     return Q.chi_square_cells(docs, "lang", "source")
+
+
+_COS_SQL = ("list_dot_product(CAST(s.embedding AS DOUBLE[]), "
+            "CAST(q.qv AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), "
+            "CAST(s.embedding AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), "
+            "CAST(q.qv AS DOUBLE[]))))")
+
+
+@query("ann_recall_report", oracle=_mat(f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {_rp_sig_sql_expr('embedding', dim=64, n_planes=4, seed=42)} AS sig
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, sig AS qsig
+      FROM sigs WHERE vec_id < 8),
+ex AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY ROUND({_COS_SQL}, 6) DESC, s.vec_id ASC) AS rn
+    FROM sigs s CROSS JOIN q) WHERE rn <= 10),
+ap AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY ROUND({_COS_SQL}, 6) DESC, s.vec_id ASC) AS rn
+    FROM sigs s JOIN q ON s.sig = q.qsig) WHERE rn <= 10),
+ne AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY q_id),
+na AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM ap GROUP BY q_id),
+h AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_hit FROM (
+        SELECT q_id, vec_id FROM ex INTERSECT SELECT q_id, vec_id FROM ap)
+      GROUP BY q_id)
+SELECT ne.q_id, ne.n_exact,
+       CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+             / CAST(ne.n_exact AS DOUBLE), 6) AS recall
+FROM ne LEFT JOIN na ON ne.q_id = na.q_id
+LEFT JOIN h ON ne.q_id = h.q_id"""))
+def ann_recall_report_q(spark, sf_dir):
+    """EXT R173: recall@10 of the single-probe LSH index (n_planes=4,
+    seed 42 — the ``ann_topk_lsh`` configuration) against brute-force
+    exact cosine over 8 query vectors — the offline index-quality eval
+    a vector deployment gates its configuration on. The oracle replays
+    the seeded hyperplane signatures as SQL literals and both rankings
+    with the shared ROUND-6/id tie order."""
+    from .operators.vector import ann_recall_report
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8)
+    return ann_recall_report(e, qs, 10, dim=64, n_planes=4, seed=42)

@@ -11,7 +11,7 @@ scoring loop. Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,6 +197,61 @@ def ann_topk_multiprobe(candidates: DataFrame, query: DataFrame, k: int,
                                cosine_pairs_pandas(va="__v", vb="__q"))
               .drop("__v", "__q", "__sig"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
+                      dim: int, id_col: str = "vec_id",
+                      vec_col: str = "embedding", n_planes: int = 4,
+                      seed: int = 42, round_dp: int = 6) -> DataFrame:
+    """EXT (R173, round 6): ANN index-quality report — per-query
+    recall@k of the single-probe LSH index against brute-force exact
+    cosine ground truth. The eval harness that decides whether an index
+    configuration (n_planes here; nprobe/cells for IVF) is shippable:
+    recall is THE index quality metric, and measuring it is itself a
+    distributed job at corpus scale. One row per query:
+    ``n_exact`` / ``n_approx`` (bucket may hold < k), ``n_hit``
+    (overlap), ``recall`` = n_hit/n_exact (ONE division, ROUND 6).
+
+    Both rankings order by ROUND(cosine, 6) DESC, id ASC — the
+    ``cosine_topk`` tie-stability device, so the selected sets are
+    engine-stable. Ground truth is a cross join of corpus × queries:
+    an OFFLINE eval over a sampled query set (hundreds), not a serving
+    path — the report's cost is |corpus|·|queries| map-side scores with
+    a per-query TakeOrdered, no shuffle of the corpus itself."""
+    sig = rp_signature(as_double_array(vec_col), dim, n_planes, seed)
+    cand = candidates.select(F.col(id_col).alias("__cid"),
+                             as_double_array(vec_col).alias("__v"),
+                             sig.alias("__sig"))
+    qs = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
+                                    as_double_array(vec_col).alias("__q"),
+                                    sig.alias("__qsig")))
+    rank_w = (Window.partitionBy("q_id")
+              .orderBy(F.round(F.col("__c"), 6).desc(),
+                       F.col("__cid").asc()))
+    exact = (cand.crossJoin(qs)
+             .withColumn("__c", cosine(F.col("__v"), F.col("__q")))
+             .withColumn("__rn", F.row_number().over(rank_w))
+             .filter(F.col("__rn") <= k).select("q_id", "__cid"))
+    approx = (cand.join(qs, F.col("__sig") == F.col("__qsig"))
+              .withColumn("__c", cosine(F.col("__v"), F.col("__q")))
+              .withColumn("__rn", F.row_number().over(rank_w))
+              .filter(F.col("__rn") <= k).select("q_id", "__cid"))
+    n_exact = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_approx = approx.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx"))
+    hits = exact.intersect(approx).groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (n_exact.join(n_approx, "q_id", "left")
+            .join(hits, "q_id", "left")
+            .select("q_id", "n_exact",
+                    F.coalesce("n_approx", F.lit(0)).cast("long")
+                    .alias("n_approx"),
+                    F.coalesce("n_hit", F.lit(0)).cast("long")
+                    .alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0)).cast("double")
+                            / F.col("n_exact").cast("double"),
+                            round_dp).alias("recall")))
 
 
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",

@@ -2483,3 +2483,20 @@ def test_chi_square_cells_independence_and_association(spark):
     # o=5, r=c=5, N=10 -> e=2.5, chi=(5-2.5)^2/2.5 = 2.5 per cell
     assert out2[("x", "u")].expected == 2.5
     assert out2[("x", "u")].chi_cell == 2.5
+
+
+def test_ann_recall_report_bounds_and_self_hit(spark, sf_dir):
+    """Recall is in [0,1], the approx set never exceeds k, and n_hit is
+    bounded by both set sizes; every query's own vector is cosine-1.0 so
+    single-probe always finds at least itself (n_approx >= 1)."""
+    from data_engineering__spark.operators.vector import ann_recall_report
+    from data_engineering__spark.sources.io import read_table
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 4)
+    out = ann_recall_report(e, qs, 10, dim=64, n_planes=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_exact == 10 and r.n_approx >= 1
+        assert r.n_hit <= min(r.n_exact, r.n_approx)
+        assert r.recall == round(r.n_hit / r.n_exact, 6)
