@@ -2290,6 +2290,7 @@ DRIVER_PRIORITY = [
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
+    "session_window_dynamic_gap",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7213,3 +7214,50 @@ def ann_recall_report_q(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") < 8)
     return ann_recall_report(e, qs, 10, dim=64, n_planes=4, seed=42)
+
+
+@query("session_window_dynamic_gap", oracle=_mat("""
+WITH g AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+              ELSE INTERVAL 10 MINUTE END AS gap
+  FROM events),
+m AS (
+  SELECT user_id, ts, cents, ts + gap AS pend,
+         CASE WHEN ts < MAX(ts + gap) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_sess
+  FROM g),
+s AS (
+  SELECT user_id, ts, cents, pend,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(MAX(pend))) AS BIGINT) AS session_end_epoch,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid"""))
+def session_window_dynamic_gap(spark, sf_dir):
+    """EXT R174: dynamic-gap session windows — the per-event timeout
+    surface (purchase keeps a session alive 45 min, anything else 10).
+    The oracle is the gaps-and-islands rewrite generalized to variable
+    gaps: an event opens a new session iff its ts has reached the
+    running MAX(ts + gap) of everything before it (cumulative max ==
+    current session end, because a closed session's reach never crosses
+    the boundary that closed it). Proves Spark's dynamic
+    ``session_window`` merge semantics from first principles."""
+    from .streaming.windows import session_agg_dynamic
+    e = read_table(spark, sf_dir, "events")
+    # session_window demands CalendarIntervalType for a dynamic gap
+    # (DayTimeInterval literals are rejected) — make_interval builds one
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, "
+                 "CASE WHEN event_type = 'purchase' THEN 45 ELSE 10 END, 0)")
+    out = session_agg_dynamic(e, gap)
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
+        "cnt", "sum_cents")

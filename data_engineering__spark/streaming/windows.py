@@ -90,6 +90,28 @@ def session_agg(events: DataFrame, gap: str = "30 minutes",
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def session_agg_dynamic(events: DataFrame, gap_col,
+                        watermark: str | None = None) -> DataFrame:
+    """EXT (R174, round 6): session windows with a PER-EVENT gap
+    expression — ``session_window(ts, <Column>)``, the Spark surface the
+    fixed-gap ``session_agg`` cannot express. The canonical use: event
+    types with different engagement half-lives (a purchase keeps a
+    session alive for 45 min, a heartbeat for 10), so the timeout is a
+    property of the event, not the stream. Merging semantics are
+    Spark's: each event spans [ts, ts+gap); overlapping spans merge;
+    the session end is max(ts + gap) over its events.
+
+    Same expression runs batch or streaming (pass ``watermark``); state
+    per key is bounded by the watermark horizon exactly as fixed-gap
+    sessions are."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.session_window("ts", gap_col).alias("w"),
+                        "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("sum_cents")))
+
+
 def stream_static_join(events: DataFrame, dim: DataFrame,
                        on: str) -> DataFrame:
     """ST EXT: stream-static enrichment join — each micro-batch hash-joins

@@ -2500,3 +2500,28 @@ def test_ann_recall_report_bounds_and_self_hit(spark, sf_dir):
         assert r.n_exact == 10 and r.n_approx >= 1
         assert r.n_hit <= min(r.n_exact, r.n_approx)
         assert r.recall == round(r.n_hit / r.n_exact, 6)
+
+
+def test_session_dynamic_gap_merges_by_event_type(spark):
+    """Three events 20 min apart: under a 10-min heartbeat gap they'd be
+    three sessions, but a purchase's 45-min reach bridges the next event
+    — dynamic gaps make the timeout a property of the EVENT."""
+    from datetime import datetime
+    from data_engineering__spark.streaming.windows import session_agg_dynamic
+    rows = [Row(user_id=1, ts=datetime(2024, 1, 1, 10, 0),
+                event_type="purchase", value=1.0),
+            Row(user_id=1, ts=datetime(2024, 1, 1, 10, 20),
+                event_type="view", value=2.0),
+            Row(user_id=1, ts=datetime(2024, 1, 1, 10, 40),
+                event_type="view", value=4.0)]
+    df = spark.createDataFrame(rows)
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, "
+                 "CASE WHEN event_type = 'purchase' THEN 45 ELSE 10 END, 0)")
+    out = sorted(session_agg_dynamic(df, gap).collect(),
+                 key=lambda r: r.w.start)
+    # purchase@10:00 reaches 10:45, so view@10:20 merges (reach 10:30 <
+    # 10:45 keeps the session's end at 10:45); view@10:40 merges too
+    # (10:40 < 10:45), extending nothing (reach 10:50 > 10:45 extends it)
+    assert len(out) == 1
+    assert out[0].cnt == 3 and out[0].sum_cents == 700
+    assert out[0].w.end == datetime(2024, 1, 1, 10, 50)
