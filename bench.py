@@ -77,7 +77,7 @@ HEADLINE = [
     "theil_sen_users", "kappa_lang_agreement", "mann_kendall_users",
     "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
-    "session_window_dynamic_gap",
+    "session_window_dynamic_gap", "quantile_normalize_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2290,7 +2290,7 @@ DRIVER_PRIORITY = [
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
-    "session_window_dynamic_gap",
+    "session_window_dynamic_gap", "quantile_normalize_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7261,3 +7261,38 @@ def session_window_dynamic_gap(spark, sf_dir):
         F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
         F.unix_timestamp(F.col("w.end")).alias("session_end_epoch"),
         "cnt", "sum_cents")
+
+
+@query("quantile_normalize_events", oracle=_mat("""
+WITH vals AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+grid AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY g, v),
+ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM grid GROUP BY g),
+gcum AS (
+  SELECT g, v, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gc
+  FROM grid),
+hist AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS hc FROM vals GROUP BY v),
+hcum AS (
+  SELECT v, hc,
+         CAST(SUM(hc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+k AS (
+  SELECT gcum.g, gcum.v, gcum.c,
+         (gcum.gc * n.n + ng.ng - 1) // ng.ng AS k
+  FROM gcum JOIN ng ON gcum.g = ng.g CROSS JOIN n)
+SELECT k.g AS event_type, k.v AS value, k.c AS n_rows, h.v AS mapped
+FROM k JOIN hcum h ON h.cum >= k.k AND h.cum - h.hc < k.k"""))
+def quantile_normalize_events(spark, sf_dir):
+    """EXT R175: quantile-normalization transform grid for the per-type
+    event value distributions onto the global value distribution —
+    integer-cents values, pure integer rank arithmetic; one row per
+    distinct (event_type, cents) with its global-rank-matched target."""
+    from .operators.analytics import quantile_normalize
+    ev = read_table(spark, sf_dir, "events")
+    return quantile_normalize(ev, ["event_type"],
+                              F.round(F.col("value") * 100))

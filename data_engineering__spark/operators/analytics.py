@@ -421,6 +421,66 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def quantile_normalize(df: DataFrame, group_cols: list[str], value_int,
+                       bucket_width: int = 1_000) -> DataFrame:
+    """EXT (R175, round 6): quantile normalization — map every group's
+    value distribution onto the GLOBAL distribution by rank, the
+    standard cross-source calibration step (microarray normalization;
+    score calibration across heterogeneous feeds before mixing): after
+    the transform every group has (up to ties) the same distribution,
+    so cross-group comparisons compare rank, not scale.
+
+    Returns the TRANSFORM GRID, one row per distinct (group, value):
+    ``n_rows`` and ``mapped`` = the global value at rank
+    ``ceil(r·N/n_g)`` where r is the value's last within-group rank —
+    pure integer arithmetic (``(r·N + n_g − 1) DIV n_g``), engine- and
+    tie-order-invariant. Applying it to rows is then a broadcast join
+    of the grid back onto the table.
+
+    Scale shape (100 TB): rows collapse to per-group value histograms
+    (map-side partial agg); within-group cumulative ranks run under
+    windows PARTITIONED by group (a partition holds one group's
+    distinct values, never raw rows); the global cumulative count uses
+    the two-level scan tree (no global sort, no single-partition
+    window); the rank→value probe is a range join against the global
+    histogram — both sides distinct-value-scale, the histogram side
+    broadcast. Integer products r·N stay in long range for N < ~3·10⁹
+    rows; shard or pre-bucket beyond that."""
+    vals = (df.select(*group_cols, value_int.cast("long").alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+    grid = (vals.groupBy(*group_cols, "__v")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    ng = grid.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("__ng"))
+    w_g = (Window.partitionBy(*group_cols).orderBy("__v")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    gcum = grid.withColumn("__gc", F.sum("__c").over(w_g).cast("long"))
+    hist = (vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__hc"))
+            .withColumn("__bucket", F.expr(f"__v div {bucket_width}")))
+    btot = hist.groupBy("__bucket").agg(F.sum("__hc").alias("__bt"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__boff"))
+    w_in = (Window.partitionBy("__bucket").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    hcum = (hist.join(F.broadcast(boff), "__bucket")
+            .select(F.col("__v").alias("__tv"), F.col("__hc").cast("long")
+                    .alias("__thc"),
+                    (F.col("__boff") + F.sum("__hc").over(w_in))
+                    .cast("long").alias("__tcum")))
+    n1 = vals.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranks = (gcum.join(ng, group_cols).crossJoin(F.broadcast(n1))
+             .withColumn("__k", F.expr(
+                 "CAST((__gc * __n + __ng - 1) DIV __ng AS BIGINT)")))
+    return (ranks.join(F.broadcast(hcum),
+                       (F.col("__tcum") >= F.col("__k"))
+                       & (F.col("__tcum") - F.col("__thc") < F.col("__k")))
+            .select(*group_cols, F.col("__v").alias("value"),
+                    F.col("__c").alias("n_rows"),
+                    F.col("__tv").alias("mapped")))
+
+
 def cooccurrence_pairs(df: DataFrame, key_col: str, item_col: str,
                        min_support: int = 2) -> DataFrame:
     """EXT (R122): market-basket co-occurrence — (item_a, item_b,

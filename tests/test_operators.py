@@ -2525,3 +2525,23 @@ def test_session_dynamic_gap_merges_by_event_type(spark):
     assert len(out) == 1
     assert out[0].cnt == 3 and out[0].sum_cents == 700
     assert out[0].w.end == datetime(2024, 1, 1, 10, 50)
+
+
+def test_quantile_normalize_maps_group_onto_global(spark):
+    """Two groups with the same shape but different scales: after
+    normalization each group's mapped values must be drawn from the
+    GLOBAL value multiset at matched ranks — the max of each group maps
+    to the global max, the min to the global median-ish low rank."""
+    from data_engineering__spark.operators.analytics import (
+        quantile_normalize)
+    rows = ([Row(g="a", v=i) for i in (1, 2, 3, 4)]
+            + [Row(g="b", v=i) for i in (100, 200, 300, 400)])
+    df = spark.createDataFrame(rows)
+    out = {(r.g, r.value): r.mapped for r in
+           quantile_normalize(df, ["g"], F.col("v")).collect()}
+    # group a rank r/4 -> global rank ceil(r*8/4) = 2r (values sorted:
+    # 1,2,3,4,100,200,300,400 -> ranks 2,4,6,8 = 2,4,200,400)
+    assert out[("a", 1)] == 2 and out[("a", 2)] == 4
+    assert out[("a", 3)] == 200 and out[("a", 4)] == 400
+    # group b maps onto the same targets: identical post-normal dist
+    assert out[("b", 100)] == 2 and out[("b", 400)] == 400
