@@ -2291,6 +2291,7 @@ DRIVER_PRIORITY = [
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
+    "spearman_value_vs_time",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7296,3 +7297,51 @@ def quantile_normalize_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return quantile_normalize(ev, ["event_type"],
                               F.round(F.col("value") * 100))
+
+
+@query("spearman_value_vs_time", oracle=_mat("""
+WITH r AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+hx AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY g, x),
+cx AS (
+  SELECT g, x,
+         2 * CAST(SUM(c) OVER (PARTITION BY g ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - c + 1 AS rx
+  FROM hx),
+hy AS (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS c FROM r GROUP BY g, y),
+cy AS (
+  SELECT g, y,
+         2 * CAST(SUM(c) OVER (PARTITION BY g ORDER BY y
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - c + 1 AS ry
+  FROM hy),
+j AS (
+  SELECT r.g, CAST(cx.rx AS HUGEINT) AS rx, CAST(cy.ry AS HUGEINT) AS ry
+  FROM r JOIN cx ON r.g = cx.g AND r.x = cx.x
+  JOIN cy ON r.g = cy.g AND r.y = cy.y),
+m AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(rx) AS sx, SUM(sy_one) AS sy,
+         SUM(rx * rx) AS sxx, SUM(syy_one) AS syy, SUM(rx * ry) AS sxy
+  FROM (SELECT g, rx, ry, ry AS sy_one, ry * ry AS syy_one FROM j)
+  GROUP BY g)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS rho
+FROM m"""))
+def spearman_value_vs_time(spark, sf_dir):
+    """EXT R176: per-event-type Spearman rank correlation between the
+    cents value and the epoch-second event time — the monotone
+    drift-with-time screen (Pearson's ``corr_matrix`` answers linear
+    association; this answers ANY monotone one, outlier-proof)."""
+    from .operators.analytics import spearman_corr
+    ev = read_table(spark, sf_dir, "events")
+    return spearman_corr(ev, ["event_type"],
+                         F.round(F.col("value") * 100),
+                         F.col("ts").cast("long"))

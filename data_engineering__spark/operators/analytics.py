@@ -421,6 +421,61 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def spearman_corr(df: DataFrame, group_cols: list[str], x_int, y_int,
+                  round_dp: int = 6) -> DataFrame:
+    """EXT (R176, round 6): per-group SPEARMAN rank correlation —
+    Pearson on midranks, the monotone-association measure that ignores
+    scale and outlier magnitude (the robust sibling of ``corr_matrix``'s
+    Pearson: one wild spike saturates at its rank). Ties take midranks,
+    the standard tie treatment.
+
+    Exactness: 2·midrank = 2·cum_before + c + 1 over the per-group
+    value histogram (the ``auc_report`` integer device — midranks come
+    out EXACT, never a float average); the doubled ranks cancel out of
+    r, and every moment accumulates in decimal(38,0) exactly as
+    ``corr_matrix`` does, so the only float is the final fixed-shape
+    cast/sqrt/divide, ROUND 6. NULL when either variable is constant.
+
+    Scale shape (100 TB): two per-(group, value) histograms (map-side
+    partial aggs), rank windows PARTITIONED by group over distinct
+    values, two hash joins back to rows on (group, value), one moment
+    aggregation. No global sort; nothing single-partition."""
+    rows = (df.select(*group_cols, x_int.cast("long").alias("__x"),
+                      y_int.cast("long").alias("__y"))
+            .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+
+    def _two_ranks(col: str, out: str) -> DataFrame:
+        hist = rows.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c"))
+        w = (Window.partitionBy(*group_cols).orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return (hist.withColumn(
+            out, (2 * F.sum("__c").over(w) - F.col("__c") + 1)
+            .cast("long")).drop("__c"))
+
+    hx = _two_ranks("__x", "__rx")
+    hy = _two_ranks("__y", "__ry")
+    j = (rows.join(hx, [*group_cols, "__x"])
+         .join(hy, [*group_cols, "__y"]))
+    dx = F.col("__rx").cast("decimal(38,0)")
+    dy = F.col("__ry").cast("decimal(38,0)")
+    m = j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(dx).alias("__sx"), F.sum(dy).alias("__sy"),
+        F.sum(dx * dx).alias("__sxx"), F.sum(dy * dy).alias("__syy"),
+        F.sum(dx * dy).alias("__sxy"))
+    n_ = F.col("__n")
+    num = n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n_ * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = F.when((vx > 0) & (vy > 0),
+                 F.round(num.cast("double")
+                         / (F.sqrt(vx.cast("double"))
+                            * F.sqrt(vy.cast("double"))), round_dp))
+    return m.select(*group_cols, n_.cast("long").alias("n"),
+                    rho.alias("rho"))
+
+
 def quantile_normalize(df: DataFrame, group_cols: list[str], value_int,
                        bucket_width: int = 1_000) -> DataFrame:
     """EXT (R175, round 6): quantile normalization — map every group's

@@ -2545,3 +2545,32 @@ def test_quantile_normalize_maps_group_onto_global(spark):
     assert out[("a", 3)] == 200 and out[("a", 4)] == 400
     # group b maps onto the same targets: identical post-normal dist
     assert out[("b", 100)] == 2 and out[("b", 400)] == 400
+
+
+def test_spearman_monotone_nonlinear_and_ties(spark):
+    """y = x^3 is nonlinear but perfectly monotone: Spearman must be
+    exactly 1 where Pearson is not; reversing gives -1; a constant
+    column yields NULL; midrank ties reproduce scipy's published
+    value for a small tied sample."""
+    from data_engineering__spark.operators.analytics import spearman_corr
+    cubic = [Row(g="c", x=i, y=i ** 3) for i in range(1, 9)]
+    rev = [Row(g="r", x=i, y=-i) for i in range(1, 9)]
+    const = [Row(g="k", x=i, y=5) for i in range(1, 9)]
+    tied = [Row(g="t", x=x, y=y) for x, y in
+            [(1, 2), (2, 2), (3, 3), (4, 5), (5, 5), (6, 8)]]
+    df = spark.createDataFrame(cubic + rev + const + tied)
+    out = {r.g: r for r in
+           spearman_corr(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["c"].rho == 1.0
+    assert out["r"].rho == -1.0
+    assert out["k"].rho is None
+    # midranks: x = 1..6 (no ties), y -> 2,2 share rank 1.5; 5,5 share
+    # rank 4.5 -> pearson of (1..6) vs (1.5,1.5,3,4.5,4.5,6)
+    import math
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [1.5, 1.5, 3, 4.5, 4.5, 6]
+    n = 6
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * \
+        math.sqrt(n * sum(b * b for b in ys) - sum(ys) ** 2)
+    assert abs(out["t"].rho - num / den) < 1e-6
