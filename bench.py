@@ -78,7 +78,7 @@ HEADLINE = [
     "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
-    "spearman_value_vs_time",
+    "spearman_value_vs_time", "kendall_tau_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

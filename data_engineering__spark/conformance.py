@@ -2291,7 +2291,7 @@ DRIVER_PRIORITY = [
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
-    "spearman_value_vs_time",
+    "spearman_value_vs_time", "kendall_tau_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7345,3 +7345,56 @@ def spearman_value_vs_time(spark, sf_dir):
     return spearman_corr(ev, ["event_type"],
                          F.round(F.col("value") * 100),
                          F.col("ts").cast("long"))
+
+
+@query("kendall_tau_users", oracle=_mat("""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE user_id < 40 AND value IS NOT NULL
+  GROUP BY 1, 2, 3),
+n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM pts GROUP BY user_id),
+cross_ AS (
+  SELECT a.user_id,
+         CAST(COALESCE(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                                THEN a.c * b.c END), 0) AS BIGINT) AS conc,
+         CAST(COALESCE(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                                THEN a.c * b.c END), 0) AS BIGINT) AS disc
+  FROM pts a JOIN pts b ON a.user_id = b.user_id
+    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  GROUP BY a.user_id),
+tx AS (
+  SELECT user_id, CAST(SUM(t * (t - 1)) AS BIGINT) // 2 AS n1
+  FROM (SELECT user_id, x, CAST(SUM(c) AS BIGINT) AS t
+        FROM pts GROUP BY user_id, x) GROUP BY user_id),
+ty AS (
+  SELECT user_id, CAST(SUM(t * (t - 1)) AS BIGINT) // 2 AS n2
+  FROM (SELECT user_id, y, CAST(SUM(c) AS BIGINT) AS t
+        FROM pts GROUP BY user_id, y) GROUP BY user_id),
+base AS (
+  SELECT n.user_id, n.n, (n.n * (n.n - 1)) // 2 AS n0,
+         tx.n1, ty.n2,
+         COALESCE(c.conc, 0) AS conc, COALESCE(c.disc, 0) AS disc
+  FROM n JOIN tx ON n.user_id = tx.user_id
+  JOIN ty ON n.user_id = ty.user_id
+  LEFT JOIN cross_ c ON n.user_id = c.user_id)
+SELECT user_id, n AS n_rows, conc AS n_concordant, disc AS n_discordant,
+       CASE WHEN n0 > n1 AND n0 > n2 THEN
+         ROUND(CAST(conc - disc AS DOUBLE)
+               / (sqrt(CAST(n0 - n1 AS DOUBLE))
+                  * sqrt(CAST(n0 - n2 AS DOUBLE))), 6)
+       END AS tau_b
+FROM base"""))
+def kendall_tau_users(spark, sf_dir):
+    """EXT R177: per-user Kendall tau-b between the event day and the
+    cents value — the tie-adjusted pairwise-concordance member of the
+    rank family (Theil-Sen slope / Mann-Kendall test / Spearman
+    midranks / tau-b), on the same bounded daily grid."""
+    from .operators.analytics import kendall_tau
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 40)
+          .filter(F.col("value").isNotNull()))
+    return kendall_tau(ev, ["user_id"],
+                       F.expr("unix_micros(ts) div 86400000000"),
+                       F.round(F.col("value") * 100))

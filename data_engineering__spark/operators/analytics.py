@@ -421,6 +421,73 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def kendall_tau(df: DataFrame, group_cols: list[str], x_int, y_int,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (R177, round 6): per-group KENDALL tau-b — concordant minus
+    discordant pairs over sqrt((n0−n1)(n0−n2)), the tie-adjusted rank
+    association. Completes the rank-statistics family: Theil–Sen
+    estimates the slope, Mann–Kendall tests the time trend (its S IS
+    C−D against time), Spearman correlates midranks, tau-b measures
+    pairwise concordance between two arbitrary variables.
+
+    Exactness: rows collapse to (x, y) CELLS with counts; concordant /
+    discordant / tie totals are exact integer sums of count products
+    (cell pairs ordered by (x, y) so each unordered pair counts once;
+    within-cell pairs are both-tied and belong to neither margin-only
+    term); n1/n2 come from the x / y marginals as Σt(t−1)/2. tau_b =
+    (C−D) / (√(n0−n1)·√(n0−n2)) — two casts, two sqrts, one multiply,
+    one divide, fixed shape, ROUND 6 (√a·√b, not √(a·b): the product
+    can overflow long where the factors cannot).
+
+    Scale shape (100 TB): the pairwise term is C(cells, 2) PER GROUP —
+    collapse to the grid you measure on (the Theil–Sen discipline:
+    days × value-buckets, not raw rows); marginals and n are hash aggs
+    on the same grid."""
+    pts = (df.select(*group_cols, x_int.cast("long").alias("__x"),
+                     y_int.cast("long").alias("__y"))
+           .groupBy(*group_cols, "__x", "__y")
+           .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    n_tot = pts.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("__n"))
+    rhs = pts.select(*group_cols, F.col("__x").alias("__x2"),
+                     F.col("__y").alias("__y2"), F.col("__c").alias("__c2"))
+    pair_order = (F.col("__x") < F.col("__x2")) | \
+        ((F.col("__x") == F.col("__x2")) & (F.col("__y") < F.col("__y2")))
+    prod = F.col("__c") * F.col("__c2")
+    sgn = (F.col("__x2") - F.col("__x")) * (F.col("__y2") - F.col("__y"))
+    cross = (pts.join(rhs, group_cols).filter(pair_order)
+             .groupBy(*group_cols)
+             .agg(F.coalesce(F.sum(F.when(sgn > 0, prod)), F.lit(0))
+                  .cast("long").alias("__conc"),
+                  F.coalesce(F.sum(F.when(sgn < 0, prod)), F.lit(0))
+                  .cast("long").alias("__disc")))
+    tx = (pts.groupBy(*group_cols, "__x").agg(F.sum("__c").alias("__t"))
+          .groupBy(*group_cols)
+          .agg(F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long")
+               .alias("__s1"))
+          .withColumn("__n1", F.expr("__s1 DIV 2")).drop("__s1"))
+    ty = (pts.groupBy(*group_cols, "__y").agg(F.sum("__c").alias("__t"))
+          .groupBy(*group_cols)
+          .agg(F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long")
+               .alias("__s2"))
+          .withColumn("__n2", F.expr("__s2 DIV 2")).drop("__s2"))
+    base = (n_tot.join(tx, group_cols).join(ty, group_cols)
+            .join(cross, group_cols, "left")
+            .withColumn("__conc", F.coalesce("__conc", F.lit(0)))
+            .withColumn("__disc", F.coalesce("__disc", F.lit(0)))
+            .withColumn("__n0", F.expr("(__n * (__n - 1)) DIV 2")))
+    dx = (F.col("__n0") - F.col("__n1")).cast("double")
+    dy = (F.col("__n0") - F.col("__n2")).cast("double")
+    tau = F.when((F.col("__n0") > F.col("__n1"))
+                 & (F.col("__n0") > F.col("__n2")),
+                 F.round((F.col("__conc") - F.col("__disc")).cast("double")
+                         / (F.sqrt(dx) * F.sqrt(dy)), round_dp))
+    return base.select(*group_cols, F.col("__n").alias("n_rows"),
+                       F.col("__conc").alias("n_concordant"),
+                       F.col("__disc").alias("n_discordant"),
+                       tau.alias("tau_b"))
+
+
 def spearman_corr(df: DataFrame, group_cols: list[str], x_int, y_int,
                   round_dp: int = 6) -> DataFrame:
     """EXT (R176, round 6): per-group SPEARMAN rank correlation —

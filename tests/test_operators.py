@@ -2574,3 +2574,22 @@ def test_spearman_monotone_nonlinear_and_ties(spark):
     den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * \
         math.sqrt(n * sum(b * b for b in ys) - sum(ys) ** 2)
     assert abs(out["t"].rho - num / den) < 1e-6
+
+
+def test_kendall_tau_hand_computed_with_ties(spark):
+    """x=[1,2,3,4], y=[1,3,2,4]: one discordant pair of six, no ties ->
+    tau-b = 4/6. A fully tie-balanced square (C = D, both margins half
+    tied) -> tau-b = 0 exactly."""
+    from data_engineering__spark.operators.analytics import kendall_tau
+    clean = [Row(g="c", x=x, y=y) for x, y in
+             [(1, 1), (2, 3), (3, 2), (4, 4)]]
+    square = [Row(g="s", x=x, y=y) for x, y in
+              [(1, 1), (1, 2), (2, 1), (2, 2)]]
+    df = spark.createDataFrame(clean + square)
+    out = {r.g: r for r in
+           kendall_tau(df, ["g"], F.col("x"), F.col("y")).collect()}
+    c = out["c"]
+    assert (c.n_concordant, c.n_discordant) == (5, 1)
+    assert c.tau_b == round(4 / 6, 6)
+    s = out["s"]
+    assert (s.n_concordant, s.n_discordant, s.tau_b) == (1, 1, 0.0)
