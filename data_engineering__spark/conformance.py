@@ -2292,6 +2292,7 @@ DRIVER_PRIORITY = [
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
+    "kaplan_meier_conversion",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7398,3 +7399,57 @@ def kendall_tau_users(spark, sf_dir):
     return kendall_tau(ev, ["user_id"],
                        F.expr("unix_micros(ts) div 86400000000"),
                        F.round(F.col("value") * 100))
+
+
+@query("kaplan_meier_conversion", oracle=_mat("""
+WITH peru AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000) AS d0,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS dp,
+         MAX(epoch_us(ts) // 86400000000) AS dl
+  FROM events GROUP BY user_id),
+subj AS (
+  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM peru),
+hist AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS alln, CAST(SUM(e) AS BIGINT) AS d
+  FROM subj GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+risked AS (
+  SELECT t, d,
+         n.n - COALESCE(SUM(alln) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+  FROM hist CROSS JOIN n),
+ev AS (SELECT t, d, CAST(risk AS BIGINT) AS risk FROM risked WHERE d > 0),
+curve AS (
+  SELECT t, risk, d,
+         MAX(CASE WHEN d = risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS dead,
+         SUM(CASE WHEN d < risk
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(risk AS DOUBLE))
+             END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+  FROM ev)
+SELECT t, risk AS n_risk, d AS n_events,
+       ROUND(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END, 6)
+         AS survival
+FROM curve"""))
+def kaplan_meier_conversion(spark, sf_dir):
+    """EXT R178: Kaplan-Meier time-to-first-purchase curve in days from
+    each user's first activity, right-censored at the last observed
+    event for users who never purchase — the estimator that uses
+    censored users correctly instead of dropping them."""
+    from .operators.analytics import kaplan_meier
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    peru = (ev.groupBy("user_id")
+            .agg(F.min(day).alias("d0"),
+                 F.min(F.when(F.col("event_type") == "purchase", day))
+                 .alias("dp"),
+                 F.max(day).alias("dl")))
+    subj = peru.select(
+        F.when(F.col("dp").isNotNull(), F.col("dp") - F.col("d0"))
+         .otherwise(F.col("dl") - F.col("d0")).alias("t"),
+        F.col("dp").isNotNull().alias("obs"))
+    return kaplan_meier(subj, F.col("t"), F.col("obs"))

@@ -421,6 +421,55 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def kaplan_meier(df: DataFrame, duration_int, observed_pred,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R178, round 6): Kaplan–Meier survival curve with right
+    censoring — THE time-to-event estimator under incomplete
+    observation (time-to-conversion / time-to-churn where many
+    subjects simply haven't converted yet; dropping or
+    max-imputing censored subjects biases every naive average).
+    One row per distinct event time t: ``n_risk`` (subjects with
+    duration ≥ t — censored subjects count at their own time, the
+    standard events-before-censoring convention), ``n_events``, and
+    ``survival`` = Π_{t_j ≤ t} (1 − d_j/n_j).
+
+    Exactness: risk sets and event counts are exact integers from the
+    duration histogram; the product runs as exp(Σ ln(1−d/n)) under a
+    cumulative window in ascending-t order — identical op sequence on
+    both engines, ROUND 6 (the ``token_entropy`` transcendental
+    precedent). A risk set fully consumed (d = n) would send ln to
+    −∞ (NULL in Spark), so survival is forced to exact 0 from that
+    time on via a cumulative flag instead.
+
+    Scale shape (100 TB): subjects collapse to the duration histogram
+    (map-side partial agg); every window runs over the DISTINCT
+    duration domain (days — bounded), never subjects."""
+    base = df.select(duration_int.cast("long").alias("__t"),
+                     F.when(observed_pred, 1).otherwise(0).alias("__e"))
+    hist = (base.groupBy("__t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__all"),
+                 F.sum("__e").cast("long").alias("__d")))
+    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    risked = (hist.crossJoin(F.broadcast(n1))
+              .withColumn("__risk", F.col("__n") - F.coalesce(
+                  F.sum("__all").over(w_prev), F.lit(0)))
+              .filter(F.col("__d") > 0))
+    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    ln_term = F.when(F.col("__d") < F.col("__risk"),
+                     F.log(F.lit(1.0) - F.col("__d").cast("double")
+                           / F.col("__risk").cast("double")))
+    dead = F.max(F.when(F.col("__d") == F.col("__risk"), 1)
+                 .otherwise(0)).over(w_cum)
+    surv = F.when(dead == 1, F.lit(0.0)) \
+        .otherwise(F.exp(F.sum(ln_term).over(w_cum)))
+    return (risked
+            .select(F.col("__t").alias("t"),
+                    F.col("__risk").cast("long").alias("n_risk"),
+                    F.col("__d").alias("n_events"),
+                    F.round(surv, round_dp).alias("survival")))
+
+
 def kendall_tau(df: DataFrame, group_cols: list[str], x_int, y_int,
                 round_dp: int = 6) -> DataFrame:
     """EXT (R177, round 6): per-group KENDALL tau-b — concordant minus

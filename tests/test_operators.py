@@ -2593,3 +2593,26 @@ def test_kendall_tau_hand_computed_with_ties(spark):
     assert c.tau_b == round(4 / 6, 6)
     s = out["s"]
     assert (s.n_concordant, s.n_discordant, s.tau_b) == (1, 1, 0.0)
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """Classic worked example: events at t=1 (n=5, d=1) and t=3 (n=3,
+    d=1) with a censor at t=2 and survivors past t=3. S(1) = 4/5,
+    S(3) = 4/5 * 2/3; the censored subject leaves the risk set without
+    dropping the curve. Full-consumption tail (d = n) pins survival 0."""
+    from data_engineering__spark.operators.analytics import kaplan_meier
+    rows = [Row(t=1, e=True), Row(t=2, e=False), Row(t=3, e=True),
+            Row(t=5, e=False), Row(t=5, e=False)]
+    df = spark.createDataFrame(rows)
+    out = {r.t: r for r in
+           kaplan_meier(df, F.col("t"), F.col("e")).collect()}
+    assert (out[1].n_risk, out[1].n_events) == (5, 1)
+    assert out[1].survival == round(4 / 5, 6)
+    assert (out[3].n_risk, out[3].n_events) == (3, 1)
+    assert out[3].survival == round(4 / 5 * 2 / 3, 6)
+    # everyone left dies at t=4 -> survival exactly 0, not NULL
+    df2 = spark.createDataFrame([Row(t=1, e=True), Row(t=4, e=True),
+                                 Row(t=4, e=True)])
+    out2 = {r.t: r for r in
+            kaplan_meier(df2, F.col("t"), F.col("e")).collect()}
+    assert out2[4].survival == 0.0
