@@ -79,7 +79,7 @@ HEADLINE = [
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
-    "kaplan_meier_conversion",
+    "kaplan_meier_conversion", "bloom_membership_report",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

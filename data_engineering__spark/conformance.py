@@ -2292,7 +2292,7 @@ DRIVER_PRIORITY = [
     "chi_square_lang_source", "ann_recall_report",
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
-    "kaplan_meier_conversion",
+    "kaplan_meier_conversion", "bloom_membership_report",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7453,3 +7453,55 @@ def kaplan_meier_conversion(spark, sf_dir):
          .otherwise(F.col("dl") - F.col("d0")).alias("t"),
         F.col("dp").isNotNull().alias("obs"))
     return kaplan_meier(subj, F.col("t"), F.col("obs"))
+
+
+def _bloom_pos_sql(key_sql: str, j: int, m: int) -> str:
+    return (f"CAST(('0x' || substr(sha256('bloom{j}' || {key_sql}), 1, 8)) "
+            f"AS BIGINT) % {m}")
+
+
+@query("bloom_membership_report", oracle=_mat(f"""
+WITH mem AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+  FROM customer WHERE c_acctbal < 0),
+probes AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    SELECT {_bloom_pos_sql('k', 0, 16384)} AS pos FROM mem
+    UNION ALL SELECT {_bloom_pos_sql('k', 1, 16384)} FROM mem
+    UNION ALL SELECT {_bloom_pos_sql('k', 2, 16384)} FROM mem)),
+ppos AS (
+  SELECT k, {_bloom_pos_sql('k', 0, 16384)} AS pos FROM probes
+  UNION ALL SELECT k, {_bloom_pos_sql('k', 1, 16384)} FROM probes
+  UNION ALL SELECT k, {_bloom_pos_sql('k', 2, 16384)} FROM probes),
+hits AS (
+  SELECT k FROM (
+    SELECT p.k, COUNT(*) AS c FROM ppos p JOIN bits USING (pos)
+    GROUP BY p.k) WHERE c = 3),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mem) AS n_members,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probes
+          WHERE k IN (SELECT k FROM mem)) AS n_true_members,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+          WHERE k NOT IN (SELECT k FROM mem)) AS n_false_pos)
+SELECT n_members, n_bits_set, n_probes, n_bloom_hits, n_true_members,
+       n_false_pos,
+       CASE WHEN n_probes > n_true_members THEN
+         ROUND(CAST(n_false_pos AS DOUBLE)
+               / CAST(n_probes - n_true_members AS DOUBLE), 6)
+       END AS fp_rate
+FROM agg"""))
+def bloom_membership_report(spark, sf_dir):
+    """EXT R179: portable Bloom filter audit — build over the
+    negative-balance customers (m=16384 bits, k=3 sha hashes), probe
+    every customer, and report hits vs exact ground truth with the
+    observed false-positive rate. The membership sketch as plain data:
+    mergeable by union, broadcastable into scans."""
+    from .operators.sketches import bloom_probe_report
+    cust = read_table(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") < 0)
+    return bloom_probe_report(members, cust, "c_custkey",
+                              m_bits=16_384, k_hashes=3)

@@ -219,3 +219,77 @@ def countmin_check(df: DataFrame, key_col: str, k: int = 20,
     return est.select("key", "exact", "cm_estimate",
                       (F.col("cm_estimate") - F.col("exact"))
                       .alias("overestimate"))
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 16_384,
+                k_hashes: int = 3, salt: str = "bloom") -> DataFrame:
+    """EXT (R179, round 6): PORTABLE Bloom filter — the set-membership
+    sketch as DATA (a table of set bit positions), completing the
+    sketch family (HLL distinct / KLL quantiles / Count-Min frequency /
+    Misra–Gries heavy hitters / Bloom membership). Unlike
+    ``spark.util.sketch.BloomFilter`` (engine-private serialization,
+    driver-side build), this build is one distinct-aggregate over
+    sha-derived positions: mergeable by UNION (bloom-of-union ==
+    union-of-blooms), persistable as parquet, probe-able as a join —
+    usable by ANY engine that can hash.
+
+    Bit position j for a key = sha256(salt‖j‖key) mod m_bits (the
+    ``hash_bucket`` discipline: deterministic, rerun/append-safe).
+    Returns the distinct (pos) table — ≤ m_bits rows regardless of
+    input scale."""
+    from .sampling import hash_bucket
+    pos = F.explode(F.array(*[
+        hash_bucket(F.col(key_col), m_bits, f"{salt}{j}")
+        for j in range(k_hashes)])).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe_report(members: DataFrame, probes: DataFrame,
+                       key_col: str, m_bits: int = 16_384,
+                       k_hashes: int = 3, salt: str = "bloom",
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (R179): build a Bloom filter over ``members`` and probe every
+    distinct key of ``probes`` against it — ONE summary row making the
+    sketch's contract observable: ``n_members``, ``n_bits_set``,
+    ``n_probes``, ``n_bloom_hits`` (all k positions set),
+    ``n_true_members`` (exact, via anti/semi join ground truth),
+    ``n_false_pos`` (bloom hit but not a member — the sketch's only
+    error mode; a bloom MISS is always correct), and the observed
+    ``fp_rate`` among true negatives (ONE division, ROUND 6).
+
+    Scale shape (100 TB): the filter is ≤ m_bits rows and BROADCASTS
+    into the probe join; probes collapse to distinct keys first; the
+    ground-truth check is a broadcast-able semi join on the same keys.
+    The decontamination shape: membership at scan speed, exactness
+    audited on the side."""
+    bits = bloom_build(members, key_col, m_bits, k_hashes, salt)
+    pkeys = probes.select(F.col(key_col).alias("__k")).distinct()
+    from .sampling import hash_bucket
+    ppos = pkeys.select("__k", F.explode(F.array(*[
+        hash_bucket(F.col("__k"), m_bits, f"{salt}{j}")
+        for j in range(k_hashes)])).alias("pos"))
+    hits = (ppos.join(F.broadcast(bits), "pos")
+            .groupBy("__k").agg(F.count(F.lit(1)).alias("__nset"))
+            .filter(F.col("__nset") == k_hashes).select("__k"))
+    mkeys = members.select(F.col(key_col).alias("__k")).distinct()
+    truth = pkeys.join(mkeys, "__k", "left_semi")
+    false_pos = hits.join(mkeys, "__k", "left_anti")
+    counts = [
+        members.select(F.col(key_col)).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_members")),
+        bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")),
+        pkeys.agg(F.count(F.lit(1)).cast("long").alias("n_probes")),
+        hits.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hits")),
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_members")),
+        false_pos.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out.withColumn(
+        "fp_rate",
+        F.when(F.col("n_probes") > F.col("n_true_members"),
+               F.round(F.col("n_false_pos").cast("double")
+                       / (F.col("n_probes")
+                          - F.col("n_true_members")).cast("double"),
+                       round_dp)))

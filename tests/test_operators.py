@@ -2616,3 +2616,26 @@ def test_kaplan_meier_textbook_curve(spark):
     out2 = {r.t: r for r in
             kaplan_meier(df2, F.col("t"), F.col("e")).collect()}
     assert out2[4].survival == 0.0
+
+
+def test_bloom_filter_no_false_negatives_and_union_merge(spark):
+    """Every true member must bloom-hit (Bloom filters never
+    false-negative); bloom-of-union == union-of-blooms (mergeability);
+    a tiny m forces observable false positives."""
+    from data_engineering__spark.operators.sketches import (
+        bloom_build, bloom_probe_report)
+    a = spark.createDataFrame([Row(k=i) for i in range(50)])
+    b = spark.createDataFrame([Row(k=i) for i in range(50, 100)])
+    both = a.unionAll(b)
+    merged = bloom_build(a, "k", 256, 3).unionAll(
+        bloom_build(b, "k", 256, 3)).distinct()
+    direct = bloom_build(both, "k", 256, 3)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    probes = spark.createDataFrame([Row(k=i) for i in range(200)])
+    rep = bloom_probe_report(both, probes, "k", m_bits=256,
+                             k_hashes=3).collect()[0]
+    assert rep.n_true_members == 100
+    # no false negatives: every member among the hits
+    assert rep.n_bloom_hits == rep.n_true_members + rep.n_false_pos
+    assert rep.n_bloom_hits >= 100
