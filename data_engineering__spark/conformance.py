@@ -2293,6 +2293,7 @@ DRIVER_PRIORITY = [
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
+    "cusum_changepoint_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7505,3 +7506,38 @@ def bloom_membership_report(spark, sf_dir):
     members = cust.filter(F.col("c_acctbal") < 0)
     return bloom_probe_report(members, cust, "c_custkey",
                               m_bits=16_384, k_hashes=3)
+
+
+@query("cusum_changepoint_events", oracle=_mat("""
+WITH pts AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, epoch_us(ts) // 86400000000),
+scored AS (
+  SELECT g, x, v,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(v) OVER (PARTITION BY g) AS BIGINT) AS t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS k,
+         CAST(SUM(v) OVER (PARTITION BY g ORDER BY x
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM pts),
+c AS (
+  SELECT g, x, n, k, cum, t, n * cum - k * t AS cval,
+         ROW_NUMBER() OVER (PARTITION BY g
+             ORDER BY ABS(n * cum - k * t) DESC, x ASC) AS rn
+  FROM scored)
+SELECT g AS event_type, n AS n_points, x AS cp_x,
+       ABS(cval) AS cusum_peak, k AS n_before, cum AS sum_before,
+       n - k AS n_after, t - cum AS sum_after
+FROM c WHERE rn = 1"""))
+def cusum_changepoint_events(spark, sf_dir):
+    """EXT R180: CUSUM changepoint of each event type's daily
+    cents-total series — the all-integer argmax of the mean-centered
+    cumulative sum; answers WHEN the level shifted."""
+    from .operators.analytics import cusum_changepoint
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return cusum_changepoint(ev, ["event_type"],
+                             F.expr("unix_micros(ts) div 86400000000"),
+                             F.round(F.col("value") * 100))

@@ -421,6 +421,61 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def cusum_changepoint(df: DataFrame, group_cols: list[str], x_int, y_int
+                      ) -> DataFrame:
+    """EXT (R180, round 6): CUSUM changepoint detection per group — the
+    single most likely level-shift point of a series, found as the
+    argmax of the mean-centered cumulative sum (Page's CUSUM /
+    Taylor's changepoint estimator). The screen that answers "WHEN did
+    this metric move", where the trend family (Theil–Sen / MK) answers
+    "does it drift".
+
+    ALL-INTEGER: the centered cumulative sum is scaled by n —
+    C_k = n·Σ_{i≤k}v_i − k·T (multiply through by n instead of
+    subtracting the rational mean), so the peak and its argmax are
+    exact; ties break on the earlier x. No floats anywhere in the
+    output: the before/after segment sums and counts ship as integers
+    so the consumer derives means at whatever precision it wants.
+
+    Output: group, ``n_points``, ``cp_x`` (the x at the peak —
+    the LAST point of the pre-shift segment), ``cusum_peak`` (=
+    max|C_k|), ``n_before``/``sum_before``/``n_after``/``sum_after``.
+
+    Scale shape (100 TB): grid collapse to (group, x) first (the
+    Theil–Sen discipline); cumulative sums and the argmax run under
+    windows PARTITIONED by group over the x-domain (days), never raw
+    rows. Magnitude: n·T must fit a long — days × cents-totals is
+    ~10¹¹ per group-year, 7 orders under the limit."""
+    pts = (df.select(*group_cols, x_int.cast("long").alias("__x"),
+                     y_int.cast("long").alias("__y"))
+           .groupBy(*group_cols, "__x")
+           .agg(F.sum("__y").cast("long").alias("__v")))
+    w_all = Window.partitionBy(*group_cols)
+    w_cum = (Window.partitionBy(*group_cols).orderBy("__x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    scored = (pts
+              .withColumn("__n", F.count(F.lit(1)).over(w_all))
+              .withColumn("__t", F.sum("__v").over(w_all))
+              .withColumn("__k", F.row_number().over(
+                  Window.partitionBy(*group_cols).orderBy("__x")))
+              .withColumn("__cum", F.sum("__v").over(w_cum))
+              .withColumn("__c", F.col("__n") * F.col("__cum")
+                          - F.col("__k") * F.col("__t")))
+    w_peak = (Window.partitionBy(*group_cols)
+              .orderBy(F.abs(F.col("__c")).desc(), F.col("__x").asc()))
+    peak = (scored.withColumn("__rn", F.row_number().over(w_peak))
+            .filter(F.col("__rn") == 1))
+    return peak.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n_points"),
+        F.col("__x").alias("cp_x"),
+        F.abs(F.col("__c")).cast("long").alias("cusum_peak"),
+        F.col("__k").cast("long").alias("n_before"),
+        F.col("__cum").cast("long").alias("sum_before"),
+        (F.col("__n") - F.col("__k")).cast("long").alias("n_after"),
+        (F.col("__t") - F.col("__cum")).cast("long").alias("sum_after"))
+
+
 def kaplan_meier(df: DataFrame, duration_int, observed_pred,
                  round_dp: int = 6) -> DataFrame:
     """EXT (R178, round 6): Kaplan–Meier survival curve with right

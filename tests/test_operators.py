@@ -2639,3 +2639,18 @@ def test_bloom_filter_no_false_negatives_and_union_merge(spark):
     # no false negatives: every member among the hits
     assert rep.n_bloom_hits == rep.n_true_members + rep.n_false_pos
     assert rep.n_bloom_hits >= 100
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A series that jumps from level 10 to level 50 at x=21 must peak
+    exactly at x=20 (the last pre-shift point), and the segment sums
+    must recover both levels exactly."""
+    from data_engineering__spark.operators.analytics import (
+        cusum_changepoint)
+    rows = ([Row(g=1, x=i, y=10) for i in range(1, 21)]
+            + [Row(g=1, x=i, y=50) for i in range(21, 41)])
+    df = spark.createDataFrame(rows)
+    r = cusum_changepoint(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert r.cp_x == 20 and r.n_points == 40
+    assert r.n_before == 20 and r.sum_before == 200
+    assert r.n_after == 20 and r.sum_after == 1000
