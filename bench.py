@@ -80,7 +80,7 @@ HEADLINE = [
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
-    "cusum_changepoint_events",
+    "cusum_changepoint_events", "t_closeness_customer",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

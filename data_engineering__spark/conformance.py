@@ -2293,7 +2293,7 @@ DRIVER_PRIORITY = [
     "session_window_dynamic_gap", "quantile_normalize_events",
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
-    "cusum_changepoint_events",
+    "cusum_changepoint_events", "t_closeness_customer",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7541,3 +7541,62 @@ def cusum_changepoint_events(spark, sf_dir):
     return cusum_changepoint(ev, ["event_type"],
                              F.expr("unix_micros(ts) div 86400000000"),
                              F.round(F.col("value") * 100))
+
+
+@query("t_closeness_customer", oracle=_mat("""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0 THEN 0
+              WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 250000 THEN 1
+              WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 500000 THEN 2
+              ELSE 3 END AS b
+  FROM customer),
+grid AS (
+  SELECT c_nationkey, c_mktsegment, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM banded GROUP BY 1, 2, 3),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS nc
+  FROM grid GROUP BY 1, 2),
+bands AS (SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM grid GROUP BY b),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(g) AS BIGINT) AS n,
+             CAST(MAX(b) AS BIGINT) AS bmax
+      FROM bands),
+dense AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.nc, bd.b,
+         COALESCE(gr.c, 0) AS c
+  FROM classes cl CROSS JOIN (SELECT b FROM bands) bd
+  LEFT JOIN grid gr ON cl.c_nationkey = gr.c_nationkey
+    AND cl.c_mktsegment = gr.c_mktsegment AND bd.b = gr.b),
+gcum AS (
+  SELECT b, CAST(SUM(g) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cumg
+  FROM bands),
+scored AS (
+  SELECT d.c_nationkey, d.c_mktsegment, d.nc, d.b,
+         CAST(SUM(d.c) OVER (PARTITION BY d.c_nationkey, d.c_mktsegment
+                             ORDER BY d.b ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cumc,
+         gc.cumg, m.m, m.n, m.bmax
+  FROM dense d JOIN gcum gc ON d.b = gc.b CROSS JOIN m)
+SELECT c_nationkey, c_mktsegment, MAX(nc) AS class_size,
+       CAST(SUM(ABS(n * cumc - nc * cumg)) AS BIGINT) AS emd_scaled,
+       ROUND(CAST(SUM(ABS(n * cumc - nc * cumg)) AS DOUBLE)
+             / CAST(MAX(nc) * MAX(n) * (MAX(m) - 1) AS DOUBLE), 6)
+         AS t_stat,
+       ROUND(CAST(SUM(ABS(n * cumc - nc * cumg)) AS DOUBLE)
+             / CAST(MAX(nc) * MAX(n) * (MAX(m) - 1) AS DOUBLE), 6) > 0.2
+         AS above_t
+FROM scored WHERE b <> bmax
+GROUP BY c_nationkey, c_mktsegment"""))
+def t_closeness_customer(spark, sf_dir):
+    """EXT R181: t-closeness audit on the same (nation, market-segment)
+    quasi-identifier and ordered balance bands as the k-anonymity /
+    l-diversity screens — the privacy trio complete: distribution skew
+    of the sensitive attribute per class vs the global, ordinal EMD in
+    exact scaled integers."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    band = (F.when(cents < 0, 0).when(cents < 250000, 1)
+            .when(cents < 500000, 2).otherwise(3))
+    cust = read_table(spark, sf_dir, "customer")
+    return Q.t_closeness(cust, ["c_nationkey", "c_mktsegment"], band,
+                         t=0.2)

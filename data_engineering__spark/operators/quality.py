@@ -10,7 +10,7 @@ DataFrames with multiset semantics and serialize rows to JSON.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -316,6 +316,67 @@ def l_diversity(df: DataFrame, quasi_cols: list[str], sensitive,
             .agg(F.sum("__c").cast("long").alias("class_size"),
                  F.count(F.lit(1)).cast("long").alias("n_sensitive"))
             .withColumn("below_l", F.col("n_sensitive") < l))
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str], sensitive_ord,
+                t: float = 0.2, round_dp: int = 6) -> DataFrame:
+    """EXT (R181, round 6): t-closeness audit — the third rung of the
+    privacy ladder (``k_anonymity`` bounds re-identification,
+    ``l_diversity`` bounds value homogeneity, t-closeness bounds
+    DISTRIBUTION SKEW: a class can be l-diverse yet still leak — 90%
+    'neg' balances in one class vs 5% globally tells an attacker
+    plenty). Per equivalence class: the Earth Mover's Distance between
+    the class's sensitive-value distribution and the GLOBAL one, for an
+    ORDERED sensitive attribute with unit spacing (the standard ordinal
+    EMD = mean |cumulative difference|), flagged when it exceeds ``t``.
+
+    ``sensitive_ord`` must be an integer BAND expression (0..m−1) —
+    ordinal EMD needs an order, and integer bands make every cumulative
+    count exact. The EMD numerator is scaled through by n_class·N:
+    Σ_j |N·cumc_j − n_c·cumg_j| over the m−1 interior boundaries —
+    EXACT integers; ``t_stat`` = that / (n_c·N·(m−1)), ONE division,
+    ROUND 6.
+
+    Scale shape (100 TB): one hash agg to the (class, band) grid,
+    scaffolded DENSE against the distinct-class × band frame (a missing
+    band still contributes its |cum| boundary term); cumulative windows
+    partition by class over m bands; the m-row global distribution
+    broadcasts."""
+    grid = (df.groupBy(*quasi_cols, sensitive_ord.cast("long")
+                       .alias("__b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    classes = grid.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("__nc"))
+    bands = grid.groupBy("__b").agg(F.sum("__c").cast("long").alias("__g"))
+    m = bands.agg(F.count(F.lit(1)).cast("long").alias("__m"),
+                  F.sum("__g").cast("long").alias("__n"),
+                  F.max("__b").cast("long").alias("__bmax"))
+    dense = (classes.crossJoin(F.broadcast(bands.select("__b")))
+             .join(grid, [*quasi_cols, "__b"], "left")
+             .withColumn("__c", F.coalesce("__c", F.lit(0))))
+    w_cum = (Window.partitionBy(*quasi_cols).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_g = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = bands.select("__b", F.sum("__g").over(w_g).cast("long")
+                        .alias("__cumg"))
+    scored = (dense
+              .withColumn("__cumc", F.sum("__c").over(w_cum).cast("long"))
+              .join(F.broadcast(gcum), "__b")
+              .crossJoin(F.broadcast(m)))
+    emd = (scored.filter(F.col("__b") != F.col("__bmax"))
+           .groupBy(*quasi_cols)
+           .agg(F.sum(F.abs(F.col("__n") * F.col("__cumc")
+                            - F.col("__nc") * F.col("__cumg")))
+                .cast("long").alias("emd_scaled"),
+                F.max("__nc").cast("long").alias("class_size"),
+                F.max("__n").alias("__n"), F.max("__m").alias("__m")))
+    t_stat = F.round(
+        F.col("emd_scaled").cast("double")
+        / (F.col("class_size") * F.col("__n")
+           * (F.col("__m") - 1)).cast("double"), round_dp)
+    return emd.select(*quasi_cols, "class_size", "emd_scaled",
+                      t_stat.alias("t_stat"),
+                      (t_stat > t).alias("above_t"))
 
 
 def chi_square_cells(df: DataFrame, col_a: str, col_b: str,

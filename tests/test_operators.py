@@ -2654,3 +2654,22 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     assert r.cp_x == 20 and r.n_points == 40
     assert r.n_before == 20 and r.sum_before == 200
     assert r.n_after == 20 and r.sum_after == 1000
+
+
+def test_t_closeness_flags_skewed_class(spark):
+    """Global bands split 50/50; a class that is all-band-0 has ordinal
+    EMD 1/2 per boundary -> t_stat 0.5 and is flagged; a class matching
+    the global distribution scores exactly 0."""
+    from data_engineering__spark.operators.quality import t_closeness
+    rows = ([Row(q="skew", b=0)] * 4
+            + [Row(q="fair", b=0)] * 2 + [Row(q="fair", b=1)] * 2
+            + [Row(q="bal", b=1)] * 4)
+    df = spark.createDataFrame(rows)
+    out = {r.q: r for r in
+           t_closeness(df, ["q"], F.col("b"), t=0.2).collect()}
+    # global: band0 = 6, band1 = 6 -> cumg = (6, 12), N = 12, m = 2
+    # skew: cumc boundary = 4 (all), |12*4 - 4*6| = 24; 24/(4*12*1) = 0.5
+    assert out["skew"].emd_scaled == 24
+    assert out["skew"].t_stat == 0.5 and bool(out["skew"].above_t)
+    assert out["fair"].t_stat == 0.0 and not out["fair"].above_t
+    assert out["bal"].t_stat == 0.5 and bool(out["bal"].above_t)
