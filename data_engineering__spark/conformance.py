@@ -2294,6 +2294,7 @@ DRIVER_PRIORITY = [
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
+    "weighted_quantiles_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7600,3 +7601,43 @@ def t_closeness_customer(spark, sf_dir):
     cust = read_table(spark, sf_dir, "customer")
     return Q.t_closeness(cust, ["c_nationkey", "c_mktsegment"], band,
                          t=0.2)
+
+
+@query("weighted_quantiles_docs", oracle=_mat(r"""
+WITH vals AS (
+  SELECT n_chars AS v,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+'),
+                              t -> t <> '')) AS BIGINT) AS w
+  FROM documents),
+hist AS (SELECT v, CAST(SUM(w) AS BIGINT) AS hw FROM vals GROUP BY v),
+cum AS (
+  SELECT v, hw,
+         CAST(SUM(hw) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c
+  FROM hist),
+tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM vals),
+spec AS (
+  SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+                        (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                        (CAST(3 AS BIGINT), CAST(4 AS BIGINT)),
+                        (CAST(99 AS BIGINT), CAST(100 AS BIGINT)))
+       AS t(q_num, q_den)),
+ranks AS (
+  SELECT q_num, q_den, tw, (tw * q_num + q_den - 1) // q_den AS r
+  FROM spec CROSS JOIN tot)
+SELECT CAST(q_num AS DOUBLE) / q_den AS q, r AS w_rank,
+       tw AS total_weight, cum.v AS value
+FROM ranks JOIN cum ON cum.c >= ranks.r AND cum.c - cum.hw < ranks.r"""))
+def weighted_quantiles_docs(spark, sf_dir):
+    """EXT R182: token-weighted doc-length quantiles — the length at
+    which a quarter / half / three quarters / 99% of the CORPUS TOKENS
+    sit (the mix-report question; far from the doc-count median when
+    long docs dominate). Exact integer rank arithmetic over the
+    value-weight histogram."""
+    from .operators.analytics import weighted_quantiles
+    from .operators.text import token_count
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_quantiles(docs, F.col("n_chars"),
+                              token_count("text"),
+                              [(1, 4), (1, 2), (3, 4), (99, 100)])

@@ -707,6 +707,56 @@ def quantile_normalize(df: DataFrame, group_cols: list[str], value_int,
                     F.col("__tv").alias("mapped")))
 
 
+def weighted_quantiles(df: DataFrame, value_int, weight_int,
+                       qs: list[tuple[int, int]],
+                       bucket_width: int = 1_000) -> DataFrame:
+    """EXT (R182, round 6): exact WEIGHTED quantiles — order statistics
+    where each row counts with a weight (tokens, bytes, revenue), the
+    question a pretraining-mix report actually asks: "the doc length at
+    which HALF THE TOKENS sit" is a token-weighted median, and it can
+    sit far from the doc-count median when long docs dominate.
+    ``qs`` are exact rationals (num, den); the target is the smallest
+    value whose cumulative weight reaches ``ceil(W·num/den)``
+    (integer arithmetic, no float ceil) — reduces to ``exact_quantiles``
+    when every weight is 1.
+
+    Scale shape (100 TB): identical to ``exact_quantiles`` — rows
+    collapse to a per-value WEIGHT histogram (map-side partial sums),
+    cumulative weights via the two-level scan tree, the |qs|-row rank
+    spec broadcasts, and the rank→value probe is a broadcast range
+    join. Weights must be non-negative integers; zero-weight values
+    can never host a quantile (the range (cum−w, cum] is empty)."""
+    vals = (df.select(value_int.cast("long").alias("__v"),
+                      weight_int.cast("long").alias("__w"))
+            .filter(F.col("__v").isNotNull() & F.col("__w").isNotNull()))
+    hist = (vals.groupBy("__v").agg(F.sum("__w").alias("__hw"))
+            .withColumn("__bucket", F.expr(f"__v div {bucket_width}")))
+    btot = hist.groupBy("__bucket").agg(F.sum("__hw").alias("__bt"))
+    w_b = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__bt").over(w_b), F.lit(0)).alias("__boff"))
+    w_in = (Window.partitionBy("__bucket").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.join(F.broadcast(boff), "__bucket")
+           .withColumn("__cum", F.col("__boff") + F.sum("__hw").over(w_in)))
+    tot = vals.agg(F.sum("__w").alias("__tw"))
+    spec = df.sparkSession.createDataFrame(
+        [(int(num), int(den)) for num, den in qs], "q_num long, q_den long")
+    ranks = (spec.crossJoin(F.broadcast(tot))
+             .select("q_num", "q_den", "__tw",
+                     F.expr("CAST((__tw * q_num + q_den - 1) DIV q_den "
+                            "AS BIGINT)").alias("__r")))
+    return (cum.join(F.broadcast(ranks),
+                     (F.col("__cum") >= F.col("__r"))
+                     & (F.col("__cum") - F.col("__hw") < F.col("__r")))
+            .select((F.col("q_num").cast("double") / F.col("q_den"))
+                    .alias("q"),
+                    F.col("__r").alias("w_rank"),
+                    F.col("__tw").cast("long").alias("total_weight"),
+                    F.col("__v").alias("value")))
+
+
 def cooccurrence_pairs(df: DataFrame, key_col: str, item_col: str,
                        min_support: int = 2) -> DataFrame:
     """EXT (R122): market-basket co-occurrence — (item_a, item_b,

@@ -2673,3 +2673,23 @@ def test_t_closeness_flags_skewed_class(spark):
     assert out["skew"].t_stat == 0.5 and bool(out["skew"].above_t)
     assert out["fair"].t_stat == 0.0 and not out["fair"].above_t
     assert out["bal"].t_stat == 0.5 and bool(out["bal"].above_t)
+
+
+def test_weighted_quantiles_vs_unweighted(spark):
+    """With one heavy value the weighted median must jump to it while
+    the unweighted median stays low; unit weights reduce to the exact
+    unweighted order statistic."""
+    from data_engineering__spark.operators.analytics import (
+        exact_quantiles, weighted_quantiles)
+    rows = [Row(v=1, w=1), Row(v=2, w=1), Row(v=3, w=1), Row(v=100, w=97)]
+    df = spark.createDataFrame(rows)
+    wq = {r.q: r.value for r in
+          weighted_quantiles(df, F.col("v"), F.col("w"),
+                             [(1, 2)]).collect()}
+    assert wq[0.5] == 100  # 50 of 100 weight units sits inside v=100
+    unit = {r.q: r.value for r in
+            weighted_quantiles(df, F.col("v"), F.lit(1),
+                               [(1, 2)]).collect()}
+    ex = {r.q: r.value for r in
+          exact_quantiles(df, F.col("v"), [(1, 2)]).collect()}
+    assert unit[0.5] == ex[0.5] == 2
