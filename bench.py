@@ -81,7 +81,7 @@ HEADLINE = [
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
-    "weighted_quantiles_docs",
+    "weighted_quantiles_docs", "seasonal_outliers_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

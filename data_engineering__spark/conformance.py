@@ -2294,7 +2294,7 @@ DRIVER_PRIORITY = [
     "spearman_value_vs_time", "kendall_tau_users",
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
-    "weighted_quantiles_docs",
+    "weighted_quantiles_docs", "seasonal_outliers_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7641,3 +7641,38 @@ def weighted_quantiles_docs(spark, sf_dir):
     return weighted_quantiles(docs, F.col("n_chars"),
                               token_count("text"),
                               [(1, 4), (1, 2), (3, 4), (99, 100)])
+
+
+@query("seasonal_outliers_events", oracle=_mat("""
+WITH pts AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, epoch_us(ts) // 86400000000),
+pp AS (SELECT g, x, v, x % 7 AS p FROM pts),
+prof AS (
+  SELECT g, p, CAST(COUNT(*) AS BIGINT) AS cp, CAST(SUM(v) AS BIGINT) AS sp
+  FROM pp GROUP BY g, p),
+scored AS (
+  SELECT pp.g, pp.x, pp.p, pp.v, prof.cp, prof.sp,
+         ROUND(CAST(pp.v * prof.cp - prof.sp AS DOUBLE)
+               / CAST(prof.cp AS DOUBLE), 6) AS resid
+  FROM pp JOIN prof ON pp.g = prof.g AND pp.p = prof.p),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY ABS(resid) DESC, x ASC) AS rn
+  FROM scored)
+SELECT g AS event_type, x, p AS phase, v AS day_total,
+       cp AS phase_n, sp AS phase_sum, resid
+FROM ranked WHERE rn <= 10"""))
+def seasonal_outliers_events(spark, sf_dir):
+    """EXT R183: day-of-week-adjusted anomaly screen per event type —
+    daily cents totals centered against their own weekday's mean, top
+    10 |residual| days; the screen that stops re-flagging the weekly
+    cycle as an anomaly."""
+    from .operators.analytics import seasonal_outliers
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    return seasonal_outliers(ev, ["event_type"],
+                             F.expr("unix_micros(ts) div 86400000000"),
+                             F.round(F.col("value") * 100))

@@ -421,6 +421,51 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def seasonal_outliers(df: DataFrame, group_cols: list[str], x_int, y_int,
+                      period: int = 7, top_k: int = 10,
+                      round_dp: int = 6) -> DataFrame:
+    """EXT (R183, round 6): seasonality-adjusted anomaly screen — the
+    raw-zscore family (``zscore_outliers``/``mad_profile``) flags every
+    weekend on a weekly-cyclic metric; this one removes the cycle
+    first: each (group, day) total is centered against ITS OWN phase's
+    mean (day-of-week for period=7) and the top-k
+    largest-|residual| days per group survive. The "what actually
+    broke, once you stop re-discovering Saturdays" readout.
+
+    Exactness: phase sums/counts are exact integers; the scaled
+    residual v·c_p − s_p is an exact integer whose SIGN and per-phase
+    comparisons are float-free; the cross-phase ranking divides by the
+    phase count (``resid`` = (v·c_p − s_p)/c_p, ONE division) and
+    orders by ROUND(|resid|, 6) with the day as tie-break — the
+    ``cosine_topk`` selection-stability device.
+
+    Scale shape (100 TB): rows collapse to the (group, day) grid; the
+    phase profile is a ``period``-row broadcast per group; ranking is
+    one WindowGroupLimit per group over its day domain."""
+    pts = (df.select(*group_cols, x_int.cast("long").alias("__x"),
+                     y_int.cast("long").alias("__y"))
+           .groupBy(*group_cols, "__x")
+           .agg(F.sum("__y").cast("long").alias("__v"))
+           .withColumn("__p", F.pmod(F.col("__x"), F.lit(period))))
+    prof = (pts.groupBy(*group_cols, "__p")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cp"),
+                 F.sum("__v").cast("long").alias("__sp")))
+    resid = (F.col("__v") * F.col("__cp") - F.col("__sp")).cast("double") \
+        / F.col("__cp").cast("double")
+    scored = (pts.join(prof, [*group_cols, "__p"])
+              .withColumn("__resid", F.round(resid, round_dp)))
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.abs(F.col("__resid")).desc(), F.col("__x").asc()))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .select(*group_cols, F.col("__x").alias("x"),
+                    F.col("__p").alias("phase"),
+                    F.col("__v").alias("day_total"),
+                    F.col("__cp").alias("phase_n"),
+                    F.col("__sp").alias("phase_sum"),
+                    F.col("__resid").alias("resid")))
+
+
 def cusum_changepoint(df: DataFrame, group_cols: list[str], x_int, y_int
                       ) -> DataFrame:
     """EXT (R180, round 6): CUSUM changepoint detection per group — the

@@ -2693,3 +2693,23 @@ def test_weighted_quantiles_vs_unweighted(spark):
     ex = {r.q: r.value for r in
           exact_quantiles(df, F.col("v"), [(1, 2)]).collect()}
     assert unit[0.5] == ex[0.5] == 2
+
+
+def test_seasonal_outliers_ignore_cycle_flag_break(spark):
+    """A perfectly weekly-cyclic series has residual 0 everywhere; one
+    corrupted day must surface as the top residual with the exact
+    centered magnitude."""
+    from data_engineering__spark.operators.analytics import (
+        seasonal_outliers)
+    rows = [Row(g=1, x=x, y=100 + 50 * (x % 7)) for x in range(28)]
+    df = spark.createDataFrame(rows)
+    out = seasonal_outliers(df, ["g"], F.col("x"), F.col("y"),
+                            top_k=1).collect()
+    assert out[0].resid == 0.0  # pure cycle: nothing to flag
+    rows[10] = Row(g=1, x=10, y=10000)  # corrupt one day (phase 3)
+    df2 = spark.createDataFrame(rows)
+    top = seasonal_outliers(df2, ["g"], F.col("x"), F.col("y"),
+                            top_k=1).collect()[0]
+    assert top.x == 10
+    # phase 3 days: 3,10,17,24 -> sum = 250*3 + 10000, c=4
+    assert top.resid == round((10000 * 4 - (250 * 3 + 10000)) / 4, 6)
