@@ -2295,6 +2295,7 @@ DRIVER_PRIORITY = [
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
+    "reconciliation_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7676,3 +7677,37 @@ def seasonal_outliers_events(spark, sf_dir):
     return seasonal_outliers(ev, ["event_type"],
                              F.expr("unix_micros(ts) div 86400000000"),
                              F.round(F.col("value") * 100))
+
+
+@query("reconciliation_orders", oracle=_mat("""
+WITH h AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS hv
+  FROM orders),
+d AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS ds,
+         CAST(COUNT(*) AS BIGINT) AS dn
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT h.k, h.hv, COALESCE(d.ds, 0) AS ds, COALESCE(d.dn, 0) AS dn,
+         h.hv - COALESCE(d.ds, 0) AS diff
+  FROM h LEFT JOIN d ON h.k = d.k)
+SELECT k AS o_orderkey, hv AS header_amount, ds AS detail_sum,
+       dn AS detail_rows, diff AS difference
+FROM j ORDER BY ABS(diff) DESC, k ASC LIMIT 20"""))
+def reconciliation_orders(spark, sf_dir):
+    """EXT R184: header/detail reconciliation of the order total price
+    against the sum of its line items' extended prices (integer cents)
+    — the double-entry consistency audit; top-20 discrepancies by
+    |difference| with all-integer engine-exact ordering."""
+    from .operators.quality import reconciliation_report
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return reconciliation_report(
+        o.withColumnRenamed("o_orderkey", "k"),
+        li.withColumnRenamed("l_orderkey", "k"), "k",
+        F.round(F.col("o_totalprice") * 100),
+        F.round(F.col("l_extendedprice") * 100),
+        top_k=20).withColumnRenamed("k", "o_orderkey")

@@ -174,6 +174,43 @@ def expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
                     "__c.passed"))
 
 
+def reconciliation_report(header: DataFrame, detail: DataFrame,
+                          key_col: str, header_int, detail_int,
+                          top_k: int = 20) -> DataFrame:
+    """EXT (R184, round 6): header/detail RECONCILIATION — the
+    double-entry audit between a summary table and its line items
+    (order total vs Σ line amounts, ledger vs journal, batch manifest
+    vs shard counts). ``join_health`` audits the KEYS of a join; this
+    audits the AMOUNTS after it. One row per worst offender (top-k by
+    |difference|, then key — an all-integer ordering, so the selection
+    is engine-exact with no rounding device): header amount, detail
+    sum, detail row count, and the signed difference, in integer cents.
+    Headers with NO detail rows reconcile against 0 (left join) —
+    orphan headers are usually the loudest discrepancy.
+
+    Scale shape (100 TB): detail collapses to per-key partial sums
+    map-side before the join (never row×row); the join is
+    key-cardinality; top-k is one TakeOrdered."""
+    h = header.select(F.col(key_col).alias("__k"),
+                      header_int.cast("long").alias("__h"))
+    d = (detail.select(F.col(key_col).alias("__k"),
+                       detail_int.cast("long").alias("__d"))
+         .groupBy("__k")
+         .agg(F.sum("__d").cast("long").alias("__ds"),
+              F.count(F.lit(1)).cast("long").alias("__dn")))
+    j = (h.join(d, "__k", "left")
+         .withColumn("__ds", F.coalesce("__ds", F.lit(0)))
+         .withColumn("__dn", F.coalesce("__dn", F.lit(0)))
+         .withColumn("__diff", F.col("__h") - F.col("__ds")))
+    return (j.orderBy(F.abs(F.col("__diff")).desc(), F.col("__k").asc())
+            .limit(top_k)
+            .select(F.col("__k").alias(key_col),
+                    F.col("__h").alias("header_amount"),
+                    F.col("__ds").alias("detail_sum"),
+                    F.col("__dn").alias("detail_rows"),
+                    F.col("__diff").alias("difference")))
+
+
 def join_health(left: DataFrame, right: DataFrame, lkey: str,
                 rkey: str) -> DataFrame:
     """EXT (R98): pre-join health report for a (fact, dim) key pair — the

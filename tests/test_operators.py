@@ -2713,3 +2713,22 @@ def test_seasonal_outliers_ignore_cycle_flag_break(spark):
     assert top.x == 10
     # phase 3 days: 3,10,17,24 -> sum = 250*3 + 10000, c=4
     assert top.resid == round((10000 * 4 - (250 * 3 + 10000)) / 4, 6)
+
+
+def test_reconciliation_orphan_header_and_exact_match(spark):
+    """A header with no detail rows reconciles against 0 (its whole
+    amount is the discrepancy); a header whose lines sum exactly shows
+    difference 0; worst offender ranks first."""
+    from data_engineering__spark.operators.quality import (
+        reconciliation_report)
+    h = spark.createDataFrame([Row(k=1, amt=100), Row(k=2, amt=50),
+                               Row(k=3, amt=70)])
+    d = spark.createDataFrame([Row(k=1, v=60), Row(k=1, v=40),
+                               Row(k=3, v=90)])
+    out = reconciliation_report(h, d, "k", F.col("amt"),
+                                F.col("v")).collect()
+    assert [r.k for r in out] == [2, 3, 1]  # |50| > |-20| > 0
+    by_k = {r.k: r for r in out}
+    assert by_k[1].difference == 0 and by_k[1].detail_rows == 2
+    assert by_k[2].difference == 50 and by_k[2].detail_rows == 0
+    assert by_k[3].difference == -20
