@@ -82,7 +82,7 @@ HEADLINE = [
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
-    "reconciliation_orders",
+    "reconciliation_orders", "param_sql_price_bands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

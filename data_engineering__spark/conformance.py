@@ -2295,7 +2295,7 @@ DRIVER_PRIORITY = [
     "kaplan_meier_conversion", "bloom_membership_report",
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
-    "reconciliation_orders",
+    "reconciliation_orders", "param_sql_price_bands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7711,3 +7711,31 @@ def reconciliation_orders(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100),
         F.round(F.col("l_extendedprice") * 100),
         top_k=20).withColumnRenamed("k", "o_orderkey")
+
+
+@query("param_sql_price_bands", oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (o_totalprice >= 150000.0) AS BIGINT) AS n_big
+FROM orders
+WHERE o_totalprice >= 1000.0
+GROUP BY o_orderpriority""")
+def param_sql_price_bands(spark, sf_dir):
+    """EXT R185: PARAMETERIZED SQL (Spark 4 named-argument binding) —
+    ``spark.sql(query, args={...})`` substitutes typed literals at the
+    analyzer, the injection-safe templated-query surface (the
+    reference templates its ad-hoc SQL with psycopg2 ``%s`` binding;
+    this is the Spark-native equivalent). The parameter markers
+    ``:floor`` / ``:big`` bind doubles; the plan is identical to the
+    inlined-literal query (so pushdown still applies)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_v")
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  CAST(COUNT(*) AS LONG) AS n,
+                  CAST(COUNT(CASE WHEN o_totalprice >= :big THEN 1 END)
+                       AS LONG) AS n_big
+           FROM orders_param_v
+           WHERE o_totalprice >= :floor
+           GROUP BY o_orderpriority""",
+        args={"floor": 1000.0, "big": 150000.0})

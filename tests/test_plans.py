@@ -459,3 +459,14 @@ def test_negative_samples_no_cartesian_of_items(spark, sf_dir):
     p = plan_of(QUERIES["negative_samples_embeddings"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_param_sql_binds_literals_for_pushdown(spark, sf_dir):
+    """Named-argument binding must resolve to real literals at analysis
+    time so the filter still reaches the parquet scan as a pushed
+    predicate (a lazily-bound parameter would block pushdown)."""
+    from data_engineering__spark.conformance import QUERIES
+    df = QUERIES["param_sql_price_bands"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "150000" in df._jdf.queryExecution().optimizedPlan().toString()
