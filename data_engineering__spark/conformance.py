@@ -2296,6 +2296,7 @@ DRIVER_PRIORITY = [
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
+    "streaming_full_outer_join",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7739,3 +7740,46 @@ def param_sql_price_bands(spark, sf_dir):
            WHERE o_totalprice >= :floor
            GROUP BY o_orderpriority""",
         args={"floor": 1000.0, "big": 150000.0})
+
+
+@query("streaming_full_outer_join", oracle="""
+WITH w AS (
+  SELECT to_timestamp(
+           (epoch_us(LEAST(
+              (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+              (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 1 HOUR) // 1000 * 1000) / 1000000.0) AS wm)
+SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+       COALESCE(l.user_id, r.user_id) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+CROSS JOIN w
+WHERE (l.event_id IS NOT NULL AND r.event_id IS NOT NULL)
+   OR (r.event_id IS NULL AND l.event_id IS NOT NULL
+       AND l.ts + INTERVAL 10 MINUTE < w.wm)
+   OR (l.event_id IS NULL AND r.ts < w.wm)""")
+def streaming_full_outer_join(spark, sf_dir):
+    """ST EXT R186: stream-stream FULL OUTER interval join through
+    Structured Streaming — clicks ⋈ purchases in a 10-minute window
+    with BOTH unmatched sides null-extended under their own watermark
+    gates (left: wm past the match horizon; right: wm past its own ts,
+    because the interval is one-sided). Oracle pins both emission
+    rules plus the shared epoch-ms-floored min-of-filtered-inputs
+    watermark established for R161."""
+    from .streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_full_join,
+    )
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = stream_stream_full_join(clicks, purchases).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id"))
+        .alias("user_id"))
+    name, _ = run_to_memory(j, output_mode="append")
+    return spark.table(name)

@@ -186,6 +186,31 @@ def stream_stream_left_join(left: DataFrame, right: DataFrame,
         "leftOuter")
 
 
+def stream_stream_full_join(left: DataFrame, right: DataFrame,
+                            user_col: str = "user_id",
+                            horizon: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """ST EXT (R186, round 6): stream-STREAM FULL OUTER interval join —
+    completes the streaming join family (inner R48, left outer R161):
+    matched pairs emit eagerly; unmatched LEFTS null-extend once the
+    watermark passes their match horizon (``wm > l.ts + horizon`` — no
+    future right can land inside it); unmatched RIGHTS null-extend once
+    the watermark passes their own timestamp (``wm > r.ts`` — any
+    future left has ts beyond the watermark, hence > r.ts, and the
+    condition needs l.ts ≤ r.ts). The two outer sides are gated by
+    DIFFERENT boundaries because the interval is one-sided — exactly
+    what the oracle pins. State for both sides evicts on the same
+    boundaries that gate emission."""
+    l = (left.withWatermark("ts", watermark).alias("l"))
+    r = (right.withWatermark("ts", watermark).alias("r"))
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter")
+
+
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 user_col: str = "user_id",
                                 lookback: str = "10 minutes",
