@@ -2296,7 +2296,7 @@ DRIVER_PRIORITY = [
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
-    "streaming_full_outer_join",
+    "streaming_full_outer_join", "media_phash_near_dup",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7783,3 +7783,43 @@ def streaming_full_outer_join(spark, sf_dir):
         .alias("user_id"))
     name, _ = run_to_memory(j, output_mode="append")
     return spark.table(name)
+
+
+def _media_feat_sql(j: int) -> str:
+    """Byte-fold feature j of the synthetic media payload (the 64 utf-8
+    hex chars of sha256(seed‖key)): sum of every 8th char's codepoint."""
+    terms = " + ".join(f"ascii(substr(h, {j + 1 + 8 * m}, 1))"
+                       for m in range(8))
+    return f"round(({terms}) / 255.0, 6)"
+
+
+_PHASH_MEAN_SQL = ("(0.0 + " + " + ".join(f"f{j}" for j in range(8))
+                   + ") / 8.0")
+_PHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN f{j} > {_PHASH_MEAN_SQL} THEN {1 << j} ELSE 0 END)"
+    for j in range(8))
+
+
+@query("media_phash_near_dup", oracle=_mat(f"""
+WITH m AS (
+  SELECT r AS media_id, sha256('42' || CAST(r % 48 AS VARCHAR)) AS h
+  FROM (SELECT unnest(generate_series(0, 95)) AS r)),
+feats AS (
+  SELECT media_id, {", ".join(_media_feat_sql(j) + f" AS f{j}"
+                              for j in range(8))}
+  FROM m),
+sig AS (
+  SELECT media_id, CAST({_PHASH_BITS_SQL} AS BIGINT) AS phash FROM feats)
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.phash
+FROM sig a JOIN sig b ON a.phash = b.phash AND a.media_id < b.media_id"""))
+def media_phash_near_dup(spark, sf_dir):
+    """EXT R187: perceptual-hash near-duplicate pairs over media
+    features — average-hash bits from the Arrow decode kernel's stripe
+    signature, signature-equality self-join (banding, never all-pairs
+    features). The fixture plants each payload twice (id and id+48);
+    the oracle recomputes payload bytes, features, hash bits, and the
+    bucket join from first principles, so the 48 planted pairs (plus
+    any honest signature collisions) must match exactly."""
+    from .operators import multimodal as MM
+    media = MM.synthesize_media(spark, n=96, key_mod=48)
+    return MM.media_near_dup_pairs(media)

@@ -56,16 +56,21 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
             .option("pathGlobFilter", glob).load(path))
 
 
-def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42,
+                     key_mod: int | None = None) -> DataFrame:
     """Deterministic fake media table for tests (no codec libs in container):
     payload bytes are a seeded function of media_id, so every test run and
-    every executor sees identical data."""
+    every executor sees identical data. ``key_mod`` derives the payload
+    from ``media_id % key_mod`` instead — planting exact duplicate
+    payloads under distinct ids (the near-dup fixtures)."""
+    payload_key = (F.col("id") % key_mod if key_mod else F.col("id")) \
+        .cast("string")
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
                      (F.col("id") % 3 + 1).cast("int")).alias("modality"),
         F.lit("application/octet-stream").alias("mime_type"),
-        F.encode(F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256),
+        F.encode(F.sha2(F.concat(F.lit(str(seed)), payload_key), 256),
                  "utf-8").cast("binary").alias("content"),
     )
     return df.withColumn("meta", F.struct(
@@ -218,3 +223,41 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(run, schema=media.schema)
+
+
+def phash_bits(feature_col, n_bits: int = 8):
+    """EXT (R187, round 6): perceptual-hash bits from a feature vector —
+    bit i set iff feature[i] exceeds the vector's own mean (the
+    average-hash construction; a DCT pHash or model embedding slots into
+    the same shape). Pure codegen over the feature array: explicit
+    left-associated sum for the mean so the float comparisons are
+    engine-identical."""
+    mean = sum((F.element_at(feature_col, i + 1) for i in range(n_bits)),
+               F.lit(0.0)) / float(n_bits)
+    bits = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bits = bits + F.when(F.element_at(feature_col, i + 1) > mean,
+                             F.lit(1 << i).cast("long")) \
+                       .otherwise(F.lit(0).cast("long"))
+    return bits
+
+
+def media_near_dup_pairs(media: DataFrame) -> DataFrame:
+    """EXT (R187): media near-duplicate candidate pairs by perceptual
+    hash — features via the Arrow decode kernel, an average-hash
+    signature per item, and a signature-equality self-join (the
+    text-dedup banding discipline applied to media: candidates come
+    from hash buckets, never an all-pairs feature comparison). With a
+    real codec the same pipeline catches re-encoded/resized copies
+    whose bytes differ but whose stripe signature agrees.
+
+    Scale shape (100 TB): features are map-only; only (media_id, phash)
+    longs shuffle for the bucket self-join — payloads never move."""
+    feats = extract_features(media)
+    sig = feats.select("media_id",
+                       phash_bits(F.col("feature")).alias("phash"))
+    a = sig.select(F.col("media_id").alias("id_a"), "phash")
+    b = sig.select(F.col("media_id").alias("id_b"), "phash")
+    return (a.join(b, "phash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "phash"))

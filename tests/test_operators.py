@@ -2732,3 +2732,17 @@ def test_reconciliation_orphan_header_and_exact_match(spark):
     assert by_k[1].difference == 0 and by_k[1].detail_rows == 2
     assert by_k[2].difference == 50 and by_k[2].detail_rows == 0
     assert by_k[3].difference == -20
+
+
+def test_media_phash_finds_planted_duplicates(spark):
+    """Every planted duplicate payload (id, id+24) must appear among the
+    candidate pairs (identical payload -> identical signature -> same
+    bucket), and pair ids are always ordered."""
+    from data_engineering__spark.operators.multimodal import (
+        media_near_dup_pairs, synthesize_media)
+    media = synthesize_media(spark, n=48, key_mod=24)
+    pairs = {(r.id_a, r.id_b) for r in
+             media_near_dup_pairs(media).collect()}
+    for i in range(24):
+        assert (i, i + 24) in pairs
+    assert all(a < b for a, b in pairs)
