@@ -83,7 +83,7 @@ HEADLINE = [
     "cusum_changepoint_events", "t_closeness_customer",
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
-    "media_phash_near_dup",
+    "media_phash_near_dup", "sliding_distinct_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2297,6 +2297,7 @@ DRIVER_PRIORITY = [
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
     "streaming_full_outer_join", "media_phash_near_dup",
+    "sliding_distinct_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7823,3 +7824,38 @@ def media_phash_near_dup(spark, sf_dir):
     from .operators import multimodal as MM
     media = MM.synthesize_media(spark, n=96, key_mod=48)
     return MM.media_near_dup_pairs(media)
+
+
+@query("sliding_distinct_users", oracle="""
+WITH cand AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, user_id
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         user_id
+  FROM events),
+grid AS (
+  SELECT w_start, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cand GROUP BY w_start, user_id)
+SELECT CAST(epoch(w_start) AS BIGINT) AS w_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM grid GROUP BY w_start""")
+def sliding_distinct_users(spark, sf_dir):
+    """EXT R188: EXACT distinct users per sliding window (1 h wide,
+    30 min slide) — the concurrent-audience readout where approx
+    sketches need an error bar. The rows collapse to the
+    (window, user) grid FIRST (map-side partial counts), so the wide
+    shuffle carries one row per distinct pair, and the distinct count
+    is a plain second-level hash agg — ``count_distinct`` straight on
+    the window would shuffle raw events. Every event lands in exactly
+    two windows; the oracle materializes both memberships."""
+    ev = read_table(spark, sf_dir, "events")
+    grid = (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    return (grid.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.sum("c").cast("long").alias("n_events"))
+            .select(F.unix_timestamp(F.col("w.start"))
+                    .alias("w_start_epoch"), "n_users", "n_events"))
