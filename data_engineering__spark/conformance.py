@@ -2297,7 +2297,7 @@ DRIVER_PRIORITY = [
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
     "streaming_full_outer_join", "media_phash_near_dup",
-    "sliding_distinct_users",
+    "sliding_distinct_users", "cardinality_profile_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7859,3 +7859,37 @@ def sliding_distinct_users(spark, sf_dir):
                  F.sum("c").cast("long").alias("n_events"))
             .select(F.unix_timestamp(F.col("w.start"))
                     .alias("w_start_epoch"), "n_users", "n_events"))
+
+
+def _card_profile_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", n_rows, n_distinct,
+       ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS distinct_frac,
+       top_value, top_count
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c
+        FROM orders GROUP BY 1))
+CROSS JOIN (
+  SELECT v AS top_value, CAST(c AS BIGINT) AS top_count
+  FROM (SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c
+        FROM orders GROUP BY 1)
+  ORDER BY c DESC, v ASC NULLS LAST LIMIT 1)"""
+
+
+@query("cardinality_profile_orders", oracle=_mat(
+    " UNION ALL ".join(_card_profile_sql(c) for c in
+                       ["o_orderkey", "o_custkey", "o_orderstatus",
+                        "o_orderpriority"])))
+def cardinality_profile_orders(spark, sf_dir):
+    """EXT R189: per-column cardinality/top-value profile of orders —
+    the layout advisor (dictionary-encode vs id vs hot-key skew) next
+    to null_profile's completeness read. String/integer columns only:
+    the profile stringifies values and float formatting is not part of
+    the cross-engine contract."""
+    from .operators.quality import cardinality_profile
+    o = read_table(spark, sf_dir, "orders")
+    return cardinality_profile(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])

@@ -117,6 +117,49 @@ def key_skew_profile(df: DataFrame, key_cols: list[str],
             .limit(k))
 
 
+def cardinality_profile(df: DataFrame,
+                        cols: list[str] | None = None,
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (R189, round 6): per-column cardinality profile — (column,
+    n_rows, n_distinct, distinct_frac, top_value, top_count), the
+    storage/layout advisor a 100 TB onboarding runs next to
+    ``null_profile``: distinct_frac ≈ 0 says dictionary-encode /
+    partition on it, ≈ 1 says it's an id (sort/bucket candidate), and
+    the top value exposes the degenerate hot key ('', 'unknown', the
+    default enum) that skews every later join.
+
+    NULL counts as a visible value (a column that is 99% NULL has a
+    meaningful top value); ``top_value`` reports as a string so one
+    long frame covers heterogeneous columns, ties break on the value
+    string for engine determinism.
+
+    Scale shape: one hash agg per column on that column's value grid
+    (map-side partials; the shuffle carries distinct values, not rows),
+    then a 1-row TakeOrdered per column, unioned — column count is
+    tiny, the per-column aggs run in one job in parallel."""
+    cols = cols or df.columns
+    outs = []
+    for c in cols:
+        grid = (df.groupBy(F.col(c).cast("string").alias("__v"))
+                .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+        top = (grid.orderBy(F.col("__c").desc(), F.col("__v").asc_nulls_last())
+               .limit(1))
+        stats = grid.agg(F.sum("__c").cast("long").alias("n_rows"),
+                         F.count(F.lit(1)).cast("long").alias("n_distinct"))
+        outs.append(
+            stats.crossJoin(F.broadcast(top))
+            .select(F.lit(c).alias("column"), "n_rows", "n_distinct",
+                    F.round(F.col("n_distinct").cast("double")
+                            / F.col("n_rows").cast("double"),
+                            round_dp).alias("distinct_frac"),
+                    F.col("__v").alias("top_value"),
+                    F.col("__c").alias("top_count")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """EXT profiling: per-column null counts and ratio — (column, n_rows,
     n_null, null_frac). ONE aggregation pass computes every column's

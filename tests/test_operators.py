@@ -2746,3 +2746,20 @@ def test_media_phash_finds_planted_duplicates(spark):
     for i in range(24):
         assert (i, i + 24) in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_cardinality_profile_classifies_columns(spark):
+    """An id column profiles at distinct_frac 1.0; a near-constant
+    column surfaces its hot default as top_value; NULL is a visible
+    value with its own count."""
+    from data_engineering__spark.operators.quality import (
+        cardinality_profile)
+    rows = [Row(id=i, status="unknown" if i < 8 else "ok",
+                opt=None if i < 6 else "x") for i in range(10)]
+    out = {r.column: r for r in cardinality_profile(
+        spark.createDataFrame(rows)).collect()}
+    assert out["id"].distinct_frac == 1.0
+    assert out["status"].top_value == "unknown"
+    assert out["status"].top_count == 8
+    assert out["opt"].n_distinct == 2  # NULL and 'x'
+    assert out["opt"].top_value is None and out["opt"].top_count == 6
