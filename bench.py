@@ -84,7 +84,7 @@ HEADLINE = [
     "weighted_quantiles_docs", "seasonal_outliers_events",
     "reconciliation_orders", "param_sql_price_bands",
     "media_phash_near_dup", "sliding_distinct_users",
-    "cardinality_profile_orders",
+    "cardinality_profile_orders", "burstiness_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

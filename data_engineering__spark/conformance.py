@@ -2298,6 +2298,7 @@ DRIVER_PRIORITY = [
     "reconciliation_orders", "param_sql_price_bands",
     "streaming_full_outer_join", "media_phash_near_dup",
     "sliding_distinct_users", "cardinality_profile_orders",
+    "burstiness_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7893,3 +7894,36 @@ def cardinality_profile_orders(spark, sf_dir):
     o = read_table(spark, sf_dir, "orders")
     return cardinality_profile(
         o, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+@query("burstiness_users", oracle=_mat("""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s, event_id
+  FROM events WHERE user_id < 60),
+g AS (
+  SELECT user_id,
+         s - LAG(s) OVER (PARTITION BY user_id
+                          ORDER BY s ASC, event_id ASC) AS gap
+  FROM o),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(gap AS HUGEINT)) AS sg,
+         SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS q
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps, CAST(sg AS BIGINT) AS sum_gap_s,
+       CASE WHEN n >= 2 AND sqrt(CAST(n * q - sg * sg AS DOUBLE))
+                            + CAST(sg AS DOUBLE) > 0
+            THEN ROUND((sqrt(CAST(n * q - sg * sg AS DOUBLE))
+                        - CAST(sg AS DOUBLE))
+                       / (sqrt(CAST(n * q - sg * sg AS DOUBLE))
+                          + CAST(sg AS DOUBLE)), 6)
+       END AS burstiness
+FROM m"""))
+def burstiness_users(spark, sf_dir):
+    """EXT R190: Goh-Barabasi inter-arrival burstiness per user over
+    epoch-second gaps (total order via event_id tie-break) — traffic
+    shape: periodic < 0 < bursty."""
+    from .operators.analytics import burstiness
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    return burstiness(ev, ["user_id"], F.unix_timestamp("ts"),
+                      F.col("event_id"))

@@ -421,6 +421,45 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def burstiness(df: DataFrame, group_cols: list[str], ts_int, tiebreak,
+               round_dp: int = 6) -> DataFrame:
+    """EXT (R190, round 6): inter-arrival BURSTINESS per group — the
+    Goh–Barabási coefficient B = (σ−μ)/(σ+μ) of the gap distribution
+    (−1 = perfectly periodic, 0 = Poisson, →1 = bursty). The
+    traffic-shape fingerprint behind rate limiting, bot detection and
+    capacity planning; ``rate_cap`` enforces a budget, this measures
+    the shape that blows budgets.
+
+    Exactness: gaps are integer differences of the epoch-second
+    ordering key under a TOTAL order (``tiebreak`` makes equal
+    timestamps deterministic — Σg telescopes regardless, Σg² does
+    not); moments accumulate in decimal(38,0); with σ = √(nΣg²−S²)/n
+    and μ = S/n the n cancels:
+    B = (√(nΣg²−S²) − S) / (√(nΣg²−S²) + S) — one sqrt + one division
+    on exact integers, ROUND 6. NULL for groups with < 2 gaps or an
+    all-zero gap sum (B undefined)."""
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(F.col("__ts").asc(), F.col("__tb").asc()))
+    gaps = (df.select(*group_cols, ts_int.cast("long").alias("__ts"),
+                      tiebreak.alias("__tb"))
+            .withColumn("__gap", F.col("__ts") - F.lag("__ts").over(w))
+            .filter(F.col("__gap").isNotNull()))
+    d = F.col("__gap").cast("decimal(38,0)")
+    m = gaps.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(d).alias("__s"), F.sum(d * d).alias("__q"))
+    disc = (F.col("__n") * F.col("__q")
+            - F.col("__s") * F.col("__s")).cast("double")
+    s_d = F.col("__s").cast("double")
+    b = F.when((F.col("__n") >= 2) & ((F.sqrt(disc) + s_d) > 0),
+               F.round((F.sqrt(disc) - s_d) / (F.sqrt(disc) + s_d),
+                       round_dp))
+    return m.select(*group_cols,
+                    F.col("__n").cast("long").alias("n_gaps"),
+                    F.col("__s").cast("long").alias("sum_gap_s"),
+                    b.alias("burstiness"))
+
+
 def seasonal_outliers(df: DataFrame, group_cols: list[str], x_int, y_int,
                       period: int = 7, top_k: int = 10,
                       round_dp: int = 6) -> DataFrame:

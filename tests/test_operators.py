@@ -2763,3 +2763,29 @@ def test_cardinality_profile_classifies_columns(spark):
     assert out["status"].top_count == 8
     assert out["opt"].n_distinct == 2  # NULL and 'x'
     assert out["opt"].top_value is None and out["opt"].top_count == 6
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    """Perfectly periodic arrivals -> sigma 0 -> B = -1 exactly; a
+    heavy-tailed gap set must score strictly higher (toward bursty)."""
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import burstiness
+    t0 = datetime(2024, 1, 1)
+    rows = [Row(g="per", i=i, ts=t0 + timedelta(seconds=60 * i))
+            for i in range(10)]
+    bursty_gaps = [1, 1, 1, 1, 1, 1, 1, 1, 3600]
+    acc = 0
+    rows.append(Row(g="bur", i=0, ts=t0))
+    for i, gap in enumerate(bursty_gaps, 1):
+        acc += gap
+        rows.append(Row(g="bur", i=i, ts=t0 + timedelta(seconds=acc)))
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in
+           burstiness(df, ["g"], F.unix_timestamp("ts"),
+                      F.col("i")).collect()}
+    assert out["per"].burstiness == -1.0
+    import math
+    disc = math.sqrt(9 * (8 + 3600 ** 2) - 3608 ** 2)
+    assert out["bur"].burstiness == round((disc - 3608) / (disc + 3608), 6)
+    assert out["bur"].burstiness > 0.4  # bursty side of Poisson
+    assert out["per"].n_gaps == 9 and out["per"].sum_gap_s == 540
