@@ -2298,7 +2298,7 @@ DRIVER_PRIORITY = [
     "reconciliation_orders", "param_sql_price_bands",
     "streaming_full_outer_join", "media_phash_near_dup",
     "sliding_distinct_users", "cardinality_profile_orders",
-    "burstiness_users",
+    "burstiness_users", "lang_prf_report",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -7927,3 +7927,87 @@ def burstiness_users(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
     return burstiness(ev, ["user_id"], F.unix_timestamp("ts"),
                       F.col("event_id"))
+
+
+@query("lang_prf_report", oracle=f"""
+WITH {_DUCK_TOKS},
+scored AS (
+  SELECT doc_id,
+         {_duck_sw_ratio('en')} AS s_en, {_duck_sw_ratio('es')} AS s_es,
+         {_duck_sw_ratio('fr')} AS s_fr, {_duck_sw_ratio('de')} AS s_de
+  FROM toks),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+              WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS lang_pred
+  FROM scored),
+conf AS (
+  SELECT d.lang AS a, p.lang_pred AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+rowm AS (SELECT a AS cls, CAST(SUM(c) AS BIGINT) AS n_true
+         FROM conf GROUP BY a),
+colm AS (SELECT b AS cls, CAST(SUM(c) AS BIGINT) AS n_pred
+         FROM conf GROUP BY b),
+diag AS (SELECT a AS cls, CAST(SUM(c) AS BIGINT) AS tp
+         FROM conf WHERE a = b GROUP BY a),
+cls AS (
+  SELECT COALESCE(rowm.cls, colm.cls) AS cls,
+         COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred
+  FROM rowm FULL JOIN colm ON rowm.cls = colm.cls)
+SELECT cls.cls AS label, cls.n_true, cls.n_pred,
+       COALESCE(diag.tp, 0) AS tp,
+       CASE WHEN cls.n_pred > 0 THEN
+         ROUND(CAST(COALESCE(diag.tp, 0) AS DOUBLE)
+               / CAST(cls.n_pred AS DOUBLE), 6) END AS precision,
+       CASE WHEN cls.n_true > 0 THEN
+         ROUND(CAST(COALESCE(diag.tp, 0) AS DOUBLE)
+               / CAST(cls.n_true AS DOUBLE), 6) END AS recall,
+       CASE WHEN cls.n_true + cls.n_pred > 0 THEN
+         ROUND(CAST(2 * COALESCE(diag.tp, 0) AS DOUBLE)
+               / CAST(cls.n_true + cls.n_pred AS DOUBLE), 6) END AS f1
+FROM cls LEFT JOIN diag ON cls.cls = diag.cls""")
+def lang_prf_report(spark, sf_dir):
+    """EXT R191: per-class precision / recall / F1 of the ``lang_id``
+    stopword heuristic against the stored label — the classification
+    report beside Cohen's kappa (R168) and AUC (R151): kappa gives one
+    chance-corrected number, this names WHICH class the classifier
+    confuses. F1 computed as 2·tp/(n_true + n_pred) — ONE integer-ratio
+    division, not a float-of-floats harmonic mean. Classes = union of
+    true and predicted labels ('und' has no true rows, labels the
+    heuristic never emits have no predicted ones)."""
+    from .operators.text import lang_id
+    docs = read_table(spark, sf_dir, "documents")
+    conf = (lang_id(docs, "text")
+            .groupBy(F.col("lang").alias("a"),
+                     F.col("lang_pred").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint())
+    rowm = conf.groupBy(F.col("a").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_true"))
+    colm = conf.groupBy(F.col("b").alias("label")).agg(
+        F.sum("c").cast("long").alias("n_pred"))
+    diag = (conf.filter(F.col("a") == F.col("b"))
+            .groupBy(F.col("a").alias("label"))
+            .agg(F.sum("c").cast("long").alias("tp")))
+    base = (rowm.join(colm, "label", "full")
+            .join(diag, "label", "left")
+            .withColumn("n_true", F.coalesce("n_true", F.lit(0)))
+            .withColumn("n_pred", F.coalesce("n_pred", F.lit(0)))
+            .withColumn("tp", F.coalesce("tp", F.lit(0)).cast("long")))
+    return base.select(
+        "label", "n_true", "n_pred", "tp",
+        F.when(F.col("n_pred") > 0,
+               F.round(F.col("tp").cast("double")
+                       / F.col("n_pred").cast("double"), 6))
+        .alias("precision"),
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("tp").cast("double")
+                       / F.col("n_true").cast("double"), 6))
+        .alias("recall"),
+        F.when(F.col("n_true") + F.col("n_pred") > 0,
+               F.round((2 * F.col("tp")).cast("double")
+                       / (F.col("n_true") + F.col("n_pred"))
+                       .cast("double"), 6)).alias("f1"))
