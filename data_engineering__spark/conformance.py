@@ -2298,7 +2298,7 @@ DRIVER_PRIORITY = [
     "reconciliation_orders", "param_sql_price_bands",
     "streaming_full_outer_join", "media_phash_near_dup",
     "sliding_distinct_users", "cardinality_profile_orders",
-    "burstiness_users", "lang_prf_report",
+    "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8011,3 +8011,48 @@ def lang_prf_report(spark, sf_dir):
                F.round((2 * F.col("tp")).cast("double")
                        / (F.col("n_true") + F.col("n_pred"))
                        .cast("double"), 6)).alias("f1"))
+
+
+@query("xcorr_click_purchase", oracle=_mat("""
+WITH a AS (
+  SELECT epoch_us(ts) // 86400000000 AS x,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+b AS (
+  SELECT epoch_us(ts) // 86400000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1),
+lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+j AS (
+  SELECT lags.lag, CAST(a.v AS HUGEINT) AS va, CAST(b.v AS HUGEINT) AS vb
+  FROM a CROSS JOIN lags JOIN b ON b.x = a.x + lags.lag),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(va) AS sa, SUM(vb) AS sb,
+         SUM(va * va) AS saa, SUM(vb * vb) AS sbb, SUM(va * vb) AS sab
+  FROM j GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+               / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                  * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+       END AS xcorr
+FROM m"""))
+def xcorr_click_purchase(spark, sf_dir):
+    """EXT R192: lead-lag cross-correlation between the daily click
+    COUNT series and the daily purchase cents series for lags 0..7
+    days — the discovered lead time is the argmax lag; exact decimal
+    moments per lag over the inner day join."""
+    from .operators.analytics import cross_correlation
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    a = (ev.filter(F.col("event_type") == "click")
+         .groupBy(day.alias("x"))
+         .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    b = (ev.filter((F.col("event_type") == "purchase")
+                   & F.col("value").isNotNull())
+         .groupBy(day.alias("x"))
+         .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("long").alias("v")))
+    return cross_correlation(a, b, max_lag=7)

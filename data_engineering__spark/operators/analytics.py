@@ -421,6 +421,53 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def cross_correlation(a_df: DataFrame, b_df: DataFrame,
+                      max_lag: int = 7, round_dp: int = 6) -> DataFrame:
+    """EXT (R192, round 6): LEAD-LAG cross-correlation between two
+    (x, v) integer series — Pearson of A[x] against B[x+k] for each lag
+    k in 0..max_lag, the "does A move B some days later" readout
+    (marketing spend → purchases, errors → churn). The argmax lag is
+    the discovered lead time; ``corr_matrix`` answers contemporaneous
+    association only.
+
+    Exactness: the paired moments accumulate in decimal(38,0) per lag
+    (the ``corr_matrix`` discipline) over the INNER join of x with
+    x+k — pairs where either side's grid point is missing drop, and
+    ``n_pairs`` is reported so sparse overlaps are visible. The only
+    float is the final fixed-shape cast/sqrt/divide, ROUND 6.
+
+    Scale shape (100 TB): both inputs are already grid-collapsed
+    (days); the lag spec (max_lag+1 rows) broadcasts into the join, so
+    the pair frame is |grid|·lags — day-domain scale, never rows."""
+    spark = a_df.sparkSession
+    lags = F.broadcast(spark.range(max_lag + 1)
+                       .select(F.col("id").cast("long").alias("lag")))
+    a = a_df.select(F.col("x").cast("long").alias("__xa"),
+                    F.col("v").cast("long").alias("__va"))
+    b = b_df.select(F.col("x").cast("long").alias("__xb"),
+                    F.col("v").cast("long").alias("__vb"))
+    j = (a.crossJoin(lags)
+         .withColumn("__xb", F.col("__xa") + F.col("lag"))
+         .join(b, "__xb"))
+    da = F.col("__va").cast("decimal(38,0)")
+    db = F.col("__vb").cast("decimal(38,0)")
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(da).alias("__sa"), F.sum(db).alias("__sb"),
+        F.sum(da * da).alias("__saa"), F.sum(db * db).alias("__sbb"),
+        F.sum(da * db).alias("__sab"))
+    n_ = F.col("__n")
+    num = n_ * F.col("__sab") - F.col("__sa") * F.col("__sb")
+    va = n_ * F.col("__saa") - F.col("__sa") * F.col("__sa")
+    vb = n_ * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    corr = F.when((va > 0) & (vb > 0),
+                  F.round(num.cast("double")
+                          / (F.sqrt(va.cast("double"))
+                             * F.sqrt(vb.cast("double"))), round_dp))
+    return m.select("lag", n_.cast("long").alias("n_pairs"),
+                    corr.alias("xcorr"))
+
+
 def burstiness(df: DataFrame, group_cols: list[str], ts_int, tiebreak,
                round_dp: int = 6) -> DataFrame:
     """EXT (R190, round 6): inter-arrival BURSTINESS per group — the

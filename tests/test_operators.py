@@ -2789,3 +2789,18 @@ def test_burstiness_periodic_vs_bursty(spark):
     assert out["bur"].burstiness == round((disc - 3608) / (disc + 3608), 6)
     assert out["bur"].burstiness > 0.4  # bursty side of Poisson
     assert out["per"].n_gaps == 9 and out["per"].sum_gap_s == 540
+
+
+def test_cross_correlation_finds_planted_lead(spark):
+    """B is an exact shifted copy of A (B[x] = A[x-3]): xcorr must be
+    exactly 1.0 at lag 3 and the pair count shrinks by the overlap."""
+    from data_engineering__spark.operators.analytics import (
+        cross_correlation)
+    vals = [5, 9, 2, 7, 4, 8, 1, 6, 3, 10, 12, 11]
+    a = spark.createDataFrame([Row(x=i, v=v) for i, v in enumerate(vals)])
+    b = spark.createDataFrame([Row(x=i + 3, v=v)
+                               for i, v in enumerate(vals)])
+    out = {r.lag: r for r in cross_correlation(a, b, max_lag=5).collect()}
+    assert out[3].xcorr == 1.0 and out[3].n_pairs == 12
+    assert all(out[k].xcorr < 1.0 for k in out if k != 3
+               and out[k].xcorr is not None)
