@@ -85,7 +85,7 @@ HEADLINE = [
     "reconciliation_orders", "param_sql_price_bands",
     "media_phash_near_dup", "sliding_distinct_users",
     "cardinality_profile_orders", "burstiness_users",
-    "lang_prf_report", "xcorr_click_purchase",
+    "lang_prf_report", "xcorr_click_purchase", "keyness_terms_sources",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2299,6 +2299,7 @@ DRIVER_PRIORITY = [
     "streaming_full_outer_join", "media_phash_near_dup",
     "sliding_distinct_users", "cardinality_profile_orders",
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
+    "keyness_terms_sources",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8056,3 +8057,37 @@ def xcorr_click_purchase(spark, sf_dir):
          .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
               .cast("long").alias("v")))
     return cross_correlation(a, b, max_lag=7)
+
+
+@query("keyness_terms_sources", oracle=_mat(r"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents),
+grid AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS o FROM toks GROUP BY g, t),
+gm AS (SELECT g, CAST(SUM(o) AS BIGINT) AS r FROM grid GROUP BY g),
+tm AS (SELECT t, CAST(SUM(o) AS BIGINT) AS c FROM grid GROUP BY t),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid),
+scored AS (
+  SELECT grid.g, grid.t, grid.o,
+         ROUND(CAST(grid.o * n.n - gm.r * tm.c AS DOUBLE)
+               * CAST(grid.o * n.n - gm.r * tm.c AS DOUBLE)
+               / CAST(gm.r * tm.c * n.n AS DOUBLE), 6) AS chi
+  FROM grid JOIN gm ON grid.g = gm.g JOIN tm ON grid.t = tm.t CROSS JOIN n
+  WHERE grid.o * n.n > gm.r * tm.c),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+               ORDER BY chi DESC, t ASC) AS rn
+  FROM scored)
+SELECT g AS source, t AS term, o AS term_count, chi AS keyness
+FROM ranked WHERE rn <= 10"""))
+def keyness_terms_sources(spark, sf_dir):
+    """EXT R193: chi-square keyness — each source's 10 most
+    distinctive (over-represented) terms against the corpus margins;
+    the corpus-linguistics source-triage readout beside per-doc
+    TF-IDF."""
+    from .operators.text import keyness_terms
+    docs = read_table(spark, sf_dir, "documents")
+    return keyness_terms(docs, "source", "text", k=10)

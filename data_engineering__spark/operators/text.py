@@ -736,3 +736,47 @@ def apply_bpe_merge(words: DataFrame, left: str, right: str,
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
         .otherwise(F.concat(acc, F.array(s))))
     return words.withColumn(sym_col, fold)
+
+
+def keyness_terms(df: DataFrame, group_col: str, text_col: str,
+                  k: int = 10, round_dp: int = 6) -> DataFrame:
+    """EXT (R193, round 6): per-group DISTINCTIVE terms by chi-square
+    keyness — which words characterize each source against the rest of
+    the corpus. ``tfidf_top_terms`` ranks within one DOCUMENT; keyness
+    ranks a GROUP's vocabulary against the corpus margins — the
+    corpus-linguistics readout behind source triage ("this crawl is
+    recipe spam") and domain tagging. Only OVER-represented terms
+    (o·N > r·c) rank; chi = (o·N − r·c)²/(r·c·N) per (group, term)
+    cell, ROUND 6 before the (chi desc, term asc) WindowGroupLimit so
+    the selected set is engine-stable (the ``tfidf_top_terms``
+    device).
+
+    Scale shape (100 TB): one (group, term) hash agg over exploded
+    tokens (map-side partials), margins are grid-sized aggs broadcast
+    back, top-k is one window per group over its vocabulary."""
+    toks = (df.select(F.col(group_col).alias("__g"),
+                      F.explode(tokens(text_col)).alias("__t")))
+    grid = (toks.groupBy("__g", "__t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__o")))
+    gm = grid.groupBy("__g").agg(F.sum("__o").cast("long").alias("__r"))
+    tm = grid.groupBy("__t").agg(F.sum("__o").cast("long").alias("__c"))
+    n = grid.agg(F.sum("__o").cast("long").alias("__n"))
+    d = (F.col("__o") * F.col("__n") - F.col("__r") * F.col("__c")) \
+        .cast("double")
+    chi = F.round(
+        d * d / (F.col("__r") * F.col("__c") * F.col("__n")).cast("double"),
+        round_dp)
+    scored = (grid.join(F.broadcast(gm), "__g")
+              .join(tm, "__t")
+              .crossJoin(F.broadcast(n))
+              .filter(F.col("__o") * F.col("__n")
+                      > F.col("__r") * F.col("__c"))
+              .withColumn("__chi", chi))
+    w = (Window.partitionBy("__g")
+         .orderBy(F.col("__chi").desc(), F.col("__t").asc()))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__g").alias(group_col),
+                    F.col("__t").alias("term"),
+                    F.col("__o").alias("term_count"),
+                    F.col("__chi").alias("keyness")))

@@ -2804,3 +2804,17 @@ def test_cross_correlation_finds_planted_lead(spark):
     assert out[3].xcorr == 1.0 and out[3].n_pairs == 12
     assert all(out[k].xcorr < 1.0 for k in out if k != 3
                and out[k].xcorr is not None)
+
+
+def test_keyness_surfaces_group_specific_term(spark):
+    """A term used heavily by one group and never by the other must top
+    that group's keyness list; a term with identical share in both
+    groups is NOT over-represented anywhere and never ranks."""
+    from data_engineering__spark.operators.text import keyness_terms
+    rows = ([Row(g="a", text="common recipe recipe recipe")] * 3
+            + [Row(g="b", text="common news news news")] * 3)
+    out = keyness_terms(spark.createDataFrame(rows), "g", "text",
+                        k=2).collect()
+    top = {r.g: [x.term for x in out if x.g == r.g] for r in out}
+    assert top["a"][0] == "recipe" and top["b"][0] == "news"
+    assert all("common" != r.term for r in out)
