@@ -86,6 +86,7 @@ HEADLINE = [
     "media_phash_near_dup", "sliding_distinct_users",
     "cardinality_profile_orders", "burstiness_users",
     "lang_prf_report", "xcorr_click_purchase", "keyness_terms_sources",
+    "source_vocab_overlap", "brand_basket_triples",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2299,7 +2299,8 @@ DRIVER_PRIORITY = [
     "streaming_full_outer_join", "media_phash_near_dup",
     "sliding_distinct_users", "cardinality_profile_orders",
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
-    "keyness_terms_sources",
+    "keyness_terms_sources", "source_vocab_overlap",
+    "brand_basket_triples",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8091,3 +8092,84 @@ def keyness_terms_sources(spark, sf_dir):
     from .operators.text import keyness_terms
     docs = read_table(spark, sf_dir, "documents")
     return keyness_terms(docs, "source", "text", k=10)
+
+
+@query("source_vocab_overlap", oracle=_mat(r"""
+WITH v AS (
+  SELECT DISTINCT source AS g,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                  '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents),
+sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY g),
+inter AS (
+  SELECT a.g AS g_a, b.g AS g_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM v a JOIN v b ON a.t = b.t AND a.g < b.g
+  GROUP BY a.g, b.g)
+SELECT i.g_a, i.g_b, sa.n AS n_vocab_a, sb.n AS n_vocab_b, i.i AS n_shared,
+       ROUND(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 6)
+         AS jaccard
+FROM inter i JOIN sizes sa ON i.g_a = sa.g JOIN sizes sb ON i.g_b = sb.g"""))
+def source_vocab_overlap(spark, sf_dir):
+    """EXT R194: pairwise vocabulary Jaccard between sources — the
+    corpus-similarity matrix that says which feeds are near-mirrors
+    (merge them) and which add genuinely new language (keep them).
+    Distinct (source, term) grid first, the pair surface is a
+    term-equality self-join bounded by vocabulary (never documents),
+    map-side intersection fold, one division per pair."""
+    from .operators.text import tokens
+    docs = read_table(spark, sf_dir, "documents")
+    v = (docs.select(F.col("source").alias("g"),
+                     F.explode(tokens("text")).alias("t"))
+         .distinct())
+    sizes = v.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("g").alias("g_a"), "t")
+    b = v.select(F.col("g").alias("g_b"), "t")
+    inter = (a.join(b, "t").filter(F.col("g_a") < F.col("g_b"))
+             .groupBy("g_a", "g_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    sa = sizes.select(F.col("g").alias("g_a"),
+                      F.col("n").alias("n_vocab_a"))
+    sb = sizes.select(F.col("g").alias("g_b"),
+                      F.col("n").alias("n_vocab_b"))
+    return (inter.join(F.broadcast(sa), "g_a").join(F.broadcast(sb), "g_b")
+            .select("g_a", "g_b", "n_vocab_a", "n_vocab_b", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("n_vocab_a") + F.col("n_vocab_b")
+                               - F.col("n_shared")).cast("double"), 6)
+                    .alias("jaccard")))
+
+
+@query("brand_basket_triples", oracle=_mat("""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS k, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+triples AS (
+  SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b ON a.k = b.k AND a.it < b.it
+  JOIN items c ON b.k = c.k AND b.it < c.it
+  GROUP BY a.it, b.it, c.it)
+SELECT item_a, item_b, item_c, support
+FROM triples WHERE support >= 5"""))
+def brand_basket_triples(spark, sf_dir):
+    """EXT R194b (counts under R194): frequent 3-itemsets — the
+    Apriori step after ``brand_basket_pairs``: ordered triple chains
+    through two basket-bounded self-joins (a<b<c keeps each set once);
+    support folds map-side. min_support=5 keeps the output the report
+    head, not the combinatorial tail."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    pt = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (li.join(pt, li.l_partkey == pt.p_partkey)
+             .select(F.col("l_orderkey").alias("k"),
+                     F.col("p_brand").alias("it")).distinct())
+    a = items.select("k", F.col("it").alias("item_a"))
+    b = items.select("k", F.col("it").alias("item_b"))
+    c = items.select("k", F.col("it").alias("item_c"))
+    return (a.join(b, "k").filter(F.col("item_a") < F.col("item_b"))
+            .join(c, "k").filter(F.col("item_b") < F.col("item_c"))
+            .groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .filter(F.col("support") >= 5))
