@@ -2300,7 +2300,7 @@ DRIVER_PRIORITY = [
     "sliding_distinct_users", "cardinality_profile_orders",
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
     "keyness_terms_sources", "source_vocab_overlap",
-    "brand_basket_triples",
+    "brand_basket_triples", "supplier_er_clusters",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8173,3 +8173,82 @@ def brand_basket_triples(spark, sf_dir):
             .groupBy("item_a", "item_b", "item_c")
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .filter(F.col("support") >= 5))
+
+
+_ER_FEED_SQL = """
+  SELECT s_suppkey AS feed_key,
+         CASE WHEN s_suppkey % 4 = 0
+                THEN substr(s_name, 1, 4) || 'x' || substr(s_name, 6)
+              WHEN s_suppkey % 4 = 1
+                THEN substr(s_name, 1, 5) || substr(s_name, 7)
+              WHEN s_suppkey % 4 = 2
+                THEN 'x' || substr(s_name, 2)
+              ELSE s_name END AS feed_name
+  FROM supplier"""
+
+
+@query("supplier_er_clusters", oracle=_mat(f"""
+WITH RECURSIVE
+feed AS ({_ER_FEED_SQL}),
+nodes AS (
+  SELECT s_suppkey AS id FROM supplier
+  UNION ALL SELECT feed_key + 1000000 FROM feed),
+edges0 AS (
+  SELECT s.s_suppkey AS a, f.feed_key + 1000000 AS b
+  FROM supplier s JOIN feed f
+    ON ABS(length(s.s_name) - length(f.feed_name)) <= 2
+   AND levenshtein(s.s_name, f.feed_name) <= 2),
+edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+comp AS (SELECT src AS id, CAST(MIN(dst) AS BIGINT) AS component
+         FROM reach GROUP BY src)
+SELECT c.id AS node_id, c.component,
+       CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT)
+         AS cluster_size
+FROM comp c"""))
+def supplier_er_clusters(spark, sf_dir):
+    """EXT R195: END-TO-END ENTITY RESOLUTION — canonical supplier
+    names ⋈ a corrupted feed (the ``passjoin_suppliers`` fixture)
+    through recall-complete Pass-Join blocking, then exact transitive
+    closure (min-label connected components) into canonical clusters
+    with sizes. The composition a master-data pipeline actually ships:
+    blocking → match → cluster; suppliers sharing a near-identical
+    feed name land in ONE cluster. The oracle rebuilds edges with an
+    UNBLOCKED brute-force distance join and closes them with a
+    recursive reachability CTE — double-checking both the blocking
+    recall AND the closure."""
+    from .operators.dedup import connected_components
+    from .operators.relational import passjoin_pairs
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    feed = s.select(
+        F.col("s_suppkey").alias("feed_key"),
+        F.when(F.col("s_suppkey") % 4 == 0,
+               F.concat(F.substring("s_name", 1, 4), F.lit("x"),
+                        F.expr("substr(s_name, 6)")))
+         .when(F.col("s_suppkey") % 4 == 1,
+               F.concat(F.substring("s_name", 1, 5),
+                        F.expr("substr(s_name, 7)")))
+         .when(F.col("s_suppkey") % 4 == 2,
+               F.concat(F.lit("x"), F.expr("substr(s_name, 2)")))
+         .otherwise(F.col("s_name")).alias("feed_name"))
+    pairs = passjoin_pairs(s, feed, "s_suppkey", "s_name",
+                           "feed_key", "feed_name", max_dist=2)
+    edges = pairs.select(
+        F.col("s_suppkey").alias("id_a"),
+        (F.col("feed_key") + 1000000).cast("long").alias("id_b"))
+    cc = connected_components(edges)
+    nodes = (s.select(F.col("s_suppkey").cast("long").alias("node_id"))
+             .unionAll(feed.select((F.col("feed_key") + 1000000)
+                                   .cast("long").alias("node_id"))))
+    labeled = (nodes.join(cc.withColumnRenamed("id", "node_id"),
+                          "node_id", "left")
+               .withColumn("component",
+                           F.coalesce("component", F.col("node_id"))
+                           .cast("long")))
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return labeled.join(sizes, "component").select(
+        "node_id", "component", "cluster_size")
