@@ -2283,10 +2283,12 @@ DRIVER_PRIORITY = [
     "streaming_left_outer_join", "lateral_topk_orders",
     "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
     # --- round-7 queue head: the window above is exactly full, so these
-    # ride first next round — ann_topk_multiprobe (new, judge-verifiable),
-    # then rate_cap_events (round-6 single-scan rewrite) and
-    # resample_locf_events (mechanical _bucket_grid refactor), both
-    # hash-identical and driver-sim-verified at sf0.01 this round
+    # ride first next round — the round-6 part-8-onward new keys in
+    # registration order (every one driver-sim-verified at sf0.01 via the
+    # verify recipe in the session it landed), then rate_cap_events
+    # (round-6 single-scan rewrite) and resample_locf_events (mechanical
+    # _bucket_grid refactor), both hash-identical and
+    # driver-sim-verified at sf0.01
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
