@@ -333,3 +333,40 @@ def incremental_join_delta(old_a: DataFrame, delta_a: DataFrame,
     d2 = old_a.join(delta_b, key)
     d3 = delta_a.join(delta_b, key)
     return d1.unionByName(d2).unionByName(d3)
+
+
+def merge_into_df_api(spark, table: str, source: DataFrame, key: str,
+                      update_cols: list[str] | None = None,
+                      coalesce_cols: list[str] | None = None) -> str:
+    """EXT (R196, round 6): the Spark 4 ``DataFrame.mergeInto`` API —
+    the DataFrame-native MERGE builder
+    (``source.mergeInto(table, cond).whenMatched().updateAll()
+    .whenNotMatched().insertAll().merge()``), capability-gated:
+
+    - against a row-level-operation catalog (Delta/Iceberg), the
+      builder executes as a real transactional MERGE;
+    - against this container's v1 parquet catalog the terminal
+      ``merge()`` raises ``UNSUPPORTED_FEATURE.TABLE_OPERATION``
+      (measured — the builder itself constructs fine; condition
+      columns resolve against the SOURCE's alias, so the source must
+      be ``.alias()``-ed), and this wrapper falls back to
+      ``merge_into_managed``'s staged overwrite with identical
+      row-level semantics.
+
+    Returns which path ran (``"mergeInto"`` / ``"staged"``) so tests
+    and callers can observe the capability."""
+    aliased = source.alias("s")
+    try:
+        (aliased.mergeInto(table, F.expr(f"{table}.{key} = s.{key}"))
+         .whenMatched().updateAll()
+         .whenNotMatched().insertAll()
+         .merge())
+        return "mergeInto"
+    except Exception as exc:  # v1 tables: UNSUPPORTED_FEATURE
+        if "UNSUPPORTED_FEATURE" not in str(exc) \
+                and "does not support MERGE" not in str(exc):
+            raise
+    merge_into_managed(spark, table, source, key,
+                       update_cols=update_cols,
+                       coalesce_cols=coalesce_cols)
+    return "staged"

@@ -2818,3 +2818,23 @@ def test_keyness_surfaces_group_specific_term(spark):
     top = {r.g: [x.term for x in out if x.g == r.g] for r in out}
     assert top["a"][0] == "recipe" and top["b"][0] == "news"
     assert all("common" != r.term for r in out)
+
+
+def test_merge_into_df_api_capability_gate(spark, tmp_path):
+    """The Spark 4 DataFrame.mergeInto builder constructs against the
+    parquet catalog but its terminal merge() raises the documented
+    UNSUPPORTED_FEATURE - the wrapper must detect that, take the staged
+    path, and land exactly the upsert-merge rows."""
+    from data_engineering__spark.operators.merge import merge_into_df_api
+    spark.sql("DROP TABLE IF EXISTS t_merge_api")
+    (spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+     .write.mode("overwrite").saveAsTable("t_merge_api"))
+    src = spark.range(3, 8).select(F.col("id"),
+                                   (F.col("id") * 100).alias("v"))
+    path = merge_into_df_api(spark, "t_merge_api", src, "id",
+                             update_cols=["v"])
+    assert path == "staged"  # v1 parquet catalog: fallback must engage
+    got = {r.id: r.v for r in spark.table("t_merge_api").collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 300, 4: 400, 5: 500,
+                   6: 600, 7: 700}
+    spark.sql("DROP TABLE t_merge_api")
