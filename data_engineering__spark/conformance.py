@@ -2302,7 +2302,7 @@ DRIVER_PRIORITY = [
     "sliding_distinct_users", "cardinality_profile_orders",
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
     "keyness_terms_sources", "source_vocab_overlap",
-    "brand_basket_triples", "supplier_er_clusters",
+    "brand_basket_triples", "supplier_er_clusters", "did_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8254,3 +8254,65 @@ def supplier_er_clusters(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("cluster_size"))
     return labeled.join(sizes, "component").select(
         "node_id", "component", "cluster_size")
+
+
+@query("did_report_events", oracle=_mat(f"""
+WITH base AS (
+  SELECT ({_bucket_sql("CAST(user_id AS VARCHAR)", "did")}) < 5000 AS treated,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cut AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM base),
+tagged AS (
+  SELECT CASE WHEN treated THEN 1 ELSE 0 END AS t,
+         CASE WHEN d >= cut.mid THEN 1 ELSE 0 END AS p, v
+  FROM base CROSS JOIN cut),
+agg AS (
+  SELECT
+    CAST(COUNT(*) FILTER (t = 0 AND p = 0) AS BIGINT) AS n_c0,
+    CAST(COALESCE(SUM(v) FILTER (t = 0 AND p = 0), 0) AS BIGINT) AS sum_c0,
+    CAST(COUNT(*) FILTER (t = 0 AND p = 1) AS BIGINT) AS n_c1,
+    CAST(COALESCE(SUM(v) FILTER (t = 0 AND p = 1), 0) AS BIGINT) AS sum_c1,
+    CAST(COUNT(*) FILTER (t = 1 AND p = 0) AS BIGINT) AS n_t0,
+    CAST(COALESCE(SUM(v) FILTER (t = 1 AND p = 0), 0) AS BIGINT) AS sum_t0,
+    CAST(COUNT(*) FILTER (t = 1 AND p = 1) AS BIGINT) AS n_t1,
+    CAST(COALESCE(SUM(v) FILTER (t = 1 AND p = 1), 0) AS BIGINT) AS sum_t1
+  FROM tagged)
+SELECT n_c0, sum_c0,
+       CASE WHEN n_c0 > 0 THEN ROUND(CAST(sum_c0 AS DOUBLE) / n_c0, 6) END
+         AS mean_c0,
+       n_c1, sum_c1,
+       CASE WHEN n_c1 > 0 THEN ROUND(CAST(sum_c1 AS DOUBLE) / n_c1, 6) END
+         AS mean_c1,
+       n_t0, sum_t0,
+       CASE WHEN n_t0 > 0 THEN ROUND(CAST(sum_t0 AS DOUBLE) / n_t0, 6) END
+         AS mean_t0,
+       n_t1, sum_t1,
+       CASE WHEN n_t1 > 0 THEN ROUND(CAST(sum_t1 AS DOUBLE) / n_t1, 6) END
+         AS mean_t1,
+       CASE WHEN n_c0 > 0 AND n_c1 > 0 AND n_t0 > 0 AND n_t1 > 0 THEN
+         ROUND((CAST(sum_t1 AS DOUBLE) / n_t1
+                - CAST(sum_t0 AS DOUBLE) / n_t0)
+               - (CAST(sum_c1 AS DOUBLE) / n_c1
+                  - CAST(sum_c0 AS DOUBLE) / n_c0), 6) END AS did
+FROM agg"""))
+def did_report_events(spark, sf_dir):
+    """EXT R197: difference-in-differences on the event cents metric —
+    treated arm by sha bucket (the hash_split discipline), before/after
+    split at the data's midpoint day (deterministic integer), four
+    exact cells + one fixed-shape DiD float."""
+    from .operators.analytics import did_report
+    from .operators.sampling import hash_bucket
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    day = F.expr("unix_micros(ts) div 86400000000")
+    bounds = ev.agg(
+        F.expr("CAST((MIN(unix_micros(ts) div 86400000000)"
+               " + MAX(unix_micros(ts) div 86400000000) + 1) DIV 2"
+               " AS BIGINT)").alias("mid"))
+    mid = bounds.collect()[0]["mid"]
+    return did_report(
+        ev,
+        hash_bucket(F.col("user_id"), 10_000, "did") < 5_000,
+        day >= F.lit(mid),
+        F.round(F.col("value") * 100))

@@ -421,6 +421,56 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def did_report(df: DataFrame, arm_pred, period_pred, value_int,
+               round_dp: int = 6) -> DataFrame:
+    """EXT (R197, round 6): DIFFERENCE-IN-DIFFERENCES readout — the
+    causal-inference workhorse when treatment lands at a known time:
+    (treated_after − treated_before) − (control_after − control_before)
+    cancels both the group's fixed offset and the common time trend,
+    which a naive before/after or treated/control comparison cannot.
+    ``experiment_report`` (R123) answers randomized A/B; DiD answers
+    the rollout/natural-experiment case.
+
+    ONE row: the four cells' exact integer counts and sums
+    (n/sum per treated×after combination), the four ROUND-6 cell
+    means, and ``did`` — computed from the four raw means in a single
+    fixed-shape IEEE expression, ROUND 6 (NULL when any cell is
+    empty). Scale: one scalar aggregation with conditional sums —
+    map-side partials, nothing row-scale past the scan."""
+    t = F.when(arm_pred, 1).otherwise(0)
+    p = F.when(period_pred, 1).otherwise(0)
+    v = value_int.cast("long")
+    cells = {}
+    aggs = []
+    for ti in (0, 1):
+        for pi in (0, 1):
+            tag = f"{'t' if ti else 'c'}{'1' if pi else '0'}"
+            cond = (t == ti) & (p == pi)
+            aggs.append(F.count(F.when(cond, 1)).cast("long")
+                        .alias(f"n_{tag}"))
+            aggs.append(F.coalesce(F.sum(F.when(cond, v)), F.lit(0))
+                        .cast("long").alias(f"sum_{tag}"))
+            cells[tag] = None
+    one = df.agg(*aggs)
+
+    def mean(tag):
+        return F.col(f"sum_{tag}").cast("double") \
+            / F.col(f"n_{tag}").cast("double")
+
+    nonempty = (F.col("n_c0") > 0) & (F.col("n_c1") > 0) \
+        & (F.col("n_t0") > 0) & (F.col("n_t1") > 0)
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    out_cols = []
+    for tag in ("c0", "c1", "t0", "t1"):
+        out_cols += [F.col(f"n_{tag}"), F.col(f"sum_{tag}"),
+                     F.when(F.col(f"n_{tag}") > 0,
+                            F.round(mean(tag), round_dp))
+                     .alias(f"mean_{tag}")]
+    return one.select(*out_cols,
+                      F.when(nonempty, F.round(did, round_dp))
+                      .alias("did"))
+
+
 def cross_correlation(a_df: DataFrame, b_df: DataFrame,
                       max_lag: int = 7, round_dp: int = 6) -> DataFrame:
     """EXT (R192, round 6): LEAD-LAG cross-correlation between two

@@ -2838,3 +2838,20 @@ def test_merge_into_df_api_capability_gate(spark, tmp_path):
     assert got == {0: 0, 1: 10, 2: 20, 3: 300, 4: 400, 5: 500,
                    6: 600, 7: 700}
     spark.sql("DROP TABLE t_merge_api")
+
+
+def test_did_cancels_common_trend_and_group_offset(spark):
+    """Control moves 10 -> 15 (common trend +5); treated starts offset
+    at 30 and moves to 42: DiD must isolate the +7 treatment effect
+    that both the naive before/after (+12) and treated-vs-control
+    (+27) comparisons get wrong."""
+    from data_engineering__spark.operators.analytics import did_report
+    rows = ([Row(arm="c", per=0, v=10)] * 4 + [Row(arm="c", per=1, v=15)] * 4
+            + [Row(arm="t", per=0, v=30)] * 4
+            + [Row(arm="t", per=1, v=42)] * 4)
+    df = spark.createDataFrame(rows)
+    r = did_report(df, F.col("arm") == "t", F.col("per") == 1,
+                   F.col("v")).collect()[0]
+    assert r.did == 7.0
+    assert (r.mean_c0, r.mean_c1, r.mean_t0, r.mean_t1) == (
+        10.0, 15.0, 30.0, 42.0)
