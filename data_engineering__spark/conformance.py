@@ -2303,6 +2303,7 @@ DRIVER_PRIORITY = [
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
     "keyness_terms_sources", "source_vocab_overlap",
     "brand_basket_triples", "supplier_er_clusters", "did_report_events",
+    "cuped_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8316,3 +8317,92 @@ def did_report_events(spark, sf_dir):
         hash_bucket(F.col("user_id"), 10_000, "did") < 5_000,
         day >= F.lit(mid),
         F.round(F.col("value") * 100))
+
+
+@query("cuped_report_events", oracle=_mat(f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cut AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM base),
+peru AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(v) FILTER (d < cut.mid), 0) AS HUGEINT) AS x,
+         CAST(COALESCE(SUM(v) FILTER (d >= cut.mid), 0) AS HUGEINT) AS y,
+         ({_bucket_sql("CAST(user_id AS VARCHAR)", "cuped")}) < 5000 AS t
+  FROM base CROSS JOIN cut GROUP BY user_id, cut.mid),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+         SUM(y * y) AS syy, SUM(x * y) AS sxy,
+         CAST(COUNT(*) FILTER (t) AS BIGINT) AS n_t,
+         CAST(COALESCE(SUM(x) FILTER (t), 0) AS HUGEINT) AS sxt,
+         CAST(COALESCE(SUM(y) FILTER (t), 0) AS HUGEINT) AS syt,
+         CAST(COUNT(*) FILTER (NOT t) AS BIGINT) AS n_c,
+         CAST(COALESCE(SUM(x) FILTER (NOT t), 0) AS HUGEINT) AS sxc,
+         CAST(COALESCE(SUM(y) FILTER (NOT t), 0) AS HUGEINT) AS syc
+  FROM peru)
+SELECT n_t, n_c,
+  CASE WHEN n_t > 0 THEN ROUND(CAST(syt AS DOUBLE) / n_t, 6) END
+    AS mean_t_raw,
+  CASE WHEN n_c > 0 THEN ROUND(CAST(syc AS DOUBLE) / n_c, 6) END
+    AS mean_c_raw,
+  CASE WHEN n * sxx - sx * sx > 0 AND n_t > 0 AND n_c > 0 THEN
+    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS theta,
+  CASE WHEN n * sxx - sx * sx > 0 AND n_t > 0 AND n_c > 0 THEN
+    ROUND(CAST(syt AS DOUBLE) / n_t
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * (CAST(sxt AS DOUBLE) / n_t
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+    AS mean_t_adj,
+  CASE WHEN n * sxx - sx * sx > 0 AND n_t > 0 AND n_c > 0 THEN
+    ROUND(CAST(syc AS DOUBLE) / n_c
+          - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE))
+            * (CAST(sxc AS DOUBLE) / n_c
+               - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) END
+    AS mean_c_adj,
+  CASE WHEN n * sxx - sx * sx > 0 AND n_t > 0 AND n_c > 0 THEN
+    ROUND((CAST(syt AS DOUBLE) / n_t
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * (CAST(sxt AS DOUBLE) / n_t
+                - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          - (CAST(syc AS DOUBLE) / n_c
+             - (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sxc AS DOUBLE) / n_c
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) END
+    AS adj_diff,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          * CAST(n * sxy - sx * sy AS DOUBLE)
+          / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+    AS var_reduction
+FROM m"""))
+def cuped_report_events(spark, sf_dir):
+    """EXT R198: CUPED variance-reduced A/B readout — per-user
+    pre-period cents (before the midpoint day) as the covariate for the
+    post-period metric, sha-bucket arms; pooled theta, adjusted arm
+    means, and the rho-squared variance reduction."""
+    from .operators.analytics import cuped_report
+    from .operators.sampling import hash_bucket
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    day = F.expr("unix_micros(ts) div 86400000000")
+    mid = ev.agg(F.expr(
+        "CAST((MIN(unix_micros(ts) div 86400000000)"
+        " + MAX(unix_micros(ts) div 86400000000) + 1) DIV 2 AS BIGINT)")
+        .alias("mid")).collect()[0]["mid"]
+    v = F.round(F.col("value") * 100).cast("long")
+    peru = (ev.groupBy("user_id")
+            .agg(F.coalesce(F.sum(F.when(day < mid, v)), F.lit(0))
+                 .cast("long").alias("x"),
+                 F.coalesce(F.sum(F.when(day >= mid, v)), F.lit(0))
+                 .cast("long").alias("y")))
+    return cuped_report(
+        peru, hash_bucket(F.col("user_id"), 10_000, "cuped") < 5_000,
+        F.col("x"), F.col("y"))

@@ -421,6 +421,80 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+def cuped_report(df: DataFrame, arm_pred, x_int, y_int,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R198, round 6): CUPED variance reduction — the standard
+    experiment-sensitivity trick (Deng et al. 2013): adjust each unit's
+    metric by its PRE-EXPERIMENT covariate, Y' = Y − θ(X − X̄) with
+    θ = cov(X,Y)/var(X), shrinking metric variance by ρ² without
+    biasing the treatment effect (θ is pooled, so E[Y'|arm] − E[Y|arm]
+    is the same shift in both arms). ``experiment_report`` reads the
+    raw A/B; this is the high-sensitivity read of the SAME experiment.
+
+    ONE row: per-arm n and raw/adjusted means, pooled ``theta``, the
+    raw and adjusted mean differences, and ``var_reduction`` = ρ² (the
+    fraction of variance CUPED removed). Every input to the float
+    expressions is a decimal(38,0)-exact sum (the ``corr_matrix``
+    discipline); arm means, θ and ρ² are fixed-shape IEEE expressions
+    over those integers, ROUND 6. NULL adjusted columns when var(X)
+    is zero (no covariate signal — CUPED degenerates to the raw read).
+
+    Scale: one conditional scalar aggregation over the unit-level
+    frame; nothing past the scan is row-scale."""
+    t = arm_pred
+    dx = x_int.cast("long").cast("decimal(38,0)")
+    dy = y_int.cast("long").cast("decimal(38,0)")
+    one = df.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(dx).alias("__sx"), F.sum(dy).alias("__sy"),
+        F.sum(dx * dx).alias("__sxx"), F.sum(dy * dy).alias("__syy"),
+        F.sum(dx * dy).alias("__sxy"),
+        F.count(F.when(t, 1)).cast("long").alias("n_t"),
+        F.coalesce(F.sum(F.when(t, dx)), F.lit(0).cast("decimal(38,0)"))
+        .alias("__sxt"),
+        F.coalesce(F.sum(F.when(t, dy)), F.lit(0).cast("decimal(38,0)"))
+        .alias("__syt"),
+        F.count(F.when(~t, 1)).cast("long").alias("n_c"),
+        F.coalesce(F.sum(F.when(~t, dx)), F.lit(0).cast("decimal(38,0)"))
+        .alias("__sxc"),
+        F.coalesce(F.sum(F.when(~t, dy)), F.lit(0).cast("decimal(38,0)"))
+        .alias("__syc"))
+    n_ = F.col("__n")
+    vx = n_ * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n_ * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n_ * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    theta = cov.cast("double") / vx.cast("double")
+    xbar = F.col("__sx").cast("double") / n_.cast("double")
+
+    def raw_mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double")
+
+    def adj_mean(sy, sx, n):
+        return raw_mean(sy, n) - theta * (raw_mean(sx, n) - xbar)
+
+    ok = (vx > 0) & (F.col("n_t") > 0) & (F.col("n_c") > 0)
+    rho2 = F.when((vx > 0) & (vy > 0),
+                  F.round(cov.cast("double") * cov.cast("double")
+                          / (vx.cast("double") * vy.cast("double")), round_dp))
+    return one.select(
+        "n_t", "n_c",
+        F.when(F.col("n_t") > 0,
+               F.round(raw_mean("__syt", "n_t"), round_dp))
+        .alias("mean_t_raw"),
+        F.when(F.col("n_c") > 0,
+               F.round(raw_mean("__syc", "n_c"), round_dp))
+        .alias("mean_c_raw"),
+        F.when(ok, F.round(theta, round_dp)).alias("theta"),
+        F.when(ok, F.round(adj_mean("__syt", "__sxt", "n_t"), round_dp))
+        .alias("mean_t_adj"),
+        F.when(ok, F.round(adj_mean("__syc", "__sxc", "n_c"), round_dp))
+        .alias("mean_c_adj"),
+        F.when(ok, F.round(adj_mean("__syt", "__sxt", "n_t")
+                           - adj_mean("__syc", "__sxc", "n_c"), round_dp))
+        .alias("adj_diff"),
+        rho2.alias("var_reduction"))
+
+
 def did_report(df: DataFrame, arm_pred, period_pred, value_int,
                round_dp: int = 6) -> DataFrame:
     """EXT (R197, round 6): DIFFERENCE-IN-DIFFERENCES readout — the
@@ -880,9 +954,22 @@ def quantile_normalize(df: DataFrame, group_cols: list[str], value_int,
     ranks = (gcum.join(ng, group_cols).crossJoin(F.broadcast(n1))
              .withColumn("__k", F.expr(
                  "CAST((__gc * __n + __ng - 1) DIV __ng AS BIGINT)")))
-    return (ranks.join(F.broadcast(hcum),
-                       (F.col("__tcum") >= F.col("__k"))
-                       & (F.col("__tcum") - F.col("__thc") < F.col("__k")))
+    # rank→value probe as a BUCKETED EQUI-JOIN, not a raw range join: a
+    # range condition alone plans as a nested-loop over grid × histogram
+    # (quadratic — measured 6.4 s at sf0.1 where the rest of the operator
+    # is sub-second). Each histogram interval (cum−hc, cum] explodes to
+    # the ~interval/B rank-buckets it spans (total expansion ≈ N/B +
+    # |hist| rows), ranks hash-join on their bucket, and the exact range
+    # filter runs on the tiny per-bucket candidate set.
+    rank_bucket = 4096
+    probe = (hcum.withColumn(
+        "__kb", F.explode(F.sequence(
+            F.expr(f"(__tcum - __thc) DIV {rank_bucket}"),
+            F.expr(f"(__tcum - 1) DIV {rank_bucket}")))))
+    return (ranks.withColumn("__kb", F.expr(f"(__k - 1) DIV {rank_bucket}"))
+            .join(F.broadcast(probe), "__kb")
+            .filter((F.col("__tcum") >= F.col("__k"))
+                    & (F.col("__tcum") - F.col("__thc") < F.col("__k")))
             .select(*group_cols, F.col("__v").alias("value"),
                     F.col("__c").alias("n_rows"),
                     F.col("__tv").alias("mapped")))

@@ -2855,3 +2855,26 @@ def test_did_cancels_common_trend_and_group_offset(spark):
     assert r.did == 7.0
     assert (r.mean_c0, r.mean_c1, r.mean_t0, r.mean_t1) == (
         10.0, 15.0, 30.0, 42.0)
+
+
+def test_cuped_removes_covariate_variance_keeps_effect(spark):
+    """Y = X + effect·arm + 0 noise: CUPED must recover the effect in
+    adj_diff exactly and report var_reduction ~= rho^2 near 1; the raw
+    diff is contaminated by the arms' unequal covariate draw."""
+    from data_engineering__spark.operators.analytics import cuped_report
+    # control users drew larger X on average -> raw diff is biased
+    rows = ([Row(t=False, x=x, y=x) for x in (10, 20, 30, 40)]
+            + [Row(t=True, x=x, y=x + 5) for x in (5, 15, 25, 35)])
+    df = spark.createDataFrame(rows)
+    r = cuped_report(df, F.col("t"), F.col("x"), F.col("y")).collect()[0]
+    # the arms' covariate draws differ by exactly the -5 that the +5
+    # effect cancels: the raw read shows NOTHING (25.0 vs 25.0)
+    assert r.mean_t_raw == r.mean_c_raw == 25.0
+    # theta from pooled moments: cov/var = 1000/1050 (arm membership
+    # correlates with X, pulling theta slightly under the true 1)
+    assert r.theta == round(1000 / 1050, 6)
+    assert r.var_reduction == round(1000 * 1000 / (1050 * 1000), 6)
+    # CUPED recovers most of the hidden +5 where raw recovered none
+    assert r.adj_diff == round(25 - (1000 / 1050) * (20 - 22.5)
+                               - (25 - (1000 / 1050) * (25 - 22.5)), 6)
+    assert abs(r.adj_diff - 5.0) < abs(0.0 - 5.0)
