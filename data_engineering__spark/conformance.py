@@ -2303,7 +2303,7 @@ DRIVER_PRIORITY = [
     "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
     "keyness_terms_sources", "source_vocab_overlap",
     "brand_basket_triples", "supplier_er_clusters", "did_report_events",
-    "cuped_report_events",
+    "cuped_report_events", "bootstrap_means_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8406,3 +8406,47 @@ def cuped_report_events(spark, sf_dir):
     return cuped_report(
         peru, hash_bucket(F.col("user_id"), 10_000, "cuped") < 5_000,
         F.col("x"), F.col("y"))
+
+
+def _poisson_w_sql(u_sql: str) -> str:
+    cdf = ["0.36787944117144233", "0.7357588823428847",
+           "0.9196986029286058", "0.9810118431238462",
+           "0.9963401531726563", "0.9994058151824183",
+           "0.9999167588507119", "0.9999897508033253"]
+    expr = "8"
+    for k in range(len(cdf) - 1, -1, -1):
+        expr = f"CASE WHEN {u_sql} < {cdf[k]} THEN {k} ELSE {expr} END"
+    return expr
+
+
+@query("bootstrap_means_events", oracle=_mat(f"""
+WITH rows_ AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND event_id % 10 = 0),
+expanded AS (
+  SELECT id, v, unnest(generate_series(0, 99)) AS b FROM rows_),
+weighted AS (
+  SELECT b, v,
+         {_poisson_w_sql(
+             "((CAST(('0x' || substr(sha256('boot' || CAST(b AS VARCHAR)"
+             " || '_' || id), 1, 8)) AS BIGINT) % 1000000) / 1000000.0)")}
+           AS w
+  FROM expanded)
+SELECT CAST(b AS BIGINT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+       CASE WHEN SUM(w) > 0 THEN
+         ROUND(CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+       END AS mean
+FROM weighted GROUP BY b"""))
+def bootstrap_means_events(spark, sf_dir):
+    """EXT R199: deterministic Poisson bootstrap — 100 resampled means
+    of the event cents metric (every-10th-event subset) in one pass;
+    the weights come from a sha-derived uniform through the Poisson(1)
+    inverse CDF, so the oracle replays the RANDOMNESS itself."""
+    from .operators.analytics import poisson_bootstrap_means
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()
+                  & (F.col("event_id") % 10 == 0)))
+    return poisson_bootstrap_means(
+        ev, F.col("event_id"), F.round(F.col("value") * 100),
+        n_resamples=100)

@@ -421,6 +421,60 @@ def exact_quantiles(df: DataFrame, value_int, qs: list[tuple[int, int]],
                     F.col("__v").alias("value")))
 
 
+#: cumulative Poisson(1) probabilities P(X <= k) for k = 0..7 — literal
+#: doubles, so the inverse-CDF thresholding below is the same constant
+#: comparison on every engine. P(X <= 7) leaves ~1e-5 mass for w=8.
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238462,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.9999167588507119, 0.9999897508033253)
+
+
+def poisson_bootstrap_means(df: DataFrame, id_col, value_int,
+                            n_resamples: int = 100,
+                            salt: str = "boot",
+                            round_dp: int = 6) -> DataFrame:
+    """EXT (R199, round 6): DETERMINISTIC POISSON BOOTSTRAP — the
+    distributed bootstrap (each resample draws every row with an
+    independent Poisson(1) multiplicity, ≈ multinomial resampling
+    without coordinating a global n): B resampled means in ONE pass,
+    no data movement per resample. ``rand()``-based bootstraps are
+    partition-order-dependent and unreproducible; here the weight is
+    the Poisson(1) inverse CDF applied to a sha-derived uniform of
+    (salt‖resample‖row-id) — rerun/repartition/append-stable, and
+    SQL-replicable, so even the *randomness* is oracle-verified.
+
+    One row per resample: ``b``, ``n_eff`` (Σw), ``mean``
+    (Σw·v / Σw, ONE division, ROUND 6). Percentiles of the B means
+    are the CI; they're left to the caller (B rows).
+
+    Scale shape (100 TB): rows × B expansion is map-side (explode of a
+    B-literal sequence), immediately collapsed by the per-b partial
+    aggregation — the shuffle carries B rows per partition, not rows×B."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    id_c = F.col(id_col) if isinstance(id_col, str) else id_col
+    base = df.select(id_c.cast("string").alias("__id"),
+                     value_int.cast("long").alias("__v")).select(
+        "__id", "__v", b)
+    from .sampling import hash_bucket
+    u = hash_bucket(F.concat(F.col("b").cast("string"), F.lit("_"),
+                             F.col("__id")), 1_000_000, salt) \
+        .cast("double") / 1_000_000.0
+    w = F.lit(8)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = base.withColumn("__w", w.cast("long"))
+    return (weighted.groupBy("b")
+            .agg(F.sum("__w").cast("long").alias("n_eff"),
+                 F.sum(F.col("__w") * F.col("__v")).cast("long")
+                 .alias("__wv"))
+            .select(F.col("b").cast("long").alias("b"), "n_eff",
+                    F.when(F.col("n_eff") > 0,
+                           F.round(F.col("__wv").cast("double")
+                                   / F.col("n_eff").cast("double"),
+                                   round_dp)).alias("mean")))
+
+
 def cuped_report(df: DataFrame, arm_pred, x_int, y_int,
                  round_dp: int = 6) -> DataFrame:
     """EXT (R198, round 6): CUPED variance reduction — the standard

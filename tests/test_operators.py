@@ -2878,3 +2878,22 @@ def test_cuped_removes_covariate_variance_keeps_effect(spark):
     assert r.adj_diff == round(25 - (1000 / 1050) * (20 - 22.5)
                                - (25 - (1000 / 1050) * (25 - 22.5)), 6)
     assert abs(r.adj_diff - 5.0) < abs(0.0 - 5.0)
+
+
+def test_poisson_bootstrap_determinism_and_center(spark):
+    """Identical inputs yield byte-identical resamples across runs (the
+    whole point vs rand()); the bootstrap mean of means sits near the
+    sample mean; weights average ~1 so n_eff ~ n."""
+    from data_engineering__spark.operators.analytics import (
+        poisson_bootstrap_means)
+    df = spark.createDataFrame([Row(id=i, v=float(100 + (i % 7)))
+                                for i in range(300)])
+    a = poisson_bootstrap_means(df, "id", F.col("v"), 50).collect()
+    bt = poisson_bootstrap_means(df, "id", F.col("v"), 50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, bt))
+    means = [r.mean for r in a]
+    n_effs = [r.n_eff for r in a]
+    assert len(means) == 50
+    true_mean = sum(100 + (i % 7) for i in range(300)) / 300
+    assert abs(sum(means) / 50 - true_mean) < 1.0
+    assert 0.8 * 300 < sum(n_effs) / 50 < 1.2 * 300
