@@ -88,7 +88,8 @@ HEADLINE = [
     "lang_prf_report", "xcorr_click_purchase", "keyness_terms_sources",
     "source_vocab_overlap", "brand_basket_triples",
     "supplier_er_clusters", "did_report_events", "cuped_report_events",
-    "bootstrap_means_events",
+    "bootstrap_means_events", "adversarial_validation_docs",
+    "filter_parity_langs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

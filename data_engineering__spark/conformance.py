@@ -2304,6 +2304,7 @@ DRIVER_PRIORITY = [
     "keyness_terms_sources", "source_vocab_overlap",
     "brand_basket_triples", "supplier_er_clusters", "did_report_events",
     "cuped_report_events", "bootstrap_means_events",
+    "adversarial_validation_docs", "filter_parity_langs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8450,3 +8451,67 @@ def bootstrap_means_events(spark, sf_dir):
     return poisson_bootstrap_means(
         ev, F.col("event_id"), F.round(F.col("value") * 100),
         n_resamples=100)
+
+
+@query("adversarial_validation_docs", oracle=_mat(f"""
+WITH labeled AS (
+  SELECT n_chars AS s,
+         CASE WHEN ({_bucket_sql("CAST(doc_id AS VARCHAR)", "split")})
+                   < 8000 THEN 0 ELSE 1 END AS y
+  FROM documents),
+hist AS (
+  SELECT s, CAST(COUNT(*) AS HUGEINT) AS c, CAST(SUM(y) AS HUGEINT) AS cp
+  FROM labeled GROUP BY s),
+ranked AS (
+  SELECT s, c, cp,
+         COALESCE(SUM(c) OVER (ORDER BY s ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS HUGEINT)) AS bef
+  FROM hist),
+agg AS (
+  SELECT SUM(cp * (2 * bef + c + 1)) AS s2,
+         SUM(cp) AS np, SUM(c) - SUM(cp) AS nn
+  FROM ranked)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CASE WHEN np > 0 AND nn > 0
+            THEN ROUND(CAST(s2 - np * (np + 1) AS DOUBLE)
+                       / CAST(2 * np * nn AS DOUBLE), 6) END AS auc
+FROM agg"""))
+def adversarial_validation_docs(spark, sf_dir):
+    """EXT R200: ADVERSARIAL VALIDATION — can a feature distinguish the
+    train split from the holdout? AUC of doc length against the
+    sha-split membership label: ~0.5 certifies the split is
+    feature-blind (a leaky or time-ordered split shows up as AUC far
+    from 0.5 and poisons every offline metric). Composes the
+    hash-split discipline with the exact Mann-Whitney AUC — the split
+    QA a training pipeline runs before trusting its eval numbers."""
+    from .operators.analytics import auc_report
+    from .operators.sampling import hash_bucket
+    docs = read_table(spark, sf_dir, "documents")
+    is_holdout = hash_bucket(F.col("doc_id"), 10_000, "split") >= 8_000
+    return auc_report(docs, F.col("n_chars"), is_holdout)
+
+
+@query("filter_parity_langs", oracle=_mat("""
+WITH g AS (
+  SELECT lang AS gr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (n_chars >= 800) AS BIGINT) AS s
+  FROM documents GROUP BY lang),
+best AS (
+  SELECT n AS n_max, s AS s_max FROM g
+  ORDER BY CAST(s AS DOUBLE) / n DESC, gr ASC LIMIT 1)
+SELECT g.gr AS lang, g.n AS n_rows, g.s AS n_selected,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS selection_rate,
+       CASE WHEN best.s_max > 0 THEN
+         ROUND(CAST(g.s * best.n_max AS DOUBLE)
+               / CAST(best.s_max * g.n AS DOUBLE), 6) END AS impact_ratio,
+       g.s * best.n_max * 5 < best.s_max * g.n * 4 AS below_threshold
+FROM g CROSS JOIN best"""))
+def filter_parity_langs(spark, sf_dir):
+    """EXT R201: disparate-impact audit of a length filter
+    (n_chars >= 800) across languages — per-language pass rate, ratio
+    to the best group, four-fifths flag decided on cross-multiplied
+    integers (no float in the decision)."""
+    from .operators.quality import selection_rate_parity
+    docs = read_table(spark, sf_dir, "documents")
+    return selection_rate_parity(docs, "lang", F.col("n_chars") >= 800)

@@ -638,3 +638,52 @@ def psi_report(base: DataFrame, current: DataFrame, value_int,
         F.col("__cc").cast("long").alias("n_current"),
         F.round(p, 8).alias("p"), F.round(q, 8).alias("q"),
         F.round((p - q) * F.log(p / q), 8).alias("psi_contrib"))
+
+
+def selection_rate_parity(df: DataFrame, group_col: str, select_pred,
+                          threshold_num: int = 4, threshold_den: int = 5,
+                          round_dp: int = 6) -> DataFrame:
+    """EXT (R201, round 6): SELECTION-RATE PARITY audit — the
+    disparate-impact screen (EEOC "four-fifths rule" shape) applied to
+    any filter: per group, the pass rate of ``select_pred`` and its
+    ratio to the highest group's rate, flagged when the ratio falls
+    under ``threshold_num/threshold_den``. For a corpus filter this is
+    the bias readout: a quality screen that passes 80% of English but
+    22% of Spanish is quietly rewriting the language mix.
+
+    Exactness: counts are integers; the flag compares CROSS-MULTIPLIED
+    integers (rate_g·den·n_sel_max·n_max ordering rearranged to
+    ``sel_g·n_max·den < sel_max·n_g·num``) so the four-fifths decision
+    itself never touches a float; the reported rates/ratio are ROUND-6
+    conveniences. The max-rate group is selected by exact fraction
+    comparison via ROW_NUMBER over (sel·1 per-group rates
+    cross-multiplied through a double only for ordering — ties broken
+    on the group value).
+
+    Scale: one conditional hash agg per group + a broadcast 1-row max."""
+    g = (df.groupBy(F.col(group_col).alias("__g"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+              F.count(F.when(select_pred, 1)).cast("long").alias("__s")))
+    w = Window.orderBy((F.col("__s").cast("double")
+                        / F.col("__n").cast("double")).desc(),
+                       F.col("__g").asc())
+    best = (g.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__n").alias("__n_max"),
+                    F.col("__s").alias("__s_max")))
+    flag = (F.col("__s") * F.col("__n_max") * threshold_den
+            < F.col("__s_max") * F.col("__n") * threshold_num)
+    return (g.crossJoin(F.broadcast(best))
+            .select(F.col("__g").alias(group_col),
+                    F.col("__n").alias("n_rows"),
+                    F.col("__s").alias("n_selected"),
+                    F.round(F.col("__s").cast("double")
+                            / F.col("__n").cast("double"), round_dp)
+                    .alias("selection_rate"),
+                    F.when(F.col("__s_max") > 0,
+                           F.round((F.col("__s") * F.col("__n_max"))
+                                   .cast("double")
+                                   / (F.col("__s_max") * F.col("__n"))
+                                   .cast("double"), round_dp))
+                    .alias("impact_ratio"),
+                    flag.alias("below_threshold")))

@@ -2897,3 +2897,18 @@ def test_poisson_bootstrap_determinism_and_center(spark):
     true_mean = sum(100 + (i % 7) for i in range(300)) / 300
     assert abs(sum(means) / 50 - true_mean) < 1.0
     assert 0.8 * 300 < sum(n_effs) / 50 < 1.2 * 300
+
+
+def test_selection_rate_parity_four_fifths(spark):
+    """Group a passes 8/10, group b 5/10 (ratio 0.625 < 0.8 -> flagged),
+    group c 7/10 (0.875 -> clear); the decision is integer-exact."""
+    from data_engineering__spark.operators.quality import (
+        selection_rate_parity)
+    rows = ([Row(g="a", ok=i < 8) for i in range(10)]
+            + [Row(g="b", ok=i < 5) for i in range(10)]
+            + [Row(g="c", ok=i < 7) for i in range(10)])
+    out = {r.g: r for r in selection_rate_parity(
+        spark.createDataFrame(rows), "g", F.col("ok")).collect()}
+    assert not out["a"].below_threshold and out["a"].impact_ratio == 1.0
+    assert out["b"].below_threshold and out["b"].impact_ratio == 0.625
+    assert not out["c"].below_threshold and out["c"].impact_ratio == 0.875
