@@ -2305,6 +2305,7 @@ DRIVER_PRIORITY = [
     "brand_basket_triples", "supplier_er_clusters", "did_report_events",
     "cuped_report_events", "bootstrap_means_events",
     "adversarial_validation_docs", "filter_parity_langs",
+    "permutation_test_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8515,3 +8516,51 @@ def filter_parity_langs(spark, sf_dir):
     from .operators.quality import selection_rate_parity
     docs = read_table(spark, sf_dir, "documents")
     return selection_rate_parity(docs, "lang", F.col("n_chars") >= 800)
+
+
+@query("permutation_test_events", oracle=_mat(f"""
+WITH peru AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+expanded AS (
+  SELECT id, v, unnest(generate_series(0, 199)) AS p FROM peru),
+armed AS (
+  SELECT p, v,
+         ({_bucket_sql("CAST(p AS VARCHAR) || '_' || id", "perm")}) < 5000
+           AS t
+  FROM expanded),
+stats AS (
+  SELECT p,
+         CAST(COUNT(*) FILTER (t) AS BIGINT) AS nt,
+         CAST(COALESCE(SUM(v) FILTER (t), 0) AS BIGINT) AS st,
+         CAST(COUNT(*) FILTER (NOT t) AS BIGINT) AS nc,
+         CAST(COALESCE(SUM(v) FILTER (NOT t), 0) AS BIGINT) AS sc
+  FROM armed GROUP BY p),
+scored AS (
+  SELECT p,
+         CASE WHEN nt > 0 AND nc > 0 THEN
+           ROUND(CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc, 6)
+         END AS stat
+  FROM stats),
+obs AS (SELECT stat AS obs FROM scored WHERE p = 0)
+SELECT obs.obs AS obs_diff,
+       CAST(COUNT(*) AS BIGINT) AS n_perms,
+       CAST(COUNT(*) FILTER (ABS(stat) >= ABS(obs.obs)) AS BIGINT)
+         AS n_extreme,
+       ROUND(CAST(1 + COUNT(*) FILTER (ABS(stat) >= ABS(obs.obs))
+                  AS DOUBLE) / CAST(1 + COUNT(*) AS DOUBLE), 6) AS p_value
+FROM scored CROSS JOIN obs WHERE p > 0
+GROUP BY obs.obs"""))
+def permutation_test_events(spark, sf_dir):
+    """EXT R202: sha-deterministic permutation test of the per-user
+    cents mean difference between hash arms — 199 reassignments, the
+    Phipson-Smyth +1 p-value; the null distribution itself is
+    oracle-replayed."""
+    from .operators.analytics import permutation_test
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
+    peru = (ev.groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .cast("long").alias("v")))
+    return permutation_test(peru, "user_id", F.col("v"), n_perms=199)

@@ -475,6 +475,67 @@ def poisson_bootstrap_means(df: DataFrame, id_col, value_int,
                                    round_dp)).alias("mean")))
 
 
+def permutation_test(df: DataFrame, id_col, value_int,
+                     n_perms: int = 199, salt: str = "perm",
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (R202, round 6): PERMUTATION TEST for a two-arm mean
+    difference — the assumption-free significance readout (no normality,
+    no variance formula): re-assign arms ``n_perms`` times, and the
+    p-value is the rank of the observed |difference| in the null
+    distribution, with the +1 correction (Phipson & Smyth) so p is
+    never 0. Like ``poisson_bootstrap_means``, the permutations are
+    sha-DETERMINISTIC (assignment p for a unit = bucket of
+    (p‖unit-id)), so reruns reproduce and the oracle replays the null
+    distribution itself; assignment 0 IS the observed experiment's
+    arms (same hash-assignment discipline the experiment used).
+
+    ONE row: ``obs_diff`` (ROUND 6), ``n_perms``, ``n_extreme``
+    (permutations with ROUND-6 |stat| ≥ ROUND-6 |obs| — the comparison
+    runs on the rounded values, so it is engine-exact), ``p_value`` =
+    (1 + n_extreme)/(1 + n_perms).
+
+    Scale: unit-level frame × (n_perms+1) map-side explode collapsed
+    by per-assignment conditional aggregation — the shuffle carries
+    one row per assignment per partition."""
+    from .sampling import hash_bucket
+    id_c = F.col(id_col) if isinstance(id_col, str) else id_col
+    p = F.explode(F.sequence(F.lit(0), F.lit(n_perms))).alias("__p")
+    base = df.select(id_c.cast("string").alias("__id"),
+                     value_int.cast("long").alias("__v")).select(
+        "__id", "__v", p)
+    arm = hash_bucket(F.concat(F.col("__p").cast("string"), F.lit("_"),
+                               F.col("__id")), 10_000, salt) < 5_000
+    stats = (base.withColumn("__t", arm)
+             .groupBy("__p")
+             .agg(F.count(F.when(F.col("__t"), 1)).cast("long")
+                  .alias("__nt"),
+                  F.coalesce(F.sum(F.when(F.col("__t"), F.col("__v"))),
+                             F.lit(0)).cast("long").alias("__st"),
+                  F.count(F.when(~F.col("__t"), 1)).cast("long")
+                  .alias("__nc"),
+                  F.coalesce(F.sum(F.when(~F.col("__t"), F.col("__v"))),
+                             F.lit(0)).cast("long").alias("__sc")))
+    stat = F.when((F.col("__nt") > 0) & (F.col("__nc") > 0),
+                  F.round(F.col("__st").cast("double")
+                          / F.col("__nt").cast("double")
+                          - F.col("__sc").cast("double")
+                          / F.col("__nc").cast("double"), round_dp))
+    scored = stats.withColumn("__stat", stat)
+    obs = F.broadcast(scored.filter(F.col("__p") == 0)
+                      .select(F.col("__stat").alias("__obs")))
+    perms = (scored.filter(F.col("__p") > 0).crossJoin(obs)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_perms"),
+                  F.count(F.when(F.abs(F.col("__stat"))
+                                 >= F.abs(F.col("__obs")), 1))
+                  .cast("long").alias("n_extreme"),
+                  F.max("__obs").alias("obs_diff")))
+    return perms.select(
+        F.col("obs_diff"), "n_perms", "n_extreme",
+        F.round((1 + F.col("n_extreme")).cast("double")
+                / (1 + F.col("n_perms")).cast("double"),
+                round_dp).alias("p_value"))
+
+
 def cuped_report(df: DataFrame, arm_pred, x_int, y_int,
                  round_dp: int = 6) -> DataFrame:
     """EXT (R198, round 6): CUPED variance reduction — the standard

@@ -2912,3 +2912,26 @@ def test_selection_rate_parity_four_fifths(spark):
     assert not out["a"].below_threshold and out["a"].impact_ratio == 1.0
     assert out["b"].below_threshold and out["b"].impact_ratio == 0.625
     assert not out["c"].below_threshold and out["c"].impact_ratio == 0.875
+
+
+def test_permutation_test_detects_planted_effect(spark):
+    """A huge planted arm effect (units with assignment-0 arm=True get
+    +1000) must yield a tiny p-value; a null dataset (constant metric)
+    must land p near 1 — and reruns reproduce exactly."""
+    from data_engineering__spark.operators.analytics import (
+        permutation_test)
+    from data_engineering__spark.operators.sampling import hash_bucket
+    ids = spark.createDataFrame([Row(id=i) for i in range(400)])
+    armed = ids.withColumn(
+        "t0", hash_bucket(F.concat(F.lit("0_"), F.col("id").cast("string")),
+                          10_000, "perm") < 5_000)
+    df = armed.select("id", F.when(F.col("t0"), 1000).otherwise(0)
+                      .alias("v"))
+    r = permutation_test(df, "id", F.col("v"), n_perms=99).collect()[0]
+    assert r.p_value == round(1 / 100, 6)  # no permutation can match it
+    null_df = ids.select("id", F.lit(5).alias("v"))
+    rn = permutation_test(null_df, "id", F.col("v"),
+                          n_perms=99).collect()[0]
+    assert rn.p_value == 1.0  # every permutation ties the 0 difference
+    again = permutation_test(df, "id", F.col("v"), n_perms=99).collect()[0]
+    assert tuple(r) == tuple(again)
