@@ -89,7 +89,7 @@ HEADLINE = [
     "source_vocab_overlap", "brand_basket_triples",
     "supplier_er_clusters", "did_report_events", "cuped_report_events",
     "bootstrap_means_events", "adversarial_validation_docs",
-    "permutation_test_events",
+    "permutation_test_events", "readability_docs",
     "filter_parity_langs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe

@@ -2305,7 +2305,7 @@ DRIVER_PRIORITY = [
     "brand_basket_triples", "supplier_er_clusters", "did_report_events",
     "cuped_report_events", "bootstrap_means_events",
     "adversarial_validation_docs", "filter_parity_langs",
-    "permutation_test_events",
+    "permutation_test_events", "readability_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8564,3 +8564,30 @@ def permutation_test_events(spark, sf_dir):
             .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
                  .cast("long").alias("v")))
     return permutation_test(peru, "user_id", F.col("v"), n_perms=199)
+
+
+@query("readability_docs", oracle=_mat(r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+'),
+                              t -> t <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS syl,
+         CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x) <> '')) AS BIGINT) AS s
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+       CASE WHEN w > 0 AND s > 0 THEN
+         ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+               - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6)
+       END AS flesch
+FROM base"""))
+def readability_docs(spark, sf_dir):
+    """EXT R203: Flesch reading-ease over every third document —
+    vowel-group syllables, sentence spans, one fixed-shape formula over
+    exact integer counts; the difficulty-band filter axis."""
+    from .operators.text import readability
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0))
+    return readability(docs, "doc_id", "text")

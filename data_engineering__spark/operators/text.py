@@ -780,3 +780,37 @@ def keyness_terms(df: DataFrame, group_col: str, text_col: str,
                     F.col("__t").alias("term"),
                     F.col("__o").alias("term_count"),
                     F.col("__chi").alias("keyness")))
+
+
+def readability(df: DataFrame, id_col: str, text_col: str,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (R203, round 6): Flesch reading-ease per document — the
+    classic readability screen (a pretraining filter axis orthogonal to
+    ``quality_score``'s C4/Gopher rules: boilerplate often scores HIGH
+    on ease, academic text low — the readout that lets a mix target a
+    difficulty band). Syllables are approximated as vowel GROUPS
+    (``[aeiouy]+`` runs — the standard cheap estimator), sentences as
+    ``[.!?]+``-delimited non-blank spans.
+
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), two
+    divisions in one fixed-shape IEEE expression over exact integer
+    counts, ROUND 6; NULL when a doc has no sentence or no word. All
+    codegen (regexp counts + arithmetic) — scan-speed at 100 TB."""
+    words = token_count(text_col)
+    syllables = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0))
+    sentences = F.size(F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda x: F.trim(x) != ""))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (words.cast("double")
+                                / sentences.cast("double"))
+              - F.lit(84.6) * (syllables.cast("double")
+                               / words.cast("double")))
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when((words > 0) & (sentences > 0),
+               F.round(flesch, round_dp)).alias("flesch"))

@@ -2935,3 +2935,18 @@ def test_permutation_test_detects_planted_effect(spark):
     assert rn.p_value == 1.0  # every permutation ties the 0 difference
     again = permutation_test(df, "id", F.col("v"), n_perms=99).collect()[0]
     assert tuple(r) == tuple(again)
+
+
+def test_readability_simple_vs_complex(spark):
+    """Short common words in short sentences score far higher than long
+    polysyllabic prose; counts are pinned on a hand-counted fixture."""
+    from data_engineering__spark.operators.text import readability
+    simple = "The cat sat. The dog ran. It was fun."
+    complex_ = ("Extraordinary considerations necessitate "
+                "comprehensive organizational accountability.")
+    df = spark.createDataFrame([Row(id=1, text=simple),
+                                Row(id=2, text=complex_)])
+    out = {r.id: r for r in readability(df, "id", "text").collect()}
+    assert out[1].n_sentences == 3 and out[1].n_words == 9
+    assert out[2].n_sentences == 1 and out[2].n_words == 6
+    assert out[1].flesch > 90 > out[2].flesch
