@@ -2306,6 +2306,7 @@ DRIVER_PRIORITY = [
     "cuped_report_events", "bootstrap_means_events",
     "adversarial_validation_docs", "filter_parity_langs",
     "permutation_test_events", "readability_docs",
+    "streaming_session_dynamic",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8591,3 +8592,49 @@ def readability_docs(spark, sf_dir):
     docs = (read_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") % 3 == 0))
     return readability(docs, "doc_id", "text")
+
+
+@query("streaming_session_dynamic", oracle=_mat("""
+WITH g AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+              ELSE INTERVAL 10 MINUTE END AS gap
+  FROM events),
+m AS (
+  SELECT user_id, ts, cents, ts + gap AS pend,
+         CASE WHEN ts < MAX(ts + gap) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS new_sess
+  FROM g),
+s AS (
+  SELECT user_id, ts, cents, pend,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid"""))
+def streaming_session_dynamic(spark, sf_dir):
+    """ST EXT R204: DYNAMIC-GAP session windows through Structured
+    Streaming (watermarked, one availableNow trigger) — the per-event
+    timeout surface under the streaming engine; complete-mode state
+    after the trigger holds every fully-merged session, so the batch
+    twin's variable-gap islands oracle applies unchanged."""
+    from .streaming.windows import (
+        run_to_memory,
+        session_agg_dynamic,
+        stream_events,
+    )
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, "
+                 "CASE WHEN event_type = 'purchase' THEN 45 ELSE 10 END, 0)")
+    agg = session_agg_dynamic(stream_events(spark, sf_dir), gap,
+                              watermark="1 hour")
+    name, _ = run_to_memory(agg)
+    return (spark.table(name)
+            .select("user_id",
+                    F.unix_timestamp(F.col("w.start"))
+                    .alias("session_start_epoch"),
+                    "cnt", "sum_cents"))
