@@ -90,7 +90,7 @@ HEADLINE = [
     "supplier_er_clusters", "did_report_events", "cuped_report_events",
     "bootstrap_means_events", "adversarial_validation_docs",
     "permutation_test_events", "readability_docs",
-    "filter_parity_langs",
+    "filter_parity_langs", "rfm_segments_customers",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2306,7 +2306,7 @@ DRIVER_PRIORITY = [
     "cuped_report_events", "bootstrap_means_events",
     "adversarial_validation_docs", "filter_parity_langs",
     "permutation_test_events", "readability_docs",
-    "streaming_session_dynamic",
+    "streaming_session_dynamic", "rfm_segments_customers",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8638,3 +8638,50 @@ def streaming_session_dynamic(spark, sf_dir):
                     F.unix_timestamp(F.col("w.start"))
                     .alias("session_start_epoch"),
                     "cnt", "sum_cents"))
+
+
+def _rfm_bounds_cte(metric: str) -> str:
+    """DuckDB twin of ``analytics._quantile_bounds`` for one metric:
+    interior quintile boundaries b1..b4 (k-th smallest at
+    k = ceil(n·i/5), integer form cum·5 ≥ n·i) as a one-row CTE."""
+    return f"""b_{metric} AS (
+  SELECT {", ".join(
+      f"MIN(CASE WHEN cum * 5 >= n * {i} THEN v END) AS b{i}"
+      for i in range(1, 5))}
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT {metric} AS v, COUNT(*) AS c FROM per GROUP BY 1)))"""
+
+
+@query("rfm_segments_customers", oracle=_mat(f"""
+WITH per AS (
+  SELECT o_custkey AS cust,
+         CAST(MAX(datediff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS BIGINT) AS rec_day,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS mon_cents
+  FROM orders GROUP BY 1),
+{_rfm_bounds_cte("rec_day")},
+{_rfm_bounds_cte("freq")},
+{_rfm_bounds_cte("mon_cents")},
+scored AS (
+  SELECT p.*,
+         1 + {" + ".join(f"(CASE WHEN rec_day > b_rec_day.b{i} THEN 1 ELSE 0 END)" for i in range(1, 5))} AS r_score,
+         1 + {" + ".join(f"(CASE WHEN freq > b_freq.b{i} THEN 1 ELSE 0 END)" for i in range(1, 5))} AS f_score,
+         1 + {" + ".join(f"(CASE WHEN mon_cents > b_mon_cents.b{i} THEN 1 ELSE 0 END)" for i in range(1, 5))} AS m_score
+  FROM per p CROSS JOIN b_rec_day CROSS JOIN b_freq CROSS JOIN b_mon_cents)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(mon_cents) AS BIGINT) AS sum_monetary_cents
+FROM scored GROUP BY 1, 2, 3"""))
+def rfm_segments_customers(spark, sf_dir):
+    """EXT R205: RFM segmentation of the order book — per-customer
+    recency/frequency/monetary scored 1-5 against exact quantile
+    boundaries (no NTILE: boundary scoring needs no global row order,
+    so there is no single-partition window at scale), reduced to the
+    ≤125-row segment census. Oracle replays the k = ceil(n·i/5)
+    boundary definition and the strictly-greater scoring rule."""
+    from .operators.analytics import rfm_segments
+    return rfm_segments(read_table(spark, sf_dir, "orders"))

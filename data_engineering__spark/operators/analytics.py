@@ -1701,3 +1701,71 @@ def auc_report(df: DataFrame, score_int, label_bool) -> DataFrame:
     return agg.select(np_.cast("long").alias("n_pos"),
                       nn_.cast("long").alias("n_neg"),
                       auc.alias("auc"))
+
+
+def _quantile_bounds(per: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """ONE-row frame holding the (n_bins − 1) interior quantile
+    boundaries of ``col`` as an ascending array: boundary_i = the k-th
+    smallest value at k = ceil(n·i/n_bins), read off a value histogram
+    whose cumulative window runs over DISTINCT values (compact — never
+    a single-partition sort over the rows themselves), then reduced by
+    one conditional-min scalar aggregate."""
+    hist = per.groupBy(F.col(col).alias("__v")) \
+              .agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    # cum*bins >= n*i  ⟺  cum >= ceil(n*i/bins) in integers
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.array(*[
+                F.min(F.when(F.col("__cum") * n_bins
+                             >= F.col("__n") * i, F.col("__v")))
+                for i in range(1, n_bins)]).alias(f"__b_{col}")))
+
+
+def rfm_segments(orders: DataFrame, cust_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice",
+                 n_bins: int = 5) -> DataFrame:
+    """EXT (R205, round 6): RFM segmentation — the classic
+    recency/frequency/monetary customer scoring, each dimension scored
+    1..n_bins against EXACT quantile boundaries (k-th smallest at
+    k = ceil(n·i/bins)); score = 1 + #boundaries strictly below the
+    metric, so boundary ties fall to the lower bucket — cross-engine
+    deterministic, unlike NTILE, which needs a globally ordered row
+    numbering (a single-partition window at corpus scale).
+
+    Scale shape: one per-customer aggregate (map-side partial), three
+    value-histogram boundary probes whose cumulative windows run over
+    DISTINCT metric values (compact), three broadcast ONE-ROW joins
+    (the boundary arrays ride into codegen), and a final ≤ bins³-row
+    hash aggregate. No global sort, no window over customers.
+
+    Output: (r_score, f_score, m_score, n_customers,
+    sum_monetary_cents) — the segment census a retention campaign
+    targets from. Recency is the max epoch day-number (higher = better, so a
+    5 means most-recent), frequency the order count, monetary the
+    lifetime cents."""
+    per = orders.groupBy(F.col(cust_col).alias("cust")).agg(
+        F.max(F.datediff(F.col(date_col).cast("date"),
+                         F.lit("1970-01-01").cast("date")))
+         .cast("long").alias("rec_day"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("long"))
+         .cast("long").alias("mon_cents"))
+    scored = per
+    for metric in ("rec_day", "freq", "mon_cents"):
+        b = _quantile_bounds(per, metric, n_bins)
+        scored = scored.crossJoin(F.broadcast(b)).withColumn(
+            f"__s_{metric}",
+            (F.lit(1) + F.size(F.filter(
+                F.col(f"__b_{metric}"),
+                lambda x: F.col(metric) > x))).cast("long")) \
+            .drop(f"__b_{metric}")
+    return (scored.groupBy(F.col("__s_rec_day").alias("r_score"),
+                           F.col("__s_freq").alias("f_score"),
+                           F.col("__s_mon_cents").alias("m_score"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum("mon_cents").cast("long")
+                 .alias("sum_monetary_cents")))

@@ -2950,3 +2950,29 @@ def test_readability_simple_vs_complex(spark):
     assert out[1].n_sentences == 3 and out[1].n_words == 9
     assert out[2].n_sentences == 1 and out[2].n_words == 6
     assert out[1].flesch > 90 > out[2].flesch
+
+
+def test_rfm_boundary_scoring_hand_case(spark):
+    """10 customers with one order each, dates/amounts strictly
+    increasing → every metric histogram is 10 distinct values, so with
+    ceil(10·i/5) the boundaries are the 2nd/4th/6th/8th smallest and the
+    strictly-greater rule yields exactly two customers per score 1..5 on
+    R and M (F collapses: all frequencies equal → every f_score = 1).
+    Total monetary is preserved across segments."""
+    from datetime import datetime
+    from data_engineering__spark.operators.analytics import rfm_segments
+
+    rows = [Row(o_custkey=i, o_orderdate=datetime(2024, 1, 1 + i),
+                o_totalprice=float(100 * (i + 1)))
+            for i in range(10)]
+    out = rfm_segments(spark.createDataFrame(rows)).collect()
+    assert sum(r.n_customers for r in out) == 10
+    assert all(r.f_score == 1 for r in out)
+    by_r = {}
+    for r in out:
+        by_r[r.r_score] = by_r.get(r.r_score, 0) + r.n_customers
+    assert by_r == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+    # R and M rank the same way here → scores agree row-by-row
+    assert all(r.r_score == r.m_score for r in out)
+    assert sum(r.sum_monetary_cents for r in out) == sum(
+        int(100 * (i + 1)) * 100 for i in range(10))
