@@ -2307,6 +2307,7 @@ DRIVER_PRIORITY = [
     "adversarial_validation_docs", "filter_parity_langs",
     "permutation_test_events", "readability_docs",
     "streaming_session_dynamic", "rfm_segments_customers",
+    "degree_assortativity_graph",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8685,3 +8686,47 @@ def rfm_segments_customers(spark, sf_dir):
     boundary definition and the strictly-greater scoring rule."""
     from .operators.analytics import rfm_segments
     return rfm_segments(read_table(spark, sf_dir, "orders"))
+
+
+@query("degree_assortativity_graph", oracle=_mat("""
+WITH nodes AS (
+  SELECT DISTINCT doc_id % 50 AS x FROM documents WHERE doc_id < 400),
+e AS (SELECT x AS a, x % 7 AS b FROM nodes WHERE x <> x % 7),
+bidir AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM bidir GROUP BY u),
+stubs AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM bidir JOIN deg du ON bidir.u = du.id
+             JOIN deg dv ON bidir.v = dv.id),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM stubs)
+SELECT n AS n_stubs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM m"""))
+def degree_assortativity_graph(spark, sf_dir):
+    """EXT R206: degree assortativity (Newman's r) over a deterministic
+    hub-and-spoke doc-derived graph (x → x mod 7: nodes 0-6 are hubs,
+    so the expected r is strongly negative — hubs link to leaves, the
+    web-graph shape). The shared CC/PageRank and triangle demo graphs
+    are useless here (near-regular → zero degree variance → NULL), so
+    this key gets its own skewed-degree graph. Oracle replays the
+    orientation-union/degree-join/exact-moment pipeline; the only
+    floats are the final sqrt/divide, identical cross-engine."""
+    from .operators.graph import degree_assortativity
+    d = (read_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400)
+         .select((F.col("doc_id") % 50).alias("x")).distinct())
+    edges = (d.select(F.col("x").alias("id_a"),
+                      (F.col("x") % 7).alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
+    return degree_assortativity(edges, src="id_a", dst="id_b")

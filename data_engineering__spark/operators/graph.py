@@ -131,3 +131,39 @@ def bfs_hops(edges: DataFrame, seeds: list[int], src: str = "src",
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("id")
     return dist
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """EXT (R206, round 6): degree assortativity — Newman's r, the
+    Pearson correlation between the degrees at the two ends of every
+    edge of the undirected simple graph (each edge contributes both
+    orientations, making r symmetric). Positive r: hubs link to hubs
+    (social-style graphs); negative: hubs link to leaves
+    (web/citation-style) — the one-number structural fingerprint that
+    tells a sampler whether near-dup clusters chain through hubs.
+
+    Built from relational pieces only: orientation union → distinct
+    (simple graph), one degree aggregate keyed on vertex, two joins to
+    attach end degrees (vertex-keyed shuffles; AQE broadcasts the
+    degree side when small), and ``corr_matrix``'s exact decimal(38,0)
+    moment pass — the only floats are the final sqrt/divide, identical
+    cross-engine. ONE row: (n_stubs, assortativity); NULL when a
+    degree variance is zero (e.g. a regular graph)."""
+    from .analytics import corr_matrix
+
+    bidir = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .union(edges.select(F.col(dst).alias("u"),
+                                 F.col(src).alias("v")))
+             .distinct())
+    deg = bidir.groupBy(F.col("u").alias("id")) \
+               .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    stubs = (bidir
+             .join(deg.select(F.col("id").alias("u"),
+                              F.col("deg").alias("deg_u")), "u")
+             .join(deg.select(F.col("id").alias("v"),
+                              F.col("deg").alias("deg_v")), "v"))
+    r = corr_matrix(stubs, {"deg_u": F.col("deg_u"),
+                            "deg_v": F.col("deg_v")})
+    return r.select(F.col("n").alias("n_stubs"),
+                    F.col("corr").alias("assortativity"))

@@ -2976,3 +2976,19 @@ def test_rfm_boundary_scoring_hand_case(spark):
     assert all(r.r_score == r.m_score for r in out)
     assert sum(r.sum_monetary_cents for r in out) == sum(
         int(100 * (i + 1)) * 100 for i in range(10))
+
+
+def test_degree_assortativity_star_and_path(spark):
+    """A star K1,3 is perfectly disassortative (every edge joins the
+    hub, deg 3, to a leaf, deg 1) → r = −1 exactly. A 2-node path is
+    1-regular → zero degree variance → NULL."""
+    from data_engineering__spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in (1, 2, 3)])
+    got = degree_assortativity(star).collect()[0]
+    assert got.n_stubs == 6 and got.assortativity == -1.0
+
+    path = spark.createDataFrame([Row(src=0, dst=1)])
+    got = degree_assortativity(path).collect()[0]
+    assert got.n_stubs == 2 and got.assortativity is None
