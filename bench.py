@@ -91,7 +91,7 @@ HEADLINE = [
     "bootstrap_means_events", "adversarial_validation_docs",
     "permutation_test_events", "readability_docs",
     "filter_parity_langs", "rfm_segments_customers",
-    "degree_assortativity_graph",
+    "degree_assortativity_graph", "kmv_distinct_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

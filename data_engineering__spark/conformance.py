@@ -2307,7 +2307,7 @@ DRIVER_PRIORITY = [
     "adversarial_validation_docs", "filter_parity_langs",
     "permutation_test_events", "readability_docs",
     "streaming_session_dynamic", "rfm_segments_customers",
-    "degree_assortativity_graph",
+    "degree_assortativity_graph", "kmv_distinct_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8730,3 +8730,40 @@ def degree_assortativity_graph(spark, sf_dir):
                       (F.col("x") % 7).alias("id_b"))
              .filter(F.col("id_a") != F.col("id_b")))
     return degree_assortativity(edges, src="id_a", dst="id_b")
+
+
+@query("kmv_distinct_users", oracle=_mat("""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(sha256('kmv|' || CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS h
+  FROM events),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d),
+per AS (
+  SELECT event_type, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM rk WHERE rn <= 64 GROUP BY 1),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1),
+j AS (
+  SELECT ex.event_type, n_exact,
+         CAST(CASE WHEN nk < 64 THEN nk
+              ELSE ROUND(270582939648.0 / CAST(kth AS DOUBLE)) END
+              AS BIGINT) AS kmv_estimate
+  FROM ex JOIN per ON ex.event_type = per.event_type)
+SELECT event_type, n_exact, kmv_estimate,
+       CAST(ABS(kmv_estimate - n_exact) AS BIGINT) AS abs_error
+FROM j"""))
+def kmv_distinct_users(spark, sf_dir):
+    """EXT R207: KMV bottom-k distinct sketch accuracy report — distinct
+    users per event_type, exact vs the (k−1)·2³²/h₍ₖ₎ estimate from the
+    64 smallest portable sha hashes. 63·2³² = 270582939648 is exact in
+    a double, so both engines perform the identical single division.
+    The sketch state is a plain (group, hash) table — mergeable by
+    union + re-trim, unlike HLL's engine-private registers."""
+    from .operators.sketches import kmv_distinct_check
+    return kmv_distinct_check(read_table(spark, sf_dir, "events"),
+                              "user_id", "event_type", k=64, salt="kmv")

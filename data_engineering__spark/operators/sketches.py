@@ -293,3 +293,52 @@ def bloom_probe_report(members: DataFrame, probes: DataFrame,
                        / (F.col("n_probes")
                           - F.col("n_true_members")).cast("double"),
                        round_dp)))
+
+
+def _kmv_hash(key: "F.Column", salt: str) -> "F.Column":
+    """Portable 32-bit uniform hash for KMV: sha(salt‖key) first 8 hex
+    chars as a long in [0, 2³²) — the repo's sha-bucket convention."""
+    h = F.sha2(F.concat(F.lit(salt), F.lit("|"), key.cast("string")), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct_check(df: DataFrame, key_col: str, group_col: str,
+                       k: int = 64, salt: str = "kmv") -> DataFrame:
+    """EXT (R207, round 6): KMV (k-minimum-values / bottom-k) distinct
+    sketch with its accuracy report — per group, the k smallest DISTINCT
+    32-bit key hashes; estimate = (k−1)·M / h₍ₖ₎ (M = 2³²), or the
+    exact count when fewer than k distinct hashes exist. Completes the
+    sketch family's distinct-count axis alongside HLL with a sketch
+    whose state is plain DATA (the bottom-k hash set) — mergeable by
+    union + re-trim, diffable, and byte-replicable in any engine (the
+    HLL register array is engine-private; this one the oracle recomputes
+    from first principles).
+
+    Report: (group, n_exact, kmv_estimate, abs_error) — the bound a
+    deployment checks before trusting k for cardinality work at scale.
+
+    Scale shape: the hash is map-side; the distinct collapses to
+    (group, hash) — ONE hash aggregation; bottom-k per group is a
+    WindowGroupLimit (rank pushdown, no full sort materialized); the
+    estimate is a per-group scalar. The exact side is one
+    distinct-count aggregate — the expensive half, present only
+    because this IS the accuracy report."""
+    h = _kmv_hash(F.col(key_col), salt)
+    d = df.select(F.col(group_col).alias("grp"), h.alias("__h")).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("__h").asc())
+    bottom = (d.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k))
+    per = bottom.groupBy("grp").agg(
+        F.max("__h").alias("__kth"),
+        F.count(F.lit(1)).cast("long").alias("__nk"))
+    exact = (df.groupBy(F.col(group_col).alias("grp"))
+             .agg(F.countDistinct(key_col).cast("long").alias("n_exact")))
+    m_total = float(2 ** 32)
+    est = F.when(F.col("__nk") < k, F.col("__nk")).otherwise(
+        F.round(F.lit(float(k - 1) * m_total)
+                / F.col("__kth").cast("double"))).cast("long")
+    return (exact.join(per, "grp")
+            .select(F.col("grp").alias(group_col), "n_exact",
+                    est.alias("kmv_estimate"),
+                    F.abs(est - F.col("n_exact")).cast("long")
+                    .alias("abs_error")))

@@ -2992,3 +2992,26 @@ def test_degree_assortativity_star_and_path(spark):
     path = spark.createDataFrame([Row(src=0, dst=1)])
     got = degree_assortativity(path).collect()[0]
     assert got.n_stubs == 2 and got.assortativity is None
+
+
+def test_kmv_exact_below_k_and_formula_above_k(spark):
+    """A group with fewer distinct keys than k reports the EXACT count
+    (abs_error 0); a 500-key group's estimate equals the
+    (k−1)·2³²/h₍ₖ₎ formula replayed in pure Python over the same sha
+    hashes — pinning hash, trim, and rounding cross-implementation."""
+    import hashlib
+    from data_engineering__spark.operators.sketches import kmv_distinct_check
+
+    rows = ([Row(g="small", u=i) for i in range(10)]
+            + [Row(g="big", u=i) for i in range(500)])
+    out = {r.g: r for r in kmv_distinct_check(
+        spark.createDataFrame(rows), "u", "g", k=64, salt="kmv").collect()}
+    assert out["small"].n_exact == 10
+    assert out["small"].kmv_estimate == 10 and out["small"].abs_error == 0
+
+    hs = sorted(int(hashlib.sha256(f"kmv|{i}".encode()).hexdigest()[:8], 16)
+                for i in range(500))
+    kth = hs[63]
+    expected = round(63 * (2 ** 32) / kth)
+    assert out["big"].n_exact == 500
+    assert out["big"].kmv_estimate == expected
