@@ -2308,6 +2308,7 @@ DRIVER_PRIORITY = [
     "permutation_test_events", "readability_docs",
     "streaming_session_dynamic", "rfm_segments_customers",
     "degree_assortativity_graph", "kmv_distinct_users",
+    "vocab_growth_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8767,3 +8768,55 @@ def kmv_distinct_users(spark, sf_dir):
     from .operators.sketches import kmv_distinct_check
     return kmv_distinct_check(read_table(spark, sf_dir, "events"),
                               "user_id", "event_type", k=64, salt="kmv")
+
+
+def _vocab_growth_oracle_sql(n_buckets: int = 10) -> str:
+    """DuckDB twin of ``text.vocab_growth``: the same k = ceil(n·i/b)
+    doc-id boundaries, strictly-greater bucketing, min-bucket first
+    occurrences, and bucket-frame cumulative sums."""
+    bs = ", ".join(
+        f"MIN(CASE WHEN cum * {n_buckets} >= n * {i} THEN v END) AS b{i}"
+        for i in range(1, n_buckets))
+    score = " + ".join(
+        f"(CASE WHEN doc_id > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_buckets))
+    return rf"""
+WITH bounds AS (
+  SELECT {bs}
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT doc_id AS v, COUNT(*) AS c
+              FROM documents GROUP BY 1))),
+bucketed AS (
+  SELECT CAST(1 + {score} AS BIGINT) AS bucket,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents CROSS JOIN bounds),
+per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM bucketed GROUP BY 1),
+first AS (
+  SELECT t, MIN(bucket) AS fb
+  FROM (SELECT bucket, unnest(toks) AS t FROM bucketed) GROUP BY 1),
+nt AS (
+  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM first GROUP BY 1)
+SELECT p.bucket, p.n_docs, p.n_tokens,
+       CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(nt.new_types, 0))
+            OVER (ORDER BY p.bucket) AS BIGINT) AS vocab_cum,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+         AS tokens_cum
+FROM per p LEFT JOIN nt ON p.bucket = nt.bucket"""
+
+
+@query("vocab_growth_docs", oracle=_mat(_vocab_growth_oracle_sql()))
+def vocab_growth_docs(spark, sf_dir):
+    """EXT R208: vocabulary growth (Heaps'-law) curve over doc-id
+    deciles — per bucket: volume, NEW types introduced (min-bucket
+    first occurrence, one hash agg over the exploded tokens), and
+    cumulative vocabulary/token totals. The pre-tokenizer-freeze
+    curation readout; a late new-type spike flags a contaminating
+    source."""
+    return X.vocab_growth(read_table(spark, sf_dir, "documents"),
+                          "doc_id", "text", n_buckets=10)

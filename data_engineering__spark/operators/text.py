@@ -814,3 +814,49 @@ def readability(df: DataFrame, id_col: str, text_col: str,
         syllables.cast("long").alias("n_syllables"),
         F.when((words > 0) & (sentences > 0),
                F.round(flesch, round_dp)).alias("flesch"))
+
+
+def vocab_growth(docs: DataFrame, id_col: str, text_col: str,
+                 n_buckets: int = 10) -> DataFrame:
+    """EXT (R208, round 6): vocabulary growth curve (the Heaps'-law
+    readout) — docs partitioned into ``n_buckets`` id-ordered deciles,
+    each reporting its doc/token volume, the NEW types it introduces
+    (tokens whose FIRST occurrence falls in the bucket), and the
+    cumulative vocabulary. Sub-linear vocab_cum growth against
+    tokens_cum is the expected corpus shape; a late bucket with a
+    new-type spike flags a contaminating source (template churn, new
+    language, encoding breakage) — the curve a curation pass reads
+    before freezing a tokenizer vocabulary.
+
+    Bucketing uses exact quantile boundaries on the doc id
+    (``_quantile_bounds``: strictly-greater rule — no NTILE, no global
+    row order); first occurrence is min(bucket) per token — ONE hash
+    aggregation over the exploded tokens; the cumulative sums run over
+    the ``n_buckets``-row frame. Nothing driver-side, no all-corpus
+    window."""
+    from .analytics import _quantile_bounds
+
+    ids = docs.select(F.col(id_col).alias("__id"))
+    b = _quantile_bounds(ids, "__id", n_buckets)
+    bucketed = docs.crossJoin(F.broadcast(b)).select(
+        (F.lit(1) + F.size(F.filter(
+            F.col("__b___id"), lambda x: F.col(id_col) > x)))
+        .cast("long").alias("bucket"),
+        tokens(text_col).alias("__toks"))
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("__toks")).cast("long").alias("n_tokens"))
+    first = (bucketed.select("bucket", F.explode("__toks").alias("__t"))
+             .groupBy("__t").agg(F.min("bucket").alias("__fb")))
+    new_types = first.groupBy(F.col("__fb").alias("bucket")) \
+                     .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (per_bucket.join(new_types, "bucket", "left")
+            .withColumn("new_types",
+                        F.coalesce("new_types", F.lit(0)).cast("long"))
+            .select("bucket", "n_docs", "n_tokens", "new_types",
+                    F.sum("new_types").over(w).cast("long")
+                    .alias("vocab_cum"),
+                    F.sum("n_tokens").over(w).cast("long")
+                    .alias("tokens_cum")))

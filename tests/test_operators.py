@@ -3015,3 +3015,20 @@ def test_kmv_exact_below_k_and_formula_above_k(spark):
     expected = round(63 * (2 ** 32) / kth)
     assert out["big"].n_exact == 500
     assert out["big"].kmv_estimate == expected
+
+
+def test_vocab_growth_hand_curve(spark):
+    """4 docs / 2 buckets with a known vocabulary split: bucket 1 owns
+    types {a, b, c}, bucket 2 adds only {d} (its other tokens repeat) —
+    new_types [3, 1], vocab_cum [3, 4], tokens_cum totals the corpus."""
+    from data_engineering__spark.operators.text import vocab_growth
+
+    rows = [Row(doc_id=1, text="a b"), Row(doc_id=2, text="b c"),
+            Row(doc_id=3, text="a d"), Row(doc_id=4, text="c d d")]
+    out = sorted(vocab_growth(spark.createDataFrame(rows), "doc_id",
+                              "text", n_buckets=2).collect(),
+                 key=lambda r: r.bucket)
+    assert [r.n_docs for r in out] == [2, 2]
+    assert [r.new_types for r in out] == [3, 1]
+    assert [r.vocab_cum for r in out] == [3, 4]
+    assert [r.tokens_cum for r in out] == [4, 9]
