@@ -2308,7 +2308,7 @@ DRIVER_PRIORITY = [
     "permutation_test_events", "readability_docs",
     "streaming_session_dynamic", "rfm_segments_customers",
     "degree_assortativity_graph", "kmv_distinct_users",
-    "vocab_growth_docs",
+    "vocab_growth_docs", "minhash_recall_report",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8820,3 +8820,55 @@ def vocab_growth_docs(spark, sf_dir):
     source."""
     return X.vocab_growth(read_table(spark, sf_dir, "documents"),
                           "doc_id", "text", n_buckets=10)
+
+
+def _minhash_recall_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
+                               shingle_n: int, seed: int) -> str:
+    """Recall-report oracle: the shared portable CTE chain (through
+    ``cand``) + exact-Jaccard ground truth over DISTINCT shingle values
+    with the all-integer 2·|∩| ≥ |∪| test, reduced to the one-row
+    report."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH {ctes},
+sdist AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sdist GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS ix
+  FROM sdist a JOIN sdist b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+               JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE 2 * ix >= sa.sz + sb.sz - ix),
+agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hit)
+SELECT n_true, n_candidates, n_hit,
+       CASE WHEN n_true > 0 THEN
+         ROUND(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+       END AS recall
+FROM agg"""
+
+
+@query("minhash_recall_report",
+       oracle=_minhash_recall_oracle_sql(keep_mod=10, num_hashes=32,
+                                         bands=16, shingle_n=3, seed=42))
+def minhash_recall_report_q(spark, sf_dir):
+    """EXT R209: LSH banding recall vs exact-Jaccard ground truth over
+    the portable sha shingle space — the near-dup index-quality eval
+    beside ``ann_recall_report``. Ground truth ≥ 0.5 decided ALL-INTEGER
+    (2·|∩| ≥ |∪|); recall is the one final ROUND-6 division. Runs on
+    the bounded keep_mod demo corpus because exact truth needs the
+    shared-shingle self-join — the sampling bound is the documented
+    contract of every recall eval."""
+    from .operators.dedup import minhash_recall_report
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=10)
+    return minhash_recall_report(corpus, "doc_id", "text",
+                                 num_hashes=32, bands=16,
+                                 shingle_n=3, seed=42)

@@ -1375,3 +1375,87 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     )).alias("__p")).select("__p.id_a", "__p.id_b", "__p.c")
     return (both.filter(F.col("c") >= threshold)
             .select("id_a", "id_b", F.round("c", 6).alias("containment")))
+
+
+def shingle_sha_values(text_col: str, n: int = 3, seed: int = 42) -> Column:
+    """PORTABLE word-n-gram shingle hashes as array<long> in [0, 2³¹−1):
+    the sha-bucket token hash (first 8 hex chars of sha256, mod p — the
+    repo convention any engine can replay) fed through the SAME seeded
+    rolling combination as ``shingle_hashes``. This is the shingle space
+    the ``tok_hash="sha"`` signature kernel minhashes over, exposed as a
+    column so exact-Jaccard ground truth can be computed in the identical
+    space (→ ``minhash_recall_report``)."""
+    import random
+    rng = random.Random(seed ^ 0x5EED)
+    coeffs = [rng.randrange(1, 1 << 29) for _ in range(n)]
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10)
+                   .cast("long") % F.lit(_MINHASH_P))
+    count = F.greatest(F.size(th) - F.lit(n - 1), F.lit(0))
+
+    def combo(i: Column) -> Column:
+        acc = None
+        for j, c in enumerate(coeffs):
+            term = F.element_at(th, i + j) * F.lit(c)
+            acc = term if acc is None else acc + term
+        return F.pmod(acc, F.lit(_MINHASH_P))
+
+    return F.when(count <= 0, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), count), combo))
+
+
+def minhash_recall_report(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int = 32, bands: int = 16,
+                          shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """EXT (R209, round 6): LSH banding recall report — the index-quality
+    eval for the MinHash dedup path, the near-dup analog of
+    ``ann_recall_report``. Ground truth = EXACT Jaccard ≥ 0.5 over the
+    portable sha shingle space (the very space the signatures estimate);
+    candidates = the (band, slice) self-join pairs. ONE row:
+    (n_true, n_candidates, n_hit, recall).
+
+    The ≥ 0.5 test is ALL-INTEGER: J = |∩|/|∪| ≥ 1/2 ⟺ 2·|∩| ≥
+    |A| + |B| − |∩| — no float enters the ground-truth decision.
+    Recall is the single final division (ROUND-6).
+
+    Scale shape: this is an EVALUATION operator — run it on a bounded
+    sample (the conformance key uses the keep_mod demo corpus), because
+    exact ground truth needs the shared-shingle self-join. The
+    candidate side stays the production banding plan; sizes/intersections
+    are hash aggregates keyed on shingle value and pair."""
+    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
+                                     shingle_n, seed, tok_hash="sha")
+    cand = _band_candidate_pairs(sig, num_hashes, bands, bucket="slice")
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(shingle_sha_values(text_col, shingle_n, seed))
+                    .alias("s"))
+          .distinct())
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, "s")
+             .filter(F.col("a.doc") < F.col("b.doc"))
+             .groupBy(F.col("a.doc").alias("id_a"),
+                      F.col("b.doc").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("ix")))
+    truth = (inter
+             .join(sizes.select(F.col("doc").alias("id_a"),
+                                F.col("sz").alias("sza")), "id_a")
+             .join(sizes.select(F.col("doc").alias("id_b"),
+                                F.col("sz").alias("szb")), "id_b")
+             .filter(F.lit(2) * F.col("ix")
+                     >= F.col("sza") + F.col("szb") - F.col("ix"))
+             .select("id_a", "id_b"))
+    truth = truth.persist()
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hit = (truth.join(cand, ["id_a", "id_b"], "left_semi")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    return (n_true.crossJoin(n_cand).crossJoin(n_hit)
+            .select("n_true", "n_candidates", "n_hit",
+                    F.when(F.col("n_true") > 0,
+                           F.round(F.col("n_hit").cast("double")
+                                   / F.col("n_true").cast("double"), 6))
+                    .alias("recall")))

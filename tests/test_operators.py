@@ -3032,3 +3032,19 @@ def test_vocab_growth_hand_curve(spark):
     assert [r.new_types for r in out] == [3, 1]
     assert [r.vocab_cum for r in out] == [3, 4]
     assert [r.tokens_cum for r in out] == [4, 9]
+
+
+def test_minhash_recall_identical_pair_is_found(spark):
+    """Two identical docs share every signature band → they are a
+    banding candidate AND an exact-Jaccard truth pair (J = 1), so the
+    report shows full recall; the unrelated third doc joins neither
+    side."""
+    from data_engineering__spark.operators.dedup import minhash_recall_report
+
+    rows = [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="one two three four five six seven")]
+    got = minhash_recall_report(spark.createDataFrame(rows),
+                                "doc_id", "text").collect()[0]
+    assert got.n_true == 1 and got.n_hit == 1 and got.recall == 1.0
+    assert got.n_candidates >= 1
