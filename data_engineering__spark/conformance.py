@@ -2309,6 +2309,7 @@ DRIVER_PRIORITY = [
     "streaming_session_dynamic", "rfm_segments_customers",
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
+    "js_divergence_sources",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8872,3 +8873,57 @@ def minhash_recall_report_q(spark, sf_dir):
     return minhash_recall_report(corpus, "doc_id", "text",
                                  num_hashes=32, bands=16,
                                  shingle_n=3, seed=42)
+
+
+@query("js_divergence_sources", oracle=_mat(r"""
+WITH toks AS (
+  SELECT source AS src,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents),
+corpus AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS rn
+    FROM corpus) WHERE rn <= 50),
+mapped AS (
+  SELECT src,
+         CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok
+              ELSE '§other' END AS term
+  FROM toks),
+sc AS (SELECT src, term, CAST(COUNT(*) AS BIGINT) AS cs
+       FROM mapped GROUP BY 1, 2),
+st AS (SELECT src, CAST(SUM(cs) AS BIGINT) AS ts FROM sc GROUP BY 1),
+cg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cc
+       FROM mapped GROUP BY 1),
+ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS tc FROM cg),
+grid AS (
+  SELECT st.src, st.ts, cg.term, cg.cc, ct.tc
+  FROM st CROSS JOIN cg CROSS JOIN ct),
+fullg AS (
+  SELECT g.src, g.ts, g.term, g.cc, g.tc, COALESCE(s.cs, 0) AS cs
+  FROM grid g LEFT JOIN sc s ON g.src = s.src AND g.term = s.term),
+contribs AS (
+  SELECT src, ts,
+         (CASE WHEN cs > 0 THEN
+            (CAST(cs AS DOUBLE) / ts)
+            * ln((CAST(cs AS DOUBLE) / ts)
+                 / ((CAST(cs AS DOUBLE) / ts
+                     + CAST(cc AS DOUBLE) / tc) / 2.0))
+          ELSE 0.0 END
+          + (CAST(cc AS DOUBLE) / tc)
+            * ln((CAST(cc AS DOUBLE) / tc)
+                 / ((CAST(cs AS DOUBLE) / ts
+                     + CAST(cc AS DOUBLE) / tc) / 2.0))) / 2.0 AS contrib
+  FROM fullg)
+SELECT src AS source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+       ROUND(SUM(contrib), 6) AS js_divergence
+FROM contribs GROUP BY src"""))
+def js_divergence_sources(spark, sf_dir):
+    """EXT R210: per-source Jensen–Shannon divergence from the corpus
+    token distribution (top-50 vocab + OTHER bucket) — the symmetric,
+    always-finite drift measure beside PSI (needs a baseline, explodes
+    on empty bins) and KS (continuous values only); ranks which source
+    is distributionally alien before mixture weighting."""
+    return X.js_token_divergence(read_table(spark, sf_dir, "documents"),
+                                 "source", "text", top_v=50)

@@ -860,3 +860,57 @@ def vocab_growth(docs: DataFrame, id_col: str, text_col: str,
                     .alias("vocab_cum"),
                     F.sum("n_tokens").over(w).cast("long")
                     .alias("tokens_cum")))
+
+
+def js_token_divergence(docs: DataFrame, source_col: str, text_col: str,
+                        top_v: int = 50) -> DataFrame:
+    """EXT (R210, round 6): Jensen–Shannon divergence of each source's
+    token distribution from the corpus distribution — the symmetric,
+    bounded (≤ ln 2) drift measure that completes the drift family (PSI
+    R138 needs a baseline snapshot and explodes on empty bins; KS R186
+    is for continuous values; JSD compares any two distributions,
+    finite always). The per-source readout ranks WHICH source is
+    distributionally alien — the mixture-weighting signal a curation
+    pass reads next to source_curation_docs.
+
+    Distributions are over the corpus top-``top_v`` vocabulary
+    (count-desc, token-asc ties — engine-stable) plus an OTHER bucket,
+    so both are complete and COMPACT (top_v+1 cells per source, q > 0
+    everywhere by construction; p = 0 cells contribute only through
+    the q side). JSD = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2,
+    ROUND-6 like the entropy family.
+
+    Scale shape: one explode → (source, term) hash agg with the vocab
+    membership BROADCAST; the divergence reduces top_v+1 rows per
+    source. No window over the corpus, nothing driver-side but the
+    top-v vocab."""
+    toks = docs.select(F.col(source_col).alias("src"),
+                       F.explode(tokens(text_col)).alias("tok"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (corpus.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= top_v).select("tok"))
+    mapped = (toks.join(F.broadcast(vocab.withColumn("__in", F.lit(1))),
+                        "tok", "left")
+              .select("src",
+                      F.when(F.col("__in").isNotNull(), F.col("tok"))
+                      .otherwise(F.lit("§other")).alias("term")))
+    sc = mapped.groupBy("src", "term").agg(F.count(F.lit(1)).alias("cs"))
+    st = sc.groupBy("src").agg(F.sum("cs").alias("ts"))
+    cc = mapped.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    ct = cc.agg(F.sum("cc").alias("tc"))
+    # complete the (src × term) grid so q-only cells (p = 0) contribute
+    grid = st.crossJoin(F.broadcast(cc.crossJoin(ct)))
+    full = (grid.join(sc, ["src"] + ["term"], "left")
+            .withColumn("cs", F.coalesce("cs", F.lit(0))))
+    p = F.col("cs").cast("double") / F.col("ts").cast("double")
+    q = F.col("cc").cast("double") / F.col("tc").cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = (F.when(F.col("cs") > 0, p * F.log(p / m))
+               .otherwise(F.lit(0.0))
+               + q * F.log(q / m)) / F.lit(2.0)
+    return (full.groupBy("src")
+            .agg(F.max("ts").cast("long").alias("n_tokens"),
+                 F.round(F.sum(contrib), 6).alias("js_divergence"))
+            .select(F.col("src").alias(source_col), "n_tokens",
+                    "js_divergence"))

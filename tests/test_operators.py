@@ -3048,3 +3048,26 @@ def test_minhash_recall_identical_pair_is_found(spark):
                                 "doc_id", "text").collect()[0]
     assert got.n_true == 1 and got.n_hit == 1 and got.recall == 1.0
     assert got.n_candidates >= 1
+
+
+def test_js_divergence_identical_zero_disjoint_ln2(spark):
+    """A source distributed exactly like the corpus has JSD 0; two
+    token-disjoint sources sit at the ln 2 bound of each other — here
+    each diverges from the 50/50 corpus mixture by ½·ln 2."""
+    import math
+    from data_engineering__spark.operators.text import js_token_divergence
+
+    # two sources, same distribution → both JSD 0
+    same = spark.createDataFrame(
+        [Row(source="a", text="x y"), Row(source="b", text="x y")])
+    for r in js_token_divergence(same, "source", "text").collect():
+        assert r.js_divergence == 0.0
+    # disjoint vocabularies, equal mass: each source p = {own: 1} vs the
+    # 50/50 corpus q; m = {own: 3/4, other: 1/4} →
+    # JSD = (ln(4/3) + ½ln2 + ½ln(2/3)) / 2
+    expected = round((math.log(4 / 3) + 0.5 * math.log(2)
+                      + 0.5 * math.log(2 / 3)) / 2, 6)
+    disj = spark.createDataFrame(
+        [Row(source="a", text="x x"), Row(source="b", text="y y")])
+    for r in js_token_divergence(disj, "source", "text").collect():
+        assert r.js_divergence == expected
