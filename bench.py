@@ -93,7 +93,7 @@ HEADLINE = [
     "filter_parity_langs", "rfm_segments_customers",
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
-    "js_divergence_sources",
+    "js_divergence_sources", "calibration_bins_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2309,7 +2309,7 @@ DRIVER_PRIORITY = [
     "streaming_session_dynamic", "rfm_segments_customers",
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
-    "js_divergence_sources",
+    "js_divergence_sources", "calibration_bins_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8927,3 +8927,46 @@ def js_divergence_sources(spark, sf_dir):
     is distributionally alien before mixture weighting."""
     return X.js_token_divergence(read_table(spark, sf_dir, "documents"),
                                  "source", "text", top_v=50)
+
+
+def _calibration_oracle_sql(n_bins: int = 10) -> str:
+    """DuckDB twin of ``analytics.calibration_bins`` on the events
+    table: cents score, purchase label, exact decile boundaries
+    (cum·bins ≥ n·i), strictly-greater bucketing."""
+    bs = ", ".join(
+        f"MIN(CASE WHEN cum * {n_bins} >= n * {i} THEN v END) AS b{i}"
+        for i in range(1, n_bins))
+    score = " + ".join(
+        f"(CASE WHEN s > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_bins))
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+bounds AS (
+  SELECT {bs}
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT s AS v, COUNT(*) AS c FROM base GROUP BY 1))),
+bucketed AS (
+  SELECT CAST(1 + {score} AS BIGINT) AS bin, s, y
+  FROM base CROSS JOIN bounds)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_score
+FROM bucketed GROUP BY bin"""
+
+
+@query("calibration_bins_events", oracle=_mat(_calibration_oracle_sql()))
+def calibration_bins_events(spark, sf_dir):
+    """EXT R211: calibration table — event value (cents) as the score,
+    purchase as the positive label, exact decile bins; per bin the
+    observed purchase rate vs the mean score. The reliability-diagram /
+    ECE input completing the scorer-eval family (AUC ranks, PRF names
+    classes, kappa corrects chance, calibration checks meaning)."""
+    from .operators.analytics import calibration_bins
+    e = read_table(spark, sf_dir, "events")
+    return calibration_bins(
+        e, F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase", n_bins=10)

@@ -1769,3 +1769,41 @@ def rfm_segments(orders: DataFrame, cust_col: str = "o_custkey",
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
                  F.sum("mon_cents").cast("long")
                  .alias("sum_monetary_cents")))
+
+
+def calibration_bins(df: DataFrame, score_int, label_bool,
+                     n_bins: int = 10) -> DataFrame:
+    """EXT (R211, round 6): calibration / reliability table — rows
+    bucketed into ``n_bins`` score deciles (exact quantile boundaries
+    via ``_quantile_bounds``; strictly-greater rule, no NTILE), each
+    reporting volume, observed positive rate, and the mean score. A
+    well-calibrated scorer shows pos_rate rising with mean_score and
+    tracking it; the table is the input to a reliability diagram and
+    the ECE sum. Completes the scorer-evaluation family: AUC ranks
+    (R151), precision/recall names classes (R191), kappa corrects for
+    chance (R168) — calibration asks whether the score MEANS what it
+    says.
+
+    Scale shape: one per-row bucket assignment against a broadcast
+    one-row boundary array, one ≤ n_bins-row hash aggregate; the
+    boundary probe's cumulative window runs over distinct score values
+    only. pos_rate and mean_score are the final ROUND-6 divisions of
+    exact integer sums."""
+    base = df.select(score_int.cast("long").alias("__s"),
+                     F.when(label_bool, 1).otherwise(0).alias("__y"))
+    b = _quantile_bounds(base.select("__s"), "__s", n_bins)
+    bucketed = base.crossJoin(F.broadcast(b)).select(
+        (F.lit(1) + F.size(F.filter(
+            F.col("__b___s"), lambda x: F.col("__s") > x)))
+        .cast("long").alias("bin"),
+        "__s", "__y")
+    return (bucketed.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("__y").cast("long").alias("n_pos"),
+                 F.round(F.sum("__y").cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("pos_rate"),
+                 F.round(F.sum(F.col("__s").cast("decimal(38,0)"))
+                         .cast("double")
+                         / F.count(F.lit(1)).cast("double"), 6)
+                 .alias("mean_score")))

@@ -3071,3 +3071,25 @@ def test_js_divergence_identical_zero_disjoint_ln2(spark):
         [Row(source="a", text="x x"), Row(source="b", text="y y")])
     for r in js_token_divergence(disj, "source", "text").collect():
         assert r.js_divergence == expected
+
+
+def test_calibration_bins_perfect_and_uninformative(spark):
+    """A perfectly separating score puts every positive in the top
+    bins (pos_rate 0 then 1); an uninformative constant-rate score
+    yields the base rate in every bin."""
+    from data_engineering__spark.operators.analytics import calibration_bins
+
+    perfect = spark.createDataFrame(
+        [Row(s=i, y=(i >= 50)) for i in range(100)])
+    out = sorted(calibration_bins(perfect, F.col("s"), F.col("y"),
+                                  n_bins=2).collect(),
+                 key=lambda r: r.bin)
+    assert [r.pos_rate for r in out] == [0.0, 1.0]
+    assert [r.n for r in out] == [50, 50]
+    assert out[0].mean_score == 24.5 and out[1].mean_score == 74.5
+
+    flat = spark.createDataFrame(
+        [Row(s=i, y=(i % 5 == 0)) for i in range(100)])
+    out = calibration_bins(flat, F.col("s"), F.col("y"),
+                           n_bins=4).collect()
+    assert all(r.pos_rate == 0.2 for r in out)
