@@ -2310,6 +2310,7 @@ DRIVER_PRIORITY = [
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
     "js_divergence_sources", "calibration_bins_events",
+    "nelson_aalen_conversion",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -8970,3 +8971,51 @@ def calibration_bins_events(spark, sf_dir):
     return calibration_bins(
         e, F.round(F.col("value") * 100).cast("long"),
         F.col("event_type") == "purchase", n_bins=10)
+
+
+@query("nelson_aalen_conversion", oracle=_mat("""
+WITH peru AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // 86400000000) AS d0,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS dp,
+         MAX(epoch_us(ts) // 86400000000) AS dl
+  FROM events GROUP BY user_id),
+subj AS (
+  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM peru),
+hist AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS alln, CAST(SUM(e) AS BIGINT) AS d
+  FROM subj GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+risked AS (
+  SELECT t, d,
+         n.n - COALESCE(SUM(alln) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS risk
+  FROM hist CROSS JOIN n),
+ev AS (SELECT t, d, CAST(risk AS BIGINT) AS risk FROM risked WHERE d > 0)
+SELECT t, risk AS n_risk, d AS n_events,
+       ROUND(SUM(CAST(d AS DOUBLE) / risk)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS cum_hazard,
+       ROUND(SUM(CAST(d AS DOUBLE) / (CAST(risk AS DOUBLE) * risk))
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING), 6) AS var_hazard
+FROM ev"""))
+def nelson_aalen_conversion(spark, sf_dir):
+    """EXT R212: Nelson-Aalen cumulative hazard of time-to-first-purchase
+    (same right-censored subject frame as the Kaplan-Meier key) — the
+    additive hazard curve whose slope localizes when conversion risk
+    concentrates; shares the exact-integer ``_risk_sets`` scaffolding."""
+    from .operators.analytics import nelson_aalen
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    peru = (ev.groupBy("user_id")
+            .agg(F.min(day).alias("d0"),
+                 F.min(F.when(F.col("event_type") == "purchase", day))
+                 .alias("dp"),
+                 F.max(day).alias("dl")))
+    subj = peru.select(
+        F.when(F.col("dp").isNotNull(), F.col("dp") - F.col("d0"))
+         .otherwise(F.col("dl") - F.col("d0")).alias("t"),
+        F.col("dp").isNotNull().alias("obs"))
+    return nelson_aalen(subj, F.col("t"), F.col("obs"))

@@ -846,6 +846,26 @@ def cusum_changepoint(df: DataFrame, group_cols: list[str], x_int, y_int
         (F.col("__t") - F.col("__cum")).cast("long").alias("sum_after"))
 
 
+def _risk_sets(df: DataFrame, duration_int, observed_pred) -> DataFrame:
+    """Shared survival-analysis scaffolding: subjects collapse to the
+    duration histogram (map-side partial agg); risk set at each distinct
+    time = total − everyone who left strictly earlier (a cumulative
+    window over the DISTINCT duration domain, never subjects). Emits
+    (__t, __d, __risk) for event times only (__d > 0) — the frame both
+    Kaplan–Meier and Nelson–Aalen reduce."""
+    base = df.select(duration_int.cast("long").alias("__t"),
+                     F.when(observed_pred, 1).otherwise(0).alias("__e"))
+    hist = (base.groupBy("__t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__all"),
+                 F.sum("__e").cast("long").alias("__d")))
+    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
+    return (hist.crossJoin(F.broadcast(n1))
+            .withColumn("__risk", F.col("__n") - F.coalesce(
+                F.sum("__all").over(w_prev), F.lit(0)))
+            .filter(F.col("__d") > 0))
+
+
 def kaplan_meier(df: DataFrame, duration_int, observed_pred,
                  round_dp: int = 6) -> DataFrame:
     """EXT (R178, round 6): Kaplan–Meier survival curve with right
@@ -869,17 +889,7 @@ def kaplan_meier(df: DataFrame, duration_int, observed_pred,
     Scale shape (100 TB): subjects collapse to the duration histogram
     (map-side partial agg); every window runs over the DISTINCT
     duration domain (days — bounded), never subjects."""
-    base = df.select(duration_int.cast("long").alias("__t"),
-                     F.when(observed_pred, 1).otherwise(0).alias("__e"))
-    hist = (base.groupBy("__t")
-            .agg(F.count(F.lit(1)).cast("long").alias("__all"),
-                 F.sum("__e").cast("long").alias("__d")))
-    n1 = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    w_prev = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, -1)
-    risked = (hist.crossJoin(F.broadcast(n1))
-              .withColumn("__risk", F.col("__n") - F.coalesce(
-                  F.sum("__all").over(w_prev), F.lit(0)))
-              .filter(F.col("__d") > 0))
+    risked = _risk_sets(df, duration_int, observed_pred)
     w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
     ln_term = F.when(F.col("__d") < F.col("__risk"),
                      F.log(F.lit(1.0) - F.col("__d").cast("double")
@@ -1807,3 +1817,32 @@ def calibration_bins(df: DataFrame, score_int, label_bool,
                          .cast("double")
                          / F.count(F.lit(1)).cast("double"), 6)
                  .alias("mean_score")))
+
+
+def nelson_aalen(df: DataFrame, duration_int, observed_pred,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R212, round 6): Nelson–Aalen cumulative hazard with right
+    censoring — Kaplan–Meier's additive sibling: H(t) = Σ_{t_j ≤ t}
+    d_j/n_j, with Klein's variance Σ d_j/n_j². Where KM answers "what
+    fraction survives past t", the hazard curve's SLOPE localizes WHEN
+    risk concentrates (a churn cliff after a trial expiry shows as a
+    hazard jump that the survival curve smears), and hazards ADD across
+    competing causes where survival probabilities do not.
+
+    Exactness: risk sets and event counts are the same exact-integer
+    ``_risk_sets`` frame KM reduces; the two cumulative sums run under
+    an ORDERED window over distinct event times, so float addition
+    order is fixed cross-engine (stronger than the exp-ln product
+    discipline KM needs) — ROUND-6 outputs."""
+    risked = _risk_sets(df, duration_int, observed_pred)
+    w_cum = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.col("__d").cast("double") / F.col("__risk").cast("double")
+    var_term = F.col("__d").cast("double") \
+        / (F.col("__risk") * F.col("__risk")).cast("double")
+    return (risked.select(
+        F.col("__t").alias("t"),
+        F.col("__risk").cast("long").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.round(F.sum(term).over(w_cum), round_dp).alias("cum_hazard"),
+        F.round(F.sum(var_term).over(w_cum), round_dp)
+        .alias("var_hazard")))

@@ -3093,3 +3093,19 @@ def test_calibration_bins_perfect_and_uninformative(spark):
     out = calibration_bins(flat, F.col("s"), F.col("y"),
                            n_bins=4).collect()
     assert all(r.pos_rate == 0.2 for r in out)
+
+
+def test_nelson_aalen_hand_curve_with_censoring(spark):
+    """5 subjects: events at t=1 (2 of 5) and t=3 (1 of 2 remaining),
+    a censor at t=2 and one survivor past t=3 →
+    H = [2/5, 2/5 + 1/2], var = [2/25, 2/25 + 1/4]; risk sets 5 → 2."""
+    from data_engineering__spark.operators.analytics import nelson_aalen
+
+    rows = [Row(t=1, e=True), Row(t=1, e=True), Row(t=2, e=False),
+            Row(t=3, e=True), Row(t=4, e=False)]
+    out = sorted(nelson_aalen(spark.createDataFrame(rows), F.col("t"),
+                              F.col("e")).collect(), key=lambda r: r.t)
+    assert [(r.t, r.n_risk, r.n_events) for r in out] == [(1, 5, 2),
+                                                          (3, 2, 1)]
+    assert [r.cum_hazard for r in out] == [0.4, 0.9]
+    assert [r.var_hazard for r in out] == [0.08, 0.33]
