@@ -1764,6 +1764,10 @@ def rfm_segments(orders: DataFrame, cust_col: str = "o_custkey",
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.round(F.col(amount_col) * 100).cast("long"))
          .cast("long").alias("mon_cents"))
+    # the per-customer frame feeds the three boundary probes AND the
+    # scoring pass — persist it so the orders scan + customer shuffle
+    # run once, not four times (lazy: materializes on first action)
+    per = per.persist()
     scored = per
     for metric in ("rec_day", "freq", "mon_cents"):
         b = _quantile_bounds(per, metric, n_bins)
