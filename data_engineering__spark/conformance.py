@@ -2310,7 +2310,7 @@ DRIVER_PRIORITY = [
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
     "js_divergence_sources", "calibration_bins_events",
-    "nelson_aalen_conversion",
+    "nelson_aalen_conversion", "streaming_semi_join",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9019,3 +9019,30 @@ def nelson_aalen_conversion(spark, sf_dir):
          .otherwise(F.col("dl") - F.col("d0")).alias("t"),
         F.col("dp").isNotNull().alias("obs"))
     return nelson_aalen(subj, F.col("t"), F.col("obs"))
+
+
+@query("streaming_semi_join", oracle=_mat("""
+SELECT DISTINCT l.event_id AS click_id, l.user_id
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'"""))
+def streaming_semi_join(spark, sf_dir):
+    """ST EXT R213: stream-stream LEFT SEMI interval join (clicks with
+    a same-user purchase inside the 10-minute window) — the existence
+    filter completing the streaming join family. Semi rows emit
+    eagerly on first match, so one availableNow run equals the batch
+    distinct-left semi join; the watermark exists to bound state, not
+    to gate emission."""
+    from .streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_semi_join,
+    )
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = stream_stream_semi_join(clicks, purchases).select(
+        F.col("event_id").alias("click_id"), "user_id")
+    name, _ = run_to_memory(j, output_mode="append")
+    return spark.table(name)

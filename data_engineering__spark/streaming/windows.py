@@ -235,3 +235,32 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
         (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
         & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r.ts") <= F.col("l.ts")))
+
+
+def stream_stream_semi_join(left: DataFrame, right: DataFrame,
+                            user_col: str = "user_id",
+                            horizon: str = "10 minutes",
+                            watermark: str = "1 hour") -> DataFrame:
+    """ST EXT (R213, round 6): stream-STREAM LEFT SEMI interval join —
+    the existence filter that completes the streaming join family
+    (inner R48, left outer R161, full outer R186): each left event
+    emits AT MOST ONCE, iff some right event of the same user lands in
+    [l.ts, l.ts + horizon]; no right columns, no duplicate lefts when
+    several rights match. The conversion-audience shape: "clicks that
+    converted", streamed.
+
+    Semantics under one availableNow trigger: semi rows emit eagerly on
+    first match (inner-join timing — no watermark gate, which only
+    unmatched-row emission would need), so the run equals the BATCH
+    left-semi interval join — the oracle is the plain distinct-left
+    SQL. The watermark still bounds join state on both sides (left
+    rows evict once wm passes their horizon, rights once wm passes
+    their ts)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftSemi")
