@@ -94,7 +94,7 @@ HEADLINE = [
     "degree_assortativity_graph", "kmv_distinct_users",
     "vocab_growth_docs", "minhash_recall_report",
     "js_divergence_sources", "calibration_bins_events",
-    "nelson_aalen_conversion",
+    "nelson_aalen_conversion", "cmh_experiment_weeks",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

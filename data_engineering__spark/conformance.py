@@ -2311,6 +2311,7 @@ DRIVER_PRIORITY = [
     "vocab_growth_docs", "minhash_recall_report",
     "js_divergence_sources", "calibration_bins_events",
     "nelson_aalen_conversion", "streaming_semi_join",
+    "cmh_experiment_weeks",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9046,3 +9047,73 @@ def streaming_semi_join(spark, sf_dir):
         F.col("event_id").alias("click_id"), "user_id")
     name, _ = run_to_memory(j, output_mode="append")
     return spark.table(name)
+
+
+@query("cmh_experiment_weeks", oracle=_mat("""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         MIN(epoch_us(ts) // 604800000000) AS st
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT st, conv,
+         CASE WHEN CAST(('0x' || substr(sha256('cmh'
+                    || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 10000 < 5000
+              THEN 1 ELSE 0 END AS arm_a
+  FROM users),
+cells AS (
+  SELECT st,
+    CAST(SUM(CASE WHEN arm_a = 1 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm_a = 1 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm_a = 0 AND conv = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm_a = 0 AND conv = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM armed GROUP BY st),
+terms AS (
+  SELECT st, a,
+    (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE))
+      / CAST(a + b + c + d AS DOUBLE) AS e,
+    CASE WHEN a + b + c + d > 1 THEN
+      CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+      / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+         * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+    ELSE 0.0 END AS v,
+    CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      / CAST(a + b + c + d AS DOUBLE) AS orn,
+    CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      / CAST(a + b + c + d AS DOUBLE) AS ord
+  FROM cells),
+cum AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY st DESC) AS rn,
+    CAST(COUNT(*) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS k_strata,
+    CAST(SUM(a) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS sum_a,
+    SUM(e) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING) AS se,
+    SUM(v) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING) AS sv,
+    SUM(orn) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING) AS sorn,
+    SUM(ord) OVER (ORDER BY st ROWS UNBOUNDED PRECEDING) AS sord
+  FROM terms)
+SELECT k_strata, sum_a, ROUND(se, 6) AS expected_a,
+       ROUND(CASE WHEN sv > 0 THEN
+         (CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se) / sv
+       END, 6) AS cmh_chi2,
+       ROUND(CASE WHEN sord > 0 THEN sorn / sord END, 6) AS or_mh
+FROM cum WHERE rn = 1"""))
+def cmh_experiment_weeks(spark, sf_dir):
+    """EXT R214: Cochran-Mantel-Haenszel A/B analysis stratified by the
+    user's first-activity epoch-week (the cohort confounder: arm mix
+    and base rate both drift across cohorts, which Simpson-flips the
+    pooled z) — within-stratum 2x2 cells combined into the CMH chi-2
+    and the Mantel-Haenszel common odds ratio. Per-stratum float terms
+    sum under an ORDERED window (fixed addition order cross-engine)."""
+    from .operators.analytics import cmh_stratified_report
+    ev = read_table(spark, sf_dir, "events")
+    return cmh_stratified_report(
+        ev, "user_id", F.col("event_type") == "purchase",
+        F.expr("unix_micros(ts) div 604800000000"), salt="cmh")

@@ -1850,3 +1850,80 @@ def nelson_aalen(df: DataFrame, duration_int, observed_pred,
         F.round(F.sum(term).over(w_cum), round_dp).alias("cum_hazard"),
         F.round(F.sum(var_term).over(w_cum), round_dp)
         .alias("var_hazard")))
+
+
+def cmh_stratified_report(events: DataFrame, user_col: str, convert_pred,
+                          stratum_expr, salt: str = "exp",
+                          buckets: int = 10_000) -> DataFrame:
+    """EXT (R214, round 6): Cochran–Mantel–Haenszel stratified A/B
+    analysis — the pooled two-proportion z (R123) is confounded
+    whenever strata differ in BOTH arm mix and base rate (Simpson's
+    reversal); CMH tests the treatment effect WITHIN each stratum and
+    combines: χ² = (Σaᵢ − ΣEᵢ)² / ΣVᵢ with Eᵢ = n1ᵢm1ᵢ/nᵢ,
+    Vᵢ = n1ᵢn0ᵢm1ᵢm0ᵢ/(nᵢ²(nᵢ−1)), plus the Mantel–Haenszel common
+    odds ratio Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). Completes the experimentation
+    family: DID removes trends, CUPED removes covariate variance,
+    CMH removes stratum confounding.
+
+    Engine-invariance: the 2×2 cells are exact integers; the
+    per-stratum float terms are summed under an ORDERED window over
+    the stratum id (fixed addition order cross-engine — the
+    ``nelson_aalen`` discipline), then the last cumulative row is
+    reduced by the two final guarded divisions (ROUND-6). Single-user
+    strata contribute V = 0 by the nᵢ > 1 guard, per the standard
+    convention.
+
+    Scale shape: one shuffle to the per-user grain (conversion +
+    stratum + codegen arm hash), one hash agg to ≤K stratum rows,
+    then K-row windows — the statistic costs one aggregation more
+    than the unstratified z."""
+    from .sampling import hash_bucket
+
+    users = (events.groupBy(user_col)
+             .agg(F.max(F.when(convert_pred, F.lit(1)).otherwise(F.lit(0)))
+                  .alias("__conv"),
+                  F.min(stratum_expr).alias("__st")))
+    arm_a = hash_bucket(F.col(user_col), buckets, salt) < buckets // 2
+    cells = users.groupBy("__st").agg(
+        F.sum(F.when(arm_a & (F.col("__conv") == 1), 1).otherwise(0))
+         .cast("long").alias("a"),
+        F.sum(F.when(arm_a & (F.col("__conv") == 0), 1).otherwise(0))
+         .cast("long").alias("b"),
+        F.sum(F.when(~arm_a & (F.col("__conv") == 1), 1).otherwise(0))
+         .cast("long").alias("c"),
+        F.sum(F.when(~arm_a & (F.col("__conv") == 0), 1).otherwise(0))
+         .cast("long").alias("d"))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    terms = cells.select(
+        "__st", "a",
+        (n1 * m1 / n).alias("__e"),
+        F.when((F.col("a") + F.col("b") + F.col("c") + F.col("d")) > 1,
+               n1 * n0 * m1 * m0 / (n * n * (n - F.lit(1.0))))
+         .otherwise(F.lit(0.0)).alias("__v"),
+        (F.col("a").cast("double") * F.col("d").cast("double") / n)
+        .alias("__orn"),
+        (F.col("b").cast("double") * F.col("c").cast("double") / n)
+        .alias("__ord"))
+    w = Window.orderBy("__st").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy(F.col("__st").desc())
+    cum = terms.select(
+        F.row_number().over(wn).alias("__rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k_strata"),
+        F.sum("a").over(w).cast("long").alias("sum_a"),
+        F.sum("__e").over(w).alias("__se"),
+        F.sum("__v").over(w).alias("__sv"),
+        F.sum("__orn").over(w).alias("__sorn"),
+        F.sum("__ord").over(w).alias("__sord")).filter(F.col("__rn") == 1)
+    diff = F.col("sum_a").cast("double") - F.col("__se")
+    return cum.select(
+        "k_strata", "sum_a",
+        F.round(F.col("__se"), 6).alias("expected_a"),
+        F.round(F.when(F.col("__sv") > 0, diff * diff / F.col("__sv")), 6)
+         .alias("cmh_chi2"),
+        F.round(F.when(F.col("__sord") > 0,
+                       F.col("__sorn") / F.col("__sord")), 6)
+         .alias("or_mh"))

@@ -3109,3 +3109,54 @@ def test_nelson_aalen_hand_curve_with_censoring(spark):
                                                           (3, 2, 1)]
     assert [r.cum_hazard for r in out] == [0.4, 0.9]
     assert [r.var_hazard for r in out] == [0.08, 0.33]
+
+
+def test_cmh_hand_cells_match_formula(spark):
+    """Users are steered into arms by replaying the sha bucket in
+    Python; two cohort-week strata with known 2×2 cells then pin the
+    CMH χ² and MH odds ratio against the formulas computed directly."""
+    import hashlib
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import (
+        cmh_stratified_report,
+    )
+
+    def arm_a(uid):
+        h = int(hashlib.sha256(f"cmh{uid}".encode()).hexdigest()[:8], 16)
+        return h % 10000 < 5000
+
+    ids = list(range(1, 400))
+    a_ids = [u for u in ids if arm_a(u)][:20]
+    b_ids = [u for u in ids if not arm_a(u)][:20]
+    # stratum 1 (week 0): arm A 9/10 convert, arm B 7/10
+    # stratum 2 (week 10): arm A 3/10, arm B 1/10
+    rows, cells = [], {}
+    plan = [(0, a_ids[:10], 9, True), (0, b_ids[:10], 7, False),
+            (10, a_ids[10:], 3, True), (10, b_ids[10:], 1, False)]
+    for week, us, k, is_a in plan:
+        ts = datetime(1970, 1, 2) + timedelta(weeks=week)
+        for i, u in enumerate(us):
+            et = "purchase" if i < k else "click"
+            rows.append(Row(user_id=u, ts=ts, event_type=et))
+        key = (week, is_a)
+        cells[key] = (k, 10 - k)
+    out = cmh_stratified_report(
+        spark.createDataFrame(rows), "user_id",
+        F.col("event_type") == "purchase",
+        F.expr("unix_micros(ts) div 604800000000"), salt="cmh").collect()[0]
+    # reference formulas over the known cells
+    se = sv = sorn = sord = 0.0
+    sum_a = 0
+    for week in (0, 10):
+        a, b = cells[(week, True)]
+        c, d = cells[(week, False)]
+        n = a + b + c + d
+        sum_a += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        sorn += a * d / n
+        sord += b * c / n
+    assert out.k_strata == 2 and out.sum_a == sum_a
+    assert out.expected_a == round(se, 6)
+    assert out.cmh_chi2 == round((sum_a - se) ** 2 / sv, 6)
+    assert out.or_mh == round(sorn / sord, 6)
