@@ -2311,7 +2311,7 @@ DRIVER_PRIORITY = [
     "vocab_growth_docs", "minhash_recall_report",
     "js_divergence_sources", "calibration_bins_events",
     "nelson_aalen_conversion", "streaming_semi_join",
-    "cmh_experiment_weeks",
+    "cmh_experiment_weeks", "freshness_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9117,3 +9117,32 @@ def cmh_experiment_weeks(spark, sf_dir):
     return cmh_stratified_report(
         ev, "user_id", F.col("event_type") == "purchase",
         F.expr("unix_micros(ts) div 604800000000"), salt="cmh")
+
+
+@query("freshness_report_events", oracle=_mat("""
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ep
+  FROM events),
+per AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(ep) AS BIGINT) AS last_epoch
+  FROM base GROUP BY grp),
+anchor AS (SELECT MAX(last_epoch) AS a FROM per),
+day AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS rows_last_day
+  FROM base CROSS JOIN anchor WHERE ep >= a - 86400 GROUP BY grp)
+SELECT per.grp AS event_type, n_rows, last_epoch,
+       CAST(anchor.a - last_epoch AS BIGINT) AS lag_seconds,
+       CAST(COALESCE(day.rows_last_day, 0) AS BIGINT) AS rows_last_day,
+       (anchor.a - last_epoch) > 3600 AS is_stale
+FROM per CROSS JOIN anchor LEFT JOIN day ON per.grp = day.grp"""))
+def freshness_report_events(spark, sf_dir):
+    """EXT R215: per-feed freshness audit — lag of each event_type's
+    newest row behind the table's global max (the reproducible anchor;
+    no wall clock), trailing-24h arrival volume, stale flag at 1 hour.
+    The first operational question of any landed table, oracled exactly
+    because the anchor is the data's own max."""
+    from .operators.quality import freshness_report
+    return freshness_report(read_table(spark, sf_dir, "events"),
+                            "event_type", "ts", stale_after_s=3600)

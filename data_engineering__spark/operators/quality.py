@@ -687,3 +687,43 @@ def selection_rate_parity(df: DataFrame, group_col: str, select_pred,
                                    .cast("double"), round_dp))
                     .alias("impact_ratio"),
                     flag.alias("below_threshold")))
+
+
+def freshness_report(df: DataFrame, group_col: str, ts_col: str,
+                     stale_after_s: int = 86_400) -> DataFrame:
+    """EXT (R215, round 6): per-group freshness audit — the first
+    question asked of any landed table: WHICH feeds have stopped
+    moving? Per group: row volume, last event time, lag behind the
+    NEWEST row anywhere in the table, arrivals inside the trailing
+    24 h window (anchored at that global max — reproducible, unlike
+    wall-clock ``now()``), and the stale flag at ``stale_after_s``.
+
+    Anchoring on the data's own max keeps the report deterministic and
+    engine-portable (the F8 current-timestamp surface stays rows-only
+    by design; this one oracles exactly). All arithmetic is integer
+    epoch seconds.
+
+    Scale shape: two scans — the per-group reduce (which also folds to
+    the one-row anchor), then the anchored trailing-window count (the
+    anchor is data-dependent, so one pass cannot know it); both
+    collapse map-side, no windows, shuffles carry group rows only."""
+    ep = F.floor(F.unix_micros(F.col(ts_col)) / 1_000_000).cast("long")
+    per = (df.select(F.col(group_col).alias("grp"), ep.alias("__ep"))
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.max("__ep").alias("last_epoch")))
+    anchor = per.agg(F.max("last_epoch").alias("__anchor"))
+    day = (df.select(F.col(group_col).alias("grp"), ep.alias("__ep"))
+           .crossJoin(F.broadcast(anchor))
+           .filter(F.col("__ep") >= F.col("__anchor") - 86_400)
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("long").alias("rows_last_day")))
+    return (per.crossJoin(F.broadcast(anchor))
+            .join(day, "grp", "left")
+            .select(F.col("grp").alias(group_col), "n_rows", "last_epoch",
+                    (F.col("__anchor") - F.col("last_epoch")).cast("long")
+                    .alias("lag_seconds"),
+                    F.coalesce("rows_last_day", F.lit(0)).cast("long")
+                    .alias("rows_last_day"),
+                    ((F.col("__anchor") - F.col("last_epoch"))
+                     > stale_after_s).alias("is_stale")))

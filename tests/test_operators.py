@@ -3160,3 +3160,22 @@ def test_cmh_hand_cells_match_formula(spark):
     assert out.expected_a == round(se, 6)
     assert out.cmh_chi2 == round((sum_a - se) ** 2 / sv, 6)
     assert out.or_mh == round(sorn / sord, 6)
+
+
+def test_freshness_flags_stalled_feed(spark):
+    """Feed b stopped 2 h before feed a's newest row (the anchor) →
+    b lags 7200 s and is stale at the 1 h threshold; a lags 0. The
+    trailing-day count window anchors on the global max, not now()."""
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.quality import freshness_report
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    rows = [Row(g="a", ts=t0), Row(g="a", ts=t0 - timedelta(hours=30)),
+            Row(g="b", ts=t0 - timedelta(hours=2))]
+    out = {r.g: r for r in freshness_report(
+        spark.createDataFrame(rows), "g", "ts",
+        stale_after_s=3600).collect()}
+    assert out["a"].lag_seconds == 0 and not out["a"].is_stale
+    assert out["b"].lag_seconds == 7200 and out["b"].is_stale
+    assert out["a"].rows_last_day == 1  # the 30 h-old row is outside
+    assert out["b"].rows_last_day == 1
