@@ -2312,6 +2312,7 @@ DRIVER_PRIORITY = [
     "js_divergence_sources", "calibration_bins_events",
     "nelson_aalen_conversion", "streaming_semi_join",
     "cmh_experiment_weeks", "freshness_report_events",
+    "hill_tail_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9146,3 +9147,33 @@ def freshness_report_events(spark, sf_dir):
     from .operators.quality import freshness_report
     return freshness_report(read_table(spark, sf_dir, "events"),
                             "event_type", "ts", stale_after_s=3600)
+
+
+@query("hill_tail_orders", oracle=_mat("""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders ORDER BY v DESC LIMIT 101),
+t AS (SELECT MIN(v) AS thr, CAST(COUNT(*) AS BIGINT) AS cnt FROM v),
+cum AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY v ASC) AS r, cnt, thr,
+         SUM(LN(CAST(v AS DOUBLE) / CAST(thr AS DOUBLE)))
+           OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS s
+  FROM v CROSS JOIN t)
+SELECT CAST(cnt - 1 AS BIGINT) AS n_tail,
+       CAST(thr AS BIGINT) AS threshold,
+       ROUND(CASE WHEN s > 0 THEN CAST(cnt - 1 AS DOUBLE) / s END, 6)
+         AS hill_alpha
+FROM cum WHERE r = cnt"""))
+def hill_tail_orders(spark, sf_dir):
+    """EXT R216: Hill tail-index estimate of the order-value
+    distribution — α̂ = k / Σ ln(X₍ᵢ₎/X₍ₖ₊₁₎) over the k=100 largest
+    order totals in integer cents. The tail-heaviness number that
+    decides whether mean-based stats are trustworthy (α ≤ 2 ⇒
+    infinite variance) and whether key salting / AQE skew handling is
+    warranted. Addition order is pinned cross-engine: both engines sum
+    the ln terms in ascending-value rank order and read the total at
+    the last rank (ties contribute equal addends, so rank swaps among
+    ties cannot change any partial sum)."""
+    from .operators.analytics import hill_tail_index
+    o = read_table(spark, sf_dir, "orders")
+    return hill_tail_index(o, F.round(F.col("o_totalprice") * 100), k=100)

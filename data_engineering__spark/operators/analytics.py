@@ -1927,3 +1927,48 @@ def cmh_stratified_report(events: DataFrame, user_col: str, convert_pred,
         F.round(F.when(F.col("__sord") > 0,
                        F.col("__sorn") / F.col("__sord")), 6)
          .alias("or_mh"))
+
+
+def hill_tail_index(df: DataFrame, value_int, k: int = 100,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (R216, round 6): Hill estimator of the power-law tail index —
+    α̂ = k / Σᵢ₌₁..ₖ ln(X₍ᵢ₎/X₍ₖ₊₁₎) over the k largest values. The
+    tail-heaviness number behind every skew decision in this repo:
+    α ≤ 2 means infinite variance (means/z-scores are lies — reach for
+    MAD R133 / winsorizing R104), and a heavy key-frequency tail is
+    the regime where salting (R14) and AQE skew handling earn their
+    keep. Pareto/ABC (R134) shows concentration; Hill quantifies the
+    decay rate generating it.
+
+    Exactness: the top-(k+1) multiset is deterministic (value order;
+    ties interchangeable — equal values contribute equal ln terms, and
+    threshold ties contribute exactly 0); the ln sum runs under ONE
+    ascending row_number order (fixed addition order — the addend at
+    each rank is fixed even when tied rows swap ranks, because tied
+    rows contribute equal terms), the full sum is read at the last
+    rank (``__r == __cnt``), one guarded final division, ROUND-6.
+    Degenerate tails (all k+1 values equal → Σ = 0) report NULL.
+
+    Scale shape: TakeOrdered top-(k+1) (map-side partial top-k — no
+    global sort materializes), then (k+1)-row windows and a scalar
+    reduce."""
+    vals = (df.select(value_int.cast("long").alias("__v"))
+            .orderBy(F.col("__v").desc()).limit(k + 1))
+    thr = vals.agg(F.min("__v").alias("__thr"),
+                   F.count(F.lit(1)).alias("__cnt"))
+    t = vals.crossJoin(F.broadcast(thr)).withColumn(
+        "__r", F.row_number().over(Window.orderBy(F.col("__v").asc())))
+    w_cum = Window.orderBy("__r") \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    cum = t.select(
+        F.col("__r"), F.col("__cnt"), F.col("__thr"),
+        F.sum(F.log(F.col("__v").cast("double")
+                    / F.col("__thr").cast("double")))
+         .over(w_cum).alias("__s")).filter(F.col("__r") == F.col("__cnt"))
+    k_used = (F.col("__cnt") - 1).cast("long")
+    return cum.select(
+        k_used.alias("n_tail"),
+        F.col("__thr").cast("long").alias("threshold"),
+        F.round(F.when(F.col("__s") > 0,
+                       k_used.cast("double") / F.col("__s")), round_dp)
+         .alias("hill_alpha"))

@@ -3179,3 +3179,49 @@ def test_freshness_flags_stalled_feed(spark):
     assert out["b"].lag_seconds == 7200 and out["b"].is_stale
     assert out["a"].rows_last_day == 1  # the 30 h-old row is outside
     assert out["b"].rows_last_day == 1
+
+
+def test_hill_tail_index_known_values(spark):
+    """Values 8,4,2,1 with k=3: threshold 1, Σ = ln8+ln4+ln2 = 6·ln2,
+    α̂ = 3/(6·ln2). Ascending addition order is pinned, so the float is
+    bit-reproducible: 0 + ln2 + ln4 + ln8."""
+    import math
+    from data_engineering__spark.operators.analytics import hill_tail_index
+
+    df = spark.createDataFrame([(v,) for v in [8, 4, 2, 1]], "v long")
+    out = hill_tail_index(df, F.col("v"), k=3).collect()[0]
+    s = 0.0
+    for v in [1, 2, 4, 8]:
+        s += math.log(v / 1.0)
+    assert out.n_tail == 3 and out.threshold == 1
+    assert out.hill_alpha == round(3.0 / s, 6)
+
+
+def test_hill_tail_index_tied_max_deterministic(spark):
+    """Two tied maxima among the top k+1: every tied rank assignment
+    yields the same ascending-order partial sums, so the estimate is
+    deterministic and counts BOTH tied-max ln terms."""
+    import math
+    from data_engineering__spark.operators.analytics import hill_tail_index
+
+    df = spark.createDataFrame([(v,) for v in [8, 8, 4, 1]], "v long")
+    out = hill_tail_index(df, F.col("v"), k=3).collect()[0]
+    s = 0.0
+    for v in [1, 4, 8, 8]:
+        s += math.log(v / 1.0)
+    assert out.hill_alpha == round(3.0 / s, 6)
+
+
+def test_hill_tail_index_short_input_and_degenerate(spark):
+    """Fewer rows than k+1 → n_tail = n-1 on whatever exists; an
+    all-equal tail (Σ = 0) reports NULL instead of dividing by zero."""
+    from data_engineering__spark.operators.analytics import hill_tail_index
+
+    df = spark.createDataFrame([(9,), (3,)], "v long")
+    out = hill_tail_index(df, F.col("v"), k=100).collect()[0]
+    assert out.n_tail == 1 and out.threshold == 3
+    assert out.hill_alpha is not None
+
+    flat = spark.createDataFrame([(5,)] * 4, "v long")
+    out2 = hill_tail_index(flat, F.col("v"), k=3).collect()[0]
+    assert out2.hill_alpha is None
