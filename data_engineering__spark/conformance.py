@@ -2312,7 +2312,7 @@ DRIVER_PRIORITY = [
     "js_divergence_sources", "calibration_bins_events",
     "nelson_aalen_conversion", "streaming_semi_join",
     "cmh_experiment_weeks", "freshness_report_events",
-    "hill_tail_orders",
+    "hill_tail_orders", "cramers_v_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9177,3 +9177,68 @@ def hill_tail_orders(spark, sf_dir):
     from .operators.analytics import hill_tail_index
     o = read_table(spark, sf_dir, "orders")
     return hill_tail_index(o, F.round(F.col("o_totalprice") * 100), k=100)
+
+
+@query("cramers_v_orders", oracle=_mat("""
+WITH joined AS (
+  SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+         CAST(o_orderpriority AS VARCHAR) AS pr,
+         CAST(c_mktsegment AS VARCHAR) AS seg
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+base AS (
+  SELECT 'o_orderstatus' AS pa, 'o_orderpriority' AS pb,
+         st AS av, pr AS bv FROM joined
+  UNION ALL
+  SELECT 'o_orderstatus', 'c_mktsegment', st, seg FROM joined
+  UNION ALL
+  SELECT 'o_orderpriority', 'c_mktsegment', pr, seg FROM joined),
+cells AS (
+  SELECT pa, pb, av, bv, CAST(COUNT(*) AS BIGINT) AS o
+  FROM base GROUP BY pa, pb, av, bv),
+rt AS (SELECT pa, pb, av, CAST(SUM(o) AS BIGINT) AS ra
+       FROM cells GROUP BY pa, pb, av),
+ct AS (SELECT pa, pb, bv, CAST(SUM(o) AS BIGINT) AS cb
+       FROM cells GROUP BY pa, pb, bv),
+nt AS (SELECT pa, pb, CAST(SUM(o) AS BIGINT) AS n,
+              CAST(COUNT(DISTINCT av) AS BIGINT) AS r_levels,
+              CAST(COUNT(DISTINCT bv) AS BIGINT) AS c_levels
+       FROM cells GROUP BY pa, pb),
+g AS (
+  SELECT rt.pa, rt.pb, rt.av, ct.bv, n, r_levels, c_levels,
+         COALESCE(cells.o, 0) AS o,
+         CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM rt JOIN ct ON rt.pa = ct.pa AND rt.pb = ct.pb
+  LEFT JOIN cells ON cells.pa = rt.pa AND cells.pb = rt.pb
+                 AND cells.av = rt.av AND cells.bv = ct.bv
+  JOIN nt ON nt.pa = rt.pa AND nt.pb = rt.pb),
+cum AS (
+  SELECT pa, pb, n, r_levels, c_levels,
+         ROW_NUMBER() OVER (PARTITION BY pa, pb ORDER BY av, bv) AS rn,
+         COUNT(*) OVER (PARTITION BY pa, pb) AS m,
+         SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+           OVER (PARTITION BY pa, pb ORDER BY av, bv
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM g)
+SELECT pa AS col_a, pb AS col_b, n, r_levels, c_levels,
+       ROUND(s, 6) AS chi2,
+       ROUND(CASE WHEN (CASE WHEN r_levels < c_levels THEN r_levels
+                             ELSE c_levels END) > 1 THEN
+         SQRT(s / (CAST(n AS DOUBLE)
+                   * CAST((CASE WHEN r_levels < c_levels THEN r_levels
+                                ELSE c_levels END) - 1 AS DOUBLE)))
+       END, 6) AS cramers_v
+FROM cum WHERE rn = m"""))
+def cramers_v_orders(spark, sf_dir):
+    """EXT R217: Cramér's V association matrix across the order fact's
+    categorical dimensions — status × priority × (joined) customer
+    market segment. One broadcast dim join, one scan emitting all
+    three pairs' cells via a single explode, χ² over the FULL grid
+    (empty cells contribute e), ordered-window term sums so the float
+    addition order is engine-fixed."""
+    from .operators.analytics import cramers_v_matrix
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+    return cramers_v_matrix(
+        j, ["o_orderstatus", "o_orderpriority", "c_mktsegment"])

@@ -1972,3 +1972,71 @@ def hill_tail_index(df: DataFrame, value_int, k: int = 100,
         F.round(F.when(F.col("__s") > 0,
                        k_used.cast("double") / F.col("__s")), round_dp)
          .alias("hill_alpha"))
+
+
+def cramers_v_matrix(df: DataFrame, cols: list, round_dp: int = 6
+                     ) -> DataFrame:
+    """EXT (R217, round 6): Cramér's V association matrix over
+    categorical column pairs — the categorical twin of the Pearson
+    ``corr_matrix`` (R99): χ² over the full r×c contingency grid
+    (EMPTY cells included — an observed-only sum under-counts by e per
+    missing cell), V = √(χ² / (n·(min(r,c)−1))) ∈ [0,1]. The profiling
+    number that says which dimension columns are redundant (V→1) and
+    which stratifications are independent (V→0) before anyone buckets
+    a metric by both.
+
+    Exactness: cell/marginal counts are exact integers from ONE hash
+    aggregation; e = ra·cb/n and the (o−e)²/e terms are IEEE doubles
+    summed per pair under an ORDERED window on the (av, bv) cell key
+    (distinct per pair — no tie ambiguity), read at the last rank;
+    √ and two ROUND-dp finishes. Degenerate pairs (min(r,c) = 1) report
+    NULL V.
+
+    Scale shape: the input is scanned ONCE — every pair's (a, b) cell
+    is emitted from a single explode of pair structs, so p pairs cost
+    one shuffle of category-cardinality rows, not p table scans. All
+    frames after the first aggregation are category-sized (grid =
+    marginal × marginal), never data-sized."""
+    pairs = [(cols[i], cols[j]) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    structs = [F.struct(F.lit(a).alias("pa"), F.lit(b).alias("pb"),
+                        F.col(a).cast("string").alias("av"),
+                        F.col(b).cast("string").alias("bv"))
+               for a, b in pairs]
+    base = df.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    cells = (base.groupBy("pa", "pb", "av", "bv")
+                 .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("pa", "pb", "av").agg(F.sum("o").alias("ra"))
+    ct = cells.groupBy("pa", "pb", "bv").agg(F.sum("o").alias("cb"))
+    nt = cells.groupBy("pa", "pb").agg(
+        F.sum("o").alias("n"),
+        F.count_distinct(F.col("av")).alias("r_levels"),
+        F.count_distinct(F.col("bv")).alias("c_levels"))
+    grid = rt.join(ct, ["pa", "pb"])
+    g = (grid.join(cells, ["pa", "pb", "av", "bv"], "left")
+             .join(nt, ["pa", "pb"])
+             .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+             .withColumn("e", F.col("ra").cast("double")
+                              * F.col("cb").cast("double")
+                              / F.col("n").cast("double"))
+             .withColumn("d", F.col("o").cast("double") - F.col("e")))
+    w_key = Window.partitionBy("pa", "pb").orderBy("av", "bv")
+    w_cum = w_key.rowsBetween(Window.unboundedPreceding, 0)
+    cum = (g.select(
+        "pa", "pb", "n", "r_levels", "c_levels",
+        F.row_number().over(w_key).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("pa", "pb")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("__m"),
+        F.sum(F.col("d") * F.col("d") / F.col("e")).over(w_cum)
+         .alias("__s"))
+        .filter(F.col("__rn") == F.col("__m")))
+    k = F.least("r_levels", "c_levels") - F.lit(1)
+    return cum.select(
+        F.col("pa").alias("col_a"), F.col("pb").alias("col_b"),
+        "n", "r_levels", "c_levels",
+        F.round("__s", round_dp).alias("chi2"),
+        F.round(F.when(k > 0, F.sqrt(
+            F.col("__s") / (F.col("n").cast("double") * k.cast("double")))),
+            round_dp).alias("cramers_v"))

@@ -3225,3 +3225,56 @@ def test_hill_tail_index_short_input_and_degenerate(spark):
     flat = spark.createDataFrame([(5,)] * 4, "v long")
     out2 = hill_tail_index(flat, F.col("v"), k=3).collect()[0]
     assert out2.hill_alpha is None
+
+
+def test_cramers_v_hand_2x2_and_edges(spark):
+    """2x2 closed form chi2 = n(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)) with
+    (a,b,c,d)=(10,2,3,9); perfect association gives V=1, independence
+    gives V=0, a single-level column reports NULL V."""
+    from data_engineering__spark.operators.analytics import cramers_v_matrix
+
+    rows = ([("x", "u")] * 10 + [("x", "v")] * 2
+            + [("y", "u")] * 3 + [("y", "v")] * 9)
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cramers_v_matrix(df, ["a", "b"]).collect()[0]
+    n, a, b, c, d = 24, 10, 2, 3, 9
+    chi2 = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert out.n == n and out.r_levels == 2 and out.c_levels == 2
+    assert abs(out.chi2 - chi2) < 1e-6
+    assert abs(out.cramers_v - (chi2 / n) ** 0.5) < 1e-6
+
+    perfect = spark.createDataFrame(
+        [("x", "u")] * 5 + [("y", "v")] * 7, "a string, b string")
+    assert cramers_v_matrix(perfect, ["a", "b"]).collect()[0].cramers_v == 1.0
+
+    indep = spark.createDataFrame(
+        [("x", "u")] * 4 + [("x", "v")] * 4 + [("y", "u")] * 2
+        + [("y", "v")] * 2, "a string, b string")
+    r = cramers_v_matrix(indep, ["a", "b"]).collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+    flat = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string")
+    assert cramers_v_matrix(flat, ["a", "b"]).collect()[0].cramers_v is None
+
+
+def test_cramers_v_empty_cells_counted(spark):
+    """A 2x3 grid with an unobserved cell: the empty cell contributes
+    its expected count e to chi2 — dropping it understates association.
+    Pinned against a scipy-free hand computation over the full grid."""
+    from data_engineering__spark.operators.analytics import cramers_v_matrix
+
+    rows = ([("x", "u")] * 6 + [("x", "v")] * 2
+            + [("y", "v")] * 3 + [("y", "w")] * 5)   # (x,w),(y,u) empty
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = cramers_v_matrix(df, ["a", "b"]).collect()[0]
+    obs = {("x", "u"): 6, ("x", "v"): 2, ("x", "w"): 0,
+           ("y", "u"): 0, ("y", "v"): 3, ("y", "w"): 5}
+    ra = {"x": 8, "y": 8}
+    cb = {"u": 6, "v": 5, "w": 5}
+    n = 16
+    chi2 = sum((obs[(i, j)] - ra[i] * cb[j] / n) ** 2 / (ra[i] * cb[j] / n)
+               for i in ["x", "y"] for j in ["u", "v", "w"])
+    assert abs(out.chi2 - chi2) < 1e-6
+    assert out.r_levels == 2 and out.c_levels == 3
+    assert abs(out.cramers_v - (chi2 / n) ** 0.5) < 1e-6
