@@ -2312,7 +2312,7 @@ DRIVER_PRIORITY = [
     "js_divergence_sources", "calibration_bins_events",
     "nelson_aalen_conversion", "streaming_semi_join",
     "cmh_experiment_weeks", "freshness_report_events",
-    "hill_tail_orders", "cramers_v_orders",
+    "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9242,3 +9242,51 @@ def cramers_v_orders(spark, sf_dir):
                o.o_custkey == c.c_custkey)
     return cramers_v_matrix(
         j, ["o_orderstatus", "o_orderpriority", "c_mktsegment"])
+
+
+@query("zipf_slope_docs", oracle=_mat(r"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           t -> t <> '')) AS t
+  FROM documents),
+tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY t),
+top AS (SELECT t, f FROM tf ORDER BY f DESC, t ASC LIMIT 200),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t ASC) AS r FROM top),
+pts AS (
+  SELECT r, LN(CAST(r AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y
+  FROM ranked),
+cum AS (
+  SELECT r, COUNT(*) OVER () AS n,
+         SUM(x) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS sx,
+         SUM(y) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS sy,
+         SUM(x * y) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS sxy,
+         SUM(x * x) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS sxx,
+         SUM(y * y) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS syy
+  FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND(CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0 THEN
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) END, 6) AS zipf_slope,
+       ROUND(CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0 THEN
+         (sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+                / (sxx - sx * sx / CAST(n AS DOUBLE))) * sx)
+           / CAST(n AS DOUBLE) END, 6) AS intercept,
+       ROUND(CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) > 0
+                   AND syy - sy * sy / CAST(n AS DOUBLE) > 0 THEN
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           * (sxy - sx * sy / CAST(n AS DOUBLE))
+           / ((sxx - sx * sx / CAST(n AS DOUBLE))
+              * (syy - sy * sy / CAST(n AS DOUBLE))) END, 6) AS r2
+FROM cum WHERE r = n"""))
+def zipf_slope_docs(spark, sf_dir):
+    """EXT R218: Zipf rank–frequency fit over the documents corpus —
+    ln-ln OLS on the top-200 term frequencies with deterministic
+    (freq DESC, term ASC) ranking; slope ≈ −1 is the natural-language
+    signature, deviations flag templated or boilerplate corpora. Five
+    OLS moments under one ordered window (fixed addition order), read
+    at the last rank, fixed-shape final expressions."""
+    from .operators.text import zipf_slope
+    return zipf_slope(read_table(spark, sf_dir, "documents"), "text",
+                      top_n=200)

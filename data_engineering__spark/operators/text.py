@@ -914,3 +914,58 @@ def js_token_divergence(docs: DataFrame, source_col: str, text_col: str,
                  F.round(F.sum(contrib), 6).alias("js_divergence"))
             .select(F.col("src").alias(source_col), "n_tokens",
                     "js_divergence"))
+
+
+def zipf_slope(df: DataFrame, text_col: str, top_n: int = 200,
+               round_dp: int = 6) -> DataFrame:
+    """EXT (R218, round 6): Zipf rank–frequency power-law fit — OLS of
+    ln(frequency) on ln(rank) over the top-``top_n`` corpus terms.
+    Natural corpora sit near slope −1; |slope| ≪ 1 flags synthetic or
+    templated text (flat head), |slope| ≫ 1 flags boilerplate-dominated
+    crawl (a few tokens own everything). Completes the corpus-shape
+    trio: Heaps (R208) tracks vocab GROWTH, Hill (R216) the tail of a
+    VALUE distribution, Zipf the decay of the token-frequency head.
+
+    Exactness: ranks come from a deterministic (freq DESC, term ASC)
+    sort-limit over the Zipf-small tf table — the unique term tie-break
+    makes every rank, hence every (ln r, ln f) point, engine-identical.
+    All five OLS moments (Σx, Σy, Σxy, Σx², Σy²) accumulate under ONE
+    ordered window on rank and are read at the last rank (fixed float
+    addition order), then slope/intercept/R² are fixed-shape IEEE
+    expressions with guarded denominators, ROUND-dp.
+
+    Scale shape: term frequencies aggregate map-side before one
+    token-key shuffle; everything after is a top-N table (a TakeOrdered
+    cut, never a corpus sort) and an N-row window."""
+    tf = (df.select(F.explode(tokens(text_col)).alias("__t"))
+            .groupBy("__t").agg(F.count(F.lit(1)).alias("__f")))
+    top = tf.orderBy(F.desc("__f"), F.asc("__t")).limit(top_n)
+    ranked = top.withColumn(
+        "__r", F.row_number().over(
+            Window.orderBy(F.desc("__f"), F.asc("__t"))))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__f").cast("double"))
+    w_cum = Window.orderBy("__r").rowsBetween(Window.unboundedPreceding, 0)
+    n_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = (ranked.select(
+        F.col("__r"),
+        F.count(F.lit(1)).over(n_all).alias("__n"),
+        F.sum(x).over(w_cum).alias("__sx"),
+        F.sum(y).over(w_cum).alias("__sy"),
+        F.sum(x * y).over(w_cum).alias("__sxy"),
+        F.sum(x * x).over(w_cum).alias("__sxx"),
+        F.sum(y * y).over(w_cum).alias("__syy"))
+        .filter(F.col("__r") == F.col("__n")))
+    n = F.col("__n").cast("double")
+    vxx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vyy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    cxy = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    return cum.select(
+        F.col("__n").alias("n_terms"),
+        F.round(F.when(vxx > 0, cxy / vxx), round_dp).alias("zipf_slope"),
+        F.round(F.when(vxx > 0,
+                       (F.col("__sy") - (cxy / vxx) * F.col("__sx")) / n),
+                round_dp).alias("intercept"),
+        F.round(F.when((vxx > 0) & (vyy > 0), cxy * cxy / (vxx * vyy)),
+                round_dp).alias("r2"))

@@ -3278,3 +3278,34 @@ def test_cramers_v_empty_cells_counted(spark):
     assert abs(out.chi2 - chi2) < 1e-6
     assert out.r_levels == 2 and out.c_levels == 3
     assert abs(out.cramers_v - (chi2 / n) ** 0.5) < 1e-6
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """Frequencies 12,6,4,3 at ranks 1..4 satisfy f*r = 12 exactly, so
+    the ln-ln points are collinear: slope -1, intercept ln(12), R^2 1."""
+    import math
+    from data_engineering__spark.operators.text import zipf_slope
+
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    df = spark.createDataFrame([(text,)], "text string")
+    out = zipf_slope(df, "text", top_n=200).collect()[0]
+    assert out.n_terms == 4
+    assert abs(out.zipf_slope + 1.0) < 1e-5
+    assert abs(out.intercept - math.log(12.0)) < 1e-5
+    assert abs(out.r2 - 1.0) < 1e-5
+
+
+def test_zipf_slope_flat_and_degenerate(spark):
+    """All-equal frequencies: y is constant, slope 0 and R^2 NULL
+    (zero y-variance guard); a single-term corpus has zero x-variance
+    so every fit statistic is NULL."""
+    from data_engineering__spark.operators.text import zipf_slope
+
+    flat = spark.createDataFrame([("a b c d",)], "text string")
+    out = zipf_slope(flat, "text").collect()[0]
+    assert out.n_terms == 4 and out.zipf_slope == 0.0 and out.r2 is None
+
+    one = spark.createDataFrame([("a a a",)], "text string")
+    out2 = zipf_slope(one, "text").collect()[0]
+    assert out2.n_terms == 1 and out2.zipf_slope is None
+    assert out2.intercept is None and out2.r2 is None
