@@ -2313,6 +2313,7 @@ DRIVER_PRIORITY = [
     "nelson_aalen_conversion", "streaming_semi_join",
     "cmh_experiment_weeks", "freshness_report_events",
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
+    "ltv_cohort_triangle",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9290,3 +9291,45 @@ def zipf_slope_docs(spark, sf_dir):
     from .operators.text import zipf_slope
     return zipf_slope(read_table(spark, sf_dir, "documents"), "text",
                       top_n=200)
+
+
+@query("ltv_cohort_triangle", oracle=_mat("""
+WITH base AS (
+  SELECT user_id AS u, (epoch_us(ts) // 1000000) // 604800 AS w,
+         event_type = 'purchase' AS is_rev,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+cohort AS (SELECT u, MIN(w) AS cw FROM base GROUP BY u),
+sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS users
+          FROM cohort GROUP BY cw),
+anchor AS (SELECT MAX(w) AS maxw FROM base),
+rev AS (
+  SELECT cw, b.w - cw AS off, CAST(SUM(cents) AS BIGINT) AS rev_cents
+  FROM base b JOIN cohort c ON b.u = c.u
+  WHERE is_rev GROUP BY cw, b.w - cw),
+grid AS (
+  SELECT cw, users, CAST(unnest(range(0, maxw - cw + 1)) AS BIGINT) AS off
+  FROM sizes CROSS JOIN anchor),
+tri AS (
+  SELECT g.cw, g.off, g.users, COALESCE(r.rev_cents, 0) AS rev_cents
+  FROM grid g LEFT JOIN rev r ON g.cw = r.cw AND g.off = r.off),
+cum AS (
+  SELECT cw, off, users, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY cw ORDER BY off
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM tri)
+SELECT cw AS cohort_week, off AS week_offset, users AS cohort_users,
+       rev_cents AS revenue_cents, cum_cents AS cum_revenue_cents,
+       ROUND(CAST(cum_cents AS DOUBLE)
+             / (CAST(users AS DOUBLE) * 100.0), 6) AS cum_ltv_per_user
+FROM cum"""))
+def ltv_cohort_triangle(spark, sf_dir):
+    """EXT R219: cumulative-LTV cohort triangle over events — first-event
+    epoch-week cohorts accumulate purchase revenue (exact integer cents)
+    across a DENSE per-cohort offset horizon anchored at the data's own
+    max week; one float division per row at the end. The revenue twin
+    of cohort_retention_weekly (R70)."""
+    from .operators.analytics import ltv_cohort_triangle as ltv
+    ev = read_table(spark, sf_dir, "events")
+    return ltv(ev, "user_id", "ts",
+               F.col("event_type") == "purchase", "value")

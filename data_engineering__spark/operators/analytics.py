@@ -2040,3 +2040,61 @@ def cramers_v_matrix(df: DataFrame, cols: list, round_dp: int = 6
         F.round(F.when(k > 0, F.sqrt(
             F.col("__s") / (F.col("n").cast("double") * k.cast("double")))),
             round_dp).alias("cramers_v"))
+
+
+def ltv_cohort_triangle(events: DataFrame, user_col: str, ts_col: str,
+                        revenue_pred, value_col: str,
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (R219, round 6): cumulative-LTV cohort triangle — the revenue
+    companion of the retention matrix (R70): users cohort on the
+    epoch-week of their FIRST event (any type), and each cohort
+    accumulates its members' revenue week-offset by week-offset. The
+    grid is DENSE over each cohort's observable horizon
+    (offset 0 .. global_max_week − cohort_week): zero-revenue weeks
+    emit rows so the running LTV curve is read directly per row, and
+    younger cohorts visibly stop at their shorter horizon instead of
+    silently missing cells (the classic triangle shape).
+
+    Exactness: revenue is exact integer cents (round(value·100));
+    cohort sizes and cumulative sums are integers under a per-cohort
+    ordered window; the only float is the final cum_cents/(users·100)
+    per-user dollars division, ROUND-dp.
+
+    Scale shape: two user-keyed aggregates (first-week + per-cell
+    revenue, both map-side partial) and one user-keyed join carry the
+    fact table; the dense grid is weeks × offsets ≤ horizon² rows —
+    calendar-sized, never data-sized — built from a broadcast scalar
+    anchor."""
+    week = F.floor(F.unix_timestamp(F.col(ts_col)) / WEEK_SECONDS) \
+            .cast("long")
+    base = events.select(F.col(user_col).alias("u"), week.alias("w"),
+                         revenue_pred.cast("boolean").alias("is_rev"),
+                         F.round(F.col(value_col) * 100).cast("long")
+                          .alias("cents"))
+    cohort = base.groupBy("u").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("users"))
+    anchor = base.agg(F.max("w").alias("maxw"))
+    rev = (base.filter(F.col("is_rev"))
+               .join(cohort, "u")
+               .groupBy("cw", (F.col("w") - F.col("cw")).alias("off"))
+               .agg(F.sum("cents").alias("rev_cents")))
+    grid = (sizes.crossJoin(F.broadcast(anchor))
+                 .select("cw", "users",
+                         F.explode(F.sequence(
+                             F.lit(0).cast("long"),
+                             F.col("maxw") - F.col("cw"))).alias("off")))
+    tri = (grid.join(rev, ["cw", "off"], "left")
+               .withColumn("rev_cents",
+                           F.coalesce(F.col("rev_cents"), F.lit(0))))
+    w_cum = (Window.partitionBy("cw").orderBy("off")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    return tri.select(
+        F.col("cw").alias("cohort_week"),
+        F.col("off").alias("week_offset"),
+        F.col("users").alias("cohort_users"),
+        F.col("rev_cents").alias("revenue_cents"),
+        F.sum("rev_cents").over(w_cum).alias("cum_revenue_cents")
+    ).withColumn(
+        "cum_ltv_per_user",
+        F.round(F.col("cum_revenue_cents").cast("double")
+                / (F.col("cohort_users").cast("double") * 100.0), round_dp))

@@ -3309,3 +3309,43 @@ def test_zipf_slope_flat_and_degenerate(spark):
     out2 = zipf_slope(one, "text").collect()[0]
     assert out2.n_terms == 1 and out2.zipf_slope is None
     assert out2.intercept is None and out2.r2 is None
+
+
+def test_ltv_cohort_triangle_dense_grid_and_cumsum(spark):
+    """Two cohorts: user a starts week 0 (buys 10.00 at week 0, 5.50 at
+    week 2 — week 1 is a zero-revenue gap row that must still appear),
+    user b starts week 2 with no purchases (all-zero curve, horizon
+    capped at the global max week). Cohort 0 has a non-revenue second
+    member c, so the per-user division uses cohort SIZE, not buyers."""
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import (
+        ltv_cohort_triangle,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    wk = timedelta(days=7)
+    rows = [
+        ("a", t0, "purchase", 10.0),
+        ("a", t0 + 2 * wk, "purchase", 5.5),
+        ("c", t0, "view", 0.0),
+        ("b", t0 + 2 * wk, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, value double")
+    out = ltv_cohort_triangle(
+        ev, "user_id", "ts", F.col("event_type") == "purchase", "value")
+    cells = {(r.cohort_week, r.week_offset): r for r in out.collect()}
+    cohorts = sorted({k[0] for k in cells})
+    c0, c2 = cohorts[0], cohorts[1]
+    assert c2 == c0 + 2
+    # cohort 0: offsets 0,1,2 (dense); cohort 2: offset 0 only
+    assert {k[1] for k in cells if k[0] == c0} == {0, 1, 2}
+    assert {k[1] for k in cells if k[0] == c2} == {0}
+    assert cells[(c0, 0)].revenue_cents == 1000
+    assert cells[(c0, 1)].revenue_cents == 0
+    assert cells[(c0, 1)].cum_revenue_cents == 1000
+    assert cells[(c0, 2)].cum_revenue_cents == 1550
+    assert cells[(c0, 0)].cohort_users == 2
+    assert cells[(c0, 2)].cum_ltv_per_user == round(15.5 / 2, 6)
+    assert cells[(c2, 0)].cum_revenue_cents == 0
+    assert cells[(c2, 0)].cum_ltv_per_user == 0.0
