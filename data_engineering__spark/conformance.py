@@ -2313,7 +2313,7 @@ DRIVER_PRIORITY = [
     "nelson_aalen_conversion", "streaming_semi_join",
     "cmh_experiment_weeks", "freshness_report_events",
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
-    "ltv_cohort_triangle",
+    "ltv_cohort_triangle", "cvm_drift_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9333,3 +9333,53 @@ def ltv_cohort_triangle(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return ltv(ev, "user_id", "ts",
                F.col("event_type") == "purchase", "value")
+
+
+@query("cvm_drift_events", oracle=_mat("""
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b' END AS g,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')),
+hist AS (
+  SELECT v,
+         COUNT(CASE WHEN g = 'a' THEN 1 END) AS ca,
+         COUNT(CASE WHEN g = 'b' THEN 1 END) AS cb
+  FROM tagged GROUP BY v),
+cum AS (
+  SELECT ca + cb AS w,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb
+  FROM hist),
+tot AS (
+  SELECT CAST(COUNT(CASE WHEN g = 'a' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN g = 'b' THEN 1 END) AS BIGINT) AS n_b
+  FROM tagged),
+s AS (
+  SELECT n_a, n_b,
+         SUM(CAST(w AS HUGEINT)
+             * CAST(n_b * cuma - n_a * cumb AS HUGEINT)
+             * CAST(n_b * cuma - n_a * cumb AS HUGEINT)) AS sv
+  FROM cum CROSS JOIN tot GROUP BY n_a, n_b)
+SELECT n_a, n_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(sv AS DOUBLE)
+         / ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+            * (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)))
+       END, 6) AS cvm_stat
+FROM s"""))
+def cvm_drift_events(spark, sf_dir):
+    """EXT R220: exact two-sample Cramér–von Mises distance between the
+    click and purchase value distributions — the body-sensitive
+    complement of the KS sup (R158) over the identical cents support.
+    The Σ w·(m·cumA − n·cumB)² numerator stays in exact decimal/HUGEINT
+    (addition-order-free — no ordered window), one IEEE division at
+    the end."""
+    from .operators.analytics import cvm_two_sample
+    ev = read_table(spark, sf_dir, "events")
+    return cvm_two_sample(ev, F.col("event_type"),
+                          F.round(F.col("value") * 100),
+                          "click", "purchase")

@@ -2098,3 +2098,67 @@ def ltv_cohort_triangle(events: DataFrame, user_col: str, ts_col: str,
         "cum_ltv_per_user",
         F.round(F.col("cum_revenue_cents").cast("double")
                 / (F.col("cohort_users").cast("double") * 100.0), round_dp))
+
+
+def cvm_two_sample(df: DataFrame, label_col, value_int,
+                   label_a: str, label_b: str,
+                   round_dp: int = 6) -> DataFrame:
+    """EXT (R220, round 6): exact two-sample Cramér–von Mises statistic
+    — T = (n·m/N²)·Σ_pooled (F̂_a − F̂_b)², the INTEGRAL of the squared
+    CDF gap where KS (R158) takes only its supremum. A distribution
+    shift spread across the body (every quantile nudged a little) moves
+    T long before it moves the KS sup; one localized spike does the
+    reverse — the drift family needs both. Ties are handled by
+    definition on the pooled support: each distinct value contributes
+    its pooled multiplicity w·(F̂_a − F̂_b)².
+
+    Exactness: with d_v = m·cumA(v) − n·cumB(v) (an exact integer,
+    |d| ≤ n·m), T = Σ w·d² / (n·m·N²). The sum runs ENTIRELY in exact
+    decimal(38,0) (bounded by N·(n·m)² < 10³⁸ up to ~10⁶-row samples),
+    so it is addition-order-free — no ordered window needed, one hash
+    aggregate — and the single IEEE division at the end is
+    engine-stable. One row out: ``n_a``, ``n_b``, ``cvm_stat``.
+
+    Scale shape: identical to ``ks_two_sample`` — per-value histogram
+    (map-side partial agg), two-level cumulative scan tree (per-bucket
+    windows + a bucket-total window, no single-partition support
+    window), broadcast scalar totals, one final aggregate."""
+    bucket_size = 1024
+    tagged = df.select(
+        F.when(label_col == label_a, F.lit("a"))
+         .when(label_col == label_b, F.lit("b")).alias("__g"),
+        value_int.cast("long").alias("__v")).filter(F.col("__g").isNotNull())
+    hist = (tagged.groupBy("__v")
+            .agg(F.count(F.when(F.col("__g") == "a", 1)).alias("__ca"),
+                 F.count(F.when(F.col("__g") == "b", 1)).alias("__cb"))
+            .withColumn("__bucket", F.expr(f"__v div {bucket_size}")))
+    btot = hist.groupBy("__bucket").agg(F.sum("__ca").alias("__ba"),
+                                        F.sum("__cb").alias("__bb"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "__bucket",
+        F.coalesce(F.sum("__ba").over(wb), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__bb").over(wb), F.lit(0)).alias("__offb"))
+    wi = (Window.partitionBy("__bucket").orderBy(F.col("__v").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.join(F.broadcast(boff), "__bucket")
+           .select((F.col("__ca") + F.col("__cb")).alias("__w"),
+                   (F.col("__offa") + F.sum("__ca").over(wi)).alias("__cuma"),
+                   (F.col("__offb") + F.sum("__cb").over(wi)).alias("__cumb")))
+    totals = tagged.agg(
+        F.count(F.when(F.col("__g") == "a", 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("__g") == "b", 1)).cast("long").alias("n_b"))
+    d = (F.col("n_b") * F.col("__cuma")
+         - F.col("n_a") * F.col("__cumb")).cast("decimal(18,0)")
+    term = F.col("__w").cast("decimal(10,0)") * d * d
+    s = (cum.crossJoin(F.broadcast(totals))
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.sum(term).alias("__s")))
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    return s.select(
+        "n_a", "n_b",
+        F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                       F.col("__s").cast("double")
+                       / (n * m * (nn * nn))), round_dp).alias("cvm_stat"))

@@ -3349,3 +3349,32 @@ def test_ltv_cohort_triangle_dense_grid_and_cumsum(spark):
     assert cells[(c0, 2)].cum_ltv_per_user == round(15.5 / 2, 6)
     assert cells[(c2, 0)].cum_revenue_cents == 0
     assert cells[(c2, 0)].cum_ltv_per_user == 0.0
+
+
+def test_cvm_two_sample_hand_and_brute_force(spark):
+    """a=[1,2], b=[2,3]: support terms w*d^2 are 4, 8, 0 so
+    T = 12/(2*2*16) = 0.1875. A second asymmetric tied case is pinned
+    against the pooled-point brute force (nm/N^2)*sum(Fa-Fb)^2, and
+    identical samples give exactly 0."""
+    from data_engineering__spark.operators.analytics import cvm_two_sample
+
+    def run(a_vals, b_vals):
+        rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+        df = spark.createDataFrame(rows, "g string, v long")
+        return cvm_two_sample(
+            df, F.col("g"), F.col("v"), "a", "b").collect()[0]
+
+    out = run([1, 2], [2, 3])
+    assert out.n_a == 2 and out.n_b == 2
+    assert out.cvm_stat == 0.1875
+
+    a, b = [1, 1, 4, 6, 6], [2, 4, 4]
+    out2 = run(a, b)
+    n, m = len(a), len(b)
+    pooled = sorted(a + b)
+    t = sum((sum(x <= v for x in a) / n - sum(x <= v for x in b) / m) ** 2
+            for v in pooled) * n * m / (n + m) ** 2
+    assert abs(out2.cvm_stat - t) < 1e-6
+
+    same = run([5, 7, 9], [5, 7, 9])
+    assert same.cvm_stat == 0.0
