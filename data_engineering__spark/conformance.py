@@ -2314,6 +2314,7 @@ DRIVER_PRIORITY = [
     "cmh_experiment_weeks", "freshness_report_events",
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "ltv_cohort_triangle", "cvm_drift_events",
+    "theil_decomposition_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9383,3 +9384,78 @@ def cvm_drift_events(spark, sf_dir):
     return cvm_two_sample(ev, F.col("event_type"),
                           F.round(F.col("value") * 100),
                           "click", "purchase")
+
+
+@query("theil_decomposition_orders", oracle=_mat("""
+WITH base AS (
+  SELECT CAST(c_mktsegment AS VARCHAR) AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+hist AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c, v // 1024 AS b
+  FROM base GROUP BY g, v),
+l1 AS (
+  SELECT g, b, lp FROM (
+    SELECT g, b,
+      ROW_NUMBER() OVER (PARTITION BY g, b ORDER BY v) AS rn,
+      COUNT(*) OVER (PARTITION BY g, b) AS m,
+      SUM(CAST(c AS DOUBLE) * CAST(v AS DOUBLE) * LN(CAST(v AS DOUBLE)))
+        OVER (PARTITION BY g, b ORDER BY v ROWS UNBOUNDED PRECEDING) AS lp
+    FROM hist) WHERE rn = m),
+l2 AS (
+  SELECT g, L FROM (
+    SELECT g,
+      ROW_NUMBER() OVER (PARTITION BY g ORDER BY b) AS rn,
+      COUNT(*) OVER (PARTITION BY g) AS m,
+      SUM(lp) OVER (PARTITION BY g ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) AS L
+    FROM l1) WHERE rn = m),
+stats AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS HUGEINT) AS s
+  FROM base GROUP BY g),
+gl AS (
+  SELECT stats.g, n, s, L,
+         SUM(n) OVER () AS nt, SUM(s) OVER () AS st,
+         ROW_NUMBER() OVER (ORDER BY stats.g) AS rn,
+         COUNT(*) OVER () AS m,
+         SUM(L) OVER (ORDER BY stats.g ROWS UNBOUNDED PRECEDING) AS Lt
+  FROM stats JOIN l2 ON stats.g = l2.g),
+per AS (
+  SELECT g, n, s, L, nt, st, rn, m, Lt,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu_g,
+         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) AS mu,
+         CAST(s AS DOUBLE) / CAST(st AS DOUBLE) AS sh
+  FROM gl),
+per2 AS (
+  SELECT *,
+         L / (CAST(n AS DOUBLE) * mu_g) - LN(mu_g) AS tg,
+         sh * LN(mu_g / mu) AS bt
+  FROM per),
+per3 AS (
+  SELECT *,
+         SUM(bt) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS btc
+  FROM per2)
+SELECT g AS grp, n AS n_rows, CAST(s AS BIGINT) AS sum_cents,
+       ROUND(mu_g, 6) AS mu, ROUND(tg, 6) AS theil,
+       ROUND(sh, 6) AS value_share, ROUND(bt, 6) AS between_term
+FROM per3
+UNION ALL
+SELECT 'TOTAL', CAST(nt AS BIGINT), CAST(st AS BIGINT),
+       ROUND(mu, 6),
+       ROUND(Lt / (CAST(nt AS DOUBLE) * mu) - LN(mu), 6),
+       ROUND(1.0, 6), ROUND(btc, 6)
+FROM per3 WHERE rn = m"""))
+def theil_decomposition_orders(spark, sf_dir):
+    """EXT R221: Theil-T inequality of order value, decomposed between
+    and within customer market segments — the additive split Gini
+    (R135) cannot give. Exact-integer histogram + two-level ordered
+    scan tree for the lone float sum Σc·v·ln v; the TOTAL row carries
+    the direct all-population T and the between-group sum."""
+    from .operators.analytics import theil_decomposition
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+    return theil_decomposition(
+        j, "c_mktsegment", F.round(F.col("o_totalprice") * 100))

@@ -2162,3 +2162,110 @@ def cvm_two_sample(df: DataFrame, label_col, value_int,
         F.round(F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
                        F.col("__s").cast("double")
                        / (n * m * (nn * nn))), round_dp).alias("cvm_stat"))
+
+
+def theil_decomposition(df: DataFrame, group_col: str, value_int,
+                        round_dp: int = 6,
+                        bucket_size: int = 1024) -> DataFrame:
+    """EXT (R221, round 6): Theil-T inequality with exact between/within
+    decomposition — the property Gini (R135) lacks: total inequality
+    splits ADDITIVELY into "how unequal are the group means"
+    (between) plus "how unequal is each group internally" (within,
+    value-share weighted). The curation/revenue question this answers:
+    is concentration driven by one segment being richer, or by whales
+    inside every segment? Positive values only (ln); zero/negative
+    rows are excluded by definition.
+
+    Per-group rows carry (n_rows, sum_cents, mu, theil = T_g,
+    value_share = s_g, between_term = s_g·ln(μ_g/μ)); one extra
+    ``TOTAL`` row carries the direct all-population T (theil), share 1,
+    and the between-group sum (between_term). Identity
+    T_total ≈ between + Σ s_g·T_g is pinned by test.
+
+    Exactness: counts and cent sums are exact integers (decimal(38,0)
+    accumulation, emitted as long); the only float accumulation is
+    Σ c·v·ln(v), which runs on the per-(group, value) histogram under
+    a TWO-LEVEL scan tree — per-bucket ordered partials, then
+    bucket-ordered partials — so the addition order is fixed and
+    identical in both engines without any single-partition window over
+    the value support. Every later quantity is a fixed-shape IEEE
+    expression of exact integers and those pinned sums, ROUND-dp.
+
+    Scale shape: raw rows collapse map-side to the (group, value)
+    histogram; the tree windows are partitioned by (group, bucket) and
+    (group); group-level frames are group-count-sized."""
+    base = df.select(F.col(group_col).cast("string").alias("__g"),
+                     value_int.cast("long").alias("__v")) \
+             .filter(F.col("__v") > 0)
+    hist = (base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+                .withColumn("__b", F.expr(f"__v div {bucket_size}")))
+    xlnx = (F.col("__c").cast("double") * F.col("__v").cast("double")
+            * F.log(F.col("__v").cast("double")))
+    w1k = Window.partitionBy("__g", "__b").orderBy("__v")
+    w1 = w1k.rowsBetween(Window.unboundedPreceding, 0)
+    w1n = Window.partitionBy("__g", "__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    l1 = (hist.select(
+        "__g", "__b",
+        F.row_number().over(w1k).alias("__rn"),
+        F.count(F.lit(1)).over(w1n).alias("__m"),
+        F.sum(xlnx).over(w1).alias("__lp"))
+        .filter(F.col("__rn") == F.col("__m")))
+    w2k = Window.partitionBy("__g").orderBy("__b")
+    w2 = w2k.rowsBetween(Window.unboundedPreceding, 0)
+    w2n = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    l2 = (l1.select(
+        "__g",
+        F.row_number().over(w2k).alias("__rn"),
+        F.count(F.lit(1)).over(w2n).alias("__m"),
+        F.sum("__lp").over(w2).alias("__L"))
+        .filter(F.col("__rn") == F.col("__m"))
+        .select("__g", "__L"))
+    stats = (base.groupBy("__g")
+             .agg(F.count(F.lit(1)).alias("__n"),
+                  F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s")))
+    g = stats.join(l2, "__g")
+    wg_k = Window.orderBy("__g")
+    wg = wg_k.rowsBetween(Window.unboundedPreceding, 0)
+    wg_n = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    mu_g = F.col("__s").cast("double") / F.col("__n").cast("double")
+    gl = g.select(
+        "__g", "__n", "__s", "__L",
+        F.sum("__n").over(wg_n).alias("__nt"),
+        F.sum("__s").over(wg_n).alias("__st"),
+        F.row_number().over(wg_k).alias("__rn"),
+        F.count(F.lit(1)).over(wg_n).alias("__m"),
+        F.sum("__L").over(wg).alias("__Lt"))
+    mu = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    t_g = (F.col("__L") / (F.col("__n").cast("double") * mu_g)
+           - F.log(mu_g))
+    share = F.col("__s").cast("double") / F.col("__st").cast("double")
+    btw = share * F.log(mu_g / mu)
+    per = gl.withColumn("__tg", t_g).withColumn("__sh", share) \
+            .withColumn("__bt", btw)
+    wb = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, 0)
+    per2 = per.select(
+        "*",
+        F.sum("__bt").over(wb).alias("__btc"))
+    group_rows = per2.select(
+        F.col("__g").alias("grp"),
+        F.col("__n").alias("n_rows"),
+        F.col("__s").cast("long").alias("sum_cents"),
+        F.round(mu_g, round_dp).alias("mu"),
+        F.round("__tg", round_dp).alias("theil"),
+        F.round("__sh", round_dp).alias("value_share"),
+        F.round("__bt", round_dp).alias("between_term"))
+    t_tot = (F.col("__Lt") / (F.col("__nt").cast("double") * mu)
+             - F.log(mu))
+    total_row = (per2.filter(F.col("__rn") == F.col("__m"))
+                 .select(
+        F.lit("TOTAL").alias("grp"),
+        F.col("__nt").alias("n_rows"),
+        F.col("__st").cast("long").alias("sum_cents"),
+        F.round(mu, round_dp).alias("mu"),
+        F.round(t_tot, round_dp).alias("theil"),
+        F.round(F.lit(1.0), round_dp).alias("value_share"),
+        F.round("__btc", round_dp).alias("between_term")))
+    return group_rows.unionByName(total_row)

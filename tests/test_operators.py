@@ -3378,3 +3378,54 @@ def test_cvm_two_sample_hand_and_brute_force(spark):
 
     same = run([5, 7, 9], [5, 7, 9])
     assert same.cvm_stat == 0.0
+
+
+def test_theil_decomposition_known_and_identity(spark):
+    """Equal values within every group make within-Theil 0, so total
+    equals the between term exactly; a mixed case pins the brute-force
+    formulas and the decomposition identity
+    T_total ~= between + sum(share_g * T_g)."""
+    import math
+    from data_engineering__spark.operators.analytics import (
+        theil_decomposition,
+    )
+
+    # group a: 4x100; group b: 2x400 — no within-group inequality
+    rows = [("a", 100)] * 4 + [("b", 400)] * 2
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.grp: r for r in
+           theil_decomposition(df, "g", F.col("v")).collect()}
+    mu = 1200 / 6
+    t_between = (400 / 1200) * math.log(100 / mu) \
+        + (800 / 1200) * math.log(400 / mu)
+    assert out["a"].theil == 0.0 and out["b"].theil == 0.0
+    assert abs(out["TOTAL"].theil - t_between) < 1e-6
+    assert abs(out["TOTAL"].between_term - t_between) < 1e-6
+    assert out["TOTAL"].n_rows == 6 and out["TOTAL"].sum_cents == 1200
+    assert out["a"].value_share == round(400 / 1200, 6)
+
+    # mixed: within + between both nonzero; identity must hold
+    vals = {"a": [100, 300], "b": [200, 200, 800]}
+    rows2 = [(g, v) for g, vs in vals.items() for v in vs]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    out2 = {r.grp: r for r in
+            theil_decomposition(df2, "g", F.col("v")).collect()}
+    allv = [v for vs in vals.values() for v in vs]
+    n, s = len(allv), sum(allv)
+    mu = s / n
+    t_tot = sum((v / s) * math.log(v / mu) for v in allv)
+    assert abs(out2["TOTAL"].theil - t_tot) < 1e-6
+    within = 0.0
+    for g, vs in vals.items():
+        mug = sum(vs) / len(vs)
+        tg = sum((v / sum(vs)) * math.log(v / mug) for v in vs)
+        assert abs(out2[g].theil - tg) < 1e-6
+        within += (sum(vs) / s) * tg
+    assert abs(out2["TOTAL"].theil
+               - (out2["TOTAL"].between_term + within)) < 1e-5
+    # zero/negative values are excluded by definition
+    df3 = spark.createDataFrame(
+        rows2 + [("a", 0), ("b", -5)], "g string, v long")
+    out3 = {r.grp: r for r in
+            theil_decomposition(df3, "g", F.col("v")).collect()}
+    assert out3["TOTAL"].n_rows == 5
