@@ -97,7 +97,7 @@ HEADLINE = [
     "nelson_aalen_conversion", "cmh_experiment_weeks",
     "freshness_report_events", "hill_tail_orders", "cramers_v_orders",
     "zipf_slope_docs", "ltv_cohort_triangle", "cvm_drift_events",
-    "theil_decomposition_orders",
+    "theil_decomposition_orders", "kmv_set_ops_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2314,7 +2314,7 @@ DRIVER_PRIORITY = [
     "cmh_experiment_weeks", "freshness_report_events",
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "ltv_cohort_triangle", "cvm_drift_events",
-    "theil_decomposition_orders",
+    "theil_decomposition_orders", "kmv_set_ops_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9459,3 +9459,63 @@ def theil_decomposition_orders(spark, sf_dir):
                o.o_custkey == c.c_custkey)
     return theil_decomposition(
         j, "c_mktsegment", F.round(F.col("o_totalprice") * 100))
+
+
+@query("kmv_set_ops_users", oracle=_mat("""
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b' END AS g,
+         CAST(('0x' || substr(sha256('kmv|' || CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS h,
+         user_id AS key
+  FROM events WHERE event_type IN ('click', 'purchase')),
+d AS (SELECT DISTINCT g, h FROM tagged),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM d) WHERE rn <= 64),
+flags AS (
+  SELECT h, MAX(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ina,
+         MAX(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS inb
+  FROM sk GROUP BY h),
+comb AS (
+  SELECT h, ina, inb FROM (
+    SELECT h, ina, inb, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM flags) WHERE rn <= 64),
+csk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS kk, MAX(h) AS kth,
+         CAST(SUM(ina * inb) AS BIGINT) AS nboth
+  FROM comb),
+ek AS (
+  SELECT key, MAX(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ea,
+         MAX(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS eb
+  FROM tagged GROUP BY key),
+exact AS (
+  SELECT CAST(SUM(ea) AS BIGINT) AS n_a_exact,
+         CAST(SUM(eb) AS BIGINT) AS n_b_exact,
+         CAST(COUNT(*) AS BIGINT) AS union_exact,
+         CAST(SUM(ea * eb) AS BIGINT) AS inter_exact
+  FROM ek),
+j AS (
+  SELECT exact.*, kk, nboth,
+         CAST(CASE WHEN kk < 64 THEN kk
+              ELSE ROUND(270582939648.0 / CAST(kth AS DOUBLE)) END
+              AS BIGINT) AS union_est
+  FROM exact CROSS JOIN csk)
+SELECT n_a_exact, n_b_exact, union_exact, inter_exact, union_est,
+       CAST(ROUND((CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE))
+                  * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est,
+       ROUND(CAST(inter_exact AS DOUBLE)
+             / CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
+       ROUND(CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard_est
+FROM j"""))
+def kmv_set_ops_users(spark, sf_dir):
+    """EXT R222: KMV set-operation accuracy report — distinct union /
+    intersection / Jaccard of click vs purchase user sets estimated
+    from two mergeable bottom-64 sha sketches (combined-sketch method),
+    against the exact distinct-join answers. Same portable hash and
+    63·2³² constant as the R207 KMV report."""
+    from .operators.sketches import kmv_set_ops_check
+    ev = read_table(spark, sf_dir, "events")
+    return kmv_set_ops_check(ev, "user_id", F.col("event_type"),
+                             "click", "purchase")

@@ -342,3 +342,77 @@ def kmv_distinct_check(df: DataFrame, key_col: str, group_col: str,
                     est.alias("kmv_estimate"),
                     F.abs(est - F.col("n_exact")).cast("long")
                     .alias("abs_error")))
+
+
+def kmv_set_ops_check(df: DataFrame, key_col: str, label_col,
+                      label_a: str, label_b: str,
+                      k: int = 64, salt: str = "kmv") -> DataFrame:
+    """EXT (R222, round 6): KMV set-operation estimates — distinct
+    UNION, INTERSECTION, and Jaccard between two cohorts' key sets from
+    their bottom-k sketches (Beyer et al.'s combined-sketch method),
+    reported against the exact values. The question HLL cannot answer
+    without engine-private merge tricks: "how many purchasers also
+    click?" from two tiny mergeable hash sets instead of a full
+    distinct-join. Combined sketch L = bottom-k of the UNION of the two
+    bottom-k hash sets; U = (K−1)·M/h₍ₖ₎ on L (exact when the union
+    sketch is undersized), ρ = |L ∩ A_k ∩ B_k| / K, intersection
+    estimate = round(ρ·U).
+
+    Exactness: every sketch value derives from the portable sha hash
+    (``_kmv_hash`` — byte-replicable in any engine); the estimate
+    arithmetic is fixed-shape IEEE on exact integers; Jaccards are one
+    division each, ROUND-6.
+
+    Scale shape: per-side sketches are (label, hash) distinct collapse
+    + WindowGroupLimit bottom-k; the combine window sees at most 2k
+    pre-trimmed rows — bounded, never data-sized. The exact side (one
+    distinct aggregate + one two-flag group-by on the key) is the
+    expensive half and exists only because this IS the accuracy
+    report."""
+    h = _kmv_hash(F.col(key_col), salt)
+    tagged = (df.select(
+        F.when(label_col == label_a, F.lit("a"))
+         .when(label_col == label_b, F.lit("b")).alias("__g"),
+        h.alias("__h"), F.col(key_col).alias("__key"))
+        .filter(F.col("__g").isNotNull()))
+    d = tagged.select("__g", "__h").distinct()
+    w = Window.partitionBy("__g").orderBy(F.col("__h").asc())
+    sk = (d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).select("__g", "__h"))
+    flags = (sk.groupBy("__h")
+             .agg(F.max(F.when(F.col("__g") == "a", 1).otherwise(0))
+                   .alias("__ina"),
+                  F.max(F.when(F.col("__g") == "b", 1).otherwise(0))
+                   .alias("__inb")))
+    wl = Window.orderBy(F.col("__h").asc())
+    comb = (flags.withColumn("__rn", F.row_number().over(wl))
+                 .filter(F.col("__rn") <= k))
+    csk = comb.agg(
+        F.count(F.lit(1)).cast("long").alias("__K"),
+        F.max("__h").alias("__kth"),
+        F.sum(F.col("__ina") * F.col("__inb")).cast("long").alias("__both"))
+    exact = (tagged.groupBy("__key")
+             .agg(F.max(F.when(F.col("__g") == "a", 1).otherwise(0))
+                   .alias("__ea"),
+                  F.max(F.when(F.col("__g") == "b", 1).otherwise(0))
+                   .alias("__eb"))
+             .agg(F.sum("__ea").cast("long").alias("n_a_exact"),
+                  F.sum("__eb").cast("long").alias("n_b_exact"),
+                  F.count(F.lit(1)).cast("long").alias("union_exact"),
+                  F.sum(F.col("__ea") * F.col("__eb")).cast("long")
+                   .alias("inter_exact")))
+    m_total = float(2 ** 32)
+    u_est = F.when(F.col("__K") < k, F.col("__K")).otherwise(
+        F.round(F.lit(float(k - 1) * m_total)
+                / F.col("__kth").cast("double"))).cast("long")
+    out = exact.crossJoin(F.broadcast(csk)).withColumn("union_est", u_est)
+    rho = F.col("__both").cast("double") / F.col("__K").cast("double")
+    return out.select(
+        "n_a_exact", "n_b_exact", "union_exact", "inter_exact",
+        "union_est",
+        F.round(rho * F.col("union_est").cast("double")).cast("long")
+         .alias("inter_est"),
+        F.round(F.col("inter_exact").cast("double")
+                / F.col("union_exact").cast("double"), 6)
+         .alias("jaccard_exact"),
+        F.round(rho, 6).alias("jaccard_est"))

@@ -3429,3 +3429,46 @@ def test_theil_decomposition_known_and_identity(spark):
     out3 = {r.grp: r for r in
             theil_decomposition(df3, "g", F.col("v")).collect()}
     assert out3["TOTAL"].n_rows == 5
+
+
+def test_kmv_set_ops_exact_regime_and_disjoint(spark):
+    """With fewer distinct keys than k on every side, the sketches ARE
+    the sets: union/intersection estimates equal the exact values and
+    both Jaccards agree. Disjoint cohorts estimate intersection 0."""
+    from data_engineering__spark.operators.sketches import kmv_set_ops_check
+
+    rows = ([("a", i) for i in range(10)]
+            + [("b", i) for i in range(5, 15)])
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = kmv_set_ops_check(df, "k", F.col("g"), "a", "b", k=64).collect()[0]
+    assert out.n_a_exact == 10 and out.n_b_exact == 10
+    assert out.union_exact == 15 and out.inter_exact == 5
+    assert out.union_est == 15 and out.inter_est == 5
+    assert out.jaccard_exact == round(5 / 15, 6)
+    assert out.jaccard_est == out.jaccard_exact
+
+    dis = spark.createDataFrame(
+        [("a", i) for i in range(8)] + [("b", i + 100) for i in range(8)],
+        "g string, k long")
+    o2 = kmv_set_ops_check(dis, "k", F.col("g"), "a", "b", k=64).collect()[0]
+    assert o2.inter_exact == 0 and o2.inter_est == 0
+    assert o2.jaccard_est == 0.0 and o2.union_est == 16
+
+
+def test_kmv_set_ops_sketch_regime_close(spark):
+    """Above the sketch size the estimates are approximate with
+    ~1/sqrt(k) relative noise; the sha hashes make the draw
+    deterministic, so the k=128 values over 400/400 keys sharing 200
+    are pinned exactly (union 581/600, intersection 186/200 — both
+    well inside the 2-sigma band) and tighten vs the k=64 draw."""
+    from data_engineering__spark.operators.sketches import kmv_set_ops_check
+
+    rows = ([("a", i) for i in range(400)]
+            + [("b", i + 200) for i in range(400)])
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = kmv_set_ops_check(df, "k", F.col("g"), "a", "b", k=128).collect()[0]
+    assert out.union_exact == 600 and out.inter_exact == 200
+    assert out.union_est == 581 and out.inter_est == 186
+    o64 = kmv_set_ops_check(df, "k", F.col("g"), "a", "b", k=64).collect()[0]
+    assert abs(out.jaccard_est - out.jaccard_exact) <= \
+        abs(o64.jaccard_est - o64.jaccard_exact)
