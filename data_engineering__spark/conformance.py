@@ -2315,6 +2315,7 @@ DRIVER_PRIORITY = [
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
+    "brier_decomposition_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9519,3 +9520,98 @@ def kmv_set_ops_users(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return kmv_set_ops_check(ev, "user_id", F.col("event_type"),
                              "click", "purchase")
+
+
+def _brier_oracle_sql(n_bins: int = 10) -> str:
+    """DuckDB twin of ``analytics.brier_decomposition`` on events:
+    cents score, purchase label, the R211 exact-decile boundary
+    skeleton, then Murphy terms with the same expression shapes as the
+    Spark side (pointwise BS from exact integer moments; per-bin REL /
+    RES terms summed in bin order)."""
+    bs = ", ".join(
+        f"MIN(CASE WHEN cum * {n_bins} >= n * {i} THEN v END) AS b{i}"
+        for i in range(1, n_bins))
+    score = " + ".join(
+        f"(CASE WHEN s > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_bins))
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+bounds AS (
+  SELECT {bs}
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT s AS v, COUNT(*) AS c FROM base GROUP BY 1))),
+bucketed AS (
+  SELECT CAST(1 + {score} AS BIGINT) AS bin, s, y
+  FROM base CROSS JOIN bounds),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(y) AS BIGINT) AS ok,
+         CAST(SUM(CAST(s AS HUGEINT)) AS HUGEINT) AS fs
+  FROM bucketed GROUP BY bin),
+gstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS o,
+         MAX(s) AS smax,
+         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ssq,
+         SUM(CAST(s AS HUGEINT) * CAST(y AS HUGEINT)) AS ssy
+  FROM bucketed),
+terms AS (
+  SELECT bin, n, o, smax, ssq, ssy,
+         CAST(nk AS DOUBLE)
+           * ((CAST(fs AS DOUBLE) / (CAST(nk AS DOUBLE)
+                                     * CAST(smax AS DOUBLE))
+               - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))
+              * (CAST(fs AS DOUBLE) / (CAST(nk AS DOUBLE)
+                                       * CAST(smax AS DOUBLE))
+                 - CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE))) AS rel_t,
+         CAST(nk AS DOUBLE)
+           * ((CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+               - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE))) AS res_t
+  FROM bins CROSS JOIN gstats),
+cum AS (
+  SELECT n, o, smax, ssq, ssy,
+         ROW_NUMBER() OVER (ORDER BY bin) AS rn,
+         COUNT(*) OVER () AS m,
+         SUM(rel_t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS rels,
+         SUM(res_t) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ress
+  FROM terms),
+fin AS (
+  SELECT n, o, smax, rels, ress,
+         (CAST(ssq AS DOUBLE)
+          - 2.0 * CAST(smax AS DOUBLE) * CAST(ssy AS DOUBLE)
+          + CAST(smax AS DOUBLE) * CAST(smax AS DOUBLE)
+            * CAST(o AS DOUBLE))
+         / (CAST(n AS DOUBLE)
+            * (CAST(smax AS DOUBLE) * CAST(smax AS DOUBLE))) AS bs,
+         rels / CAST(n AS DOUBLE) AS rel,
+         ress / CAST(n AS DOUBLE) AS res,
+         CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+           * (1.0 - CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) AS unc
+  FROM cum WHERE rn = m)
+SELECT n, ROUND(CAST(o AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND(CASE WHEN smax > 0 THEN bs END, 6) AS brier,
+       ROUND(CASE WHEN smax > 0 THEN rel END, 6) AS reliability,
+       ROUND(CASE WHEN smax > 0 THEN res END, 6) AS resolution,
+       ROUND(unc, 6) AS uncertainty,
+       ROUND(CASE WHEN smax > 0 THEN bs - (rel - res + unc) END, 6)
+         AS within_bin_var
+FROM fin"""
+
+
+@query("brier_decomposition_events", oracle=_mat(_brier_oracle_sql()))
+def brier_decomposition_events(spark, sf_dir):
+    """EXT R223: Murphy decomposition of the Brier score for the
+    value-as-score purchase classifier — reliability − resolution +
+    uncertainty over the R211 exact deciles, pointwise BS from exact
+    integer moments (no per-row floats), within-bin variance remainder
+    reported. One-number calibration summary beside the reliability
+    table."""
+    from .operators.analytics import brier_decomposition
+    e = read_table(spark, sf_dir, "events")
+    return brier_decomposition(
+        e, F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase", n_bins=10)

@@ -2269,3 +2269,92 @@ def theil_decomposition(df: DataFrame, group_col: str, value_int,
         F.round(F.lit(1.0), round_dp).alias("value_share"),
         F.round("__btc", round_dp).alias("between_term")))
     return group_rows.unionByName(total_row)
+
+
+def brier_decomposition(df: DataFrame, score_int, label_bool,
+                        n_bins: int = 10, round_dp: int = 6) -> DataFrame:
+    """EXT (R223, round 6): Murphy decomposition of the Brier score —
+    BS = reliability − resolution + uncertainty over the same exact
+    score deciles as the calibration table (R211). The one-number
+    summary the reliability diagram lacks: reliability isolates HOW
+    miscalibrated the scorer is, resolution how much its bins actually
+    separate outcomes, uncertainty the irreducible base-rate floor.
+    Scores normalize to [0,1] against the data's own max (the
+    reproducible anchor), so forecasts are f = s/s_max.
+
+    Exactness: the POINTWISE Brier needs no per-row floats at all —
+    Σ(f−y)² = (Σs² − 2·s_max·Σsy + s_max²·Σy)/(N·s_max²) with every Σ
+    an exact decimal(38,0) integer, one fixed-shape IEEE finish.
+    Reliability/resolution terms are IEEE per BIN (≤ n_bins rows),
+    summed under an ordered window on bin id; the decomposition gap
+    BS − (REL − RES + UNC) ≥ 0 is reported as ``within_bin_var`` (the
+    within-bin forecast-variance remainder the binned decomposition
+    cannot see). Degenerate all-zero scores report NULLs.
+
+    Scale shape: one boundary probe against a broadcast one-row bounds
+    array (cumulative window over DISTINCT score values only), one
+    ≤ n_bins-row hash aggregate, one global integer aggregate —
+    nothing data-sized past the first pass."""
+    base = df.select(score_int.cast("long").alias("__s"),
+                     F.when(label_bool, 1).otherwise(0).alias("__y"))
+    b = _quantile_bounds(base.select("__s"), "__s", n_bins)
+    bucketed = base.crossJoin(F.broadcast(b)).select(
+        (F.lit(1) + F.size(F.filter(
+            F.col("__b___s"), lambda x: F.col("__s") > x)))
+        .cast("long").alias("__bin"), "__s", "__y")
+    dec = "decimal(38,0)"
+    bins = (bucketed.groupBy("__bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nk"),
+                 F.sum("__y").cast("long").alias("__ok"),
+                 F.sum(F.col("__s").cast(dec)).alias("__fs")))
+    glob = bucketed.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__o"),
+        F.max("__s").alias("__smax"),
+        F.sum(F.col("__s").cast(dec) * F.col("__s").cast(dec))
+         .alias("__ssq"),
+        F.sum(F.col("__s").cast(dec) * F.col("__y").cast(dec))
+         .alias("__ssy"))
+    g = bins.crossJoin(F.broadcast(glob))
+    nkd = F.col("__nk").cast("double")
+    smaxd = F.col("__smax").cast("double")
+    fbar = F.col("__fs").cast("double") / (nkd * smaxd)
+    obark = F.col("__ok").cast("double") / nkd
+    obar = F.col("__o").cast("double") / F.col("__n").cast("double")
+    # term-level smax guard: rel_t feeds a window SUM that evaluates on
+    # every row, upstream of the output-level CASE — under ANSI a
+    # degenerate all-zero score column would otherwise DIVIDE_BY_ZERO
+    # here rather than yield the guarded NULLs
+    rel_t = F.when(F.col("__smax") > 0,
+                   nkd * ((fbar - obark) * (fbar - obark))) \
+             .otherwise(F.lit(0.0))
+    res_t = nkd * ((obark - obar) * (obark - obar))
+    w_key = Window.orderBy("__bin")
+    w_cum = w_key.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = (g.select(
+        "__n", "__o", "__smax", "__ssq", "__ssy",
+        F.row_number().over(w_key).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.sum(rel_t).over(w_cum).alias("__rels"),
+        F.sum(res_t).over(w_cum).alias("__ress"))
+        .filter(F.col("__rn") == F.col("__m")))
+    nd = F.col("__n").cast("double")
+    bs = ((F.col("__ssq").cast("double")
+           - F.lit(2.0) * smaxd * F.col("__ssy").cast("double")
+           + smaxd * smaxd * F.col("__o").cast("double"))
+          / (nd * (smaxd * smaxd)))
+    rel = F.col("__rels") / nd
+    res = F.col("__ress") / nd
+    unc = obar * (F.lit(1.0) - obar)
+    ok = F.col("__smax") > 0
+    return cum.select(
+        F.col("__n").alias("n"),
+        F.round(obar, round_dp).alias("pos_rate"),
+        F.round(F.when(ok, bs), round_dp).alias("brier"),
+        F.round(F.when(ok, rel), round_dp).alias("reliability"),
+        F.round(F.when(ok, res), round_dp).alias("resolution"),
+        F.round(unc, round_dp).alias("uncertainty"),
+        F.round(F.when(ok, bs - (rel - res + unc)), round_dp)
+         .alias("within_bin_var"))

@@ -3472,3 +3472,38 @@ def test_kmv_set_ops_sketch_regime_close(spark):
     o64 = kmv_set_ops_check(df, "k", F.col("g"), "a", "b", k=64).collect()[0]
     assert abs(out.jaccard_est - out.jaccard_exact) <= \
         abs(o64.jaccard_est - o64.jaccard_exact)
+
+
+def test_brier_decomposition_hand_case(spark):
+    """Binary forecaster with constant forecasts inside each bin: the
+    decomposition is EXACT (gap 0). s=4 predicts 1.0 (3 of 4 positive),
+    s=0 predicts 0.0 (1 of 4 positive): BS=0.25, REL=RES=0.0625,
+    UNC=0.25, and BS = REL - RES + UNC holds to the digit."""
+    from data_engineering__spark.operators.analytics import (
+        brier_decomposition,
+    )
+
+    rows = ([(4, 1)] * 3 + [(4, 0)] + [(0, 0)] * 3 + [(0, 1)])
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = brier_decomposition(
+        df, F.col("s"), F.col("y") == 1, n_bins=2).collect()[0]
+    assert out.n == 8 and out.pos_rate == 0.5
+    assert out.brier == 0.25
+    assert out.reliability == 0.0625
+    assert out.resolution == 0.0625
+    assert out.uncertainty == 0.25
+    assert out.within_bin_var == 0.0
+
+    # perfect forecaster: BS = 0, reliability 0, resolution = uncertainty
+    perf = spark.createDataFrame(
+        [(10, 1)] * 3 + [(0, 0)] * 5, "s long, y int")
+    o2 = brier_decomposition(
+        perf, F.col("s"), F.col("y") == 1, n_bins=2).collect()[0]
+    assert o2.brier == 0.0 and o2.reliability == 0.0
+    assert o2.resolution == o2.uncertainty
+
+    # degenerate all-zero scores -> NULL stats, base rate still reported
+    flat = spark.createDataFrame([(0, 1), (0, 0)], "s long, y int")
+    o3 = brier_decomposition(
+        flat, F.col("s"), F.col("y") == 1, n_bins=2).collect()[0]
+    assert o3.brier is None and o3.uncertainty == 0.25
