@@ -98,7 +98,7 @@ HEADLINE = [
     "freshness_report_events", "hill_tail_orders", "cramers_v_orders",
     "zipf_slope_docs", "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
-    "brier_decomposition_events",
+    "brier_decomposition_events", "mutual_best_match_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

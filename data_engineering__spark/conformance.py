@@ -2315,7 +2315,7 @@ DRIVER_PRIORITY = [
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
-    "brier_decomposition_events",
+    "brier_decomposition_events", "mutual_best_match_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9615,3 +9615,33 @@ def brier_decomposition_events(spark, sf_dir):
     return brier_decomposition(
         e, F.round(F.col("value") * 100).cast("long"),
         F.col("event_type") == "purchase", n_bins=10)
+
+
+@query("mutual_best_match_embeddings", oracle=_mat("""
+WITH sub AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 512),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+best AS (
+  SELECT ia, ib, cos FROM (
+    SELECT ia, ib, cos,
+           ROW_NUMBER() OVER (PARTITION BY ia
+                              ORDER BY ROUND(cos, 6) DESC, ib) AS rn
+    FROM pairs) WHERE rn = 1)
+SELECT x.ia AS vec_a, x.ib AS vec_b, ROUND(x.cos, 4) AS cosine
+FROM best x JOIN best y ON x.ib = y.ia AND y.ib = x.ia
+WHERE x.ia < x.ib"""))
+def mutual_best_match_embeddings(spark, sf_dir):
+    """EXT R224: reciprocal cosine best-match pairs over the id < 512
+    embedding sample — the high-precision pairing filter (mutual top-1
+    ⇒ a matching); same sequential dot fold and (ROUND-6, id) tie
+    discipline as cosine_topk. At fleet scale the mutual filter
+    consumes LSH/IVF candidates instead of the exact pair grid."""
+    from .operators.vector import mutual_best_match
+    e = read_table(spark, sf_dir, "embeddings")
+    return mutual_best_match(e, "vec_id", "embedding", max_id=512)

@@ -875,3 +875,51 @@ def sq8_error_report(df: DataFrame, vec_col: str,
          / F.lit(1e12)).alias("mse")) for i in range(dims)]
     return (agg.select(F.explode(F.array(*cells)).alias("__c"))
             .select("__c.i", "__c.n", "__c.lo", "__c.hi", "__c.mse"))
+
+
+def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      max_id: int = 512) -> DataFrame:
+    """EXT (R224, round 6): reciprocal best-match pairs — (i, j) where j
+    is i's single nearest cosine neighbour AND i is j's. The mutual
+    filter is the classic high-precision pairing device (bitext mining,
+    record linkage, near-dup canonicalization): one-directional top-1
+    lists are noisy at the tail, but a RECIPROCAL top-1 is almost
+    always a true pair. Output: (vec_a, vec_b, cosine), a < b — each
+    vector appears in at most one pair (a matching, by construction).
+
+    Evaluated exactly on the ``id < max_id`` sample (the
+    minhash-recall eval-on-a-sample contract: exact all-pairs truth is
+    inherently quadratic); the mutual filter itself composes unchanged
+    with any candidate generator — at fleet scale feed it LSH/IVF
+    candidate pairs (R27/R34) instead of the exact pair grid.
+
+    Exactness: the cosine fold is the sequential ``_dot`` (same
+    element-order sum both engines); best-match ties break on
+    (ROUND(cos, 6) DESC, id ASC) exactly as ``cosine_topk``; cosine is
+    exactly symmetric (identical products, identical order), so the
+    two directions agree bit-for-bit and the mutual join is
+    well-defined.
+
+    Scale shape (sample regime): one broadcast of the ≤ max_id-row
+    side, map-side pair scoring, one WindowGroupLimit top-1 per id,
+    and a self-join of best-match rows (≤ one row per id)."""
+    sub = (df.filter(F.col(id_col) < max_id)
+             .select(F.col(id_col).alias("__id"),
+                     as_double_array(vec_col).alias("__v")))
+    b = F.broadcast(sub.select(F.col("__id").alias("__jd"),
+                               F.col("__v").alias("__w")))
+    pairs = (sub.join(b, F.col("__id") != F.col("__jd"))
+             .select("__id", "__jd",
+                     cosine(F.col("__v"), F.col("__w")).alias("__cos")))
+    w = Window.partitionBy("__id").orderBy(
+        F.round("__cos", 6).desc(), F.col("__jd").asc())
+    best = (pairs.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    x, y = best.alias("x"), best.alias("y")
+    return (x.join(y, (F.col("x.__jd") == F.col("y.__id"))
+                      & (F.col("y.__jd") == F.col("x.__id")))
+             .filter(F.col("x.__id") < F.col("x.__jd"))
+             .select(F.col("x.__id").alias("vec_a"),
+                     F.col("x.__jd").alias("vec_b"),
+                     F.round("x.__cos", 4).alias("cosine")))

@@ -3507,3 +3507,25 @@ def test_brier_decomposition_hand_case(spark):
     o3 = brier_decomposition(
         flat, F.col("s"), F.col("y") == 1, n_bins=2).collect()[0]
     assert o3.brier is None and o3.uncertainty == 0.25
+
+
+def test_mutual_best_match_matching_and_symmetry(spark):
+    """Two tight clusters and one outlier: the cluster mates pick each
+    other reciprocally; the outlier's best match (a cluster member)
+    does not reciprocate, so the outlier pairs with nobody. Output is
+    a matching: every id appears at most once."""
+    from data_engineering__spark.operators.vector import mutual_best_match
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.99, 0.1, 0.0]),      # cluster A
+        (2, [0.0, 1.0, 0.0]), (3, [0.1, 0.99, 0.0]),      # cluster B
+        (4, [0.5, 0.5, 0.8]),                              # outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mutual_best_match(df, max_id=512).collect()
+    got = {(r.vec_a, r.vec_b) for r in out}
+    assert got == {(0, 1), (2, 3)}
+    ids = [i for p in got for i in p]
+    assert len(ids) == len(set(ids))
+    for r in out:
+        assert r.cosine > 0.97
