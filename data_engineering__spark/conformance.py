@@ -2316,6 +2316,7 @@ DRIVER_PRIORITY = [
     "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
+    "acf_hourly_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9645,3 +9646,49 @@ def mutual_best_match_embeddings(spark, sf_dir):
     from .operators.vector import mutual_best_match
     e = read_table(spark, sf_dir, "embeddings")
     return mutual_best_match(e, "vec_id", "embedding", max_id=512)
+
+
+@query("acf_hourly_events", oracle=_mat("""
+WITH counts AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+anchor AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+grid AS (
+  SELECT g.h, CAST(COALESCE(c, 0) AS BIGINT) AS x
+  FROM (SELECT CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS h
+        FROM anchor) g
+  LEFT JOIN counts ON g.h = counts.h),
+gl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM grid),
+lags AS (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS lag),
+pairs AS (
+  SELECT lag,
+         SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS p,
+         CAST(SUM(a.x) AS BIGINT) AS hh, CAST(SUM(b.x) AS BIGINT) AS tt
+  FROM grid a CROSS JOIN lags JOIN grid b ON b.h = a.h + lag
+  GROUP BY lag)
+SELECT lag,
+  ROUND(CASE WHEN CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * sxx
+                     - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) <> 0 THEN
+    CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * p
+         - CAST(n AS HUGEINT) * CAST(s AS HUGEINT)
+           * CAST(hh + tt AS HUGEINT)
+         + CAST(n - lag AS HUGEINT)
+           * (CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS DOUBLE)
+    / CAST(CAST(n AS HUGEINT)
+           * (CAST(n AS HUGEINT) * sxx
+              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS DOUBLE)
+  END, 6) AS acf
+FROM pairs CROSS JOIN gl"""))
+def acf_hourly_events(spark, sf_dir):
+    """EXT R225: exact autocorrelogram of the hourly event-count series
+    at lags 1..24 over the dense zero-filled hour grid — the
+    seasonality detector (r24 spike = daily cycle). Every moment is an
+    exact integer; one IEEE division per lag."""
+    from .operators.temporal import acf_counts
+    ev = read_table(spark, sf_dir, "events")
+    return acf_counts(ev, "ts", max_lag=24, bucket_s=3600)

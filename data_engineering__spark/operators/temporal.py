@@ -330,3 +330,68 @@ def interval_concurrency(df: DataFrame, key_cols: list[str], start_us,
     return (swept.groupBy(*key_cols)
             .agg(F.max("__conc").cast("long").alias("peak_concurrency"),
                  F.sum(seg_busy).cast("long").alias("busy_us")))
+
+
+def acf_counts(df: DataFrame, ts_col: str, max_lag: int = 24,
+               bucket_s: int = 3600, round_dp: int = 6) -> DataFrame:
+    """EXT (R225, round 6): exact autocorrelogram of the event-count
+    series — ACF at lags 1..``max_lag`` over the DENSE
+    ``bucket_s``-second count grid (zero-count buckets included; a
+    sparse series fakes correlation by deleting the quiet hours). The
+    seasonality detector: a daily cycle shows as the r₂₄ spike, and
+    the lag-1 value is the series' short-memory number — the
+    autocorrelation twin of the cross-series xcorr (R190).
+
+    Exactness: ALL moments are integers — with S = Σx, n grid points,
+    and per-lag pair sums P_k = Σ xₜxₜ₊ₖ, H_k = Σ head xₜ,
+    T_k = Σ tail xₜ₊ₖ, the textbook full-mean ACF is
+    r_k = (n²·P_k − n·S·(H_k+T_k) + (n−k)·S²) / (n·(n·Σx² − S²)) —
+    numerator and denominator are exact decimal(38,0)/HUGEINT
+    integers, ONE IEEE division per lag, ROUND-dp. Constant series
+    (zero variance) report NULL.
+
+    Scale shape: raw rows collapse map-side to per-bucket counts; the
+    dense grid is calendar-sized (sequence explode off a broadcast
+    min/max anchor); the lag join fans the grid ×``max_lag`` on a
+    shifted integer key — calendar×lags rows, never data-sized."""
+    dec = "decimal(38,0)"
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s)).cast("long")
+    counts = (df.select(b.alias("__h"))
+                .groupBy("__h").agg(F.count(F.lit(1)).alias("__c")))
+    anchor = counts.agg(F.min("__h").alias("__h0"),
+                        F.max("__h").alias("__h1"))
+    grid = (anchor.select(F.explode(
+        F.sequence(F.col("__h0"), F.col("__h1"))).alias("__h"))
+        .join(counts, "__h", "left")
+        .withColumn("__x", F.coalesce(F.col("__c"), F.lit(0))
+                    .cast("long"))
+        .select("__h", "__x"))
+    glob = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__S"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec))
+         .alias("__sxx"))
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    pairs = (grid.select(F.col("__h"), F.col("__x").alias("__xa"))
+             .crossJoin(grid.sparkSession.range(1).select(lags))
+             .join(grid.select((F.col("__h")).alias("__h2"),
+                               F.col("__x").alias("__xb")),
+                   F.col("__h2") == F.col("__h") + F.col("lag")))
+    per = (pairs.groupBy("lag")
+           .agg(F.sum(F.col("__xa").cast(dec) * F.col("__xb").cast(dec))
+                 .alias("__P"),
+                F.sum("__xa").cast("long").alias("__H"),
+                F.sum("__xb").cast("long").alias("__T")))
+    g = per.crossJoin(F.broadcast(glob))
+    nD = F.col("__n").cast(dec)
+    sD = F.col("__S").cast(dec)
+    num = (nD * nD * F.col("__P")
+           - nD * sD * (F.col("__H") + F.col("__T")).cast(dec)
+           + (F.col("__n") - F.col("lag")).cast(dec) * (sD * sD))
+    den = nD * (nD * F.col("__sxx") - sD * sD)
+    return (g.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.round(F.when(den != 0,
+                       num.cast("double") / den.cast("double")), round_dp)
+         .alias("acf"))
+        .orderBy("lag"))

@@ -3529,3 +3529,33 @@ def test_mutual_best_match_matching_and_symmetry(spark):
     assert len(ids) == len(set(ids))
     for r in out:
         assert r.cosine > 0.97
+
+
+def test_acf_counts_alternating_and_gaps(spark):
+    """A strict period-2 series over the observed hour span: the dense
+    grid anchors at the data's own min/max hour, so events on hours
+    0,2,4,6 give x=[1,0,1,0,1,0,1] (n=7 — no trailing zero); the quiet
+    hours enter as ZEROS and brute-force full-mean ACF pins every
+    lag (r1 = -6/7)."""
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.temporal import acf_counts
+
+    t0 = datetime(2024, 3, 1)
+    rows = [(t0 + timedelta(hours=h),) for h in range(0, 8, 2)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.lag: r.acf for r in
+           acf_counts(df, "ts", max_lag=3).collect()}
+    x = [1, 0, 1, 0, 1, 0, 1]
+    n = len(x)
+    mean = sum(x) / n
+    den = sum((v - mean) ** 2 for v in x)
+    for k in (1, 2, 3):
+        num = sum((x[t] - mean) * (x[t + k] - mean) for t in range(n - k))
+        assert abs(out[k] - num / den) < 1e-6
+    assert out[1] == round(-6 / 7, 6)
+
+    # constant series: zero variance -> NULL
+    flat = spark.createDataFrame(
+        [(t0 + timedelta(hours=h),) for h in range(5)], "ts timestamp")
+    o2 = acf_counts(flat, "ts", max_lag=2).collect()
+    assert all(r.acf is None for r in o2)
