@@ -2316,7 +2316,7 @@ DRIVER_PRIORITY = [
     "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
-    "acf_hourly_events",
+    "acf_hourly_events", "qte_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9692,3 +9692,44 @@ def acf_hourly_events(spark, sf_dir):
     from .operators.temporal import acf_counts
     ev = read_table(spark, sf_dir, "events")
     return acf_counts(ev, "ts", max_lag=24, bucket_s=3600)
+
+
+@query("qte_report_events", oracle=_mat(f"""
+WITH peru AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+           AS o
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)", "exp1")})
+              < 5000 THEN 'a' ELSE 'b' END AS g, o
+  FROM peru),
+hist AS (
+  SELECT g, o AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM armed GROUP BY g, o),
+cum AS (
+  SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM armed GROUP BY g),
+ii AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d)
+SELECT d AS decile,
+       MIN(CASE WHEN g = 'a' AND cm * 10 >= n * d THEN v END) AS q_a_cents,
+       MIN(CASE WHEN g = 'b' AND cm * 10 >= n * d THEN v END) AS q_b_cents,
+       MIN(CASE WHEN g = 'b' AND cm * 10 >= n * d THEN v END)
+         - MIN(CASE WHEN g = 'a' AND cm * 10 >= n * d THEN v END)
+         AS qte_cents
+FROM cum JOIN tot USING (g) CROSS JOIN ii
+GROUP BY d"""))
+def qte_report_events(spark, sf_dir):
+    """EXT R226: quantile treatment effect over per-user purchase
+    revenue — exact per-arm deciles (same sha 'exp1' arms as R123/R197)
+    and their integer-cents differences; the shape-level readout the
+    mean-effect z cannot give. Zero floats end to end."""
+    from .operators.analytics import quantile_treatment_effect
+    ev = read_table(spark, sf_dir, "events")
+    return quantile_treatment_effect(
+        ev, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long")))

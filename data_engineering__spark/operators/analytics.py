@@ -2358,3 +2358,57 @@ def brier_decomposition(df: DataFrame, score_int, label_bool,
         F.round(unc, round_dp).alias("uncertainty"),
         F.round(F.when(ok, bs - (rel - res + unc)), round_dp)
          .alias("within_bin_var"))
+
+
+def quantile_treatment_effect(df: DataFrame, user_col: str, outcome_when,
+                              salt: str = "exp1", buckets: int = 10_000,
+                              n_bins: int = 10) -> DataFrame:
+    """EXT (R226, round 6): quantile treatment effect — the per-decile
+    difference q_B(p) − q_A(p) between the arms' per-user outcome
+    distributions. The average effect (R123's z, R197's CUPED) can be
+    zero while the treatment moves the whole SHAPE (lifts the median,
+    crushes the tail); the QTE profile is where heterogeneous effects
+    show. Arms are the same sha-bucket 50/50 assignment as the rest of
+    the experimentation family (rerun/append/repartition-stable);
+    per-user outcome = Σ of ``outcome_when`` (intention-to-treat: every
+    user counts, non-converters at 0).
+
+    Exactness: TOTAL — there is no float anywhere. Quantiles are the
+    exact k-th smallest at k = ceil(n·p) (the ``_quantile_bounds``
+    integer rule: cum·bins ≥ n·i on a per-arm value histogram), and
+    the effect is an integer difference of integer cents.
+
+    Scale shape: one shuffle to the per-user grain, map-side histogram
+    collapse, per-arm cumulative windows over DISTINCT outcome values
+    only, one ≤ (bins−1)-row final aggregate. No sort of users, no
+    NTILE."""
+    from .sampling import hash_bucket
+
+    users = (df.groupBy(F.col(user_col).alias("__u"))
+             .agg(F.coalesce(F.sum(outcome_when), F.lit(0))
+                  .cast("long").alias("__o")))
+    arm_a = hash_bucket(F.col("__u"), buckets, salt) < buckets // 2
+    armed = users.select(
+        F.when(arm_a, F.lit("a")).otherwise(F.lit("b")).alias("__g"), "__o")
+    hist = armed.groupBy("__g", F.col("__o").alias("__v")) \
+                .agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.partitionBy("__g").orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = armed.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    dd = F.explode(F.sequence(F.lit(1), F.lit(n_bins - 1))).alias("__d")
+    ds = df.sparkSession.range(1).select(dd)
+    q = (cum.join(tot, "__g").crossJoin(F.broadcast(ds))
+         .groupBy("__d")
+         .agg(F.min(F.when((F.col("__g") == "a")
+                           & (F.col("__cum") * n_bins
+                              >= F.col("__n") * F.col("__d")),
+                           F.col("__v"))).alias("q_a_cents"),
+              F.min(F.when((F.col("__g") == "b")
+                           & (F.col("__cum") * n_bins
+                              >= F.col("__n") * F.col("__d")),
+                           F.col("__v"))).alias("q_b_cents")))
+    return q.select(
+        F.col("__d").cast("long").alias("decile"),
+        "q_a_cents", "q_b_cents",
+        (F.col("q_b_cents") - F.col("q_a_cents")).alias("qte_cents"))

@@ -3559,3 +3559,44 @@ def test_acf_counts_alternating_and_gaps(spark):
         [(t0 + timedelta(hours=h),) for h in range(5)], "ts timestamp")
     o2 = acf_counts(flat, "ts", max_lag=2).collect()
     assert all(r.acf is None for r in o2)
+
+
+def test_qte_exact_deciles_and_itt(spark):
+    """Hand-checkable arms via a tiny bucket count is impossible (sha
+    assignment), so instead pin the quantile RULE: with all users in
+    known arms (found by probing the hash), the k=ceil(n*p) rule picks
+    exact order statistics, non-converters count as 0 (ITT), and
+    qte = q_b - q_a is an integer."""
+    from data_engineering__spark.operators.analytics import (
+        quantile_treatment_effect,
+    )
+    from data_engineering__spark.operators.sampling import hash_bucket
+
+    # discover arm assignment for user ids 0..19 under the test salt
+    probe = spark.range(20).select(
+        F.col("id"), (hash_bucket(F.col("id"), 10_000, "exp1") < 5000)
+        .alias("is_a")).collect()
+    a_ids = [r.id for r in probe if r.is_a]
+    b_ids = [r.id for r in probe if not r.is_a]
+    assert len(a_ids) >= 3 and len(b_ids) >= 3
+    # give arm-a users outcome 100*(rank+1), arm-b users 1000*(rank+1)
+    rows = []
+    for k, u in enumerate(a_ids):
+        rows.append((u, "purchase", float(k + 1)))        # 100*(k+1) cents
+    for k, u in enumerate(b_ids):
+        rows.append((u, "purchase", float(10 * (k + 1))))
+    rows.append((a_ids[0], "view", 999.0))                # ignored by pred
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    out = {r.decile: r for r in quantile_treatment_effect(
+        df, "user_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))).collect()}
+    import math
+    av = sorted(100 * (k + 1) for k in range(len(a_ids)))
+    bv = sorted(1000 * (k + 1) for k in range(len(b_ids)))
+    for d in range(1, 10):
+        qa = av[math.ceil(len(av) * d / 10) - 1]
+        qb = bv[math.ceil(len(bv) * d / 10) - 1]
+        assert out[d].q_a_cents == qa and out[d].q_b_cents == qb
+        assert out[d].qte_cents == qb - qa
