@@ -2316,7 +2316,7 @@ DRIVER_PRIORITY = [
     "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
-    "acf_hourly_events", "qte_report_events",
+    "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9733,3 +9733,50 @@ def qte_report_events(spark, sf_dir):
         ev, "user_id",
         F.when(F.col("event_type") == "purchase",
                F.round(F.col("value") * 100).cast("long")))
+
+
+@query("anova_value_event_type", oracle=_mat("""
+WITH base AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(v) AS HUGEINT) AS sg,
+         SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qg
+  FROM base GROUP BY g),
+cum AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY g) AS rn,
+         COUNT(*) OVER () AS k,
+         SUM(ng) OVER () AS n,
+         SUM(sg) OVER () AS s,
+         SUM(qg) OVER () AS q,
+         SUM((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+             / CAST(ng AS DOUBLE))
+           OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS bsum
+  FROM pg),
+fin AS (
+  SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+         bsum - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / CAST(n AS DOUBLE) AS ss_b,
+         CAST(q AS DOUBLE) - bsum AS ss_w,
+         CAST(q AS DOUBLE)
+           - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / CAST(n AS DOUBLE) AS ss_tot
+  FROM cum WHERE rn = k)
+SELECT k_groups, n,
+       ROUND(ss_b, 6) AS ss_between,
+       ROUND(ss_w, 6) AS ss_within,
+       ROUND(CASE WHEN k_groups > 1 AND n > k_groups AND ss_w > 0 THEN
+         (ss_b / (CAST(k_groups AS DOUBLE) - 1.0))
+           / (ss_w / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+       END, 6) AS f_stat,
+       ROUND(CASE WHEN ss_tot > 0 THEN ss_b / ss_tot END, 6) AS eta_sq
+FROM fin"""))
+def anova_value_event_type(spark, sf_dir):
+    """EXT R227: exact one-way ANOVA of event value (cents) across the
+    five event types — SS split, F, and η² from exact integer moments;
+    the K-group gate run before any pairwise test. One hash aggregate
+    over the fact table, then K-row windows."""
+    from .operators.analytics import anova_oneway
+    ev = read_table(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", F.round(F.col("value") * 100))

@@ -2412,3 +2412,63 @@ def quantile_treatment_effect(df: DataFrame, user_col: str, outcome_when,
         F.col("__d").cast("long").alias("decile"),
         "q_a_cents", "q_b_cents",
         (F.col("q_b_cents") - F.col("q_a_cents")).alias("qte_cents"))
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_int,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R227, round 6): exact one-way ANOVA — the K-group
+    generalization the two-arm experiment family stops short of:
+    SS_between / SS_within, F = (SS_b/(K−1))/(SS_w/(n−K)), and η² (the
+    variance share the grouping explains — the effect size a bare F
+    hides). The triage question it answers: does event_type / segment /
+    source matter AT ALL for this metric, before pairwise tests.
+
+    Exactness: per-group n_g, S_g, Σx² are exact integers
+    (decimal(38,0)); SS_tot = Σx² − S²/n and each S_g²/n_g are ONE
+    IEEE division each; the K per-group terms sum under an ordered
+    window on the group key (fixed addition order); F and η² are
+    fixed-shape finals with K>1 / n>K / SS_w>0 guards.
+
+    Scale shape: one map-side-partial hash aggregate to K group rows,
+    then K-row windows — the statistic costs exactly one aggregation
+    over the fact table."""
+    dec = "decimal(38,0)"
+    base = df.select(F.col(group_col).cast("string").alias("__g"),
+                     value_int.cast("long").alias("__v"))
+    g = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(F.col("__v").cast(dec)).alias("__sg"),
+        F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec))
+         .alias("__qg"))
+    term = ((F.col("__sg").cast("double") * F.col("__sg").cast("double"))
+            / F.col("__ng").cast("double"))
+    wk = Window.orderBy("__g")
+    wc = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = (g.select(
+        F.row_number().over(wk).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__k"),
+        F.sum("__ng").over(wn).alias("__n"),
+        F.sum("__sg").over(wn).alias("__s"),
+        F.sum("__qg").over(wn).alias("__q"),
+        F.sum(term).over(wc).alias("__bsum"))
+        .filter(F.col("__rn") == F.col("__k")))
+    nd = F.col("__n").cast("double")
+    corr = ((F.col("__s").cast("double") * F.col("__s").cast("double"))
+            / nd)
+    ss_tot = F.col("__q").cast("double") - corr
+    ss_b = F.col("__bsum") - corr
+    ss_w = F.col("__q").cast("double") - F.col("__bsum")
+    kd = F.col("__k").cast("double")
+    f_ok = ((F.col("__k") > 1) & (F.col("__n") > F.col("__k"))
+            & (ss_w > 0))
+    f_stat = (ss_b / (kd - F.lit(1.0))) / (ss_w / (nd - kd))
+    eta = ss_b / ss_tot
+    return cum.select(
+        F.col("__k").alias("k_groups"),
+        F.col("__n").alias("n"),
+        F.round(ss_b, round_dp).alias("ss_between"),
+        F.round(ss_w, round_dp).alias("ss_within"),
+        F.round(F.when(f_ok, f_stat), round_dp).alias("f_stat"),
+        F.round(F.when(ss_tot > 0, eta), round_dp).alias("eta_sq"))

@@ -3600,3 +3600,42 @@ def test_qte_exact_deciles_and_itt(spark):
         qb = bv[math.ceil(len(bv) * d / 10) - 1]
         assert out[d].q_a_cents == qa and out[d].q_b_cents == qb
         assert out[d].qte_cents == qb - qa
+
+
+def test_anova_oneway_brute_force_and_edges(spark):
+    """Groups [1,2,3], [4,5,6], [7,8,9]: brute-force SS split pins every
+    output; a grand shift leaves SS invariant; one-group and
+    zero-within-variance inputs hit the NULL guards."""
+    from data_engineering__spark.operators.analytics import anova_oneway
+
+    vals = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = anova_oneway(df, "g", F.col("v")).collect()[0]
+    allv = [v for vs in vals.values() for v in vs]
+    n = len(allv)
+    gm = sum(allv) / n
+    ss_tot = sum((v - gm) ** 2 for v in allv)
+    ss_b = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2
+               for vs in vals.values())
+    ss_w = ss_tot - ss_b
+    k = 3
+    f = (ss_b / (k - 1)) / (ss_w / (n - k))
+    assert out.k_groups == 3 and out.n == 9
+    assert abs(out.ss_between - ss_b) < 1e-6
+    assert abs(out.ss_within - ss_w) < 1e-6
+    assert abs(out.f_stat - f) < 1e-5
+    assert abs(out.eta_sq - ss_b / ss_tot) < 1e-6
+
+    shifted = spark.createDataFrame(
+        [(g, v + 1000) for g, v in rows], "g string, v long")
+    o2 = anova_oneway(shifted, "g", F.col("v")).collect()[0]
+    assert o2.ss_between == out.ss_between and o2.ss_within == out.ss_within
+
+    one = spark.createDataFrame([("a", 1), ("a", 5)], "g string, v long")
+    assert anova_oneway(one, "g", F.col("v")).collect()[0].f_stat is None
+
+    const = spark.createDataFrame(
+        [("a", 2), ("a", 2), ("b", 7), ("b", 7)], "g string, v long")
+    o3 = anova_oneway(const, "g", F.col("v")).collect()[0]
+    assert o3.f_stat is None and o3.eta_sq == 1.0
