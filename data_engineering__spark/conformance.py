@@ -2317,6 +2317,7 @@ DRIVER_PRIORITY = [
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
+    "retention_halflife_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9780,3 +9781,62 @@ def anova_value_event_type(spark, sf_dir):
     from .operators.analytics import anova_oneway
     ev = read_table(spark, sf_dir, "events")
     return anova_oneway(ev, "event_type", F.round(F.col("value") * 100))
+
+
+@query("retention_halflife_events", oracle=_mat("""
+WITH act AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_us(ts) // 1000000) // 604800 AS w
+  FROM events),
+cohort AS (SELECT u, MIN(w) AS cw FROM act GROUP BY u),
+sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM cohort GROUP BY cw),
+anchor AS (SELECT MAX(w) AS maxw, MIN(w) AS minw FROM act),
+ret AS (
+  SELECT cw, a.w - cw AS k, CAST(COUNT(DISTINCT a.u) AS BIGINT) AS m
+  FROM act a JOIN cohort c ON a.u = c.u
+  GROUP BY cw, a.w - cw),
+ks AS (
+  SELECT CAST(unnest(range(1, maxw - minw + 1)) AS BIGINT) AS k,
+         cw, sz, maxw - cw AS hz
+  FROM sizes CROSS JOIN anchor),
+den AS (SELECT k, CAST(SUM(sz) AS BIGINT) AS dn
+        FROM ks WHERE hz >= k GROUP BY k),
+num AS (SELECT k, CAST(SUM(m) AS BIGINT) AS nm
+        FROM ret WHERE k >= 1 GROUP BY k),
+pts AS (
+  SELECT den.k, LN(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)) AS y
+  FROM den JOIN num ON den.k = num.k WHERE nm > 0),
+cum AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY k) AS rn,
+         COUNT(*) OVER () AS n,
+         SUM(k) OVER () AS sx,
+         SUM(k * k) OVER () AS sxx,
+         SUM(y) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS sy,
+         SUM(CAST(k AS DOUBLE) * y)
+           OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS sxy,
+         SUM(y * y) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS syy
+  FROM pts),
+fin AS (
+  SELECT CAST(n AS BIGINT) AS n_points,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cxy,
+         CAST(n AS DOUBLE) * syy - sy * sy AS vy
+  FROM cum WHERE rn = n)
+SELECT n_points,
+       ROUND(CASE WHEN vx > 0 THEN cxy / vx END, 6) AS decay_per_week,
+       ROUND(CASE WHEN vx > 0 AND cxy / vx < 0
+                  THEN LN(2.0) / (-(cxy / vx)) END, 6)
+         AS half_life_weeks,
+       ROUND(CASE WHEN vx > 0 AND vy > 0
+                  THEN (cxy * cxy) / (vx * vy) END, 6) AS r2
+FROM fin"""))
+def retention_halflife_events(spark, sf_dir):
+    """EXT R228: retention half-life — ln-linear decay fit over the
+    horizon-corrected aggregate retention curve (offset k's denominator
+    counts only cohorts observable at k); decay rate, ln2/(−b)
+    half-life, and R² exponential-fit quality. The one-number summary
+    of the R70 matrix."""
+    from .operators.analytics import retention_halflife
+    return retention_halflife(read_table(spark, sf_dir, "events"))

@@ -2472,3 +2472,85 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
         F.round(ss_w, round_dp).alias("ss_within"),
         F.round(F.when(f_ok, f_stat), round_dp).alias("f_stat"),
         F.round(F.when(ss_tot > 0, eta), round_dp).alias("eta_sq"))
+
+
+def retention_halflife(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (R228, round 6): retention half-life — fit ln(retention) =
+    a + b·k over the aggregate weekly retention curve and report the
+    decay rate and half-life ln2/(−b). The single number a growth team
+    quotes from the R70 retention matrix; the fit also yields R² (how
+    exponential the decay actually is — a flattening curve means a
+    retained core, not exponential churn).
+
+    The curve is HORIZON-CORRECTED: offset k's denominator counts only
+    cohorts old enough to be observable at k (Σ sizes where
+    max_week − cohort_week ≥ k) — naive division by all users fakes
+    decay from cohort age mix. Points k ≥ 1 with rate > 0 enter the
+    fit (k = 0 is 1 by construction; zero rates have no ln).
+
+    Exactness: numerators/denominators are exact integers, one IEEE
+    division + ln per point; x-moments (Σk, Σk²) are integers; the
+    float Σy/Σxy/Σy² accumulate under ONE ordered window on k read at
+    the last rank; slope/half-life/R² are fixed-shape finals with
+    variance and slope-sign guards.
+
+    Scale shape: two user-keyed aggregates + one user-keyed join carry
+    the fact table (the R70 shapes); everything after is
+    calendar-sized (cohorts × offsets)."""
+    week = F.floor(F.unix_timestamp(F.col(ts_col)) / WEEK_SECONDS) \
+            .cast("long")
+    act = (events.select(F.col(user_col).alias("__u"), week.alias("__w"))
+           .distinct())
+    cohort = act.groupBy("__u").agg(F.min("__w").alias("__cw"))
+    sizes = cohort.groupBy("__cw").agg(F.count(F.lit(1)).alias("__sz"))
+    anchor = act.agg(F.max("__w").alias("__maxw"), F.min("__w").alias("__minw"))
+    ret = (act.join(cohort, "__u")
+           .groupBy(F.col("__cw"), (F.col("__w") - F.col("__cw"))
+                    .alias("__k"))
+           .agg(F.count_distinct(F.col("__u")).alias("__m")))
+    elig = (sizes.crossJoin(F.broadcast(anchor))
+            .select("__cw", "__sz",
+                    (F.col("__maxw") - F.col("__cw")).alias("__hz"),
+                    (F.col("__maxw") - F.col("__minw")).alias("__maxk")))
+    ks = (elig.select(F.explode(F.sequence(F.lit(1).cast("long"),
+                                           F.col("__maxk"))).alias("__k"),
+                      "__cw", "__sz", "__hz")
+              .filter(F.col("__hz") >= F.col("__k")))
+    den = ks.groupBy("__k").agg(F.sum("__sz").alias("__den"))
+    num = ret.filter(F.col("__k") >= 1).groupBy("__k") \
+             .agg(F.sum("__m").alias("__num"))
+    pts = (den.join(num, "__k").filter(F.col("__num") > 0)
+           .select("__k",
+                   F.log(F.col("__num").cast("double")
+                         / F.col("__den").cast("double")).alias("__y")))
+    xk = F.col("__k").cast("double")
+    wk = Window.orderBy("__k")
+    wc = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    cum = (pts.select(
+        F.row_number().over(wk).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+        F.sum("__k").over(wn).alias("__sx"),
+        F.sum(F.col("__k") * F.col("__k")).over(wn).alias("__sxx"),
+        F.sum("__y").over(wc).alias("__sy"),
+        F.sum(xk * F.col("__y")).over(wc).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).over(wc).alias("__syy"))
+        .filter(F.col("__rn") == F.col("__n")))
+    nd = F.col("__n").cast("double")
+    sxd = F.col("__sx").cast("double")
+    sxxd = F.col("__sxx").cast("double")
+    vx = nd * sxxd - sxd * sxd
+    cxy = nd * F.col("__sxy") - sxd * F.col("__sy")
+    vy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cxy / vx
+    return cum.select(
+        F.col("__n").alias("n_points"),
+        F.round(F.when(vx > 0, slope), round_dp).alias("decay_per_week"),
+        F.round(F.when((vx > 0) & (slope < 0),
+                       F.log(F.lit(2.0)) / (-slope)), round_dp)
+         .alias("half_life_weeks"),
+        F.round(F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy)),
+                round_dp).alias("r2"))

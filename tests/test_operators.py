@@ -3639,3 +3639,37 @@ def test_anova_oneway_brute_force_and_edges(spark):
         [("a", 2), ("a", 2), ("b", 7), ("b", 7)], "g string, v long")
     o3 = anova_oneway(const, "g", F.col("v")).collect()[0]
     assert o3.f_stat is None and o3.eta_sq == 1.0
+
+
+def test_retention_halflife_exact_halving_with_horizon_correction(spark):
+    """Cohort 0 halves every week (4 -> 2 -> 1 actives); a young cohort
+    arriving at the last week must be EXCLUDED from every offset's
+    denominator (it is unobservable there) — with the correction the
+    rates are exactly 1/2 and 1/4, so decay = ln(1/2), half-life = 1.0,
+    R^2 = 1. Without it the denominators would be 6 and nothing halves."""
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import (
+        retention_halflife,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    wk = timedelta(days=7)
+    rows = []
+    for u in range(4):
+        rows.append((u, t0))                     # cohort 0, week 0
+    for u in range(2):
+        rows.append((u, t0 + wk))                # half return week 1
+    rows.append((0, t0 + 2 * wk))                # quarter return week 2
+    rows.extend([(10, t0 + 2 * wk), (11, t0 + 2 * wk)])   # young cohort
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = retention_halflife(df).collect()[0]
+    assert out.n_points == 2
+    assert out.decay_per_week == round(-0.6931471805599453, 6)
+    assert out.half_life_weeks == 1.0
+    assert out.r2 == 1.0
+
+    # single-point curve: zero x-variance -> guarded NULLs
+    few = spark.createDataFrame(
+        [(0, t0), (1, t0), (0, t0 + wk)], "user_id long, ts timestamp")
+    o2 = retention_halflife(few).collect()[0]
+    assert o2.n_points == 1 and o2.decay_per_week is None
