@@ -100,7 +100,7 @@ HEADLINE = [
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
-    "retention_halflife_events",
+    "retention_halflife_events", "eb_return_rates_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

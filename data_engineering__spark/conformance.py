@@ -2317,7 +2317,7 @@ DRIVER_PRIORITY = [
     "theil_decomposition_orders", "kmv_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
-    "retention_halflife_events",
+    "retention_halflife_events", "eb_return_rates_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9840,3 +9840,56 @@ def retention_halflife_events(spark, sf_dir):
     of the R70 matrix."""
     from .operators.analytics import retention_halflife
     return retention_halflife(read_table(spark, sf_dir, "events"))
+
+
+@query("eb_return_rates_brands", oracle=_mat("""
+WITH g AS (
+  SELECT p_brand AS grp, CAST(COUNT(*) AS BIGINT) AS n_trials,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_success
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand),
+tot AS (
+  SELECT grp, n_trials, n_success,
+         SUM(n_trials) OVER () AS nn, SUM(n_success) OVER () AS ss
+  FROM g),
+cum AS (
+  SELECT grp, n_trials, n_success, nn, ss,
+         SUM((CAST(n_trials AS DOUBLE) / CAST(nn AS DOUBLE))
+             * ((CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)
+                 - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))
+                * (CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE)
+                   - CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE))))
+           OVER (ORDER BY grp ROWS UNBOUNDED PRECEDING) AS vc
+  FROM tot),
+fin AS (
+  SELECT grp, n_trials, n_success, nn, ss,
+         MAX(vc) OVER () AS v,
+         CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS m
+  FROM cum),
+mm AS (
+  SELECT *, CASE WHEN v > 0 THEN (m * (1.0 - m)) / v - 1.0 END AS ms
+  FROM fin)
+SELECT grp, n_trials, n_success,
+       ROUND(CAST(n_success AS DOUBLE) / CAST(n_trials AS DOUBLE), 6)
+         AS raw_rate,
+       ROUND(CASE WHEN ms > 0 THEN
+               (CAST(n_success AS DOUBLE) + ms * m)
+                 / (CAST(n_trials AS DOUBLE) + ms)
+             ELSE m END, 6) AS shrunk_rate,
+       ROUND(m, 6) AS pooled_rate,
+       ROUND(CASE WHEN ms > 0 THEN ms END, 6) AS prior_strength
+FROM mm"""))
+def eb_return_rates_brands(spark, sf_dir):
+    """EXT R229: empirical-Bayes shrinkage of per-brand return rates —
+    beta-binomial method-of-moments prior (strength m(1−m)/v − 1 from
+    the n-weighted between-brand rate variance), small brands collapse
+    to the pooled mean, big brands keep their evidence. One broadcast
+    dim join + one hash aggregate to 25 brand rows."""
+    from .operators.analytics import eb_shrunk_rates
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li.l_partkey == p.p_partkey)
+    return eb_shrunk_rates(j, F.col("p_brand"),
+                           F.col("l_returnflag") == "R")

@@ -2554,3 +2554,63 @@ def retention_halflife(events: DataFrame, user_col: str = "user_id",
          .alias("half_life_weeks"),
         F.round(F.when((vx > 0) & (vy > 0), (cxy * cxy) / (vx * vy)),
                 round_dp).alias("r2"))
+
+
+def eb_shrunk_rates(df: DataFrame, group_col, success_pred,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (R229, round 6): empirical-Bayes rate shrinkage — the fix for
+    small-sample-rate leaderboards ("3 returns out of 4 lineitems" is
+    not your worst brand): per-group rates shrink toward the pooled
+    mean with the beta-binomial method-of-moments prior. With pooled
+    m = S/N and the n-weighted between-group variance
+    v = Σ (n_g/N)(r_g − m)², the prior strength is M = m(1−m)/v − 1
+    (the pseudo-count mass of the fitted Beta), and
+    shrunk_g = (s_g + M·m)/(n_g + M) — small groups collapse to m,
+    large groups keep their evidence. Degenerate spreads (v ≤ 0 or
+    M ≤ 0 — groups no more dispersed than binomial noise) report the
+    pooled mean as every group's shrunk rate with M NULL.
+
+    Exactness: n_g, s_g, S, N are exact integers; v's K float terms
+    sum under an ordered window on the group key; m, M, and the
+    shrunk rates are fixed-shape IEEE finals, ROUND-dp.
+
+    Scale shape: ONE map-side-partial hash aggregate to K group rows,
+    then K-row windows — the estimator rides entirely on the group
+    frame."""
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    g = (df.groupBy(gcol.cast("string").alias("grp"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_trials"),
+              F.sum(F.when(success_pred, 1).otherwise(0)).cast("long")
+               .alias("n_success")))
+    wk = Window.orderBy("grp")
+    wc = wk.rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    nN = F.sum("n_trials").over(wn)
+    sS = F.sum("n_success").over(wn)
+    m1 = sS.cast("double") / nN.cast("double")
+    rg = F.col("n_success").cast("double") / F.col("n_trials").cast("double")
+    vterm = (F.col("n_trials").cast("double") / nN.cast("double")) \
+        * ((rg - m1) * (rg - m1))
+    cum = g.select(
+        "grp", "n_trials", "n_success",
+        F.row_number().over(wk).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__k"),
+        nN.alias("__N"), sS.alias("__S"),
+        F.sum(vterm).over(wc).alias("__vc"))
+    cum = cum.withColumn("__v", F.max("__vc").over(wn))
+    m = F.col("__S").cast("double") / F.col("__N").cast("double")
+    mm = F.when(F.col("__v") > 0,
+                (m * (F.lit(1.0) - m)) / F.col("__v") - F.lit(1.0))
+    ok = mm > 0
+    shrunk = F.when(ok, (F.col("n_success").cast("double") + mm * m)
+                        / (F.col("n_trials").cast("double") + mm)) \
+              .otherwise(m)
+    return cum.select(
+        "grp", "n_trials", "n_success",
+        F.round(F.col("n_success").cast("double")
+                / F.col("n_trials").cast("double"), round_dp)
+         .alias("raw_rate"),
+        F.round(shrunk, round_dp).alias("shrunk_rate"),
+        F.round(m, round_dp).alias("pooled_rate"),
+        F.round(F.when(ok, mm), round_dp).alias("prior_strength"))

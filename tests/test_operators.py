@@ -3673,3 +3673,44 @@ def test_retention_halflife_exact_halving_with_horizon_correction(spark):
         [(0, t0), (1, t0), (0, t0 + wk)], "user_id long, ts timestamp")
     o2 = retention_halflife(few).collect()[0]
     assert o2.n_points == 1 and o2.decay_per_week is None
+
+
+def test_eb_shrunk_rates_formula_and_small_sample_pull(spark):
+    """Two big well-separated groups set the prior; a tiny extreme group
+    (3/4) must be pulled far toward the pooled mean while the big
+    groups barely move. The MoM formulas are replayed in Python."""
+    from data_engineering__spark.operators.analytics import eb_shrunk_rates
+
+    spec = {"big_lo": (1000, 100), "big_hi": (1000, 300), "tiny": (4, 3)}
+    rows = []
+    for g, (n, s) in spec.items():
+        rows += [(g, 1)] * s + [(g, 0)] * (n - s)
+    df = spark.createDataFrame(rows, "g string, y int")
+    out = {r.grp: r for r in
+           eb_shrunk_rates(df, F.col("g"), F.col("y") == 1).collect()}
+
+    N = sum(n for n, _ in spec.values())
+    S = sum(s for _, s in spec.values())
+    m = S / N
+    v = 0.0
+    for g in sorted(spec):                      # ordered accumulation
+        n, s = spec[g]
+        v += (n / N) * ((s / n - m) ** 2)
+    M = m * (1 - m) / v - 1.0
+    assert M > 0
+    for g, (n, s) in spec.items():
+        exp = (s + M * m) / (n + M)
+        assert abs(out[g].shrunk_rate - exp) < 1e-6
+        assert out[g].raw_rate == round(s / n, 6)
+        assert out[g].prior_strength == round(M, 6)
+    # the tiny group moves much further toward m than the big ones
+    pull = lambda g: abs(out[g].raw_rate - out[g].shrunk_rate)
+    assert pull("tiny") > 10 * pull("big_lo")
+
+    # no overdispersion: two groups at the same rate -> shrunk = pooled
+    flat = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "g string, y int")
+    o2 = {r.grp: r for r in
+          eb_shrunk_rates(flat, F.col("g"), F.col("y") == 1).collect()}
+    assert all(r.shrunk_rate == 0.5 and r.prior_strength is None
+               for r in o2.values())
