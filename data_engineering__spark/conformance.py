@@ -2318,6 +2318,7 @@ DRIVER_PRIORITY = [
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",
+    "ols_price_lineitem",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9893,3 +9894,78 @@ def eb_return_rates_brands(spark, sf_dir):
                 li.l_partkey == p.p_partkey)
     return eb_shrunk_rates(j, F.col("p_brand"),
                            F.col("l_returnflag") == "R")
+
+
+@query("ols_price_lineitem", oracle=_mat("""
+WITH b AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x2
+  FROM lineitem),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+         SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+         SUM(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+         SUM(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM b),
+dets AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                         - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                              - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                              - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det,
+    CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                          - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                              - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)
+                              - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE))
+      AS det0,
+    CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                         - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                              - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                              - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det1,
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                         - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                              - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                              - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      AS det2,
+    CAST(sy AS DOUBLE) AS ryd, CAST(s1y AS DOUBLE) AS r1d,
+    CAST(s2y AS DOUBLE) AS r2d, CAST(syy AS DOUBLE) AS syyd
+  FROM m)
+SELECT n,
+  ROUND(CASE WHEN det <> 0 THEN det0 / det END, 6) AS beta0,
+  ROUND(CASE WHEN det <> 0 THEN det1 / det END, 6) AS beta1,
+  ROUND(CASE WHEN det <> 0 THEN det2 / det END, 6) AS beta2,
+  ROUND(CASE WHEN det <> 0
+              AND syyd - (ryd * ryd) / CAST(n AS DOUBLE) > 0 THEN
+    1.0 - (syyd - ((det0 / det) * ryd + (det1 / det) * r1d
+                   + (det2 / det) * r2d))
+          / (syyd - (ryd * ryd) / CAST(n AS DOUBLE))
+  END, 6) AS r2
+FROM dets"""))
+def ols_price_lineitem(spark, sf_dir):
+    """EXT R230: hedonic two-predictor OLS — extended price (cents) on
+    quantity and discount points, solved in closed form by Cramer's
+    rule on exact integer moments from ONE aggregation; β₁ is the
+    per-unit quantity effect holding discount fixed. Collinear designs
+    report NULL via the det guard."""
+    from .operators.analytics import ols_two_predictors
+    li = read_table(spark, sf_dir, "lineitem")
+    return ols_two_predictors(
+        li, F.round(F.col("l_extendedprice") * 100),
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100))

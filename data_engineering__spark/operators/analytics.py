@@ -2614,3 +2614,64 @@ def eb_shrunk_rates(df: DataFrame, group_col, success_pred,
         F.round(shrunk, round_dp).alias("shrunk_rate"),
         F.round(m, round_dp).alias("pooled_rate"),
         F.round(F.when(ok, mm), round_dp).alias("prior_strength"))
+
+
+def ols_two_predictors(df: DataFrame, y_int, x1_int, x2_int,
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (R230, round 6): multiple linear regression — OLS of y on
+    TWO predictors plus intercept, solved in closed form from the
+    normal equations by Cramer's rule on the 3×3 moment matrix. The
+    step past the simple-slope family (R125 OLS trend, R171 Theil–Sen):
+    β₁ here is the quantity effect HOLDING x₂ FIXED — the partial
+    effect a univariate slope confounds whenever predictors correlate.
+
+    Exactness: all nine moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂,
+    Σx₁y, Σx₂y, plus Σy² for R²) are exact decimal(38,0)/HUGEINT
+    integers from ONE aggregation — addition-order-free; the
+    determinants and β's are fixed-shape IEEE cofactor expressions of
+    those integers, identical text in both engines; det ≠ 0 guards
+    collinear designs (x₂ = a·x₁ + b → every coefficient NULL).
+    R² = 1 − SSE/SST with SSE = Σy² − (β₀Σy + β₁Σx₁y + β₂Σx₂y).
+
+    Scale shape: one map-side-partial scalar aggregate; everything
+    after is a 1-row projection."""
+    dec = "decimal(38,0)"
+    b = df.select(y_int.cast("long").alias("__y"),
+                  x1_int.cast("long").alias("__x1"),
+                  x2_int.cast("long").alias("__x2"))
+    c = lambda col: F.col(col).cast(dec)
+    m = b.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(c("__x1")).alias("__s1"),
+        F.sum(c("__x2")).alias("__s2"),
+        F.sum(c("__y")).alias("__sy"),
+        F.sum(c("__x1") * c("__x1")).alias("__s11"),
+        F.sum(c("__x2") * c("__x2")).alias("__s22"),
+        F.sum(c("__x1") * c("__x2")).alias("__s12"),
+        F.sum(c("__x1") * c("__y")).alias("__s1y"),
+        F.sum(c("__x2") * c("__y")).alias("__s2y"),
+        F.sum(c("__y") * c("__y")).alias("__syy"))
+    d = lambda col: F.col(col).cast("double")
+    a_, b_, c_ = d("__n"), d("__s1"), d("__s2")
+    dd, e_, f_ = d("__s1"), d("__s11"), d("__s12")
+    g_, h_, i_ = d("__s2"), d("__s12"), d("__s22")
+    ry, r1, r2v = d("__sy"), d("__s1y"), d("__s2y")
+    det = (a_ * (e_ * i_ - f_ * h_) - b_ * (dd * i_ - f_ * g_)
+           + c_ * (dd * h_ - e_ * g_))
+    det0 = (ry * (e_ * i_ - f_ * h_) - b_ * (r1 * i_ - f_ * r2v)
+            + c_ * (r1 * h_ - e_ * r2v))
+    det1 = (a_ * (r1 * i_ - f_ * r2v) - ry * (dd * i_ - f_ * g_)
+            + c_ * (dd * r2v - r1 * g_))
+    det2 = (a_ * (e_ * r2v - r1 * h_) - b_ * (dd * r2v - r1 * g_)
+            + ry * (dd * h_ - e_ * g_))
+    ok = det != 0
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = d("__syy") - (b0 * ry + b1 * r1 + b2 * r2v)
+    sst = d("__syy") - (ry * ry) / a_
+    return m.select(
+        F.col("__n").alias("n"),
+        F.round(F.when(ok, b0), round_dp).alias("beta0"),
+        F.round(F.when(ok, b1), round_dp).alias("beta1"),
+        F.round(F.when(ok, b2), round_dp).alias("beta2"),
+        F.round(F.when(ok & (sst > 0), F.lit(1.0) - sse / sst),
+                round_dp).alias("r2"))

@@ -3714,3 +3714,40 @@ def test_eb_shrunk_rates_formula_and_small_sample_pull(spark):
           eb_shrunk_rates(flat, F.col("g"), F.col("y") == 1).collect()}
     assert all(r.shrunk_rate == 0.5 and r.prior_strength is None
                for r in o2.values())
+
+
+def test_ols_two_predictors_exact_plane_and_collinear(spark):
+    """Points on the exact plane y = 2 + 3*x1 - 1*x2 recover the betas
+    to the digit with R^2 = 1; a collinear design (x2 = 2*x1) has a
+    singular moment matrix and reports NULL everywhere; numpy lstsq
+    pins a noisy case."""
+    from data_engineering__spark.operators.analytics import (
+        ols_two_predictors,
+    )
+
+    pts = [(1, 0), (0, 1), (2, 1), (3, 5), (4, 2), (7, 3)]
+    rows = [(2 + 3 * x1 - x2, x1, x2) for x1, x2 in pts]
+    df = spark.createDataFrame(rows, "y long, x1 long, x2 long")
+    out = ols_two_predictors(
+        df, F.col("y"), F.col("x1"), F.col("x2")).collect()[0]
+    assert out.beta0 == 2.0 and out.beta1 == 3.0 and out.beta2 == -1.0
+    assert out.r2 == 1.0
+
+    col = spark.createDataFrame(
+        [(5, 1, 2), (7, 2, 4), (9, 3, 6)], "y long, x1 long, x2 long")
+    o2 = ols_two_predictors(
+        col, F.col("y"), F.col("x1"), F.col("x2")).collect()[0]
+    assert o2.beta0 is None and o2.r2 is None
+
+    import numpy as np
+    noisy = [(13, 1, 9), (21, 4, 2), (8, 2, 7), (30, 9, 1), (17, 5, 5),
+             (11, 3, 8), (25, 7, 2)]
+    df3 = spark.createDataFrame(noisy, "y long, x1 long, x2 long")
+    o3 = ols_two_predictors(
+        df3, F.col("y"), F.col("x1"), F.col("x2")).collect()[0]
+    X = np.array([[1, x1, x2] for _, x1, x2 in noisy], dtype=float)
+    yv = np.array([y for y, _, _ in noisy], dtype=float)
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(o3.beta0 - beta[0]) < 1e-5
+    assert abs(o3.beta1 - beta[1]) < 1e-5
+    assert abs(o3.beta2 - beta[2]) < 1e-5
