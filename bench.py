@@ -101,7 +101,7 @@ HEADLINE = [
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",
-    "ols_price_lineitem",
+    "ols_price_lineitem", "covariate_balance_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

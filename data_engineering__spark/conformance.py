@@ -2318,7 +2318,7 @@ DRIVER_PRIORITY = [
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",
-    "ols_price_lineitem",
+    "ols_price_lineitem", "covariate_balance_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -9969,3 +9969,69 @@ def ols_price_lineitem(spark, sf_dir):
         li, F.round(F.col("l_extendedprice") * 100),
         F.col("l_quantity"),
         F.round(F.col("l_discount") * 100))
+
+
+@query("covariate_balance_events", oracle=_mat(f"""
+WITH peru AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT (epoch_us(ts) // 1000000) // 86400 )
+              AS BIGINT) AS active_days,
+         CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)), 0)
+              AS BIGINT) AS total_cents
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)", "exp1")})
+              < 5000 THEN 'a' ELSE 'b' END AS g, *
+  FROM peru),
+base AS (
+  SELECT g, 'n_events' AS cov, n_events AS v FROM armed
+  UNION ALL
+  SELECT g, 'active_days', active_days FROM armed
+  UNION ALL
+  SELECT g, 'total_cents', total_cents FROM armed),
+st AS (
+  SELECT cov, g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS HUGEINT) AS s,
+         SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+  FROM base GROUP BY cov, g),
+mm AS (
+  SELECT cov, g, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CASE WHEN n > 1 THEN
+           (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) END AS vv
+  FROM st),
+piv AS (
+  SELECT cov,
+         MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+         MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+         MAX(CASE WHEN g = 'a' THEN m END) AS ma,
+         MAX(CASE WHEN g = 'b' THEN m END) AS mb,
+         MAX(CASE WHEN g = 'a' THEN vv END) AS va,
+         MAX(CASE WHEN g = 'b' THEN vv END) AS vb
+  FROM mm GROUP BY cov)
+SELECT cov AS covariate, n_a, n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND(CASE WHEN (va + vb) / 2.0 > 0 THEN
+         (ma - mb) / SQRT((va + vb) / 2.0) END, 6) AS smd,
+       CASE WHEN (va + vb) / 2.0 > 0 THEN
+         ABS((ma - mb) / SQRT((va + vb) / 2.0)) > 0.1 END AS imbalanced
+FROM piv"""))
+def covariate_balance_events(spark, sf_dir):
+    """EXT R231: covariate balance / randomization check — standardized
+    mean differences between the sha 'exp1' arms for three pre-period
+    user covariates (event count, distinct active days, total value
+    cents); |SMD| > 0.1 flags the imbalance that invalidates a naive
+    mean readout. One per-user shuffle + one struct explode + one hash
+    aggregate."""
+    from .operators.analytics import covariate_balance
+    ev = read_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+    return covariate_balance(
+        ev, "user_id",
+        {"n_events": F.count(F.lit(1)),
+         "active_days": F.count_distinct(day),
+         "total_cents": F.coalesce(
+             F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))})

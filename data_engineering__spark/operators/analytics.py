@@ -2675,3 +2675,77 @@ def ols_two_predictors(df: DataFrame, y_int, x1_int, x2_int,
         F.round(F.when(ok, b2), round_dp).alias("beta2"),
         F.round(F.when(ok & (sst > 0), F.lit(1.0) - sse / sst),
                 round_dp).alias("r2"))
+
+
+def covariate_balance(df: DataFrame, user_col: str, covariates: dict,
+                      salt: str = "exp1", buckets: int = 10_000,
+                      round_dp: int = 6) -> DataFrame:
+    """EXT (R231, round 6): covariate balance report — the randomization
+    check every experiment readout should precede: per pre-treatment
+    covariate, the standardized mean difference between arms,
+    SMD = (μ_A − μ_B)/√((v_A+v_B)/2). |SMD| > 0.1 is the conventional
+    imbalance flag; an imbalanced covariate means the sha assignment
+    collided with structure (or the covariate leaks treatment) and the
+    mean-effect readout needs CUPED/stratification (R197/R214).
+
+    ``covariates``: name → per-user AGGREGATE expression over the
+    user's rows (e.g. ``F.count(F.lit(1))``, each cast to long by the
+    caller). Arms are the family's sha-bucket 50/50 assignment.
+
+    Exactness: per-(covariate, arm) n, Σx, Σx² are exact
+    decimal(38,0)/HUGEINT integers (the per-user frame explodes its
+    covariate STRUCT once — one scan for all covariates); means,
+    sample variances ((nΣx² − S²)/(n(n−1))), and SMD are fixed-shape
+    IEEE finals with n>1 / pooled-variance>0 guards.
+
+    Scale shape: one shuffle to the per-user grain, one explode (×
+    n_covariates on user-count rows), one hash aggregate to
+    2·n_covariates rows."""
+    users = df.groupBy(F.col(user_col).alias("__u")).agg(
+        *[expr.cast("long").alias(f"__c_{name}")
+          for name, expr in covariates.items()])
+    from .sampling import hash_bucket
+    arm = F.when(hash_bucket(F.col("__u"), buckets, salt)
+                 < buckets // 2, F.lit("a")).otherwise(F.lit("b"))
+    structs = F.array(*[
+        F.struct(F.lit(name).alias("cov"),
+                 F.col(f"__c_{name}").alias("v"))
+        for name in covariates])
+    base = users.select(arm.alias("__g"),
+                        F.explode(structs).alias("__p")) \
+                .select("__g", "__p.cov", "__p.v")
+    dec = "decimal(38,0)"
+    g = base.groupBy("cov", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("v").cast(dec)).alias("__s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("__q"))
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = F.when(F.col("__n") > 1,
+                 (nd * F.col("__q").cast("double")
+                  - F.col("__s").cast("double")
+                    * F.col("__s").cast("double"))
+                 / (nd * (nd - F.lit(1.0))))
+    piv = (g.select("cov", "__g", F.col("__n").alias("n"),
+                    mean.alias("m"), var.alias("vv"))
+           .groupBy("cov")
+           .agg(F.max(F.when(F.col("__g") == "a", F.col("n")))
+                 .alias("n_a"),
+                F.max(F.when(F.col("__g") == "b", F.col("n")))
+                 .alias("n_b"),
+                F.max(F.when(F.col("__g") == "a", F.col("m")))
+                 .alias("__ma"),
+                F.max(F.when(F.col("__g") == "b", F.col("m")))
+                 .alias("__mb"),
+                F.max(F.when(F.col("__g") == "a", F.col("vv")))
+                 .alias("__va"),
+                F.max(F.when(F.col("__g") == "b", F.col("vv")))
+                 .alias("__vb")))
+    pooled = (F.col("__va") + F.col("__vb")) / F.lit(2.0)
+    smd = (F.col("__ma") - F.col("__mb")) / F.sqrt(pooled)
+    return piv.select(
+        F.col("cov").alias("covariate"), "n_a", "n_b",
+        F.round("__ma", round_dp).alias("mean_a"),
+        F.round("__mb", round_dp).alias("mean_b"),
+        F.round(F.when(pooled > 0, smd), round_dp).alias("smd"),
+        F.when(pooled > 0, F.abs(smd) > 0.1).alias("imbalanced"))

@@ -3751,3 +3751,39 @@ def test_ols_two_predictors_exact_plane_and_collinear(spark):
     assert abs(o3.beta0 - beta[0]) < 1e-5
     assert abs(o3.beta1 - beta[1]) < 1e-5
     assert abs(o3.beta2 - beta[2]) < 1e-5
+
+
+def test_covariate_balance_smd_formula(spark):
+    """Arms are discovered by probing the sha assignment; covariate
+    means/variances/SMD are replayed in Python; a covariate CONSTANT
+    within both arms has zero pooled variance -> NULL SMD."""
+    from data_engineering__spark.operators.analytics import (
+        covariate_balance,
+    )
+    from data_engineering__spark.operators.sampling import hash_bucket
+
+    probe = spark.range(30).select(
+        F.col("id"), (hash_bucket(F.col("id"), 10_000, "exp1") < 5000)
+        .alias("is_a")).collect()
+    arms = {r.id: ("a" if r.is_a else "b") for r in probe}
+    # each user gets (id % 4) + 1 events
+    rows = [(u,) for u in arms for _ in range((u % 4) + 1)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = {r.covariate: r for r in covariate_balance(
+        df, "user_id",
+        {"n_events": F.count(F.lit(1)),
+         "const_one": F.max(F.lit(1))}).collect()}
+
+    import statistics
+    per = {u: (u % 4) + 1 for u in arms}
+    va = [per[u] for u in arms if arms[u] == "a"]
+    vb = [per[u] for u in arms if arms[u] == "b"]
+    r = out["n_events"]
+    assert r.n_a == len(va) and r.n_b == len(vb)
+    assert r.mean_a == round(statistics.mean(va), 6)
+    assert r.mean_b == round(statistics.mean(vb), 6)
+    pooled = (statistics.variance(va) + statistics.variance(vb)) / 2
+    smd = (statistics.mean(va) - statistics.mean(vb)) / pooled ** 0.5
+    assert abs(r.smd - smd) < 1e-6
+    assert r.imbalanced == (abs(smd) > 0.1)
+    assert out["const_one"].smd is None
