@@ -2319,6 +2319,7 @@ DRIVER_PRIORITY = [
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",
     "ols_price_lineitem", "covariate_balance_events",
+    "cm_selfjoin_size_lineitem",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10035,3 +10036,41 @@ def covariate_balance_events(spark, sf_dir):
          "active_days": F.count_distinct(day),
          "total_cents": F.coalesce(
              F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0))})
+
+
+@query("cm_selfjoin_size_lineitem", oracle=_mat("""
+WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem),
+slots AS (
+  SELECT d,
+         CAST(('0x' || substr(sha256('cm|' || CAST(d AS VARCHAR) || '|'
+                                     || key), 1, 8)) AS BIGINT) % 256
+           AS slot
+  FROM keys CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS d) ds),
+cm AS (
+  SELECT d, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM slots GROUP BY d, slot),
+est AS (
+  SELECT MIN(e) AS est FROM (
+    SELECT d, SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS e
+    FROM cm GROUP BY d)),
+freq AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS f FROM keys GROUP BY key),
+exact AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         SUM(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS f2
+  FROM freq)
+SELECT n_rows, n_keys, CAST(f2 AS BIGINT) AS exact_f2,
+       CAST(est AS BIGINT) AS cm_estimate,
+       CAST(est - f2 AS BIGINT) AS overestimate,
+       ROUND((CAST(est AS DOUBLE) - CAST(f2 AS DOUBLE))
+             / CAST(f2 AS DOUBLE), 6) AS rel_error
+FROM exact CROSS JOIN est"""))
+def cm_selfjoin_size_lineitem(spark, sf_dir):
+    """EXT R232: AMS/Count-Min self-join size — exact F₂ = Σf(partkey)²
+    (= |lineitem ⋈ lineitem| on partkey, the optimizer's join-size /
+    skew number) vs the sketch inner product (min over depth rows of
+    Σ cnt²); est ≥ exact by construction, rel_error makes the ε·n²
+    bound observable. Same portable sha slots as R147."""
+    from .operators.sketches import cm_selfjoin_size
+    li = read_table(spark, sf_dir, "lineitem")
+    return cm_selfjoin_size(li, "l_partkey")

@@ -416,3 +416,53 @@ def kmv_set_ops_check(df: DataFrame, key_col: str, label_col,
                 / F.col("union_exact").cast("double"), 6)
          .alias("jaccard_exact"),
         F.round(rho, 6).alias("jaccard_est"))
+
+
+def cm_selfjoin_size(df: DataFrame, key_col: str, depth: int = 4,
+                     width: int = 256, salt: str = "cm",
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (R232, round 6): join-size estimation from sketches — the
+    AMS/Count-Min inner product. The self-join size F₂ = Σ_k f(k)² IS
+    |A ⋈ A| on the key, the number the optimizer needs before picking
+    a join strategy and the canonical skew statistic (F₂ ≫ n²/n_keys
+    means a hot key). The CM estimate is Σ_slots cnt² per sketch row,
+    MIN over the depth rows — est ≥ exact always (collisions only
+    add), with the classic ε·n² error bound, and the sketches are
+    mergeable, so per-partition/day sketches answer join-size
+    questions without rescans.
+
+    Report: (n_rows, n_keys, exact_f2, cm_estimate, overestimate,
+    rel_error) — the accuracy contract observable before anyone trusts
+    the sketch at fleet scale.
+
+    Exactness: frequencies, squares, and both F₂ sums are exact
+    decimal(38,0)/HUGEINT integers (addition-order-free); rel_error is
+    the single IEEE division, ROUND-dp.
+
+    Scale shape: the sketch side is ONE aggregation to depth×width
+    bounded state + a depth-row reduce; the exact side (one
+    frequency aggregation) exists only because this IS the accuracy
+    report."""
+    dec = "decimal(38,0)"
+    cm = countmin_build(df, key_col, depth, width, salt)
+    est = (cm.groupBy("d")
+           .agg(F.sum(F.col("cnt").cast(dec) * F.col("cnt").cast(dec))
+                .alias("__e"))
+           .agg(F.min("__e").alias("__est")))
+    freq = df.groupBy(F.col(key_col).alias("__k")) \
+             .agg(F.count(F.lit(1)).alias("__f"))
+    exact = freq.agg(
+        F.sum("__f").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("__f").cast(dec) * F.col("__f").cast(dec))
+         .alias("__f2"))
+    j = exact.crossJoin(F.broadcast(est))
+    return j.select(
+        "n_rows", "n_keys",
+        F.col("__f2").cast("long").alias("exact_f2"),
+        F.col("__est").cast("long").alias("cm_estimate"),
+        (F.col("__est") - F.col("__f2")).cast("long").alias("overestimate"),
+        F.round((F.col("__est").cast("double")
+                 - F.col("__f2").cast("double"))
+                / F.col("__f2").cast("double"), round_dp)
+         .alias("rel_error"))

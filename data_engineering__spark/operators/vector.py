@@ -906,12 +906,18 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
     and a self-join of best-match rows (≤ one row per id)."""
     sub = (df.filter(F.col(id_col) < max_id)
              .select(F.col(id_col).alias("__id"),
-                     as_double_array(vec_col).alias("__v")))
+                     as_double_array(vec_col).alias("__v"))
+             .withColumn("__nv", _norm(F.col("__v"))))
     b = F.broadcast(sub.select(F.col("__id").alias("__jd"),
-                               F.col("__v").alias("__w")))
+                               F.col("__v").alias("__w"),
+                               F.col("__nv").alias("__nw")))
+    # norms are precomputed ONCE per side (not per pair — that tripled
+    # the fold work); the per-pair expression is dot/(n_a·n_b), the
+    # identical IEEE value
     pairs = (sub.join(b, F.col("__id") != F.col("__jd"))
              .select("__id", "__jd",
-                     cosine(F.col("__v"), F.col("__w")).alias("__cos")))
+                     (_dot(F.col("__v"), F.col("__w"))
+                      / (F.col("__nv") * F.col("__nw"))).alias("__cos")))
     w = Window.partitionBy("__id").orderBy(
         F.round("__cos", 6).desc(), F.col("__jd").asc())
     best = (pairs.withColumn("__rn", F.row_number().over(w))

@@ -3787,3 +3787,26 @@ def test_covariate_balance_smd_formula(spark):
     assert abs(r.smd - smd) < 1e-6
     assert r.imbalanced == (abs(smd) > 0.1)
     assert out["const_one"].smd is None
+
+
+def test_cm_selfjoin_size_exact_and_bound(spark):
+    """F2 bookkeeping: keys a,a,a,b,b,c give F2 = 9+4+1 = 14; the CM
+    estimate can only OVERcount (collisions add), and with 3 keys in a
+    256-slot row the sha draw has no collisions, so est == exact. A
+    hot-key input pins F2 = f^2 + tail."""
+    from data_engineering__spark.operators.sketches import cm_selfjoin_size
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string")
+    out = cm_selfjoin_size(df, "k").collect()[0]
+    assert out.n_rows == 6 and out.n_keys == 3
+    assert out.exact_f2 == 14
+    assert out.cm_estimate >= out.exact_f2
+    assert out.cm_estimate == 14 and out.overestimate == 0
+    assert out.rel_error == 0.0
+
+    hot = spark.createDataFrame(
+        [("hot",)] * 100 + [(f"k{i}",) for i in range(10)], "k string")
+    o2 = cm_selfjoin_size(hot, "k").collect()[0]
+    assert o2.exact_f2 == 100 * 100 + 10
+    assert o2.cm_estimate >= o2.exact_f2
