@@ -2319,7 +2319,7 @@ DRIVER_PRIORITY = [
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",
     "ols_price_lineitem", "covariate_balance_events",
-    "cm_selfjoin_size_lineitem",
+    "cm_selfjoin_size_lineitem", "markov_attribution_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10074,3 +10074,132 @@ def cm_selfjoin_size_lineitem(spark, sf_dir):
     from .operators.sketches import cm_selfjoin_size
     li = read_table(spark, sf_dir, "lineitem")
     return cm_selfjoin_size(li, "l_partkey")
+
+
+def _markov_oracle_sql() -> str:
+    """DuckDB twin of ``analytics.markov_attribution`` on events
+    (channels view/click/signup, conversion purchase, event_id
+    tie-break). The probability, Cramer-3×3, and removal-2×2
+    expressions are GENERATED here with the same shapes as the Spark
+    side (left-associative sums/products, identical guard structure),
+    so the two engines evaluate textually identical IEEE formulas over
+    the exact integer transition counts."""
+    chans = ["view", "click", "signup"]
+    dsts = chans + ["conv", "null"]
+    cells = ",\n  ".join(
+        f"COALESCE(SUM(CASE WHEN src = '{s}' AND dst = '{d}' THEN n END), 0)"
+        f" AS n_{s}_{d}"
+        for s in ["S"] + chans for d in dsts)
+
+    def tot(s):
+        parts = f"CAST(n_{s}_{dsts[0]} AS DOUBLE)"
+        for d in dsts[1:]:
+            parts = f"({parts} + CAST(n_{s}_{d} AS DOUBLE))"
+        return parts
+
+    def p(s, d):
+        return (f"(CASE WHEN {tot(s)} > 0 THEN CAST(n_{s}_{d} AS DOUBLE)"
+                f" / {tot(s)} ELSE 0.0 END)")
+
+    c1, c2, c3 = chans
+    q = {(i, j): p(i, j) for i in chans for j in chans}
+    r = {i: p(i, "conv") for i in chans}
+    qs = {j: p("S", j) for j in chans}
+    rs = p("S", "conv")
+    a = {(1, 1): f"(1.0 - {q[(c1, c1)]})", (1, 2): f"(- {q[(c1, c2)]})",
+         (1, 3): f"(- {q[(c1, c3)]})",
+         (2, 1): f"(- {q[(c2, c1)]})", (2, 2): f"(1.0 - {q[(c2, c2)]})",
+         (2, 3): f"(- {q[(c2, c3)]})",
+         (3, 1): f"(- {q[(c3, c1)]})", (3, 2): f"(- {q[(c3, c2)]})",
+         (3, 3): f"(1.0 - {q[(c3, c3)]})"}
+    b = {1: r[c1], 2: r[c2], 3: r[c3]}
+
+    def det3(m1, m2, m3):
+        # columns given as dicts row->expr
+        return (f"({m1[1]} * ({m2[2]} * {m3[3]} - {m2[3]} * {m3[2]})"
+                f" - {m2[1]} * ({m1[2]} * {m3[3]} - {m1[3]} * {m3[2]})"
+                f" + {m3[1]} * ({m1[2]} * {m2[3]} - {m1[3]} * {m2[2]}))")
+
+    col = lambda j: {i: a[(i, j)] for i in (1, 2, 3)}
+    bb = {i: b[i] for i in (1, 2, 3)}
+    det = det3(col(1), col(2), col(3))
+    d1 = det3(bb, col(2), col(3))
+    d2 = det3(col(1), bb, col(3))
+    d3 = det3(col(1), col(2), bb)
+    pch = {c1: f"({d1} / det)", c2: f"({d2} / det)", c3: f"({d3} / det)"}
+    p_full = (f"((({qs[c1]} * {pch[c1]} + {qs[c2]} * {pch[c2]})"
+              f" + {qs[c3]} * {pch[c3]}) + {rs})")
+
+    def removed(k):
+        i, j = [c for c in chans if c != k]
+        dii = f"(1.0 - {q[(i, i)]})"
+        djj = f"(1.0 - {q[(j, j)]})"
+        det2 = f"({dii} * {djj} - {q[(i, j)]} * {q[(j, i)]})"
+        pi = f"(({r[i]} * {djj} + {q[(i, j)]} * {r[j]}) / {det2})"
+        pj = f"(({r[j]} * {dii} + {q[(j, i)]} * {r[i]}) / {det2})"
+        return (f"(({qs[i]} * {pi} + {qs[j]} * {pj}) + {rs})")
+
+    prem = {k: removed(k) for k in chans}
+    re = {k: f"(1.0 - {prem[k]} / p_full)" for k in chans}
+    re_sum = f"(({re[c1]} + {re[c2]}) + {re[c3]})"
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{k}' AS channel,
+  ROUND(CASE WHEN det <> 0 THEN p_full END, 6) AS base_conv_prob,
+  ROUND(CASE WHEN det <> 0 THEN {prem[k]} END, 6) AS removed_conv_prob,
+  ROUND(CASE WHEN det <> 0 AND p_full > 0 THEN {re[k]} END, 6)
+    AS removal_effect,
+  ROUND(CASE WHEN det <> 0 AND p_full > 0 AND {re_sum} > 0
+             THEN {re[k]} / {re_sum} END, 6) AS attribution_share
+FROM solved"""
+        for k in chans)
+    chan_list = ", ".join(f"'{c}'" for c in chans)
+    return f"""
+WITH ev AS (
+  SELECT user_id AS u, ts, event_type AS t, event_id AS tb FROM events),
+firstc AS (SELECT u, MIN(ts) AS cts FROM ev WHERE t = 'purchase'
+           GROUP BY u),
+allu AS (SELECT u, MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS conv
+         FROM ev GROUP BY u),
+touches AS (
+  SELECT ev.u, ev.t, ev.ts, ev.tb
+  FROM ev LEFT JOIN firstc ON ev.u = firstc.u
+  WHERE ev.t IN ({chan_list}) AND (cts IS NULL OR ev.ts < cts)),
+tr AS (
+  SELECT u, t,
+         LAG(t) OVER (PARTITION BY u ORDER BY ts, tb) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, tb) AS rn,
+         COUNT(*) OVER (PARTITION BY u) AS m
+  FROM touches),
+trans AS (
+  SELECT COALESCE(prev, 'S') AS src, t AS dst FROM tr
+  UNION ALL
+  SELECT tr.t, CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END
+  FROM tr JOIN allu ON tr.u = allu.u WHERE rn = m
+  UNION ALL
+  SELECT 'S', CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END
+  FROM allu WHERE u NOT IN (SELECT DISTINCT u FROM touches)),
+counts AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM trans GROUP BY src, dst),
+cells AS (SELECT
+  {cells}
+FROM counts),
+solved AS (
+  SELECT *, {det} AS det, {p_full} AS p_full FROM cells)
+{rows}"""
+
+
+@query("markov_attribution_events", oracle=_mat(_markov_oracle_sql()))
+def markov_attribution_events(spark, sf_dir):
+    """EXT R233: Markov removal-effect attribution over user journeys
+    (view/click/signup touches strictly before first purchase) —
+    absorbing-chain conversion probability solved in CLOSED FORM
+    (Cramer 3×3 + per-removal 2×2, the R230 cofactor shapes), credit =
+    normalized drop in p(conversion) when each channel's transitions
+    redirect to null. The principled upgrade over R110's rule-based
+    attribution."""
+    from .operators.analytics import markov_attribution
+    ev = read_table(spark, sf_dir, "events")
+    return markov_attribution(ev, "user_id", "ts", "event_type",
+                              ["view", "click", "signup"], "purchase",
+                              "event_id")

@@ -2749,3 +2749,154 @@ def covariate_balance(df: DataFrame, user_col: str, covariates: dict,
         F.round("__mb", round_dp).alias("mean_b"),
         F.round(F.when(pooled > 0, smd), round_dp).alias("smd"),
         F.when(pooled > 0, F.abs(smd) > 0.1).alias("imbalanced"))
+
+
+def markov_attribution(events: DataFrame, user_col: str, ts_col: str,
+                       type_col: str, channels: list,
+                       convert_type: str, tiebreak_col: str,
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (R233, round 6): Markov removal-effect attribution — the
+    principled multi-touch upgrade over rule-based attribution (R110's
+    first/last/linear): model user journeys as a first-order Markov
+    chain over THREE channel states plus absorbing conversion/null,
+    and credit each channel by how much the start→conversion
+    probability DROPS when that channel is removed (transitions into
+    it redirect to null — Anderl et al.'s removal effect). Channels
+    that merely appear in converting paths get no credit unless paths
+    actually need them.
+
+    Exactly solved, not simulated: with 3 transient channel states the
+    absorption probabilities come from ONE Cramer 3×3 solve (the R230
+    cofactor shapes) and each removal from a 2×2 solve — closed-form
+    fixed-shape IEEE expressions over exact integer transition counts,
+    no power iteration, no RNG. Journey = the user's channel touches
+    STRICTLY before their first conversion event (all touches if none),
+    ordered by (ts, tiebreak); untouched users contribute the
+    start→absorbing transitions.
+
+    Output: one row per channel — (channel, base_conv_prob,
+    removed_conv_prob, removal_effect = 1 − p'/p, attribution_share =
+    RE/ΣRE), ROUND-dp, with det ≠ 0 / p > 0 / ΣRE > 0 guards.
+
+    Scale shape: one user-keyed first-conversion aggregate, one
+    user-partitioned lag window over touch rows, one (src,dst) hash
+    aggregate to ≤ 20 cells; the driver then holds exactly those 20
+    scalars and runs the closed-form solves in Python doubles (the
+    top_pc_loadings precedent — building them as nested Column trees
+    re-expands shared subexpressions combinatorially and OOMs the
+    planner), with the final ROUND applied by Spark."""
+    assert len(channels) == 3, "closed-form solve is 3-channel"
+    ev = events.select(F.col(user_col).alias("__u"),
+                       F.col(ts_col).alias("__ts"),
+                       F.col(type_col).alias("__t"),
+                       F.col(tiebreak_col).alias("__tb"))
+    firstc = (ev.filter(F.col("__t") == convert_type)
+              .groupBy("__u").agg(F.min("__ts").alias("__cts")))
+    allu = (ev.groupBy("__u")
+            .agg(F.max(F.when(F.col("__t") == convert_type, 1)
+                       .otherwise(0)).alias("__conv")))
+    touches = (ev.filter(F.col("__t").isin(list(channels)))
+               .join(firstc, "__u", "left")
+               .filter(F.col("__cts").isNull()
+                       | (F.col("__ts") < F.col("__cts"))))
+    w = Window.partitionBy("__u").orderBy("__ts", "__tb")
+    wn = Window.partitionBy("__u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    tr = touches.select(
+        "__u", "__t",
+        F.lag("__t").over(w).alias("__prev"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__m"))
+    step = tr.select(F.coalesce(F.col("__prev"), F.lit("S")).alias("src"),
+                     F.col("__t").alias("dst"))
+    last = (tr.filter(F.col("__rn") == F.col("__m"))
+            .join(allu, "__u")
+            .select(F.col("__t").alias("src"),
+                    F.when(F.col("__conv") == 1, F.lit("conv"))
+                     .otherwise(F.lit("null")).alias("dst")))
+    touched = touches.select("__u").distinct()
+    lonely = (allu.join(touched, "__u", "left_anti")
+              .select(F.lit("S").alias("src"),
+                      F.when(F.col("__conv") == 1, F.lit("conv"))
+                       .otherwise(F.lit("null")).alias("dst")))
+    counts = (step.unionByName(last).unionByName(lonely)
+              .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    srcs = ["S"] + list(channels)
+    dsts = list(channels) + ["conv", "null"]
+    cell = {
+        (s, d): F.coalesce(
+            F.sum(F.when((F.col("src") == s) & (F.col("dst") == d),
+                         F.col("n"))), F.lit(0)).cast("long")
+        for s in srcs for d in dsts}
+    m = counts.agg(*[c.alias(f"__n_{s}_{d}")
+                     for (s, d), c in cell.items()])
+    # The closed-form solve runs DRIVER-SIDE on the 20 collected scalar
+    # counts (the top_pc_loadings precedent: distributed work ends at
+    # the aggregation; the driver holds a handful of scalars). Building
+    # the solve as nested Column expressions re-expands every shared
+    # subexpression combinatorially in Catalyst (shares embed removal
+    # solves embed the 3x3 solve embed 9 probabilities embed 5-cell
+    # totals) and OOMs the planner. Python floats are the same IEEE
+    # doubles; the expression SHAPES below match the oracle text, and
+    # the final ROUND is applied by Spark, not Python.
+    row = m.collect()[0]
+    n = {(s, d): row[f"__n_{s}_{d}"] for s in srcs for d in dsts}
+
+    def p(s, d):
+        tot = float(n[(s, dsts[0])])
+        for x in dsts[1:]:
+            tot = tot + float(n[(s, x)])
+        return (float(n[(s, d)]) / tot) if tot > 0 else 0.0
+
+    c1, c2, c3 = channels
+    q = {(i, j): p(i, j) for i in channels for j in channels}
+    r = {i: p(i, "conv") for i in channels}
+    qs = {j: p("S", j) for j in channels}
+    rs = p("S", "conv")
+    a11, a12, a13 = 1.0 - q[(c1, c1)], -q[(c1, c2)], -q[(c1, c3)]
+    a21, a22, a23 = -q[(c2, c1)], 1.0 - q[(c2, c2)], -q[(c2, c3)]
+    a31, a32, a33 = -q[(c3, c1)], -q[(c3, c2)], 1.0 - q[(c3, c3)]
+    b1, b2, b3 = r[c1], r[c2], r[c3]
+    det = (a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31)
+           + a13 * (a21 * a32 - a22 * a31))
+    if det != 0:
+        d1 = (b1 * (a22 * a33 - a23 * a32) - a12 * (b2 * a33 - a23 * b3)
+              + a13 * (b2 * a32 - a22 * b3))
+        d2 = (a11 * (b2 * a33 - a23 * b3) - b1 * (a21 * a33 - a23 * a31)
+              + a13 * (a21 * b3 - b2 * a31))
+        d3 = (a11 * (a22 * b3 - b2 * a32) - a12 * (a21 * b3 - b2 * a31)
+              + b1 * (a21 * a32 - a22 * a31))
+        p1, p2, p3 = d1 / det, d2 / det, d3 / det
+        p_full = qs[c1] * p1 + qs[c2] * p2 + qs[c3] * p3 + rs
+
+        def removed(k):
+            i, j = [c for c in channels if c != k]
+            dii = 1.0 - q[(i, i)]
+            djj = 1.0 - q[(j, j)]
+            det2 = dii * djj - q[(i, j)] * q[(j, i)]
+            pi = (r[i] * djj + q[(i, j)] * r[j]) / det2
+            pj = (r[j] * dii + q[(j, i)] * r[i]) / det2
+            return qs[i] * pi + qs[j] * pj + rs
+
+        prem = {k: removed(k) for k in channels}
+        if p_full > 0:
+            re = {k: 1.0 - prem[k] / p_full for k in channels}
+            re_sum = re[c1] + re[c2] + re[c3]
+        else:
+            re, re_sum = {k: None for k in channels}, None
+        out = [(k, p_full, prem[k], re[k],
+                (re[k] / re_sum) if (re[k] is not None and re_sum
+                                     and re_sum > 0) else None)
+               for k in channels]
+    else:
+        out = [(k, None, None, None, None) for k in channels]
+    res = events.sparkSession.createDataFrame(
+        out, "channel string, base_conv_prob double, "
+             "removed_conv_prob double, removal_effect double, "
+             "attribution_share double")
+    return res.select(
+        "channel",
+        F.round("base_conv_prob", round_dp).alias("base_conv_prob"),
+        F.round("removed_conv_prob", round_dp).alias("removed_conv_prob"),
+        F.round("removal_effect", round_dp).alias("removal_effect"),
+        F.round("attribution_share", round_dp).alias("attribution_share"))

@@ -3810,3 +3810,61 @@ def test_cm_selfjoin_size_exact_and_bound(spark):
     o2 = cm_selfjoin_size(hot, "k").collect()[0]
     assert o2.exact_f2 == 100 * 100 + 10
     assert o2.cm_estimate >= o2.exact_f2
+
+
+def test_markov_attribution_vs_numpy_absorbing_chain(spark):
+    """Five hand journeys (including a touchless converter and a
+    post-conversion touch that must be EXCLUDED); base and per-removal
+    conversion probabilities are pinned against numpy solves of the
+    absorbing chain, shares against the normalized removal effects."""
+    from datetime import datetime, timedelta
+    import numpy as np
+    from data_engineering__spark.operators.analytics import (
+        markov_attribution,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    s = timedelta(seconds=1)
+    rows = [
+        (1, t0, "view", 1), (1, t0 + s, "click", 2),
+        (1, t0 + 2 * s, "purchase", 3),
+        (1, t0 + 3 * s, "view", 4),          # AFTER conversion: excluded
+        (2, t0, "view", 5),
+        (3, t0, "click", 6), (3, t0 + s, "purchase", 7),
+        (4, t0, "signup", 8), (4, t0 + s, "view", 9),
+        (5, t0, "purchase", 10),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long")
+    chans = ["view", "click", "signup"]
+    out = {r.channel: r for r in markov_attribution(
+        ev, "user_id", "ts", "event_type", chans, "purchase",
+        "event_id").collect()}
+
+    # transition counts by hand
+    # S->view 2, S->click 1, S->signup 1, S->conv 1 (5 users)
+    # view->click 1, view->null 2 ; click->conv 2 ; signup->view 1
+    P = {"S": {"view": 2 / 5, "click": 1 / 5, "signup": 1 / 5,
+               "conv": 1 / 5},
+         "view": {"click": 1 / 3, "null": 2 / 3},
+         "click": {"conv": 1.0},
+         "signup": {"view": 1.0}}
+
+    def solve(removed=None):
+        ch = [c for c in chans if c != removed]
+        Q = np.array([[P.get(i, {}).get(j, 0.0) for j in ch] for i in ch])
+        r = np.array([P.get(i, {}).get("conv", 0.0) for i in ch])
+        p = np.linalg.solve(np.eye(len(ch)) - Q, r)
+        return sum(P["S"].get(c, 0.0) * p[k] for k, c in enumerate(ch)) \
+            + P["S"].get("conv", 0.0)
+
+    p_full = solve()
+    res = {k: 1 - solve(k) / p_full for k in chans}
+    tot = sum(res.values())
+    for k in chans:
+        assert abs(out[k].base_conv_prob - p_full) < 1e-6
+        assert abs(out[k].removed_conv_prob - solve(k)) < 1e-6
+        assert abs(out[k].removal_effect - res[k]) < 1e-6
+        assert abs(out[k].attribution_share - res[k] / tot) < 1e-6
+    # signup only feeds dead-end views: tiny credit; click carries paths
+    assert out["click"].attribution_share > out["signup"].attribution_share
