@@ -103,6 +103,7 @@ HEADLINE = [
     "retention_halflife_events", "eb_return_rates_brands",
     "ols_price_lineitem", "covariate_balance_events",
     "cm_selfjoin_size_lineitem", "markov_attribution_events",
+    "shapley_attribution_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2320,6 +2320,7 @@ DRIVER_PRIORITY = [
     "retention_halflife_events", "eb_return_rates_brands",
     "ols_price_lineitem", "covariate_balance_events",
     "cm_selfjoin_size_lineitem", "markov_attribution_events",
+    "shapley_attribution_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10203,3 +10204,88 @@ def markov_attribution_events(spark, sf_dir):
     return markov_attribution(ev, "user_id", "ts", "event_type",
                               ["view", "click", "signup"], "purchase",
                               "event_id")
+
+
+def _shapley_oracle_sql() -> str:
+    """DuckDB twin of ``analytics.shapley_attribution`` on events —
+    generated so the coalition-value and φ expressions match the Spark
+    shapes textually (guarded v divisions, ((t1+t2)+t3)+t4 sums,
+    (1.0/3.0)/(1.0/6.0) weight literals)."""
+    chans = ["view", "click", "signup"]
+    coals = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+    cells = ",\n  ".join(
+        f"COALESCE(SUM(CASE WHEN h0 = {i} AND h1 = {j} AND h2 = {k} "
+        f"THEN 1 END), 0) AS n_{i}{j}{k},\n  "
+        f"COALESCE(SUM(CASE WHEN h0 = {i} AND h1 = {j} AND h2 = {k} "
+        f"THEN cv END), 0) AS c_{i}{j}{k}"
+        for (i, j, k) in coals)
+
+    def v(i, j, k):
+        return (f"(CASE WHEN CAST(n_{i}{j}{k} AS DOUBLE) > 0 THEN "
+                f"CAST(c_{i}{j}{k} AS DOUBLE) / CAST(n_{i}{j}{k} "
+                f"AS DOUBLE) ELSE 0.0 END)")
+
+    def phi(pos):
+        def bits(s_a, s_b, own):
+            t = [0, 0, 0]
+            others = [x for x in range(3) if x != pos]
+            t[others[0]], t[others[1]] = s_a, s_b
+            t[pos] = own
+            return tuple(t)
+        t1 = f"(1.0/3.0) * ({v(*bits(0, 0, 1))} - {v(*bits(0, 0, 0))})"
+        t2 = f"(1.0/6.0) * ({v(*bits(1, 0, 1))} - {v(*bits(1, 0, 0))})"
+        t3 = f"(1.0/6.0) * ({v(*bits(0, 1, 1))} - {v(*bits(0, 1, 0))})"
+        t4 = f"(1.0/3.0) * ({v(*bits(1, 1, 1))} - {v(*bits(1, 1, 0))})"
+        return f"((({t1} + {t2}) + {t3}) + {t4})"
+
+    phis = [phi(i) for i in range(3)]
+    tot = f"(({phis[0]} + {phis[1]}) + {phis[2]})"
+    touched = [
+        "(" + " + ".join(f"n_{i}{j}{k}" for (i, j, k) in coals
+                         if (i, j, k)[pos] == 1) + ")"
+        for pos in range(3)]
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS channel,
+  CAST({touched[i]} AS BIGINT) AS touched_users,
+  ROUND({phis[i]}, 6) AS shapley_value,
+  ROUND(CASE WHEN {tot} > 0 THEN {phis[i]} / {tot} END, 6)
+    AS attribution_share
+FROM cells"""
+        for i, c in enumerate(chans))
+    chan_list = ", ".join(f"'{c}'" for c in chans)
+    return f"""
+WITH ev AS (SELECT user_id AS u, ts, event_type AS t FROM events),
+firstc AS (SELECT u, MIN(ts) AS cts FROM ev WHERE t = 'purchase'
+           GROUP BY u),
+allu AS (SELECT u, MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS cv
+         FROM ev GROUP BY u),
+touches AS (
+  SELECT ev.u, ev.t FROM ev LEFT JOIN firstc ON ev.u = firstc.u
+  WHERE ev.t IN ({chan_list}) AND (cts IS NULL OR ev.ts < cts)),
+flags AS (
+  SELECT u,
+         MAX(CASE WHEN t = '{chans[0]}' THEN 1 ELSE 0 END) AS h0,
+         MAX(CASE WHEN t = '{chans[1]}' THEN 1 ELSE 0 END) AS h1,
+         MAX(CASE WHEN t = '{chans[2]}' THEN 1 ELSE 0 END) AS h2
+  FROM touches GROUP BY u),
+per AS (
+  SELECT cv, COALESCE(h0, 0) AS h0, COALESCE(h1, 0) AS h1,
+         COALESCE(h2, 0) AS h2
+  FROM allu LEFT JOIN flags ON allu.u = flags.u),
+cells AS (SELECT
+  {cells}
+FROM per)
+{rows}"""
+
+
+@query("shapley_attribution_events", oracle=_mat(_shapley_oracle_sql()))
+def shapley_attribution_events(spark, sf_dir):
+    """EXT R234: exact 3-channel Shapley attribution — coalition values
+    from pre-conversion touch SETS (order-free presence credit, the
+    counterpart Markov R233 path credit is quoted against); 8 exact
+    integer coalition cells, guarded v divisions, fixed-shape 4-term
+    φ sums with 1/3,1/6,1/6,1/3 weights."""
+    from .operators.analytics import shapley_attribution
+    ev = read_table(spark, sf_dir, "events")
+    return shapley_attribution(ev, "user_id", "ts", "event_type",
+                               ["view", "click", "signup"], "purchase")

@@ -2900,3 +2900,97 @@ def markov_attribution(events: DataFrame, user_col: str, ts_col: str,
         F.round("removed_conv_prob", round_dp).alias("removed_conv_prob"),
         F.round("removal_effect", round_dp).alias("removal_effect"),
         F.round("attribution_share", round_dp).alias("attribution_share"))
+
+
+def shapley_attribution(events: DataFrame, user_col: str, ts_col: str,
+                        type_col: str, channels: list,
+                        convert_type: str,
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (R234, round 6): Shapley-value attribution — the
+    coalition-game counterpart of the Markov removal effect (R233):
+    credit channel k by its average marginal contribution
+    φ_k = Σ_S w(|S|)·[v(S∪{k}) − v(S)] over all coalitions S of the
+    other channels, with v(S) = observed conversion rate of users whose
+    PRE-CONVERSION touch set is exactly S (unobserved coalitions
+    contribute v = 0 — deterministic by definition). Where Markov
+    models paths (order matters), Shapley models presence (order-free);
+    an attribution stack quotes both and investigates where they
+    disagree. Exact for 3 channels: weights 1/3, 1/6, 1/6, 1/3.
+
+    Exactness: the 8 coalition (users, conversions) cells are exact
+    integers from ONE hash aggregate on per-user boolean touch flags;
+    every v is one guarded IEEE division and φ is a fixed-shape
+    4-term sum — the expression tree is 8 cells wide, safely in-frame
+    (no driver solve needed at this size).
+
+    Scale shape: one shuffle to the per-user grain (3 boolean flags +
+    conversion), one ≤8-row hash aggregate, a 1-row projection."""
+    assert len(channels) == 3, "exact Shapley here is 3-channel"
+    c1, c2, c3 = channels
+    ev = events.select(F.col(user_col).alias("__u"),
+                       F.col(ts_col).alias("__ts"),
+                       F.col(type_col).alias("__t"))
+    firstc = (ev.filter(F.col("__t") == convert_type)
+              .groupBy("__u").agg(F.min("__ts").alias("__cts")))
+    flags = (ev.join(firstc, "__u", "left")
+             .filter(F.col("__t").isin(list(channels)))
+             .filter(F.col("__cts").isNull()
+                     | (F.col("__ts") < F.col("__cts")))
+             .groupBy("__u")
+             .agg(*[F.max(F.when(F.col("__t") == c, 1).otherwise(0))
+                    .alias(f"__h{i}") for i, c in enumerate(channels)]))
+    allu = (ev.groupBy("__u")
+            .agg(F.max(F.when(F.col("__t") == convert_type, 1)
+                       .otherwise(0)).alias("__cv")))
+    per = (allu.join(flags, "__u", "left")
+           .select("__cv",
+                   *[F.coalesce(F.col(f"__h{i}"), F.lit(0))
+                     .alias(f"__h{i}") for i in range(3)]))
+    coals = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+    m = per.agg(*[x for (i, j, k) in coals for x in (
+        F.coalesce(F.sum(F.when(
+            (F.col("__h0") == i) & (F.col("__h1") == j)
+            & (F.col("__h2") == k), 1)), F.lit(0)).cast("long")
+         .alias(f"__n_{i}{j}{k}"),
+        F.coalesce(F.sum(F.when(
+            (F.col("__h0") == i) & (F.col("__h1") == j)
+            & (F.col("__h2") == k), F.col("__cv"))), F.lit(0))
+         .cast("long").alias(f"__c_{i}{j}{k}"))])
+
+    def v(i, j, k):
+        nn = F.col(f"__n_{i}{j}{k}").cast("double")
+        return F.when(nn > 0,
+                      F.col(f"__c_{i}{j}{k}").cast("double") / nn) \
+                .otherwise(F.lit(0.0))
+
+    w1, w2 = F.lit(1.0) / F.lit(3.0), F.lit(1.0) / F.lit(6.0)
+
+    def phi(pos):
+        # coalitions S over the other two channels, in (0,0),(1,0),
+        # (0,1),(1,1) order; bit positions map to channel index
+        def bits(s_a, s_b, own):
+            t = [0, 0, 0]
+            others = [x for x in range(3) if x != pos]
+            t[others[0]], t[others[1]] = s_a, s_b
+            t[pos] = own
+            return tuple(t)
+        t1 = w1 * (v(*bits(0, 0, 1)) - v(*bits(0, 0, 0)))
+        t2 = w2 * (v(*bits(1, 0, 1)) - v(*bits(1, 0, 0)))
+        t3 = w2 * (v(*bits(0, 1, 1)) - v(*bits(0, 1, 0)))
+        t4 = w1 * (v(*bits(1, 1, 1)) - v(*bits(1, 1, 0)))
+        return t1 + t2 + t3 + t4
+
+    phis = [phi(i) for i in range(3)]
+    tot = phis[0] + phis[1] + phis[2]
+    touched = [sum((F.col(f"__n_{i}{j}{k}")
+                    for (i, j, k) in coals if (i, j, k)[pos] == 1),
+                   F.lit(0)).cast("long")
+               for pos in range(3)]
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("channel"),
+                 touched[i].alias("touched_users"),
+                 F.round(phis[i], round_dp).alias("shapley_value"),
+                 F.round(F.when(tot > 0, phis[i] / tot), round_dp)
+                  .alias("attribution_share"))
+        for i, c in enumerate(channels)])
+    return m.select(F.explode(rows).alias("__r")).select("__r.*")

@@ -3868,3 +3868,86 @@ def test_markov_attribution_vs_numpy_absorbing_chain(spark):
         assert abs(out[k].attribution_share - res[k] / tot) < 1e-6
     # signup only feeds dead-end views: tiny credit; click carries paths
     assert out["click"].attribution_share > out["signup"].attribution_share
+
+
+def test_shapley_attribution_vs_itertools_reference(spark):
+    """Five journeys pin the coalition values and every Shapley value
+    against an itertools reference (weights |S|!(n-|S|-1)!/n!,
+    unobserved coalitions value 0); shares normalize the phis and the
+    phi total equals v(grand) - v(empty) by efficiency ONLY when all
+    coalitions are observed, so the reference is the direct sum."""
+    from datetime import datetime, timedelta
+    from itertools import permutations
+    from data_engineering__spark.operators.analytics import (
+        shapley_attribution,
+    )
+
+    t0 = datetime(2024, 5, 1)
+    s = timedelta(seconds=1)
+    rows = [
+        (1, t0, "view", ), (1, t0 + s, "purchase",),
+        (2, t0, "view",),
+        (3, t0, "view",), (3, t0 + s, "click",),
+        (3, t0 + 2 * s, "purchase",),
+        (4, t0, "error",),                       # empty coalition, no conv
+        (5, t0, "click",), (5, t0 + s, "purchase",),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in rows],
+        "user_id long, ts timestamp, event_type string")
+    chans = ["view", "click", "signup"]
+    out = {r.channel: r for r in shapley_attribution(
+        ev, "user_id", "ts", "event_type", chans, "purchase").collect()}
+
+    sets = {1: ("view",), 2: ("view",), 3: ("view", "click"),
+            4: (), 5: ("click",)}
+    conv = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+    from collections import Counter
+    n_c, c_c = Counter(), Counter()
+    for u, ss in sets.items():
+        key = frozenset(ss)
+        n_c[key] += 1
+        c_c[key] += conv[u]
+
+    def v(coal):
+        key = frozenset(coal)
+        return (c_c[key] / n_c[key]) if n_c[key] > 0 else 0.0
+
+    def shap(k):
+        tot, n = 0.0, len(chans)
+        for perm in permutations(chans):
+            idx = perm.index(k)
+            before = frozenset(perm[:idx])
+            tot += v(before | {k}) - v(before)
+        return tot / 6  # 3! orderings
+
+    phis = {k: shap(k) for k in chans}
+    for k in chans:
+        assert abs(out[k].shapley_value - phis[k]) < 1e-6
+    assert out["view"].touched_users == 3
+    assert out["click"].touched_users == 2
+    assert out["signup"].touched_users == 0
+    # this fixture lands on the Sum(phi) == 0 edge exactly (signup's
+    # unobserved coalitions value 0, making phi_signup = -7/12): the
+    # share guard must report NULL, not divide
+    assert abs(sum(phis.values())) < 1e-12
+    assert all(out[k].attribution_share is None for k in chans)
+
+    # by efficiency Sum(phi) = v(grand) - v(empty), so the total stays 0
+    # until the GRAND coalition is observed: add a user who touches all
+    # three channels and converts
+    ev2 = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in rows]
+        + [(6, t0, "signup"), (6, t0 + s, "view"),
+           (6, t0 + 2 * s, "click"), (6, t0 + 3 * s, "purchase")],
+        "user_id long, ts timestamp, event_type string")
+    out2 = {r.channel: r for r in shapley_attribution(
+        ev2, "user_id", "ts", "event_type", chans, "purchase").collect()}
+    n_c[frozenset(("view", "click", "signup"))] += 1
+    c_c[frozenset(("view", "click", "signup"))] += 1
+    phis2 = {k: shap(k) for k in chans}
+    tot2 = sum(phis2.values())
+    assert tot2 > 0
+    for k in chans:
+        assert abs(out2[k].shapley_value - phis2[k]) < 1e-6
+        assert abs(out2[k].attribution_share - phis2[k] / tot2) < 1e-6
