@@ -2321,6 +2321,7 @@ DRIVER_PRIORITY = [
     "ols_price_lineitem", "covariate_balance_events",
     "cm_selfjoin_size_lineitem", "markov_attribution_events",
     "shapley_attribution_events",
+    "tfidf_cosine_pairs_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10289,3 +10290,37 @@ def shapley_attribution_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return shapley_attribution(ev, "user_id", "ts", "event_type",
                                ["view", "click", "signup"], "purchase")
+
+
+@query("tfidf_cosine_pairs_docs", oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS t
+  FROM documents),
+tf AS (SELECT id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(DISTINCT id) AS n FROM tf),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+          HAVING COUNT(*) >= 2 AND COUNT(*) <= 50),
+w AS (SELECT id, t,
+             CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))
+               AS w
+      FROM tf JOIN dfreq USING (t) CROSS JOIN n),
+norms AS (SELECT id, SUM(w * w) AS s2 FROM w GROUP BY 1),
+dots AS (SELECT a.id AS ia, b.id AS ib, COUNT(*) AS n_common,
+                SUM(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2)
+SELECT ia AS doc_a, ib AS doc_b, n_common,
+       ROUND(dot / (sqrt(na.s2) * sqrt(nb.s2)), 6) AS cosine
+FROM dots JOIN norms na ON ia = na.id JOIN norms nb ON ib = nb.id
+WHERE ROUND(dot / (sqrt(na.s2) * sqrt(nb.s2)), 6) >= 0.3""")
+def tfidf_cosine_pairs_docs(spark, sf_dir):
+    """EXT R235: TF-IDF cosine pair mining over documents — inverted-index
+    join with the max_df=50 structural cap (posting lists bounded, so the
+    candidate join never degrades to n² on boilerplate terms); cosine
+    rounded to 6 dp before the ≥0.3 threshold so the selected pair SET is
+    engine-reproducible."""
+    from .operators.text import tfidf_cosine_pairs
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, "doc_id", "text",
+                              max_df=50, threshold=0.3)

@@ -969,3 +969,66 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 200,
                 round_dp).alias("intercept"),
         F.round(F.when((vxx > 0) & (vyy > 0), cxy * cxy / (vxx * vyy)),
                 round_dp).alias("r2"))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_df: int = 50, threshold: float = 0.3,
+                       round_dp: int = 6) -> DataFrame:
+    """L4/L1 EXT (R235, round 6): sparse TF-IDF cosine pair mining via an
+    inverted-index join — (doc_a, doc_b, n_common, cosine) for every pair
+    with cosine ≥ threshold in the tf·idf vector space. Completes the
+    near-dup similarity family: MinHash/Jaccard see token SETS, embeddings
+    see dense semantics; this sees frequency-WEIGHTED lexical overlap (the
+    classic fuzzy-dup / template-detection signal, cf. the reference's
+    exact-match dedup being its only notion of similarity —
+    `database and queries aupostgres.sql:66-77`).
+
+    Vector-space semantics (sklearn/CountVectorizer ``max_df`` style):
+    terms with document frequency > ``max_df`` are EXCLUDED from the
+    space — corpus-wide boilerplate carries no signal, and the cap is the
+    STRUCTURAL scale bound: every surviving posting list has ≤ max_df
+    entries, so the candidate join emits ≤ C(max_df,2) pairs per term —
+    never the unbounded n² of a stop-word posting. Terms with df = 1 are
+    also dropped (they cannot co-occur — a pure pruning, result-identical;
+    pinned by test). idf = ln(N/df) with N = docs having ≥1 token
+    (pre-cap), w = tf·idf.
+
+    Scale shape: explode → ONE (id, term) hash agg (localCheckpoint — the
+    postings, norms and df branches all reuse it); df/N derive from that
+    tf table without re-scanning the corpus; the pair join shuffles
+    (term, id, w) postings whose per-term width the cap bounds (bounding
+    join skew too); pair scores are a (a,b) hash agg; norms join back at
+    doc grain. Document bodies never shuffle. Raising 10× the docs
+    raises per-term work only with df — capped — so the sweep stays
+    ~linear in corpus size."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(tokens(text_col)).alias("__t"))
+    tf = (toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__tf"))
+          .localCheckpoint())
+    n = tf.agg(F.count_distinct("__id").alias("__n"))
+    dfreq = (tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+             .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df)))
+    w = (tf.join(dfreq, "__t").crossJoin(F.broadcast(n))
+         .select("__id", "__t",
+                 (F.col("__tf").cast("double")
+                  * F.log(F.col("__n").cast("double")
+                          / F.col("__df").cast("double"))).alias("__w"))
+         .localCheckpoint())
+    norms = w.groupBy("__id").agg(F.sum(F.col("__w") * F.col("__w"))
+                                  .alias("__s2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (a.join(b, (F.col("a.__t") == F.col("b.__t"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("__ia"),
+                     F.col("b.__id").alias("__ib"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.sum(F.col("a.__w") * F.col("b.__w")).alias("__dot")))
+    cos = F.round(F.col("__dot")
+                  / (F.sqrt(F.col("na.__s2")) * F.sqrt(F.col("nb.__s2"))),
+                  round_dp)
+    return (dots.join(norms.alias("na"), F.col("__ia") == F.col("na.__id"))
+            .join(norms.alias("nb"), F.col("__ib") == F.col("nb.__id"))
+            .select(F.col("__ia").alias("doc_a"),
+                    F.col("__ib").alias("doc_b"),
+                    "n_common", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -3951,3 +3951,54 @@ def test_shapley_attribution_vs_itertools_reference(spark):
     for k in chans:
         assert abs(out2[k].shapley_value - phis2[k]) < 1e-6
         assert abs(out2[k].attribution_share - phis2[k] / tot2) < 1e-6
+
+
+def test_tfidf_cosine_pairs_vs_numpy_dense_reference(spark):
+    """Six tiny docs pin every surviving pair's cosine against a dense
+    numpy tf-idf reference built over the SAME vector space (df in
+    [2, max_df]); the corpus-wide boilerplate term must be excluded by
+    the max_df cap (pairs that only share it vanish) and dropping df=1
+    terms must be result-identical (they cannot co-occur)."""
+    import math
+    import numpy as np
+    from collections import Counter
+    from data_engineering__spark.operators.text import tfidf_cosine_pairs
+
+    docs = [
+        (1, "the spark engine shuffles data fast"),
+        (2, "the spark engine caches data well"),
+        (3, "the flink engine streams data"),
+        (4, "the quick brown fox"),
+        (5, "the quick brown fox jumps"),
+        (6, "the unique singleton zzz"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r for r in tfidf_cosine_pairs(
+        df, "doc_id", "text", max_df=5, threshold=0.0).collect()}
+
+    # numpy reference: same max_df semantics ("the" has df=6 > 5 -> out)
+    tfs = {i: Counter(t.lower().split()) for i, t in docs}
+    n = len(docs)
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    vocab = sorted(t for t, d in dfreq.items() if 2 <= d <= 5)
+    assert "the" not in vocab and "zzz" not in vocab
+    V = {t: i for i, t in enumerate(vocab)}
+    M = np.zeros((n, len(vocab)))
+    for row, (i, _) in enumerate(docs):
+        for t, c in tfs[i].items():
+            if t in V:
+                M[row, V[t]] = c * math.log(n / dfreq[t])
+    for (a, b), r in out.items():
+        va, vb = M[a - 1], M[b - 1]
+        exp = float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        assert abs(r.cosine - round(exp, 6)) < 1e-9, (a, b)
+        assert r.n_common == int(((va != 0) & (vb != 0)).sum())
+    # docs 4/5 share quick+brown+fox (df=2 terms): strongest pair
+    assert out[(4, 5)].cosine == max(r.cosine for r in out.values())
+    # doc 6 shares ONLY capped/singleton terms -> appears in no pair
+    assert not any(6 in p for p in out)
+    # every pair sharing >=1 in-space term is present (df=1 drop is pure)
+    expected_pairs = {(docs[i][0], docs[j][0])
+                      for i in range(n) for j in range(i + 1, n)
+                      if ((M[i] != 0) & (M[j] != 0)).any()}
+    assert set(out) == expected_pairs
