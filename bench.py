@@ -105,6 +105,7 @@ HEADLINE = [
     "cm_selfjoin_size_lineitem", "markov_attribution_events",
     "shapley_attribution_events",
     "tfidf_cosine_pairs_docs",
+    "lm_score_docs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

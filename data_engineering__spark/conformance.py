@@ -2322,6 +2322,7 @@ DRIVER_PRIORITY = [
     "cm_selfjoin_size_lineitem", "markov_attribution_events",
     "shapley_attribution_events",
     "tfidf_cosine_pairs_docs",
+    "lm_score_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10324,3 +10325,44 @@ def tfidf_cosine_pairs_docs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(docs, "doc_id", "text",
                               max_df=50, threshold=0.3)
+
+
+@query("lm_score_docs", oracle=r"""
+WITH arrs AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+toku AS (SELECT id, unnest(toks) AS w FROM arrs),
+uni AS (SELECT w AS u, COUNT(*) AS c1 FROM toku GROUP BY 1),
+tot AS (SELECT SUM(c1) AS tot FROM uni),
+big AS (SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM arrs WHERE len(toks) >= 2)),
+lm2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT big.id,
+         ln(CASE WHEN lm2.c12 IS NOT NULL
+                 THEN CAST(lm2.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+                 ELSE 0.4 * CAST(u2.c1 AS DOUBLE)
+                      / CAST(tot.tot AS DOUBLE) END) AS lp,
+         CASE WHEN lm2.c12 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM big LEFT JOIN lm2 ON big.w1 = lm2.w1 AND big.w2 = lm2.w2
+  JOIN uni u1 ON big.w1 = u1.u
+  JOIN uni u2 ON big.w2 = u2.u
+  CROSS JOIN tot)
+SELECT id AS doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(bo) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS backoff_rate,
+       ROUND(SUM(lp) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logp
+FROM scored GROUP BY 1""")
+def lm_score_docs(spark, sf_dir):
+    """EXT R236: bigram stupid-backoff LM scoring over documents — the
+    CCNet-style perplexity-proxy quality signal, trained on the corpus
+    itself (reliability floor count ≥ 2 gives the backoff branch meaning);
+    per-doc avg log-prob + backoff rate, 6 dp."""
+    from .operators.text import lm_score_docs as _lm
+    docs = read_table(spark, sf_dir, "documents")
+    return _lm(docs, "doc_id", "text")

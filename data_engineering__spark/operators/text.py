@@ -1032,3 +1032,70 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.col("__ib").alias("doc_b"),
                     "n_common", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def lm_score_docs(df: DataFrame, id_col: str, text_col: str,
+                  min_bigram_count: int = 2, alpha: float = 0.4,
+                  round_dp: int = 6) -> DataFrame:
+    """L4 EXT (R236, round 6): bigram stupid-backoff LM scoring — the
+    CCNet-style perplexity-proxy quality filter: score every document
+    under a bigram LM trained on the corpus itself and report
+    (doc_id, n_bigrams, backoff_rate, avg_logp). Low avg_logp = the doc's
+    word transitions are improbable under the corpus (gibberish, OCR
+    noise); a HIGH score with high repetition flags boilerplate. Brants
+    et al.'s stupid backoff: S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram is
+    reliably observed (count ≥ ``min_bigram_count``), else
+    α·c(w₂)/total_tokens — self-training makes every bigram seen once, so
+    the reliability floor is what gives the backoff branch (and the
+    backoff_rate signal) meaning.
+
+    Scale shape: ONE posexplode of the corpus; per-doc lag window
+    (partition = doc, bounded by doc length — never global) produces the
+    bigram stream, localCheckpointed and reused by BOTH the LM-count
+    branch and the scoring join, so the corpus explodes once; LM tables
+    are (w₁,w₂)- and w₁-grain hash aggs; scoring is a hash join on the
+    bigram key followed by a doc-grain agg. Token/bigram rows shuffle,
+    bodies never do. Docs with < 2 tokens have no transition to score
+    and are excluded by definition."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.posexplode(tokens(text_col))
+                     .alias("__pos", "__w"))
+    wd = Window.partitionBy("__id").orderBy("__pos")
+    big = (toks.select("__id",
+                       F.lag("__w").over(wd).alias("__w1"),
+                       F.col("__w").alias("__w2"))
+           .filter(F.col("__w1").isNotNull())
+           .localCheckpoint())
+    lm2 = (big.groupBy("__w1", "__w2")
+           .agg(F.count(F.lit(1)).alias("__c12"))
+           .filter(F.col("__c12") >= min_bigram_count))
+    # unigram counts / total over ALL tokens (not just bigram starts)
+    uni = (toks.groupBy(F.col("__w").alias("__u"))
+           .agg(F.count(F.lit(1)).alias("__c1"))
+           .localCheckpoint())
+    tot = uni.agg(F.sum("__c1").alias("__tot"))
+    c1_of_w1 = uni.select(F.col("__u").alias("__w1"),
+                          F.col("__c1").alias("__cw1"))
+    c1_of_w2 = uni.select(F.col("__u").alias("__w2"),
+                          F.col("__c1").alias("__cw2"))
+    s = F.when(F.col("__c12").isNotNull(),
+               F.col("__c12").cast("double") / F.col("__cw1").cast("double")) \
+         .otherwise(F.lit(alpha) * F.col("__cw2").cast("double")
+                    / F.col("__tot").cast("double"))
+    scored = (big.join(lm2, ["__w1", "__w2"], "left")
+              .join(c1_of_w1, "__w1")
+              .join(c1_of_w2, "__w2")
+              .crossJoin(F.broadcast(tot))
+              .select("__id", F.log(s).alias("__lp"),
+                      F.when(F.col("__c12").isNull(), 1).otherwise(0)
+                      .alias("__bo")))
+    return (scored.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum("__bo").cast("double")
+                         / F.count(F.lit(1)).cast("double"), round_dp)
+                 .alias("backoff_rate"),
+                 F.round(F.sum("__lp")
+                         / F.count(F.lit(1)).cast("double"), round_dp)
+                 .alias("avg_logp"))
+            .select(F.col("__id").alias("doc_id"), "n_bigrams",
+                    "backoff_rate", "avg_logp"))

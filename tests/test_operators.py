@@ -4002,3 +4002,49 @@ def test_tfidf_cosine_pairs_vs_numpy_dense_reference(spark):
                       for i in range(n) for j in range(i + 1, n)
                       if ((M[i] != 0) & (M[j] != 0)).any()}
     assert set(out) == expected_pairs
+
+
+def test_lm_score_docs_vs_python_reference(spark):
+    """Four tiny docs pin avg_logp/backoff_rate/n_bigrams against a
+    sequential Python stupid-backoff reference: bigrams seen >= 2 times
+    score c12/c(w1), singleton bigrams take the 0.4-weighted unigram
+    backoff; the repeated-phrase doc must out-score the shuffled one and
+    a one-token doc is excluded (nothing to score)."""
+    import math
+    from collections import Counter
+    from data_engineering__spark.operators.text import lm_score_docs
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),   # same unigrams, rare transitions
+        (4, "solo"),                     # single token: no bigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_score_docs(
+        df, "doc_id", "text").collect()}
+    assert 4 not in out and set(out) == {1, 2, 3}
+
+    toks = {i: t.split() for i, t in docs}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    tot = sum(uni.values())
+    big = Counter((ws[i], ws[i + 1]) for ws in toks.values()
+                  for i in range(len(ws) - 1))
+    for i in (1, 2, 3):
+        ws = toks[i]
+        lps, bos = [], []
+        for a, b in zip(ws, ws[1:]):
+            if big[(a, b)] >= 2:
+                lps.append(math.log(big[(a, b)] / uni[a]))
+                bos.append(0)
+            else:
+                lps.append(math.log(0.4 * uni[b] / tot))
+                bos.append(1)
+        assert out[i].n_bigrams == len(lps)
+        assert abs(out[i].avg_logp - round(sum(lps) / len(lps), 6)) < 1e-9
+        assert abs(out[i].backoff_rate
+                   - round(sum(bos) / len(bos), 6)) < 1e-9
+    # docs 1/2 share "the cat sat on the": mostly reliable transitions;
+    # doc 3's permuted order backs off almost everywhere and scores lower
+    assert out[3].backoff_rate > out[1].backoff_rate
+    assert out[3].avg_logp < out[1].avg_logp
