@@ -106,6 +106,7 @@ HEADLINE = [
     "shapley_attribution_events",
     "tfidf_cosine_pairs_docs",
     "lm_score_docs",
+    "periodogram_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2323,6 +2323,7 @@ DRIVER_PRIORITY = [
     "shapley_attribution_events",
     "tfidf_cosine_pairs_docs",
     "lm_score_docs",
+    "periodogram_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10366,3 +10367,49 @@ def lm_score_docs(spark, sf_dir):
     from .operators.text import lm_score_docs as _lm
     docs = read_table(spark, sf_dir, "documents")
     return _lm(docs, "doc_id", "text")
+
+
+@query("periodogram_events", oracle=_mat("""
+WITH counts AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+anchor AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+grid AS (
+  SELECT g.i, CAST(COALESCE(c, 0) AS BIGINT) AS x
+  FROM (SELECT CAST(unnest(range(0, h1 - h0 + 1)) AS BIGINT) AS i, h0
+        FROM anchor) g
+  LEFT JOIN counts ON counts.h = g.i + g.h0),
+gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+              SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+       FROM grid),
+ps AS (SELECT CAST(unnest([6, 8, 12, 24, 168]) AS BIGINT) AS period_h),
+per AS (
+  SELECT period_h,
+         SUM((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * cos(6.283185307179586
+                   * CAST(i % period_h AS DOUBLE)
+                   / CAST(period_h AS DOUBLE))) AS cc,
+         SUM((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * sin(6.283185307179586
+                   * CAST(i % period_h AS DOUBLE)
+                   / CAST(period_h AS DOUBLE))) AS ss
+  FROM grid CROSS JOIN ps CROSS JOIN gl GROUP BY 1)
+SELECT period_h,
+  ROUND(CASE WHEN CAST(n AS HUGEINT) * sxx
+                  - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) > 0 THEN
+          2.0 * (cc * cc + ss * ss)
+          / CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        END, 6) AS r2,
+  ROUND(2.0 * sqrt(cc * cc + ss * ss) / CAST(n AS DOUBLE), 6)
+    AS amplitude
+FROM per CROSS JOIN gl"""))
+def periodogram_events(spark, sf_dir):
+    """EXT R237: fixed-frequency periodogram of hourly event counts —
+    variance share + amplitude of the 6/8/12/24/168-hour cycles over the
+    dense zero-filled grid; the spectral twin of the ACF (R225). Integer
+    phase reduction keeps cos/sin arguments small and engine-stable."""
+    from .operators.temporal import periodogram_counts
+    ev = read_table(spark, sf_dir, "events")
+    return periodogram_counts(ev, "ts")

@@ -395,3 +395,73 @@ def acf_counts(df: DataFrame, ts_col: str, max_lag: int = 24,
                        num.cast("double") / den.cast("double")), round_dp)
          .alias("acf"))
         .orderBy("lag"))
+
+
+def periodogram_counts(df: DataFrame, ts_col: str,
+                       periods=(6, 8, 12, 24, 168), bucket_s: int = 3600,
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (R237, round 6): fixed-frequency periodogram of the event-count
+    series — for each candidate period P (hours) the sinusoid-fit energy
+    at frequency 1/P over the DENSE zero-filled count grid:
+    C = Σ xc·cos(2πh/P), S = Σ xc·sin(2πh/P) with xc = x − mean, reported
+    as r2 = 2(C²+S²)/(n·SST) (≈ variance share the P-cycle explains — 1.0
+    for a pure sinusoid) and amplitude = 2√(C²+S²)/n (average peak height
+    in events/bucket). The spectral twin of the ACF (R225): ACF says "lag
+    24 correlates", this says "a 24 h cycle carries X% of the variance".
+
+    Determinism: the trig argument is reduced in INTEGER space first —
+    phase = (h−h₀) mod P gives only P distinct small angles, so cos/sin
+    never see large arguments (where libm implementations drift); grid
+    moments n, Σx, Σx² stay exact integers, SST's numerator n·Σx²−(Σx)²
+    is exact decimal, and each output is a couple of IEEE ops rounded to
+    ``round_dp``. Zero-variance grids report NULL.
+
+    Scale shape: raw rows collapse map-side to per-bucket counts; the
+    dense grid is calendar-sized (sequence explode off a broadcast
+    min/max anchor); the period fan-out is grid×|periods| rows — never
+    data-sized; one hash agg per period set, one 1-row broadcast of the
+    global moments."""
+    dec = "decimal(38,0)"
+    pi2 = 2.0 * 3.141592653589793
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s)).cast("long")
+    counts = (df.select(b.alias("__h"))
+                .groupBy("__h").agg(F.count(F.lit(1)).alias("__c")))
+    anchor = counts.agg(F.min("__h").alias("__h0"),
+                        F.max("__h").alias("__h1"))
+    grid = (anchor.select(
+        F.explode(F.sequence(F.lit(0),
+                             (F.col("__h1") - F.col("__h0")).cast("long")))
+        .alias("__i"), F.col("__h0"))
+        .join(counts,
+              F.col("__h") == F.col("__i") + F.col("__h0"), "left")
+        .select("__i", F.coalesce(F.col("__c"), F.lit(0)).cast("long")
+                .alias("__x"))
+        .localCheckpoint())
+    glob = grid.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__S"),
+        F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec))
+         .alias("__sxx"))
+    pframe = (grid.sparkSession.range(1)
+              .select(F.explode(F.array(*[F.lit(int(p)) for p in periods]))
+                      .alias("period_h")))
+    mean = F.col("__S").cast("double") / F.col("__n").cast("double")
+    theta = (F.lit(pi2)
+             * F.pmod(F.col("__i"), F.col("period_h")).cast("double")
+             / F.col("period_h").cast("double"))
+    xc = F.col("__x").cast("double") - mean
+    per = (grid.crossJoin(pframe).crossJoin(F.broadcast(glob))
+           .groupBy("period_h")
+           .agg(F.sum(xc * F.cos(theta)).alias("__C"),
+                F.sum(xc * F.sin(theta)).alias("__Sn")))
+    g = per.crossJoin(F.broadcast(glob))
+    e2 = F.col("__C") * F.col("__C") + F.col("__Sn") * F.col("__Sn")
+    sst_num = (F.col("__n").cast(dec) * F.col("__sxx")
+               - F.col("__S").cast(dec) * F.col("__S").cast(dec))
+    return g.select(
+        "period_h",
+        F.round(F.when(sst_num > 0,
+                       F.lit(2.0) * e2 / sst_num.cast("double")),
+                round_dp).alias("r2"),
+        F.round(F.lit(2.0) * F.sqrt(e2) / F.col("__n").cast("double"),
+                round_dp).alias("amplitude"))

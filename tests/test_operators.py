@@ -4048,3 +4048,50 @@ def test_lm_score_docs_vs_python_reference(spark):
     # doc 3's permuted order backs off almost everywhere and scores lower
     assert out[3].backoff_rate > out[1].backoff_rate
     assert out[3].avg_logp < out[1].avg_logp
+
+
+def test_periodogram_counts_vs_numpy_reference(spark):
+    """A 10-day synthetic series with a dominant 24 h cycle (plus a
+    deterministic ripple) pins every period's r2/amplitude against the
+    identical numpy formula on the dense grid; the 24 h row must carry
+    the overwhelming variance share and a constant series reports NULL
+    r2 (zero SST guard)."""
+    import math
+    import numpy as np
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.temporal import (
+        periodogram_counts,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    counts = []
+    for h in range(240):
+        c = 10 + round(6 * math.cos(2 * math.pi * h / 24)) \
+            + (1 if h % 7 == 0 else 0)
+        counts.append(c)
+        rows.extend((t0 + timedelta(hours=h, seconds=s),)
+                    for s in range(c))
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.period_h: r for r in periodogram_counts(
+        ev, "ts", periods=(6, 12, 24)).collect()}
+
+    x = np.array(counts, dtype=float)
+    xc = x - x.mean()
+    sst = float((xc * xc).sum())
+    n = len(x)
+    for p in (6, 12, 24):
+        th = 2 * 3.141592653589793 * (np.arange(n) % p) / p
+        cc, ss = float((xc * np.cos(th)).sum()), float((xc * np.sin(th)).sum())
+        r2 = 2 * (cc * cc + ss * ss) / (n * sst)
+        amp = 2 * math.sqrt(cc * cc + ss * ss) / n
+        assert abs(out[p].r2 - round(r2, 6)) < 1e-6, p
+        assert abs(out[p].amplitude - round(amp, 6)) < 1e-6, p
+    assert out[24].r2 > 0.9
+    assert out[24].r2 == max(r.r2 for r in out.values())
+
+    flat = spark.createDataFrame(
+        [(t0 + timedelta(hours=h),) for h in range(48) for _ in range(3)],
+        "ts timestamp")
+    fout = periodogram_counts(flat, "ts", periods=(24,)).collect()
+    assert fout[0].r2 is None and fout[0].amplitude == 0.0
