@@ -107,6 +107,7 @@ HEADLINE = [
     "tfidf_cosine_pairs_docs",
     "lm_score_docs",
     "periodogram_events",
+    "item_cf_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2324,6 +2324,7 @@ DRIVER_PRIORITY = [
     "tfidf_cosine_pairs_docs",
     "lm_score_docs",
     "periodogram_events",
+    "item_cf_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10413,3 +10414,36 @@ def periodogram_events(spark, sf_dir):
     from .operators.temporal import periodogram_counts
     ev = read_table(spark, sf_dir, "events")
     return periodogram_counts(ev, "ts")
+
+
+@query("item_cf_brands", oracle="""
+WITH ui AS (
+  SELECT DISTINCT o_custkey AS u, p_brand AS i
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN part ON l_partkey = p_partkey),
+deg AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY 1),
+co AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_co
+       FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+scored AS (
+  SELECT ia AS item, ib AS neighbor, n_co,
+         ROUND(CAST(n_co AS DOUBLE)
+               / sqrt(CAST(da.n AS DOUBLE) * CAST(db.n AS DOUBLE)), 6)
+           AS cosine
+  FROM co JOIN deg da ON ia = da.i JOIN deg db ON ib = db.i)
+SELECT item, neighbor, n_co, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item
+                 ORDER BY cosine DESC, neighbor ASC) AS INT) AS rank
+  FROM scored) WHERE rank <= 5""")
+def item_cf_brands(spark, sf_dir):
+    """EXT R238: item-item CF neighbors over brands — top-5 by
+    distinct-customer co-occurrence cosine; 6-dp round before ranking,
+    neighbor-asc tie-break keeps the selected set engine-stable."""
+    from .operators.analytics import item_cf_neighbors
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    ub = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .join(p, li.l_partkey == p.p_partkey)
+          .select(F.col("o_custkey").alias("u"),
+                  F.col("p_brand").alias("i")))
+    return item_cf_neighbors(ub, "u", "i", k=5)

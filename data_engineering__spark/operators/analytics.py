@@ -2994,3 +2994,51 @@ def shapley_attribution(events: DataFrame, user_col: str, ts_col: str,
                   .alias("attribution_share"))
         for i, c in enumerate(channels)])
     return m.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
+def item_cf_neighbors(df: DataFrame, user_col: str, item_col: str,
+                      k: int = 5, round_dp: int = 6) -> DataFrame:
+    """EXT (R238, round 6): item-item collaborative-filtering neighbors —
+    for every item its top-k most-similar items by binary-occurrence
+    cosine sim(i,j) = n_ij / √(n_i·n_j) over user purchase sets; the
+    classic Amazon-style "users who bought i also bought j" primitive,
+    and the recommender member of the similarity family (R122's basket
+    pairs rank by lift — a dependence test; cosine ranks by co-occurrence
+    GEOMETRY, which is what neighbor lists want).
+
+    Determinism: n_ij, n_i are exact distinct-user counts; cosine is one
+    IEEE divide rounded to ``round_dp`` BEFORE ranking, ties break on the
+    neighbor item asc, so every engine selects the same top-k row set.
+
+    Scale shape: dedup to (user, item) pairs (one hash agg — bodies/
+    baskets never re-shuffle); the pair join is a self-join on user whose
+    per-user fan-out is C(items-per-user, 2) — bounded by basket width,
+    not catalog size; pair counts hash-agg on (i, j); per-item degrees
+    join back; ranking is a per-item WindowGroupLimit (never a global
+    sort). For web-scale catalogs swap the exact self-join for the
+    R27/R235 bucketed-candidate devices; at warehouse item cardinalities
+    the exact join IS the right plan."""
+    ui = (df.select(F.col(user_col).alias("__u"),
+                    F.col(item_col).alias("__i"))
+          .distinct().localCheckpoint())
+    deg = ui.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (a.join(b, (F.col("a.__u") == F.col("b.__u"))
+                 & (F.col("a.__i") != F.col("b.__i")))
+          .groupBy(F.col("a.__i").alias("__ia"),
+                   F.col("b.__i").alias("__ib"))
+          .agg(F.count(F.lit(1)).alias("n_co")))
+    cos = F.round(F.col("n_co").cast("double")
+                  / F.sqrt(F.col("da.__n").cast("double")
+                           * F.col("db.__n").cast("double")), round_dp)
+    scored = (co.join(deg.alias("da"), F.col("__ia") == F.col("da.__i"))
+              .join(deg.alias("db"), F.col("__ib") == F.col("db.__i"))
+              .select(F.col("__ia").alias("item"),
+                      F.col("__ib").alias("neighbor"),
+                      "n_co", cos.alias("cosine")))
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("item", "neighbor", "n_co", "cosine",
+                    F.col("__rn").alias("rank")))

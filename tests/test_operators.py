@@ -4095,3 +4095,47 @@ def test_periodogram_counts_vs_numpy_reference(spark):
         "ts timestamp")
     fout = periodogram_counts(flat, "ts", periods=(24,)).collect()
     assert fout[0].r2 is None and fout[0].amplitude == 0.0
+
+
+def test_item_cf_neighbors_vs_python_reference(spark):
+    """Hand-built baskets pin every cosine against a set-arithmetic
+    reference; duplicate purchases must collapse (distinct-user counts),
+    items never neighbor themselves, and the rounded-cosine +
+    neighbor-asc tie-break fixes the top-k cut."""
+    import math
+    from itertools import combinations
+    from data_engineering__spark.operators.analytics import (
+        item_cf_neighbors,
+    )
+
+    baskets = {1: {"a", "b", "c"}, 2: {"a", "b"}, 3: {"a", "c"},
+               4: {"b", "c"}, 5: {"a"}, 6: {"d", "a"}}
+    rows = [(u, i) for u, s in baskets.items() for i in s]
+    rows += [(1, "a"), (2, "b")]          # duplicate purchases
+    df = spark.createDataFrame(rows, "u long, i string")
+    out = {(r.item, r.neighbor): r for r in item_cf_neighbors(
+        df, "u", "i", k=2).collect()}
+
+    users = {}
+    for u, s in baskets.items():
+        for i in s:
+            users.setdefault(i, set()).add(u)
+    for (i, j) in combinations(sorted(users), 2):
+        n_co = len(users[i] & users[j])
+        if n_co == 0:
+            assert (i, j) not in out and (j, i) not in out
+            continue
+        exp = round(n_co / math.sqrt(len(users[i]) * len(users[j])), 6)
+        for pair in [(i, j), (j, i)]:
+            if pair in out:
+                assert out[pair].n_co == n_co
+                assert abs(out[pair].cosine - exp) < 1e-9
+    assert not any(i == j for (i, j) in out)
+    # k=2 cut respected per item, ranks are 1..2
+    from collections import Counter
+    per_item = Counter(i for (i, _) in out)
+    assert all(c <= 2 for c in per_item.values())
+    assert {out[p].rank for p in out} <= {1, 2}
+    # d co-occurs only with a -> its single neighbor is a
+    d_rows = [(p, r) for p, r in out.items() if p[0] == "d"]
+    assert len(d_rows) == 1 and d_rows[0][0][1] == "a"
