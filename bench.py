@@ -108,6 +108,7 @@ HEADLINE = [
     "lm_score_docs",
     "periodogram_events",
     "item_cf_brands",
+    "seq_patterns_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

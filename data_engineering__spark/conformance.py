@@ -2325,6 +2325,7 @@ DRIVER_PRIORITY = [
     "lm_score_docs",
     "periodogram_events",
     "item_cf_brands",
+    "seq_patterns_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10447,3 +10448,28 @@ def item_cf_brands(spark, sf_dir):
           .select(F.col("o_custkey").alias("u"),
                   F.col("p_brand").alias("i")))
     return item_cf_neighbors(ub, "u", "i", k=5)
+
+
+@query("seq_patterns_events", oracle=_mat("""
+WITH ev AS (SELECT user_id AS u, ts, event_type AS t FROM events),
+tot AS (SELECT COUNT(DISTINCT u) AS tot FROM ev),
+ea AS (SELECT u, t AS a, MIN(ts) AS ta FROM ev GROUP BY 1, 2),
+eb AS (SELECT ea.u, ea.a, e.t AS b, MIN(e.ts) AS tb
+       FROM ea JOIN ev e ON e.u = ea.u AND e.t <> ea.a AND e.ts > ea.ta
+       GROUP BY 1, 2, 3),
+ec AS (SELECT eb.u, eb.a, eb.b, e.t AS c, MIN(e.ts) AS tc
+       FROM eb JOIN ev e ON e.u = eb.u AND e.t <> eb.a AND e.t <> eb.b
+                         AND e.ts > eb.tb
+       GROUP BY 1, 2, 3, 4)
+SELECT a || '>' || b || '>' || c AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS support
+FROM ec CROSS JOIN tot GROUP BY a, b, c, tot"""))
+def seq_patterns_events(spark, sf_dir):
+    """EXT R239: length-3 sequential-pattern support over user event
+    histories — greedy-earliest ordered-subsequence existence per user
+    (strict <), support share over all active users."""
+    from .operators.analytics import seq_pattern_support
+    ev = read_table(spark, sf_dir, "events")
+    return seq_pattern_support(ev, "user_id", "ts", "event_type")

@@ -3042,3 +3042,56 @@ def item_cf_neighbors(df: DataFrame, user_col: str, item_col: str,
             .filter(F.col("__rn") <= k)
             .select("item", "neighbor", "n_co", "cosine",
                     F.col("__rn").alias("rank")))
+
+
+def seq_pattern_support(events: DataFrame, user_col: str, ts_col: str,
+                        type_col: str, round_dp: int = 6) -> DataFrame:
+    """EXT (R239, round 6): sequential-pattern support mining — for every
+    ordered triple of DISTINCT event types (A,B,C), the number and share
+    of users whose history contains some occurrence tA < tB < tC (SPADE/
+    PrefixSpan's length-3 existence support). The ordered counterpart of
+    the transition matrix (R83, adjacent bigrams) and journey paths
+    (R105, full path strings): a pattern here may have arbitrary
+    interleaving between its steps.
+
+    Greedy-earliest evaluation (the standard subsequence lemma: an
+    ordered instance exists iff the greedy earliest one does): eA =
+    user's first A; eB = first B strictly after eA; eC = first C strictly
+    after eB — ties at equal timestamps do NOT chain (strict <, identical
+    in both engines). Patterns no user supports are absent.
+
+    Scale shape: three (user-key) hash joins, each fanning a user's
+    events by at most the TYPE VOCABULARY (|T| then |T|², never event² —
+    the brute ∃-triple join would be cubic in per-user activity); all
+    aggregates are hash aggs at (user, prefix) grain; the user total
+    rides as a 1-row broadcast. Pattern cardinality is |T|³ at most —
+    a report, not a data-sized frame."""
+    ev = (events.select(F.col(user_col).alias("__u"),
+                        F.col(ts_col).alias("__ts"),
+                        F.col(type_col).alias("__t"))
+          .localCheckpoint())
+    tot = ev.agg(F.count_distinct("__u").alias("__tot"))
+    ea = (ev.groupBy("__u", F.col("__t").alias("__a"))
+          .agg(F.min("__ts").alias("__ta")))
+    eb = (ea.join(ev.alias("e1"),
+                  (F.col("e1.__u") == ea.__u)
+                  & (F.col("e1.__t") != F.col("__a"))
+                  & (F.col("e1.__ts") > F.col("__ta")))
+          .groupBy(ea.__u, F.col("__a"), F.col("e1.__t").alias("__b"))
+          .agg(F.min("e1.__ts").alias("__tb")))
+    ec = (eb.join(ev.alias("e2"),
+                  (F.col("e2.__u") == eb.__u)
+                  & (F.col("e2.__t") != F.col("__a"))
+                  & (F.col("e2.__t") != F.col("__b"))
+                  & (F.col("e2.__ts") > F.col("__tb")))
+          .groupBy(eb.__u, F.col("__a"), F.col("__b"),
+                   F.col("e2.__t").alias("__c"))
+          .agg(F.min("e2.__ts").alias("__tc")))
+    return (ec.groupBy("__a", "__b", "__c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .crossJoin(F.broadcast(tot))
+            .select(F.concat_ws(">", "__a", "__b", "__c").alias("pattern"),
+                    "n_users",
+                    F.round(F.col("n_users").cast("double")
+                            / F.col("__tot").cast("double"), round_dp)
+                    .alias("support")))

@@ -4139,3 +4139,58 @@ def test_item_cf_neighbors_vs_python_reference(spark):
     # d co-occurs only with a -> its single neighbor is a
     d_rows = [(p, r) for p, r in out.items() if p[0] == "d"]
     assert len(d_rows) == 1 and d_rows[0][0][1] == "a"
+
+
+def test_seq_pattern_support_vs_bruteforce_subsequence(spark):
+    """Hand-built histories pin every pattern's support against a
+    brute-force ordered-subsequence checker (any tA < tB < tC), proving
+    the greedy-earliest evaluation equivalent; a timestamp TIE must not
+    chain (strict <), and interleaved extra events must not break a
+    match."""
+    from datetime import datetime, timedelta
+    from itertools import permutations
+    from data_engineering__spark.operators.analytics import (
+        seq_pattern_support,
+    )
+
+    t0 = datetime(2024, 7, 1)
+
+    def s(n):
+        return t0 + timedelta(seconds=n)
+
+    hist = {
+        # a..c in order with interleaving noise
+        1: [("a", 0), ("x", 1), ("b", 2), ("x", 3), ("c", 4)],
+        # c first, then a>b only
+        2: [("c", 0), ("a", 1), ("b", 2)],
+        # tie between b and c: b>c must NOT count for user 3
+        3: [("a", 0), ("b", 5), ("c", 5)],
+        # greedy trap: first b too late, but a later a works via
+        # existence (a@0 b@1 needs c>1: yes c@9)
+        4: [("a", 0), ("b", 1), ("a", 2), ("c", 9)],
+        5: [("x", 0)],
+    }
+    rows = [(u, s(off), t) for u, evs in hist.items() for t, off in evs]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                               "event_type string")
+    out = {r.pattern: r for r in seq_pattern_support(
+        ev, "user_id", "ts", "event_type").collect()}
+
+    types = sorted({t for evs in hist.values() for t, _ in evs})
+    exp = {}
+    for (a, b, c) in permutations(types, 3):
+        n = 0
+        for evs in hist.values():
+            seq = sorted(evs, key=lambda e: (e[1], e[0]))
+            ok = any(ta < tb < tc
+                     for x, ta in seq if x == a
+                     for y, tb in seq if y == b
+                     for z, tc in seq if z == c)
+            n += int(ok)
+        if n:
+            exp[f"{a}>{b}>{c}"] = n
+    assert {p: r.n_users for p, r in out.items()} == exp
+    assert all(abs(r.support - round(r.n_users / 5, 6)) < 1e-9
+               for r in out.values())
+    assert out["a>b>c"].n_users == 2          # users 1 and 4 (tie blocks 3)
+    assert "b>c>a" not in out
