@@ -109,6 +109,7 @@ HEADLINE = [
     "periodogram_events",
     "item_cf_brands",
     "seq_patterns_events",
+    "hdr_quantiles_prices",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2326,6 +2326,7 @@ DRIVER_PRIORITY = [
     "periodogram_events",
     "item_cf_brands",
     "seq_patterns_events",
+    "hdr_quantiles_prices",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10473,3 +10474,48 @@ def seq_patterns_events(spark, sf_dir):
     from .operators.analytics import seq_pattern_support
     ev = read_table(spark, sf_dir, "events")
     return seq_pattern_support(ev, "user_id", "ts", "event_type")
+
+
+@query("hdr_quantiles_prices", oracle=_mat("""
+WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem
+           WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+bk AS (SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT) AS e,
+              (c * 32) // CAST(power(2.0,
+                  floor(log2(CAST(c AS DOUBLE)))) AS BIGINT) - 32 AS s,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM c GROUP BY 1, 2),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets FROM bk),
+cum AS (SELECT e, s, SUM(cnt) OVER (ORDER BY e, s
+                                    ROWS UNBOUNDED PRECEDING) AS cm
+        FROM bk),
+qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct),
+ests AS (SELECT q_pct,
+                ROUND(MIN(CAST(CAST(power(2.0, e) AS BIGINT)
+                               * (2 * (32 + s) + 1) AS DOUBLE)) / 64.0, 6)
+                  AS est_cents
+         FROM cum CROSS JOIN qs CROSS JOIN n
+         WHERE cm * 100 >= n * q_pct GROUP BY 1),
+hist AS (SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS hc FROM c GROUP BY 1),
+vcum AS (SELECT v, SUM(hc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                     AS cm
+         FROM hist),
+exact AS (SELECT q_pct, MIN(v) AS exact_cents
+          FROM vcum CROSS JOIN qs CROSS JOIN n
+          WHERE cm * 100 >= n * q_pct GROUP BY 1)
+SELECT CAST(q_pct AS INT) AS q_pct, exact_cents, est_cents,
+       ROUND(abs(est_cents - CAST(exact_cents AS DOUBLE))
+             / CAST(exact_cents AS DOUBLE), 6) AS rel_error,
+       n_buckets
+FROM exact JOIN ests USING (q_pct) CROSS JOIN nb"""))
+def hdr_quantiles_prices(spark, sf_dir):
+    """EXT R240: HdrHistogram-style relative-error quantile sketch over
+    lineitem price cents — p50/p90/p99 estimates from ≤2^5·e_max buckets
+    of mergeable state beside the exact quantiles, realized rel_error
+    observable against the 2^-(m+1) bound. Integer bucketing (base-2
+    exponent + 5 mantissa bits) keeps both engines bit-identical."""
+    from .operators.sketches import hdr_quantile_report
+    li = read_table(spark, sf_dir, "lineitem")
+    return hdr_quantile_report(
+        li, F.round(F.col("l_extendedprice") * 100).cast("long"))

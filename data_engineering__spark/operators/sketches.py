@@ -466,3 +466,92 @@ def cm_selfjoin_size(df: DataFrame, key_col: str, depth: int = 4,
                  - F.col("__f2").cast("double"))
                 / F.col("__f2").cast("double"), round_dp)
          .alias("rel_error"))
+
+
+def hdr_quantile_report(df: DataFrame, cents_col, m_bits: int = 5,
+                        q_pcts=(50, 90, 99),
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (R240, round 6): HdrHistogram/DDSketch-style relative-error
+    quantile sketch with its accuracy report — bucket positive integer
+    cents by (base-2 exponent e, top ``m_bits`` mantissa bits), estimate
+    each requested quantile from the bounded bucket histogram, and report
+    it beside the EXACT quantile with the realized relative error. The
+    guarantee made observable: bucket width / bucket floor = 2^-m, so
+    |est − exact| / exact ≤ 2^-(m+1) (~1.6% at m=5) with ≤ 2^m·e_max
+    buckets of mergeable, shuffle-safe state — the quantile analogue of
+    the R147 Count-Min accuracy check.
+
+    Exactness (why no γ-log bucketing): DDSketch's ceil(ln v / ln γ) puts
+    engine-differing libm values within an ulp of bucket BOUNDARIES — an
+    integer count can flip between engines. Here the exponent
+    e = floor(log2 c) is safe (log2 of a non-power-of-two integer c sits
+    ≥ ~1/(c·ln 2) from the nearest integer — orders of magnitude above
+    double error for c < 2^40, and powers of two are exact), the
+    sub-bucket (c·2^m) div 2^e − 2^m is pure integer arithmetic, and the
+    bucket midpoint 2^e·(2·(2^m+sub)+1) / 2^(m+1) is a DYADIC rational —
+    its double is exact. Exact quantiles come from the integer value
+    histogram (lower quantile: min v with 100·cum ≥ n·q), so the only
+    inexact IEEE op in the report is the final error divide.
+
+    Scale shape: one map-side bucket hash agg (bounded state), one value
+    histogram for the exact side (distinct-value-sized, not row-sized),
+    never a global row sort. The sketch-side cumulative window runs over
+    the BOUNDED bucket set (≤2^m·e_max rows by construction — state-sized,
+    not data-sized); the exact side's cumulative count uses the R120
+    two-level scan tree (tiny bucket-total window + partitioned
+    within-bucket cumsums), so no window ever holds the distinct-value
+    histogram in one partition; n and the probe thresholds ride as 1-row
+    broadcasts."""
+    col = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    c = (df.select(col.alias("__c")).filter(F.col("__c") > 0)
+         .localCheckpoint())
+    n = c.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    two_m = 1 << m_bits
+    e = F.floor(F.log2(F.col("__c").cast("double"))).cast("long")
+    bk = (c.select(e.alias("__e"),
+                   (F.expr(f"(__c * {two_m}) div "
+                           f"cast(pow(2.0d, floor(log2(cast(__c as "
+                           f"double)))) as bigint)")
+                    - two_m).alias("__s"))
+          .groupBy("__e", "__s").agg(F.count(F.lit(1)).alias("__cnt"))
+          .localCheckpoint())
+    nbuck = bk.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    wcum = (Window.orderBy("__e", "__s")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = bk.withColumn("__cm", F.sum("__cnt").over(wcum))
+    qs = (c.sparkSession.range(1)
+          .select(F.explode(F.array(*[F.lit(int(q)) for q in q_pcts]))
+                  .alias("q_pct")))
+    est_num = (F.pow(F.lit(2.0), F.col("__e").cast("double")).cast("long")
+               * (F.lit(2) * (F.lit(two_m) + F.col("__s")) + F.lit(1)))
+    est = est_num.cast("double") / F.lit(float(2 * two_m))
+    ests = (cum.crossJoin(qs).crossJoin(F.broadcast(n))
+            .filter(F.col("__cm") * 100 >= F.col("__n") * F.col("q_pct"))
+            .groupBy("q_pct")
+            .agg(F.min(F.struct(F.col("__e"), F.col("__s"))).alias("__b"))
+            .select("q_pct",
+                    F.col("__b.__e").alias("__e"),
+                    F.col("__b.__s").alias("__s"))
+            .select("q_pct", F.round(est, round_dp).alias("est_cents")))
+    hist = (c.groupBy("__c").agg(F.count(F.lit(1)).alias("__hc"))
+            .withColumn("__b", F.expr("__c div 100000")))
+    btot = hist.groupBy("__b").agg(F.sum("__hc").alias("__bt"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select("__b", F.coalesce(F.sum("__bt").over(w_b),
+                                         F.lit(0)).alias("__off"))
+    w_in = (Window.partitionBy("__b").orderBy("__c")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    vcum = (hist.join(F.broadcast(boff), "__b")
+            .withColumn("__cm", F.col("__off") + F.sum("__hc").over(w_in)))
+    exact = (vcum.crossJoin(qs).crossJoin(F.broadcast(n))
+             .filter(F.col("__cm") * 100 >= F.col("__n") * F.col("q_pct"))
+             .groupBy("q_pct")
+             .agg(F.min("__c").cast("long").alias("exact_cents")))
+    return (exact.join(ests, "q_pct").crossJoin(F.broadcast(nbuck))
+            .select(F.col("q_pct").cast("int").alias("q_pct"),
+                    "exact_cents", "est_cents",
+                    F.round(F.abs(F.col("est_cents")
+                                  - F.col("exact_cents").cast("double"))
+                            / F.col("exact_cents").cast("double"),
+                            round_dp).alias("rel_error"),
+                    "n_buckets"))

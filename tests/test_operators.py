@@ -4194,3 +4194,53 @@ def test_seq_pattern_support_vs_bruteforce_subsequence(spark):
                for r in out.values())
     assert out["a>b>c"].n_users == 2          # users 1 and 4 (tie blocks 3)
     assert "b>c>a" not in out
+
+
+def test_hdr_quantile_report_vs_python_reference(spark):
+    """A deterministic long-tailed cents sample pins every estimate
+    against a sequential Python replica of the (exponent, 5-bit
+    mantissa) bucketing, every exact quantile against the order
+    statistic, and the realized relative error against the 2^-(m+1)
+    guarantee; bucket state must stay tiny relative to distinct
+    values."""
+    from data_engineering__spark.operators.sketches import (
+        hdr_quantile_report,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic skewed sample: quadratic growth + wiggle
+    cents = [100 + 7 * i * i + (i * 37) % 101 for i in range(2000)]
+    df = spark.createDataFrame([(c,) for c in cents], "c long")
+    out = {r.q_pct: r for r in hdr_quantile_report(
+        df, "c", m_bits=5, q_pcts=(50, 90, 99)).collect()}
+
+    m, two_m = 5, 32
+    def bucket(c):
+        e = c.bit_length() - 1          # floor(log2 c) exactly
+        return (e, (c * two_m) // (1 << e) - two_m)
+    def mid(b):
+        e, s = b
+        return (1 << e) * (2 * (two_m + s) + 1) / (2 * two_m)
+
+    from collections import Counter
+    bkc = Counter(bucket(c) for c in cents)
+    assert len(bkc) <= 32 * max(c.bit_length() for c in cents)
+    assert len(bkc) < len(set(cents)) / 2
+    svals = sorted(cents)
+    n = len(svals)
+    order = sorted(bkc)
+    for q in (50, 90, 99):
+        # exact lower quantile: min v with 100*cum >= n*q
+        k = -(-n * q // 100)            # ceil
+        exact = svals[k - 1]
+        assert out[q].exact_cents == exact
+        cm = 0
+        for b in order:
+            cm += bkc[b]
+            if 100 * cm >= n * q:
+                assert out[q].est_cents == round(mid(b), 6)
+                break
+        assert out[q].rel_error <= 2 ** -(m + 1)
+        assert abs(out[q].rel_error
+                   - round(abs(out[q].est_cents - exact) / exact, 6)) < 1e-12
+    assert out[50].n_buckets == len(bkc)
