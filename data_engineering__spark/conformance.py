@@ -2327,6 +2327,7 @@ DRIVER_PRIORITY = [
     "item_cf_brands",
     "seq_patterns_events",
     "hdr_quantiles_prices",
+    "isotonic_calibration_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10519,3 +10520,61 @@ def hdr_quantiles_prices(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     return hdr_quantile_report(
         li, F.round(F.col("l_extendedprice") * 100).cast("long"))
+
+
+def _isotonic_oracle_sql(n_bins: int = 10) -> str:
+    """DuckDB twin of ``analytics.isotonic_calibration`` on events —
+    the R211 decile CTE chain extended by the PAVA minimax closed form
+    (interval averages as one exact-integer divide each, then
+    min-over-suffix / max-over-prefix)."""
+    bs = ", ".join(
+        f"MIN(CASE WHEN cum * {n_bins} >= n * {i} THEN v END) AS b{i}"
+        for i in range(1, n_bins))
+    score = " + ".join(
+        f"(CASE WHEN s > b{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n_bins))
+    return f"""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+bounds AS (
+  SELECT {bs}
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT s AS v, COUNT(*) AS c FROM base GROUP BY 1))),
+bucketed AS (
+  SELECT CAST(1 + {score} AS BIGINT) AS bin, s, y
+  FROM base CROSS JOIN bounds),
+binned AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS np
+  FROM bucketed GROUP BY bin),
+iv AS (
+  SELECT j.bin AS j, k.bin AS k,
+         SUM(b.n) AS vn, SUM(b.np) AS vp
+  FROM binned j JOIN binned k ON j.bin <= k.bin
+  JOIN binned b ON b.bin BETWEEN j.bin AND k.bin
+  GROUP BY 1, 2),
+mji AS (
+  SELECT i.bin AS i, iv.j,
+         MIN(CAST(vp AS DOUBLE) / CAST(vn AS DOUBLE)) AS m
+  FROM iv JOIN binned i ON iv.j <= i.bin AND iv.k >= i.bin
+  GROUP BY 1, 2),
+iso AS (SELECT i, MAX(m) AS iso FROM mji GROUP BY 1)
+SELECT bin, n, np AS n_pos,
+       ROUND(CAST(np AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+       ROUND(iso, 6) AS iso_rate
+FROM binned JOIN iso ON bin = i"""
+
+
+@query("isotonic_calibration_events",
+       oracle=_mat(_isotonic_oracle_sql()))
+def isotonic_calibration_events(spark, sf_dir):
+    """EXT R241: isotonic (PAVA) calibration of event value-cents score
+    vs purchase label over exact decile bins — minimax closed form, no
+    iterative pooling; the deployable monotone score→probability map."""
+    from .operators.analytics import isotonic_calibration
+    e = read_table(spark, sf_dir, "events")
+    return isotonic_calibration(
+        e, F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase", n_bins=10)

@@ -3095,3 +3095,41 @@ def seq_pattern_support(events: DataFrame, user_col: str, ts_col: str,
                     F.round(F.col("n_users").cast("double")
                             / F.col("__tot").cast("double"), round_dp)
                     .alias("support")))
+
+
+def isotonic_calibration(df: DataFrame, score_int, label_bool,
+                         n_bins: int = 10, round_dp: int = 6) -> DataFrame:
+    """EXT (R241, round 6): isotonic (PAVA) calibration over the R211
+    decile table — the monotone-regressed positive rate per score bin,
+    i.e. what Platt/isotonic calibration would deploy as the score→
+    probability map. Raw bin rates can invert on noise; the isotonic fit
+    is the unique monotone weighted-L2 projection, computed here in the
+    PAVA **minimax closed form** (Robertson/Wright/Dykstra):
+    iso_i = max_{j≤i} min_{k≥i} avg(j..k) with avg the pooled
+    n_pos/n over bins j..k — NO iterative pooling, so both engines
+    evaluate a fixed-shape expression. Every interval average is one
+    IEEE division of exact integer sums; min/max over identical doubles
+    are engine-identical; one final ROUND.
+
+    Scale shape: all the data-sized work is the R211 binning (one pass +
+    broadcast boundary probe); everything after operates on ≤ n_bins
+    rows — the interval/minimax joins are n_bins³ ≤ 1000-row
+    report-grain frames, never data-sized."""
+    bins = calibration_bins(df, score_int, label_bool, n_bins)
+    b = bins.select("bin", "n", "n_pos", "pos_rate").localCheckpoint()
+    iv = (b.select(F.col("bin").alias("__j"))
+          .join(b.select(F.col("bin").alias("__k")),
+                F.col("__j") <= F.col("__k"))
+          .join(b, (F.col("bin") >= F.col("__j"))
+                & (F.col("bin") <= F.col("__k")))
+          .groupBy("__j", "__k")
+          .agg(F.sum("n").alias("__vn"), F.sum("n_pos").alias("__vp")))
+    a = F.col("__vp").cast("double") / F.col("__vn").cast("double")
+    mji = (iv.join(b.select(F.col("bin").alias("__i")),
+                   (F.col("__j") <= F.col("__i"))
+                   & (F.col("__k") >= F.col("__i")))
+           .groupBy("__i", "__j").agg(F.min(a).alias("__m")))
+    iso = mji.groupBy("__i").agg(F.max("__m").alias("__iso"))
+    return (b.join(iso, F.col("bin") == F.col("__i"))
+            .select("bin", "n", "n_pos", "pos_rate",
+                    F.round(F.col("__iso"), round_dp).alias("iso_rate")))

@@ -4244,3 +4244,59 @@ def test_hdr_quantile_report_vs_python_reference(spark):
         assert abs(out[q].rel_error
                    - round(abs(out[q].est_cents - exact) / exact, 6)) < 1e-12
     assert out[50].n_buckets == len(bkc)
+
+
+def test_isotonic_calibration_vs_pava_reference(spark):
+    """Synthetic scores engineered to give non-monotone decile rates pin
+    the minimax closed form against a classical iterative
+    pool-adjacent-violators implementation; the fit must be monotone,
+    weight-preserving (Σ iso·n = Σ pos), and equal to the raw rates
+    wherever they were already monotone."""
+    from data_engineering__spark.operators.analytics import (
+        calibration_bins, isotonic_calibration,
+    )
+    from pyspark.sql import functions as F
+
+    # score = i; label engineered so decile rates zig-zag
+    rows = []
+    for i in range(1000):
+        d = i // 100
+        rate = [5, 10, 8, 30, 20, 20, 60, 50, 90, 95][d]
+        rows.append((i, 1 if (i * 13) % 100 < rate else 0))
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = {r.bin: r for r in isotonic_calibration(
+        df, F.col("s"), F.col("y") == 1, n_bins=10).collect()}
+    bins = {r.bin: r for r in calibration_bins(
+        df, F.col("s"), F.col("y") == 1, n_bins=10).collect()}
+
+    order = sorted(bins)
+    w = [bins[b].n for b in order]
+    v = [bins[b].n_pos / bins[b].n for b in order]
+    # classical PAVA with weights
+    blocks = [[v[i], w[i], [i]] for i in range(len(v))]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                a, b2 = blocks[i], blocks[i + 1]
+                nw = a[1] + b2[1]
+                blocks[i] = [(a[0] * a[1] + b2[0] * b2[1]) / nw, nw,
+                             a[2] + b2[2]]
+                del blocks[i + 1]
+                merged = True
+                break
+    fit = {}
+    for val, _, idxs in blocks:
+        for i in idxs:
+            fit[order[i]] = val
+    for b in order:
+        assert abs(out[b].iso_rate - round(fit[b], 6)) < 1e-6, b
+        assert out[b].n == bins[b].n and out[b].n_pos == bins[b].n_pos
+    iso_seq = [out[b].iso_rate for b in order]
+    assert iso_seq == sorted(iso_seq)
+    tot = sum(out[b].iso_rate * out[b].n for b in order)
+    assert abs(tot - sum(bins[b].n_pos for b in order)) < 1e-2
+    # at least one violation was actually pooled in this fixture
+    raw = [bins[b].pos_rate for b in order]
+    assert raw != sorted(raw)
