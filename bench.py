@@ -111,6 +111,7 @@ HEADLINE = [
     "seq_patterns_events",
     "hdr_quantiles_prices",
     "isotonic_calibration_events",
+    "logrank_test_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2328,6 +2328,7 @@ DRIVER_PRIORITY = [
     "seq_patterns_events",
     "hdr_quantiles_prices",
     "isotonic_calibration_events",
+    "logrank_test_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10578,3 +10579,67 @@ def isotonic_calibration_events(spark, sf_dir):
     return isotonic_calibration(
         e, F.round(F.col("value") * 100).cast("long"),
         F.col("event_type") == "purchase", n_bins=10)
+
+
+@query("logrank_test_events", oracle=_mat(f"""
+WITH peru AS (
+  SELECT user_id AS u,
+         MIN(epoch_us(ts) // 86400000000) AS d0,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 86400000000 END) AS dp,
+         MAX(epoch_us(ts) // 86400000000) AS dl
+  FROM events GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN ({_bucket_sql("CAST(u AS VARCHAR)", "exp1")}) < 5000
+              THEN 'a' ELSE 'b' END AS g,
+         CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t,
+         CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM peru),
+ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM subj GROUP BY 1),
+hist AS (SELECT t, g, CAST(COUNT(*) AS BIGINT) AS alln,
+                CAST(SUM(e) AS BIGINT) AS d
+         FROM subj GROUP BY 1, 2),
+grid AS (SELECT h.t, a.g
+         FROM (SELECT DISTINCT t FROM hist) h
+         CROSS JOIN (SELECT DISTINCT g FROM subj) a),
+dense AS (
+  SELECT grid.t, grid.g, COALESCE(alln, 0) AS alln, COALESCE(d, 0) AS d
+  FROM grid LEFT JOIN hist ON grid.t = hist.t AND grid.g = hist.g),
+risked AS (
+  SELECT t, dense.g, d,
+         ng.ng - COALESCE(SUM(alln) OVER (PARTITION BY dense.g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS risk
+  FROM dense JOIN ng ON dense.g = ng.g),
+per_t AS (
+  SELECT t, SUM(d) AS dt, SUM(risk) AS nt,
+         SUM(CASE WHEN g = 'a' THEN d ELSE 0 END) AS d1,
+         SUM(CASE WHEN g = 'a' THEN risk ELSE 0 END) AS n1
+  FROM risked GROUP BY 1 HAVING SUM(d) > 0),
+mom AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         SUM(CAST(dt AS DOUBLE)
+             * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))) AS e1,
+         SUM(CASE WHEN nt > 1 THEN
+               CAST(dt AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE)
+             ELSE 0.0 END) AS v
+  FROM per_t)
+SELECT (SELECT ng FROM ng WHERE g = 'a') AS n_a,
+       (SELECT ng FROM ng WHERE g = 'b') AS n_b,
+       o1 AS events_a,
+       ROUND(e1, 6) AS expected_a,
+       ROUND(v, 6) AS variance,
+       ROUND(CASE WHEN v > 0 THEN (CAST(o1 AS DOUBLE) - e1) / sqrt(v)
+             END, 6) AS z
+FROM mom"""))
+def logrank_test_events(spark, sf_dir):
+    """EXT R242: two-sample log-rank test on time-to-first-purchase
+    between the sha 'exp1' arms (same subject frame as Nelson–Aalen
+    R212, same arms as QTE R226) — pooled hypergeometric moments per
+    event time, z = (O−E)/√V."""
+    from .operators.analytics import logrank_test
+    ev = read_table(spark, sf_dir, "events")
+    return logrank_test(ev, "user_id", "ts", "event_type")

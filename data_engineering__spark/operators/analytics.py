@@ -3133,3 +3133,92 @@ def isotonic_calibration(df: DataFrame, score_int, label_bool,
     return (b.join(iso, F.col("bin") == F.col("__i"))
             .select("bin", "n", "n_pos", "pos_rate",
                     F.round(F.col("__iso"), round_dp).alias("iso_rate")))
+
+
+def logrank_test(df: DataFrame, user_col: str, ts_col: str, type_col: str,
+                 convert_type: str = "purchase", salt: str = "exp1",
+                 buckets: int = 10_000, split_at: int = 5_000,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (R242, round 6): two-sample log-rank test between the sha
+    experiment arms on time-to-first-conversion with right censoring —
+    the survival-curve significance test completing the time-to-event
+    family (KM draws the curves, Nelson–Aalen the hazard, THIS says
+    whether the arms' curves differ): at every event time t_j pool the
+    hypergeometric moments E[d1] = d_j·n1_j/n_j and
+    V = d_j·(n1_j/n_j)(1−n1_j/n_j)(n_j−d_j)/(n_j−1), then
+    z = (O₁−E₁)/√V. Duration = days from a user's first event to first
+    conversion, censored at their last event (same subject frame as
+    R212).
+
+    Determinism: subjects, per-time at-risk and event counts are exact
+    integers (per-arm risk via the dense cumulative device on the COMMON
+    event-time grid, so an arm's risk is defined even at the other arm's
+    event times); each E/V term is a fixed shape of IEEE divides;
+    ROUND-dp absorbs partial-sum ulps. Arms are the sha bucket split —
+    rerun- and engine-stable, never an RNG.
+
+    Scale shape: one user-grain shuffle to subjects; per-(time, arm)
+    hash agg; the risk windows run per-arm over the DISTINCT-day grid
+    (calendar-sized, 2 partitions); the final moment sum is one scalar
+    agg."""
+    from .sampling import hash_bucket
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    peru = (df.groupBy(F.col(user_col).alias("__u"))
+            .agg(F.min(day).alias("__d0"),
+                 F.min(F.when(F.col(type_col) == convert_type, day))
+                 .alias("__dp"),
+                 F.max(day).alias("__dl")))
+    subj = (peru.select(
+        F.when(hash_bucket(F.col("__u"), buckets, salt) < split_at,
+               F.lit("a")).otherwise(F.lit("b")).alias("__g"),
+        F.when(F.col("__dp").isNotNull(),
+               F.col("__dp") - F.col("__d0"))
+         .otherwise(F.col("__dl") - F.col("__d0")).alias("__t"),
+        F.when(F.col("__dp").isNotNull(), 1).otherwise(0).alias("__e"))
+        .localCheckpoint())
+    ng = subj.groupBy("__g").agg(F.count(F.lit(1)).alias("__ng"))
+    hist = (subj.groupBy("__t", "__g")
+            .agg(F.count(F.lit(1)).alias("__all"),
+                 F.sum("__e").alias("__d")))
+    grid = (hist.select("__t").distinct()
+            .crossJoin(subj.select("__g").distinct()))
+    w = (Window.partitionBy("__g").orderBy("__t")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    dense = (grid.join(hist, ["__t", "__g"], "left")
+             .select("__t", "__g",
+                     F.coalesce(F.col("__all"), F.lit(0)).alias("__all"),
+                     F.coalesce(F.col("__d"), F.lit(0)).alias("__d"))
+             .withColumn("__prior",
+                         F.coalesce(F.sum("__all").over(w), F.lit(0)))
+             .join(ng, "__g")
+             .withColumn("__risk", F.col("__ng") - F.col("__prior")))
+    per_t = (dense.groupBy("__t")
+             .agg(F.sum("__d").alias("__dt"),
+                  F.sum("__risk").alias("__nt"),
+                  F.sum(F.when(F.col("__g") == "a", F.col("__d"))
+                        .otherwise(0)).alias("__d1"),
+                  F.sum(F.when(F.col("__g") == "a", F.col("__risk"))
+                        .otherwise(0)).alias("__n1"))
+             .filter(F.col("__dt") > 0))
+    p1 = F.col("__n1").cast("double") / F.col("__nt").cast("double")
+    eterm = F.col("__dt").cast("double") * p1
+    vterm = F.when(
+        F.col("__nt") > 1,
+        F.col("__dt").cast("double") * p1 * (F.lit(1.0) - p1)
+        * (F.col("__nt") - F.col("__dt")).cast("double")
+        / (F.col("__nt") - 1).cast("double")).otherwise(F.lit(0.0))
+    mom = per_t.agg(
+        F.sum("__d1").cast("long").alias("__o1"),
+        F.sum(eterm).alias("__e1"),
+        F.sum(vterm).alias("__v"))
+    na = ng.groupBy().pivot("__g", ["a", "b"]).sum("__ng")
+    z = F.when(F.col("__v") > 0,
+               (F.col("__o1").cast("double") - F.col("__e1"))
+               / F.sqrt(F.col("__v")))
+    return (mom.crossJoin(F.broadcast(na))
+            .select(F.col("a").cast("long").alias("n_a"),
+                    F.col("b").cast("long").alias("n_b"),
+                    F.col("__o1").alias("events_a"),
+                    F.round("__e1", round_dp).alias("expected_a"),
+                    F.round("__v", round_dp).alias("variance"),
+                    F.round(z, round_dp).alias("z")))

@@ -4300,3 +4300,52 @@ def test_isotonic_calibration_vs_pava_reference(spark):
     # at least one violation was actually pooled in this fixture
     raw = [bins[b].pos_rate for b in order]
     assert raw != sorted(raw)
+
+
+def test_logrank_test_vs_python_reference(spark):
+    """Twelve users with engineered durations/censoring pin O/E/V/z
+    against a sequential Python log-rank (common event-time grid, both
+    arms' at-risk counted at every event time, hypergeometric variance
+    with the (n-d)/(n-1) correction); arms replicate the sha device in
+    hashlib so the fixture knows its own assignment."""
+    import hashlib
+    import math
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.analytics import logrank_test
+
+    def arm(u):
+        h = hashlib.sha256(f"exp1{u}".encode()).hexdigest()
+        return "a" if int(h[:8], 16) % 10000 < 5000 else "b"
+
+    t0 = datetime(2024, 1, 1)
+    # (user, duration_days, converted)
+    spec = [(u, (u * 3) % 7 + 1, u % 3 != 0) for u in range(1, 13)]
+    rows = []
+    for u, dur, conv in spec:
+        rows.append((u, t0, "view"))
+        last = "purchase" if conv else "click"
+        rows.append((u, t0 + timedelta(days=dur), last))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                               "event_type string")
+    out = logrank_test(ev, "user_id", "ts", "event_type").collect()[0]
+
+    subj = [(arm(u), dur, 1 if conv else 0) for u, dur, conv in spec]
+    times = sorted({t for _, t, e in subj if e})
+    o1 = e1 = v = 0.0
+    for t in times:
+        na = sum(1 for g, tt, _ in subj if g == "a" and tt >= t)
+        nb = sum(1 for g, tt, _ in subj if g == "b" and tt >= t)
+        d1 = sum(e for g, tt, e in subj if g == "a" and tt == t)
+        d = d1 + sum(e for g, tt, e in subj if g == "b" and tt == t)
+        n = na + nb
+        o1 += d1
+        e1 += d * na / n
+        if n > 1:
+            v += d * (na / n) * (1 - na / n) * (n - d) / (n - 1)
+    assert out.n_a == sum(1 for g, _, _ in subj if g == "a")
+    assert out.n_b == sum(1 for g, _, _ in subj if g == "b")
+    assert out.events_a == int(o1)
+    assert abs(out.expected_a - round(e1, 6)) < 1e-6
+    assert abs(out.variance - round(v, 6)) < 1e-6
+    assert abs(out.z - round((o1 - e1) / math.sqrt(v), 6)) < 1e-6
+    assert out.n_a + out.n_b == 12
