@@ -112,6 +112,7 @@ HEADLINE = [
     "hdr_quantiles_prices",
     "isotonic_calibration_events",
     "logrank_test_events",
+    "rake_keyphrases_docs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

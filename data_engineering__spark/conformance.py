@@ -2329,6 +2329,7 @@ DRIVER_PRIORITY = [
     "hdr_quantiles_prices",
     "isotonic_calibration_events",
     "logrank_test_events",
+    "rake_keyphrases_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10643,3 +10644,45 @@ def logrank_test_events(spark, sf_dir):
     from .operators.analytics import logrank_test
     ev = read_table(spark, sf_dir, "events")
     return logrank_test(ev, "user_id", "ts", "event_type")
+
+
+@query("rake_keyphrases_docs", oracle=_mat("""
+WITH toks AS (
+  SELECT list_transform(
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> ''),
+           t -> CASE WHEN t IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is', 'it', 'for', 'on', 'with', 'as', 'at', 'by', 'be', 'or', 'are', 'was', 'that', 'this', 'from') THEN '|' ELSE t END) AS m
+  FROM documents),
+phr AS (
+  SELECT trim(p) AS phrase
+  FROM (SELECT unnest(string_split_regex(array_to_string(m, ' '),
+                                         '\\|')) AS p
+        FROM toks)
+  WHERE trim(p) <> ''),
+iw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS l,
+         unnest(string_split(phrase, ' ')) AS w
+  FROM phr),
+wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(l) AS BIGINT) AS deg
+          FROM iw GROUP BY 1),
+occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM phr GROUP BY 1),
+mult AS (SELECT iw.phrase, w, n_occ,
+                CAST(COUNT(*) // n_occ AS BIGINT) AS m
+         FROM iw JOIN occ ON iw.phrase = occ.phrase GROUP BY 1, 2, 3),
+score AS (SELECT phrase,
+                 SUM(CAST(m AS DOUBLE)
+                     * (CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)))
+                   AS sc
+          FROM mult JOIN wstat USING (w) GROUP BY 1)
+SELECT phrase, n_occ, ROUND(sc, 6) AS score
+FROM occ JOIN score USING (phrase)
+ORDER BY score DESC, phrase ASC LIMIT 25"""))
+def rake_keyphrases_docs(spark, sf_dir):
+    """EXT R243: RAKE keyphrase extraction over the corpus — top-25
+    stop-word-free phrases by summed deg/freq word scores; 6-dp round
+    before the (score desc, phrase asc) cut keeps the set stable."""
+    from .operators.text import rake_keyphrases
+    docs = read_table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "text", k=25)

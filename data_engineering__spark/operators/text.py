@@ -1099,3 +1099,70 @@ def lm_score_docs(df: DataFrame, id_col: str, text_col: str,
                  .alias("avg_logp"))
             .select(F.col("__id").alias("doc_id"), "n_bigrams",
                     "backoff_rate", "avg_logp"))
+
+
+#: compact fixed stop list for RAKE phrase segmentation — part of the
+#: operator's CONTRACT (both engines and the oracle embed the same list)
+RAKE_STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it",
+                  "for", "on", "with", "as", "at", "by", "be", "or",
+                  "are", "was", "that", "this", "from")
+
+
+def rake_keyphrases(df: DataFrame, text_col: str, k: int = 25,
+                    round_dp: int = 6) -> DataFrame:
+    """L4 EXT (R243, round 6): RAKE keyphrase extraction (Rose et al.
+    2010) — corpus-level top-k multi-word keyphrases: candidate phrases
+    are maximal stop-word-free token runs; each word scores
+    deg(w)/freq(w) with freq = total occurrences across candidates and
+    deg = Σ over occurrences of the containing phrase's length (a word
+    embedded in long phrases out-scores an equally frequent isolated
+    one); a phrase scores the sum of its words. The phrase-level
+    counterpart of collocations (R103 ranks PAIRS by PMI; RAKE ranks
+    whole variable-length phrases) — the keyword-extraction tool for
+    corpus topic profiling.
+
+    Determinism: segmentation is a pure string program (stop words →
+    '|' delimiters → split → trim) identical in both engines over the
+    FIXED ``RAKE_STOPWORDS`` contract; freq/deg are exact integers;
+    score = Σ deg/freq rounds to ``round_dp`` BEFORE ranking with a
+    phrase-asc tie-break, so the selected top-k set is
+    engine-reproducible.
+
+    Scale shape: one explode to phrase instances (hash-agg'd to distinct
+    phrases + counts — long tails collapse early); one explode to word
+    occurrences → word hash agg; the phrase-score join touches distinct
+    (phrase, word) pairs only; final cut is TakeOrdered, never a global
+    sort."""
+    toks = tokens(text_col)
+    marked = F.transform(
+        toks, lambda t: F.when(t.isin(*RAKE_STOPWORDS), F.lit("|"))
+                         .otherwise(t))
+    phrases_arr = F.split(F.array_join(marked, " "), r"\|")
+    phr = (df.select(F.explode(phrases_arr).alias("__raw"))
+           .select(F.trim(F.col("__raw")).alias("phrase"))
+           .filter(F.col("phrase") != "")
+           .localCheckpoint())
+    inst_words = (phr.select(
+        "phrase", F.size(F.split(F.col("phrase"), " ")).alias("__len"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("__w"))
+        .localCheckpoint())
+    wstat = (inst_words.groupBy("__w")
+             .agg(F.count(F.lit(1)).alias("__freq"),
+                  F.sum("__len").alias("__deg")))
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    # word multiplicity within a phrase matters: count per (phrase, word)
+    mult = (inst_words.join(occ.select("phrase", "n_occ"), "phrase")
+            .groupBy("phrase", "__w", "n_occ")
+            .agg((F.count(F.lit(1)) / F.col("n_occ")).cast("long")
+                 .alias("__mult")))
+    score = (mult.join(wstat, "__w")
+             .groupBy("phrase")
+             .agg(F.sum(F.col("__mult").cast("double")
+                        * (F.col("__deg").cast("double")
+                           / F.col("__freq").cast("double")))
+                  .alias("__score")))
+    ranked = (occ.join(score, "phrase")
+              .select("phrase", "n_occ",
+                      F.round("__score", round_dp).alias("score")))
+    return (ranked.orderBy(F.col("score").desc(), F.col("phrase").asc())
+            .limit(k))

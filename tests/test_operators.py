@@ -4349,3 +4349,53 @@ def test_logrank_test_vs_python_reference(spark):
     assert abs(out.variance - round(v, 6)) < 1e-6
     assert abs(out.z - round((o1 - e1) / math.sqrt(v), 6)) < 1e-6
     assert out.n_a + out.n_b == 12
+
+
+def test_rake_keyphrases_vs_python_reference(spark):
+    """Three small docs pin phrase segmentation (stop-word boundaries,
+    leading/trailing/consecutive stops), freq/deg accounting with
+    within-phrase multiplicity, and every score against a sequential
+    RAKE implementation over the same fixed stop list."""
+    from collections import Counter
+    from data_engineering__spark.operators.text import (
+        RAKE_STOPWORDS, rake_keyphrases,
+    )
+
+    docs = [
+        (1, "the deep learning model of the deep learning era"),
+        (2, "deep learning and transfer learning for vision"),
+        (3, "a model is a model and that is that"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = rake_keyphrases(df, "text", k=10).collect()
+
+    stop = set(RAKE_STOPWORDS)
+    phrases = []
+    for _, t in docs:
+        run = []
+        for w in t.lower().split():
+            if w in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    pocc = Counter(" ".join(p) for p in phrases)
+    pscore = {" ".join(p): sum(deg[w] / freq[w] for w in p)
+              for p in set(phrases)}
+    exp = sorted(((round(s, 6), ph) for ph, s in pscore.items()),
+                 key=lambda x: (-x[0], x[1]))[:10]
+    got = [(r.score, r.phrase) for r in out]
+    assert got == [(s, p) for s, p in exp]
+    for r in out:
+        assert r.n_occ == pocc[r.phrase]
+    # the rare-but-embedded word wins: "era" (freq 1, deg 3) out-scores
+    # thrice-frequent "model" (deg/freq 5/3), so its phrase ranks first
+    assert out[0].phrase == "deep learning era"
