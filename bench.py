@@ -113,6 +113,7 @@ HEADLINE = [
     "isotonic_calibration_events",
     "logrank_test_events",
     "rake_keyphrases_docs",
+    "pettitt_changepoint_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

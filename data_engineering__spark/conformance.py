@@ -2330,6 +2330,7 @@ DRIVER_PRIORITY = [
     "isotonic_calibration_events",
     "logrank_test_events",
     "rake_keyphrases_docs",
+    "pettitt_changepoint_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10686,3 +10687,59 @@ def rake_keyphrases_docs(spark, sf_dir):
     from .operators.text import rake_keyphrases
     docs = read_table(spark, sf_dir, "documents")
     return rake_keyphrases(docs, "text", k=25)
+
+
+@query("pettitt_changepoint_events", oracle=_mat("""
+WITH counts AS (
+  SELECT (epoch_us(ts) // 1000000) // 86400 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+anchor AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+grid AS (
+  SELECT g.i + 1 AS t, CAST(COALESCE(c, 0) AS BIGINT) AS x
+  FROM (SELECT CAST(unnest(range(0, h1 - h0 + 1)) AS BIGINT) AS i, h0
+        FROM anchor) g
+  LEFT JOIN counts ON counts.h = g.i + g.h0),
+hist AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS hc FROM grid GROUP BY 1),
+m2 AS (SELECT x,
+              2 * SUM(hc) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+              - hc + 1 AS m2
+       FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS tn,
+             CAST(SUM(x) AS BIGINT) AS sxt
+      FROM grid),
+pref AS (SELECT t,
+                SUM(m2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS s2,
+                SUM(x) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS sx
+         FROM grid JOIN m2 USING (x)),
+u AS (SELECT t, sx, s2 - t * (tn + 1) AS u, tn, sxt
+      FROM pref CROSS JOIN n WHERE t < tn),
+k AS (SELECT MAX(abs(u)) AS kk FROM u),
+best AS (SELECT k.kk, u.t AS ct, u.sx AS csx, u.tn, u.sxt
+         FROM u JOIN k ON abs(u.u) = k.kk ORDER BY u.t LIMIT 1)
+SELECT tn AS n_days, ct AS cp_day, CAST(kk AS BIGINT) AS k_stat,
+  ROUND(CAST(csx AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS mean_before,
+  ROUND(CAST(sxt - csx AS DOUBLE) / CAST(tn - ct AS DOUBLE), 6)
+    AS mean_after,
+  ROUND(CASE WHEN 2.0 * exp(-6.0 * CAST(kk AS DOUBLE)
+                            * CAST(kk AS DOUBLE)
+                            / (CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)
+                               * CAST(tn AS DOUBLE)
+                               + CAST(tn AS DOUBLE)
+                               * CAST(tn AS DOUBLE))) < 1.0
+             THEN 2.0 * exp(-6.0 * CAST(kk AS DOUBLE)
+                            * CAST(kk AS DOUBLE)
+                            / (CAST(tn AS DOUBLE) * CAST(tn AS DOUBLE)
+                               * CAST(tn AS DOUBLE)
+                               + CAST(tn AS DOUBLE)
+                               * CAST(tn AS DOUBLE)))
+             ELSE 1.0 END, 6) AS p_approx
+FROM best"""))
+def pettitt_changepoint_events(spark, sf_dir):
+    """EXT R244: Pettitt rank-based change-point test on daily event
+    counts — exact integer U_t via the midrank identity (no pairwise
+    double sum), earliest argmax day, segment means, classical
+    2·exp(−6K²/(T³+T²)) significance."""
+    from .operators.temporal import pettitt_changepoint
+    ev = read_table(spark, sf_dir, "events")
+    return pettitt_changepoint(ev, "ts")

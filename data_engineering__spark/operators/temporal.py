@@ -465,3 +465,98 @@ def periodogram_counts(df: DataFrame, ts_col: str,
                 round_dp).alias("r2"),
         F.round(F.lit(2.0) * F.sqrt(e2) / F.col("__n").cast("double"),
                 round_dp).alias("amplitude"))
+
+
+def pettitt_changepoint(df: DataFrame, ts_col: str,
+                        bucket_s: int = 86400,
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (R244, round 6): Pettitt change-point test on the daily
+    event-count series — the rank-based (distribution-free) single
+    change-point detector beside CUSUM (R176 assumes a scale; Pettitt
+    ranks): U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), K = max|U_t|, the
+    change day is the earliest argmax, and the classical approximation
+    p ≈ 2·exp(−6K²/(T³+T²)) says whether the split is believable.
+
+    Exactness: the pairwise double sum is never formed — by the R151
+    midrank identity Σ_j sgn(x_i − x_j) = 2m_i − (T+1) and antisymmetry
+    of the within-prefix sum, U_t = (Σ_{i≤t} 2m_i) − t(T+1) with
+    2·midrank = 2·cum_before + c + 1 an exact INTEGER from the value
+    histogram; K, the argmax day and both segment sums stay integers;
+    the only IEEE ops are the two segment-mean divides and one exp,
+    rounded to ``round_dp``.
+
+    Scale shape: raw rows collapse to the dense zero-filled calendar
+    grid (R225 device); ranks come from a distinct-value histogram
+    join; the prefix windows run over the calendar-sized grid — never
+    over raw rows; the final report is a 1-row reduce."""
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s)).cast("long")
+    counts = (df.select(b.alias("__h"))
+                .groupBy("__h").agg(F.count(F.lit(1)).alias("__c")))
+    anchor = counts.agg(F.min("__h").alias("__h0"),
+                        F.max("__h").alias("__h1"))
+    grid = (anchor.select(
+        F.explode(F.sequence(F.lit(0),
+                             (F.col("__h1") - F.col("__h0")).cast("long")))
+        .alias("__i"), F.col("__h0"))
+        .join(counts,
+              F.col("__h") == F.col("__i") + F.col("__h0"), "left")
+        .select((F.col("__i") + 1).alias("__t"),
+                F.coalesce(F.col("__c"), F.lit(0)).cast("long")
+                .alias("__x"))
+        .localCheckpoint())
+    hist = grid.groupBy("__x").agg(F.count(F.lit(1)).alias("__hc"))
+    wv = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    m2 = (hist.withColumn("__cum", F.sum("__hc").over(wv))
+          .select("__x", (F.lit(2) * F.col("__cum") - F.col("__hc")
+                          + F.lit(1)).alias("__m2")))
+    # scalars derive from frames that do NOT re-expose grid's column
+    # names: Spark 4's resolver sees an aggregate's child attributes
+    # through shared (checkpointed) lineage, so grid.agg(...) cross-
+    # joined back onto a grid descendant makes __t/__x ambiguous
+    n = anchor.select((F.col("__h1") - F.col("__h0") + 1).cast("long")
+                      .alias("__T"))
+    wt = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    # the rename-projection after the window is load-bearing: a window
+    # over a join of self-derived frames leaves two same-named hidden
+    # attributes in the subtree, and any LATER join makes bare "__t"
+    # refs AMBIGUOUS_REFERENCE under Spark 4's resolver — projecting to
+    # fresh names rebinds downstream refs to one attribute
+    pref = (grid.join(m2, "__x")
+            .withColumn("__s2", F.sum("__m2").over(wt))
+            .withColumn("__sx", F.sum("__x").over(wt))
+            .select(F.col("__t").alias("__pt"),
+                    F.col("__s2").alias("__ps2"),
+                    F.col("__sx").alias("__psx")))
+    u = (pref.crossJoin(F.broadcast(n))
+         .filter(F.col("__pt") < F.col("__T"))
+         .select(F.col("__pt").alias("__ut"),
+                 F.col("__psx").alias("__usx"),
+                 (F.col("__ps2") - F.col("__pt") * (F.col("__T") + 1))
+                 .alias("__uu")))
+    kmax = (u.select(F.col("__uu").alias("__kv"))
+            .agg(F.max(F.abs(F.col("__kv"))).alias("__K")))
+    # zero-filled grid adds nothing to the sum: Σx over grid = Σc here
+    tot = counts.agg(F.sum("__c").cast("long").alias("__Sx"))
+    best = (u.crossJoin(F.broadcast(kmax))
+            .filter(F.abs(F.col("__uu")) == F.col("__K"))
+            .groupBy("__K")
+            .agg(F.min(F.struct(F.col("__ut"), F.col("__usx")))
+                 .alias("__b"))
+            .select("__K", F.col("__b.__ut").alias("__ct"),
+                    F.col("__b.__usx").alias("__csx")))
+    kk = F.col("__K").cast("double")
+    tt = F.col("__T").cast("double")
+    p = F.lit(2.0) * F.exp(F.lit(-6.0) * kk * kk
+                           / (tt * tt * tt + tt * tt))
+    return (best.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tot))
+            .select(F.col("__T").alias("n_days"),
+                    F.col("__ct").alias("cp_day"),
+                    F.col("__K").alias("k_stat"),
+                    F.round(F.col("__csx").cast("double")
+                            / F.col("__ct").cast("double"), round_dp)
+                    .alias("mean_before"),
+                    F.round((F.col("__Sx") - F.col("__csx")).cast("double")
+                            / (F.col("__T") - F.col("__ct")).cast("double"),
+                            round_dp).alias("mean_after"),
+                    F.round(F.when(p < 1.0, p).otherwise(F.lit(1.0)),
+                            round_dp).alias("p_approx")))

@@ -4399,3 +4399,48 @@ def test_rake_keyphrases_vs_python_reference(spark):
     # the rare-but-embedded word wins: "era" (freq 1, deg 3) out-scores
     # thrice-frequent "model" (deg/freq 5/3), so its phrase ranks first
     assert out[0].phrase == "deep learning era"
+
+
+def test_pettitt_changepoint_vs_bruteforce(spark):
+    """A 30-day series with an injected level shift pins U_t (via the
+    brute pairwise sgn double sum), K, the earliest argmax day, both
+    segment means and the exp approximation; a flat series must cap
+    p at 1.0 with K = 0."""
+    import math
+    from datetime import datetime, timedelta
+    from data_engineering__spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    t0 = datetime(2024, 2, 1)
+    counts = [5 + (i * 7) % 3 for i in range(18)] \
+        + [11 + (i * 5) % 4 for i in range(12)]
+    rows = [(t0 + timedelta(days=d, seconds=s),)
+            for d, c in enumerate(counts) for s in range(c)]
+    ev = spark.createDataFrame(rows, "ts timestamp")
+    out = pettitt_changepoint(ev, "ts").collect()[0]
+
+    T = len(counts)
+    us = []
+    for t in range(1, T):
+        u = sum((counts[i] > counts[j]) - (counts[i] < counts[j])
+                for i in range(t) for j in range(t, T))
+        us.append((t, u))
+    K = max(abs(u) for _, u in us)
+    ct = min(t for t, u in us if abs(u) == K)
+    assert out.n_days == T
+    assert out.k_stat == K
+    assert out.cp_day == ct
+    assert abs(ct - 18) <= 1      # argmax lands at the injected boundary
+    assert abs(out.mean_before - round(sum(counts[:ct]) / ct, 6)) < 1e-9
+    assert abs(out.mean_after
+               - round(sum(counts[ct:]) / (T - ct), 6)) < 1e-9
+    p = 2.0 * math.exp(-6.0 * K * K / (T ** 3 + T ** 2))
+    assert abs(out.p_approx - round(min(p, 1.0), 6)) < 1e-9
+    assert out.p_approx < 0.01          # the shift is detected
+
+    flat = spark.createDataFrame(
+        [(t0 + timedelta(days=d, seconds=s),)
+         for d in range(10) for s in range(4)], "ts timestamp")
+    fout = pettitt_changepoint(flat, "ts").collect()[0]
+    assert fout.k_stat == 0 and fout.p_approx == 1.0
