@@ -114,6 +114,7 @@ HEADLINE = [
     "logrank_test_events",
     "rake_keyphrases_docs",
     "pettitt_changepoint_events",
+    "threshold_sweep_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2331,6 +2331,7 @@ DRIVER_PRIORITY = [
     "logrank_test_events",
     "rake_keyphrases_docs",
     "pettitt_changepoint_events",
+    "threshold_sweep_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10743,3 +10744,50 @@ def pettitt_changepoint_events(spark, sf_dir):
     from .operators.temporal import pettitt_changepoint
     ev = read_table(spark, sf_dir, "events")
     return pettitt_changepoint(ev, "ts")
+
+
+@query("threshold_sweep_events", oracle=_mat("""
+WITH base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(y) AS BIGINT) AS p
+         FROM base GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(p) AS BIGINT) AS pp FROM hist),
+cum AS (SELECT s,
+               SUM(n) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                 AS pred_pos,
+               SUM(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                 AS tp
+        FROM hist)
+SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+  CAST(pred_pos - tp AS BIGINT) AS fp,
+  CAST(pp - tp AS BIGINT) AS fn,
+  CAST(nn - pred_pos - pp + tp AS BIGINT) AS tn,
+  ROUND(CASE WHEN pred_pos > 0
+             THEN CAST(tp AS DOUBLE) / CAST(pred_pos AS DOUBLE) END, 6)
+    AS "precision",
+  ROUND(CASE WHEN pp > 0
+             THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE) END, 6)
+    AS recall,
+  ROUND(CASE WHEN (CAST(pp AS DOUBLE) + CAST(pred_pos AS DOUBLE)) > 0
+             THEN 2.0 * CAST(tp AS DOUBLE)
+                  / (CAST(pp AS DOUBLE) + CAST(pred_pos AS DOUBLE))
+        END, 6) AS f1,
+  ROUND(CASE WHEN pp > 0 AND (nn - pp) > 0
+             THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
+                  - CAST(pred_pos - tp AS DOUBLE)
+                    / CAST(nn - pp AS DOUBLE) END, 6) AS youden_j
+FROM cum CROSS JOIN tot"""))
+def threshold_sweep_events(spark, sf_dir):
+    """EXT R245: full classification threshold sweep of value-cents
+    score vs purchase label — exact confusion counts + precision /
+    recall / F1 / Youden J at every distinct score (predict-positive
+    when score ≥ t); the operating curve behind AUC/PRF/calibration."""
+    from .operators.analytics import threshold_sweep
+    e = read_table(spark, sf_dir, "events")
+    return threshold_sweep(
+        e, F.round(F.col("value") * 100).cast("long"),
+        F.col("event_type") == "purchase")

@@ -3222,3 +3222,77 @@ def logrank_test(df: DataFrame, user_col: str, ts_col: str, type_col: str,
                     F.round("__e1", round_dp).alias("expected_a"),
                     F.round("__v", round_dp).alias("variance"),
                     F.round(z, round_dp).alias("z")))
+
+
+def threshold_sweep(df: DataFrame, score_int, label_bool,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (R245, round 6): full classification threshold sweep — for
+    every distinct score value t (rule: predict positive when
+    score ≥ t) the exact confusion counts and the derived operating
+    metrics: precision, recall, F1, Youden's J (= recall − FPR). The
+    curve behind the scorer-eval family's scalars (AUC R151 integrates
+    it, PRF R191 is ONE row of it, calibration R211 rescales it):
+    deployment needs the operating POINT, and that means sweeping.
+
+    Exactness: one value-histogram pass gives (pos, neg) per distinct
+    score; suffix-cumulative sums (TP, FP at each threshold) stay exact
+    integers; every metric is a guarded fixed-shape IEEE divide rounded
+    to ``round_dp``.
+
+    Scale shape: rows collapse to the distinct-score histogram (one
+    hash agg — the sweep is histogram-sized, not row-sized); the
+    suffix sums reuse the R120 two-level scan tree (tiny bucket-total
+    window + partitioned within-bucket windows) so no single partition
+    ever holds the whole histogram; global totals ride as a 1-row
+    broadcast."""
+    base = df.select(score_int.cast("long").alias("__s"),
+                     F.when(label_bool, 1).otherwise(0).alias("__y"))
+    hist = (base.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum("__y").alias("__p"))
+            .withColumn("__b", F.expr("__s div 100000"))
+            .localCheckpoint())
+    tot = hist.agg(F.sum("__n").cast("long").alias("__N"),
+                   F.sum("__p").cast("long").alias("__P"))
+    # suffix sums via two-level tree on DESCENDING score order
+    btot = hist.groupBy("__b").agg(F.sum("__n").alias("__bn"),
+                                   F.sum("__p").alias("__bp"))
+    w_b = (Window.orderBy(F.col("__b").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select("__b",
+                       F.coalesce(F.sum("__bn").over(w_b), F.lit(0))
+                       .alias("__on"),
+                       F.coalesce(F.sum("__bp").over(w_b), F.lit(0))
+                       .alias("__op"))
+    w_in = (Window.partitionBy("__b").orderBy(F.col("__s").desc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.join(F.broadcast(boff), "__b")
+           .select("__s",
+                   (F.col("__on") + F.sum("__n").over(w_in))
+                   .alias("__pred_pos"),
+                   (F.col("__op") + F.sum("__p").over(w_in))
+                   .alias("__tp")))
+    g = cum.crossJoin(F.broadcast(tot))
+    tp = F.col("__tp").cast("double")
+    fp = (F.col("__pred_pos") - F.col("__tp")).cast("double")
+    pos = F.col("__P").cast("double")
+    neg = (F.col("__N") - F.col("__P")).cast("double")
+    prec = F.when(F.col("__pred_pos") > 0, tp / F.col("__pred_pos")
+                  .cast("double"))
+    rec = F.when(F.col("__P") > 0, tp / pos)
+    f1 = F.when((pos + F.col("__pred_pos").cast("double")) > 0,
+                F.lit(2.0) * tp
+                / (pos + F.col("__pred_pos").cast("double")))
+    j = F.when((F.col("__P") > 0) & ((F.col("__N") - F.col("__P")) > 0),
+               tp / pos - fp / neg)
+    return g.select(
+        F.col("__s").alias("threshold"),
+        F.col("__tp").cast("long").alias("tp"),
+        (F.col("__pred_pos") - F.col("__tp")).cast("long").alias("fp"),
+        (F.col("__P") - F.col("__tp")).cast("long").alias("fn"),
+        (F.col("__N") - F.col("__pred_pos") - F.col("__P")
+         + F.col("__tp")).cast("long").alias("tn"),
+        F.round(prec, round_dp).alias("precision"),
+        F.round(rec, round_dp).alias("recall"),
+        F.round(f1, round_dp).alias("f1"),
+        F.round(j, round_dp).alias("youden_j"))

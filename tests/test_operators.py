@@ -4444,3 +4444,50 @@ def test_pettitt_changepoint_vs_bruteforce(spark):
          for d in range(10) for s in range(4)], "ts timestamp")
     fout = pettitt_changepoint(flat, "ts").collect()[0]
     assert fout.k_stat == 0 and fout.p_approx == 1.0
+
+
+def test_threshold_sweep_vs_python_reference(spark):
+    """A small scored sample with ties pins every row of the sweep
+    (confusion counts and all four metrics) against a brute-force
+    threshold loop; invariants: recall non-increasing in threshold,
+    tp+fn = P and fp+tn = N at every row, and the argmax-J threshold
+    matches the brute search."""
+    from data_engineering__spark.operators.analytics import (
+        threshold_sweep,
+    )
+    from pyspark.sql import functions as F
+
+    data = [(10, 0), (20, 0), (20, 1), (35, 0), (40, 1), (40, 1),
+            (55, 0), (60, 1), (80, 1), (80, 0), (95, 1)]
+    df = spark.createDataFrame(data, "s long, y int")
+    out = {r.threshold: r for r in threshold_sweep(
+        df, F.col("s"), F.col("y") == 1).collect()}
+
+    P = sum(y for _, y in data)
+    N = len(data)
+    assert set(out) == {s for s, _ in data}
+    prev_rec = None
+    for t in sorted(out, reverse=True):
+        tp = sum(1 for s, y in data if s >= t and y)
+        fp = sum(1 for s, y in data if s >= t and not y)
+        fn = P - tp
+        tn = N - P - fp
+        r = out[t]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn), t
+        assert abs(r.precision - round(tp / (tp + fp), 6)) < 1e-9
+        assert abs(r.recall - round(tp / P, 6)) < 1e-9
+        assert abs(r.f1 - round(2 * tp / (P + tp + fp), 6)) < 1e-9
+        assert abs(r.youden_j
+                   - round(tp / P - fp / (N - P), 6)) < 1e-9
+        assert r.tp + r.fn == P and r.fp + r.tn == N - P
+        if prev_rec is not None:
+            assert r.recall >= prev_rec - 1e-12
+        prev_rec = None if prev_rec is None else prev_rec
+        prev_rec = r.recall if prev_rec is None else max(prev_rec,
+                                                         r.recall)
+    best_j = max(out.values(), key=lambda r: (r.youden_j, -r.threshold))
+    brute = max(((sum(1 for s, y in data if s >= t and y) / P
+                  - sum(1 for s, y in data if s >= t and not y)
+                  / (N - P)), -t)
+                for t in {s for s, _ in data})
+    assert abs(best_j.youden_j - round(brute[0], 6)) < 1e-9
