@@ -115,6 +115,7 @@ HEADLINE = [
     "rake_keyphrases_docs",
     "pettitt_changepoint_events",
     "threshold_sweep_events",
+    "clustering_coeff_graph",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2332,6 +2332,7 @@ DRIVER_PRIORITY = [
     "rake_keyphrases_docs",
     "pettitt_changepoint_events",
     "threshold_sweep_events",
+    "clustering_coeff_graph",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10791,3 +10792,53 @@ def threshold_sweep_events(spark, sf_dir):
     return threshold_sweep(
         e, F.round(F.col("value") * 100).cast("long"),
         F.col("event_type") == "purchase")
+
+
+@query("clustering_coeff_graph", oracle=_mat("""
+WITH nodes AS (
+  SELECT DISTINCT doc_id % 50 AS x FROM documents WHERE doc_id < 400),
+raw AS (
+  SELECT x AS a, (x + 1) % 50 AS b FROM nodes
+  UNION ALL SELECT x, (x + 2) % 50 FROM nodes
+  UNION ALL SELECT x, (x * 3 + 1) % 50 FROM nodes),
+g AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM raw WHERE a <> b),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM g UNION ALL SELECT v FROM g)
+        GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM g e1 JOIN g e2 ON e1.v = e2.u
+        JOIN g e3 ON e3.u = e1.u AND e3.v = e2.v),
+tpn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+SELECT CAST(d.node AS BIGINT) AS node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tpn t ON t.node = d.node"""))
+def clustering_coeff_graph(spark, sf_dir):
+    """EXT R246 (round 6): local clustering coefficient per node —
+    cc = 2T(v)/(deg·(deg−1)) over the 50-node demo graph ENRICHED with
+    the multiplicative chords (x, 3x+1 mod 50) so degrees (and hence
+    coefficients) vary across nodes instead of the 4-regular ring's
+    uniform 0.5. Triangles credit all three corners (vs R80's
+    smallest-vertex attribution); the oracle is the identical oriented
+    3-way self-join with a 3-role UNION ALL explode."""
+    from .operators.graph import local_clustering
+    d = (read_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400)
+         .select((F.col("doc_id") % 50).alias("x")).distinct())
+    edges = (d.select(F.col("x").alias("id_a"),
+                      ((F.col("x") + 1) % 50).alias("id_b"))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") + 2) % 50).alias("id_b")))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") * 3 + 1) % 50).alias("id_b")))
+             .filter(F.col("id_a") != F.col("id_b")))
+    return local_clustering(edges, src="id_a", dst="id_b")

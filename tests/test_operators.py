@@ -4491,3 +4491,27 @@ def test_threshold_sweep_vs_python_reference(spark):
                   / (N - P)), -t)
                 for t in {s for s, _ in data})
     assert abs(best_j.youden_j - round(brute[0], 6)) < 1e-9
+
+
+def test_local_clustering_hand_graph(spark):
+    """Triangle-with-pendant plus a disjoint 4-cycle: corners of the
+    triangle score 1.0, the articulation node 1/3, the pendant and
+    every square node 0 — plus duplicate/reversed edges collapse."""
+    from data_engineering__spark.operators.graph import local_clustering
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 1),  # dup reversed
+             (10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r for r in local_clustering(df).collect()}
+
+    assert len(out) == 8
+    assert (out[1].degree, out[1].n_triangles) == (2, 1)
+    assert out[1].clustering_coeff == 1.0
+    assert out[2].clustering_coeff == 1.0
+    assert (out[3].degree, out[3].n_triangles) == (3, 1)
+    assert abs(out[3].clustering_coeff - round(1 / 3, 6)) < 1e-12
+    assert (out[4].degree, out[4].n_triangles,
+            out[4].clustering_coeff) == (1, 0, 0.0)
+    for n in (10, 11, 12, 13):
+        assert (out[n].degree, out[n].n_triangles,
+                out[n].clustering_coeff) == (2, 0, 0.0)
