@@ -116,6 +116,7 @@ HEADLINE = [
     "pettitt_changepoint_events",
     "threshold_sweep_events",
     "clustering_coeff_graph",
+    "kcore_graph",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2333,6 +2333,7 @@ DRIVER_PRIORITY = [
     "pettitt_changepoint_events",
     "threshold_sweep_events",
     "clustering_coeff_graph",
+    "kcore_graph",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10842,3 +10843,59 @@ def clustering_coeff_graph(spark, sf_dir):
                  ((F.col("x") * 3 + 1) % 50).alias("id_b")))
              .filter(F.col("id_a") != F.col("id_b")))
     return local_clustering(edges, src="id_a", dst="id_b")
+
+
+@query("kcore_graph", oracle=_mat("""
+WITH RECURSIVE nodes AS (
+  SELECT DISTINCT doc_id % 50 AS x FROM documents WHERE doc_id < 400),
+raw AS (
+  SELECT x AS a, (x + 1) % 50 AS b FROM nodes
+  UNION ALL SELECT x, (x + 2) % 50 FROM nodes
+  UNION ALL SELECT x, (x * 3 + 1) % 50 FROM nodes
+  UNION ALL
+  SELECT a.x, b.x FROM nodes a JOIN nodes b
+  ON a.x < b.x AND a.x < 10 AND b.x < 10),
+g AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+      FROM raw WHERE a <> b),
+peel(it, node, u, v) AS (
+  SELECT 0, u, u, v FROM g UNION ALL SELECT 0, v, u, v FROM g
+  UNION ALL
+  SELECT it + 1, node, u, v FROM (
+    SELECT it, node, u, v,
+           MIN(dg) OVER (PARTITION BY it, u, v) AS mind
+    FROM (SELECT it, node, u, v,
+                 COUNT(*) OVER (PARTITION BY it, node) AS dg
+          FROM peel) s) t
+  WHERE it < 10 AND mind >= 6)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM peel WHERE it = 10 GROUP BY node"""))
+def kcore_graph(spark, sf_dir):
+    """EXT R247 (round 6): 5-core of the enriched 50-node demo graph —
+    iterative degree-< k peeling to fixpoint, (node, core_degree) for
+    survivors. The oracle replays the peel as a bounded recursive CTE
+    over STUB rows: degree = COUNT() OVER (PARTITION BY node), edge
+    survival = MIN(degree) OVER (PARTITION BY edge) >= k — one
+    recursive reference, no rewind joins. A fixpoint is stable under
+    extra rounds, so both engines running the full 10-round cap agree
+    regardless of where convergence lands."""
+    from .operators.graph import k_core
+    d = (read_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400)
+         .select((F.col("doc_id") % 50).alias("x")).distinct())
+    edges = (d.select(F.col("x").alias("id_a"),
+                      ((F.col("x") + 1) % 50).alias("id_b"))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") + 2) % 50).alias("id_b")))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") * 3 + 1) % 50).alias("id_b")))
+             .unionByName(
+                 d.select(F.col("x").alias("id_a"))
+                 .filter(F.col("id_a") < 10)
+                 .join(d.select(F.col("x").alias("id_b"))
+                       .filter(F.col("id_b") < 10),
+                       F.col("id_a") < F.col("id_b")))
+             .filter(F.col("id_a") != F.col("id_b")))
+    return k_core(edges, k=6, src="id_a", dst="id_b", n_iter=10)

@@ -209,3 +209,38 @@ def local_clustering(edges: DataFrame, src: str = "src",
                                   * (F.col("degree") - 1)).cast("double"))
                         .otherwise(F.lit(0.0)),
                         round_dp).alias("clustering_coeff")))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", n_iter: int = 10) -> DataFrame:
+    """EXT (round 6): k-core extraction — iteratively peel nodes of
+    degree < k until fixpoint; return (node, core_degree) for the
+    surviving subgraph. The classic "dense kernel" filter: spam link
+    farms and tightly-cross-quoting doc clusters survive high k, while
+    tree-like citation fringes peel away (complements `local_clustering`
+    which scores density but never removes the fringe).
+
+    Fixed ``n_iter`` peeling rounds (a fixpoint is stable under extra
+    rounds, so a converged run is unaffected by the cap — same device
+    as the CC star loops). Per round: ONE stub aggregation for degrees
+    + two semi-joins keeping edges whose BOTH endpoints survive;
+    ``localCheckpoint`` per round keeps the lineage flat. Scale: every
+    step shuffles only node ids / edge keys, never payloads; rounds
+    bounded by the cap, each strictly shrinking the edge set.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                      F.greatest(F.col(src), F.col(dst)).alias("v"))
+         .filter(F.col("u") < F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        deg = (e.select(F.col("u").alias("node"))
+               .unionByName(e.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("dg"))
+               .filter(F.col("dg") >= k))
+        e = (e.join(deg.select(F.col("node").alias("u")), "u", "semi")
+             .join(deg.select(F.col("node").alias("v")), "v", "semi")
+             .localCheckpoint(eager=True))
+    return (e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))

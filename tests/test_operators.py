@@ -4515,3 +4515,28 @@ def test_local_clustering_hand_graph(spark):
     for n in (10, 11, 12, 13):
         assert (out[n].degree, out[n].n_triangles,
                 out[n].clustering_coeff) == (2, 0, 0.0)
+
+
+def test_k_core_peels_cascading_fringe(spark):
+    """4-clique with a 2-hop tail: at k=3 the tail cascades away over
+    two rounds (the tail tip's removal lowers its parent below k) and
+    the clique survives with uniform core degree 3; at k=2 a 4-cycle
+    survives but its 3-hop tail fully peels; at k=5 everything dies."""
+    from data_engineering__spark.operators.graph import k_core
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # clique
+             (4, 5), (5, 6),                                  # tail
+             (10, 11), (11, 12), (12, 13), (13, 10),          # cycle
+             (13, 20), (20, 21), (21, 22)]                    # tail
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    core3 = {r.node: r.core_degree
+             for r in k_core(df, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    core2 = {r.node: r.core_degree
+             for r in k_core(df, k=2).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3,
+                     10: 2, 11: 2, 12: 2, 13: 2}
+
+    assert k_core(df, k=5).count() == 0
