@@ -117,6 +117,7 @@ HEADLINE = [
     "threshold_sweep_events",
     "clustering_coeff_graph",
     "kcore_graph",
+    "sprt_report_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2334,6 +2334,7 @@ DRIVER_PRIORITY = [
     "threshold_sweep_events",
     "clustering_coeff_graph",
     "kcore_graph",
+    "sprt_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10899,3 +10900,59 @@ def kcore_graph(spark, sf_dir):
                        F.col("id_a") < F.col("id_b")))
              .filter(F.col("id_a") != F.col("id_b")))
     return k_core(edges, k=6, src="id_a", dst="id_b", n_iter=10)
+
+
+def _sprt_oracle_sql() -> str:
+    import math
+    c1 = repr(math.log(0.25 / 0.15))
+    c2 = repr(math.log(0.75 / 0.85))
+    a_b = repr(math.log(0.95 / 0.05))
+    b_b = repr(math.log(0.05 / 0.95))
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)", "exp1")})
+              < 5000 THEN 'a' ELSE 'b' END AS g,
+         ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+seq AS (
+  SELECT g,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY ts, event_id) AS n,
+         SUM(y) OVER (PARTITION BY g ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS k
+  FROM base),
+scored AS (
+  SELECT g, n, k,
+         CAST(k AS DOUBLE) * ({c1})
+           + CAST(n - k AS DOUBLE) * ({c2}) AS llr
+  FROM seq),
+agg AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n_events,
+         CAST(MAX(k) AS BIGINT) AS conversions,
+         MIN(CASE WHEN llr >= ({a_b}) OR llr <= ({b_b})
+                  THEN n END) AS fcn
+  FROM scored GROUP BY g)
+SELECT agg.g AS arm, n_events, conversions,
+       CAST(fcn AS BIGINT) AS first_cross_n,
+       COALESCE(CASE WHEN cr.llr >= ({a_b}) THEN 'accept_h1'
+                     WHEN cr.llr <= ({b_b}) THEN 'accept_h0' END,
+                'continue') AS decision,
+       ROUND(CAST(conversions AS DOUBLE) * ({c1})
+             + CAST(n_events - conversions AS DOUBLE) * ({c2}), 6)
+         AS llr_final
+FROM agg LEFT JOIN scored cr ON cr.g = agg.g AND cr.n = agg.fcn"""
+
+
+@query("sprt_report_events", oracle=_mat(_sprt_oracle_sql()))
+def sprt_report_events(spark, sf_dir):
+    """EXT R248 (round 6): Wald SPRT early-stopping replay — per sha
+    arm ('exp1', the experimentation-family assignment), walk events in
+    (ts, event_id) order accumulating the Bernoulli LLR for purchase
+    rate H0: p=0.15 vs H1: p=0.25, and report the first boundary
+    crossing (index + decision at alpha=beta=0.05) plus the end-of-data
+    LLR. Integer running state only; the LLR is one float expression
+    per row, so crossings agree bit-for-bit cross-engine."""
+    from .operators.analytics import sprt_replay
+    ev = read_table(spark, sf_dir, "events")
+    return sprt_replay(ev, "user_id", "ts", "event_id",
+                       F.col("event_type") == "purchase")

@@ -3296,3 +3296,73 @@ def threshold_sweep(df: DataFrame, score_int, label_bool,
         F.round(rec, round_dp).alias("recall"),
         F.round(f1, round_dp).alias("f1"),
         F.round(j, round_dp).alias("youden_j"))
+
+
+def sprt_replay(df: DataFrame, user_col: str, ts_col: str,
+                order_col: str, success_when,
+                p0: float = 0.15, p1: float = 0.25,
+                alpha: float = 0.05, beta: float = 0.05,
+                salt: str = "exp1", buckets: int = 10_000,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): sequential probability ratio test replay — Wald's
+    SPRT for Bernoulli H0: p = p0 vs H1: p = p1, replayed over each
+    arm's event stream in arrival order. The fixed-horizon family
+    (z / CUPED / CMH / permutation) reads the END of the experiment;
+    this is the early-stopping readout: the first event index where the
+    cumulative log-likelihood ratio leaves (B, A), and the decision
+    taken there. Per arm: (arm, n_events, conversions, first_cross_n,
+    decision, llr_final).
+
+    Determinism discipline: the running state is INTEGER (row_number n,
+    cumulative successes k over a total order ts→order_col); the LLR is
+    a single float expression k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0))
+    from those integers — no float accumulation, so every engine
+    computes bit-identical doubles and the boundary comparisons agree.
+    Constants embed as exact binary doubles (repr), the PageRank rule.
+
+    Scale: one shuffle to (arm)-partitioned windows; the crossing row
+    is found with a struct-min aggregate, not a re-join or sort-limit.
+    Two arms means two window partitions — for real deployments pass a
+    finer partition (e.g. per-experiment) through ``salt``/pre-split;
+    state per row is two integers.
+    """
+    import math
+
+    from .sampling import hash_bucket
+
+    c1 = math.log(p1 / p0)
+    c2 = math.log((1 - p1) / (1 - p0))
+    a_bound = math.log((1 - beta) / alpha)
+    b_bound = math.log(beta / (1 - alpha))
+
+    arm_a = hash_bucket(F.col(user_col), buckets, salt) < buckets // 2
+    base = df.select(
+        F.when(arm_a, F.lit("a")).otherwise(F.lit("b")).alias("__g"),
+        F.col(ts_col).alias("__ts"), F.col(order_col).alias("__id"),
+        F.when(success_when, F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("__y"))
+    w = Window.partitionBy("__g").orderBy("__ts", "__id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    llr = (F.col("__k").cast("double") * F.lit(c1)
+           + (F.col("__n") - F.col("__k")).cast("double") * F.lit(c2))
+    scored = (base.select(
+        "__g", F.row_number().over(w).alias("__n"),
+        F.sum("__y").over(wr).alias("__k"))
+        .select("__g", "__n", "__k", llr.alias("__llr")))
+    direction = (F.when(F.col("__llr") >= a_bound, F.lit("accept_h1"))
+                 .when(F.col("__llr") <= b_bound, F.lit("accept_h0")))
+    agg = scored.groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.max("__k").cast("long").alias("conversions"),
+        F.min(F.when(direction.isNotNull(),
+                     F.struct(F.col("__n"), direction.alias("__dir"))))
+         .alias("__fc"))
+    llr_final = (F.col("conversions").cast("double") * F.lit(c1)
+                 + (F.col("n_events") - F.col("conversions"))
+                 .cast("double") * F.lit(c2))
+    return agg.select(
+        F.col("__g").alias("arm"), "n_events", "conversions",
+        F.col("__fc.__n").cast("long").alias("first_cross_n"),
+        F.coalesce(F.col("__fc.__dir"), F.lit("continue"))
+         .alias("decision"),
+        F.round(llr_final, round_dp).alias("llr_final"))

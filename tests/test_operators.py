@@ -4540,3 +4540,48 @@ def test_k_core_peels_cascading_fringe(spark):
                      10: 2, 11: 2, 12: 2, 13: 2}
 
     assert k_core(df, k=5).count() == 0
+
+
+def test_sprt_replay_hand_stream(spark):
+    """p0=0.2 vs p1=0.8 makes the LLR a ±ln(4) walk: the boundary
+    ln(19) needs net +3 successes (2.944 < 3·1.386). Arm a gets
+    [1,1,0,1,1] (net +3 at n=5 → accept_h1), arm b [0,0,1,0,0]
+    (net −3 at n=5 → accept_h0); a truncated arm-b prefix of 2 would
+    still be 'continue' — pinned by replaying only 4 events."""
+    import hashlib
+    import math
+
+    from data_engineering__spark.operators.analytics import sprt_replay
+    from pyspark.sql import functions as F
+
+    def arm_of(uid):
+        h = hashlib.sha256(f"exp1{uid}".encode()).hexdigest()[:8]
+        return "a" if int(h, 16) % 10000 < 5000 else "b"
+
+    ua = next(u for u in range(100) if arm_of(u) == "a")
+    ub = next(u for u in range(100) if arm_of(u) == "b")
+    ya, yb = [1, 1, 0, 1, 1], [0, 0, 1, 0, 0]
+    rows = [(ua, i + 1, i + 1, "buy" if y else "view")
+            for i, y in enumerate(ya)]
+    rows += [(ub, i + 1, 100 + i, "buy" if y else "view")
+             for i, y in enumerate(yb)]
+    df = spark.createDataFrame(
+        rows, "user_id long, t long, event_id long, etype string")
+
+    out = {r.arm: r for r in sprt_replay(
+        df, "user_id", "t", "event_id", F.col("etype") == "buy",
+        p0=0.2, p1=0.8).collect()}
+    assert out["a"].decision == "accept_h1"
+    assert out["a"].first_cross_n == 5
+    assert out["a"].conversions == 4
+    assert abs(out["a"].llr_final
+               - round(3 * math.log(4.0), 6)) < 1e-9
+    assert out["b"].decision == "accept_h0"
+    assert out["b"].first_cross_n == 5
+
+    trunc = df.filter((F.col("user_id") != ub) | (F.col("t") <= 4))
+    out4 = {r.arm: r for r in sprt_replay(
+        trunc, "user_id", "t", "event_id", F.col("etype") == "buy",
+        p0=0.2, p1=0.8).collect()}
+    assert out4["b"].decision == "continue"
+    assert out4["b"].first_cross_n is None
