@@ -118,6 +118,7 @@ HEADLINE = [
     "clustering_coeff_graph",
     "kcore_graph",
     "sprt_report_events",
+    "forecast_backtest_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

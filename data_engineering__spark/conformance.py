@@ -2335,6 +2335,7 @@ DRIVER_PRIORITY = [
     "clustering_coeff_graph",
     "kcore_graph",
     "sprt_report_events",
+    "forecast_backtest_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -10956,3 +10957,62 @@ def sprt_report_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return sprt_replay(ev, "user_id", "ts", "event_id",
                        F.col("event_type") == "purchase")
+
+
+@query("forecast_backtest_events", oracle=_mat("""
+WITH counts AS (
+  SELECT event_type AS g, (epoch_us(ts) // 1000000) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+anchor AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1
+  FROM (SELECT (epoch_us(ts) // 1000000) // 3600 AS h FROM events)),
+grid AS (
+  SELECT t.g, gs.h, CAST(COALESCE(c.c, 0) AS BIGINT) AS x
+  FROM (SELECT DISTINCT g FROM counts) t
+  CROSS JOIN (SELECT CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS h
+              FROM anchor) gs
+  LEFT JOIN counts c ON c.g = t.g AND c.h = gs.h),
+joined AS (
+  SELECT cur.g, cur.h, cur.x, prev.x AS f,
+         a.h1 + 1 - CAST(FLOOR((a.h1 - a.h0 + 1) / 4.0) AS BIGINT)
+           AS split
+  FROM grid cur
+  JOIN grid prev ON prev.g = cur.g AND prev.h = cur.h - 24
+  CROSS JOIN anchor a),
+agg AS (
+  SELECT g,
+    CAST(SUM(CASE WHEN h >= split THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(SUM(CASE WHEN h >= split THEN ABS(x - f) ELSE 0 END)
+      AS BIGINT) AS sae,
+    SUM(CASE WHEN h >= split
+        THEN CAST(x - f AS HUGEINT) * CAST(x - f AS HUGEINT)
+        ELSE CAST(0 AS HUGEINT) END) AS sse,
+    CAST(SUM(CASE WHEN h >= split THEN x + f ELSE 0 END) AS BIGINT)
+      AS sxf,
+    CAST(SUM(CASE WHEN h < split THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+    CAST(SUM(CASE WHEN h < split THEN ABS(x - f) ELSE 0 END)
+      AS BIGINT) AS saer
+  FROM joined GROUP BY g)
+SELECT g AS event_type, nt AS n_test,
+  ROUND(CAST(sae AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mae,
+  ROUND(SQRT(CAST(sse AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS rmse,
+  ROUND(CASE WHEN sxf > 0
+             THEN 2.0 * CAST(sae AS DOUBLE) / CAST(sxf AS DOUBLE) END,
+        6) AS wsmape,
+  ROUND(CASE WHEN saer > 0
+             THEN CAST(CAST(sae AS HUGEINT) * CAST(nr AS HUGEINT)
+                       AS DOUBLE)
+                  / CAST(CAST(nt AS HUGEINT) * CAST(saer AS HUGEINT)
+                         AS DOUBLE) END, 6) AS mase
+FROM agg"""))
+def forecast_backtest_events(spark, sf_dir):
+    """EXT R249 (round 6): seasonal-naive forecast backtest — per
+    event_type, score the lag-24 "same hour yesterday" predictor over
+    the last quarter of the dense hourly grid: MAE / RMSE / weighted
+    sMAPE / MASE, each a single float op over exact integer sums
+    (ratio-of-sums, never a mean of per-row floats). The MASE < 1 bar
+    any real forecaster must clear."""
+    from .operators.temporal import seasonal_naive_backtest
+    ev = read_table(spark, sf_dir, "events")
+    return seasonal_naive_backtest(ev, "ts", "event_type")

@@ -560,3 +560,82 @@ def pettitt_changepoint(df: DataFrame, ts_col: str,
                             round_dp).alias("mean_after"),
                     F.round(F.when(p < 1.0, p).otherwise(F.lit(1.0)),
                             round_dp).alias("p_approx")))
+
+
+def seasonal_naive_backtest(df: DataFrame, ts_col: str, group_col: str,
+                            season: int = 24, bucket_s: int = 3600,
+                            round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): seasonal-naive forecast backtest — score the
+    "same hour yesterday" predictor over the last quarter of the dense
+    hourly count grid, per series. The honesty check a pipeline needs
+    BEFORE shipping any fancier forecaster: if a model can't beat
+    seasonal-naive (MASE < 1 means naive wins), its capacity is noise.
+    Per ``group_col``: (n_test, mae, rmse, wsmape, mase).
+
+    Metric discipline: every metric is a RATIO OF INTEGER SUMS — never
+    a mean of per-row float terms, whose accumulation order would
+    diverge cross-engine. Errors e = x_t − x_{t−season} are integers on
+    the dense grid (zero-filled; sparse series fake accuracy by
+    deleting quiet hours); MAE = Σ|e|/n, RMSE = √(Σe²/n), weighted
+    sMAPE = 2Σ|e|/Σ(x+f), and MASE = (Σ_test|e|·n_train) /
+    (n_test·Σ_train|e|) with the train window [h₀+season, split).
+    Each is ONE float op from exact integers.
+
+    Scale shape: raw rows collapse map-side to (series, hour) counts;
+    the grid is series×calendar-sized; the lag join shifts an integer
+    key; one aggregation. Nothing is data-sized past the first agg."""
+    dec = "decimal(38,0)"
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+    counts = (df.select(F.col(group_col).alias("__g"), b.alias("__h"))
+              .groupBy("__g", "__h")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    anchor = F.broadcast(df.select(b.alias("__h")).agg(
+        F.min("__h").alias("__h0"), F.max("__h").alias("__h1")))
+    grid = (counts.select("__g").distinct()
+            .crossJoin(anchor)
+            .select("__g", F.explode(
+                F.sequence(F.col("__h0"), F.col("__h1"))).alias("__h"))
+            .join(counts, ["__g", "__h"], "left")
+            .withColumn("__x", F.coalesce(F.col("__c"), F.lit(0))
+                        .cast("long"))
+            .select("__g", "__h", "__x"))
+    prev = grid.select(F.col("__g"), (F.col("__h") + season).alias("__h"),
+                       F.col("__x").alias("__f"))
+    joined = (grid.join(prev, ["__g", "__h"]).crossJoin(anchor)
+              .withColumn("__split",
+                          F.col("__h1") + 1
+                          - F.floor((F.col("__h1") - F.col("__h0") + 1)
+                                    / F.lit(4)).cast("long")))
+    e = F.col("__x") - F.col("__f")
+    is_test = F.col("__h") >= F.col("__split")
+    agg = joined.groupBy("__g").agg(
+        F.sum(F.when(is_test, 1).otherwise(0)).cast("long")
+         .alias("__nt"),
+        F.sum(F.when(is_test, F.abs(e)).otherwise(0)).cast("long")
+         .alias("__sae"),
+        F.sum(F.when(is_test, e.cast(dec) * e.cast(dec))
+               .otherwise(F.lit(0).cast(dec))).alias("__sse"),
+        F.sum(F.when(is_test, F.col("__x") + F.col("__f")).otherwise(0))
+         .cast("long").alias("__sxf"),
+        F.sum(F.when(~is_test, 1).otherwise(0)).cast("long")
+         .alias("__nr"),
+        F.sum(F.when(~is_test, F.abs(e)).otherwise(0)).cast("long")
+         .alias("__saer"))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__nt").alias("n_test"),
+        F.round(F.col("__sae").cast("double")
+                / F.col("__nt").cast("double"), round_dp).alias("mae"),
+        F.round(F.sqrt(F.col("__sse").cast("double")
+                       / F.col("__nt").cast("double")), round_dp)
+         .alias("rmse"),
+        F.round(F.when(F.col("__sxf") > 0,
+                       F.lit(2.0) * F.col("__sae").cast("double")
+                       / F.col("__sxf").cast("double")), round_dp)
+         .alias("wsmape"),
+        F.round(F.when(F.col("__saer") > 0,
+                       (F.col("__sae").cast(dec)
+                        * F.col("__nr").cast(dec)).cast("double")
+                       / (F.col("__nt").cast(dec)
+                          * F.col("__saer").cast(dec)).cast("double")),
+                round_dp).alias("mase"))

@@ -4585,3 +4585,49 @@ def test_sprt_replay_hand_stream(spark):
         p0=0.2, p1=0.8).collect()}
     assert out4["b"].decision == "continue"
     assert out4["b"].first_cross_n is None
+
+
+def test_seasonal_naive_backtest_vs_python(spark):
+    """A 40-hour synthetic series with known hourly counts: the last 10
+    hours are test, hours 24..29 are the MASE train window; metrics
+    replayed brute-force in Python. A second perfectly 24h-periodic
+    series pins the degenerate branches (all-zero errors -> mae 0,
+    wsmape 0, mase NULL because the train denominator is 0)."""
+    import math
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    base = datetime(2024, 1, 1)
+    c_a = [(i * 7) % 5 + (1 if i % 24 < 12 else 3) for i in range(40)]
+    c_b = [2 if i % 24 in (3, 9) else 1 for i in range(40)]
+    rows = []
+    for i, c in enumerate(c_a):
+        rows += [("a", base + timedelta(hours=i))] * c
+    for i, c in enumerate(c_b):
+        rows += [("b", base + timedelta(hours=i))] * c
+    df = spark.createDataFrame(rows, "etype string, ts timestamp")
+
+    out = {r.etype: r for r in seasonal_naive_backtest(
+        df, "ts", "etype").collect()}
+
+    split = 40 - 40 // 4                       # first test index
+    test = range(split, 40)
+    train = range(24, split)
+    e = [c_a[i] - c_a[i - 24] for i in range(40)]
+    nt, sae = len(test), sum(abs(e[i]) for i in test)
+    sse = sum(e[i] * e[i] for i in test)
+    sxf = sum(c_a[i] + c_a[i - 24] for i in test)
+    nr, saer = len(train), sum(abs(e[i]) for i in train)
+    ra = out["a"]
+    assert ra.n_test == nt
+    assert abs(ra.mae - round(sae / nt, 6)) < 1e-9
+    assert abs(ra.rmse - round(math.sqrt(sse / nt), 6)) < 1e-9
+    assert abs(ra.wsmape - round(2 * sae / sxf, 6)) < 1e-9
+    assert abs(ra.mase - round((sae * nr) / (nt * saer), 6)) < 1e-9
+
+    rb = out["b"]
+    assert (rb.mae, rb.wsmape, rb.mase) == (0.0, 0.0, None)
+    assert rb.rmse == 0.0
