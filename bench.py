@@ -119,6 +119,7 @@ HEADLINE = [
     "kcore_graph",
     "sprt_report_events",
     "forecast_backtest_events",
+    "mde_report_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2336,6 +2336,7 @@ DRIVER_PRIORITY = [
     "kcore_graph",
     "sprt_report_events",
     "forecast_backtest_events",
+    "mde_report_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11016,3 +11017,69 @@ def forecast_backtest_events(spark, sf_dir):
     from .operators.temporal import seasonal_naive_backtest
     ev = read_table(spark, sf_dir, "events")
     return seasonal_naive_backtest(ev, "ts", "event_type")
+
+
+def _mde_oracle_sql() -> str:
+    zsum = repr(1.959963984540054 + 0.8416212335729143)
+    return f"""
+WITH peru AS (
+  SELECT user_id,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS HUGEINT)
+           AS o
+  FROM events GROUP BY user_id),
+armed AS (
+  SELECT CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)", "exp1")})
+              < 5000 THEN 1 ELSE 0 END AS a, o
+  FROM peru),
+agg AS (
+  SELECT CAST(SUM(a) AS HUGEINT) AS na,
+         CAST(COUNT(*) - SUM(a) AS HUGEINT) AS nb,
+         COALESCE(SUM(CASE WHEN a = 1 THEN o END),
+                  CAST(0 AS HUGEINT)) AS sa,
+         COALESCE(SUM(CASE WHEN a = 0 THEN o END),
+                  CAST(0 AS HUGEINT)) AS sb,
+         COALESCE(SUM(CASE WHEN a = 1 THEN o * o END),
+                  CAST(0 AS HUGEINT)) AS qa,
+         COALESCE(SUM(CASE WHEN a = 0 THEN o * o END),
+                  CAST(0 AS HUGEINT)) AS qb
+  FROM armed),
+fin AS (
+  SELECT na, nb, sa, sb,
+         nb * (na * qa - sa * sa) + na * (nb * qb - sb * sb) AS ssw_num,
+         na * nb * (na + nb - 2) AS ssw_den
+  FROM agg)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  ROUND(CASE WHEN na + nb > 0
+             THEN CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE) END,
+        6) AS mean_outcome,
+  ROUND(CASE WHEN na > 1 AND nb > 1
+             THEN SQRT(CAST(ssw_num AS DOUBLE) / CAST(ssw_den AS DOUBLE))
+        END, 6) AS sd_pooled,
+  ROUND(CASE WHEN na > 1 AND nb > 1
+             THEN ({zsum})
+                  * SQRT(CAST(ssw_num AS DOUBLE) / CAST(ssw_den AS DOUBLE)
+                         * (1.0 / CAST(na AS DOUBLE)
+                            + 1.0 / CAST(nb AS DOUBLE))) END, 6)
+    AS mde_abs,
+  ROUND(CASE WHEN na > 1 AND nb > 1 AND sa + sb > 0
+             THEN ({zsum})
+                  * SQRT(CAST(ssw_num AS DOUBLE) / CAST(ssw_den AS DOUBLE)
+                         * (1.0 / CAST(na AS DOUBLE)
+                            + 1.0 / CAST(nb AS DOUBLE)))
+                  / (CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        END, 6) AS mde_rel
+FROM fin"""
+
+
+@query("mde_report_events", oracle=_mat(_mde_oracle_sql()))
+def mde_report_events(spark, sf_dir):
+    """EXT R250 (round 6): minimum detectable effect at α=5%/80% power
+    over per-user purchase cents (ITT, sha 'exp1' arms) — realized arm
+    sizes, pooled within-arm sd from ONE exact decimal rational, and
+    the absolute/relative lift floor this experiment could detect."""
+    from .operators.analytics import mde_report
+    ev = read_table(spark, sf_dir, "events")
+    return mde_report(ev, "user_id",
+                      F.when(F.col("event_type") == "purchase",
+                             F.round(F.col("value") * 100).cast("long")))

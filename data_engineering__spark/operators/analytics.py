@@ -3366,3 +3366,64 @@ def sprt_replay(df: DataFrame, user_col: str, ts_col: str,
         F.coalesce(F.col("__fc.__dir"), F.lit("continue"))
          .alias("decision"),
         F.round(llr_final, round_dp).alias("llr_final"))
+
+
+def mde_report(events: DataFrame, user_col: str, outcome_when,
+               salt: str = "exp1", buckets: int = 10_000,
+               z_alpha: float = 1.959963984540054,
+               z_beta: float = 0.8416212335729143,
+               round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): minimum detectable effect report — the
+    experiment-DESIGN readout the rest of the family reads after the
+    fact: given the realized arm sizes and per-user outcome variance,
+    what absolute / relative lift could this experiment even see at
+    α=5% two-sided, 80% power? An experiment whose MDE exceeds the
+    plausible effect was dead before it started.
+
+    One row: (n_a, n_b, mean_outcome, sd_pooled, mde_abs, mde_rel)
+    with mde = (z_α + z_β)·√(s²_pooled·(1/nₐ+1/nᵦ)). The pooled
+    within-arm variance is carried as ONE exact rational — numerator
+    nᵦ(nₐQₐ−Sₐ²) + nₐ(nᵦQᵦ−Sᵦ²), denominator nₐnᵦ(nₐ+nᵦ−2), all
+    decimal(38,0) integer moments — so the only IEEE ops are the final
+    divide/sqrt/multiply chain, identical cross-engine (z constants
+    embed as exact binary doubles). Scale: one shuffle to the per-user
+    grain, one scalar aggregate; assignment is pure-codegen sha."""
+    from .sampling import hash_bucket
+
+    dec = "decimal(38,0)"
+    users = (events.groupBy(F.col(user_col).alias("__u"))
+             .agg(F.coalesce(F.sum(outcome_when), F.lit(0))
+                  .cast("long").alias("__o")))
+    arm_a = hash_bucket(F.col("__u"), buckets, salt) < buckets // 2
+    o = F.col("__o").cast(dec)
+    agg = users.agg(
+        F.count(F.when(arm_a, 1)).cast("long").alias("__na"),
+        F.count(F.when(~arm_a, 1)).cast("long").alias("__nb"),
+        F.coalesce(F.sum(F.when(arm_a, o)), F.lit(0).cast(dec))
+         .alias("__sa"),
+        F.coalesce(F.sum(F.when(~arm_a, o)), F.lit(0).cast(dec))
+         .alias("__sb"),
+        F.coalesce(F.sum(F.when(arm_a, o * o)), F.lit(0).cast(dec))
+         .alias("__qa"),
+        F.coalesce(F.sum(F.when(~arm_a, o * o)), F.lit(0).cast(dec))
+         .alias("__qb"))
+    na, nb = F.col("__na").cast(dec), F.col("__nb").cast(dec)
+    ssw_num = (nb * (na * F.col("__qa") - F.col("__sa") * F.col("__sa"))
+               + na * (nb * F.col("__qb") - F.col("__sb") * F.col("__sb")))
+    ssw_den = na * nb * (na + nb - 2)
+    var_p = ssw_num.cast("double") / ssw_den.cast("double")
+    inv = (F.lit(1.0) / F.col("__na").cast("double")
+           + F.lit(1.0) / F.col("__nb").cast("double"))
+    mde = F.lit(z_alpha + z_beta) * F.sqrt(var_p * inv)
+    mean = ((F.col("__sa") + F.col("__sb")).cast("double")
+            / (F.col("__na") + F.col("__nb")).cast("double"))
+    ok = (F.col("__na") > 1) & (F.col("__nb") > 1)
+    total_pos = (F.col("__sa") + F.col("__sb")) > 0
+    return agg.select(
+        F.col("__na").alias("n_a"), F.col("__nb").alias("n_b"),
+        F.round(F.when(F.col("__na") + F.col("__nb") > 0, mean),
+                round_dp).alias("mean_outcome"),
+        F.round(F.when(ok, F.sqrt(var_p)), round_dp).alias("sd_pooled"),
+        F.round(F.when(ok, mde), round_dp).alias("mde_abs"),
+        F.round(F.when(ok & total_pos, mde / mean), round_dp)
+         .alias("mde_rel"))

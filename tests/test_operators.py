@@ -4631,3 +4631,53 @@ def test_seasonal_naive_backtest_vs_python(spark):
     rb = out["b"]
     assert (rb.mae, rb.wsmape, rb.mase) == (0.0, 0.0, None)
     assert rb.rmse == 0.0
+
+
+def test_mde_report_vs_python(spark):
+    """Three users per arm with hand-picked outcomes: pooled sd and the
+    (z_0.025 + z_0.80)·sqrt(s²(1/na+1/nb)) MDE replayed in Python; a
+    single-user arm pins the n<=1 NULL guards."""
+    import hashlib
+    import math
+
+    from data_engineering__spark.operators.analytics import mde_report
+    from pyspark.sql import functions as F
+
+    def arm_of(uid):
+        h = hashlib.sha256(f"exp1{uid}".encode()).hexdigest()[:8]
+        return "a" if int(h, 16) % 10000 < 5000 else "b"
+
+    us_a = [u for u in range(200) if arm_of(u) == "a"][:3]
+    us_b = [u for u in range(200) if arm_of(u) == "b"][:3]
+    vals = {us_a[0]: 100, us_a[1]: 250, us_a[2]: 400,
+            us_b[0]: 150, us_b[1]: 150, us_b[2]: 600}
+    rows = [(u, "purchase", c / 100.0) for u, c in vals.items()]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+
+    r = mde_report(df, "user_id",
+                   F.when(F.col("event_type") == "purchase",
+                          F.round(F.col("value") * 100).cast("long"))
+                   ).collect()[0]
+    a = [vals[u] for u in us_a]
+    bvals = [vals[u] for u in us_b]
+    sa, sb = sum(a), sum(bvals)
+    qa, qb = sum(v * v for v in a), sum(v * v for v in bvals)
+    na = nb = 3
+    ssw = (nb * (na * qa - sa * sa) + na * (nb * qb - sb * sb))
+    var_p = ssw / (na * nb * (na + nb - 2))
+    zsum = 1.959963984540054 + 0.8416212335729143
+    mde = zsum * math.sqrt(var_p * (1 / na + 1 / nb))
+    mean = (sa + sb) / 6
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert abs(r.mean_outcome - round(mean, 6)) < 1e-9
+    assert abs(r.sd_pooled - round(math.sqrt(var_p), 6)) < 1e-9
+    assert abs(r.mde_abs - round(mde, 6)) < 1e-9
+    assert abs(r.mde_rel - round(mde / mean, 6)) < 1e-9
+
+    tiny = df.filter(F.col("user_id").isin([us_a[0], us_b[0], us_b[1]]))
+    r1 = mde_report(tiny, "user_id",
+                    F.when(F.col("event_type") == "purchase",
+                           F.round(F.col("value") * 100).cast("long"))
+                    ).collect()[0]
+    assert (r1.n_a, r1.n_b) == (1, 2)
+    assert r1.sd_pooled is None and r1.mde_abs is None
