@@ -120,6 +120,7 @@ HEADLINE = [
     "sprt_report_events",
     "forecast_backtest_events",
     "mde_report_events",
+    "interval_union_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

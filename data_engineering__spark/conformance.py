@@ -2337,6 +2337,7 @@ DRIVER_PRIORITY = [
     "sprt_report_events",
     "forecast_backtest_events",
     "mde_report_events",
+    "interval_union_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11083,3 +11084,45 @@ def mde_report_events(spark, sf_dir):
     return mde_report(ev, "user_id",
                       F.when(F.col("event_type") == "purchase",
                              F.round(F.col("value") * 100).cast("long")))
+
+
+@query("interval_union_users", oracle=_mat("""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 90 + 30) * 60000000 AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS nw
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS i
+  FROM flagged),
+per AS (
+  SELECT user_id, i, COUNT(*) AS cnt, MAX(e) - MIN(s) AS span
+  FROM isl GROUP BY user_id, i)
+SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n_intervals,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(span) AS BIGINT) AS covered_us,
+       CAST(MAX(span) AS BIGINT) AS max_island_us
+FROM per GROUP BY user_id"""))
+def interval_union_users(spark, sf_dir):
+    """EXT R251 (round 6): merged-interval activity coverage per user —
+    each event opens a [ts, ts + (event_id%90+30)min) activity window;
+    overlapping windows coalesce into islands and the report gives per
+    user: interval count, island count, total covered µs, longest
+    island. Windowed gaps-and-islands over integer microseconds — no
+    self-join, no timeline explode."""
+    from .operators.temporal import interval_union
+    ev = read_table(spark, sf_dir, "events")
+    start = F.unix_micros(F.col("ts"))
+    end = start + (F.col("event_id") % 90 + 30) * 60_000_000
+    return interval_union(ev, ["user_id"], start, end)

@@ -639,3 +639,48 @@ def seasonal_naive_backtest(df: DataFrame, ts_col: str, group_col: str,
                        / (F.col("__nt").cast(dec)
                           * F.col("__saer").cast(dec)).cast("double")),
                 round_dp).alias("mase"))
+
+
+def interval_union(df: DataFrame, key_cols: list[str], start_us,
+                   end_us) -> DataFrame:
+    """EXT (round 6): merged-interval coverage (gaps-and-islands union)
+    per key — overlapping/adjacent intervals coalesce into islands and
+    each key reports (n_intervals, n_islands, covered_us,
+    max_island_us). `interval_concurrency` answers "how many overlap at
+    t"; this answers the complementary "how much of the timeline is
+    covered at all" — the session-stitching / machine-uptime / user
+    active-time primitive.
+
+    Classic windowed formulation, all INTEGER microseconds: an interval
+    opens a new island iff its start exceeds the running max of every
+    earlier end (ROWS frame to −1 over a (start, end)-ordered window);
+    island ids are the running sum of those flags; a per-(key, island)
+    aggregate spans min(start)→max(end), one more aggregate rolls keys
+    up. Touching intervals (start = previous end) MERGE — coverage is
+    measured, not gapped, at zero-width joints.
+
+    Scale: two shuffles (the per-key window, the island agg — the
+    second reuses the first's hash partitioning on the key prefix); no
+    self-join, no explode of the timeline."""
+    base = df.select(*[F.col(c) for c in key_cols],
+                     start_us.cast("long").alias("__s"),
+                     end_us.cast("long").alias("__e"))
+    w = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.select(
+        *key_cols, "__s", "__e",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1)
+         .otherwise(0).alias("__new"))
+    islands = flagged.select(
+        *key_cols, "__s", "__e",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__isl"))
+    per_island = (islands.groupBy(*key_cols, "__isl")
+                  .agg(F.count(F.lit(1)).alias("__cnt"),
+                       (F.max("__e") - F.min("__s")).alias("__span")))
+    return (per_island.groupBy(*key_cols)
+            .agg(F.sum("__cnt").cast("long").alias("n_intervals"),
+                 F.count(F.lit(1)).cast("long").alias("n_islands"),
+                 F.sum("__span").cast("long").alias("covered_us"),
+                 F.max("__span").cast("long").alias("max_island_us")))

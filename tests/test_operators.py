@@ -4681,3 +4681,29 @@ def test_mde_report_vs_python(spark):
                     ).collect()[0]
     assert (r1.n_a, r1.n_b) == (1, 2)
     assert r1.sd_pooled is None and r1.mde_abs is None
+
+
+def test_interval_union_islands(spark):
+    """Hand intervals: u1 has [0,10],[5,20] overlapping (one island,
+    span 20), [20,25] touching the island's end (merges — zero-width
+    joint), [40,45] separate; u2 has a contained interval [0,100] ⊃
+    [10,20] (one island span 100) proving the running-max (not lag-1)
+    formulation; u3 a single point-interval."""
+    from data_engineering__spark.operators.temporal import interval_union
+    from pyspark.sql import functions as F
+
+    rows = [(1, 0, 10), (1, 5, 20), (1, 20, 25), (1, 40, 45),
+            (2, 0, 100), (2, 10, 20), (2, 150, 160),
+            (3, 7, 7)]
+    df = spark.createDataFrame(rows, "u long, s long, e long")
+    out = {r.u: r for r in interval_union(
+        df, ["u"], F.col("s"), F.col("e")).collect()}
+
+    assert (out[1].n_intervals, out[1].n_islands) == (4, 2)
+    assert out[1].covered_us == 25 + 5
+    assert out[1].max_island_us == 25
+    assert (out[2].n_intervals, out[2].n_islands) == (3, 2)
+    assert out[2].covered_us == 100 + 10
+    assert out[2].max_island_us == 100
+    assert (out[3].n_intervals, out[3].n_islands,
+            out[3].covered_us) == (1, 1, 0)
