@@ -121,6 +121,7 @@ HEADLINE = [
     "forecast_backtest_events",
     "mde_report_events",
     "interval_union_users",
+    "functional_deps_orders",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2338,6 +2338,7 @@ DRIVER_PRIORITY = [
     "forecast_backtest_events",
     "mde_report_events",
     "interval_union_users",
+    "functional_deps_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11126,3 +11127,36 @@ def interval_union_users(spark, sf_dir):
     start = F.unix_micros(F.col("ts"))
     end = start + (F.col("event_id") % 90 + 30) * 60_000_000
     return interval_union(ev, ["user_id"], start, end)
+
+
+def _fd_pair_sql(lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{lhs}' AS determinant, '{rhs}' AS dependent,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       ROUND(CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+       CAST(MAX(d) AS BIGINT) AS max_rhs_per_lhs
+FROM (SELECT {lhs} AS k, COUNT(DISTINCT {rhs}) AS d
+      FROM orders GROUP BY 1) g"""
+
+
+@query("functional_deps_orders", oracle=_mat(
+    " UNION ALL ".join([
+        _fd_pair_sql("o_orderkey", "o_custkey"),
+        _fd_pair_sql("o_custkey", "o_orderpriority"),
+        _fd_pair_sql("o_orderdate", "o_orderstatus"),
+        _fd_pair_sql("o_orderstatus", "o_orderpriority")])))
+def functional_deps_orders(spark, sf_dir):
+    """EXT R252 (round 6): functional-dependency violation profile over
+    orders — the PK dependency o_orderkey → o_custkey certifies exact
+    (0 violations), while the three plausible-but-false dependencies
+    report their violating-group counts/rates and worst fan-out. One
+    hash agg per candidate pair, unioned."""
+    from .operators.quality import fd_profile
+    o = read_table(spark, sf_dir, "orders")
+    return fd_profile(o, [("o_orderkey", "o_custkey"),
+                          ("o_custkey", "o_orderpriority"),
+                          ("o_orderdate", "o_orderstatus"),
+                          ("o_orderstatus", "o_orderpriority")])

@@ -727,3 +727,41 @@ def freshness_report(df: DataFrame, group_col: str, ts_col: str,
                     .alias("rows_last_day"),
                     ((F.col("__anchor") - F.col("last_epoch"))
                      > stale_after_s).alias("is_stale")))
+
+
+def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """EXT (round 6): functional-dependency violation profile — for
+    each candidate (determinant → dependent) column pair, how close the
+    data comes to satisfying lhs → rhs. The schema-discovery /
+    data-contract primitive: a "violating_groups = 0" row certifies a
+    dependable join key or snapshot invariant; a high violation rate
+    kills a proposed normalization before it ships.
+
+    Per pair: (lhs, rhs, n_groups, violating_groups, violation_rate,
+    max_rhs_per_lhs) where a group violates iff its lhs value maps to
+    more than one DISTINCT non-null rhs (SQL semantics: NULLs don't
+    count as a witness — document the contract, don't fight it).
+
+    Scale: each pair is one hash aggregation on the determinant plus a
+    scalar rollup — pairs run as a UNION of independent aggs so
+    Catalyst schedules them as parallel jobs sharing the scan; nothing
+    is quadratic in columns unless the caller asks for every pair."""
+    outs = []
+    for lhs, rhs in pairs:
+        per = (df.groupBy(F.col(lhs).alias("__k"))
+               .agg(F.countDistinct(F.col(rhs)).alias("__d")))
+        outs.append(per.agg(
+            F.lit(lhs).alias("determinant"),
+            F.lit(rhs).alias("dependent"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("__d") > 1, 1).otherwise(0))
+             .cast("long").alias("violating_groups"),
+            F.round(F.sum(F.when(F.col("__d") > 1, 1).otherwise(0))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double"), 6)
+             .alias("violation_rate"),
+            F.max("__d").cast("long").alias("max_rhs_per_lhs")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

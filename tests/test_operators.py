@@ -4707,3 +4707,30 @@ def test_interval_union_islands(spark):
     assert out[2].max_island_us == 100
     assert (out[3].n_intervals, out[3].n_islands,
             out[3].covered_us) == (1, 1, 0)
+
+
+def test_fd_profile_null_and_violations(spark):
+    """Hand table: a -> b holds exactly (incl. a NULL-b group, which by
+    the COUNT(DISTINCT) contract cannot witness a violation); a -> c is
+    violated by one group with fan-out 3; c -> a is violated by the
+    shared c=9 value."""
+    from data_engineering__spark.operators.quality import fd_profile
+
+    rows = [(1, "x", 9), (1, "x", 8), (1, "x", 7),
+            (2, "y", 9), (2, "y", 9),
+            (3, None, 5)]
+    df = spark.createDataFrame(rows, "a long, b string, c long")
+    out = {(r.determinant, r.dependent): r for r in fd_profile(
+        df, [("a", "b"), ("a", "c"), ("c", "a")]).collect()}
+
+    r_ab = out[("a", "b")]
+    assert (r_ab.n_groups, r_ab.violating_groups,
+            r_ab.max_rhs_per_lhs) == (3, 0, 1)
+    assert r_ab.violation_rate == 0.0
+    r_ac = out[("a", "c")]
+    assert (r_ac.n_groups, r_ac.violating_groups,
+            r_ac.max_rhs_per_lhs) == (3, 1, 3)
+    assert abs(r_ac.violation_rate - round(1 / 3, 6)) < 1e-12
+    r_ca = out[("c", "a")]
+    assert (r_ca.n_groups, r_ca.violating_groups,
+            r_ca.max_rhs_per_lhs) == (4, 1, 2)
