@@ -122,6 +122,7 @@ HEADLINE = [
     "mde_report_events",
     "interval_union_users",
     "functional_deps_orders",
+    "grouped_ols_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2339,6 +2339,7 @@ DRIVER_PRIORITY = [
     "mde_report_events",
     "interval_union_users",
     "functional_deps_orders",
+    "grouped_ols_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11160,3 +11161,50 @@ def functional_deps_orders(spark, sf_dir):
                           ("o_custkey", "o_orderpriority"),
                           ("o_orderdate", "o_orderstatus"),
                           ("o_orderstatus", "o_orderpriority")])
+
+
+@query("grouped_ols_brands", oracle=_mat("""
+WITH base AS (
+  SELECT p.p_brand AS g,
+         CAST(ROUND(l.l_quantity) AS HUGEINT) AS x,
+         CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+m AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx0, SUM(x * y) AS sxy0, SUM(y * y) AS syy0
+  FROM base GROUP BY g),
+d AS (
+  SELECT g, n, sx, sy,
+         n * sxx0 - sx * sx AS sxx,
+         n * sxy0 - sx * sy AS sxy,
+         n * syy0 - sy * sy AS syy
+  FROM m)
+SELECT g AS p_brand, CAST(n AS BIGINT) AS n,
+  ROUND(CASE WHEN sxx <> 0
+             THEN CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) END, 6)
+    AS slope,
+  ROUND(CASE WHEN sxx <> 0
+             THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
+    AS intercept,
+  ROUND(CASE WHEN sxx <> 0 AND syy <> 0
+             THEN (CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) END, 6)
+    AS r2
+FROM d"""))
+def grouped_ols_brands(spark, sf_dir):
+    """EXT R253 (round 6): per-brand OLS of line revenue (cents) on
+    quantity — slope ≈ the brand's effective unit price, intercept its
+    fixed offset, r² how linear the brand's pricing is. One hash agg
+    over the lineitem⋈part join; exact integer moments, doubles only
+    in the final closed form."""
+    from .operators.analytics import grouped_ols
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    return grouped_ols(j, "p_brand",
+                       F.round(F.col("l_quantity")).cast("long"),
+                       F.round(F.col("l_extendedprice") * 100)
+                       .cast("long"))

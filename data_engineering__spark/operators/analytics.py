@@ -3427,3 +3427,50 @@ def mde_report(events: DataFrame, user_col: str, outcome_when,
         F.round(F.when(ok, mde), round_dp).alias("mde_abs"),
         F.round(F.when(ok & total_pos, mde / mean), round_dp)
          .alias("mde_rel"))
+
+
+def grouped_ols(df: DataFrame, group_col: str, x_long, y_long,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): per-group simple OLS y = a + b·x — slope,
+    intercept, r² for EVERY group in one aggregation pass. The global
+    two-predictor OLS (R211) fits one line for the whole table; pricing
+    / elasticity / per-segment trend questions need the per-group
+    version, and fitting it group-by-group driver-side is the
+    anti-pattern this operator replaces.
+
+    Same exactness discipline as R211/ANOVA: per group the five moments
+    (n, Σx, Σy, Σx², Σxy, Σy²) are exact decimal(38,0) integers;
+    sxx = nΣx²−(Σx)², sxy = nΣxy−ΣxΣy, syy = nΣy²−(Σy)² stay exact,
+    and ONLY then do doubles enter: slope = sxy/sxx,
+    intercept = ȳ − slope·x̄, r² = (sxy)²/(sxx·syy) with the squares
+    taken AFTER the double cast — deliberately, so a 100-TB group's
+    sxy² cannot overflow decimal(38,0); the cost is one rounding in
+    the last ulp, identical cross-engine because the expression shape
+    is fixed. Degenerate groups (constant x or y) report NULL.
+
+    Scale: one map-side-combinable hash agg on the group key; output
+    is group-count-sized."""
+    dec = "decimal(38,0)"
+    x, y = x_long.cast(dec), y_long.cast(dec)
+    g = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"), F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"))
+    n = F.col("__n")
+    sxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    sxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    syy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = sxy.cast("double") / sxx.cast("double")
+    xbar = F.col("__sx").cast("double") / n.cast("double")
+    ybar = F.col("__sy").cast("double") / n.cast("double")
+    r2 = ((sxy.cast("double") * sxy.cast("double"))
+          / (sxx.cast("double") * syy.cast("double")))
+    return g.select(
+        F.col(group_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(F.when(sxx != 0, slope), round_dp).alias("slope"),
+        F.round(F.when(sxx != 0, ybar - slope * xbar), round_dp)
+         .alias("intercept"),
+        F.round(F.when((sxx != 0) & (syy != 0), r2), round_dp)
+         .alias("r2"))

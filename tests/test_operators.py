@@ -4734,3 +4734,32 @@ def test_fd_profile_null_and_violations(spark):
     r_ca = out[("c", "a")]
     assert (r_ca.n_groups, r_ca.violating_groups,
             r_ca.max_rhs_per_lhs) == (4, 1, 2)
+
+
+def test_grouped_ols_vs_numpy(spark):
+    """Two groups with numpy-polyfit-checkable lines (one exact fit
+    r²=1, one noisy) plus a constant-x group pinning the NULL guard."""
+    import numpy as np
+
+    from data_engineering__spark.operators.analytics import grouped_ols
+    from pyspark.sql import functions as F
+
+    ga = [(1, 3), (2, 5), (3, 7), (4, 9)]            # y = 2x+1 exact
+    gb = [(1, 2), (2, 2), (3, 5), (4, 4), (5, 7)]    # noisy
+    gc = [(2, 1), (2, 9), (2, 4)]                    # constant x
+    rows = ([("a", x, y) for x, y in ga]
+            + [("b", x, y) for x, y in gb]
+            + [("c", x, y) for x, y in gc])
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in grouped_ols(
+        df, "g", F.col("x"), F.col("y")).collect()}
+
+    assert (out["a"].slope, out["a"].intercept, out["a"].r2) == \
+        (2.0, 1.0, 1.0)
+    xs, ys = zip(*gb)
+    b, a = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(out["b"].slope - round(float(b), 6)) < 1e-6
+    assert abs(out["b"].intercept - round(float(a), 6)) < 1e-6
+    assert abs(out["b"].r2 - round(float(r * r), 6)) < 1e-6
+    assert out["c"].slope is None and out["c"].r2 is None
