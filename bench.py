@@ -123,6 +123,7 @@ HEADLINE = [
     "interval_union_users",
     "functional_deps_orders",
     "grouped_ols_brands",
+    "burrows_delta_sources",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

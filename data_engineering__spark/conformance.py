@@ -2340,6 +2340,7 @@ DRIVER_PRIORITY = [
     "interval_union_users",
     "functional_deps_orders",
     "grouped_ols_brands",
+    "burrows_delta_sources",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11208,3 +11209,50 @@ def grouped_ols_brands(spark, sf_dir):
                        F.round(F.col("l_quantity")).cast("long"),
                        F.round(F.col("l_extendedprice") * 100)
                        .cast("long"))
+
+
+@query("burrows_delta_sources", oracle=_mat(r"""
+WITH toks AS (
+  SELECT source AS s,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents),
+counts AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS tot
+           FROM counts GROUP BY 1),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, t ASC) AS rn
+    FROM counts GROUP BY t) v
+  WHERE rn <= 30),
+grid AS (
+  SELECT totals.s, vocab.t,
+         (COALESCE(c.c, 0) * 1000000000) // totals.tot AS fi
+  FROM totals CROSS JOIN vocab
+  LEFT JOIN counts c ON c.s = totals.s AND c.t = vocab.t),
+stats AS (
+  SELECT t AS tw, CAST(COUNT(*) AS HUGEINT) AS ns,
+         CAST(SUM(fi) AS HUGEINT) AS sf,
+         SUM(CAST(fi AS HUGEINT) * CAST(fi AS HUGEINT)) AS sff
+  FROM grid GROUP BY t),
+scored AS (
+  SELECT g.s, g.t,
+         CASE WHEN ns * sff - sf * sf > 0
+              THEN CAST(ns * CAST(fi AS HUGEINT) - sf AS DOUBLE)
+                   / SQRT(CAST(ns * sff - sf * sf AS DOUBLE))
+              ELSE 0.0 END AS z
+  FROM grid g JOIN stats ON stats.tw = g.t)
+SELECT a.s AS source_a, b.s AS source_b,
+       ROUND(SUM(ABS(a.z - b.z)) / 30.0, 6) AS delta
+FROM scored a JOIN scored b ON a.t = b.t AND a.s < b.s
+GROUP BY 1, 2"""))
+def burrows_delta_sources(spark, sf_dir):
+    """EXT R254 (round 6): Burrows' Delta stylometric distance between
+    every source pair over the corpus top-30 words — integer
+    parts-per-billion frequencies on the complete source×vocab grid,
+    exact integer cross-source moments, one fixed-shape z per cell,
+    30-term float sum rounded 6dp (the JSD tolerance precedent)."""
+    from .operators.text import burrows_delta
+    d = read_table(spark, sf_dir, "documents")
+    return burrows_delta(d, "source", "text")

@@ -1166,3 +1166,80 @@ def rake_keyphrases(df: DataFrame, text_col: str, k: int = 25,
                       F.round("__score", round_dp).alias("score")))
     return (ranked.orderBy(F.col("score").desc(), F.col("phrase").asc())
             .limit(k))
+
+
+def burrows_delta(docs: DataFrame, source_col: str, text_col: str,
+                  top_v: int = 30, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): Burrows' Delta between every pair of sources —
+    the classic stylometric distance (mean |z| difference over the
+    corpus's most frequent words). Where `js_token_divergence` scores
+    each source against the corpus, Delta scores sources against EACH
+    OTHER on function-word style alone — the provenance / authorship
+    clustering signal (two "different" crawls with near-zero Delta are
+    one mirror; a source whose Delta to everything is huge is machine
+    junk).
+
+    Pipeline: corpus top-``top_v`` vocabulary (count desc, token asc —
+    engine-stable); per (source, word) INTEGER parts-per-billion
+    relative frequency fi = (c·10⁹) div t on the COMPLETE source×vocab
+    grid (fi = 0 cells matter); per word the cross-source moments stay
+    exact integers, so z = (S·fi − Σfi)/√(S·Σfi² − (Σfi)²) is one
+    fixed-shape IEEE expression per cell (population σ over sources).
+    Delta(a,b) = Σ_w |z_a − z_b| / top_v — the ONLY float sum, 30
+    bounded terms rounded 6dp (the `js_token_divergence` tolerance
+    precedent). Zero-variance words contribute 0 by guard.
+
+    Scale: one explode→hash agg; the grid and everything after is
+    (sources × top_v)-sized; the pair join is sources²·top_v — sources
+    is a curated handful, never data-sized."""
+    src = F.col(source_col).alias("__s")
+    toks = docs.select(src, F.explode(tokens(text_col)).alias("__t"))
+    counts = (toks.groupBy("__s", "__t")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    # totals / vocab / stats all re-join frames derived from `counts`:
+    # every branch projects to GLOBALLY FRESH names first or Spark 4's
+    # resolver flags shadowed same-name attributes as ambiguous (the
+    # pettitt_changepoint lesson, ARCHITECTURE part 85)
+    totals = (counts.select(F.col("__s").alias("__su"),
+                            F.col("__c").alias("__cu"))
+              .groupBy("__su").agg(F.sum("__cu").alias("__tot")))
+    w = Window.orderBy(F.col("__cc").desc(), F.col("__tv").asc())
+    vocab = (counts.select(F.col("__t").alias("__tv"),
+                           F.col("__c").alias("__cv"))
+             .groupBy("__tv").agg(F.sum("__cv").alias("__cc"))
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= top_v).select("__tv"))
+    fi = F.expr("COALESCE(CAST(__c AS BIGINT), 0) * 1000000000 DIV "
+                "CAST(__tot AS BIGINT)")
+    g = (totals.crossJoin(F.broadcast(vocab))
+         .join(counts, (counts["__s"] == F.col("__su"))
+               & (counts["__t"] == F.col("__tv")), "left")
+         .select(F.col("__su"), F.col("__tv"), fi.alias("__fi")))
+    dec = "decimal(38,0)"
+    stats = (g.select(F.col("__tv").alias("__tw"),
+                      F.col("__fi").alias("__fw"))
+             .groupBy("__tw").agg(
+                 F.count(F.lit(1)).cast(dec).alias("__S"),
+                 F.sum(F.col("__fw").cast(dec)).alias("__sf"),
+                 F.sum(F.col("__fw").cast(dec) * F.col("__fw").cast(dec))
+                  .alias("__sff")))
+    den = (F.col("__S") * F.col("__sff") - F.col("__sf") * F.col("__sf"))
+    z = ((F.col("__S") * F.col("__fi").cast(dec) - F.col("__sf"))
+         .cast("double") / F.sqrt(den.cast("double")))
+    scored = (g.join(F.broadcast(stats), F.col("__tv") == F.col("__tw"))
+              .select(F.col("__su").alias("__zs"),
+                      F.col("__tv").alias("__zt"),
+                      F.when(den > 0, z).otherwise(F.lit(0.0))
+                      .alias("__z")))
+    a = scored.select(F.col("__zs").alias("source_a"),
+                      F.col("__zt").alias("__ta"),
+                      F.col("__z").alias("__za"))
+    b = scored.select(F.col("__zs").alias("source_b"),
+                      F.col("__zt").alias("__tb"),
+                      F.col("__z").alias("__zb"))
+    return (a.join(b, F.col("__ta") == F.col("__tb"))
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.round(F.sum(F.abs(F.col("__za") - F.col("__zb")))
+                         / F.lit(float(top_v)), round_dp)
+                 .alias("delta")))

@@ -4763,3 +4763,41 @@ def test_grouped_ols_vs_numpy(spark):
     assert abs(out["b"].intercept - round(float(a), 6)) < 1e-6
     assert abs(out["b"].r2 - round(float(r * r), 6)) < 1e-6
     assert out["c"].slope is None and out["c"].r2 is None
+
+
+def test_burrows_delta_vs_python(spark):
+    """Three tiny sources, top_v=3: replicate the exact ppb-integer z
+    pipeline in Python and check all three pair deltas; mirror sources
+    (same text) must sit at delta 0 and below any cross-style pair."""
+    import math
+    from collections import Counter
+
+    from data_engineering__spark.operators.text import burrows_delta
+
+    texts = {"s1": "the cat sat on the mat the end",
+             "s2": "the cat sat on the mat the end",
+             "s3": "dogs bark dogs run dogs dig often"}
+    rows = [(s, t) for s, t in texts.items()]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r.delta for r in burrows_delta(
+        df, "source", "text", top_v=3).collect()}
+
+    toks = {s: t.split() for s, t in texts.items()}
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    vocab = sorted(corpus, key=lambda w: (-corpus[w], w))[:3]
+    fi = {(s, w): Counter(ws)[w] * 10**9 // len(ws)
+          for s, ws in toks.items() for w in vocab}
+    z = {}
+    for w in vocab:
+        vals = [fi[(s, w)] for s in texts]
+        S, sf = len(vals), sum(vals)
+        den = S * sum(v * v for v in vals) - sf * sf
+        for s in texts:
+            z[(s, w)] = ((S * fi[(s, w)] - sf) / math.sqrt(den)
+                         if den > 0 else 0.0)
+    for a, b in [("s1", "s2"), ("s1", "s3"), ("s2", "s3")]:
+        want = round(sum(abs(z[(a, w)] - z[(b, w)]) for w in vocab) / 3,
+                     6)
+        assert abs(out[(a, b)] - want) < 1e-9, (a, b)
+    assert out[("s1", "s2")] == 0.0
+    assert out[("s1", "s3")] > out[("s1", "s2")]
