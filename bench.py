@@ -124,6 +124,7 @@ HEADLINE = [
     "functional_deps_orders",
     "grouped_ols_brands",
     "burrows_delta_sources",
+    "ranking_metrics_suppliers",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2341,6 +2341,7 @@ DRIVER_PRIORITY = [
     "functional_deps_orders",
     "grouped_ols_brands",
     "burrows_delta_sources",
+    "ranking_metrics_suppliers",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11256,3 +11257,80 @@ def burrows_delta_sources(spark, sf_dir):
     from .operators.text import burrows_delta
     d = read_table(spark, sf_dir, "documents")
     return burrows_delta(d, "source", "text")
+
+
+@query("ranking_metrics_suppliers", oracle=_mat("""
+WITH base AS (
+  SELECT n.n_name AS q, s.s_suppkey AS i, s.s_acctbal AS sc,
+         CASE WHEN s.s_suppkey % 3 = 0 THEN 1 ELSE 0 END AS r
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey),
+reltot AS (SELECT q, CAST(SUM(r) AS BIGINT) AS R FROM base GROUP BY q),
+ranked AS (
+  SELECT q, i, r,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY sc DESC, i ASC)
+           AS rn
+  FROM base QUALIFY rn <= 10),
+scored AS (
+  SELECT q, r, rn,
+         SUM(r) OVER (PARTITION BY q ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM ranked),
+perq AS (
+  SELECT q,
+         MIN(CASE WHEN r = 1 THEN rn END) AS fr,
+         SUM(CASE WHEN r = 1
+                  THEN CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+                  ELSE 0.0 END) AS apn,
+         SUM(CASE WHEN r = 1 THEN 1.0 / log2(CAST(rn AS DOUBLE) + 1.0)
+                  ELSE 0.0 END) AS dcg,
+         CAST(SUM(r) AS BIGINT) AS relk
+  FROM scored GROUP BY q),
+qrow AS (
+  SELECT p.q, rt.R > 0 AS ok,
+         CASE WHEN rt.R > 0 THEN CAST(ROUND(COALESCE(
+           1.0 / CAST(fr AS DOUBLE), 0.0) * 1000000) AS BIGINT)
+         END AS mrr,
+         CASE WHEN rt.R > 0 THEN CAST(ROUND(
+           apn / CAST(LEAST(rt.R, 10) AS DOUBLE) * 1000000) AS BIGINT)
+         END AS map,
+         CASE WHEN rt.R > 0 AND dcg > 0 THEN CAST(ROUND(
+           dcg / list_sum(list_transform(range(1, LEAST(rt.R, 10) + 1),
+                          x -> 1.0 / log2(CAST(x AS DOUBLE) + 1.0)))
+           * 1000000) AS BIGINT)
+         WHEN rt.R > 0 THEN 0 END AS ndcg,
+         CASE WHEN rt.R > 0 THEN CAST(ROUND(
+           CAST(relk AS DOUBLE) / 10.0 * 1000000) AS BIGINT)
+         END AS prec
+  FROM perq p JOIN reltot rt ON rt.q = p.q)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_evaluable AS BIGINT) AS n_evaluable,
+       CASE WHEN n_evaluable > 0
+            THEN CAST(smrr // n_evaluable AS DOUBLE) / 1000000.0
+       END AS mrr,
+       CASE WHEN n_evaluable > 0
+            THEN CAST(smap // n_evaluable AS DOUBLE) / 1000000.0
+       END AS map,
+       CASE WHEN n_evaluable > 0
+            THEN CAST(sndcg // n_evaluable AS DOUBLE) / 1000000.0
+       END AS ndcg,
+       CASE WHEN n_evaluable > 0
+            THEN CAST(sprec // n_evaluable AS DOUBLE) / 1000000.0
+       END AS "precision"
+FROM (SELECT COUNT(*) AS n_queries,
+             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_evaluable,
+             SUM(mrr) AS smrr, SUM(map) AS smap,
+             SUM(ndcg) AS sndcg, SUM(prec) AS sprec
+      FROM qrow) t"""))
+def ranking_metrics_suppliers(spark, sf_dir):
+    """EXT R255 (round 6): offline ranking eval — rank each nation's
+    suppliers by account balance (tie: suppkey), relevance = suppkey
+    divisible by 3, and report MRR/MAP/NDCG/precision @10 averaged
+    over evaluable queries with per-query metrics quantized to
+    millionths before the mean."""
+    from .operators.analytics import ranking_metrics
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    j = s.join(n, s["s_nationkey"] == n["n_nationkey"])
+    return ranking_metrics(j, "n_name", "s_suppkey",
+                           F.col("s_acctbal"),
+                           F.col("s_suppkey") % 3 == 0, k=10)

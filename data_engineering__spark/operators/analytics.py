@@ -3474,3 +3474,99 @@ def grouped_ols(df: DataFrame, group_col: str, x_long, y_long,
          .alias("intercept"),
         F.round(F.when((sxx != 0) & (syy != 0), r2), round_dp)
          .alias("r2"))
+
+
+def ranking_metrics(df: DataFrame, query_col: str, item_col: str,
+                    score_col, rel_pred, k: int = 10,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): offline ranking-quality report — MRR@k, MAP@k,
+    NDCG@k, precision@k averaged over queries. `ann_recall_report`
+    scores candidate RECALL against brute force; this scores ORDER
+    quality against graded relevance — the offline eval gate for any
+    retrieval change (BM25 weights, hybrid fusion, ANN probes).
+
+    Per query, items rank by (score desc, item asc) — the corpus-wide
+    deterministic tie rule. Binary relevance; queries with zero
+    relevant items anywhere are counted (n_queries) but excluded from
+    the averages (n_evaluable), per TREC convention. MAP divides by
+    min(R, k); IDCG sums 1/log2(i+1) for i ≤ min(R, k) via a
+    sequential array fold (deterministic order in both engines).
+
+    Float discipline: per-query metrics are short (≤ k-term) in-order
+    sums; each is QUANTIZED to integer millionths before the
+    cross-query mean, so the global averages are one integer sum and
+    one division — query count never degrades determinism.
+
+    Scale: one per-query window (WindowGroupLimit prunes to top-k
+    before the metric math), one relevance margin agg, one scalar
+    rollup."""
+    w = Window.partitionBy("__q").orderBy(F.col("__sc").desc(),
+                                          F.col("__i").asc())
+    base = df.select(F.col(query_col).alias("__q"),
+                     F.col(item_col).alias("__i"),
+                     score_col.alias("__sc"),
+                     F.when(rel_pred, 1).otherwise(0).alias("__r"))
+    rel_tot = (base.select(F.col("__q").alias("__qt"),
+                           F.col("__r").alias("__rt"))
+               .groupBy("__qt").agg(F.sum("__rt").cast("long")
+                                    .alias("__R")))
+    ranked = (base.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k))
+    wq = (Window.partitionBy("__q").orderBy("__rn")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    scored = ranked.withColumn("__cum", F.sum("__r").over(wq))
+    per_q = scored.groupBy("__q").agg(
+        F.min(F.when(F.col("__r") == 1, F.col("__rn"))).alias("__fr"),
+        F.sum(F.when(F.col("__r") == 1,
+                     F.col("__cum").cast("double")
+                     / F.col("__rn").cast("double"))
+              .otherwise(F.lit(0.0))).alias("__apn"),
+        F.sum(F.when(F.col("__r") == 1,
+                     F.lit(1.0) / F.log2(F.col("__rn").cast("double")
+                                         + F.lit(1.0)))
+              .otherwise(F.lit(0.0))).alias("__dcg"),
+        F.sum("__r").cast("long").alias("__relk"))
+    j = per_q.join(rel_tot, per_q["__q"] == rel_tot["__qt"])
+    m = F.least(F.col("__R"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m.cast("int")), F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double")
+                                                 + F.lit(1.0)))
+    quant = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    evaluable = F.col("__R") > 0
+    qrow = j.select(
+        evaluable.alias("__ok"),
+        F.when(evaluable,
+               quant(F.coalesce(F.lit(1.0)
+                                / F.col("__fr").cast("double"),
+                                F.lit(0.0)))).alias("__mrr"),
+        F.when(evaluable, quant(F.col("__apn") / m.cast("double")))
+         .alias("__map"),
+        F.when(evaluable & (F.col("__dcg") > 0),
+               quant(F.col("__dcg") / idcg))
+         .otherwise(F.when(evaluable, F.lit(0))).alias("__ndcg"),
+        F.when(evaluable,
+               quant(F.col("__relk").cast("double") / F.lit(float(k))))
+         .alias("__prec"))
+    # Means stay boundary-free: integer-divide the micro-unit sums by
+    # the query count (≤1 micro truncation), then ONE exact double
+    # division by 10⁶ — no ROUND on a possibly-half-unit value, where
+    # Spark (decimal shortest-repr HALF_UP) and DuckDB (binary) would
+    # disagree.
+    sums = qrow.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).cast("long")
+         .alias("n_evaluable"),
+        F.sum("__mrr").cast("long").alias("__smrr"),
+        F.sum("__map").cast("long").alias("__smap"),
+        F.sum("__ndcg").cast("long").alias("__sndcg"),
+        F.sum("__prec").cast("long").alias("__sprec"))
+    mean = lambda c: (F.expr(f"{c} DIV n_evaluable").cast("double")  # noqa: E731
+                      / F.lit(1_000_000.0))
+    return sums.select(
+        "n_queries", "n_evaluable",
+        F.when(F.col("n_evaluable") > 0, mean("__smrr")).alias("mrr"),
+        F.when(F.col("n_evaluable") > 0, mean("__smap")).alias("map"),
+        F.when(F.col("n_evaluable") > 0, mean("__sndcg")).alias("ndcg"),
+        F.when(F.col("n_evaluable") > 0, mean("__sprec"))
+         .alias("precision"))

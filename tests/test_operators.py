@@ -4801,3 +4801,39 @@ def test_burrows_delta_vs_python(spark):
         assert abs(out[(a, b)] - want) < 1e-9, (a, b)
     assert out[("s1", "s2")] == 0.0
     assert out[("s1", "s3")] > out[("s1", "s2")]
+
+
+def test_ranking_metrics_vs_python(spark):
+    """Three hand queries at k=3: q1 has rels at ranks 1 and 3 (of R=2),
+    q2's only rel sits below the cutoff (all metrics 0 but evaluable),
+    q3 has no relevant item anywhere (counted, excluded from means).
+    Metrics replayed with the exact quantize-then-average pipeline."""
+    import math
+
+    from data_engineering__spark.operators.analytics import (
+        ranking_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [  # (query, item, score, rel)
+        ("q1", 1, 9.0, 1), ("q1", 2, 8.0, 0), ("q1", 3, 7.0, 1),
+        ("q1", 4, 6.0, 0),
+        ("q2", 1, 9.0, 0), ("q2", 2, 8.0, 0), ("q2", 3, 7.0, 0),
+        ("q2", 4, 6.0, 1),
+        ("q3", 1, 5.0, 0), ("q3", 2, 4.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, i long, sc double, r int")
+    out = ranking_metrics(df, "q", "i", F.col("sc"),
+                          F.col("r") == 1, k=3).collect()[0]
+
+    # q1: MRR 1, AP = (1/1 + 2/3)/2, DCG = 1 + 1/log2(4),
+    # IDCG = 1 + 1/log2(3); q2: all 0
+    ap1 = (1 + 2 / 3) / 2
+    ndcg1 = (1 + 1 / math.log2(4)) / (1 + 1 / math.log2(3))
+    qm = lambda v: round(v * 1e6)  # noqa: E731
+    mean = lambda s: (s // 2) / 1e6  # noqa: E731
+    assert (out.n_queries, out.n_evaluable) == (3, 2)
+    assert abs(out.mrr - mean(qm(1.0))) < 1e-12
+    assert abs(out.map - mean(qm(ap1))) < 1e-12
+    assert abs(out.ndcg - mean(qm(ndcg1))) < 1e-12
+    assert abs(out.precision - mean(qm(2 / 3))) < 1e-12
