@@ -2342,6 +2342,7 @@ DRIVER_PRIORITY = [
     "grouped_ols_brands",
     "burrows_delta_sources",
     "ranking_metrics_suppliers",
+    "seasonality_strength_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11334,3 +11335,69 @@ def ranking_metrics_suppliers(spark, sf_dir):
     return ranking_metrics(j, "n_name", "s_suppkey",
                            F.col("s_acctbal"),
                            F.col("s_suppkey") % 3 == 0, k=10)
+
+
+@query("seasonality_strength_events", oracle=_mat("""
+WITH counts AS (
+  SELECT event_type AS g, (epoch_us(ts) // 1000000) // 3600 AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+anchor AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1
+  FROM (SELECT (epoch_us(ts) // 1000000) // 3600 AS h FROM events)),
+grid AS (
+  SELECT t.g, gs.h, CAST(COALESCE(c.c, 0) AS HUGEINT) AS x
+  FROM (SELECT DISTINCT g FROM counts) t
+  CROSS JOIN (SELECT CAST(unnest(range(h0, h1 + 1)) AS BIGINT) AS h
+              FROM anchor) gs
+  LEFT JOIN counts c ON c.g = t.g AND c.h = gs.h),
+pg AS (
+  SELECT g, h % 24 AS p, SUM(x) AS sg, CAST(COUNT(*) AS HUGEINT) AS ng
+  FROM grid GROUP BY 1, 2),
+pt AS (
+  SELECT g AS gt, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+         SUM(x * x) AS q
+  FROM grid GROUP BY 1),
+mm AS (SELECT g AS gm, MIN(ng) AS m, MAX(ng) AS mx FROM pg GROUP BY 1),
+scaled AS (
+  SELECT pg.g, pg.p, pg.sg, pg.ng,
+         CASE WHEN mm.m = mm.mx THEN mm.m ELSE mm.m * mm.mx END AS d,
+         pg.sg * (CASE WHEN mm.m = mm.mx THEN mm.m
+                       ELSE mm.m * mm.mx END // pg.ng) AS sw,
+         ROUND(CAST(pg.sg AS DOUBLE) / CAST(pg.ng AS DOUBLE), 6)
+           AS mean
+  FROM pg JOIN mm ON mm.gm = pg.g),
+picks AS (
+  SELECT g AS gp,
+         MAX(CASE WHEN rp = 1 THEN p END) AS peak_hod,
+         MAX(CASE WHEN rp = 1 THEN mean END) AS peak_mean,
+         MAX(CASE WHEN rt = 1 THEN p END) AS trough_hod,
+         MAX(CASE WHEN rt = 1 THEN mean END) AS trough_mean
+  FROM (SELECT g, p, mean,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY sw DESC, p ASC) AS rp,
+               ROW_NUMBER() OVER (PARTITION BY g
+                                  ORDER BY sw ASC, p ASC) AS rt
+        FROM scaled) z
+  WHERE rp = 1 OR rt = 1 GROUP BY 1),
+ssb AS (
+  SELECT g AS gb, SUM(sw * sg) AS ssbn, MAX(d) AS dd
+  FROM scaled GROUP BY 1)
+SELECT gt AS event_type, CAST(n AS BIGINT) AS n_hours,
+       ROUND(CASE WHEN dd * (n * q - s * s) <> 0
+                  THEN CAST(n * ssbn - s * s * dd AS DOUBLE)
+                       / CAST(dd * (n * q - s * s) AS DOUBLE) END, 6)
+         AS strength,
+       CAST(peak_hod AS BIGINT) AS peak_hod, peak_mean,
+       CAST(trough_hod AS BIGINT) AS trough_hod, trough_mean
+FROM pt JOIN ssb ON ssb.gb = pt.gt
+JOIN picks ON picks.gp = pt.gt"""))
+def seasonality_strength_events(spark, sf_dir):
+    """EXT R256 (round 6): hour-of-day seasonal strength per event
+    type — exact eta² of the dense hourly count grid by phase (the
+    two-group-size common-denominator device keeps every moment
+    decimal-exact), plus integer-ordered peak/trough phases with their
+    mean rates."""
+    from .operators.temporal import seasonality_strength
+    ev = read_table(spark, sf_dir, "events")
+    return seasonality_strength(ev, "ts", "event_type")

@@ -684,3 +684,101 @@ def interval_union(df: DataFrame, key_cols: list[str], start_us,
                  F.count(F.lit(1)).cast("long").alias("n_islands"),
                  F.sum("__span").cast("long").alias("covered_us"),
                  F.max("__span").cast("long").alias("max_island_us")))
+
+
+def seasonality_strength(df: DataFrame, ts_col: str, group_col: str,
+                         period: int = 24, bucket_s: int = 3600,
+                         round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): seasonal strength per series — the fraction of
+    the dense hourly count series' variance explained by hour-of-day
+    (one-way eta² with the ``period`` phases as groups), plus the peak
+    and trough phases. The ACF (R225) detects that a cycle exists;
+    this quantifies how much of the signal the cycle IS — the
+    deseasonalize-or-don't decision number — and names the phases an
+    alerting rule should special-case.
+
+    Exactness: the grid splits into phase groups of only TWO sizes
+    (m and m+1, because n = period·m + r), so Σ S_g²/n_g has the exact
+    common denominator d = m·(m+1) (or m when r = 0) and
+    eta² = (n·Σ S_g²·w_g − S²·d) / (d·(n·Q − S²)) with w_g = d/n_g —
+    every term decimal(38,0), ONE IEEE division. Phase ranking uses
+    the same integer scaling (S_g·w_g is d·mean_g), so peak/trough are
+    integer-ordered with hod-asc ties. Constant series → NULL.
+
+    Scale: the grid is calendar-sized per series; two tiny hash aggs
+    and two period-row windows."""
+    dec = "decimal(38,0)"
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_s).cast("long")
+    counts = (df.select(F.col(group_col).alias("__g"), b.alias("__h"))
+              .groupBy("__g", "__h")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    anchor = F.broadcast(df.select(b.alias("__h")).agg(
+        F.min("__h").alias("__h0"), F.max("__h").alias("__h1")))
+    grid = (counts.select(F.col("__g").alias("__gs")).distinct()
+            .crossJoin(anchor)
+            .select("__gs", F.explode(
+                F.sequence(F.col("__h0"), F.col("__h1"))).alias("__hh"))
+            .join(counts, (F.col("__g") == F.col("__gs"))
+                  & (F.col("__h") == F.col("__hh")), "left")
+            .select(F.col("__gs"), F.col("__hh"),
+                    F.coalesce(F.col("__c"), F.lit(0)).cast("long")
+                    .alias("__x")))
+    hod = (F.col("__hh") % period).cast("long")
+    pg = (grid.groupBy(F.col("__gs"), hod.alias("__p"))
+          .agg(F.sum(F.col("__x").cast(dec)).alias("__Sg"),
+               F.count(F.lit(1)).cast(dec).alias("__ng")))
+    pt = (grid.select(F.col("__gs").alias("__gt"), F.col("__x"))
+          .groupBy("__gt")
+          .agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+               F.sum(F.col("__x").cast(dec)).alias("__S"),
+               F.sum(F.col("__x").cast(dec) * F.col("__x").cast(dec))
+                .alias("__Q")))
+    mm = (pg.select(F.col("__gs").alias("__gm"), F.col("__ng"))
+          .groupBy("__gm")
+          .agg(F.min("__ng").alias("__mn"), F.max("__ng").alias("__mx")))
+    d = F.when(F.col("__mn") == F.col("__mx"), F.col("__mn")) \
+         .otherwise((F.col("__mn") * F.col("__mx")).cast(dec))
+    scaled = pg.join(mm, F.col("__gs") == F.col("__gm")) \
+               .select("__gs", "__p", "__Sg", "__ng",
+                       d.alias("__d"),
+                       (F.col("__Sg") * (d / F.col("__ng")).cast(dec))
+                       .alias("__sw"),
+                       F.round(F.col("__Sg").cast("double")
+                               / F.col("__ng").cast("double"),
+                               round_dp).alias("__mean"))
+    wpk = Window.partitionBy("__gs").orderBy(F.col("__sw").desc(),
+                                             F.col("__p").asc())
+    wtr = Window.partitionBy("__gs").orderBy(F.col("__sw").asc(),
+                                             F.col("__p").asc())
+    picks = (scaled
+             .withColumn("__rp", F.row_number().over(wpk))
+             .withColumn("__rt", F.row_number().over(wtr))
+             .filter((F.col("__rp") == 1) | (F.col("__rt") == 1))
+             .groupBy(F.col("__gs").alias("__gp"))
+             .agg(F.max(F.when(F.col("__rp") == 1, F.col("__p")))
+                  .alias("peak_hod"),
+                  F.max(F.when(F.col("__rp") == 1, F.col("__mean")))
+                  .alias("peak_mean"),
+                  F.max(F.when(F.col("__rt") == 1, F.col("__p")))
+                  .alias("trough_hod"),
+                  F.max(F.when(F.col("__rt") == 1, F.col("__mean")))
+                  .alias("trough_mean")))
+    ssb = (scaled.select(F.col("__gs").alias("__gb"), "__d",
+                         (F.col("__sw") * F.col("__Sg")).alias("__t"))
+           .groupBy("__gb")
+           .agg(F.sum("__t").alias("__ssbn"),
+                F.max("__d").alias("__dd")))
+    num = (F.col("__n") * F.col("__ssbn")
+           - F.col("__S") * F.col("__S") * F.col("__dd"))
+    den = (F.col("__dd")
+           * (F.col("__n") * F.col("__Q") - F.col("__S") * F.col("__S")))
+    return (pt.join(ssb, F.col("__gt") == F.col("__gb"))
+            .join(picks, F.col("__gt") == F.col("__gp"))
+            .select(F.col("__gt").alias(group_col),
+                    F.col("__n").cast("long").alias("n_hours"),
+                    F.round(F.when(den != 0,
+                                   num.cast("double")
+                                   / den.cast("double")), round_dp)
+                    .alias("strength"),
+                    "peak_hod", "peak_mean", "trough_hod",
+                    "trough_mean"))

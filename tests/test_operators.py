@@ -4837,3 +4837,45 @@ def test_ranking_metrics_vs_python(spark):
     assert abs(out.map - mean(qm(ap1))) < 1e-12
     assert abs(out.ndcg - mean(qm(ndcg1))) < 1e-12
     assert abs(out.precision - mean(qm(2 / 3))) < 1e-12
+
+
+def test_seasonality_strength_vs_python(spark):
+    """A 50-hour series (period 24 -> phase groups of sizes 3 and 2 —
+    both weight branches live) with a planted diurnal pattern: eta²,
+    peak and trough replayed in Python on the exact rational."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.temporal import (
+        seasonality_strength,
+    )
+
+    base = datetime(2024, 3, 1)
+    c = [(5 if i % 24 == 6 else 1) + (i % 3 == 0) for i in range(50)]
+    rows = []
+    for i, cnt in enumerate(c):
+        rows += [("a", base + timedelta(hours=i))] * cnt
+    df = spark.createDataFrame(rows, "etype string, ts timestamp")
+    r = seasonality_strength(df, "ts", "etype").collect()[0]
+
+    groups = {}
+    h0 = int(base.timestamp()) // 3600
+    for i, cnt in enumerate(c):
+        groups.setdefault((h0 + i) % 24, []).append(cnt)
+    n, S = len(c), sum(c)
+    Q = sum(v * v for v in c)
+    sizes = {len(v) for v in groups.values()}
+    m, M = min(sizes), max(sizes)
+    d = m if m == M else m * M
+    ssbn = sum(sum(v) * (d // len(v)) * sum(v)
+               for v in groups.values())
+    want = (n * ssbn - S * S * d) / (d * (n * Q - S * S))
+    assert r.n_hours == 50
+    assert abs(r.strength - round(want, 6)) < 1e-9
+    means = {p: sum(v) / len(v) for p, v in groups.items()}
+    scaled = {p: sum(v) * (d // len(v)) for p, v in groups.items()}
+    peak = min(sorted(scaled), key=lambda p: (-scaled[p], p))
+    trough = min(sorted(scaled), key=lambda p: (scaled[p], p))
+    assert r.peak_hod == peak
+    assert abs(r.peak_mean - round(means[peak], 6)) < 1e-9
+    assert r.trough_hod == trough
+    assert abs(r.trough_mean - round(means[trough], 6)) < 1e-9
