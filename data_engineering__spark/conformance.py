@@ -2343,6 +2343,7 @@ DRIVER_PRIORITY = [
     "burrows_delta_sources",
     "ranking_metrics_suppliers",
     "seasonality_strength_events",
+    "event_study_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11401,3 +11402,53 @@ def seasonality_strength_events(spark, sf_dir):
     from .operators.temporal import seasonality_strength
     ev = read_table(spark, sf_dir, "events")
     return seasonality_strength(ev, "ts", "event_type")
+
+
+@query("event_study_events", oracle=_mat(f"""
+WITH base AS (
+  SELECT ({_bucket_sql("CAST(user_id AS VARCHAR)", "did")}) < 5000 AS t,
+         epoch_us(ts) // 86400000000 AS d,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cut AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM base),
+tagged AS (
+  SELECT d - cut.mid AS rel_day, t, v
+  FROM base CROSS JOIN cut
+  WHERE d - cut.mid BETWEEN -7 AND 7),
+agg AS (
+  SELECT rel_day,
+    CAST(COUNT(*) FILTER (t) AS BIGINT) AS n_treat,
+    CAST(COUNT(*) FILTER (NOT t) AS BIGINT) AS n_ctrl,
+    CAST(COALESCE(SUM(v) FILTER (t), 0) AS BIGINT) AS st,
+    CAST(COALESCE(SUM(v) FILTER (NOT t), 0) AS BIGINT) AS sc
+  FROM tagged GROUP BY rel_day),
+gapped AS (
+  SELECT rel_day, n_treat, n_ctrl,
+    CASE WHEN n_treat > 0
+         THEN CAST(st AS DOUBLE) / CAST(n_treat AS DOUBLE) END AS mt,
+    CASE WHEN n_ctrl > 0
+         THEN CAST(sc AS DOUBLE) / CAST(n_ctrl AS DOUBLE) END AS mc
+  FROM agg),
+withgap AS (
+  SELECT rel_day, n_treat, n_ctrl, mt, mc,
+    CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN mt - mc END AS gap
+  FROM gapped),
+b AS (SELECT gap AS gap0 FROM withgap WHERE rel_day = -1)
+SELECT w.rel_day, w.n_treat, w.n_ctrl,
+       ROUND(w.mt, 6) AS mean_treat, ROUND(w.mc, 6) AS mean_ctrl,
+       ROUND(w.gap, 6) AS gap,
+       ROUND(w.gap - b.gap0, 6) AS effect_vs_baseline
+FROM withgap w LEFT JOIN b ON TRUE"""))
+def event_study_events(spark, sf_dir):
+    """EXT R257 (round 6): event-study leads/lags around the R197 DiD
+    boundary (same sha 'did' arms, same midpoint-day cut) — per
+    relative day ±7: arm means, treat−control gap, and the gap net of
+    the day −1 baseline. The pre-trend diagnostic that validates (or
+    kills) the parallel-trends assumption behind the single DiD
+    number."""
+    from .operators.analytics import event_study
+    ev = read_table(spark, sf_dir, "events")
+    return event_study(ev, "user_id", "ts",
+                       F.when(F.col("value").isNotNull(),
+                              F.round(F.col("value") * 100)
+                              .cast("long")))

@@ -3570,3 +3570,69 @@ def ranking_metrics(df: DataFrame, query_col: str, item_col: str,
         F.when(F.col("n_evaluable") > 0, mean("__sndcg")).alias("ndcg"),
         F.when(F.col("n_evaluable") > 0, mean("__sprec"))
          .alias("precision"))
+
+
+def event_study(events: DataFrame, user_col: str, ts_col: str,
+                value_when, salt: str = "did", buckets: int = 10_000,
+                n_lead: int = 7, n_lag: int = 7,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): event-study (leads-and-lags) readout around the
+    DiD treatment boundary — the pre-trend diagnostic R197's single
+    2×2 cannot give: if treat−control gaps drift BEFORE the boundary,
+    the parallel-trends assumption is dead and the DiD number is
+    noise. Per relative day in [−n_lead, n_lag]: arm sizes, arm means,
+    the gap, and the gap net of the day −1 baseline (the conventional
+    normalization).
+
+    Same deterministic scaffolding as R197: sha-bucket arms, the
+    boundary at the data's midpoint day (integer), per-cell integer
+    (count, cents-sum) moments, and every float a fixed-shape
+    divide/subtract chain. The baseline joins back via a constant key
+    LEFT join so a missing day −1 yields NULL effects, not an empty
+    frame. Scale: one hash agg on (relative day, arm) after a
+    map-side tag — day-window-sized output."""
+    from .sampling import hash_bucket
+
+    treated = hash_bucket(F.col(user_col), buckets, salt) < buckets // 2
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)) \
+           .cast("long")
+    base = events.select(treated.alias("__t"), day.alias("__d"),
+                         value_when.cast("long").alias("__v")) \
+                 .filter(F.col("__v").isNotNull())
+    cut = F.broadcast(base.agg(
+        ((F.min("__d") + F.max("__d") + 1) / 2).cast("long")
+        .alias("__mid")))
+    tagged = (base.crossJoin(cut)
+              .select((F.col("__d") - F.col("__mid")).alias("rel_day"),
+                      "__t", "__v")
+              .filter((F.col("rel_day") >= -n_lead)
+                      & (F.col("rel_day") <= n_lag)))
+    agg = tagged.groupBy("rel_day").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long")
+         .alias("n_treat"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).cast("long")
+         .alias("n_ctrl"),
+        F.coalesce(F.sum(F.when(F.col("__t"), F.col("__v"))), F.lit(0))
+         .cast("long").alias("__st"),
+        F.coalesce(F.sum(F.when(~F.col("__t"), F.col("__v"))), F.lit(0))
+         .cast("long").alias("__sc"))
+    mt = F.col("__st").cast("double") / F.col("n_treat").cast("double")
+    mc = F.col("__sc").cast("double") / F.col("n_ctrl").cast("double")
+    both = (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0)
+    gapped = agg.select(
+        "rel_day", "n_treat", "n_ctrl",
+        F.round(F.when(F.col("n_treat") > 0, mt), round_dp)
+         .alias("mean_treat"),
+        F.round(F.when(F.col("n_ctrl") > 0, mc), round_dp)
+         .alias("mean_ctrl"),
+        F.when(both, mt - mc).alias("__gap"))
+    baseline = (gapped.filter(F.col("rel_day") == -1)
+                .select(F.lit(1).alias("__k"),
+                        F.col("__gap").alias("__gap0")))
+    return (gapped.withColumn("__k", F.lit(1))
+            .join(F.broadcast(baseline), "__k", "left")
+            .select("rel_day", "n_treat", "n_ctrl", "mean_treat",
+                    "mean_ctrl",
+                    F.round(F.col("__gap"), round_dp).alias("gap"),
+                    F.round(F.col("__gap") - F.col("__gap0"), round_dp)
+                    .alias("effect_vs_baseline")))

@@ -4879,3 +4879,45 @@ def test_seasonality_strength_vs_python(spark):
     assert abs(r.peak_mean - round(means[peak], 6)) < 1e-9
     assert r.trough_hod == trough
     assert abs(r.trough_mean - round(means[trough], 6)) < 1e-9
+
+
+def test_event_study_baseline_normalization(spark):
+    """Hand-built arms and days: a planted post-boundary lift in the
+    treated arm shows as effect_vs_baseline > 0 only for rel_day >= 0,
+    pre-period effects are exactly 0 (parallel trends by construction),
+    and the day −1 row's effect is 0 by definition."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import event_study
+    from pyspark.sql import functions as F
+
+    def arm_of(uid):
+        h = hashlib.sha256(f"did{uid}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 < 5000
+
+    ut = next(u for u in range(100) if arm_of(u))
+    uc = next(u for u in range(100) if not arm_of(u))
+    base = datetime(2024, 5, 1)
+    rows = []
+    # days 0..9 -> mid = (d0 + d9 + 1)//2; both arms flat at 100/50,
+    # treated jumps +30 from the boundary on
+    d0 = int(base.timestamp()) // 86400
+    mid = (d0 + d0 + 9 + 1) // 2
+    for i in range(10):
+        lift = 30 if (d0 + i) >= mid else 0
+        rows.append((ut, base + timedelta(days=i), (100 + lift) / 100))
+        rows.append((uc, base + timedelta(days=i), 50 / 100))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    out = {r.rel_day: r for r in event_study(
+        df, "user_id", "ts",
+        F.when(F.col("value").isNotNull(),
+               F.round(F.col("value") * 100).cast("long"))).collect()}
+    assert set(out) == set(range(d0 - mid, d0 + 10 - mid))
+    for rel, r in out.items():
+        assert (r.n_treat, r.n_ctrl) == (1, 1)
+        want = 30.0 if rel >= 0 else 0.0
+        assert r.effect_vs_baseline == want, rel
+        assert r.gap == 50.0 + want
+    assert out[-1].effect_vs_baseline == 0.0
