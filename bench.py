@@ -127,6 +127,7 @@ HEADLINE = [
     "ranking_metrics_suppliers",
     "seasonality_strength_events",
     "event_study_events",
+    "qini_uplift_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

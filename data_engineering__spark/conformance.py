@@ -2344,6 +2344,7 @@ DRIVER_PRIORITY = [
     "ranking_metrics_suppliers",
     "seasonality_strength_events",
     "event_study_events",
+    "qini_uplift_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11452,3 +11453,77 @@ def event_study_events(spark, sf_dir):
                        F.when(F.col("value").isNotNull(),
                               F.round(F.col("value") * 100)
                               .cast("long")))
+
+
+@query("qini_uplift_events", oracle=_mat(f"""
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cv
+  FROM events),
+cut AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM base),
+peru AS (
+  SELECT u,
+         CAST(SUM(CASE WHEN d < cut.mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS s,
+         CAST(MAX(CASE WHEN d >= cut.mid THEN cv ELSE 0 END) AS BIGINT)
+           AS y
+  FROM base CROSS JOIN cut GROUP BY u),
+hist AS (SELECT s AS sv, CAST(COUNT(*) AS BIGINT) AS c
+         FROM peru GROUP BY 1),
+offs AS (
+  SELECT sv, COALESCE(SUM(c) OVER (ORDER BY sv DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM hist),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM peru),
+ranked AS (
+  SELECT u, y,
+         (off + ROW_NUMBER() OVER (PARTITION BY s ORDER BY u) - 1)
+           * 10 // n + 1 AS decile
+  FROM peru JOIN offs ON offs.sv = peru.s CROSS JOIN nt),
+cells AS (
+  SELECT decile,
+    CAST(COUNT(*) FILTER (({_bucket_sql("CAST(u AS VARCHAR)", "exp1")})
+         < 5000) AS BIGINT) AS n_treat,
+    CAST(COUNT(*) FILTER (({_bucket_sql("CAST(u AS VARCHAR)", "exp1")})
+         >= 5000) AS BIGINT) AS n_ctrl,
+    CAST(COALESCE(SUM(y) FILTER (
+      ({_bucket_sql("CAST(u AS VARCHAR)", "exp1")}) < 5000), 0)
+      AS BIGINT) AS conv_treat,
+    CAST(COALESCE(SUM(y) FILTER (
+      ({_bucket_sql("CAST(u AS VARCHAR)", "exp1")}) >= 5000), 0)
+      AS BIGINT) AS conv_ctrl
+  FROM ranked GROUP BY decile),
+cum AS (
+  SELECT decile, n_treat, n_ctrl, conv_treat, conv_ctrl,
+         SUM(n_treat) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS cnt,
+         SUM(n_ctrl) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS cnc,
+         SUM(conv_treat) OVER (ORDER BY decile
+                               ROWS UNBOUNDED PRECEDING) AS cct,
+         SUM(conv_ctrl) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) AS ccc
+  FROM cells)
+SELECT CAST(decile AS BIGINT) AS decile, n_treat, n_ctrl,
+       conv_treat, conv_ctrl,
+       ROUND(CASE WHEN n_treat > 0 AND n_ctrl > 0
+         THEN CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+              - CAST(conv_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)
+       END, 6) AS uplift,
+       ROUND(CASE WHEN cnc > 0
+         THEN CAST(cct AS DOUBLE)
+              - CAST(ccc AS DOUBLE)
+                * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE))
+       END, 6) AS qini
+FROM cum"""))
+def qini_uplift_events(spark, sf_dir):
+    """EXT R258 (round 6): uplift deciles + Qini curve — leakage-safe
+    pre-period activity score (R197's midpoint boundary), sha 'exp1'
+    arms, two-level rank (distinct-score offset window + per-score
+    row_number) so no global row window exists, exact integer cells,
+    fixed-shape uplift/Qini floats over the 10-row cumulative."""
+    from .operators.analytics import qini_uplift
+    ev = read_table(spark, sf_dir, "events")
+    return qini_uplift(ev, "user_id", "ts",
+                       F.col("event_type") == "purchase")

@@ -3636,3 +3636,90 @@ def event_study(events: DataFrame, user_col: str, ts_col: str,
                     F.round(F.col("__gap"), round_dp).alias("gap"),
                     F.round(F.col("__gap") - F.col("__gap0"), round_dp)
                     .alias("effect_vs_baseline")))
+
+
+def qini_uplift(events: DataFrame, user_col: str, ts_col: str,
+                convert_pred, salt: str = "exp1",
+                buckets: int = 10_000, n_bins: int = 10,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): uplift deciles + Qini curve — the targeting
+    readout on top of the experiment family: rank users by a
+    pre-period activity score, and per score-decile report
+    treated/control conversion (post-period) plus the per-bin uplift
+    and the CUMULATIVE Qini value Ct_d − Cc_d·(Nt_d/Nc_d). A flat
+    uplift profile says "treat everyone or no one"; a steep one is the
+    campaign-targeting budget curve.
+
+    Scoring is leakage-safe by construction: score = PRE-boundary
+    event count, outcome = any POST-boundary conversion, boundary =
+    the data's midpoint day (the R197/R257 integer cut). Decile
+    assignment never uses a global row window: ranks come from the
+    two-level device — a cumulative window over the DISTINCT-score
+    histogram (histogram-sized) plus a per-score partitioned
+    row_number with user-id ties — then decile = (rank−1)·n_bins DIV
+    n + 1. Cells are exact integers; uplift/Qini are fixed-shape
+    float chains over 10-row cumulative windows."""
+    from .sampling import hash_bucket
+
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)) \
+           .cast("long")
+    base = events.select(F.col(user_col).alias("__u"),
+                         day.alias("__d"),
+                         F.when(convert_pred, 1).otherwise(0)
+                         .alias("__cv"))
+    cut = F.broadcast(base.agg(
+        ((F.min("__d") + F.max("__d") + 1) / 2).cast("long")
+        .alias("__mid")))
+    per_user = (base.crossJoin(cut).groupBy("__u")
+                .agg(F.sum(F.when(F.col("__d") < F.col("__mid"), 1)
+                           .otherwise(0)).cast("long").alias("__s"),
+                     F.max(F.when(F.col("__d") >= F.col("__mid"),
+                                  F.col("__cv")).otherwise(0))
+                     .cast("long").alias("__y")))
+    hist = (per_user.select(F.col("__s").alias("__sv"))
+            .groupBy("__sv").agg(F.count(F.lit(1)).alias("__c")))
+    wh = (Window.orderBy(F.col("__sv").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = hist.select("__sv",
+                       F.coalesce(F.sum("__c").over(wh), F.lit(0))
+                       .alias("__off"))
+    n_tot = F.broadcast(per_user.agg(F.count(F.lit(1)).alias("__n")))
+    ww = Window.partitionBy("__s").orderBy("__u")
+    ranked = (per_user.withColumn("__wr", F.row_number().over(ww))
+              .join(F.broadcast(offs), F.col("__s") == F.col("__sv"))
+              .crossJoin(n_tot)
+              .select("__u", "__y",
+                      F.expr(f"(__off + __wr - 1) * {n_bins} "
+                             "DIV __n + 1").alias("decile")))
+    treated = hash_bucket(F.col("__u"), buckets, salt) < buckets // 2
+    cells = ranked.groupBy("decile").agg(
+        F.sum(F.when(treated, 1).otherwise(0)).cast("long")
+         .alias("n_treat"),
+        F.sum(F.when(~treated, 1).otherwise(0)).cast("long")
+         .alias("n_ctrl"),
+        F.sum(F.when(treated, F.col("__y")).otherwise(0)).cast("long")
+         .alias("conv_treat"),
+        F.sum(F.when(~treated, F.col("__y")).otherwise(0)).cast("long")
+         .alias("conv_ctrl"))
+    wd = (Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cells.select(
+        "decile", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.sum("n_treat").over(wd).alias("__cnt"),
+        F.sum("n_ctrl").over(wd).alias("__cnc"),
+        F.sum("conv_treat").over(wd).alias("__cct"),
+        F.sum("conv_ctrl").over(wd).alias("__ccc"))
+    up = (F.col("conv_treat").cast("double")
+          / F.col("n_treat").cast("double")
+          - F.col("conv_ctrl").cast("double")
+          / F.col("n_ctrl").cast("double"))
+    qini = (F.col("__cct").cast("double")
+            - F.col("__ccc").cast("double")
+            * (F.col("__cnt").cast("double")
+               / F.col("__cnc").cast("double")))
+    return cum.select(
+        "decile", "n_treat", "n_ctrl", "conv_treat", "conv_ctrl",
+        F.round(F.when((F.col("n_treat") > 0) & (F.col("n_ctrl") > 0),
+                       up), round_dp).alias("uplift"),
+        F.round(F.when(F.col("__cnc") > 0, qini), round_dp)
+         .alias("qini"))

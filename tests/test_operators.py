@@ -4921,3 +4921,56 @@ def test_event_study_baseline_normalization(spark):
         assert r.effect_vs_baseline == want, rel
         assert r.gap == 50.0 + want
     assert out[-1].effect_vs_baseline == 0.0
+
+
+def test_qini_uplift_hand_cells(spark):
+    """Four treated + four control users with hand-set pre-period
+    activity (score) and post-period conversions, n_bins=2: bin
+    membership (rank by score desc, user asc), per-bin uplift and
+    cumulative Qini replayed in Python."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import qini_uplift
+    from pyspark.sql import functions as F
+
+    def treated(uid):
+        h = hashlib.sha256(f"exp1{uid}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 < 5000
+
+    ts_pool = [u for u in range(300) if treated(u)][:4]
+    cs_pool = [u for u in range(300) if not treated(u)][:4]
+    # (user, pre_events, converts_post)
+    spec = [(ts_pool[0], 5, 1), (ts_pool[1], 4, 1), (ts_pool[2], 2, 0),
+            (ts_pool[3], 1, 1), (cs_pool[0], 6, 0), (cs_pool[1], 3, 1),
+            (cs_pool[2], 2, 0), (cs_pool[3], 1, 0)]
+    base = datetime(2024, 7, 1)
+    rows = []
+    for u, pre, conv in spec:
+        for i in range(pre):
+            rows.append((u, base + timedelta(hours=i), "view"))
+        rows.append((u, base + timedelta(days=9),
+                     "purchase" if conv else "view"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+    out = {r.decile: r for r in qini_uplift(
+        df, "user_id", "ts", F.col("event_type") == "purchase",
+        n_bins=2).collect()}
+
+    d0 = int(base.timestamp()) // 86400
+    mid = (d0 + d0 + 9 + 1) // 2
+    assert base.timestamp() // 86400 < mid  # pre rows are pre
+    order = sorted(spec, key=lambda x: (-x[1], x[0]))
+    bins = {1: order[:4], 2: order[4:]}
+    for b, members in bins.items():
+        nt = sum(1 for u, _, _ in members if treated(u))
+        nc = len(members) - nt
+        ct = sum(c for u, _, c in members if treated(u))
+        cc = sum(c for u, _, c in members if not treated(u))
+        r = out[b]
+        assert (r.n_treat, r.n_ctrl, r.conv_treat, r.conv_ctrl) == \
+            (nt, nc, ct, cc), b
+        if nt and nc:
+            assert abs(r.uplift - round(ct / nt - cc / nc, 6)) < 1e-9
+    # cumulative qini at bin 2 covers everyone: Ct - Cc*(Nt/Nc)
+    assert abs(out[2].qini - round(3 - 1 * (4 / 4), 6)) < 1e-9
