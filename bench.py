@@ -128,6 +128,7 @@ HEADLINE = [
     "seasonality_strength_events",
     "event_study_events",
     "qini_uplift_events",
+    "dim_truncation_report_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

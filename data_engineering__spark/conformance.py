@@ -2345,6 +2345,7 @@ DRIVER_PRIORITY = [
     "seasonality_strength_events",
     "event_study_events",
     "qini_uplift_events",
+    "dim_truncation_report_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11527,3 +11528,48 @@ def qini_uplift_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return qini_uplift(ev, "user_id", "ts",
                        F.col("event_type") == "purchase")
+
+
+@query("dim_truncation_report_embeddings", oracle=_mat("""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % 100 = 0),
+dimlist AS (SELECT CAST(unnest([64, 32, 16, 8]) AS BIGINT) AS d),
+stacked AS (
+  SELECT e.vec_id AS id, q.qid, dl.d,
+         list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dl.d],
+                          q.qe[1:dl.d])
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dl.d],
+                                  CAST(e.embedding AS DOUBLE[])[1:dl.d]))
+            * sqrt(list_dot_product(q.qe[1:dl.d], q.qe[1:dl.d])))
+           AS cos
+  FROM embeddings e CROSS JOIN q CROSS JOIN dimlist dl),
+top AS (
+  SELECT qid, d, id
+  FROM (SELECT qid, d, id,
+               ROW_NUMBER() OVER (PARTITION BY qid, d
+                                  ORDER BY ROUND(cos, 6) DESC, id ASC)
+                 AS rn
+        FROM stacked) r
+  WHERE rn <= 10),
+base AS (SELECT qid AS bq, id AS bi FROM top WHERE d = 64),
+ovl AS (
+  SELECT t.qid, t.d,
+         CAST(SUM(CASE WHEN b.bi IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n
+  FROM top t LEFT JOIN base b ON b.bq = t.qid AND b.bi = t.id
+  WHERE t.d <> 64 GROUP BY t.qid, t.d),
+perq AS (SELECT d, n * 1000000 // 10 AS om FROM ovl)
+SELECT d AS dims, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(om) // COUNT(*) AS DOUBLE) / 1000000.0 AS mean_overlap
+FROM perq GROUP BY d"""))
+def dim_truncation_report_embeddings(spark, sf_dir):
+    """EXT R259 (round 6): matryoshka dimension-truncation report —
+    overlap@10 between full-64-dim cosine top-k and the 32/16/8-dim
+    prefix rankings, averaged over the vec_id%100 query sample with
+    the R255 integer-mean discipline. The "how many dims can we
+    drop" table."""
+    from .operators.vector import dim_truncation_report
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return dim_truncation_report(e, qs)

@@ -929,3 +929,73 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
              .select(F.col("x.__id").alias("vec_a"),
                      F.col("x.__jd").alias("vec_b"),
                      F.round("x.__cos", 4).alias("cosine")))
+
+
+def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
+                          dims: tuple = (64, 32, 16, 8), k: int = 10,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """EXT (round 6): dimension-truncation retrieval report — for each
+    truncated prefix width d, how much of the FULL-dimension cosine
+    top-k survives when scoring on only the first d components
+    (matryoshka-style). PQ/SQ8 (R107/R131) trade memory via
+    quantization; prefix truncation is the other axis — this report is
+    the "how many dims can we drop" decision table, read before
+    shipping a half-width index.
+
+    Per (query, d): top-k by cosine over the d-prefix (ROUND-6 desc,
+    id asc — the `cosine_topk` tie rule; the query's own vector stays
+    in the pool and matches itself in every width, uniformly shifting
+    all overlaps). Overlap@k vs the max-width set is an exact integer
+    n∩·10⁶ DIV k; the cross-query mean is integer DIV then one exact
+    double divide (the R255 no-ROUND discipline). Output: one row per
+    truncated width.
+
+    Scale: queries broadcast, scoring map-side (len(dims) codegen
+    folds per pair), one WindowGroupLimit per (query, width), and the
+    overlap join is k-rows-per-query-sized."""
+    full = max(dims)
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("__qid"),
+        as_double_array(vec_col).alias("__q")))
+    pairs = (candidates
+             .select(F.col(id_col).alias("__id"),
+                     as_double_array(vec_col).alias("__v"))
+             .crossJoin(q))
+    per_dim = []
+    for d in dims:
+        vs, qs = F.slice("__v", 1, d), F.slice("__q", 1, d)
+        per_dim.append(F.struct(
+            F.lit(d).alias("d"),
+            (_dot(vs, qs) / (_norm(vs) * _norm(qs))).alias("cos")))
+    stacked = pairs.select(
+        "__id", "__qid",
+        F.explode(F.array(*per_dim)).alias("__s")) \
+        .select("__id", "__qid", F.col("__s.d").alias("__d"),
+                F.col("__s.cos").alias("__cos"))
+    w = Window.partitionBy("__qid", "__d").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
+    top = (stacked.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= k)
+           .select("__qid", "__d", "__id"))
+    base = (top.filter(F.col("__d") == full)
+            .select(F.col("__qid").alias("__bq"),
+                    F.col("__id").alias("__bi")))
+    # LEFT join + conditional count, not a semi join: a query whose
+    # truncated top-k overlaps NOTHING must still contribute a 0 row
+    # to the mean, not vanish from it
+    overlaps = (top.filter(F.col("__d") != full)
+                .join(base.withColumn("__hit", F.lit(1)),
+                      (F.col("__qid") == F.col("__bq"))
+                      & (F.col("__id") == F.col("__bi")), "left")
+                .groupBy("__qid", "__d")
+                .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                     .alias("__n")))
+    per_q = overlaps.select(
+        "__d", F.expr(f"__n * 1000000 DIV {k}").alias("__om"))
+    return (per_q.groupBy("__d")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                 (F.expr("SUM(__om) DIV COUNT(*)").cast("double")
+                  / F.lit(1_000_000.0)).alias("mean_overlap"))
+            .select(F.col("__d").cast("long").alias("dims"),
+                    "n_queries", "mean_overlap"))

@@ -4974,3 +4974,32 @@ def test_qini_uplift_hand_cells(spark):
             assert abs(r.uplift - round(ct / nt - cc / nc, 6)) < 1e-9
     # cumulative qini at bin 2 covers everyone: Ct - Cc*(Nt/Nc)
     assert abs(out[2].qini - round(3 - 1 * (4 / 4), 6)) < 1e-9
+
+
+def test_dim_truncation_report_planted(spark):
+    """4-dim vectors where the first 2 dims are deliberately misleading
+    for half the pool: full-dim top-2 and 2-dim top-2 for the single
+    query are computed by hand; a planted zero-overlap width must
+    contribute 0 to the mean (left-join, not semi-join, semantics)."""
+    from data_engineering__spark.operators.vector import (
+        dim_truncation_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),       # query
+        (1, [1.0, 0.0, 9.0, 9.0]),       # great at d=2, bad at d=4
+        (2, [0.9, 0.1, 0.0, 0.0]),       # good everywhere
+        (3, [-1.0, 0.0, 0.0, 0.0]),      # opposite
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    out = {r.dims: r for r in dim_truncation_report(
+        df, q, dims=(4, 2), k=2).collect()}
+
+    # d=4 top-2: self (cos 1) then 2 (cos≈0.9939); d=2 top-2: self and
+    # either 1 or 2 (both cos 1 at d=2 -> tie by id: 1 wins)
+    # overlap = |{0,1} ∩ {0,2}| = 1 -> 0.5
+    assert set(out) == {2}
+    assert out[2].n_queries == 1
+    assert out[2].mean_overlap == 0.5
