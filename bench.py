@@ -129,6 +129,7 @@ HEADLINE = [
     "event_study_events",
     "qini_uplift_events",
     "dim_truncation_report_embeddings",
+    "abc_xyz_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2346,6 +2346,7 @@ DRIVER_PRIORITY = [
     "event_study_events",
     "qini_uplift_events",
     "dim_truncation_report_embeddings",
+    "abc_xyz_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11573,3 +11574,52 @@ def dim_truncation_report_embeddings(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return dim_truncation_report(e, qs)
+
+
+@query("abc_xyz_brands", oracle=_mat("""
+WITH weekly AS (
+  SELECT p.p_brand AS b,
+         (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS w,
+         CAST(SUM(ROUND(l.l_quantity)) AS HUGEINT) AS qw,
+         CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT) AS rw
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+anchor AS (SELECT MIN(w) AS w0, MAX(w) AS w1 FROM weekly),
+grid AS (
+  SELECT t.b, COALESCE(weekly.qw, CAST(0 AS HUGEINT)) AS x,
+         COALESCE(weekly.rw, 0) AS rv
+  FROM (SELECT DISTINCT b FROM weekly) t
+  CROSS JOIN (SELECT CAST(unnest(range(w0, w1 + 1)) AS BIGINT) AS wg
+              FROM anchor) gs
+  LEFT JOIN weekly ON weekly.b = t.b AND weekly.w = gs.wg),
+per AS (
+  SELECT b, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+         SUM(x * x) AS q, CAST(SUM(rv) AS BIGINT) AS revenue_cents
+  FROM grid GROUP BY b),
+cum AS (
+  SELECT b, revenue_cents, n, s, q,
+         CAST(SUM(revenue_cents)
+              OVER (ORDER BY revenue_cents DESC, b ASC
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS c,
+         CAST(SUM(revenue_cents) OVER () AS HUGEINT) AS tot
+  FROM per)
+SELECT b AS p_brand, revenue_cents,
+       CASE WHEN c * 100 <= tot * 80 THEN 'A'
+            WHEN c * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+       CASE WHEN s > 0
+            THEN ROUND(SQRT(CAST(n * q - s * s AS DOUBLE))
+                       / CAST(s AS DOUBLE), 6) END AS cv,
+       CASE WHEN s = 0 THEN 'Z'
+            WHEN (n * q - s * s) * 4 < s * s THEN 'X'
+            WHEN n * q - s * s < s * s THEN 'Y' ELSE 'Z' END AS xyz
+FROM cum"""))
+def abc_xyz_brands(spark, sf_dir):
+    """EXT R260 (round 6): ABC-XYZ inventory segmentation per brand —
+    cumulative revenue class (exact cum·100 vs tot·{80,95} integer
+    cuts) × weekly-demand variability class over the dense week grid
+    (cv boundaries squared through to exact integer compares:
+    4·(nQ−S²) vs S²)."""
+    from .operators.analytics import abc_xyz
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    return abc_xyz(li, p)

@@ -3723,3 +3723,81 @@ def qini_uplift(events: DataFrame, user_col: str, ts_col: str,
                        up), round_dp).alias("uplift"),
         F.round(F.when(F.col("__cnc") > 0, qini), round_dp)
          .alias("qini"))
+
+
+def abc_xyz(lineitem: DataFrame, part: DataFrame,
+            round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): ABC-XYZ inventory segmentation — the classic
+    two-axis matrix: ABC = cumulative revenue share class (A ≤ 80%,
+    B ≤ 95%, C rest — R134's Pareto axis), XYZ = demand variability
+    class from the coefficient of variation of WEEKLY demand on the
+    dense week grid (X: cv < 0.5, Y: cv < 1, Z: rest). A-X items get
+    tight replenishment, C-Z items get the cull list.
+
+    Every class boundary is an EXACT INTEGER comparison: the ABC cut
+    compares cum·100 vs total·{80,95}; the XYZ cut squares through the
+    cv — cv < t ⟺ n·Q − S² < t²·S² with t² ∈ {1/4, 1}, i.e.
+    4·(nQ−S²) < S² — so no engine can waver on a boundary. The
+    reported cv itself is √(nQ−S²)/S, one sqrt + divide, ROUND-dp.
+    Zero-demand weeks COUNT (dense grid): a brand selling once a
+    quarter is Z, not X.
+
+    Scale: one (brand, week) hash agg, the grid is brands×calendar,
+    one brand-count-sized cumulative window."""
+    dec = "decimal(38,0)"
+    j = lineitem.join(part,
+                      lineitem["l_partkey"] == part["p_partkey"])
+    # wall-clock DATE, not epoch: l_shipdate reads as TIMESTAMP_NTZ
+    # and an epoch conversion would drag the session timezone into
+    # the week boundary — the date cast is tz-free in both engines
+    wk = F.expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7").cast("long")
+    weekly = (j.select(F.col("p_brand").alias("__b"), wk.alias("__w"),
+                       F.round(F.col("l_quantity")).cast("long")
+                       .alias("__q"),
+                       F.round(F.col("l_extendedprice") * 100)
+                       .cast("long").alias("__r"))
+              .groupBy("__b", "__w")
+              .agg(F.sum("__q").alias("__qw"), F.sum("__r").alias("__rw")))
+    anchor = F.broadcast(weekly.agg(F.min("__w").alias("__w0"),
+                                    F.max("__w").alias("__w1")))
+    grid = (weekly.select(F.col("__b").alias("__bg")).distinct()
+            .crossJoin(anchor)
+            .select("__bg", F.explode(
+                F.sequence(F.col("__w0"), F.col("__w1"))).alias("__wg"))
+            .join(weekly, (F.col("__b") == F.col("__bg"))
+                  & (F.col("__w") == F.col("__wg")), "left")
+            .select("__bg",
+                    F.coalesce(F.col("__qw"), F.lit(0)).cast(dec)
+                    .alias("__x"),
+                    F.coalesce(F.col("__rw"), F.lit(0)).cast("long")
+                    .alias("__rv")))
+    per = grid.groupBy("__bg").agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__x").alias("__S"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__Q"),
+        F.sum("__rv").cast("long").alias("revenue_cents"))
+    ssd = F.col("__n") * F.col("__Q") - F.col("__S") * F.col("__S")
+    s2 = F.col("__S") * F.col("__S")
+    xyz = (F.when(F.col("__S") == 0, F.lit("Z"))
+           .when(ssd * 4 < s2, F.lit("X"))
+           .when(ssd < s2, F.lit("Y"))
+           .otherwise(F.lit("Z")))
+    cv = F.when(F.col("__S") > 0,
+                F.round(F.sqrt(ssd.cast("double")) /
+                        F.col("__S").cast("double"), round_dp))
+    wabc = (Window.orderBy(F.col("revenue_cents").desc(),
+                           F.col("__bg").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.broadcast(per.agg(F.sum("revenue_cents").cast(dec)
+                              .alias("__tot")))
+    cum = (per.withColumn("__cum",
+                          F.sum("revenue_cents").over(wabc).cast(dec))
+           .crossJoin(tot))
+    abc = (F.when(F.col("__cum") * 100 <= F.col("__tot") * 80,
+                  F.lit("A"))
+           .when(F.col("__cum") * 100 <= F.col("__tot") * 95,
+                 F.lit("B"))
+           .otherwise(F.lit("C")))
+    return cum.select(F.col("__bg").alias("p_brand"), "revenue_cents",
+                      abc.alias("abc"), cv.alias("cv"),
+                      xyz.alias("xyz"))

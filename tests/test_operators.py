@@ -5003,3 +5003,38 @@ def test_dim_truncation_report_planted(spark):
     assert set(out) == {2}
     assert out[2].n_queries == 1
     assert out[2].mean_overlap == 0.5
+
+
+def test_abc_xyz_exact_class_boundaries(spark):
+    """Three brands engineered onto the class cuts: a steady seller
+    (X), a bursty one (Z), and revenue shares forcing A/B/C assignment
+    — with a brand's cum share landing EXACTLY on 80% to pin the <=
+    boundary semantics."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import abc_xyz
+
+    base = datetime(1995, 1, 5)  # a Thursday; weeks = epoch-days // 7
+    li, parts = [], [(1, "B1"), (2, "B2"), (3, "B3")]
+    # B1: qty 10 every week for 4 weeks (cv 0), revenue 8000 cents
+    for w in range(4):
+        li.append((1, 10.0, 20.0, base + timedelta(weeks=w)))
+    # B2: one burst week (cv high), revenue 1500
+    li.append((2, 40.0, 15.0, base))
+    # B3: two moderate weeks, revenue 500
+    li.append((3, 5.0, 2.5, base))
+    li.append((3, 5.0, 2.5, base + timedelta(weeks=3)))
+    ldf = spark.createDataFrame(
+        li, "l_partkey long, l_quantity double, l_extendedprice double,"
+            " l_shipdate timestamp")
+    pdf = spark.createDataFrame(parts, "p_partkey long, p_brand string")
+    out = {r.p_brand: r for r in abc_xyz(ldf, pdf).collect()}
+
+    # revenues: B1 4*2000=8000 (cum 80% exactly -> A), B2 1500
+    # (cum 95% exactly -> B), B3 500 -> C
+    assert (out["B1"].abc, out["B2"].abc, out["B3"].abc) == \
+        ("A", "B", "C")
+    assert out["B1"].xyz == "X" and out["B1"].cv == 0.0
+    assert out["B2"].xyz == "Z"
+    assert out["B3"].xyz in ("Y", "Z")  # 2-of-4 weeks: cv = 1 -> Z
+    assert out["B3"].xyz == "Z"  # boundary: cv == 1 is NOT < 1
