@@ -130,6 +130,7 @@ HEADLINE = [
     "qini_uplift_events",
     "dim_truncation_report_embeddings",
     "abc_xyz_brands",
+    "funnel_within_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2347,6 +2347,7 @@ DRIVER_PRIORITY = [
     "qini_uplift_events",
     "dim_truncation_report_embeddings",
     "abc_xyz_brands",
+    "funnel_within_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11623,3 +11624,45 @@ def abc_xyz_brands(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     return abc_xyz(li, p)
+
+
+@query("funnel_within_events", oracle=_mat("""
+WITH ev AS (
+  SELECT user_id AS u, event_type AS t,
+         epoch_us(ts) // 1000000 AS s
+  FROM events),
+s0 AS (SELECT u, MIN(s) AS t0 FROM ev WHERE t = 'view' GROUP BY u),
+s1 AS (
+  SELECT ev.u, MIN(ev.s) AS t1, MIN(s0.t0) AS p1
+  FROM ev JOIN s0 ON s0.u = ev.u
+  WHERE ev.t = 'click' AND ev.s > s0.t0 AND ev.s <= s0.t0 + 172800
+  GROUP BY ev.u),
+s2 AS (
+  SELECT ev.u, MIN(ev.s) AS t2, MIN(s1.t1) AS p2
+  FROM ev JOIN s1 ON s1.u = ev.u
+  WHERE ev.t = 'purchase' AND ev.s > s1.t1 AND ev.s <= s1.t1 + 172800
+  GROUP BY ev.u)
+SELECT * FROM (
+  SELECT 'view' AS step, 0 AS stage,
+         CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users,
+         CAST(NULL AS DOUBLE) AS mean_gap_s
+  UNION ALL
+  SELECT 'click', 1, CAST(COUNT(*) AS BIGINT),
+         CASE WHEN COUNT(*) > 0 THEN
+           CAST(SUM(t1 - p1) * 1000000 // COUNT(*) AS DOUBLE)
+           / 1000000.0 END
+  FROM s1
+  UNION ALL
+  SELECT 'purchase', 2, CAST(COUNT(*) AS BIGINT),
+         CASE WHEN COUNT(*) > 0 THEN
+           CAST(SUM(t2 - p2) * 1000000 // COUNT(*) AS DOUBLE)
+           / 1000000.0 END
+  FROM s2) z"""))
+def funnel_within_events(spark, sf_dir):
+    """EXT R261 (round 6): time-bounded funnel view→click→purchase,
+    each step within 48h of the previous — greedy-earliest ladder with
+    a gap bound (the product semantics), per-step user counts and mean
+    step gap in exact integer micro-units."""
+    from .operators.analytics import funnel_within
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_within(ev, ["view", "click", "purchase"], 172_800)

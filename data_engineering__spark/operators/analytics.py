@@ -3801,3 +3801,54 @@ def abc_xyz(lineitem: DataFrame, part: DataFrame,
     return cum.select(F.col("__bg").alias("p_brand"), "revenue_cents",
                       abc.alias("abc"), cv.alias("cv"),
                       xyz.alias("xyz"))
+
+
+def funnel_within(events: DataFrame, steps: list[str], max_gap_s: int,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """EXT (round 6): TIME-BOUNDED conversion funnel — like
+    `conversion_funnel` (greedy-earliest ladder) but each step must
+    land within ``max_gap_s`` of the previous one, the form product
+    funnels actually use ("checkout within 48h of add-to-cart", not
+    "ever"). Per step: (step, stage, n_users, mean_gap_s) where the
+    gap averages t_k − t_{k−1} over users who reached step k (exact
+    integer sum, one division; NULL at stage 0).
+
+    Same scale shape as the unbounded ladder: per step one
+    type-filtered pass over events joined to the localCheckpointed
+    frontier on user id; the bound is one extra predicate in the same
+    join. Greedy-earliest with a bound is NOT globally optimal (an
+    early step-1 can time-out a step-2 a later step-1 would catch) —
+    that's the documented product semantics, matched exactly by the
+    oracle."""
+    ev = events.select(F.col(user_col).alias("__u"),
+                       F.col(type_col).alias("__t"),
+                       F.unix_timestamp(F.col(ts_col)).alias("__s"))
+    frontier = (ev.filter(F.col("__t") == steps[0])
+                .groupBy("__u").agg(F.min("__s").alias("__ft"))
+                .localCheckpoint())
+    rows = [(steps[0], 0, frontier.count(), None)]
+    for k, step in enumerate(steps[1:], start=1):
+        prev = frontier.select(F.col("__u").alias("__pu"),
+                               F.col("__ft").alias("__pt"))
+        nxt = (ev.filter(F.col("__t") == step)
+               .join(prev, (F.col("__u") == F.col("__pu"))
+                     & (F.col("__s") > F.col("__pt"))
+                     & (F.col("__s") <= F.col("__pt") + max_gap_s))
+               .groupBy("__u")
+               .agg(F.min("__s").alias("__ft"),
+                    F.min("__pt").alias("__pt0"))
+               .localCheckpoint())
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("__ft") - F.col("__pt0")).alias("gap")).collect()[0]
+        n = stats["n"]
+        # integer micro-units then exact divide (the R255 discipline) —
+        # Python round() is banker's and would diverge from the oracle
+        mean_gap = ((stats["gap"] * 1_000_000 // n) / 1_000_000.0
+                    if n else None)
+        rows.append((step, k, n, mean_gap))
+        frontier = nxt.select("__u", "__ft")
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, "step string, stage int, n_users long, mean_gap_s double")

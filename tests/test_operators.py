@@ -5038,3 +5038,36 @@ def test_abc_xyz_exact_class_boundaries(spark):
     assert out["B2"].xyz == "Z"
     assert out["B3"].xyz in ("Y", "Z")  # 2-of-4 weeks: cv = 1 -> Z
     assert out["B3"].xyz == "Z"  # boundary: cv == 1 is NOT < 1
+
+
+def test_funnel_within_timeout_semantics(spark):
+    """u1 completes all steps in-window; u2's click comes after the
+    48h bound (drops at stage 1); u3 proves greedy-earliest: an
+    in-window click at +1h then purchase at +3h counts with gaps
+    (3600, 7200); u4 clicks before viewing (strict > excludes)."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        funnel_within,
+    )
+
+    b = datetime(2024, 1, 1)
+    rows = [
+        (1, b, "view"), (1, b + timedelta(hours=2), "click"),
+        (1, b + timedelta(hours=4), "purchase"),
+        (2, b, "view"), (2, b + timedelta(hours=49), "click"),
+        (3, b, "view"), (3, b + timedelta(hours=1), "click"),
+        (3, b + timedelta(hours=3), "purchase"),
+        (4, b + timedelta(hours=1), "click"), (4, b + timedelta(hours=2), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage: r for r in funnel_within(
+        df, ["view", "click", "purchase"], 48 * 3600).collect()}
+
+    assert out[0].n_users == 4
+    assert out[1].n_users == 2          # u1, u3
+    assert out[2].n_users == 2
+    # gaps: stage1 (7200 + 3600)/2 = 5400; stage2 (7200 + 7200)/2
+    assert out[1].mean_gap_s == 5400.0
+    assert out[2].mean_gap_s == 7200.0
+    assert out[0].mean_gap_s is None
