@@ -131,6 +131,7 @@ HEADLINE = [
     "dim_truncation_report_embeddings",
     "abc_xyz_brands",
     "funnel_within_events",
+    "price_volume_bridge_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

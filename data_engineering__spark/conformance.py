@@ -2348,6 +2348,7 @@ DRIVER_PRIORITY = [
     "dim_truncation_report_embeddings",
     "abc_xyz_brands",
     "funnel_within_events",
+    "price_volume_bridge_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11666,3 +11667,40 @@ def funnel_within_events(spark, sf_dir):
     from .operators.analytics import funnel_within
     ev = read_table(spark, sf_dir, "events")
     return funnel_within(ev, ["view", "click", "purchase"], 172_800)
+
+
+@query("price_volume_bridge_brands", oracle=_mat("""
+WITH tagged AS (
+  SELECT p.p_brand AS b,
+         (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') AS d,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+cut AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM tagged),
+per AS (
+  SELECT b,
+    CAST(COALESCE(SUM(r) FILTER (d < cut.mid), 0) AS BIGINT) AS r0,
+    CAST(COALESCE(SUM(q) FILTER (d < cut.mid), 0) AS BIGINT) AS q0,
+    CAST(COALESCE(SUM(r) FILTER (d >= cut.mid), 0) AS BIGINT) AS r1,
+    CAST(COALESCE(SUM(q) FILTER (d >= cut.mid), 0) AS BIGINT) AS q1
+  FROM tagged CROSS JOIN cut GROUP BY b)
+SELECT b AS p_brand, r0, q0, r1, q1,
+       CAST(r1 - r0 AS BIGINT) AS delta_cents,
+       ROUND(CASE WHEN q0 > 0 AND q1 > 0
+             THEN CAST(q1 - q0 AS DOUBLE)
+                  * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) END, 6)
+         AS volume_effect,
+       ROUND(CASE WHEN q0 > 0 AND q1 > 0
+             THEN (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                   - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                  * CAST(q1 AS DOUBLE) END, 6) AS price_effect
+FROM per"""))
+def price_volume_bridge_brands(spark, sf_dir):
+    """EXT R262 (round 6): price-volume revenue bridge per brand
+    between the data's two halves — ΔR decomposed into ΔQ·p₀ + Δp·Q₁
+    (exact identity, the built-in audit); integer cells, fixed-shape
+    float effects, tz-free midpoint-day split."""
+    from .operators.analytics import price_volume_bridge
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    return price_volume_bridge(li, p)

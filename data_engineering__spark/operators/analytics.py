@@ -3852,3 +3852,52 @@ def funnel_within(events: DataFrame, steps: list[str], max_gap_s: int,
     spark = events.sparkSession
     return spark.createDataFrame(
         rows, "step string, stage int, n_users long, mean_gap_s double")
+
+
+def price_volume_bridge(lineitem: DataFrame, part: DataFrame,
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): price-volume revenue bridge per brand — decompose
+    each brand's revenue change between the data's two halves into
+    volume effect (ΔQ·p₀) and price effect (Δp·Q₁), the waterfall
+    behind every "why did revenue move" review. The identity
+    volume + price = ΔR holds EXACTLY by construction (the classic
+    two-factor bridge), which doubles as the built-in audit: the two
+    float effects must sum to the integer delta.
+
+    Periods split at the midpoint wall-clock day (tz-free DATE cast —
+    the R260 lesson). Cells are exact integer (cents, quantity) sums;
+    both effects are fixed-shape float chains over them; brands absent
+    from a period report NULL effects (no ΔQ·p₀ without a p₀).
+
+    Scale: one conditional-sum hash agg on brand over the join — the
+    bridge is brand-count-sized."""
+    j = lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+    d = F.expr("unix_date(CAST(l_shipdate AS DATE))").cast("long")
+    tagged = j.select(F.col("p_brand").alias("__b"), d.alias("__d"),
+                      F.round(F.col("l_quantity")).cast("long")
+                      .alias("__q"),
+                      F.round(F.col("l_extendedprice") * 100)
+                      .cast("long").alias("__r"))
+    cut = F.broadcast(tagged.agg(
+        ((F.min("__d") + F.max("__d") + 1) / 2).cast("long")
+        .alias("__mid")))
+    late = F.col("__d") >= F.col("__mid")
+    per = (tagged.crossJoin(cut).groupBy("__b").agg(
+        F.coalesce(F.sum(F.when(~late, F.col("__r"))), F.lit(0))
+         .cast("long").alias("r0"),
+        F.coalesce(F.sum(F.when(~late, F.col("__q"))), F.lit(0))
+         .cast("long").alias("q0"),
+        F.coalesce(F.sum(F.when(late, F.col("__r"))), F.lit(0))
+         .cast("long").alias("r1"),
+        F.coalesce(F.sum(F.when(late, F.col("__q"))), F.lit(0))
+         .cast("long").alias("q1")))
+    p0 = F.col("r0").cast("double") / F.col("q0").cast("double")
+    p1 = F.col("r1").cast("double") / F.col("q1").cast("double")
+    ok = (F.col("q0") > 0) & (F.col("q1") > 0)
+    return per.select(
+        F.col("__b").alias("p_brand"), "r0", "q0", "r1", "q1",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.round(F.when(ok, (F.col("q1") - F.col("q0")).cast("double")
+                       * p0), round_dp).alias("volume_effect"),
+        F.round(F.when(ok, (p1 - p0) * F.col("q1").cast("double")),
+                round_dp).alias("price_effect"))

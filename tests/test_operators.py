@@ -5071,3 +5071,41 @@ def test_funnel_within_timeout_semantics(spark):
     assert out[1].mean_gap_s == 5400.0
     assert out[2].mean_gap_s == 7200.0
     assert out[0].mean_gap_s is None
+
+
+def test_price_volume_bridge_identity(spark):
+    """Hand cells: brand X sells 10@$2.00 early and 20@$3.00 late —
+    volume effect (20−10)·200 = 2000, price effect (300−200)·20 =
+    2000, and the two MUST sum to ΔR = 4000 (the bridge identity);
+    brand Y absent from the early half reports NULL effects but a
+    real delta."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        price_volume_bridge,
+    )
+
+    b = datetime(1995, 1, 1)
+    li = []
+    for _ in range(10):
+        li.append((1, 1.0, 2.0, b))
+    for _ in range(20):
+        li.append((1, 1.0, 3.0, b + timedelta(days=10)))
+    li.append((2, 4.0, 8.0, b + timedelta(days=10)))
+    ldf = spark.createDataFrame(
+        li, "l_partkey long, l_quantity double, l_extendedprice double,"
+            " l_shipdate timestamp")
+    pdf = spark.createDataFrame([(1, "X"), (2, "Y")],
+                                "p_partkey long, p_brand string")
+    out = {r.p_brand: r for r in price_volume_bridge(ldf, pdf).collect()}
+
+    x = out["X"]
+    assert (x.r0, x.q0, x.r1, x.q1) == (2000, 10, 6000, 20)
+    assert x.delta_cents == 4000
+    assert x.volume_effect == 2000.0
+    assert x.price_effect == 2000.0
+    assert abs(x.volume_effect + x.price_effect - x.delta_cents) < 1e-6
+    y = out["Y"]
+    assert (y.r0, y.q0) == (0, 0)
+    assert y.volume_effect is None and y.price_effect is None
+    assert y.delta_cents == 800
