@@ -132,6 +132,7 @@ HEADLINE = [
     "abc_xyz_brands",
     "funnel_within_events",
     "price_volume_bridge_brands",
+    "cluster_quality_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

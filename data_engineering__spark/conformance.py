@@ -2349,6 +2349,7 @@ DRIVER_PRIORITY = [
     "abc_xyz_brands",
     "funnel_within_events",
     "price_volume_bridge_brands",
+    "cluster_quality_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11704,3 +11705,56 @@ def price_volume_bridge_brands(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     return price_volume_bridge(li, p)
+
+
+def _cluster_quality_oracle_sql(k: int = 8, n_iter: int = 2,
+                                dim: int = 64) -> str:
+    ctes = _kmeans_train_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        k=k, n_iter=n_iter, dim=dim)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+cont AS (
+  SELECT af.cell, e.label AS l, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM af JOIN embeddings e ON e.vec_id = af.vec_id
+  GROUP BY 1, 2),
+cm AS (SELECT cell, CAST(SUM(nij) AS BIGINT) AS ni,
+              CAST(MAX(nij) AS BIGINT) AS mx
+       FROM cont GROUP BY cell),
+lm AS (SELECT l, CAST(SUM(nij) AS BIGINT) AS nj FROM cont GROUP BY l),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT cell) AS BIGINT) AS kc,
+               CAST(COUNT(DISTINCT l) AS BIGINT) AS nl
+        FROM cont),
+mi AS (
+  SELECT SUM(CAST(nij AS DOUBLE) / CAST(n AS DOUBLE)
+             * LN(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+                  / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))) AS mi
+  FROM cont JOIN cm USING (cell) JOIN lm USING (l) CROSS JOIN tot),
+hc AS (
+  SELECT SUM(-(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+             * LN(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))) AS hc,
+         CAST(SUM(mx) AS BIGINT) AS pur
+  FROM cm CROSS JOIN tot),
+hl AS (
+  SELECT SUM(-(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+             * LN(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))) AS hl
+  FROM lm CROSS JOIN tot)
+SELECT n, kc AS k_cells, nl AS n_labels,
+       ROUND(CAST(pur AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity,
+       ROUND(CASE WHEN hc + hl > 0 THEN 2.0 * mi / (hc + hl)
+                  ELSE 0.0 END, 6) AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl"""
+
+
+@query("cluster_quality_embeddings",
+       oracle=_mat(_cluster_quality_oracle_sql()))
+def cluster_quality_embeddings(spark, sf_dir):
+    """EXT R263 (round 6): clustering-vs-labels eval — purity (exact
+    integer ratio) and NMI over the contingency of the deterministic
+    k-means cells (the IVF trainer, full training loop oracle-
+    replicated) against the embeddings label column."""
+    from .operators.vector import kmeans_label_quality
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_label_quality(e)

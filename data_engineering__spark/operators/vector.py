@@ -999,3 +999,74 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
                   / F.lit(1_000_000.0)).alias("mean_overlap"))
             .select(F.col("__d").cast("long").alias("dims"),
                     "n_queries", "mean_overlap"))
+
+
+def kmeans_label_quality(df: DataFrame, k: int = 8, n_iter: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label", dim: int = 64,
+                         round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): clustering-vs-labels quality report — train the
+    deterministic k-means (the IVF trainer), assign the corpus, and
+    score the cells against ground-truth labels: purity (the
+    majority-label fraction) and NMI (2·I(C;L)/(H(C)+H(L))). The
+    "did the embedding space actually learn the taxonomy" eval —
+    read before trusting SemDeDup cells or IVF routing on a new
+    embedding model.
+
+    Purity is an exact integer ratio (Σ per-cell max label count / n,
+    one division). The NMI entropies are per-cell float terms over the
+    CONTINGENCY table (≤ k·|labels| rows — grid-sized, the JSD
+    float-sum tolerance class), each a fixed expression of integer
+    counts, summed then rounded 6dp. ONE output row:
+    (n, k_cells, n_labels, purity, nmi).
+
+    Scale: training is the kmeans_fit loop (broadcast assign, one
+    update shuffle per iteration); the eval adds one (cell, label)
+    hash agg and grid-sized arithmetic."""
+    cents = kmeans_fit(df, k=k, n_iter=n_iter, id_col=id_col,
+                       vec_col=vec_col, dim=dim, round_dp=round_dp)
+    assigned = kmeans_assign(df, cents, id_col, vec_col)
+    lab = df.select(F.col(id_col), F.col(label_col).alias("__l"))
+    cont = (assigned.join(lab, id_col)
+            .groupBy("cell", "__l")
+            .agg(F.count(F.lit(1)).cast("long").alias("__nij")))
+    cm = (cont.select(F.col("cell").alias("__cc"), F.col("__nij"))
+          .groupBy("__cc").agg(F.sum("__nij").alias("__ni"),
+                               F.max("__nij").alias("__mx")))
+    lm = (cont.select(F.col("__l").alias("__ll"), F.col("__nij"))
+          .groupBy("__ll").agg(F.sum("__nij").alias("__nj")))
+    tot = F.broadcast(cont.agg(F.sum("__nij").alias("__n"),
+                               F.countDistinct("cell").alias("__kc"),
+                               F.countDistinct("__l").alias("__nl")))
+    nd = F.col("__n").cast("double")
+    mi_term = (F.col("__nij").cast("double") / nd
+               * F.log(nd * F.col("__nij").cast("double")
+                       / (F.col("__ni").cast("double")
+                          * F.col("__nj").cast("double"))))
+    mi = (cont.join(F.broadcast(cm), F.col("cell") == F.col("__cc"))
+          .join(F.broadcast(lm), F.col("__l") == F.col("__ll"))
+          .crossJoin(tot)
+          .agg(F.sum(mi_term).alias("__mi")))
+    hc = (cm.crossJoin(tot)
+          .agg(F.sum(-(F.col("__ni").cast("double") / nd)
+                     * F.log(F.col("__ni").cast("double") / nd))
+               .alias("__hc"),
+               F.sum(F.col("__mx")).cast("long").alias("__pur_num")))
+    hl = (lm.crossJoin(tot)
+          .agg(F.sum(-(F.col("__nj").cast("double") / nd)
+                     * F.log(F.col("__nj").cast("double") / nd))
+               .alias("__hl")))
+    return (tot.crossJoin(F.broadcast(mi.select("__mi")))
+            .crossJoin(F.broadcast(hc))
+            .crossJoin(F.broadcast(hl))
+            .select(F.col("__n").cast("long").alias("n"),
+                    F.col("__kc").cast("long").alias("k_cells"),
+                    F.col("__nl").cast("long").alias("n_labels"),
+                    F.round(F.col("__pur_num").cast("double") / nd,
+                            round_dp).alias("purity"),
+                    F.round(F.when(F.col("__hc") + F.col("__hl") > 0,
+                                   F.lit(2.0) * F.col("__mi")
+                                   / (F.col("__hc") + F.col("__hl")))
+                            .otherwise(F.lit(0.0)), round_dp)
+                    .alias("nmi")))

@@ -5109,3 +5109,44 @@ def test_price_volume_bridge_identity(spark):
     assert (y.r0, y.q0) == (0, 0)
     assert y.volume_effect is None and y.price_effect is None
     assert y.delta_cents == 800
+
+
+def test_kmeans_label_quality_perfect_and_mixed(spark):
+    """Two well-separated blobs whose labels MATCH the blobs ->
+    purity 1, NMI 1; relabeling half of one blob drops both, with the
+    drop replayed in Python from the same contingency."""
+    import math
+
+    from data_engineering__spark.operators.vector import (
+        kmeans_label_quality,
+    )
+
+    dim = 4
+    rows = []
+    for i in range(8):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 == 0 else \
+            [0.0, 10.0, 0.0, 0.0]
+        vec = [v + (i % 3) * 0.01 for v in base]
+        rows.append((i, vec, i % 2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = kmeans_label_quality(df, k=2, n_iter=2, dim=dim).collect()[0]
+    assert (r.n, r.k_cells, r.n_labels) == (8, 2, 2)
+    assert r.purity == 1.0
+    assert r.nmi == 1.0
+
+    relab = [(i, v, (1 if i in (0, 2) else lab))
+             for i, v, lab in rows]
+    df2 = spark.createDataFrame(relab, "vec_id long, embedding array<float>, label int")
+    r2 = kmeans_label_quality(df2, k=2, n_iter=2, dim=dim).collect()[0]
+    # contingency: cell0 (even ids) = {label0: 2, label1: 2},
+    # cell1 (odd ids) = {label1: 4} — purity (2+4)/8
+    assert r2.purity == 0.75
+    n = 8
+    nij = {(0, 0): 2, (0, 1): 2, (1, 1): 4}
+    ni = {0: 4, 1: 4}
+    nj = {0: 2, 1: 6}
+    mi = sum(c / n * math.log(n * c / (ni[a] * nj[b]))
+             for (a, b), c in nij.items())
+    hc = -sum(v / n * math.log(v / n) for v in ni.values())
+    hl = -sum(v / n * math.log(v / n) for v in nj.values())
+    assert abs(r2.nmi - round(2 * mi / (hc + hl), 6)) < 1e-9
