@@ -133,6 +133,7 @@ HEADLINE = [
     "funnel_within_events",
     "price_volume_bridge_brands",
     "cluster_quality_embeddings",
+    "discount_impact_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2350,6 +2350,7 @@ DRIVER_PRIORITY = [
     "funnel_within_events",
     "price_volume_bridge_brands",
     "cluster_quality_embeddings",
+    "discount_impact_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11758,3 +11759,34 @@ def cluster_quality_embeddings(spark, sf_dir):
     from .operators.vector import kmeans_label_quality
     e = read_table(spark, sf_dir, "embeddings")
     return kmeans_label_quality(e)
+
+
+@query("discount_impact_brands", oracle=_mat("""
+SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_discounted,
+       CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT)
+         AS gross_cents,
+       CAST(SUM(ROUND(l.l_extendedprice * l.l_discount * 100))
+            AS BIGINT) AS discount_cents,
+       CAST(SUM(ROUND(l.l_extendedprice * 100))
+            - SUM(ROUND(l.l_extendedprice * l.l_discount * 100))
+            AS BIGINT) AS net_cents,
+       ROUND(CASE WHEN SUM(ROUND(l.l_extendedprice * 100)) > 0
+             THEN CAST(SUM(ROUND(l.l_extendedprice * l.l_discount
+                                 * 100)) AS DOUBLE)
+                  / CAST(SUM(ROUND(l.l_extendedprice * 100)) AS DOUBLE)
+             END, 6) AS discount_rate,
+       ROUND(CAST(SUM(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS discounted_share
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand"""))
+def discount_impact_brands(spark, sf_dir):
+    """EXT R264 (round 6): discount effectiveness per brand — exact
+    integer cents cells (per-line invoice rounding), effective
+    discount rate + discounted-line share as single divisions."""
+    from .operators.analytics import discount_impact
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    return discount_impact(li, p)

@@ -3901,3 +3901,40 @@ def price_volume_bridge(lineitem: DataFrame, part: DataFrame,
                        * p0), round_dp).alias("volume_effect"),
         F.round(F.when(ok, (p1 - p0) * F.col("q1").cast("double")),
                 round_dp).alias("price_effect"))
+
+
+def discount_impact(lineitem: DataFrame, part: DataFrame,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): discount effectiveness per brand — gross vs net
+    revenue, total discount given, the effective discount rate, and
+    the share of discounted lines. The pricing-review table: a brand
+    whose discount rate is high but whose share of discounted lines
+    is low is being moved by a few deep cuts (renegotiate), not broad
+    promotion.
+
+    All cells are exact integer cents: gross = Σ round(extprice·100),
+    discount = Σ round(extprice·discount·100) (per-line rounding — the
+    auditable invoice-line convention), net = gross − discount.
+    Rates are single divisions. One brand-sized hash agg."""
+    j = lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+    gross = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount")
+                   * 100).cast("long")
+    per = j.groupBy(F.col("p_brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0))
+         .cast("long").alias("n_discounted"),
+        F.sum(gross).cast("long").alias("gross_cents"),
+        F.sum(disc).cast("long").alias("discount_cents"))
+    return per.select(
+        "p_brand", "n_lines", "n_discounted", "gross_cents",
+        "discount_cents",
+        (F.col("gross_cents") - F.col("discount_cents")).cast("long")
+        .alias("net_cents"),
+        F.round(F.when(F.col("gross_cents") > 0,
+                       F.col("discount_cents").cast("double")
+                       / F.col("gross_cents").cast("double")),
+                round_dp).alias("discount_rate"),
+        F.round(F.col("n_discounted").cast("double")
+                / F.col("n_lines").cast("double"), round_dp)
+        .alias("discounted_share"))

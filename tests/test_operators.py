@@ -5150,3 +5150,27 @@ def test_kmeans_label_quality_perfect_and_mixed(spark):
     hc = -sum(v / n * math.log(v / n) for v in ni.values())
     hl = -sum(v / n * math.log(v / n) for v in nj.values())
     assert abs(r2.nmi - round(2 * mi / (hc + hl), 6)) < 1e-9
+
+
+def test_discount_impact_exact_cents(spark):
+    """Hand lines: 100.00 at 10%, 50.00 at 0%, 33.33 at 7% — per-line
+    invoice rounding means discount cents = round(3333*0.07)... no:
+    round(33.33*0.07*100) = round(233.31) = 233; totals and rates
+    replayed exactly."""
+    from data_engineering__spark.operators.analytics import (
+        discount_impact,
+    )
+
+    li = [(1, 100.0, 0.10), (1, 50.0, 0.0), (1, 33.33, 0.07)]
+    ldf = spark.createDataFrame(
+        li, "l_partkey long, l_extendedprice double, l_discount double")
+    pdf = spark.createDataFrame([(1, "B")], "p_partkey long, p_brand string")
+    r = discount_impact(ldf, pdf).collect()[0]
+
+    gross = 10000 + 5000 + 3333
+    disc = 1000 + 0 + 233
+    assert (r.n_lines, r.n_discounted) == (3, 2)
+    assert (r.gross_cents, r.discount_cents) == (gross, disc)
+    assert r.net_cents == gross - disc
+    assert abs(r.discount_rate - round(disc / gross, 6)) < 1e-12
+    assert abs(r.discounted_share - round(2 / 3, 6)) < 1e-12
