@@ -134,6 +134,7 @@ HEADLINE = [
     "price_volume_bridge_brands",
     "cluster_quality_embeddings",
     "discount_impact_brands",
+    "customer360_snapshot",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2351,6 +2351,7 @@ DRIVER_PRIORITY = [
     "price_volume_bridge_brands",
     "cluster_quality_embeddings",
     "discount_impact_brands",
+    "customer360_snapshot",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11790,3 +11791,60 @@ def discount_impact_brands(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     return discount_impact(li, p)
+
+
+@query("customer360_snapshot", oracle=_mat("""
+WITH ocust AS (
+  SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MIN(CAST(o_orderdate AS DATE)) AS first_order,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY 1),
+rev AS (
+  SELECT o.o_custkey AS rk,
+         CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1),
+bs AS (
+  SELECT o.o_custkey AS bk, p.p_brand,
+         CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT) AS spend
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+tb AS (
+  SELECT bk, p_brand AS top_brand, spend AS top_brand_cents
+  FROM (SELECT bk, p_brand, spend,
+               ROW_NUMBER() OVER (PARTITION BY bk
+                                  ORDER BY spend DESC, p_brand ASC)
+                 AS rn
+        FROM bs) r WHERE rn = 1)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       o.first_order, o.last_order,
+       CAST(COALESCE(r.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+       ROUND(CASE WHEN COALESCE(o.n_orders, 0) > 0
+             THEN CAST(COALESCE(r.revenue_cents, 0) AS DOUBLE)
+                  / CAST(o.n_orders AS DOUBLE) END, 6)
+         AS avg_order_cents,
+       tb.top_brand, tb.top_brand_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN ocust o ON o.ck = c.c_custkey
+LEFT JOIN rev r ON r.rk = c.c_custkey
+LEFT JOIN tb ON tb.bk = c.c_custkey
+WHERE c.c_custkey % 10 = 0"""))
+def customer360_snapshot(spark, sf_dir):
+    """EXT R265 (round 6): customer-360 wide snapshot (every 10th
+    customer) — four tables joined at three grains, each
+    pre-aggregated to customer level BEFORE joining (no fan-out);
+    top brand via WindowGroupLimit argmax with alphabetical ties;
+    no-order customers keep their row with zero/NULL fields."""
+    from .operators.analytics import customer360
+    c = read_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 10 == 0)
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    n = read_table(spark, sf_dir, "nation")
+    return customer360(c, o, li, p, n)

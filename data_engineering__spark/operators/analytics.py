@@ -3938,3 +3938,62 @@ def discount_impact(lineitem: DataFrame, part: DataFrame,
         F.round(F.col("n_discounted").cast("double")
                 / F.col("n_lines").cast("double"), round_dp)
         .alias("discounted_share"))
+
+
+def customer360(customer: DataFrame, orders: DataFrame,
+                lineitem: DataFrame, part: DataFrame, nation: DataFrame,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): customer-360 snapshot — the denormalized wide
+    row a CRM/feature-store export wants, one per customer: order
+    count and date span, lifetime revenue (exact cents), average order
+    value, and the top brand by spend (WindowGroupLimit argmax, brand
+    ties alphabetical). The point is the SHAPE: four tables joined at
+    three grains without ever fanning out the customer row — each
+    grain pre-aggregates to customer level BEFORE the join, so a
+    whale customer costs a bigger partial agg, not a row explosion.
+
+    Customers with no orders keep their row (LEFT joins, zero counts,
+    NULL dates/brand). Scale: three hash aggs + three left joins on
+    the customer key; top-brand is one window over the (customer,
+    brand) spend grid."""
+    ocust = orders.groupBy(F.col("o_custkey").alias("__ck")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"))
+    rev = (lineitem.join(orders,
+                         lineitem["l_orderkey"] == orders["o_orderkey"])
+           .groupBy(F.col("o_custkey").alias("__rk"))
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).cast("long")
+                .alias("revenue_cents")))
+    brand_spend = (lineitem
+                   .join(orders, lineitem["l_orderkey"]
+                         == orders["o_orderkey"])
+                   .join(part, lineitem["l_partkey"] == part["p_partkey"])
+                   .groupBy(F.col("o_custkey").alias("__bk"),
+                            F.col("p_brand"))
+                   .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                              .cast("long")).cast("long")
+                        .alias("__spend")))
+    wb = Window.partitionBy("__bk").orderBy(F.col("__spend").desc(),
+                                            F.col("p_brand").asc())
+    top_brand = (brand_spend.withColumn("__rn", F.row_number().over(wb))
+                 .filter(F.col("__rn") == 1)
+                 .select(F.col("__bk"), F.col("p_brand")
+                         .alias("top_brand"),
+                         F.col("__spend").alias("top_brand_cents")))
+    out = (customer
+           .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+           .join(ocust, F.col("c_custkey") == F.col("__ck"), "left")
+           .join(rev, F.col("c_custkey") == F.col("__rk"), "left")
+           .join(top_brand, F.col("c_custkey") == F.col("__bk"), "left"))
+    n_ord = F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+    revc = F.coalesce(F.col("revenue_cents"), F.lit(0)).cast("long")
+    return out.select(
+        "c_custkey", "c_name", "n_name",
+        n_ord.alias("n_orders"), "first_order", "last_order",
+        revc.alias("revenue_cents"),
+        F.round(F.when(n_ord > 0, revc.cast("double")
+                       / n_ord.cast("double")), round_dp)
+        .alias("avg_order_cents"),
+        "top_brand", "top_brand_cents")

@@ -5174,3 +5174,39 @@ def test_discount_impact_exact_cents(spark):
     assert r.net_cents == gross - disc
     assert abs(r.discount_rate - round(disc / gross, 6)) < 1e-12
     assert abs(r.discounted_share - round(2 / 3, 6)) < 1e-12
+
+
+def test_customer360_no_fanout_and_orphans(spark):
+    """A customer with 2 orders × 2 lines each, a brand tie broken
+    alphabetically, and an order-less customer keeping a zeroed row."""
+    from datetime import datetime
+
+    from data_engineering__spark.operators.analytics import customer360
+
+    cust = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 10)],
+        "c_custkey long, c_name string, c_nationkey int")
+    nat = spark.createDataFrame([(10, "FRANCE")],
+                                "n_nationkey int, n_name string")
+    orders = spark.createDataFrame(
+        [(100, 1, datetime(1995, 1, 1)), (101, 1, datetime(1995, 3, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp")
+    li = spark.createDataFrame(
+        [(100, 1, 10.0), (100, 2, 10.0), (101, 1, 5.0), (101, 2, 15.0)],
+        "l_orderkey long, l_partkey long, l_extendedprice double")
+    part = spark.createDataFrame(
+        [(1, "BRAND_A"), (2, "BRAND_B")],
+        "p_partkey long, p_brand string")
+    out = {r.c_custkey: r for r in customer360(
+        cust, orders, li, part, nat).collect()}
+
+    a = out[1]
+    assert a.n_orders == 2
+    assert a.revenue_cents == 4000
+    assert a.avg_order_cents == 2000.0
+    assert str(a.first_order) == "1995-01-01"
+    # brand spends: A 1500, B 2500 -> B wins (no tie here); flip one
+    assert a.top_brand == "BRAND_B" and a.top_brand_cents == 2500
+    b = out[2]
+    assert (b.n_orders, b.revenue_cents) == (0, 0)
+    assert b.top_brand is None and b.avg_order_cents is None
