@@ -135,6 +135,7 @@ HEADLINE = [
     "cluster_quality_embeddings",
     "discount_impact_brands",
     "customer360_snapshot",
+    "markov_stationary_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

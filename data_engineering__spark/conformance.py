@@ -2352,6 +2352,7 @@ DRIVER_PRIORITY = [
     "cluster_quality_embeddings",
     "discount_impact_brands",
     "customer360_snapshot",
+    "markov_stationary_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11848,3 +11849,58 @@ def customer360_snapshot(spark, sf_dir):
     p = read_table(spark, sf_dir, "part")
     n = read_table(spark, sf_dir, "nation")
     return customer360(c, o, li, p, n)
+
+
+def _markov_stationary_oracle_sql(n_iter: int = 6) -> str:
+    ctes = ["""seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_type ASC)
+           AS from_type
+  FROM events)""", """counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)""", """totals AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM counts
+  GROUP BY 1)""", """tm AS (
+  SELECT c.from_type AS f, c.to_type AS tt,
+         CAST(c.n AS DOUBLE) / t.t AS p
+  FROM counts c JOIN totals t USING (from_type))""", """st AS (
+  SELECT DISTINCT f AS state FROM tm
+  UNION SELECT DISTINCT tt FROM tm)""", """ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k FROM st)""", """v0 AS (
+  SELECT state, ROUND(1.0 / CAST(k AS DOUBLE), 6) AS v
+  FROM st CROSS JOIN ns)"""]
+    for i in range(1, n_iter + 1):
+        prev, cur = f"v{i - 1}", f"v{i}"
+        ctes.append(f"""{cur} AS (
+  SELECT st.state,
+         COALESCE(s.nv, 0.0) AS v
+  FROM st LEFT JOIN (
+    SELECT tm.tt AS state, ROUND(SUM(p.v * tm.p), 6) AS nv
+    FROM {prev} p JOIN tm ON tm.f = p.state
+    GROUP BY tm.tt) s ON s.state = st.state)"""
+        )
+    fin = f"v{n_iter}"
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+emp AS (SELECT event_type AS es, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM emp)
+SELECT {fin}.state,
+       ROUND(CAST(COALESCE(emp.c, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE),
+             6) AS empirical_share,
+       {fin}.v AS stationary_prob
+FROM {fin} LEFT JOIN emp ON emp.es = {fin}.state CROSS JOIN tot"""
+
+
+@query("markov_stationary_events",
+       oracle=_mat(_markov_stationary_oracle_sql()))
+def markov_stationary_events(spark, sf_dir):
+    """EXT R266 (round 6): stationary distribution of the event-type
+    chain — 6 power iterations over the R83 transition matrix with the
+    PageRank determinism kit (uniform init, fixed rounds, ROUND-6
+    between rounds); reported beside each state's raw empirical
+    share."""
+    from .operators.analytics import markov_stationary
+    return markov_stationary(read_table(spark, sf_dir, "events"))

@@ -3997,3 +3997,54 @@ def customer360(customer: DataFrame, orders: DataFrame,
                        / n_ord.cast("double")), round_dp)
         .alias("avg_order_cents"),
         "top_brand", "top_brand_cents")
+
+
+def markov_stationary(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      n_iter: int = 6, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): stationary distribution of the first-order event
+    chain — where user behavior settles if the observed transition
+    matrix keeps running. Compared against the raw empirical share it
+    answers "is the current mix transient or steady-state" (a state
+    whose stationary mass far exceeds today's share is where sessions
+    will pile up).
+
+    Power iteration over the `transition_matrix` probabilities with
+    the PageRank determinism kit: uniform init, FIXED iteration count,
+    and per-iteration ROUND so parallel partial sums and the oracle's
+    sequential replay agree bit-for-bit. States without outgoing
+    transitions leak mass (documented, as in the simplified PageRank);
+    the state domain is tiny, so each iteration is a grid-sized join +
+    agg. Output per state: (state, empirical_share, stationary_prob).
+    """
+    tm = transition_matrix(events, user_col, ts_col, type_col) \
+        .select(F.col("from_type").alias("__f"),
+                F.col("to_type").alias("__to"),
+                F.col("frac").alias("__p")).localCheckpoint()
+    states = (tm.select(F.col("__f").alias("state"))
+              .unionByName(tm.select(F.col("__to").alias("state")))
+              .distinct().localCheckpoint())
+    n_states = states.count()
+    v = states.select("state",
+                      F.round(F.lit(1.0 / n_states), round_dp)
+                      .alias("__v"))
+    for _ in range(n_iter):
+        nxt = (v.join(tm, v["state"] == tm["__f"])
+               .groupBy(F.col("__to").alias("__ns"))
+               .agg(F.round(F.sum(F.col("__v") * F.col("__p")),
+                            round_dp).alias("__nv")))
+        v = (states.join(nxt, states["state"] == nxt["__ns"], "left")
+             .select("state", F.coalesce("__nv", F.lit(0.0))
+                     .alias("__v"))
+             .localCheckpoint(eager=True))
+    emp = (events.groupBy(F.col(type_col).alias("__es"))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    tot = F.broadcast(emp.agg(F.sum("__c").alias("__n")))
+    return (v.join(emp, v["state"] == emp["__es"], "left")
+            .crossJoin(tot)
+            .select("state",
+                    F.round(F.coalesce(F.col("__c"), F.lit(0))
+                            .cast("double")
+                            / F.col("__n").cast("double"), round_dp)
+                    .alias("empirical_share"),
+                    F.col("__v").alias("stationary_prob")))

@@ -5210,3 +5210,50 @@ def test_customer360_no_fanout_and_orphans(spark):
     b = out[2]
     assert (b.n_orders, b.revenue_cents) == (0, 0)
     assert b.top_brand is None and b.avg_order_cents is None
+
+
+def test_markov_stationary_two_state_chain(spark):
+    """A two-state chain with P = [[0, 1], [0.5, 0.5]] (every 'a' is
+    followed by 'b'; 'b' splits evenly) has stationary (1/3, 2/3);
+    six rounded iterations from uniform get within 1e-2 and match a
+    Python replay of the exact same rounded recursion to 1e-12."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    b = datetime(2024, 1, 1)
+    # u1: a b a b a b ... ; u2: b b b a b a  (engineer the 2x2 counts)
+    seqs = {1: "ababab", 2: "bbbaba"}
+    rows = []
+    for u, s in seqs.items():
+        for i, ch in enumerate(s):
+            rows.append((u, b + timedelta(hours=i), ch))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.state: r for r in markov_stationary(df).collect()}
+
+    # transitions: from a: u1 a->b x3, u2 a->b x1 ... count exact
+    from collections import Counter
+    trans = Counter()
+    for s in seqs.values():
+        for x, y in zip(s, s[1:]):
+            trans[(x, y)] += 1
+    tot = Counter()
+    for (x, _), c in trans.items():
+        tot[x] += c
+    p = {k: c / tot[k[0]] for k, c in trans.items()}
+    v = {"a": round(1 / 2, 6), "b": round(1 / 2, 6)}
+    for _ in range(6):
+        nv = {}
+        for s2 in v:
+            nv[s2] = round(sum(v[s1] * p.get((s1, s2), 0.0)
+                               for s1 in v), 6)
+        v = nv
+    for st in ("a", "b"):
+        assert abs(out[st].stationary_prob - v[st]) < 1e-12
+    n_events = sum(len(s) for s in seqs.values())
+    counts = Counter("".join(seqs.values()))
+    for st in ("a", "b"):
+        assert abs(out[st].empirical_share
+                   - round(counts[st] / n_events, 6)) < 1e-12
