@@ -136,6 +136,7 @@ HEADLINE = [
     "discount_impact_brands",
     "customer360_snapshot",
     "markov_stationary_events",
+    "order_aging_buckets",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2353,6 +2353,7 @@ DRIVER_PRIORITY = [
     "discount_impact_brands",
     "customer360_snapshot",
     "markov_stationary_events",
+    "order_aging_buckets",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11904,3 +11905,35 @@ def markov_stationary_events(spark, sf_dir):
     share."""
     from .operators.analytics import markov_stationary
     return markov_stationary(read_table(spark, sf_dir, "events"))
+
+
+@query("order_aging_buckets", oracle=_mat("""
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)
+           - CAST(o_orderdate AS DATE) AS age,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+per AS (
+  SELECT status,
+         CASE WHEN age <= 30 THEN '000-030'
+              WHEN age <= 90 THEN '031-090'
+              WHEN age <= 365 THEN '091-365'
+              ELSE '365+' END AS age_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(v) AS BIGINT) AS value_cents,
+         CAST(MIN(age) AS BIGINT) AS min_age_days,
+         CAST(MAX(age) AS BIGINT) AS max_age_days
+  FROM base GROUP BY 1, 2)
+SELECT status, age_bucket, n_orders, value_cents, min_age_days,
+       max_age_days,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / CAST((SELECT SUM(n_orders) FROM per) AS DOUBLE), 6)
+         AS share
+FROM per"""))
+def order_aging_buckets(spark, sf_dir):
+    """EXT R267 (round 6): order-aging buckets per status, anchored on
+    the data's own max order date (deterministic — never now());
+    integer day ages, exact cents, one conditional hash agg."""
+    from .operators.analytics import order_aging
+    return order_aging(read_table(spark, sf_dir, "orders"))

@@ -4048,3 +4048,43 @@ def markov_stationary(events: DataFrame, user_col: str = "user_id",
                             / F.col("__n").cast("double"), round_dp)
                     .alias("empirical_share"),
                     F.col("__v").alias("stationary_prob")))
+
+
+def order_aging(orders: DataFrame, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): order-aging report — per order status, how old
+    the book is: counts and value by age bucket (0–30 / 31–90 /
+    91–365 / 365+ days), anchored on the DATA'S OWN max order date
+    (the `freshness_report` convention — never wall-clock now(), which
+    would make the result nondeterministic). The receivables /
+    fulfillment-backlog table: an 'O' book skewing into 365+ is stuck
+    inventory.
+
+    Ages are integer day differences of wall-clock DATEs (tz-free);
+    bucket cuts are integer compares; value is exact cents. One
+    conditional hash agg on (status, bucket)."""
+    d = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
+    anchor = F.broadcast(orders.agg(
+        F.max(F.expr("unix_date(CAST(o_orderdate AS DATE))"))
+        .cast("long").alias("__mx")))
+    base = (orders.select(F.col("o_orderstatus").alias("status"),
+                          d.alias("__d"),
+                          F.round(F.col("o_totalprice") * 100)
+                          .cast("long").alias("__v"))
+            .crossJoin(anchor)
+            .withColumn("__age", F.col("__mx") - F.col("__d")))
+    bucket = (F.when(F.col("__age") <= 30, F.lit("000-030"))
+              .when(F.col("__age") <= 90, F.lit("031-090"))
+              .when(F.col("__age") <= 365, F.lit("091-365"))
+              .otherwise(F.lit("365+")))
+    per = (base.groupBy("status", bucket.alias("age_bucket"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("__v").cast("long").alias("value_cents"),
+                F.min("__age").cast("long").alias("min_age_days"),
+                F.max("__age").cast("long").alias("max_age_days")))
+    tot = F.broadcast(per.agg(F.sum("n_orders").alias("__tn")))
+    return (per.crossJoin(tot)
+            .select("status", "age_bucket", "n_orders", "value_cents",
+                    "min_age_days", "max_age_days",
+                    F.round(F.col("n_orders").cast("double")
+                            / F.col("__tn").cast("double"), round_dp)
+                    .alias("share")))

@@ -5257,3 +5257,30 @@ def test_markov_stationary_two_state_chain(spark):
     for st in ("a", "b"):
         assert abs(out[st].empirical_share
                    - round(counts[st] / n_events, 6)) < 1e-12
+
+
+def test_order_aging_buckets_boundaries(spark):
+    """Orders planted exactly on the 30/31 and 365/366 day boundaries
+    relative to the data's max date land in the right buckets; shares
+    sum to 1."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import order_aging
+
+    mx = datetime(1998, 8, 1)
+    rows = [("O", mx, 100.0),
+            ("O", mx - timedelta(days=30), 50.0),
+            ("F", mx - timedelta(days=31), 25.0),
+            ("F", mx - timedelta(days=365), 10.0),
+            ("P", mx - timedelta(days=366), 5.0)]
+    df = spark.createDataFrame(
+        rows, "o_orderstatus string, o_orderdate timestamp,"
+              " o_totalprice double")
+    out = {(r.status, r.age_bucket): r for r in order_aging(df).collect()}
+
+    assert out[("O", "000-030")].n_orders == 2
+    assert out[("O", "000-030")].value_cents == 15000
+    assert out[("F", "031-090")].n_orders == 1
+    assert out[("F", "091-365")].min_age_days == 365
+    assert out[("P", "365+")].max_age_days == 366
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-9
