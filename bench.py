@@ -137,6 +137,7 @@ HEADLINE = [
     "customer360_snapshot",
     "markov_stationary_events",
     "order_aging_buckets",
+    "segment_order_quartiles",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

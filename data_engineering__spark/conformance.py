@@ -2354,6 +2354,7 @@ DRIVER_PRIORITY = [
     "customer360_snapshot",
     "markov_stationary_events",
     "order_aging_buckets",
+    "segment_order_quartiles",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11937,3 +11938,37 @@ def order_aging_buckets(spark, sf_dir):
     integer day ages, exact cents, one conditional hash agg."""
     from .operators.analytics import order_aging
     return order_aging(read_table(spark, sf_dir, "orders"))
+
+
+@query("segment_order_quartiles", oracle=_mat("""
+WITH base AS (
+  SELECT c.c_mktsegment AS g,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+hist AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g)
+SELECT cum.g AS c_mktsegment, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 1 THEN v END) AS BIGINT) AS q1,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 2 THEN v END) AS BIGINT) AS q2,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 3 THEN v END) AS BIGINT) AS q3,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 3 THEN v END)
+            - MIN(CASE WHEN cm * 4 >= n * 1 THEN v END) AS BIGINT)
+         AS iqr
+FROM cum JOIN tot ON tot.g = cum.g
+GROUP BY cum.g"""))
+def segment_order_quartiles(spark, sf_dir):
+    """EXT R268 (round 6): exact per-segment order-value quartiles —
+    k-th-smallest-at-⌈n·p⌉ over per-segment value histograms, zero
+    floats, windows only over distinct values."""
+    from .operators.analytics import group_quartiles
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return group_quartiles(j, "c_mktsegment",
+                           F.round(F.col("o_totalprice") * 100)
+                           .cast("long"))

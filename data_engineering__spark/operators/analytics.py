@@ -4088,3 +4088,39 @@ def order_aging(orders: DataFrame, round_dp: int = 6) -> DataFrame:
                     F.round(F.col("n_orders").cast("double")
                             / F.col("__tn").cast("double"), round_dp)
                     .alias("share")))
+
+
+def group_quartiles(df: DataFrame, group_col: str, value_long,
+                    out_prefix: str = "q") -> DataFrame:
+    """EXT (round 6): EXACT per-group quartiles — q1/median/q3 (the
+    k-th smallest at k = ⌈n·p⌉, the `_quantile_bounds` integer rule)
+    for every group in one pass, plus n and the IQR. `exact_quantiles`
+    answers the global question and R226 the two-arm one; this is the
+    per-segment operating table (and the IQR feeds outlier fences).
+
+    Zero floats: per-group value histogram, cumulative window over
+    DISTINCT values only, quartile i = MIN(v | cum·4 ≥ n·i) — integer
+    comparisons end to end. Scale: one hash agg to the (group, value)
+    histogram, windows partitioned per group over its distinct values,
+    one conditional-min rollup."""
+    base = df.select(F.col(group_col).alias("__g"),
+                     value_long.cast("long").alias("__v"))
+    hist = base.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    w = (Window.partitionBy("__g").orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = (base.select(F.col("__g").alias("__gt"))
+           .groupBy("__gt").agg(F.count(F.lit(1)).alias("__n")))
+    j = cum.join(F.broadcast(tot), F.col("__g") == F.col("__gt"))
+    qcol = lambda i: F.min(  # noqa: E731
+        F.when(F.col("__cum") * 4 >= F.col("__n") * i, F.col("__v")))
+    out = j.groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n"),
+        qcol(1).cast("long").alias(f"{out_prefix}1"),
+        qcol(2).cast("long").alias(f"{out_prefix}2"),
+        qcol(3).cast("long").alias(f"{out_prefix}3"))
+    return out.select(
+        F.col("__g").alias(group_col), "n",
+        f"{out_prefix}1", f"{out_prefix}2", f"{out_prefix}3",
+        (F.col(f"{out_prefix}3") - F.col(f"{out_prefix}1")).cast("long")
+        .alias("iqr"))

@@ -5284,3 +5284,34 @@ def test_order_aging_buckets_boundaries(spark):
     assert out[("F", "091-365")].min_age_days == 365
     assert out[("P", "365+")].max_age_days == 366
     assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-9
+
+
+def test_group_quartiles_vs_numpy_rule(spark):
+    """Quartiles follow the k-th-smallest-at-ceil(n*p) rule exactly:
+    checked against a brute sorted-list replay on two groups (one with
+    heavy ties, one 1-element group where q1=q2=q3)."""
+    import math
+
+    from data_engineering__spark.operators.analytics import (
+        group_quartiles,
+    )
+    from pyspark.sql import functions as F
+
+    ga = [5, 1, 3, 3, 3, 9, 7, 7]
+    gb = [42]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in group_quartiles(
+        df, "g", F.col("v")).collect()}
+
+    def kth(vals, p):
+        s = sorted(vals)
+        return s[math.ceil(len(s) * p) - 1]
+
+    ra = out["a"]
+    assert ra.n == 8
+    assert (ra.q1, ra.q2, ra.q3) == (kth(ga, .25), kth(ga, .5),
+                                     kth(ga, .75))
+    assert ra.iqr == ra.q3 - ra.q1
+    rb = out["b"]
+    assert (rb.q1, rb.q2, rb.q3, rb.iqr) == (42, 42, 42, 0)
