@@ -138,6 +138,7 @@ HEADLINE = [
     "markov_stationary_events",
     "order_aging_buckets",
     "segment_order_quartiles",
+    "slo_burn_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2355,6 +2355,7 @@ DRIVER_PRIORITY = [
     "markov_stationary_events",
     "order_aging_buckets",
     "segment_order_quartiles",
+    "slo_burn_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -11972,3 +11973,47 @@ def segment_order_quartiles(spark, sf_dir):
     return group_quartiles(j, "c_mktsegment",
                            F.round(F.col("o_totalprice") * 100)
                            .cast("long"))
+
+
+@query("slo_burn_events", oracle=_mat("""
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         CAST(ROUND(value * 1000) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+hist AS (SELECT g, d, v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2, 3),
+cum AS (
+  SELECT g, d, v, SUM(c) OVER (PARTITION BY g, d ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist),
+tot AS (SELECT g, d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM base GROUP BY 1, 2),
+p95 AS (
+  SELECT cum.g, cum.d,
+         CAST(MIN(CASE WHEN cm * 20 >= n * 19 THEN v END) AS BIGINT)
+           AS p
+  FROM cum JOIN tot ON tot.g = cum.g AND tot.d = cum.d
+  GROUP BY 1, 2),
+per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CASE WHEN p > 450000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS days_violating,
+         MAX({'p': p, 'nd': -d}) AS w
+  FROM p95 GROUP BY g)
+SELECT g AS event_type, n_days, days_violating,
+       ROUND(CAST(days_violating AS DOUBLE) / CAST(n_days AS DOUBLE),
+             6) AS violation_rate,
+       CAST(-(w.nd) AS BIGINT) AS worst_day,
+       CAST(w.p AS BIGINT) AS worst_p95
+FROM per"""))
+def slo_burn_events(spark, sf_dir):
+    """EXT R269 (round 6): SLO burn — per event type, the share of
+    days whose exact daily p95 of value-ms breached 450000, plus the
+    worst day (struct-max, p95 desc / day asc); integer-only quantile
+    and selection machinery."""
+    from .operators.analytics import slo_burn
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull())
+    return slo_burn(ev, F.round(F.col("value") * 1000).cast("long"),
+                    450_000)

@@ -4124,3 +4124,51 @@ def group_quartiles(df: DataFrame, group_col: str, value_long,
         f"{out_prefix}1", f"{out_prefix}2", f"{out_prefix}3",
         (F.col(f"{out_prefix}3") - F.col(f"{out_prefix}1")).cast("long")
         .alias("iqr"))
+
+
+def slo_burn(events: DataFrame, value_long, threshold: int,
+             type_col: str = "event_type", ts_col: str = "ts",
+             round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): SLO burn report — per series, the share of days
+    whose EXACT daily p95 of a latency proxy breached the objective,
+    plus the worst day. The ops twin of the quantile family: SLOs are
+    stated on percentiles per window, so the primitive is "exact p95
+    per (series, day)", then a calendar-sized rollup.
+
+    Daily p95 is the k-th smallest at ⌈n·0.95⌉ via the per-(series,
+    day) value histogram (integer-only, the R268 device: cum·20 ≥
+    n·19). Breach and worst-day selection are integer comparisons; the
+    worst day is a struct-max (p95 desc, day asc on ties). Scale: one
+    histogram agg, windows over per-day distinct values, a day-count
+    rollup."""
+    day = F.expr(f"unix_date(CAST({ts_col} AS DATE))").cast("long")
+    base = events.select(F.col(type_col).alias("__g"),
+                         day.alias("__d"),
+                         value_long.cast("long").alias("__v"))
+    hist = (base.groupBy("__g", "__d", "__v")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    w = (Window.partitionBy("__g", "__d").orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = (base.select(F.col("__g").alias("__gt"),
+                       F.col("__d").alias("__dt"))
+           .groupBy("__gt", "__dt").agg(F.count(F.lit(1)).alias("__n")))
+    p95 = (cum.join(tot, (F.col("__g") == F.col("__gt"))
+                    & (F.col("__d") == F.col("__dt")))
+           .groupBy("__g", "__d")
+           .agg(F.min(F.when(F.col("__cum") * 20 >= F.col("__n") * 19,
+                             F.col("__v"))).cast("long").alias("__p95")))
+    worst = F.max(F.struct(F.col("__p95").alias("p"),
+                           (-F.col("__d")).alias("nd")))
+    per = p95.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("__p95") > threshold, 1).otherwise(0))
+         .cast("long").alias("days_violating"),
+        worst.alias("__w"))
+    return per.select(
+        F.col("__g").alias(type_col), "n_days", "days_violating",
+        F.round(F.col("days_violating").cast("double")
+                / F.col("n_days").cast("double"), round_dp)
+        .alias("violation_rate"),
+        (-F.col("__w.nd")).cast("long").alias("worst_day"),
+        F.col("__w.p").alias("worst_p95"))

@@ -5315,3 +5315,32 @@ def test_group_quartiles_vs_numpy_rule(spark):
     assert ra.iqr == ra.q3 - ra.q1
     rb = out["b"]
     assert (rb.q1, rb.q2, rb.q3, rb.iqr) == (42, 42, 42, 0)
+
+
+def test_slo_burn_daily_p95_and_worst_day(spark):
+    """Two days for one series: day 1 has 20 values with the 19th
+    smallest = 90 (p95 = 90, no breach at 100); day 2 has one value
+    at 500 (p95 = 500, breach). Worst day = day 2; a p95 tie between
+    days resolves to the EARLIER day (struct-max with -day)."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import slo_burn
+    from pyspark.sql import functions as F
+
+    b = datetime(2024, 1, 1)
+    rows = [("api", b, float(v)) for v in range(10, 110, 5)]  # 20 vals
+    rows += [("api", b + timedelta(days=1), 500.0)]
+    rows += [("web", b, 500.0), ("web", b + timedelta(days=1), 500.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp,"
+                                     " value double")
+    out = {r.event_type: r for r in slo_burn(
+        df, F.round(F.col("value")).cast("long"), 100).collect()}
+
+    d0 = int(b.timestamp()) // 86400
+    api = out["api"]
+    # day1 values 10..105 step5; k = ceil(20*.95)=19 -> 19th = 100
+    assert (api.n_days, api.days_violating) == (2, 1)
+    assert api.worst_day == d0 + 1 and api.worst_p95 == 500
+    web = out["web"]
+    assert (web.n_days, web.days_violating) == (2, 2)
+    assert web.worst_day == d0  # tie at 500 -> earlier day
