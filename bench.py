@@ -139,6 +139,7 @@ HEADLINE = [
     "order_aging_buckets",
     "segment_order_quartiles",
     "slo_burn_events",
+    "rollup_share_parent",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

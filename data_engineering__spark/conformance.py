@@ -2356,6 +2356,7 @@ DRIVER_PRIORITY = [
     "order_aging_buckets",
     "segment_order_quartiles",
     "slo_burn_events",
+    "rollup_share_parent",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12017,3 +12018,41 @@ def slo_burn_events(spark, sf_dir):
         .filter(F.col("value").isNotNull())
     return slo_burn(ev, F.round(F.col("value") * 1000).cast("long"),
                     450_000)
+
+
+@query("rollup_share_parent", oracle=_mat("""
+WITH j AS (
+  SELECT r.r_name, n.n_name,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey),
+nat AS (SELECT r_name, n_name, CAST(SUM(v) AS BIGINT) AS rev
+        FROM j GROUP BY 1, 2),
+reg AS (SELECT r_name, CAST(SUM(v) AS BIGINT) AS rev
+        FROM j GROUP BY 1),
+tot AS (SELECT CAST(SUM(v) AS BIGINT) AS rev FROM j)
+SELECT r_name, CAST(NULL AS VARCHAR) AS n_name, reg.rev,
+       ROUND(CAST(reg.rev AS DOUBLE) / CAST(tot.rev AS DOUBLE), 6)
+         AS share_of_parent
+FROM reg CROSS JOIN tot
+UNION ALL
+SELECT nat.r_name, nat.n_name, nat.rev,
+       ROUND(CAST(nat.rev AS DOUBLE) / CAST(reg.rev AS DOUBLE), 6)
+FROM nat JOIN reg ON reg.r_name = nat.r_name
+UNION ALL
+SELECT NULL, NULL, rev, 1.0 FROM tot"""))
+def rollup_share_parent(spark, sf_dir):
+    """EXT R270 (round 6): hierarchical share-of-parent — revenue at
+    grand/region/nation grain from ONE ROLLUP pass (grouping_id
+    splits the levels), each level re-joined to its parent total for
+    the drill-down share; exact cents, one division per row."""
+    from .operators.analytics import share_of_parent
+    return share_of_parent(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"))

@@ -4172,3 +4172,54 @@ def slo_burn(events: DataFrame, value_long, threshold: int,
         .alias("violation_rate"),
         (-F.col("__w.nd")).cast("long").alias("worst_day"),
         F.col("__w.p").alias("worst_p95"))
+
+
+def share_of_parent(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, nation: DataFrame,
+                    region: DataFrame, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): hierarchical share-of-parent rollup — revenue by
+    (region, nation) where every nation row carries its share of its
+    REGION and every region row its share of the GRAND TOTAL. The
+    standard drill-down readout ROLLUP alone doesn't give (ROLLUP
+    emits the levels; the shares need the parent join back).
+
+    Levels come from one ROLLUP pass (grouping_id distinguishes
+    grain); parent totals re-join by key — region rows join the grand
+    total, nation rows their region row. All revenue is exact cents;
+    each share is one division. Scale: one rollup agg over the join,
+    then grid-sized self-joins of the level table."""
+    j = (lineitem
+         .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+         .join(customer, orders["o_custkey"] == customer["c_custkey"])
+         .join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+         .join(region, nation["n_regionkey"] == region["r_regionkey"]))
+    lv = (j.rollup("r_name", "n_name")
+          .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                     .cast("long")).cast("long").alias("rev"),
+               F.grouping_id().alias("__gid"))
+          .localCheckpoint())
+    grand = (lv.filter(F.col("__gid") == 3)
+             .select(F.col("rev").alias("__g_rev")))
+    regions = (lv.filter(F.col("__gid") == 1)
+               .select(F.col("r_name").alias("__pr"),
+                       F.col("rev").alias("__p_rev")))
+    reg_rows = (lv.filter(F.col("__gid") == 1).crossJoin(
+        F.broadcast(grand))
+        .select(F.col("r_name"), F.lit(None).cast("string")
+                .alias("n_name"), F.col("rev"),
+                F.round(F.col("rev").cast("double")
+                        / F.col("__g_rev").cast("double"), round_dp)
+                .alias("share_of_parent")))
+    nat_rows = (lv.filter(F.col("__gid") == 0)
+                .join(F.broadcast(regions),
+                      F.col("r_name") == F.col("__pr"))
+                .select("r_name", "n_name", "rev",
+                        F.round(F.col("rev").cast("double")
+                                / F.col("__p_rev").cast("double"),
+                                round_dp).alias("share_of_parent")))
+    total_row = (grand.select(
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.col("__g_rev").alias("rev"),
+        F.lit(1.0).alias("share_of_parent")))
+    return reg_rows.unionByName(nat_rows).unionByName(total_row)

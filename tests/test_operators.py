@@ -5344,3 +5344,36 @@ def test_slo_burn_daily_p95_and_worst_day(spark):
     web = out["web"]
     assert (web.n_days, web.days_violating) == (2, 2)
     assert web.worst_day == d0  # tie at 500 -> earlier day
+
+
+def test_share_of_parent_hierarchy(spark):
+    """Two regions / three nations with hand revenues: nation shares
+    divide by their region, region shares by the grand total, the
+    grand row is exactly 1.0, and within-region shares sum to 1."""
+    from data_engineering__spark.operators.analytics import (
+        share_of_parent,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 60.0)],
+        "l_orderkey long, l_extendedprice double")
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "o_orderkey long, o_custkey long")
+    cust = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "c_custkey long, c_nationkey long")
+    nat = spark.createDataFrame(
+        [(1, "FR", 1), (2, "DE", 1), (3, "US", 2)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    reg = spark.createDataFrame(
+        [(1, "EUROPE"), (2, "AMERICA")],
+        "r_regionkey long, r_name string")
+    rows = share_of_parent(li, orders, cust, nat, reg).collect()
+    by = {(r.r_name, r.n_name): r for r in rows}
+
+    assert by[(None, None)].share_of_parent == 1.0
+    assert by[(None, None)].rev == 10000
+    assert by[("EUROPE", None)].share_of_parent == 0.4
+    assert by[("AMERICA", None)].share_of_parent == 0.6
+    assert by[("EUROPE", "FR")].share_of_parent == 0.25
+    assert by[("EUROPE", "DE")].share_of_parent == 0.75
+    assert by[("AMERICA", "US")].share_of_parent == 1.0
