@@ -140,6 +140,7 @@ HEADLINE = [
     "segment_order_quartiles",
     "slo_burn_events",
     "rollup_share_parent",
+    "ivf_nprobe_curve_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

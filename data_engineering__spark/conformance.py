@@ -2357,6 +2357,7 @@ DRIVER_PRIORITY = [
     "segment_order_quartiles",
     "slo_burn_events",
     "rollup_share_parent",
+    "ivf_nprobe_curve_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12056,3 +12057,81 @@ def rollup_share_parent(spark, sf_dir):
         read_table(spark, sf_dir, "customer"),
         read_table(spark, sf_dir, "nation"),
         read_table(spark, sf_dir, "region"))
+
+
+def _ivf_nprobe_curve_oracle_sql(k: int = 10, k_cells: int = 8,
+                                 n_iter: int = 2, dim: int = 64) -> str:
+    ctes = _kmeans_train_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        k=k_cells, n_iter=n_iter, dim=dim)
+    fin = f"c{n_iter}"
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {cte_block},
+q AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id % 100 = 0),
+cellrank AS (
+  SELECT qid, cell,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY d2 ASC, cell ASC) AS crk
+  FROM (SELECT q.qid, c.cell,
+               {_l2sq_chain("q.qv", "c.cvec", dim)} AS d2
+        FROM q CROSS JOIN {fin} c) z),
+pairs AS (
+  SELECT q.qid, e.vec_id AS id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+         cr.crk
+  FROM ev e
+  JOIN af ON af.vec_id = e.vec_id
+  CROSS JOIN q
+  JOIN cellrank cr ON cr.qid = q.qid AND cr.cell = af.cell),
+truth AS (
+  SELECT qid, id FROM (
+    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(cos, 6) DESC, id ASC) AS rn
+    FROM pairs) t WHERE rn <= {k}),
+nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+sub AS (
+  SELECT p.qid, p.id, p.cos, nps.nprobe
+  FROM pairs p CROSS JOIN nps WHERE p.crk <= nps.nprobe),
+topk AS (
+  SELECT qid, nprobe, id FROM (
+    SELECT qid, nprobe, id,
+           ROW_NUMBER() OVER (PARTITION BY qid, nprobe
+             ORDER BY ROUND(cos, 6) DESC, id ASC) AS rn
+    FROM sub) t WHERE rn <= {k}),
+scanned AS (SELECT qid, nprobe, CAST(COUNT(*) AS BIGINT) AS nsub
+            FROM sub GROUP BY 1, 2),
+hits AS (
+  SELECT t.qid, t.nprobe,
+         CAST(SUM(CASE WHEN tr.id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS h
+  FROM topk t LEFT JOIN truth tr ON tr.qid = t.qid AND tr.id = t.id
+  GROUP BY 1, 2),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+perq AS (
+  SELECT s.nprobe, h.h * 1000000 // {k} AS rm,
+         s.nsub * 1000000 // nn.n AS fm
+  FROM scanned s
+  JOIN hits h ON h.qid = s.qid AND h.nprobe = s.nprobe
+  CROSS JOIN nn)
+SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(rm) // COUNT(*) AS DOUBLE) / 1000000.0 AS mean_recall,
+       CAST(SUM(fm) // COUNT(*) AS DOUBLE) / 1000000.0
+         AS mean_scan_frac
+FROM perq GROUP BY nprobe"""
+
+
+@query("ivf_nprobe_curve_embeddings",
+       oracle=_mat(_ivf_nprobe_curve_oracle_sql()))
+def ivf_nprobe_curve_embeddings(spark, sf_dir):
+    """EXT R271 (round 6): IVF recall-vs-nprobe tuning curve — mean
+    recall@10 and mean corpus-scan fraction at nprobe 1/2/4 over the
+    trained 8-cell index (full training loop oracle-replicated), with
+    one brute-force grid serving as both ground truth and in-cell
+    scores; R255 integer means."""
+    from .operators.vector import ivf_nprobe_curve
+    e = read_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0)
+    return ivf_nprobe_curve(e, qs)

@@ -1070,3 +1070,92 @@ def kmeans_label_quality(df: DataFrame, k: int = 8, n_iter: int = 2,
                                    / (F.col("__hc") + F.col("__hl")))
                             .otherwise(F.lit(0.0)), round_dp)
                     .alias("nmi")))
+
+
+def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
+                     nprobes: tuple = (1, 2, 4), k: int = 10,
+                     k_cells: int = 8, n_iter: int = 2, dim: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """EXT (round 6): IVF recall-vs-nprobe tuning curve — for each
+    probe budget, mean recall@k of the trained-IVF search against
+    brute-force truth AND the mean fraction of the corpus scanned.
+    This is the table an ANN deployment is tuned from: pick the
+    smallest nprobe whose recall clears the product bar; `ivf_topk`
+    answers one query at one setting, this sweeps the dial.
+
+    One brute-force pass serves double duty: the (query, candidate)
+    cosine grid is both the ground truth AND the scores re-ranked
+    inside each probe subset, so the sweep adds no second scoring
+    pass. Cells rank per query by exact L2 to the trained centroids
+    (cell-id ties ascending); subset membership is `cellrank ≤
+    nprobe`. Recall and scan fraction are integer micro-units with
+    integer-DIV means (the R255 discipline).
+
+    Scale: the grid is |queries|·|corpus| — queries are a sample by
+    contract; everything after is windowed per (query, nprobe)."""
+    cents = kmeans_fit(candidates, k=k_cells, n_iter=n_iter,
+                       id_col=id_col, vec_col=vec_col, dim=dim)
+    rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
+                  for r in cents.select("cell", "cvec").collect())
+    centroids = candidates.sparkSession.createDataFrame(
+        rows, "cell long, cvec array<double>")
+    assign = kmeans_assign(candidates, centroids, id_col, vec_col)
+    n_corpus = candidates.count()
+    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
+                                   as_double_array(vec_col)
+                                   .alias("__q")))
+    cellrank = (q.crossJoin(F.broadcast(centroids))
+                .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
+                .withColumn("__crk", F.row_number().over(
+                    Window.partitionBy("__qid")
+                    .orderBy(F.col("__d2").asc(), F.col("cell").asc())))
+                .select(F.col("__qid").alias("__cq"), F.col("cell")
+                        .alias("__cc"), "__crk"))
+    pairs = (candidates.select(F.col(id_col).alias("__id"),
+                               as_double_array(vec_col).alias("__v"))
+             .join(assign.select(F.col(id_col).alias("__id"),
+                                 F.col("cell")), "__id")
+             .crossJoin(q)
+             .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
+                         / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+             .join(F.broadcast(cellrank),
+                   (F.col("__qid") == F.col("__cq"))
+                   & (F.col("cell") == F.col("__cc")))
+             .select("__qid", "__id", "__cos", "__crk")
+             .localCheckpoint())
+    wt = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
+    truth = (pairs.withColumn("__rn", F.row_number().over(wt))
+             .filter(F.col("__rn") <= k)
+             .select(F.col("__qid").alias("__tq"),
+                     F.col("__id").alias("__ti"),
+                     F.lit(1).alias("__hit")))
+    nps = candidates.sparkSession.createDataFrame(
+        [(int(n),) for n in nprobes], "nprobe long")
+    sub = pairs.crossJoin(F.broadcast(nps)) \
+               .filter(F.col("__crk") <= F.col("nprobe"))
+    wk = Window.partitionBy("__qid", "nprobe").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
+    topk = (sub.withColumn("__rn", F.row_number().over(wk))
+            .filter(F.col("__rn") <= k))
+    scanned = (sub.groupBy("__qid", "nprobe")
+               .agg(F.count(F.lit(1)).alias("__nsub")))
+    hits = (topk.join(truth, (F.col("__qid") == F.col("__tq"))
+                      & (F.col("__id") == F.col("__ti")), "left")
+            .groupBy(F.col("__qid").alias("__hq"),
+                     F.col("nprobe").alias("__hn"))
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .alias("__hits")))
+    per_q = (scanned.join(hits, (F.col("__qid") == F.col("__hq"))
+                          & (F.col("nprobe") == F.col("__hn")))
+             .select("nprobe",
+                     F.expr(f"__hits * 1000000 DIV {k}").alias("__rm"),
+                     F.expr(f"__nsub * 1000000 DIV {n_corpus}")
+                     .alias("__fm")))
+    return (per_q.groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                 (F.expr("SUM(__rm) DIV COUNT(*)").cast("double")
+                  / F.lit(1e6)).alias("mean_recall"),
+                 (F.expr("SUM(__fm) DIV COUNT(*)").cast("double")
+                  / F.lit(1e6)).alias("mean_scan_frac")))

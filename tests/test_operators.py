@@ -5377,3 +5377,29 @@ def test_share_of_parent_hierarchy(spark):
     assert by[("EUROPE", "FR")].share_of_parent == 0.25
     assert by[("EUROPE", "DE")].share_of_parent == 0.75
     assert by[("AMERICA", "US")].share_of_parent == 1.0
+
+
+def test_ivf_nprobe_curve_monotone_and_full_probe(spark):
+    """Tiny 2-cell corpus: probing ALL cells recovers brute force
+    exactly (recall 1, scan fraction 1); recall and scan fraction are
+    non-decreasing in nprobe."""
+    from data_engineering__spark.operators.vector import (
+        ivf_nprobe_curve,
+    )
+
+    rows = []
+    for i in range(12):
+        base = [20.0, 0.0] if i % 2 == 0 else [0.0, 20.0]
+        rows.append((i, [base[0] + (i % 5) * 0.1,
+                         base[1] + (i % 7) * 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.filter("vec_id IN (0, 1)")
+    out = {r.nprobe: r for r in ivf_nprobe_curve(
+        df, qs, nprobes=(1, 2), k=3, k_cells=2, n_iter=2,
+        dim=2).collect()}
+
+    assert out[2].mean_recall == 1.0
+    assert out[2].mean_scan_frac == 1.0
+    assert out[1].mean_recall <= out[2].mean_recall
+    assert out[1].mean_scan_frac < out[2].mean_scan_frac
+    assert out[1].n_queries == 2
