@@ -264,3 +264,35 @@ def stream_stream_semi_join(left: DataFrame, right: DataFrame,
         & (F.col("r.ts") >= F.col("l.ts"))
         & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
         "leftSemi")
+
+
+def chained_tumbling(events: DataFrame, width: str = "10 minutes",
+                     outer: str = "1 hour",
+                     watermark: str = "0 seconds") -> DataFrame:
+    """ST EXT (round 6): CHAINED stateful aggregations — a tumbling
+    per-(window, type) count re-aggregated into coarser per-hour cells
+    (cell count, event total, hottest cell), exercising Spark 4's
+    multiple-stateful-operators-in-append support. The rollup a
+    metrics pipeline wants ("store minute grain, serve hour grain")
+    without a second job.
+
+    Semantics to know before using: append mode is REQUIRED (complete
+    is unsupported for chained state), and a first-level window only
+    flows downstream once the watermark passes its end — so a
+    single-batch availableNow run emits NOTHING (the watermark
+    advances after the only batch; measured, not guessed). Feed it a
+    multi-batch source; the emitted hour set is exactly the hours
+    whose end ≤ the last watermark that had a batch behind it — the
+    pytest pins that contract against the batch equivalent."""
+    first = (events.withWatermark("ts", watermark)
+             .groupBy(F.window("ts", width).alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    # NO second withWatermark: re-windowing the window STRUCT is the
+    # supported chained-stateful form — the event-time column and its
+    # watermark propagate through the first aggregate automatically
+    # (a fresh withWatermark on a derived column stalls at -inf and
+    # the second level never emits; measured)
+    return (first.groupBy(F.window(F.col("w"), outer).alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("cnt").cast("long").alias("n_events"),
+                 F.max("cnt").cast("long").alias("max_cell")))
