@@ -141,6 +141,7 @@ HEADLINE = [
     "slo_burn_events",
     "rollup_share_parent",
     "ivf_nprobe_curve_embeddings",
+    "tpch_q3_shaped",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

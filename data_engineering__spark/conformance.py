@@ -2358,6 +2358,7 @@ DRIVER_PRIORITY = [
     "slo_burn_events",
     "rollup_share_parent",
     "ivf_nprobe_curve_embeddings",
+    "tpch_q3_shaped",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12135,3 +12136,51 @@ def ivf_nprobe_curve_embeddings(spark, sf_dir):
     e = read_table(spark, sf_dir, "embeddings")
     qs = e.filter(F.col("vec_id") % 100 == 0)
     return ivf_nprobe_curve(e, qs)
+
+
+@query("tpch_q3_shaped", oracle=_mat("""
+SELECT l.l_orderkey,
+       CAST(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100))
+            AS BIGINT) AS revenue_cents,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10"""))
+def tpch_q3_shaped(spark, sf_dir):
+    """EXT R273 (round 6): TPC-H Q3-shaped shipping-priority query —
+    unshipped BUILDING-segment orders placed before the cut whose
+    lines ship after it, top 10 by discounted revenue (exact per-line
+    invoice cents; (revenue desc, date asc, orderkey asc) total
+    order). The classic 3-table join + agg + top-k benchmark shape:
+    segment filter pushes to the customer scan, the date filters to
+    their scans, and the top-k is a TakeOrderedAndProject, never a
+    full sort.
+
+    Reference parity note: the reference's analytics queries
+    (database and queries aupostgres.sql:102-154) are this same
+    join-aggregate-order family; Q3 is the canonical industry form."""
+    c = read_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15"))
+    li = read_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1998-03-15"))
+    rev = F.round(F.col("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey",
+                     F.col("o_orderdate").cast("date")
+                     .alias("o_orderdate"))
+            .agg(F.sum(rev).cast("long").alias("revenue_cents"))
+            .select("l_orderkey", "revenue_cents", "o_orderdate")
+            .orderBy(F.col("revenue_cents").desc(),
+                     F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))

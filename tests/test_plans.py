@@ -470,3 +470,17 @@ def test_param_sql_binds_literals_for_pushdown(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "150000" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_q3_plan_pushdown_and_takeordered(spark, sf_dir):
+    """The Q3 shape must keep its three scan-level filters pushed
+    (segment, order date, ship date), broadcast the dimension sides,
+    and resolve the top-10 with TakeOrderedAndProject — never a global
+    sort."""
+    p = plan_of(QUERIES["tpch_q3_shaped"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate," in p
+    # Catalyst rewrites CAST(ts AS DATE) > d to ts >= d+1 at the scan
+    assert "GreaterThanOrEqual(l_shipdate,1998-03-16" in p
+    assert "BroadcastHashJoin" in p
