@@ -142,6 +142,7 @@ HEADLINE = [
     "rollup_share_parent",
     "ivf_nprobe_curve_embeddings",
     "tpch_q3_shaped",
+    "nearest_error_join",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2359,6 +2359,7 @@ DRIVER_PRIORITY = [
     "rollup_share_parent",
     "ivf_nprobe_curve_embeddings",
     "tpch_q3_shaped",
+    "nearest_error_join",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12184,3 +12185,34 @@ def tpch_q3_shaped(spark, sf_dir):
                      F.col("o_orderdate").asc(),
                      F.col("l_orderkey").asc())
             .limit(10))
+
+
+@query("nearest_error_join", oracle=_mat("""
+WITH l AS (
+  SELECT user_id AS k, event_id AS lid,
+         epoch_us(ts) // 1000000 AS lt
+  FROM events WHERE event_type <> 'error'),
+r AS (
+  SELECT user_id AS rk, event_id AS rid,
+         epoch_us(ts) // 1000000 AS rt
+  FROM events WHERE event_type = 'error'),
+best AS (
+  SELECT lid AS bl, MIN({'ad': ABS(rt - lt), 'rt': rt, 'ri': rid}) AS b
+  FROM l JOIN r ON r.rk = l.k AND ABS(rt - lt) <= 86400
+  GROUP BY lid)
+SELECT l.k AS user_id, l.lid AS event_id,
+       CAST(b.ri AS BIGINT) AS nearest_id,
+       CAST(b.rt - l.lt AS BIGINT) AS delta_s
+FROM l LEFT JOIN best ON best.bl = l.lid"""))
+def nearest_error_join(spark, sf_dir):
+    """EXT R274 (round 6): nearest-error attribution join — for every
+    non-error event, the same user's error with the smallest |Δt|
+    within ±24h, either direction (the as-of join only looks back);
+    struct-min selection (|Δt|, earlier, lower id), horizon-bounded
+    range join, unmatched lefts kept with NULLs."""
+    from .operators.temporal import nearest_join
+    ev = read_table(spark, sf_dir, "events")
+    return nearest_join(ev.filter(F.col("event_type") != "error"),
+                        ev.filter(F.col("event_type") == "error"),
+                        "user_id", "event_id", "event_id", "ts",
+                        86_400)

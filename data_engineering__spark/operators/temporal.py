@@ -782,3 +782,39 @@ def seasonality_strength(df: DataFrame, ts_col: str, group_col: str,
                     .alias("strength"),
                     "peak_hod", "peak_mean", "trough_hod",
                     "trough_mean"))
+
+
+def nearest_join(left: DataFrame, right: DataFrame, key_col: str,
+                 lid_col: str, rid_col: str, ts_col: str,
+                 horizon_s: int) -> DataFrame:
+    """EXT (round 6): NEAREST-event join — for each left event, the
+    right event of the same key with the smallest |Δt| within
+    ±``horizon_s``, ties to the EARLIER right then lower id. The as-of
+    join (J7) is strictly backward-looking; incident attribution wants
+    "the closest error around this action, either side" — past-only
+    joins systematically miss the error that fires milliseconds after.
+
+    Left rows with no right in the horizon survive with NULLs (left
+    semantics). Selection is a struct-min over (|Δt|, right ts, right
+    id) — one aggregation, no window. Scale: the candidate join is a
+    per-key range join bounded by the horizon (never all-pairs);
+    integer-second arithmetic end to end."""
+    lts = F.unix_timestamp(F.col(ts_col))
+    la = left.select(F.col(key_col).alias("__k"),
+                     F.col(lid_col).alias("__lid"), lts.alias("__lt"))
+    ra = right.select(F.col(key_col).alias("__rk"),
+                      F.col(rid_col).alias("__rid"), lts.alias("__rt"))
+    j = la.join(ra, (F.col("__k") == F.col("__rk"))
+                & (F.abs(F.col("__rt") - F.col("__lt"))
+                   <= F.lit(horizon_s)))
+    best = (j.groupBy(F.col("__lid").alias("__bl"))
+            .agg(F.min(F.struct(
+                F.abs(F.col("__rt") - F.col("__lt")).alias("ad"),
+                F.col("__rt").alias("rt"),
+                F.col("__rid").alias("ri"))).alias("__b")))
+    return (la.join(best, F.col("__lid") == F.col("__bl"), "left")
+            .select(F.col("__k").alias(key_col),
+                    F.col("__lid").alias(lid_col),
+                    F.col("__b.ri").alias("nearest_id"),
+                    (F.col("__b.rt") - F.col("__lt")).cast("long")
+                    .alias("delta_s")))

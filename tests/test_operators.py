@@ -5403,3 +5403,32 @@ def test_ivf_nprobe_curve_monotone_and_full_probe(spark):
     assert out[1].mean_recall <= out[2].mean_recall
     assert out[1].mean_scan_frac < out[2].mean_scan_frac
     assert out[1].n_queries == 2
+
+
+def test_nearest_join_bidirectional_and_ties(spark):
+    """The forward error 10s AFTER beats the backward one 20s before
+    (as-of would pick the wrong one); an exact |Δt| tie picks the
+    EARLIER right; out-of-horizon lefts keep NULLs."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.temporal import nearest_join
+
+    b = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, 100, b), (1, 101, b + timedelta(hours=5)),
+         (2, 200, b)],
+        "user_id long, event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, 900, b - timedelta(seconds=20)),
+         (1, 901, b + timedelta(seconds=10)),
+         (2, 910, b - timedelta(seconds=30)),
+         (2, 911, b + timedelta(seconds=30))],
+        "user_id long, event_id long, ts timestamp")
+    out = {r.event_id: r for r in nearest_join(
+        left, right, "user_id", "event_id", "event_id", "ts",
+        3600).collect()}
+
+    assert out[100].nearest_id == 901 and out[100].delta_s == 10
+    assert out[101].nearest_id is None and out[101].delta_s is None
+    # exact tie (30s both sides) -> earlier right (910)
+    assert out[200].nearest_id == 910 and out[200].delta_s == -30
