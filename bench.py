@@ -143,6 +143,7 @@ HEADLINE = [
     "ivf_nprobe_curve_embeddings",
     "tpch_q3_shaped",
     "nearest_error_join",
+    "label_noise_knn_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2360,6 +2360,7 @@ DRIVER_PRIORITY = [
     "ivf_nprobe_curve_embeddings",
     "tpch_q3_shaped",
     "nearest_error_join",
+    "label_noise_knn_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12216,3 +12217,43 @@ def nearest_error_join(spark, sf_dir):
                         ev.filter(F.col("event_type") == "error"),
                         "user_id", "event_id", "event_id", "ts",
                         86_400)
+
+
+@query("label_noise_knn_embeddings", oracle=_mat("""
+WITH q AS (
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 20 = 0),
+pairs AS (
+  SELECT q.qid, q.ql, e.vec_id AS id, e.label AS l,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+nn AS (
+  SELECT qid, ql, l FROM (
+    SELECT qid, ql, l,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(cos, 6) DESC, id ASC) AS rn
+    FROM pairs) t WHERE rn <= 5),
+votes AS (SELECT qid, ql, l, CAST(COUNT(*) AS BIGINT) AS c
+          FROM nn GROUP BY 1, 2, 3),
+winner AS (
+  SELECT qid, ql, l FROM (
+    SELECT qid, ql, l,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY c DESC, l ASC) AS vr
+    FROM votes) t WHERE vr = 1)
+SELECT ql AS label, CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN l <> ql THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_suspect,
+       ROUND(CAST(SUM(CASE WHEN l <> ql THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS suspect_rate
+FROM winner GROUP BY ql"""))
+def label_noise_knn_embeddings(spark, sf_dir):
+    """EXT R275 (round 6): kNN label-noise screen over the vec_id%20
+    sample — majority label of 5 cosine neighbours (self excluded,
+    corpus tie rules) vs own label; per-label suspect counts/rates."""
+    from .operators.vector import label_noise_knn
+    e = read_table(spark, sf_dir, "embeddings")
+    return label_noise_knn(e, e.filter(F.col("vec_id") % 20 == 0))

@@ -1159,3 +1159,52 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                   / F.lit(1e6)).alias("mean_recall"),
                  (F.expr("SUM(__fm) DIV COUNT(*)").cast("double")
                   / F.lit(1e6)).alias("mean_scan_frac")))
+
+
+def label_noise_knn(candidates: DataFrame, queries: DataFrame,
+                    k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label",
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): kNN label-noise screen — for each checked vector,
+    the majority label among its k nearest neighbours (cosine, self
+    excluded); a vector whose own label loses that vote is a mislabel
+    suspect. The standard confident-learning-style pre-filter before
+    training on labeled embeddings. Output per label: (label,
+    n_checked, n_suspect, suspect_rate).
+
+    Neighbour rank = (cos ROUND-6 desc, id asc) — the corpus tie rule;
+    majority = count desc then LABEL ASC (deterministic even on vote
+    ties). Scale: queries are a sample by contract; scoring is the
+    broadcast map-side grid, then one WindowGroupLimit and two
+    grid-sized aggs."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
+                                   F.col(label_col).alias("__ql"),
+                                   as_double_array(vec_col)
+                                   .alias("__q")))
+    pairs = (candidates
+             .select(F.col(id_col).alias("__id"),
+                     F.col(label_col).alias("__l"),
+                     as_double_array(vec_col).alias("__v"))
+             .crossJoin(q)
+             .filter(F.col("__id") != F.col("__qid"))
+             .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
+                         / (_norm(F.col("__v")) * _norm(F.col("__q")))))
+    wn = Window.partitionBy("__qid").orderBy(
+        F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
+    nn = (pairs.withColumn("__rn", F.row_number().over(wn))
+          .filter(F.col("__rn") <= k))
+    votes = (nn.groupBy("__qid", "__ql", "__l")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    wv = Window.partitionBy("__qid").orderBy(
+        F.col("__c").desc(), F.col("__l").asc())
+    winner = (votes.withColumn("__vr", F.row_number().over(wv))
+              .filter(F.col("__vr") == 1))
+    return (winner.groupBy(F.col("__ql").alias(label_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_checked"),
+                 F.sum(F.when(F.col("__l") != F.col("__ql"), 1)
+                       .otherwise(0)).cast("long").alias("n_suspect"))
+            .withColumn("suspect_rate",
+                        F.round(F.col("n_suspect").cast("double")
+                                / F.col("n_checked").cast("double"),
+                                round_dp)))

@@ -5432,3 +5432,25 @@ def test_nearest_join_bidirectional_and_ties(spark):
     assert out[101].nearest_id is None and out[101].delta_s is None
     # exact tie (30s both sides) -> earlier right (910)
     assert out[200].nearest_id == 910 and out[200].delta_s == -30
+
+
+def test_label_noise_knn_planted_mislabel(spark):
+    """Two tight clusters; one vector wears the other cluster's label
+    and must be the only suspect. Vote-tie determinism: with k=2 and a
+    1-1 split the SMALLER label string wins."""
+    from data_engineering__spark.operators.vector import label_noise_knn
+
+    rows = []
+    for i in range(5):   # cluster A, label 0
+        rows.append((i, [10.0 + i * 0.01, 0.0], 0))
+    for i in range(5, 10):  # cluster B, label 1
+        rows.append((i, [0.0, 10.0 + i * 0.01], 1))
+    rows.append((99, [10.0, 0.05], 1))  # sits in A, labeled 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in label_noise_knn(
+        df, df, k=3).collect()}
+
+    assert out[0].n_suspect == 0
+    assert out[1].n_suspect == 1
+    assert abs(out[1].suspect_rate - round(1 / 6, 6)) < 1e-12
+    assert out[0].n_checked == 5 and out[1].n_checked == 6
