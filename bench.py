@@ -144,6 +144,7 @@ HEADLINE = [
     "tpch_q3_shaped",
     "nearest_error_join",
     "label_noise_knn_embeddings",
+    "embedding_norm_profile",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2361,6 +2361,7 @@ DRIVER_PRIORITY = [
     "tpch_q3_shaped",
     "nearest_error_join",
     "label_noise_knn_embeddings",
+    "embedding_norm_profile",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12257,3 +12258,41 @@ def label_noise_knn_embeddings(spark, sf_dir):
     from .operators.vector import label_noise_knn
     e = read_table(spark, sf_dir, "embeddings")
     return label_noise_knn(e, e.filter(F.col("vec_id") % 20 == 0))
+
+
+@query("embedding_norm_profile", oracle=_mat("""
+WITH base AS (
+  SELECT label,
+         CAST(ROUND(sqrt(list_dot_product(
+           CAST(embedding AS DOUBLE[]),
+           CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT) AS nm
+  FROM embeddings),
+hist AS (SELECT label, nm, CAST(COUNT(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT label, nm, SUM(c) OVER (PARTITION BY label ORDER BY nm
+                                 ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist),
+tot AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN nm < 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS nz
+        FROM base GROUP BY label)
+SELECT cum.label, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 1 THEN nm END) AS BIGINT)
+         AS norm_q1,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 2 THEN nm END) AS BIGINT)
+         AS norm_q2,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 3 THEN nm END) AS BIGINT)
+         AS norm_q3,
+       CAST(MIN(CASE WHEN cm * 4 >= n * 3 THEN nm END)
+            - MIN(CASE WHEN cm * 4 >= n * 1 THEN nm END) AS BIGINT)
+         AS iqr,
+       CAST(MAX(nz) AS BIGINT) AS n_near_zero
+FROM cum JOIN tot ON tot.label = cum.label
+GROUP BY cum.label"""))
+def embedding_norm_profile(spark, sf_dir):
+    """EXT R276 (round 6): per-label embedding-norm health — exact
+    micro-unit norm quartiles/IQR (R268 device) + near-zero vector
+    counts; the failed-encode / collapsed-label screen."""
+    from .operators.vector import embedding_norm_profile as enp
+    return enp(read_table(spark, sf_dir, "embeddings"))

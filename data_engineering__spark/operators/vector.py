@@ -1208,3 +1208,31 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
                         F.round(F.col("n_suspect").cast("double")
                                 / F.col("n_checked").cast("double"),
                                 round_dp)))
+
+
+def embedding_norm_profile(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           label_col: str = "label") -> DataFrame:
+    """EXT (round 6): embedding-norm health profile per label — exact
+    micro-unit norm quartiles + IQR (via the R268 per-group exact
+    quantile device) and the count of degenerate near-zero vectors.
+    The first thing to read on a new embedding dump: a label whose
+    norm IQR collapses (all-same vector), or any near-zero rows
+    (failed encodes), poisons cosine math downstream.
+
+    Norms quantize to integer micro-units (round(‖v‖·10⁶)) so the
+    quartile machinery stays integer-exact; the codegen fold computes
+    ‖v‖ in the same element order as the oracle's list ops."""
+    from .analytics import group_quartiles
+
+    norm_micro = F.round(_norm(as_double_array(vec_col)) * 1_000_000) \
+                  .cast("long")
+    base = df.select(F.col(label_col), norm_micro.alias("__nm"))
+    quarts = group_quartiles(base, label_col, F.col("__nm"),
+                             out_prefix="norm_q")
+    zeros = (base.groupBy(F.col(label_col).alias("__lz"))
+             .agg(F.sum(F.when(F.col("__nm") < 1, 1).otherwise(0))
+                  .cast("long").alias("n_near_zero")))
+    return (quarts.join(zeros, F.col(label_col) == F.col("__lz"))
+            .select(label_col, "n", "norm_q1", "norm_q2", "norm_q3",
+                    "iqr", "n_near_zero"))

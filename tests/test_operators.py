@@ -5454,3 +5454,28 @@ def test_label_noise_knn_planted_mislabel(spark):
     assert out[1].n_suspect == 1
     assert abs(out[1].suspect_rate - round(1 / 6, 6)) < 1e-12
     assert out[0].n_checked == 5 and out[1].n_checked == 6
+
+
+def test_embedding_norm_profile_zero_and_quartiles(spark):
+    """Label 0 has norms exactly {3,4,5,12} (micro 3e6..) plus one
+    zero vector; quartiles follow the ceil rule on micro units and
+    the zero vector is counted near-zero."""
+    from data_engineering__spark.operators.vector import (
+        embedding_norm_profile,
+    )
+
+    rows = [(1, [3.0, 0.0], 0), (2, [0.0, 4.0], 0),
+            (3, [3.0, 4.0], 0), (4, [12.0, 0.0], 0),
+            (5, [0.0, 0.0], 0),
+            (6, [1.0, 0.0], 1)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in embedding_norm_profile(df).collect()}
+
+    r0 = out[0]
+    # sorted micro norms: 0, 3e6, 4e6, 5e6, 12e6 (n=5)
+    # q1 at ceil(5*.25)=2nd -> 3e6; q2 at 3rd -> 4e6; q3 at 4th -> 5e6
+    assert r0.n == 5 and r0.n_near_zero == 1
+    assert (r0.norm_q1, r0.norm_q2, r0.norm_q3) == \
+        (3_000_000, 4_000_000, 5_000_000)
+    assert r0.iqr == 2_000_000
+    assert out[1].n_near_zero == 0 and out[1].norm_q2 == 1_000_000
