@@ -145,6 +145,7 @@ HEADLINE = [
     "nearest_error_join",
     "label_noise_knn_embeddings",
     "embedding_norm_profile",
+    "key_case_conflicts_part",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2362,6 +2362,7 @@ DRIVER_PRIORITY = [
     "nearest_error_join",
     "label_noise_knn_embeddings",
     "embedding_norm_profile",
+    "key_case_conflicts_part",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12296,3 +12297,34 @@ def embedding_norm_profile(spark, sf_dir):
     counts; the failed-encode / collapsed-label screen."""
     from .operators.vector import embedding_norm_profile as enp
     return enp(read_table(spark, sf_dir, "embeddings"))
+
+
+@query("key_case_conflicts_part", oracle=_mat("""
+WITH src AS (
+  SELECT p_name AS k FROM part
+  UNION ALL
+  SELECT UPPER(p_name) FROM part WHERE p_partkey % 97 = 0
+  UNION ALL
+  SELECT ' ' || p_name || '  ' FROM part WHERE p_partkey % 193 = 0),
+per AS (
+  SELECT LOWER(TRIM(regexp_replace(k, '\\s+', ' ', 'g'))) AS nk,
+         CAST(COUNT(DISTINCT k) AS BIGINT) AS n_variants,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         array_to_string(list_sort(list(DISTINCT k)), '|') AS variants
+  FROM src GROUP BY 1)
+SELECT nk AS norm_key, n_variants, n_rows, variants
+FROM per WHERE n_variants > 1"""))
+def key_case_conflicts_part(spark, sf_dir):
+    """EXT R277 (round 6): variant-key conflict report over part names
+    with PLANTED case/padding variants (every 97th upper-cased, every
+    193rd space-padded) — the silent join-killer screen; zero rows on
+    a clean table."""
+    from .operators.quality import key_variant_conflicts
+    p = read_table(spark, sf_dir, "part")
+    src = (p.select(F.col("p_name").alias("k"))
+           .unionByName(p.filter(F.col("p_partkey") % 97 == 0)
+                        .select(F.upper("p_name").alias("k")))
+           .unionByName(p.filter(F.col("p_partkey") % 193 == 0)
+                        .select(F.concat(F.lit(" "), F.col("p_name"),
+                                         F.lit("  ")).alias("k"))))
+    return key_variant_conflicts(src, "k")

@@ -765,3 +765,28 @@ def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def key_variant_conflicts(df: DataFrame, key_col: str) -> DataFrame:
+    """EXT (round 6): case/whitespace-variant key conflicts — groups of
+    raw key strings that collapse to the same normalized form (lower,
+    trim, inner-whitespace squeeze) but differ raw. THE classic silent
+    join-killer: 'Acme Corp' vs 'acme  corp' vs ' ACME CORP ' load as
+    three dimension rows and split every metric three ways. Output one
+    row per conflicted normalized key: (norm_key, n_variants, n_rows,
+    variants — '|'-joined sorted raw forms).
+
+    One hash agg on the normalized key; the variant list is
+    sort_array'd before joining so the report string is deterministic.
+    A clean table returns ZERO rows — cheap to schedule as a gate."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(key_col), r"\s+", " ")))
+    per = (df.select(norm.alias("__nk"), F.col(key_col).alias("__raw"))
+           .groupBy("__nk")
+           .agg(F.countDistinct("__raw").alias("n_variants"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.array_join(F.sort_array(F.collect_set("__raw")),
+                             "|").alias("variants")))
+    return (per.filter(F.col("n_variants") > 1)
+            .select(F.col("__nk").alias("norm_key"),
+                    F.col("n_variants").cast("long").alias("n_variants"),
+                    "n_rows", "variants"))

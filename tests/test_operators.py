@@ -5479,3 +5479,23 @@ def test_embedding_norm_profile_zero_and_quartiles(spark):
         (3_000_000, 4_000_000, 5_000_000)
     assert r0.iqr == 2_000_000
     assert out[1].n_near_zero == 0 and out[1].norm_q2 == 1_000_000
+
+
+def test_key_variant_conflicts_normalization(spark):
+    """'Acme Corp' / 'acme  corp' / ' ACME CORP ' collapse to one
+    conflicted key with 3 variants and 4 rows (one duplicated raw
+    form); a clean key yields no row; inner squeeze applies."""
+    from data_engineering__spark.operators.quality import (
+        key_variant_conflicts,
+    )
+
+    rows = [("Acme Corp",), ("acme  corp",), (" ACME CORP ",),
+            ("Acme Corp",), ("clean key",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_variant_conflicts(df, "k").collect()
+
+    assert len(out) == 1
+    r = out[0]
+    assert r.norm_key == "acme corp"
+    assert (r.n_variants, r.n_rows) == (3, 4)
+    assert r.variants == " ACME CORP |Acme Corp|acme  corp"
