@@ -146,6 +146,7 @@ HEADLINE = [
     "label_noise_knn_embeddings",
     "embedding_norm_profile",
     "key_case_conflicts_part",
+    "geo_nearest_warehouse",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2363,6 +2363,7 @@ DRIVER_PRIORITY = [
     "label_noise_knn_embeddings",
     "embedding_norm_profile",
     "key_case_conflicts_part",
+    "geo_nearest_warehouse",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12328,3 +12329,66 @@ def key_case_conflicts_part(spark, sf_dir):
                         .select(F.concat(F.lit(" "), F.col("p_name"),
                                          F.lit("  ")).alias("k"))))
     return key_variant_conflicts(src, "k")
+
+
+@query("geo_nearest_warehouse", oracle=_mat("""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST((c_custkey * 7919) % 12000 AS DOUBLE) / 100 - 60 AS lat,
+         CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100 - 180
+           AS lon
+  FROM customer WHERE c_custkey % 5 = 0),
+sites AS (
+  SELECT s_suppkey AS sid,
+         CAST((s_suppkey * 7919) % 12000 AS DOUBLE) / 100 - 60 AS lat,
+         CAST((s_suppkey * 104729) % 36000 AS DOUBLE) / 100 - 180
+           AS lon
+  FROM supplier WHERE s_suppkey <= 5),
+p AS (SELECT pid, lat, lon,
+             CAST(FLOOR(lat / 15.0) AS BIGINT) AS cx,
+             CAST(FLOOR(lon / 15.0) AS BIGINT) AS cy
+      FROM pts),
+s AS (
+  SELECT sid, lat AS slat, lon AS slon,
+         CAST(FLOOR(lat / 15.0) AS BIGINT) + dx.d AS gx,
+         CAST(FLOOR(lon / 15.0) AS BIGINT) + dy.d AS gy
+  FROM sites
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+cand AS (
+  SELECT p.pid,
+         {'dm': CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(
+             SIN(RADIANS(s.slat - p.lat) / 2)
+               * SIN(RADIANS(s.slat - p.lat) / 2)
+             + COS(RADIANS(p.lat)) * COS(RADIANS(s.slat))
+               * SIN(RADIANS(s.slon - p.lon) / 2)
+               * SIN(RADIANS(s.slon - p.lon) / 2)))) AS BIGINT),
+          'si': s.sid} AS c
+  FROM p JOIN s ON s.gx = p.cx AND s.gy = p.cy),
+best AS (SELECT pid AS bp, MIN(c) AS b FROM cand GROUP BY pid)
+SELECT p.pid AS c_custkey, CAST(b.si AS BIGINT) AS nearest_s_suppkey,
+       CAST(b.dm AS BIGINT) AS distance_m
+FROM p LEFT JOIN best ON best.bp = p.pid"""))
+def geo_nearest_warehouse(spark, sf_dir):
+    """EXT R278 (round 6): grid-bucketed nearest-warehouse assignment —
+    pseudo-geo coordinates derived from integer keys (exact doubles),
+    15° cells, 3×3-neighbourhood probe (the S2/H3 cover-join shape,
+    no all-pairs), whole-metre haversine struct-min; out-of-
+    neighbourhood points keep NULLs by documented contract."""
+    from .operators.geo import grid_nearest
+    c = read_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 5 == 0)
+    sup = read_table(spark, sf_dir, "supplier") \
+        .filter(F.col("s_suppkey") <= 5)
+    latc = lambda k: ((F.col(k) * 7919) % 12000).cast("double") / 100 - 60  # noqa: E731,E501
+    lonc = lambda k: ((F.col(k) * 104729) % 36000).cast("double") / 100 - 180  # noqa: E731,E501
+    pts = c.select(F.col("c_custkey").alias("pid"),
+                   latc("c_custkey").alias("lat"),
+                   lonc("c_custkey").alias("lon"))
+    sites = sup.select(F.col("s_suppkey").alias("sid"),
+                       latc("s_suppkey").alias("lat"),
+                       lonc("s_suppkey").alias("lon"))
+    return (grid_nearest(pts, sites, 15.0)
+            .select(F.col("pid").alias("c_custkey"),
+                    F.col("nearest_sid").alias("nearest_s_suppkey"),
+                    "distance_m"))

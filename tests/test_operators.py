@@ -5499,3 +5499,33 @@ def test_key_variant_conflicts_normalization(spark):
     assert r.norm_key == "acme corp"
     assert (r.n_variants, r.n_rows) == (3, 4)
     assert r.variants == " ACME CORP |Acme Corp|acme  corp"
+
+
+def test_grid_nearest_ties_neighborhood_and_nulls(spark):
+    """A point at the origin with two sites exactly 1° away (N and E —
+    identical haversine by symmetry) ties to the smaller site id; a
+    nearer site in a NEIGHBOURING cell beats a farther same-cell one;
+    a point with no site in its 3x3 neighbourhood gets NULLs."""
+    import math
+
+    from data_engineering__spark.operators.geo import grid_nearest
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0),      # origin: ties between sites 10/11
+         (2, 9.9, 0.0),      # near cell edge: site in next cell wins
+         (3, 50.0, 170.0)],  # nothing nearby
+        "pid long, lat double, lon double")
+    sites = spark.createDataFrame(
+        [(10, 1.0, 0.0), (11, 0.0, 1.0),
+         (20, 10.2, 0.0),    # neighbouring cell (cell_deg 10), 0.3 off
+         (21, 5.0, 5.0)],    # same cell as pid 2's? (0,0): no (cell 0)
+        "sid long, lat double, lon double")
+    out = {r.pid: r for r in grid_nearest(
+        pts, sites, 10.0).collect()}
+
+    one_deg_m = round(2 * 6371008.8 * math.asin(math.sin(
+        math.radians(0.5))))
+    assert out[1].nearest_sid == 10  # tie -> smaller id
+    assert out[1].distance_m == one_deg_m
+    assert out[2].nearest_sid == 20  # cross-cell neighbour wins
+    assert out[3].nearest_sid is None and out[3].distance_m is None
