@@ -147,6 +147,7 @@ HEADLINE = [
     "embedding_norm_profile",
     "key_case_conflicts_part",
     "geo_nearest_warehouse",
+    "geo_cell_density",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

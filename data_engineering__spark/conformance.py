@@ -2364,6 +2364,7 @@ DRIVER_PRIORITY = [
     "embedding_norm_profile",
     "key_case_conflicts_part",
     "geo_nearest_warehouse",
+    "geo_cell_density",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12392,3 +12393,38 @@ def geo_nearest_warehouse(spark, sf_dir):
             .select(F.col("pid").alias("c_custkey"),
                     F.col("nearest_sid").alias("nearest_s_suppkey"),
                     "distance_m"))
+
+
+@query("geo_cell_density", oracle=_mat("""
+WITH pts AS (
+  SELECT CAST((c_custkey * 7919) % 12000 AS DOUBLE) / 100 - 60 AS lat,
+         CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100 - 180
+           AS lon
+  FROM customer),
+per AS (
+  SELECT CAST(FLOOR(lat / 15.0) AS BIGINT) AS cell_x,
+         CAST(FLOOR(lon / 15.0) AS BIGINT) AS cell_y,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS BIGINT) AS sla,
+         CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS BIGINT) AS slo
+  FROM pts GROUP BY 1, 2)
+SELECT cell_x, cell_y, n_points,
+       ROUND(CAST(sla AS DOUBLE) / CAST(n_points * 100 AS DOUBLE), 6)
+         AS mean_lat,
+       ROUND(CAST(slo AS DOUBLE) / CAST(n_points * 100 AS DOUBLE), 6)
+         AS mean_lon
+FROM per
+ORDER BY n_points DESC, cell_x ASC, cell_y ASC
+LIMIT 10"""))
+def geo_cell_density(spark, sf_dir):
+    """EXT R279 (round 6): top-10 densest 15° grid cells over the
+    pseudo-geo customer points — integer-exact centroids (2-decimal
+    coords scale to exact lat·100 sums), TakeOrdered top-k."""
+    from .operators.geo import cell_density
+    c = read_table(spark, sf_dir, "customer")
+    pts = c.select(
+        (((F.col("c_custkey") * 7919) % 12000).cast("double") / 100
+         - 60).alias("lat"),
+        (((F.col("c_custkey") * 104729) % 36000).cast("double") / 100
+         - 180).alias("lon"))
+    return cell_density(pts, 15.0)

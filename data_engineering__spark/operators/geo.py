@@ -80,3 +80,40 @@ def grid_nearest(points: DataFrame, sites: DataFrame, cell_deg: float,
             .select(F.col("__pid").alias(pid),
                     F.col("__b.si").alias("nearest_" + sid),
                     F.col("__b.dm").alias("distance_m")))
+
+
+def cell_density(points: DataFrame, cell_deg: float,
+                 lat: str = "lat", lon: str = "lon", top: int = 10,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): grid-cell density map — the top-``top`` densest
+    cells with point count and mean position. The heatmap/hot-zone
+    primitive (and the load-balancing input for choosing ``cell_deg``
+    in `grid_nearest`: a cell holding 30% of points needs a finer
+    grid).
+
+    Determinism: callers pass coordinates with FIXED decimal
+    precision (the demo uses 2-decimal pseudo-geo), so lat·100 is an
+    exact integer and the centroid is an exact integer sum over one
+    division — no float accumulation. Top-k by (count desc, cell
+    asc) via TakeOrdered."""
+    cx = F.floor(F.col(lat) / cell_deg).cast("long")
+    cy = F.floor(F.col(lon) / cell_deg).cast("long")
+    lat100 = F.round(F.col(lat) * 100).cast("long")
+    lon100 = F.round(F.col(lon) * 100).cast("long")
+    per = (points.select(cx.alias("cell_x"), cy.alias("cell_y"),
+                         lat100.alias("__la"), lon100.alias("__lo"))
+           .groupBy("cell_x", "cell_y")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                F.sum("__la").alias("__sla"),
+                F.sum("__lo").alias("__slo")))
+    return (per.select(
+        "cell_x", "cell_y", "n_points",
+        F.round(F.col("__sla").cast("double")
+                / (F.col("n_points") * 100).cast("double"), round_dp)
+        .alias("mean_lat"),
+        F.round(F.col("__slo").cast("double")
+                / (F.col("n_points") * 100).cast("double"), round_dp)
+        .alias("mean_lon"))
+        .orderBy(F.col("n_points").desc(), F.col("cell_x").asc(),
+                 F.col("cell_y").asc())
+        .limit(top))

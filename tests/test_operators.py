@@ -5529,3 +5529,22 @@ def test_grid_nearest_ties_neighborhood_and_nulls(spark):
     assert out[1].distance_m == one_deg_m
     assert out[2].nearest_sid == 20  # cross-cell neighbour wins
     assert out[3].nearest_sid is None and out[3].distance_m is None
+
+
+def test_cell_density_centroids_and_topk(spark):
+    """Three points in one cell with a hand-computable centroid beat a
+    one-point cell; count ties order by cell id."""
+    from data_engineering__spark.operators.geo import cell_density
+
+    pts = spark.createDataFrame(
+        [(1.0, 1.0), (2.5, 3.5), (4.0, 2.25),   # cell (0,0), deg 10
+         (15.0, 1.0),                            # cell (1,0)
+         (-12.0, 1.0)],                          # cell (-2,0)
+        "lat double, lon double")
+    out = cell_density(pts, 10.0, top=2).collect()
+
+    assert (out[0].cell_x, out[0].cell_y, out[0].n_points) == (0, 0, 3)
+    assert out[0].mean_lat == 2.5
+    assert out[0].mean_lon == 2.25
+    # tie between (-2,0) and (1,0): cell_x asc -> -2 first
+    assert (out[1].cell_x, out[1].n_points) == (-2, 1)
