@@ -148,6 +148,7 @@ HEADLINE = [
     "key_case_conflicts_part",
     "geo_nearest_warehouse",
     "geo_cell_density",
+    "decay_score_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

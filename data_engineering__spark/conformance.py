@@ -2365,6 +2365,7 @@ DRIVER_PRIORITY = [
     "key_case_conflicts_part",
     "geo_nearest_warehouse",
     "geo_cell_density",
+    "decay_score_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12428,3 +12429,30 @@ def geo_cell_density(spark, sf_dir):
         (((F.col("c_custkey") * 104729) % 36000).cast("double") / 100
          - 180).alias("lon"))
     return cell_density(pts, 15.0)
+
+
+@query("decay_score_users", oracle=_mat("""
+WITH mx AS (SELECT MAX(epoch_us(ts) // 1000000) AS m FROM events),
+terms AS (
+  SELECT user_id,
+         CAST(ROUND(POW(2.0,
+           -(CAST(mx.m - epoch_us(ts) // 1000000 AS DOUBLE) / 86400.0)
+            / 7.0) * 1000000) AS BIGINT) AS t
+  FROM events CROSS JOIN mx),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(t) AS BIGINT) AS sm
+  FROM terms GROUP BY user_id)
+SELECT user_id, n_events,
+       ROUND(CAST(sm AS DOUBLE) / 1e6, 6) AS decay_score,
+       ROUND(CAST(sm AS DOUBLE) / (CAST(n_events AS DOUBLE) * 1e6), 6)
+         AS recency_mix
+FROM per"""))
+def decay_score_users(spark, sf_dir):
+    """EXT R280 (round 6): recency-weighted engagement score — per
+    user Σ 2^(−age/7d) anchored on the data's max ts, each term
+    quantized to integer micro-units before the sum (no float
+    accumulation); plus the score/count recency mix."""
+    from .operators.analytics import decay_score
+    return decay_score(read_table(spark, sf_dir, "events"),
+                       "user_id", "ts")

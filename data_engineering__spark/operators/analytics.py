@@ -4223,3 +4223,40 @@ def share_of_parent(lineitem: DataFrame, orders: DataFrame,
         F.col("__g_rev").alias("rev"),
         F.lit(1.0).alias("share_of_parent")))
     return reg_rows.unionByName(nat_rows).unionByName(total_row)
+
+
+def decay_score(events: DataFrame, user_col: str, ts_col: str,
+                half_life_days: float = 7.0,
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): exponential time-decay engagement score per user
+    — Σ 2^(−age_days / half_life), anchored on the data's own max
+    timestamp (deterministic; never now()). THE standard recency-
+    weighted activity feature: two users with 100 events each separate
+    by WHEN those events happened. Also reports the raw count and the
+    score/count ratio (recency mix: → 1 means all-recent, → 0 all-
+    stale).
+
+    Determinism: each event's decay term quantizes to integer
+    MICRO-units (round(2^(−age/h)·10⁶)) before summation, so the
+    per-user sum is an exact integer — a raw float Σ would accumulate
+    in partition order. Ages are integer seconds; the exponent is one
+    fixed-shape expression. Scale: map-side term computation, one
+    hash agg on the user key."""
+    sec = F.unix_timestamp(F.col(ts_col))
+    anchor = F.broadcast(events.agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("__mx")))
+    age_days = (F.col("__mx") - sec).cast("double") / F.lit(86_400.0)
+    term = F.round(F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))
+                   * 1_000_000).cast("long")
+    per = (events.crossJoin(anchor)
+           .select(F.col(user_col), term.alias("__t"))
+           .groupBy(user_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("__t").cast("long").alias("__sm")))
+    return per.select(
+        user_col, "n_events",
+        F.round(F.col("__sm").cast("double") / 1e6, round_dp)
+        .alias("decay_score"),
+        F.round(F.col("__sm").cast("double")
+                / (F.col("n_events").cast("double") * 1e6), round_dp)
+        .alias("recency_mix"))

@@ -5548,3 +5548,26 @@ def test_cell_density_centroids_and_topk(spark):
     assert out[0].mean_lon == 2.25
     # tie between (-2,0) and (1,0): cell_x asc -> -2 first
     assert (out[1].cell_x, out[1].n_points) == (-2, 1)
+
+
+def test_decay_score_halving_and_mix(spark):
+    """Events exactly 0, 7 and 14 days before the anchor contribute
+    1, 0.5, 0.25 (half-life 7d): score 1.75, mix 1.75/3; a stale-only
+    user shows a low mix."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import decay_score
+
+    mx = datetime(2024, 6, 1)
+    rows = [(1, mx), (1, mx - timedelta(days=7)),
+            (1, mx - timedelta(days=14)),
+            (2, mx - timedelta(days=70))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user_id: r for r in decay_score(
+        df, "user_id", "ts").collect()}
+
+    assert out[1].n_events == 3
+    assert out[1].decay_score == 1.75
+    assert abs(out[1].recency_mix - round(1.75 / 3, 6)) < 1e-12
+    assert out[2].decay_score == round(2 ** -10, 6)
+    assert out[2].recency_mix < 0.01
