@@ -2366,6 +2366,7 @@ DRIVER_PRIORITY = [
     "geo_nearest_warehouse",
     "geo_cell_density",
     "decay_score_users",
+    "split_shipment_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12456,3 +12457,27 @@ def decay_score_users(spark, sf_dir):
     from .operators.analytics import decay_score
     return decay_score(read_table(spark, sf_dir, "events"),
                        "user_id", "ts")
+
+
+@query("split_shipment_orders", oracle=_mat("""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS lines,
+         CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE) -
+                    DATE '1970-01-01') AS BIGINT) AS n_ship_dates,
+         CAST(MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+              - MIN(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+              AS BIGINT) AS span
+  FROM lineitem GROUP BY l_orderkey)
+SELECT n_ship_dates, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_lines,
+       ROUND(CAST(SUM(span) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_span_days
+FROM per GROUP BY n_ship_dates"""))
+def split_shipment_orders(spark, sf_dir):
+    """EXT R281 (round 6): split-shipment profile — orders by distinct
+    ship-date count with average line count and fulfillment span;
+    integer day math on tz-free DATEs, two hash aggs."""
+    from .operators.analytics import split_shipment_profile
+    return split_shipment_profile(read_table(spark, sf_dir, "lineitem"))

@@ -4260,3 +4260,35 @@ def decay_score(events: DataFrame, user_col: str, ts_col: str,
         F.round(F.col("__sm").cast("double")
                 / (F.col("n_events").cast("double") * 1e6), round_dp)
         .alias("recency_mix"))
+
+
+def split_shipment_profile(lineitem: DataFrame,
+                           round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): split-shipment profile — how fragmented order
+    fulfillment is: per distinct-ship-date count, how many orders ship
+    that way, their average line count and average first-to-last ship
+    span. The logistics-cost readout (every extra ship date is a
+    box+label); a drift toward higher splits flags inventory
+    placement problems.
+
+    Two integer hash aggs (order grain → split-count grain); averages
+    are single divisions of exact integer sums; spans are wall-clock
+    DATE day differences (tz-free, the R260 rule)."""
+    d = F.expr("unix_date(CAST(l_shipdate AS DATE))").cast("long")
+    per_order = (lineitem
+                 .select(F.col("l_orderkey").alias("__o"),
+                         d.alias("__d"))
+                 .groupBy("__o")
+                 .agg(F.count(F.lit(1)).cast("long").alias("__lines"),
+                      F.countDistinct("__d").cast("long")
+                      .alias("n_ship_dates"),
+                      (F.max("__d") - F.min("__d")).cast("long")
+                      .alias("__span")))
+    return (per_order.groupBy("n_ship_dates")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.round(F.sum("__lines").cast("double")
+                         / F.count(F.lit(1)).cast("double"), round_dp)
+                 .alias("avg_lines"),
+                 F.round(F.sum("__span").cast("double")
+                         / F.count(F.lit(1)).cast("double"), round_dp)
+                 .alias("avg_span_days")))

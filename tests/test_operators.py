@@ -5571,3 +5571,31 @@ def test_decay_score_halving_and_mix(spark):
     assert abs(out[1].recency_mix - round(1.75 / 3, 6)) < 1e-12
     assert out[2].decay_score == round(2 ** -10, 6)
     assert out[2].recency_mix < 0.01
+
+
+def test_split_shipment_profile_hand(spark):
+    """Order A ships 3 lines on one date (split 1, span 0); order B
+    ships 4 lines across 3 dates spanning 10 days; order C matches
+    B's split count so their stats average."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        split_shipment_profile,
+    )
+
+    b = datetime(1996, 4, 1)
+    rows = [(1, b), (1, b), (1, b),
+            (2, b), (2, b + timedelta(days=4)),
+            (2, b + timedelta(days=10)), (2, b + timedelta(days=10)),
+            (3, b), (3, b + timedelta(days=2)),
+            (3, b + timedelta(days=6))]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_shipdate timestamp")
+    out = {r.n_ship_dates: r for r in
+           split_shipment_profile(df).collect()}
+
+    assert out[1].n_orders == 1
+    assert out[1].avg_lines == 3.0 and out[1].avg_span_days == 0.0
+    r3 = out[3]
+    assert r3.n_orders == 2
+    assert r3.avg_lines == 3.5          # (4 + 3) / 2
+    assert r3.avg_span_days == 8.0      # (10 + 6) / 2
