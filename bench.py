@@ -150,6 +150,7 @@ HEADLINE = [
     "geo_cell_density",
     "decay_score_users",
     "split_shipment_orders",
+    "collation_dedup_suppliers",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

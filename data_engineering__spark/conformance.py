@@ -2367,6 +2367,7 @@ DRIVER_PRIORITY = [
     "geo_cell_density",
     "decay_score_users",
     "split_shipment_orders",
+    "collation_dedup_suppliers",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12481,3 +12482,30 @@ def split_shipment_orders(spark, sf_dir):
     integer day math on tz-free DATEs, two hash aggs."""
     from .operators.analytics import split_shipment_profile
     return split_shipment_profile(read_table(spark, sf_dir, "lineitem"))
+
+
+@query("collation_dedup_suppliers", oracle=_mat("""
+WITH src AS (
+  SELECT s_nationkey AS g, s_name AS k FROM supplier
+  UNION ALL
+  SELECT s_nationkey, UPPER(s_name) FROM supplier
+  WHERE s_suppkey % 3 = 0),
+per AS (
+  SELECT g, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_binary,
+         CAST(COUNT(DISTINCT LOWER(k)) AS BIGINT) AS n_lcase
+  FROM src GROUP BY g)
+SELECT g AS s_nationkey, n_binary, n_lcase,
+       CAST(n_binary - n_lcase AS BIGINT) AS n_case_dupes
+FROM per"""))
+def collation_dedup_suppliers(spark, sf_dir):
+    """EXT R282 (round 6): Spark 4 collation surface — per nation,
+    distinct supplier names under binary vs UTF8_LCASE comparison
+    (planted upper-case variants for every 3rd supplier); the
+    case-duplicate gap without a normalize column."""
+    from .operators.relational import collation_dedup_counts
+    s = read_table(spark, sf_dir, "supplier")
+    src = (s.select(F.col("s_nationkey"), F.col("s_name"))
+           .unionByName(s.filter(F.col("s_suppkey") % 3 == 0)
+                        .select(F.col("s_nationkey"),
+                                F.upper("s_name").alias("s_name"))))
+    return collation_dedup_counts(src, "s_name", "s_nationkey")

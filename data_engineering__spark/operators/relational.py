@@ -372,3 +372,28 @@ def skyline_2d(df: DataFrame, max_col, min_col,
             .select(F.col("__s").alias("max_val"),
                     F.col("__p").alias("min_val"),
                     F.col("__n").cast("long").alias(count_alias)))
+
+
+def collation_dedup_counts(df: DataFrame, key_col: str,
+                           group_col: str) -> DataFrame:
+    """EXT (round 6): collation-aware distinct counts — per group, how
+    many distinct keys exist under BINARY comparison vs under Spark 4's
+    ``UTF8_LCASE`` collation, and the gap (case-only duplicates). The
+    collation engine answers R277's variant-key question natively for
+    the CASE class: no normalize column, no rewrite of every
+    comparison — the collated expression carries the semantics into
+    joins/groupBys/distincts and Catalyst still prunes and pushes.
+
+    One hash agg with two COUNT(DISTINCT) branches. The collated
+    count mirrors to portable SQL as COUNT(DISTINCT LOWER(key)) —
+    UTF8_LCASE and lower() agree on ASCII; the demo plants ASCII
+    case variants, and the docstring is the contract for non-ASCII
+    (use the ICU collations where lower() is not enough)."""
+    lcase = F.collate(F.col(key_col), "UTF8_LCASE")
+    return (df.groupBy(F.col(group_col))
+            .agg(F.countDistinct(F.col(key_col)).cast("long")
+                 .alias("n_binary"),
+                 F.countDistinct(lcase).cast("long").alias("n_lcase"))
+            .withColumn("n_case_dupes",
+                        (F.col("n_binary") - F.col("n_lcase"))
+                        .cast("long")))

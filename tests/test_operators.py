@@ -5599,3 +5599,22 @@ def test_split_shipment_profile_hand(spark):
     assert r3.n_orders == 2
     assert r3.avg_lines == 3.5          # (4 + 3) / 2
     assert r3.avg_span_days == 8.0      # (10 + 6) / 2
+
+
+def test_collation_dedup_counts(spark):
+    """'Acme'/'ACME'/'acme' are one name under UTF8_LCASE, three under
+    binary; a group with no case variants shows a zero gap."""
+    from data_engineering__spark.operators.relational import (
+        collation_dedup_counts,
+    )
+
+    rows = [("g1", "Acme"), ("g1", "ACME"), ("g1", "acme"),
+            ("g1", "Beta"), ("g2", "gamma"), ("g2", "delta")]
+    df = spark.createDataFrame(rows, "g string, k string")
+    out = {r.g: r for r in collation_dedup_counts(
+        df, "k", "g").collect()}
+
+    assert (out["g1"].n_binary, out["g1"].n_lcase,
+            out["g1"].n_case_dupes) == (4, 2, 2)
+    assert (out["g2"].n_binary, out["g2"].n_lcase,
+            out["g2"].n_case_dupes) == (2, 2, 0)
