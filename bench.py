@@ -151,6 +151,7 @@ HEADLINE = [
     "decay_score_users",
     "split_shipment_orders",
     "collation_dedup_suppliers",
+    "event_streaks_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2368,6 +2368,7 @@ DRIVER_PRIORITY = [
     "decay_score_users",
     "split_shipment_orders",
     "collation_dedup_suppliers",
+    "event_streaks_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12509,3 +12510,38 @@ def collation_dedup_suppliers(spark, sf_dir):
                         .select(F.col("s_nationkey"),
                                 F.upper("s_name").alias("s_name"))))
     return collation_dedup_counts(src, "s_name", "s_nationkey")
+
+
+@query("event_streaks_users", oracle=_mat("""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS t
+  FROM events),
+flagged AS (
+  SELECT u, t, ts, id,
+         CASE WHEN LAG(t) OVER (PARTITION BY u ORDER BY ts, id)
+                IS NULL
+              OR LAG(t) OVER (PARTITION BY u ORDER BY ts, id) <> t
+              THEN 1 ELSE 0 END AS nw
+  FROM base),
+isl AS (
+  SELECT u, t, ts,
+         SUM(nw) OVER (PARTITION BY u ORDER BY ts, id
+                       ROWS UNBOUNDED PRECEDING) AS i
+  FROM flagged),
+peri AS (
+  SELECT u, i, CAST(COUNT(*) AS BIGINT) AS len, MAX(t) AS tt,
+         MIN(epoch_us(ts)) AS start_us
+  FROM isl GROUP BY u, i)
+SELECT u AS user_id, CAST(SUM(len) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX({'l': len, 'ns': -start_us, 't': tt}).l AS BIGINT)
+         AS longest_len,
+       MAX({'l': len, 'ns': -start_us, 't': tt}).t AS longest_type
+FROM peri GROUP BY u"""))
+def event_streaks_users(spark, sf_dir):
+    """EXT R283 (round 6): longest same-type streak per user —
+    value-change islands (vs sessionize's time-gap islands), island
+    grain agg, struct-max argmax with earliest-island ties."""
+    from .operators.analytics import event_streaks
+    return event_streaks(read_table(spark, sf_dir, "events"),
+                         "user_id", "ts", "event_type", "event_id")

@@ -4292,3 +4292,47 @@ def split_shipment_profile(lineitem: DataFrame,
                  F.round(F.sum("__span").cast("double")
                          / F.count(F.lit(1)).cast("double"), round_dp)
                  .alias("avg_span_days")))
+
+
+def event_streaks(events: DataFrame, user_col: str, ts_col: str,
+                  type_col: str, order_col: str) -> DataFrame:
+    """EXT (round 6): longest same-type streak per user — value-change
+    gaps-and-islands (sessionize cuts on TIME gaps; this cuts on VALUE
+    change): a new island starts when the type differs from the
+    previous event's. Per user: (n_events, n_streaks, longest_len,
+    longest_type) with ties on streak length broken by earliest
+    island. The habit/rut signal (a 40-view streak reads very
+    differently from 40 views interleaved with purchases).
+
+    One per-user window for the change flags + running island id, an
+    island-grain agg, then a struct-max argmax — the R251 discipline
+    over a different island predicate."""
+    w = Window.partitionBy("__u").orderBy("__ts", "__id")
+    base = events.select(F.col(user_col).alias("__u"),
+                         F.col(ts_col).alias("__ts"),
+                         F.col(order_col).alias("__id"),
+                         F.col(type_col).alias("__t"))
+    flagged = base.select(
+        "__u", "__ts", "__id", "__t",
+        F.when(F.lag("__t").over(w).isNull()
+               | (F.lag("__t").over(w) != F.col("__t")), 1)
+         .otherwise(0).alias("__new"))
+    isl = flagged.select(
+        "__u", "__t", "__ts",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("__isl"))
+    per_isl = (isl.groupBy("__u", "__isl")
+               .agg(F.count(F.lit(1)).cast("long").alias("__len"),
+                    F.max("__t").alias("__tt"),
+                    F.min("__ts").alias("__start")))
+    best = F.max(F.struct(
+        F.col("__len").alias("l"),
+        (-F.unix_micros(F.col("__start"))).alias("ns"),
+        F.col("__tt").alias("t")))
+    return (per_isl.groupBy(F.col("__u").alias(user_col))
+            .agg(F.sum("__len").cast("long").alias("n_events"),
+                 F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                 best.alias("__b"))
+            .select(user_col, "n_events", "n_streaks",
+                    F.col("__b.l").cast("long").alias("longest_len"),
+                    F.col("__b.t").alias("longest_type")))

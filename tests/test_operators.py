@@ -5618,3 +5618,29 @@ def test_collation_dedup_counts(spark):
             out["g1"].n_case_dupes) == (4, 2, 2)
     assert (out["g2"].n_binary, out["g2"].n_lcase,
             out["g2"].n_case_dupes) == (2, 2, 0)
+
+
+def test_event_streaks_islands_and_ties(spark):
+    """u1: a a b b b a -> 3 streaks, longest 3 ('b'); u2 has two
+    equal-length streaks and the EARLIER one wins the argmax."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import event_streaks
+
+    b = datetime(2024, 1, 1)
+    seq1 = ["a", "a", "b", "b", "b", "a"]
+    seq2 = ["x", "x", "y", "y"]
+    rows = [(1, b + timedelta(minutes=i), t, i)
+            for i, t in enumerate(seq1)]
+    rows += [(2, b + timedelta(minutes=i), t, 100 + i)
+             for i, t in enumerate(seq2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string,"
+              " event_id long")
+    out = {r.user_id: r for r in event_streaks(
+        df, "user_id", "ts", "event_type", "event_id").collect()}
+
+    assert (out[1].n_events, out[1].n_streaks) == (6, 3)
+    assert (out[1].longest_len, out[1].longest_type) == (3, "b")
+    assert (out[2].n_streaks, out[2].longest_len) == (2, 2)
+    assert out[2].longest_type == "x"   # tie -> earlier streak
