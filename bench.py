@@ -152,6 +152,7 @@ HEADLINE = [
     "split_shipment_orders",
     "collation_dedup_suppliers",
     "event_streaks_users",
+    "iqr_outlier_counts_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

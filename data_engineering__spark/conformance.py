@@ -2369,6 +2369,7 @@ DRIVER_PRIORITY = [
     "split_shipment_orders",
     "collation_dedup_suppliers",
     "event_streaks_users",
+    "iqr_outlier_counts_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12545,3 +12546,44 @@ def event_streaks_users(spark, sf_dir):
     from .operators.analytics import event_streaks
     return event_streaks(read_table(spark, sf_dir, "events"),
                          "user_id", "ts", "event_type", "event_id")
+
+
+@query("iqr_outlier_counts_events", oracle=_mat("""
+WITH base AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+hist AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2),
+cum AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cm
+        FROM hist),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+quarts AS (
+  SELECT cum.g, MAX(n) AS n,
+         MIN(CASE WHEN cm * 4 >= n * 1 THEN v END) AS q1,
+         MIN(CASE WHEN cm * 4 >= n * 3 THEN v END) AS q3
+  FROM cum JOIN tot ON tot.g = cum.g GROUP BY cum.g)
+SELECT b.g AS event_type, CAST(MAX(q.n) AS BIGINT) AS n,
+       CAST(MAX(q.q1) AS BIGINT) AS q1, CAST(MAX(q.q3) AS BIGINT)
+         AS q3,
+       CAST(MAX(q.q3 - q.q1) AS BIGINT) AS iqr,
+       CAST(SUM(CASE WHEN 2 * b.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 2 * b.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND(CAST(SUM(CASE WHEN 2 * b.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                      OR 2 * b.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(MAX(q.n) AS DOUBLE), 6) AS outlier_rate
+FROM base b JOIN quarts q ON q.g = b.g
+GROUP BY b.g"""))
+def iqr_outlier_counts_events(spark, sf_dir):
+    """EXT R284 (round 6): Tukey-fence outliers per event type over
+    value cents — distribution-free complement to the z-score screen;
+    fences compared as 2v vs 2q∓3·IQR so 1.5× never floats."""
+    from .operators.analytics import iqr_outlier_counts
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull())
+    return iqr_outlier_counts(ev, "event_type",
+                              F.round(F.col("value") * 100)
+                              .cast("long"))

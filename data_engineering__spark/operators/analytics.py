@@ -4336,3 +4336,41 @@ def event_streaks(events: DataFrame, user_col: str, ts_col: str,
             .select(user_col, "n_events", "n_streaks",
                     F.col("__b.l").cast("long").alias("longest_len"),
                     F.col("__b.t").alias("longest_type")))
+
+
+def iqr_outlier_counts(df: DataFrame, group_col: str, value_long,
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): Tukey-fence outlier counts per group — values
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] with the quartiles from the
+    exact per-group device (R268). The z-score screen (R117) assumes
+    rough normality; Tukey fences are the distribution-free default
+    for skewed money-like columns.
+
+    The 1.5 multiplier never touches a float: the fences compare as
+    2·v < 2·q1 − 3·IQR (resp. >) — integers end to end. Two passes
+    (quartile agg, then a broadcast-joined fence count); outputs
+    (group, n, q1, q3, iqr, n_low, n_high, outlier_rate)."""
+    base = df.select(F.col(group_col).alias("__g"),
+                     value_long.cast("long").alias("__v"))
+    quarts = group_quartiles(base, "__g", F.col("__v"))
+    q = F.broadcast(quarts.select(F.col("__g").alias("__gq"),
+                                  F.col("n"), F.col("q1"),
+                                  F.col("q3"), F.col("iqr")))
+    j = base.join(q, F.col("__g") == F.col("__gq"))
+    low = 2 * F.col("__v") < 2 * F.col("q1") - 3 * F.col("iqr")
+    high = 2 * F.col("__v") > 2 * F.col("q3") + 3 * F.col("iqr")
+    per = (j.groupBy("__g")
+           .agg(F.max("n").cast("long").alias("n"),
+                F.max("q1").cast("long").alias("q1"),
+                F.max("q3").cast("long").alias("q3"),
+                F.max("iqr").cast("long").alias("iqr"),
+                F.sum(F.when(low, 1).otherwise(0)).cast("long")
+                 .alias("n_low"),
+                F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("n_high")))
+    return per.select(
+        F.col("__g").alias(group_col), "n", "q1", "q3", "iqr",
+        "n_low", "n_high",
+        F.round((F.col("n_low") + F.col("n_high")).cast("double")
+                / F.col("n").cast("double"), round_dp)
+        .alias("outlier_rate"))

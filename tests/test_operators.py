@@ -5644,3 +5644,34 @@ def test_event_streaks_islands_and_ties(spark):
     assert (out[1].longest_len, out[1].longest_type) == (3, "b")
     assert (out[2].n_streaks, out[2].longest_len) == (2, 2)
     assert out[2].longest_type == "x"   # tie -> earlier streak
+
+
+def test_iqr_outlier_counts_fences(spark):
+    """Hand values with known quartiles: {10,20,30,40} -> q1=10, q3=30
+    (ceil rule), IQR=20, fences [-20, 60]; planted -25 and 100 are the
+    only outliers; a value AT the fence (60) is inside (strict >)."""
+    from data_engineering__spark.operators.analytics import (
+        iqr_outlier_counts,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [10, 20, 30, 40, -25, 100, 60]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v long")
+    r = iqr_outlier_counts(df, "g", F.col("v")).collect()[0]
+
+    # n=7: q1 = 2nd smallest = -25? No: sorted [-25,10,20,30,40,60,100]
+    # k1 = ceil(7*.25) = 2 -> 10; k3 = ceil(7*.75)=6 -> 60; iqr 50
+    assert (r.q1, r.q3, r.iqr) == (10, 60, 50)
+    # fences: [10-75, 60+75] = [-65, 135] -> no outliers at all
+    assert (r.n_low, r.n_high) == (0, 0)
+
+    # tighter: four clean values + extremes
+    df2 = spark.createDataFrame(
+        [("b", v) for v in [10, 20, 30, 40]]
+        + [("b", -200), ("b", 300)], "g string, v long")
+    r2 = iqr_outlier_counts(df2, "g", F.col("v")).collect()[0]
+    # sorted [-200,10,20,30,40,300]; q1 = 2nd = 10, q3 = ceil(4.5)=5th
+    # = 40, iqr 30, fences [-35, 85] -> -200 low, 300 high
+    assert (r2.q1, r2.q3, r2.iqr) == (10, 40, 30)
+    assert (r2.n_low, r2.n_high) == (1, 1)
+    assert abs(r2.outlier_rate - round(2 / 6, 6)) < 1e-12
