@@ -153,6 +153,7 @@ HEADLINE = [
     "collation_dedup_suppliers",
     "event_streaks_users",
     "iqr_outlier_counts_events",
+    "geo_pairs_within",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2370,6 +2370,7 @@ DRIVER_PRIORITY = [
     "collation_dedup_suppliers",
     "event_streaks_users",
     "iqr_outlier_counts_events",
+    "geo_pairs_within",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12587,3 +12588,50 @@ def iqr_outlier_counts_events(spark, sf_dir):
     return iqr_outlier_counts(ev, "event_type",
                               F.round(F.col("value") * 100)
                               .cast("long"))
+
+
+@query("geo_pairs_within", oracle=_mat("""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+         CAST((c_custkey * 7919) % 2000 AS DOUBLE) / 100 AS lat,
+         CAST((c_custkey * 104729) % 3000 AS DOUBLE) / 100 AS lon
+  FROM customer WHERE c_custkey % 3 = 0),
+a AS (
+  SELECT pid AS pa, lat AS ala, lon AS alo,
+         CAST(FLOOR(lat / 4.0) AS BIGINT) + dx.d AS gx,
+         CAST(FLOOR(lon / 4.0) AS BIGINT) + dy.d AS gy
+  FROM pts
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+b AS (SELECT pid AS pb, lat AS bla, lon AS blo,
+             CAST(FLOOR(lat / 4.0) AS BIGINT) AS bx,
+             CAST(FLOOR(lon / 4.0) AS BIGINT) AS by
+      FROM pts),
+pairs AS (
+  SELECT pa, pb,
+         CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(
+             SIN(RADIANS(bla - ala) / 2) * SIN(RADIANS(bla - ala) / 2)
+             + COS(RADIANS(ala)) * COS(RADIANS(bla))
+               * SIN(RADIANS(blo - alo) / 2)
+               * SIN(RADIANS(blo - alo) / 2)))) AS BIGINT)
+           AS distance_m
+  FROM a JOIN b ON b.bx = a.gx AND b.by = a.gy AND a.pa < b.pb)
+SELECT pa AS pid_a, pb AS pid_b, distance_m
+FROM pairs WHERE distance_m <= 200000"""))
+def geo_pairs_within(spark, sf_dir):
+    """EXT R285 (round 6): spatial self-join — customer point pairs
+    within 200 km via 4° grid bucketing over a dense 20°×30° region
+    (one cell spans the radius at these latitudes, so the 3×3 probe
+    is exhaustive); each pair found exactly once, whole-metre
+    haversine."""
+    from .operators.geo import pairs_within
+    c = read_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 3 == 0)
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        (((F.col("c_custkey") * 7919) % 2000).cast("double") / 100)
+        .alias("lat"),
+        (((F.col("c_custkey") * 104729) % 3000).cast("double") / 100)
+        .alias("lon"))
+    return (pairs_within(pts, 200_000, 4.0)
+            .select(F.col("pid_a"), F.col("pid_b"), "distance_m"))

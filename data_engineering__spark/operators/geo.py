@@ -117,3 +117,47 @@ def cell_density(points: DataFrame, cell_deg: float,
         .orderBy(F.col("n_points").desc(), F.col("cell_x").asc(),
                  F.col("cell_y").asc())
         .limit(top))
+
+
+def pairs_within(points: DataFrame, radius_m: float, cell_deg: float,
+                 pid: str = "pid", lat: str = "lat",
+                 lon: str = "lon") -> DataFrame:
+    """EXT (round 6): all point pairs within ``radius_m`` — the spatial
+    self-join (co-location / duplicate-venue detection), grid-bucketed
+    so it never goes all-pairs: side A explodes into its 3×3
+    neighbourhood, side B joins on its own cell, so every qualifying
+    pair is found EXACTLY once (B's cell matches exactly one of A's
+    nine), deduped by id order. Pick ``cell_deg`` so one cell spans
+    the radius at your worst latitude (longitude degrees shrink by
+    cos(lat) — at |lat| ≤ 60° a degree is ≥ 55.6 km); the contract is
+    the same neighbourhood bound as `grid_nearest`.
+
+    Output: (pid_a, pid_b, distance_m), whole metres."""
+    cx = F.floor(F.col(lat) / cell_deg).cast("long")
+    cy = F.floor(F.col(lon) / cell_deg).cast("long")
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])).alias("__o")
+    a = (points.select(F.col(pid).alias("__pa"),
+                       F.col(lat).alias("__ala"),
+                       F.col(lon).alias("__alo"),
+                       cx.alias("__ax"), cy.alias("__ay"))
+         .select("*", off)
+         .select("__pa", "__ala", "__alo",
+                 (F.col("__ax") + F.col("__o.dx")).alias("__gx"),
+                 (F.col("__ay") + F.col("__o.dy")).alias("__gy")))
+    b = points.select(F.col(pid).alias("__pb"),
+                      F.col(lat).alias("__bla"),
+                      F.col(lon).alias("__blo"),
+                      cx.alias("__bx"), cy.alias("__by"))
+    dist = F.round(haversine_m(F.col("__ala"), F.col("__alo"),
+                               F.col("__bla"), F.col("__blo"))) \
+            .cast("long")
+    return (a.join(b, (F.col("__gx") == F.col("__bx"))
+                   & (F.col("__gy") == F.col("__by"))
+                   & (F.col("__pa") < F.col("__pb")))
+            .select(F.col("__pa").alias(pid + "_a"),
+                    F.col("__pb").alias(pid + "_b"),
+                    dist.alias("distance_m"))
+            .filter(F.col("distance_m") <= radius_m))

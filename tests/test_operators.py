@@ -5675,3 +5675,27 @@ def test_iqr_outlier_counts_fences(spark):
     assert (r2.q1, r2.q3, r2.iqr) == (10, 40, 30)
     assert (r2.n_low, r2.n_high) == (1, 1)
     assert abs(r2.outlier_rate - round(2 / 6, 6)) < 1e-12
+
+
+def test_pairs_within_exactly_once_and_radius(spark):
+    """Points straddling a cell boundary still pair (3x3 probe), each
+    pair appears EXACTLY once despite the 9-way explode, id order
+    holds, and the radius cuts exactly."""
+    import math
+
+    from data_engineering__spark.operators.geo import pairs_within
+
+    pts = spark.createDataFrame(
+        [(1, 3.99, 0.0), (2, 4.01, 0.0),   # cells differ, ~2.2 km
+         (3, 3.99, 0.5),                    # ~55 km from 1
+         (4, 3.99, 10.0)],                  # far away
+        "pid long, lat double, lon double")
+    rows = pairs_within(pts, 60_000, 4.0).collect()
+    got = {(r.pid_a, r.pid_b): r.distance_m for r in rows}
+
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    km22 = round(2 * 6371008.8 * math.asin(math.sin(
+        math.radians(0.01))))
+    assert got[(1, 2)] == km22
+    # no duplicates: collect() rows == unique pairs
+    assert len(rows) == len(got)
