@@ -154,6 +154,7 @@ HEADLINE = [
     "event_streaks_users",
     "iqr_outlier_counts_events",
     "geo_pairs_within",
+    "label_margin_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

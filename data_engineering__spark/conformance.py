@@ -2371,6 +2371,7 @@ DRIVER_PRIORITY = [
     "event_streaks_users",
     "iqr_outlier_counts_events",
     "geo_pairs_within",
+    "label_margin_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12635,3 +12636,49 @@ def geo_pairs_within(spark, sf_dir):
         .alias("lon"))
     return (pairs_within(pts, 200_000, 4.0)
             .select(F.col("pid_a"), F.col("pid_b"), "distance_m"))
+
+
+@query("label_margin_embeddings", oracle=_mat("""
+WITH q AS (
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 20 = 0),
+pairs AS (
+  SELECT q.ql, e.label = q.ql AS same,
+         CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) * 1000000)
+           AS BIGINT) AS cm
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+agg AS (
+  SELECT ql AS label,
+         CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+         CAST(COALESCE(SUM(CASE WHEN same THEN cm END), 0) AS BIGINT)
+           AS si,
+         CAST(SUM(CASE WHEN NOT same THEN 1 ELSE 0 END) AS BIGINT)
+           AS nx,
+         CAST(COALESCE(SUM(CASE WHEN NOT same THEN cm END), 0)
+              AS BIGINT) AS sx
+  FROM pairs GROUP BY ql)
+SELECT label, ni AS n_intra_pairs, nx AS n_inter_pairs,
+       CASE WHEN ni > 0 THEN
+         CAST((si + ni * 1000000) // ni - 1000000 AS DOUBLE) / 1e6
+       END AS mean_intra_cos,
+       CASE WHEN nx > 0 THEN
+         CAST((sx + nx * 1000000) // nx - 1000000 AS DOUBLE) / 1e6
+       END AS mean_inter_cos,
+       CASE WHEN ni > 0 AND nx > 0 THEN
+         CAST((si + ni * 1000000) // ni - 1000000 AS DOUBLE) / 1e6
+         - CAST((sx + nx * 1000000) // nx - 1000000 AS DOUBLE) / 1e6
+       END AS margin
+FROM agg"""))
+def label_margin_embeddings(spark, sf_dir):
+    """EXT R286 (round 6): label-margin (silhouette-lite) report —
+    per label, micro-quantized mean intra- vs inter-label cosine over
+    the vec_id%20 sample and the separability margin; shifted integer
+    means dodge the DIV-truncate vs //-floor divergence on signed
+    sums."""
+    from .operators.vector import label_margin
+    e = read_table(spark, sf_dir, "embeddings")
+    return label_margin(e, e.filter(F.col("vec_id") % 20 == 0))

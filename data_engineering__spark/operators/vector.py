@@ -1236,3 +1236,61 @@ def embedding_norm_profile(df: DataFrame, id_col: str = "vec_id",
     return (quarts.join(zeros, F.col(label_col) == F.col("__lz"))
             .select(label_col, "n", "norm_q1", "norm_q2", "norm_q3",
                     "iqr", "n_near_zero"))
+
+
+def label_margin(candidates: DataFrame, queries: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """EXT (round 6): label-margin report (silhouette-lite) — per
+    label: mean cosine of sampled members to OTHER members of their
+    label vs to everything else, and the margin between the two. The
+    separability number behind `cluster_quality`'s purity and
+    `label_noise_knn`'s suspects: a label whose margin ~0 is not a
+    cluster, whatever its name says.
+
+    Float discipline: each pairwise cosine quantizes to integer
+    micro-units; intra/inter means are integer sums with the R255
+    integer-DIV mean — no float accumulation anywhere. Self-pairs are
+    excluded. Scale: |queries|·|corpus| map-side grid (queries a
+    sample by contract), one label-grain agg."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
+                                   F.col(label_col).alias("__ql"),
+                                   as_double_array(vec_col)
+                                   .alias("__q")))
+    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
+                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                   * 1_000_000).cast("long")
+    pairs = (candidates
+             .select(F.col(id_col).alias("__id"),
+                     F.col(label_col).alias("__l"),
+                     as_double_array(vec_col).alias("__v"))
+             .crossJoin(q)
+             .filter(F.col("__id") != F.col("__qid"))
+             .select(F.col("__ql"),
+                     (F.col("__l") == F.col("__ql")).alias("__same"),
+                     cosm.alias("__cm")))
+    agg = pairs.groupBy(F.col("__ql").alias(label_col)).agg(
+        F.sum(F.when(F.col("__same"), 1).otherwise(0)).cast("long")
+         .alias("__ni"),
+        F.coalesce(F.sum(F.when(F.col("__same"), F.col("__cm"))),
+                   F.lit(0)).cast("long").alias("__si"),
+        F.sum(F.when(~F.col("__same"), 1).otherwise(0)).cast("long")
+         .alias("__nx"),
+        F.coalesce(F.sum(F.when(~F.col("__same"), F.col("__cm"))),
+                   F.lit(0)).cast("long").alias("__sx"))
+    # cosines are signed and Spark's DIV truncates toward zero while
+    # DuckDB's // floors — shift by +1e6 per term (cos+1 >= 0) so both
+    # integer means run on non-negative sums, then unshift
+    intra = F.when(F.col("__ni") > 0,
+                   (F.expr("(__si + __ni * 1000000) DIV __ni")
+                    - F.lit(1_000_000)).cast("double") / 1e6)
+    inter = F.when(F.col("__nx") > 0,
+                   (F.expr("(__sx + __nx * 1000000) DIV __nx")
+                    - F.lit(1_000_000)).cast("double") / 1e6)
+    return agg.select(
+        label_col,
+        F.col("__ni").alias("n_intra_pairs"),
+        F.col("__nx").alias("n_inter_pairs"),
+        intra.alias("mean_intra_cos"),
+        inter.alias("mean_inter_cos"),
+        (intra - inter).alias("margin"))

@@ -5699,3 +5699,26 @@ def test_pairs_within_exactly_once_and_radius(spark):
     assert got[(1, 2)] == km22
     # no duplicates: collect() rows == unique pairs
     assert len(rows) == len(got)
+
+
+def test_label_margin_separated_blobs_and_negatives(spark):
+    """Two orthogonal blobs: intra-cos ~1, inter-cos ~0, margin ~1.
+    A label whose members point OPPOSITE ways exercises the negative-
+    sum shift (intra mean ~-1 must not be mangled by DIV truncation)."""
+    from data_engineering__spark.operators.vector import label_margin
+
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0, 0.0], 0))
+    for i in range(4, 8):
+        rows.append((i, [0.0, 10.0], 1))
+    rows += [(8, [5.0, 0.0], 2), (9, [-5.0, 0.0], 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r for r in label_margin(df, df).collect()}
+
+    assert out[0].mean_intra_cos == 1.0
+    assert out[0].mean_inter_cos < 0.35
+    assert out[0].margin > 0.6
+    # label 2: intra pairs are the two opposite vectors -> cos -1
+    assert out[2].mean_intra_cos == -1.0
+    assert out[2].n_intra_pairs == 2
