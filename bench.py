@@ -155,6 +155,7 @@ HEADLINE = [
     "iqr_outlier_counts_events",
     "geo_pairs_within",
     "label_margin_embeddings",
+    "hard_negatives_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

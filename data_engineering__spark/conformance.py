@@ -2372,6 +2372,7 @@ DRIVER_PRIORITY = [
     "iqr_outlier_counts_events",
     "geo_pairs_within",
     "label_margin_embeddings",
+    "hard_negatives_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12682,3 +12683,34 @@ def label_margin_embeddings(spark, sf_dir):
     from .operators.vector import label_margin
     e = read_table(spark, sf_dir, "embeddings")
     return label_margin(e, e.filter(F.col("vec_id") % 20 == 0))
+
+
+@query("hard_negatives_embeddings", oracle=_mat("""
+WITH q AS (
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+         CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) * 1000000)
+           AS BIGINT) AS cm
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid AND e.label <> q.ql)
+SELECT qid AS anchor_id, CAST(rn AS BIGINT) AS rank,
+       id AS negative_id, cm AS cos_micro
+FROM (SELECT qid, id, cm,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cm DESC, id ASC) AS rn
+      FROM scored WHERE cm BETWEEN 300000 AND 700000) t
+WHERE rn <= 3"""))
+def hard_negatives_embeddings(spark, sf_dir):
+    """EXT R287 (round 6): contrastive hard-negative mining — per
+    vec_id%50 anchor, top-3 wrong-label candidates inside the
+    [0.30, 0.70] cosine band (integer micro-compare band edges),
+    corpus tie rules."""
+    from .operators.vector import hard_negatives
+    e = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") % 50 == 0))

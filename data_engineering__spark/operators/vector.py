@@ -1294,3 +1294,46 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
         intra.alias("mean_intra_cos"),
         inter.alias("mean_inter_cos"),
         (intra - inter).alias("margin"))
+
+
+def hard_negatives(candidates: DataFrame, queries: DataFrame,
+                   band: tuple = (0.3, 0.7), k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """EXT (round 6): hard-negative mining for contrastive training —
+    per anchor, the top-``k`` WRONG-label candidates inside a cosine
+    band (similar enough to teach, not so similar they're label
+    noise; above the band lives R275's suspect territory, below it
+    easy negatives R145 already samples by hash). Output one row per
+    (anchor, rank): (anchor id, rank, negative id, cos_micro).
+
+    Band membership tests on the micro-quantized cosine (integer
+    compare — a raw float >= band edge is a cross-engine boundary
+    risk); ranking is the corpus (cos desc, id asc) rule via
+    WindowGroupLimit. Scale: broadcast anchor grid, map-side scoring,
+    one per-anchor window."""
+    lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
+    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
+                                   F.col(label_col).alias("__ql"),
+                                   as_double_array(vec_col)
+                                   .alias("__q")))
+    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
+                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                   * 1_000_000).cast("long")
+    scored = (candidates
+              .select(F.col(id_col).alias("__id"),
+                      F.col(label_col).alias("__l"),
+                      as_double_array(vec_col).alias("__v"))
+              .crossJoin(q)
+              .filter((F.col("__id") != F.col("__qid"))
+                      & (F.col("__l") != F.col("__ql")))
+              .select("__qid", "__id", cosm.alias("__cm"))
+              .filter((F.col("__cm") >= lo) & (F.col("__cm") <= hi)))
+    w = Window.partitionBy("__qid").orderBy(F.col("__cm").desc(),
+                                            F.col("__id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(F.col("__qid").alias("anchor_id"),
+                    F.col("__rn").cast("long").alias("rank"),
+                    F.col("__id").alias("negative_id"),
+                    F.col("__cm").alias("cos_micro")))

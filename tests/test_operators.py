@@ -5722,3 +5722,31 @@ def test_label_margin_separated_blobs_and_negatives(spark):
     # label 2: intra pairs are the two opposite vectors -> cos -1
     assert out[2].mean_intra_cos == -1.0
     assert out[2].n_intra_pairs == 2
+
+
+def test_hard_negatives_band_and_label_filter(spark):
+    """Anchor label 0: a same-label vector inside the band is skipped;
+    a wrong-label vector above the band (near-dup) is skipped; two
+    in-band wrong-label vectors rank by cosine desc."""
+    import math
+
+    from data_engineering__spark.operators.vector import hard_negatives
+
+    def vec(angle_deg):
+        a = math.radians(angle_deg)
+        return [math.cos(a), math.sin(a)]
+
+    rows = [
+        (0, vec(0), 0),       # anchor
+        (1, vec(5), 1),       # cos ~0.996 > 0.7 -> excluded (too easy to confuse)
+        (2, vec(55), 1),      # cos ~0.574 in band
+        (3, vec(65), 1),      # cos ~0.423 in band
+        (4, vec(60), 0),      # in band but same label -> excluded
+        (5, vec(85), 1),      # cos ~0.087 below band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=3).collect()
+
+    assert [(r.rank, r.negative_id) for r in
+            sorted(out, key=lambda r: r.rank)] == [(1, 2), (2, 3)]
+    assert all(300000 <= r.cos_micro <= 700000 for r in out)
