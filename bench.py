@@ -156,6 +156,7 @@ HEADLINE = [
     "geo_pairs_within",
     "label_margin_embeddings",
     "hard_negatives_embeddings",
+    "duplicate_payments_orders",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

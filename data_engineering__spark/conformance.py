@@ -2373,6 +2373,7 @@ DRIVER_PRIORITY = [
     "geo_pairs_within",
     "label_margin_embeddings",
     "hard_negatives_embeddings",
+    "duplicate_payments_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12714,3 +12715,41 @@ def hard_negatives_embeddings(spark, sf_dir):
     from .operators.vector import hard_negatives
     e = read_table(spark, sf_dir, "embeddings")
     return hard_negatives(e, e.filter(F.col("vec_id") % 50 == 0))
+
+
+@query("duplicate_payments_orders", oracle=_mat("""
+WITH base AS (
+  SELECT o_custkey AS c,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderkey AS k,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS d
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT),
+         o_orderkey + 10000000,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           + 1
+  FROM orders WHERE o_orderkey % 500 = 0)
+SELECT a.c AS o_custkey, a.v AS amount_cents,
+       a.k AS orderkey_a, b.k AS orderkey_b,
+       CAST(ABS(b.d - a.d) AS BIGINT) AS gap_days
+FROM base a JOIN base b
+  ON b.c = a.c AND b.v = a.v AND a.k < b.k
+WHERE ABS(b.d - a.d) <= 1"""))
+def duplicate_payments_orders(spark, sf_dir):
+    """EXT R288 (round 6): duplicate-payment screen with PLANTED
+    next-day duplicates (every 500th order re-posted +1 day under a
+    shifted key) — blocking join on (customer, exact cents),
+    integer day-gap filter, id-ordered exactly-once pairs."""
+    from .operators.quality import duplicate_payments
+    o = read_table(spark, sf_dir, "orders")
+    dup = (o.filter(F.col("o_orderkey") % 500 == 0)
+           .select((F.col("o_orderkey") + 10_000_000)
+                   .alias("o_orderkey"),
+                   F.col("o_custkey"), F.col("o_totalprice"),
+                   (F.col("o_orderdate")
+                    + F.expr("INTERVAL 1 DAY")).alias("o_orderdate")))
+    src = o.select("o_orderkey", "o_custkey", "o_totalprice",
+                   "o_orderdate").unionByName(dup)
+    return duplicate_payments(src)

@@ -790,3 +790,39 @@ def key_variant_conflicts(df: DataFrame, key_col: str) -> DataFrame:
             .select(F.col("__nk").alias("norm_key"),
                     F.col("n_variants").cast("long").alias("n_variants"),
                     "n_rows", "variants"))
+
+
+def duplicate_payments(orders: DataFrame,
+                       max_gap_days: int = 1) -> DataFrame:
+    """EXT (round 6): duplicate-payment screen — pairs of orders by
+    the SAME customer for the SAME amount within ``max_gap_days``. The
+    classic double-charge / double-load detector: exact-key dedup
+    (A6/L1) can't see these because the order keys differ and the
+    dates differ by a day.
+
+    Blocking join on (customer, exact cents) — the natural composite
+    block, so the join never fans out beyond true amount collisions —
+    then an integer day-gap filter and id-ordered exactly-once pairs.
+    Output: (o_custkey, amount_cents, orderkey_a, orderkey_b,
+    gap_days)."""
+    d = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
+    base = orders.select(
+        F.col("o_custkey").alias("__c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__v"),
+        F.col("o_orderkey").alias("__k"), d.alias("__d"))
+    a = base.select(F.col("__c"), F.col("__v"),
+                    F.col("__k").alias("__ka"), F.col("__d").alias("__da"))
+    b = base.select(F.col("__c").alias("__cb"),
+                    F.col("__v").alias("__vb"),
+                    F.col("__k").alias("__kb"), F.col("__d").alias("__db"))
+    return (a.join(b, (F.col("__c") == F.col("__cb"))
+                   & (F.col("__v") == F.col("__vb"))
+                   & (F.col("__ka") < F.col("__kb")))
+            .filter(F.abs(F.col("__db") - F.col("__da"))
+                    <= max_gap_days)
+            .select(F.col("__c").alias("o_custkey"),
+                    F.col("__v").alias("amount_cents"),
+                    F.col("__ka").alias("orderkey_a"),
+                    F.col("__kb").alias("orderkey_b"),
+                    F.abs(F.col("__db") - F.col("__da")).cast("long")
+                    .alias("gap_days")))

@@ -5750,3 +5750,27 @@ def test_hard_negatives_band_and_label_filter(spark):
     assert [(r.rank, r.negative_id) for r in
             sorted(out, key=lambda r: r.rank)] == [(1, 2), (2, 3)]
     assert all(300000 <= r.cos_micro <= 700000 for r in out)
+
+
+def test_duplicate_payments_blocking_and_gap(spark):
+    """Same cust+amount next day flags; a 2-day gap doesn't; same
+    amount different customer doesn't; a triple-post yields all three
+    id-ordered pairs (two within gap, the 0-vs-2-day pair excluded)."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.quality import (
+        duplicate_payments,
+    )
+
+    b = datetime(1997, 1, 10)
+    rows = [(1, 10, 99.99, b), (2, 10, 99.99, b + timedelta(days=1)),
+            (3, 10, 99.99, b + timedelta(days=2)),
+            (4, 20, 99.99, b),
+            (5, 30, 50.00, b), (6, 30, 50.00, b + timedelta(days=2))]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double,"
+              " o_orderdate timestamp")
+    got = {(r.orderkey_a, r.orderkey_b): r.gap_days
+           for r in duplicate_payments(df).collect()}
+
+    assert got == {(1, 2): 1, (2, 3): 1}
