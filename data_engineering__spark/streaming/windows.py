@@ -296,3 +296,20 @@ def chained_tumbling(events: DataFrame, width: str = "10 minutes",
             .agg(F.count(F.lit(1)).alias("n_cells"),
                  F.sum("cnt").cast("long").alias("n_events"),
                  F.max("cnt").cast("long").alias("max_cell")))
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str],
+                           ts_col: str = "ts",
+                           watermark: str = "0 seconds") -> DataFrame:
+    """ST EXT (round 6): ``dropDuplicatesWithinWatermark`` — dedup
+    whose state EVICTS once the watermark passes a key's event time,
+    vs plain streaming ``dropDuplicates`` whose key set grows forever.
+    The trade is explicit and this helper exists to document it: a
+    duplicate arriving after eviction is emitted AGAIN (at-least-once
+    dedup within the lateness horizon, bounded state), which is the
+    correct contract when upstream retries cluster in time — and the
+    wrong one for global uniqueness, where the unbounded variant (ST4)
+    plus a batch compaction is the answer. The pytest pins the
+    re-emission behavior, not just the happy path."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

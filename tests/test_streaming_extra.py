@@ -42,3 +42,44 @@ def test_chained_tumbling_multi_batch_flush(spark, tmp_path):
     # hour 2: single-typed -> 6 cells of 10 events each
     assert (got[2].n_cells, got[2].n_events, got[2].max_cell) == \
         (6, 60, 10)
+
+
+def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
+    """The measured eviction contract: a duplicate arriving ONE batch
+    after the watermark passed its key (batch 2's 2h-later id-1) is
+    STILL suppressed — eviction lags a batch — but by batch 3 the
+    state is gone and the same key emits again. In-batch duplicates
+    always collapse."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.streaming.windows import (
+        dedup_within_watermark,
+        run_to_memory,
+    )
+
+    b = datetime(2024, 2, 1)
+    files = {
+        "f1": [(1, b), (1, b + timedelta(seconds=5)), (2, b)],
+        "f2": [(1, b + timedelta(hours=2)),
+               (3, b + timedelta(hours=2))],
+        "f3": [(1, b + timedelta(hours=4)),
+               (4, b + timedelta(hours=4))],
+    }
+    for name, rows in files.items():
+        spark.createDataFrame(rows, "k long, ts timestamp") \
+            .coalesce(1).write.parquet(str(tmp_path / "in" / name))
+    src = (spark.readStream.schema("k long, ts timestamp")
+           .option("maxFilesPerTrigger", "1")
+           .parquet(str(tmp_path / "in" / "*")))
+    name, _ = run_to_memory(dedup_within_watermark(src, ["k"]),
+                            output_mode="append")
+    got = sorted((r.k, str(r.ts))
+                 for r in spark.table(name).collect())
+
+    ks = [k for k, _ in got]
+    assert ks.count(2) == 1 and ks.count(3) == 1 and ks.count(4) == 1
+    # key 1: batch-1 emit (in-batch dup dropped), batch-2 duplicate
+    # SUPPRESSED (eviction lags), batch-3 re-emit after eviction
+    assert ks.count(1) == 2
+    assert (1, str(b + timedelta(hours=4))) in got
+    assert (1, str(b + timedelta(hours=2))) not in got
