@@ -157,6 +157,7 @@ HEADLINE = [
     "label_margin_embeddings",
     "hard_negatives_embeddings",
     "duplicate_payments_orders",
+    "customer_revenue_percentile",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

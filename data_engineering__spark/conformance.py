@@ -2374,6 +2374,7 @@ DRIVER_PRIORITY = [
     "label_margin_embeddings",
     "hard_negatives_embeddings",
     "duplicate_payments_orders",
+    "customer_revenue_percentile",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12753,3 +12754,34 @@ def duplicate_payments_orders(spark, sf_dir):
     src = o.select("o_orderkey", "o_custkey", "o_totalprice",
                    "o_orderdate").unionByName(dup)
     return duplicate_payments(src)
+
+
+@query("customer_revenue_percentile", oracle=_mat("""
+WITH peru AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+hist AS (SELECT v AS hv, CAST(COUNT(*) AS BIGINT) AS c
+         FROM peru GROUP BY 1),
+offs AS (
+  SELECT hv, COALESCE(SUM(c) OVER (ORDER BY hv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM hist),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM peru)
+SELECT peru.k AS o_custkey, peru.v AS value,
+       ROUND(CASE WHEN n.n > 1
+             THEN CAST(off AS DOUBLE) / CAST(n.n - 1 AS DOUBLE)
+             ELSE 0.0 END, 6) AS pct_rank
+FROM peru JOIN offs ON offs.hv = peru.v CROSS JOIN n"""))
+def customer_revenue_percentile(spark, sf_dir):
+    """EXT R290 (round 6): exact percent-rank of customers by lifetime
+    order value — SQL percent_rank semantics (ties share) computed via
+    the distinct-value offset device, never a global single-partition
+    row window."""
+    from .operators.analytics import value_percentile_rank
+    o = read_table(spark, sf_dir, "orders")
+    peru = (o.groupBy(F.col("o_custkey"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("long")).cast("long").alias("__rev")))
+    return value_percentile_rank(peru, "o_custkey", F.col("__rev"))

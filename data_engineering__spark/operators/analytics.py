@@ -4374,3 +4374,37 @@ def iqr_outlier_counts(df: DataFrame, group_col: str, value_long,
         F.round((F.col("n_low") + F.col("n_high")).cast("double")
                 / F.col("n").cast("double"), round_dp)
         .alias("outlier_rate"))
+
+
+def value_percentile_rank(df: DataFrame, key_col: str, value_long,
+                          round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): exact percent-rank of every key by value —
+    percent_rank = (#strictly smaller)/(n−1) — WITHOUT the global
+    single-partition window `F.percent_rank()` forces (the
+    WindowExec-on-one-partition trap the plan tests ban). The
+    customer-scoring / percentile-pricing primitive at warehouse
+    scale.
+
+    Two-level device (R258's rank machinery): the count of strictly
+    smaller rows is the value histogram's exclusive cumulative sum,
+    a window over DISTINCT values only; each row then joins its
+    offset by value. Ties share a percent_rank, matching the SQL
+    definition. Output: (key, value, pct_rank)."""
+    base = df.select(F.col(key_col), value_long.cast("long")
+                     .alias("__v"))
+    hist = (base.select(F.col("__v").alias("__hv"))
+            .groupBy("__hv").agg(F.count(F.lit(1)).alias("__c")))
+    wh = (Window.orderBy(F.col("__hv").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = hist.select("__hv",
+                       F.coalesce(F.sum("__c").over(wh), F.lit(0))
+                       .alias("__off"))
+    n = F.broadcast(base.agg(F.count(F.lit(1)).alias("__n")))
+    return (base.join(F.broadcast(offs), F.col("__v") == F.col("__hv"))
+            .crossJoin(n)
+            .select(key_col, F.col("__v").alias("value"),
+                    F.round(F.when(F.col("__n") > 1,
+                                   F.col("__off").cast("double")
+                                   / (F.col("__n") - 1).cast("double"))
+                            .otherwise(F.lit(0.0)), round_dp)
+                    .alias("pct_rank")))

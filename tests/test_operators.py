@@ -5774,3 +5774,27 @@ def test_duplicate_payments_blocking_and_gap(spark):
            for r in duplicate_payments(df).collect()}
 
     assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_value_percentile_rank_matches_sql_percent_rank(spark):
+    """Ties share a rank and the result equals Spark's own
+    percent_rank() on a small frame (where the global window is
+    harmless); a single-row frame pins the n=1 guard."""
+    from data_engineering__spark.operators.analytics import (
+        value_percentile_rank,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, v) for i, v in enumerate([10, 20, 20, 30, 40, 40, 50])]
+    df = spark.createDataFrame(rows, "k long, v long")
+    ours = {r.k: r.pct_rank for r in value_percentile_rank(
+        df, "k", F.col("v")).collect()}
+    ref = {r.k: round(r.pr, 6) for r in df.select(
+        "k", F.percent_rank().over(Window.orderBy("v")).alias("pr"))
+        .collect()}
+    assert ours == ref
+
+    one = spark.createDataFrame([(1, 42)], "k long, v long")
+    assert value_percentile_rank(one, "k", F.col("v")) \
+        .collect()[0].pct_rank == 0.0
