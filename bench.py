@@ -158,6 +158,7 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "duplicate_payments_orders",
     "customer_revenue_percentile",
+    "injection_screen_docs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -1243,3 +1243,47 @@ def burrows_delta(docs: DataFrame, source_col: str, text_col: str,
             .agg(F.round(F.sum(F.abs(F.col("__za") - F.col("__zb")))
                          / F.lit(float(top_v)), round_dp)
                  .alias("delta")))
+
+
+def injection_screen(docs: DataFrame, id_col: str, text_col: str,
+                     patterns: dict[str, str] | None = None,
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): prompt-injection / instruction-hijack screen —
+    per pattern class, how many documents match and at what rate. A
+    pretraining or RAG corpus that embeds 'ignore previous
+    instructions' artifacts teaches the attack; this is the PII-redaction
+    (R69-family) sibling for instruction-hijack text. Patterns are
+    case-insensitive regexes over the raw text; one scan, one tiny
+    agg — scan-speed at 100 TB like the other regex screens.
+
+    Default classes: override-style imperatives, role-hijack framing,
+    exfiltration bait, and delimiter-escape probes. Callers extend by
+    passing their own dict (class -> regex)."""
+    patterns = patterns or {
+        "override": r"ignore (all )?(previous|prior|above) "
+                    r"(instructions|prompts)",
+        # NB: patterns stay in the RE2-compatible subset (no
+        # lookaround) so portable SQL engines can run them verbatim
+        "role_hijack": r"you are now|pretend (you are|to be)|"
+                       r"disregard your (rules|guidelines)",
+        "exfiltration": r"(reveal|print|show) (your|the) "
+                        r"(system prompt|instructions|secret)",
+        # text is lowercased before matching: keep patterns lowercase
+        "delimiter": r"<\|.*?\|>|```system|\[/?inst\]",
+    }
+    n = F.broadcast(docs.agg(F.count(F.lit(1)).alias("__n")))
+    outs = []
+    for name, rx in sorted(patterns.items()):
+        hit = F.lower(F.col(text_col)).rlike(rx)
+        outs.append(docs.agg(
+            F.lit(name).alias("pattern_class"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long")
+             .alias("n_docs")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return (res.crossJoin(n)
+            .select("pattern_class", "n_docs",
+                    F.round(F.col("n_docs").cast("double")
+                            / F.col("__n").cast("double"), round_dp)
+                    .alias("hit_rate")))
