@@ -159,6 +159,7 @@ HEADLINE = [
     "duplicate_payments_orders",
     "customer_revenue_percentile",
     "injection_screen_docs",
+    "safety_stock_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

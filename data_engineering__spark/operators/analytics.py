@@ -4408,3 +4408,54 @@ def value_percentile_rank(df: DataFrame, key_col: str, value_long,
                                    / (F.col("__n") - 1).cast("double"))
                             .otherwise(F.lit(0.0)), round_dp)
                     .alias("pct_rank")))
+
+
+def safety_stock(lineitem: DataFrame, part: DataFrame,
+                 lead_weeks: int = 2,
+                 z_service: float = 1.6448536269514722,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): safety-stock / reorder-point table per brand —
+    the actionable number on top of R260's variability classes:
+    ss = z·σ_weekly·√L and ROP = μ_weekly·L + ss at a 95% service
+    level over a ``lead_weeks`` lead time (the classic normal-demand
+    formula). Demand moments come from the DENSE week grid (zero
+    weeks count — skipping them understates σ and the stock runs
+    out); μ and σ stay exact rationals (population σ = √(nQ−S²)/n)
+    until the final fixed-shape float chain; z embeds as an exact
+    binary double."""
+    dec = "decimal(38,0)"
+    j = lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
+    wk = F.expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7") \
+          .cast("long")
+    weekly = (j.select(F.col("p_brand").alias("__b"), wk.alias("__w"),
+                       F.round(F.col("l_quantity")).cast("long")
+                       .alias("__q"))
+              .groupBy("__b", "__w").agg(F.sum("__q").alias("__qw")))
+    anchor = F.broadcast(weekly.agg(F.min("__w").alias("__w0"),
+                                    F.max("__w").alias("__w1")))
+    grid = (weekly.select(F.col("__b").alias("__bg")).distinct()
+            .crossJoin(anchor)
+            .select("__bg", F.explode(
+                F.sequence(F.col("__w0"), F.col("__w1"))).alias("__wg"))
+            .join(weekly, (F.col("__b") == F.col("__bg"))
+                  & (F.col("__w") == F.col("__wg")), "left")
+            .select("__bg", F.coalesce(F.col("__qw"), F.lit(0))
+                    .cast(dec).alias("__x")))
+    per = grid.groupBy("__bg").agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("__x").alias("__S"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__Q"))
+    nD = F.col("__n")
+    mean = F.col("__S").cast("double") / nD.cast("double")
+    sd = (F.sqrt((nD * F.col("__Q") - F.col("__S") * F.col("__S"))
+                 .cast("double"))
+          / nD.cast("double"))
+    ss = F.lit(z_service) * sd * F.lit(float(lead_weeks) ** 0.5)
+    return per.select(
+        F.col("__bg").alias("p_brand"),
+        F.col("__n").cast("long").alias("n_weeks"),
+        F.round(mean, round_dp).alias("mean_weekly_qty"),
+        F.round(sd, round_dp).alias("sd_weekly_qty"),
+        F.round(ss, round_dp).alias("safety_stock"),
+        F.round(mean * F.lit(float(lead_weeks)) + ss, round_dp)
+        .alias("reorder_point"))

@@ -5820,3 +5820,36 @@ def test_injection_screen_classes(spark):
     assert out["role_hijack"].n_docs == 1       # doc 3
     assert out["delimiter"].n_docs == 2         # docs 3 and 4
     assert out["override"].hit_rate == 0.25
+
+
+def test_safety_stock_formula(spark):
+    """Weekly demand {10, 20} over two weeks: mean 15, population
+    sigma 5; ss = 1.6449*5*sqrt(2), ROP = 30 + ss — replayed exactly;
+    a constant-demand brand has zero safety stock."""
+    import math
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import safety_stock
+
+    b = datetime(1995, 1, 5)
+    li = []
+    for _ in range(10):
+        li.append((1, 1.0, b))
+    for _ in range(20):
+        li.append((1, 1.0, b + timedelta(weeks=1)))
+    li += [(2, 7.0, b), (2, 7.0, b + timedelta(weeks=1))]
+    ldf = spark.createDataFrame(
+        li, "l_partkey long, l_quantity double, l_shipdate timestamp")
+    pdf = spark.createDataFrame([(1, "X"), (2, "Y")],
+                                "p_partkey long, p_brand string")
+    out = {r.p_brand: r for r in safety_stock(ldf, pdf).collect()}
+
+    z, rl = 1.6448536269514722, math.sqrt(2)
+    x = out["X"]
+    assert (x.n_weeks, x.mean_weekly_qty, x.sd_weekly_qty) == \
+        (2, 15.0, 5.0)
+    assert abs(x.safety_stock - round(z * 5 * rl, 6)) < 1e-9
+    assert abs(x.reorder_point - round(30 + z * 5 * rl, 6)) < 1e-9
+    y = out["Y"]
+    assert y.sd_weekly_qty == 0.0 and y.safety_stock == 0.0
+    assert y.reorder_point == 14.0
