@@ -160,6 +160,7 @@ HEADLINE = [
     "customer_revenue_percentile",
     "injection_screen_docs",
     "safety_stock_brands",
+    "churn_training_set",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2377,6 +2377,7 @@ DRIVER_PRIORITY = [
     "customer_revenue_percentile",
     "injection_screen_docs",
     "safety_stock_brands",
+    "churn_training_set",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12880,3 +12881,39 @@ def safety_stock_brands(spark, sf_dir):
     from .operators.analytics import safety_stock
     return safety_stock(read_table(spark, sf_dir, "lineitem"),
                         read_table(spark, sf_dir, "part"))
+
+
+@query("churn_training_set", oracle=_mat("""
+WITH base AS (
+  SELECT user_id AS u,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+         event_type AS t,
+         COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0) AS v
+  FROM events),
+cut AS (SELECT MAX(d) - 14 + 1 AS c FROM base),
+per AS (
+  SELECT u,
+    CAST(SUM(CASE WHEN d < cut.c THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pre_events,
+    CAST(SUM(CASE WHEN d < cut.c AND t = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_pre_purchases,
+    CAST(COALESCE(SUM(CASE WHEN d < cut.c AND t = 'purchase'
+                      THEN v END), 0) AS BIGINT) AS pre_value_cents,
+    MAX(CASE WHEN d < cut.c THEN d END) AS last_pre,
+    CAST(COUNT(DISTINCT CASE WHEN d < cut.c THEN d END) AS BIGINT)
+      AS active_pre_days,
+    CAST(SUM(CASE WHEN d >= cut.c THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_label,
+    MAX(cut.c) AS c
+  FROM base CROSS JOIN cut GROUP BY u)
+SELECT u AS user_id, n_pre_events, n_pre_purchases, pre_value_cents,
+       CAST(c - 1 - last_pre AS BIGINT) AS days_since_last_pre,
+       active_pre_days, n_label = 0 AS churned
+FROM per WHERE n_pre_events > 0"""))
+def churn_training_set(spark, sf_dir):
+    """EXT R293 (round 6): leakage-safe churn training set — label =
+    zero events in the final 14 days (anchored on the data's max
+    day), features strictly pre-window; integer features off one
+    conditional hash agg."""
+    from .operators.analytics import churn_training_set as cts
+    return cts(read_table(spark, sf_dir, "events"), "user_id", "ts")

@@ -4459,3 +4459,54 @@ def safety_stock(lineitem: DataFrame, part: DataFrame,
         F.round(ss, round_dp).alias("safety_stock"),
         F.round(mean * F.lit(float(lead_weeks)) + ss, round_dp)
         .alias("reorder_point"))
+
+
+def churn_training_set(events: DataFrame, user_col: str, ts_col: str,
+                       label_days: int = 14,
+                       round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): churn-label training-set builder — the
+    assemble-a-dataset op every retention model starts from, with the
+    leakage rule made structural: the label window is the LAST
+    ``label_days`` before the data's max day, features come ONLY from
+    before it, and a user's label is churned ⟺ zero label-window
+    events. Users with no pre-window activity are excluded (nothing
+    to predict from).
+
+    Per user: (n_pre_events, n_pre_purchases, pre_value_cents,
+    days_since_last_pre, active_pre_days, churned). All features are
+    integers off one conditional hash agg; the boundary is an integer
+    day cut anchored on the data's own max (deterministic)."""
+    day = F.expr(f"unix_date(CAST({ts_col} AS DATE))").cast("long")
+    base = events.select(F.col(user_col).alias("__u"),
+                         day.alias("__d"),
+                         F.col("event_type").alias("__t"),
+                         F.coalesce(F.round(F.col("value") * 100)
+                                    .cast("long"), F.lit(0))
+                         .alias("__v"))
+    cut = F.broadcast(base.agg(
+        (F.max("__d") - label_days + 1).alias("__cut"),
+        F.max("__d").alias("__mx")))
+    tagged = base.crossJoin(cut)
+    pre = F.col("__d") < F.col("__cut")
+    per = tagged.groupBy("__u").agg(
+        F.sum(F.when(pre, 1).otherwise(0)).cast("long")
+         .alias("n_pre_events"),
+        F.sum(F.when(pre & (F.col("__t") == "purchase"), 1)
+              .otherwise(0)).cast("long").alias("n_pre_purchases"),
+        F.coalesce(F.sum(F.when(pre & (F.col("__t") == "purchase"),
+                                F.col("__v"))), F.lit(0))
+         .cast("long").alias("pre_value_cents"),
+        F.max(F.when(pre, F.col("__d"))).alias("__last_pre"),
+        F.countDistinct(F.when(pre, F.col("__d"))).cast("long")
+         .alias("active_pre_days"),
+        F.sum(F.when(~pre, 1).otherwise(0)).cast("long")
+         .alias("__n_label"),
+        F.max("__cut").alias("__c"))
+    return (per.filter(F.col("n_pre_events") > 0)
+            .select(F.col("__u").alias(user_col),
+                    "n_pre_events", "n_pre_purchases",
+                    "pre_value_cents",
+                    (F.col("__c") - 1 - F.col("__last_pre"))
+                    .cast("long").alias("days_since_last_pre"),
+                    "active_pre_days",
+                    (F.col("__n_label") == 0).alias("churned")))

@@ -5853,3 +5853,41 @@ def test_safety_stock_formula(spark):
     y = out["Y"]
     assert y.sd_weekly_qty == 0.0 and y.safety_stock == 0.0
     assert y.reorder_point == 14.0
+
+
+def test_churn_training_set_leakage_rule(spark):
+    """Anchor day = max day; the 14-day label window is [mx-13, mx].
+    u1 is active pre-window and silent in-window -> churned, features
+    count ONLY pre rows; u2 is active in both -> not churned; u3
+    exists only inside the label window -> excluded entirely."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        churn_training_set,
+    )
+
+    mx = datetime(2024, 3, 31)
+    rows = [
+        (1, mx - timedelta(days=30), "view", 1.0),
+        (1, mx - timedelta(days=20), "purchase", 2.5),
+        (2, mx - timedelta(days=20), "view", 1.0),
+        (2, mx - timedelta(days=5), "purchase", 9.0),
+        (3, mx - timedelta(days=3), "view", 1.0),
+        (9, mx, "view", 1.0),  # anchors max day
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string,"
+              " value double")
+    out = {r.user_id: r for r in churn_training_set(
+        df, "user_id", "ts").collect()}
+
+    assert 3 not in out            # label-window-only user excluded
+    u1 = out[1]
+    assert u1.churned is True
+    assert (u1.n_pre_events, u1.n_pre_purchases) == (2, 1)
+    assert u1.pre_value_cents == 250
+    assert u1.days_since_last_pre == 20 - 14 + 1 - 1
+    u2 = out[2]
+    assert u2.churned is False
+    assert u2.n_pre_events == 1    # the in-window purchase is label-only
+    assert u2.pre_value_cents == 0
