@@ -161,6 +161,7 @@ HEADLINE = [
     "injection_screen_docs",
     "safety_stock_brands",
     "churn_training_set",
+    "feature_hash_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2378,6 +2378,7 @@ DRIVER_PRIORITY = [
     "injection_screen_docs",
     "safety_stock_brands",
     "churn_training_set",
+    "feature_hash_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12917,3 +12918,29 @@ def churn_training_set(spark, sf_dir):
     conditional hash agg."""
     from .operators.analytics import churn_training_set as cts
     return cts(read_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+def _feature_hash_oracle_sql(n_buckets: int = 8) -> str:
+    # DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
+    bucket = _bucket_sql(
+        "event_type || '#' || CAST(dayofweek(CAST(ts AS DATE)) + 1 "
+        "AS VARCHAR)", "")
+    cols = ",\n".join(
+        f"  CAST(SUM(CASE WHEN ({bucket}) % {n_buckets} = {i} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS f{i}"
+        for i in range(n_buckets))
+    return f"""
+SELECT user_id,
+{cols}
+FROM events GROUP BY user_id"""
+
+
+@query("feature_hash_users", oracle=_mat(_feature_hash_oracle_sql()))
+def feature_hash_users(spark, sf_dir):
+    """EXT R294 (round 6): hashing-trick features — per user, counts
+    of the (event_type × day-of-week) cross folded into 8 sha buckets
+    as fixed columns; unbounded vocab without a vocabulary table,
+    collisions by design."""
+    from .operators.analytics import feature_hash
+    return feature_hash(read_table(spark, sf_dir, "events"),
+                        "user_id", "ts", "event_type")

@@ -4510,3 +4510,31 @@ def churn_training_set(events: DataFrame, user_col: str, ts_col: str,
                     .cast("long").alias("days_since_last_pre"),
                     "active_pre_days",
                     (F.col("__n_label") == 0).alias("churned")))
+
+
+def feature_hash(events: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, n_buckets: int = 8) -> DataFrame:
+    """EXT (round 6): hashing-trick feature vector per user — counts
+    of the (event_type × day-of-week) cross folded into ``n_buckets``
+    sha buckets, emitted as fixed columns f0..f{n-1}. The
+    unbounded-vocabulary answer: new event types appear in production
+    without a schema change or a vocabulary table, at the price of
+    collisions (documented, that IS the trick). Buckets use the
+    corpus sha discipline (rerun/append-stable, engine-portable) —
+    never a JVM hashCode.
+
+    One conditional hash agg; day-of-week from the tz-free DATE."""
+    from .sampling import hash_bucket
+
+    dow = F.expr(f"dayofweek(CAST({ts_col} AS DATE))").cast("long")
+    cross = F.concat(F.col(type_col), F.lit("#"),
+                     dow.cast("string"))
+    b = hash_bucket(cross, n_buckets)
+    per = (events.select(F.col(user_col).alias("__u"),
+                         b.alias("__b"))
+           .groupBy("__u")
+           .agg(*[F.sum(F.when(F.col("__b") == i, 1).otherwise(0))
+                  .cast("long").alias(f"f{i}")
+                  for i in range(n_buckets)]))
+    return per.select(F.col("__u").alias(user_col),
+                      *[f"f{i}" for i in range(n_buckets)])

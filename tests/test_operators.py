@@ -5891,3 +5891,34 @@ def test_churn_training_set_leakage_rule(spark):
     assert u2.churned is False
     assert u2.n_pre_events == 1    # the in-window purchase is label-only
     assert u2.pre_value_cents == 0
+
+
+def test_feature_hash_buckets_stable_and_complete(spark):
+    """Bucket assignment replays the sha formula exactly; per-user
+    bucket counts sum to the user's event count (no cross drops)."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import feature_hash
+
+    b = datetime(2024, 3, 4)  # a Monday
+    rows = [(1, b + timedelta(days=i), t)
+            for i, t in enumerate(["view", "click", "view", "purchase"])]
+    rows += [(2, b, "view")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in feature_hash(
+        df, "user_id", "ts", "event_type").collect()}
+
+    def bucket(etype, dow):
+        h = hashlib.sha256(f"{etype}#{dow}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 % 8
+
+    # Monday in Spark dayofweek is 2 (Sunday=1)
+    expect1 = [0] * 8
+    for i, t in enumerate(["view", "click", "view", "purchase"]):
+        expect1[bucket(t, 2 + i)] += 1
+    got1 = [out[1][f"f{i}"] for i in range(8)]
+    assert got1 == expect1
+    assert sum(got1) == 4
+    assert sum(out[2][f"f{i}"] for i in range(8)) == 1
