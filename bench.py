@@ -162,6 +162,8 @@ HEADLINE = [
     "safety_stock_brands",
     "churn_training_set",
     "feature_hash_users",
+    "target_encoding_brands",
+    "srm_check_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

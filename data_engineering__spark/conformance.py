@@ -2379,6 +2379,8 @@ DRIVER_PRIORITY = [
     "safety_stock_brands",
     "churn_training_set",
     "feature_hash_users",
+    "target_encoding_brands",
+    "srm_check_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -12944,3 +12946,57 @@ def feature_hash_users(spark, sf_dir):
     from .operators.analytics import feature_hash
     return feature_hash(read_table(spark, sf_dir, "events"),
                         "user_id", "ts", "event_type")
+
+
+@query("target_encoding_brands", oracle=_mat("""
+WITH base AS (
+  SELECT p.p_brand AS c,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+per AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS k
+        FROM base GROUP BY c),
+gl AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+              CAST(SUM(k) AS HUGEINT) AS kk FROM per)
+SELECT c AS p_brand, n,
+       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       ROUND(CAST(CAST(k AS HUGEINT) * nn + 100 * kk AS DOUBLE)
+             / CAST(nn * (CAST(n AS HUGEINT) + 100) AS DOUBLE), 6)
+         AS encoded
+FROM per CROSS JOIN gl"""))
+def target_encoding_brands(spark, sf_dir):
+    """EXT R295 (round 6): smoothed target encoding of brand against
+    the return flag — (k·N + m·K)/(N·(n+m)) with m=100 pseudo-counts,
+    one exact-decimal division per category."""
+    from .operators.analytics import target_encoding
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    return target_encoding(li.join(p, li["l_partkey"] == p["p_partkey"]),
+                           "p_brand", F.col("l_returnflag") == "R")
+
+
+@query("srm_check_events", oracle=_mat(f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)",
+                                     "exp1")}) < 5000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN ({_bucket_sql("CAST(user_id AS VARCHAR)",
+                                     "exp1")}) >= 5000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM users)
+SELECT n_a, n_b,
+       ROUND(CASE WHEN n_a + n_b > 0
+             THEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                  / CAST(n_a + n_b AS DOUBLE) END, 6) AS chi2,
+       CASE WHEN n_a + n_b > 0
+            THEN (n_a - n_b) * (n_a - n_b) * 1000 > 10828 * (n_a + n_b)
+            ELSE FALSE END AS srm_flag
+FROM agg"""))
+def srm_check_events(spark, sf_dir):
+    """EXT R296 (round 6): sample-ratio-mismatch guardrail on the
+    'exp1' arms — χ²(1) vs the designed 50/50, strict 0.001 flag via
+    an integer cross-multiplied boundary."""
+    from .operators.analytics import srm_check
+    return srm_check(read_table(spark, sf_dir, "events"), "user_id")

@@ -4538,3 +4538,74 @@ def feature_hash(events: DataFrame, user_col: str, ts_col: str,
                   for i in range(n_buckets)]))
     return per.select(F.col("__u").alias(user_col),
                       *[f"f{i}" for i in range(n_buckets)])
+
+
+def target_encoding(df: DataFrame, cat_col: str, target_pred,
+                    smoothing: int = 100,
+                    round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): smoothed target encoding table — per category,
+    the target rate shrunk toward the global rate by a pseudo-count
+    prior: enc = (k + m·p_global)/(n + m). The standard high-
+    cardinality categorical encoder; the smoothing is what keeps a
+    3-row category from memorizing its targets (the encoder's
+    overfitting failure mode). Emit the table, join it to train —
+    never fit-and-apply in one pass on the same rows.
+
+    Exactness: k, n, K, N are integers; enc = (k·N + m·K)/(N·(n+m))
+    — ONE division of exact decimal products. Output: (category, n,
+    raw_rate, encoded)."""
+    dec = "decimal(38,0)"
+    base = df.select(F.col(cat_col).alias("__c"),
+                     F.when(target_pred, 1).otherwise(0).alias("__y"))
+    per = base.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__k"))
+    # __gn/__gk, NOT __N/__K: Spark resolves case-insensitively and
+    # __N would collide with __n (the R256 lesson)
+    glob = F.broadcast(per.agg(F.sum("__n").cast("long").alias("__gn"),
+                               F.sum("__k").cast("long").alias("__gk")))
+    j = per.crossJoin(glob)
+    num = (F.col("__k").cast(dec) * F.col("__gn").cast(dec)
+           + F.lit(smoothing) * F.col("__gk").cast(dec))
+    den = (F.col("__gn").cast(dec)
+           * (F.col("__n") + F.lit(smoothing)).cast(dec))
+    return j.select(
+        F.col("__c").alias(cat_col),
+        F.col("__n").alias("n"),
+        F.round(F.col("__k").cast("double")
+                / F.col("__n").cast("double"), round_dp)
+        .alias("raw_rate"),
+        F.round(num.cast("double") / den.cast("double"), round_dp)
+        .alias("encoded"))
+
+
+def srm_check(events: DataFrame, user_col: str, salt: str = "exp1",
+              buckets: int = 10_000, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): sample-ratio-mismatch guardrail — the FIRST
+    check on any experiment readout: if the realized arm split is
+    improbably far from the designed 50/50, every downstream metric
+    (R123/R197/R226/R250...) is untrustworthy, full stop. Chi-square
+    with 1 df against the expected even split: χ² = (nₐ−nᵦ)²/(nₐ+nᵦ);
+    flag at the 0.001 level (10.828) — SRM alarms are set strict
+    because the failure mode is systemic, not noise.
+
+    One per-user agg + a scalar; χ² is one float division of exact
+    integers; the flag is an integer cross-multiplication compare
+    ((nₐ−nᵦ)²·1000 vs 10828·(nₐ+nᵦ)) so the boundary can't waver."""
+    from .sampling import hash_bucket
+
+    users = events.select(F.col(user_col).alias("__u")).distinct()
+    arm_a = hash_bucket(F.col("__u"), buckets, salt) < buckets // 2
+    agg = users.agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~arm_a, 1).otherwise(0)).cast("long")
+         .alias("n_b"))
+    d = F.col("n_a") - F.col("n_b")
+    tot = F.col("n_a") + F.col("n_b")
+    return agg.select(
+        "n_a", "n_b",
+        F.round(F.when(tot > 0, d.cast("double") * d.cast("double")
+                       / tot.cast("double")), round_dp)
+        .alias("chi2"),
+        F.when(tot > 0, d * d * 1000 > 10828 * tot)
+         .otherwise(F.lit(False)).alias("srm_flag"))

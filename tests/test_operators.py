@@ -5922,3 +5922,55 @@ def test_feature_hash_buckets_stable_and_complete(spark):
     assert got1 == expect1
     assert sum(got1) == 4
     assert sum(out[2][f"f{i}"] for i in range(8)) == 1
+
+
+def test_target_encoding_shrinkage(spark):
+    """A 2-row category with 100% raw rate shrinks hard toward the
+    global rate; a 1000-row category barely moves; exact formula
+    replayed."""
+    from data_engineering__spark.operators.analytics import (
+        target_encoding,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("rare", 1)] * 2 + [("big", 1)] * 300 + [("big", 0)] * 700
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = {r.c: r for r in target_encoding(
+        df, "c", F.col("y") == 1, smoothing=100).collect()}
+
+    N, K = 1002, 302
+    rare = out["rare"]
+    assert rare.raw_rate == 1.0
+    want = (2 * N + 100 * K) / (N * (2 + 100))
+    assert abs(rare.encoded - round(want, 6)) < 1e-9
+    assert rare.encoded < 0.35          # shrunk far from 1.0
+    big = out["big"]
+    want_big = (300 * N + 100 * K) / (N * (1000 + 100))
+    assert abs(big.encoded - round(want_big, 6)) < 1e-9
+    assert abs(big.encoded - 0.3) < 0.01
+
+
+def test_srm_check_flag_boundary(spark):
+    """A heavily imbalanced synthetic assignment flags SRM; a clean
+    50/50-ish one doesn't. Chi2 replays exactly."""
+    import hashlib
+
+    from data_engineering__spark.operators.analytics import srm_check
+
+    def arm_a(uid, salt="exp1"):
+        h = hashlib.sha256(f"{salt}{uid}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 < 5000
+
+    a_users = [u for u in range(2000) if arm_a(u)][:100]
+    b_users = [u for u in range(2000) if not arm_a(u)][:10]
+    df = spark.createDataFrame([(u,) for u in a_users + b_users],
+                               "user_id long")
+    r = srm_check(df, "user_id").collect()[0]
+    assert (r.n_a, r.n_b) == (100, 10)
+    assert abs(r.chi2 - round(90 * 90 / 110, 6)) < 1e-9
+    assert r.srm_flag is True
+
+    even = spark.createDataFrame(
+        [(u,) for u in a_users[:10] + b_users[:10]], "user_id long")
+    r2 = srm_check(even, "user_id").collect()[0]
+    assert r2.srm_flag is False
