@@ -164,6 +164,7 @@ HEADLINE = [
     "feature_hash_users",
     "target_encoding_brands",
     "srm_check_events",
+    "fiscal_445_revenue",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2381,6 +2381,7 @@ DRIVER_PRIORITY = [
     "feature_hash_users",
     "target_encoding_brands",
     "srm_check_events",
+    "fiscal_445_revenue",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13000,3 +13001,34 @@ def srm_check_events(spark, sf_dir):
     an integer cross-multiplied boundary."""
     from .operators.analytics import srm_check
     return srm_check(read_table(spark, sf_dir, "events"), "user_id")
+
+
+@query("fiscal_445_revenue", oracle=_mat("""
+WITH base AS (
+  SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS wk,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+keyed AS (
+  SELECT wk // 52 AS fiscal_year, (wk % 52) // 13 AS fiscal_quarter,
+         CASE WHEN (wk % 52) % 13 < 4 THEN 0
+              WHEN (wk % 52) % 13 < 8 THEN 1 ELSE 2 END
+           AS fiscal_period, v
+  FROM base)
+SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+       CAST(fiscal_quarter AS BIGINT) AS fiscal_quarter,
+       CAST(fiscal_period AS BIGINT) AS fiscal_period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(v) AS BIGINT) AS revenue_cents,
+       ROUND(CAST(SUM(v) AS DOUBLE)
+             / CASE WHEN MAX(fiscal_period) = 2 THEN 5.0 ELSE 4.0 END,
+             6) AS weekly_rate_cents
+FROM keyed GROUP BY 1, 2, 3"""))
+def fiscal_445_revenue(spark, sf_dir):
+    """EXT R297 (round 6): 4-4-5 fiscal-calendar revenue rollup —
+    integer epoch-week fiscal (year, quarter, period) keys with the
+    4/4/5 period cuts; per-period counts, exact cents, per-week
+    normalization so periods compare despite unequal lengths."""
+    from .operators.temporal import fiscal_445_agg
+    return fiscal_445_agg(read_table(spark, sf_dir, "orders"),
+                          F.round(F.col("o_totalprice") * 100)
+                          .cast("long"))

@@ -818,3 +818,43 @@ def nearest_join(left: DataFrame, right: DataFrame, key_col: str,
                     F.col("__b.ri").alias("nearest_id"),
                     (F.col("__b.rt") - F.col("__lt")).cast("long")
                     .alias("delta_s")))
+
+
+def fiscal_445_agg(orders: DataFrame, value_long,
+                   round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): 4-4-5 fiscal-calendar aggregation — revenue by
+    fiscal (year, quarter, period) where each quarter is a 4-week,
+    4-week, 5-week triplet of ISO-ish weeks anchored at the epoch
+    week. Retail/finance reporting runs on this calendar precisely so
+    periods are comparable (same weekday mix); a Gregorian-month
+    rollup can't be compared period-over-period without weekday
+    corrections. All calendar math is integer: week = days DIV 7,
+    fiscal year = week DIV 52, week-in-year = week MOD 52 ∈ [0,52)
+    (a pure 52-week year — simple and exactly periodic; it DRIFTS ~1
+    day/year against Gregorian, the documented trade vs the leap-week
+    variants), quarter = w DIV 13, period-in-quarter from the 4/8
+    cuts.
+
+    One hash agg on the derived (year, quarter, period) key; exact
+    cents, per-period counts and revenue plus weekly rate."""
+    wk = F.expr("unix_date(CAST(o_orderdate AS DATE)) DIV 7") \
+          .cast("long")
+    w_in_y = wk % 52
+    fy = (wk / 52).cast("long")
+    q = (w_in_y / 13).cast("long")
+    wq = w_in_y % 13
+    period = (F.when(wq < 4, 0).when(wq < 8, 1).otherwise(2))
+    n_weeks = F.when(F.col("fiscal_period") == 2, 5).otherwise(4)
+    per = (orders.select(fy.alias("fiscal_year"),
+                         q.alias("fiscal_quarter"),
+                         period.cast("long").alias("fiscal_period"),
+                         value_long.cast("long").alias("__v"))
+           .groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("__v").cast("long").alias("revenue_cents")))
+    return per.select(
+        "fiscal_year", "fiscal_quarter", "fiscal_period", "n_orders",
+        "revenue_cents",
+        F.round(F.col("revenue_cents").cast("double")
+                / n_weeks.cast("double"), round_dp)
+        .alias("weekly_rate_cents"))

@@ -5974,3 +5974,31 @@ def test_srm_check_flag_boundary(spark):
         [(u,) for u in a_users[:10] + b_users[:10]], "user_id long")
     r2 = srm_check(even, "user_id").collect()[0]
     assert r2.srm_flag is False
+
+
+def test_fiscal_445_period_cuts(spark):
+    """Orders planted in epoch-weeks hitting each period boundary:
+    weeks 0-3 -> P0 (4wk), 4-7 -> P1 (4wk), 8-12 -> P2 (5wk), week 13
+    -> Q1 P0, week 52 -> next fiscal year; weekly rate divides by the
+    period length."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.temporal import fiscal_445_agg
+    from pyspark.sql import functions as F
+
+    epoch = datetime(1970, 1, 1)
+    weeks = [0, 3, 4, 8, 12, 13, 52]
+    rows = [(epoch + timedelta(weeks=w), 10.0) for w in weeks]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp, o_totalprice double")
+    out = {(r.fiscal_year, r.fiscal_quarter, r.fiscal_period): r
+           for r in fiscal_445_agg(
+               df, F.round(F.col("o_totalprice") * 100).cast("long")
+           ).collect()}
+
+    assert out[(0, 0, 0)].n_orders == 2      # weeks 0, 3
+    assert out[(0, 0, 1)].n_orders == 1      # week 4
+    assert out[(0, 0, 2)].n_orders == 2      # weeks 8, 12
+    assert out[(0, 1, 0)].n_orders == 1      # week 13 opens Q1
+    assert out[(1, 0, 0)].n_orders == 1      # week 52 opens FY1
+    assert out[(0, 0, 2)].weekly_rate_cents == 2000 / 5
+    assert out[(0, 0, 0)].weekly_rate_cents == 2000 / 4
