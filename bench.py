@@ -165,6 +165,7 @@ HEADLINE = [
     "target_encoding_brands",
     "srm_check_events",
     "fiscal_445_revenue",
+    "unit_price_drift_parts",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2382,6 +2382,7 @@ DRIVER_PRIORITY = [
     "target_encoding_brands",
     "srm_check_events",
     "fiscal_445_revenue",
+    "unit_price_drift_parts",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13032,3 +13033,36 @@ def fiscal_445_revenue(spark, sf_dir):
     return fiscal_445_agg(read_table(spark, sf_dir, "orders"),
                           F.round(F.col("o_totalprice") * 100)
                           .cast("long"))
+
+
+@query("unit_price_drift_parts", oracle=_mat("""
+WITH per AS (
+  SELECT l_partkey AS p,
+         (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 30 AS m,
+         CAST(SUM(ROUND(l_extendedprice * 100)) AS HUGEINT) AS r,
+         CAST(SUM(ROUND(l_quantity)) AS HUGEINT) AS q
+  FROM lineitem WHERE l_partkey % 20 = 0 GROUP BY 1, 2),
+lagged AS (
+  SELECT p, m, r, q,
+         LAG(r) OVER (PARTITION BY p ORDER BY m) AS r0,
+         LAG(q) OVER (PARTITION BY p ORDER BY m) AS q0,
+         LAG(m) OVER (PARTITION BY p ORDER BY m) AS m0
+  FROM per)
+SELECT p AS l_partkey, CAST(m AS BIGINT) AS month_idx,
+       CAST(m0 AS BIGINT) AS prev_month_idx,
+       ROUND(((CAST(r AS DOUBLE) / CAST(q AS DOUBLE))
+              / (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) - 1.0)
+             * 100, 6) AS pct_change,
+       100 * r * q0 > 110 * r0 * q AS is_increase
+FROM lagged
+WHERE r0 IS NOT NULL AND q0 > 0 AND q > 0
+  AND (100 * r * q0 > 110 * r0 * q OR 100 * r * q0 < 90 * r0 * q)"""))
+def unit_price_drift_parts(spark, sf_dir):
+    """EXT R298 (round 6): unit-price drift per part — months whose
+    effective unit price moved ±10% vs the previous observed month;
+    the drift test is exact decimal cross-products (100·p₁·q₀ vs
+    110·p₀·q₁), division only in the human-facing pct."""
+    from .operators.analytics import unit_price_drift
+    li = read_table(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_partkey") % 20 == 0)
+    return unit_price_drift(li)

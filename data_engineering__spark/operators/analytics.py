@@ -4609,3 +4609,53 @@ def srm_check(events: DataFrame, user_col: str, salt: str = "exp1",
         .alias("chi2"),
         F.when(tot > 0, d * d * 1000 > 10828 * tot)
          .otherwise(F.lit(False)).alias("srm_flag"))
+
+
+def unit_price_drift(lineitem: DataFrame, threshold_pct: int = 10,
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): unit-price drift detector per part — months
+    whose effective unit price (Σcents / Σqty) moved more than
+    ``threshold_pct``% against the previous observed month. The
+    price-integrity screen behind the PVM bridge (R262): the bridge
+    says revenue moved on price; this names the parts and months.
+
+    The drift test NEVER divides: p₁/q₁ vs p₀/q₀ ± t% compares as
+    100·p₁·q₀ vs (100±t)·p₀·q₁ — exact decimal cross-products, so a
+    part sitting exactly on the threshold cannot flip between
+    engines. The reported pct_change is one float division pair for
+    humans. Per-part month series via lag window; output only the
+    flagged (part, month) rows."""
+    dec = "decimal(38,0)"
+    mth = F.expr("unix_date(CAST(l_shipdate AS DATE)) DIV 30") \
+           .cast("long")
+    per = (lineitem.select(F.col("l_partkey").alias("__p"),
+                           mth.alias("__m"),
+                           F.round(F.col("l_extendedprice") * 100)
+                           .cast("long").alias("__r"),
+                           F.round(F.col("l_quantity")).cast("long")
+                           .alias("__q"))
+           .groupBy("__p", "__m")
+           .agg(F.sum("__r").cast(dec).alias("__R"),
+                F.sum("__q").cast(dec).alias("__Q")))
+    w = Window.partitionBy("__p").orderBy("__m")
+    lagged = per.select(
+        "__p", "__m", "__R", "__Q",
+        F.lag("__R").over(w).alias("__R0"),
+        F.lag("__Q").over(w).alias("__Q0"),
+        F.lag("__m").over(w).alias("__m0"))
+    up = (F.lit(100) * F.col("__R") * F.col("__Q0")
+          > F.lit(100 + threshold_pct) * F.col("__R0") * F.col("__Q"))
+    down = (F.lit(100) * F.col("__R") * F.col("__Q0")
+            < F.lit(100 - threshold_pct) * F.col("__R0")
+            * F.col("__Q"))
+    pct = ((F.col("__R").cast("double") / F.col("__Q").cast("double"))
+           / (F.col("__R0").cast("double")
+              / F.col("__Q0").cast("double")) - F.lit(1.0)) * 100
+    return (lagged.filter(F.col("__R0").isNotNull()
+                          & (F.col("__Q0") > 0) & (F.col("__Q") > 0)
+                          & (up | down))
+            .select(F.col("__p").alias("l_partkey"),
+                    F.col("__m").alias("month_idx"),
+                    F.col("__m0").alias("prev_month_idx"),
+                    F.round(pct, round_dp).alias("pct_change"),
+                    up.alias("is_increase")))

@@ -6002,3 +6002,33 @@ def test_fiscal_445_period_cuts(spark):
     assert out[(1, 0, 0)].n_orders == 1      # week 52 opens FY1
     assert out[(0, 0, 2)].weekly_rate_cents == 2000 / 5
     assert out[(0, 0, 0)].weekly_rate_cents == 2000 / 4
+
+
+def test_unit_price_drift_threshold_boundary(spark):
+    """A part moving exactly +10% (100->110 per unit) does NOT flag
+    (strict >); +11% flags as increase; -15% flags as decrease; a
+    quantity-mix change with identical unit price stays silent."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        unit_price_drift,
+    )
+
+    e = datetime(1970, 1, 1)
+    m = lambda i: e + timedelta(days=30 * i + 1)  # noqa: E731
+    rows = [
+        (1, 1.0, 1.00, m(0)), (1, 1.0, 1.10, m(1)),   # exactly +10%
+        (2, 1.0, 1.00, m(0)), (2, 1.0, 1.11, m(1)),   # +11%
+        (3, 2.0, 2.00, m(0)), (3, 1.0, 0.85, m(1)),   # -15%
+        (4, 1.0, 3.00, m(0)), (4, 5.0, 15.00, m(1)),  # same unit price
+    ]
+    df = spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double,"
+              " l_extendedprice double, l_shipdate timestamp")
+    out = {r.l_partkey: r for r in unit_price_drift(df).collect()}
+
+    assert 1 not in out and 4 not in out
+    assert out[2].is_increase is True
+    assert abs(out[2].pct_change - 11.0) < 1e-6
+    assert out[3].is_increase is False
+    assert abs(out[3].pct_change - (-15.0)) < 1e-6
