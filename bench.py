@@ -166,6 +166,7 @@ HEADLINE = [
     "srm_check_events",
     "fiscal_445_revenue",
     "unit_price_drift_parts",
+    "median_ci_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

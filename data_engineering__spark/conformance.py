@@ -2383,6 +2383,7 @@ DRIVER_PRIORITY = [
     "srm_check_events",
     "fiscal_445_revenue",
     "unit_price_drift_parts",
+    "median_ci_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13066,3 +13067,46 @@ def unit_price_drift_parts(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem") \
         .filter(F.col("l_partkey") % 20 == 0)
     return unit_price_drift(li)
+
+
+def _median_ci_oracle_sql() -> str:
+    z = repr(1.959963984540054)
+    return f"""
+WITH base AS (
+  SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+hist AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM base GROUP BY 1, 2),
+cum AS (SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cm
+        FROM hist),
+tot AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 2) AS BIGINT) AS km,
+         GREATEST(1, CAST(FLOOR((CAST(COUNT(*) AS DOUBLE)
+             - ({z}) * SQRT(CAST(COUNT(*) AS DOUBLE))) / 2)
+             AS BIGINT)) AS kl,
+         LEAST(CAST(COUNT(*) AS BIGINT),
+               CAST(CEIL(1.0 + (CAST(COUNT(*) AS DOUBLE)
+                   + ({z}) * SQRT(CAST(COUNT(*) AS DOUBLE))) / 2)
+                   AS BIGINT)) AS kh
+  FROM base GROUP BY g)
+SELECT cum.g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cm >= km THEN v END) AS BIGINT) AS median,
+       CAST(MIN(CASE WHEN cm >= kl THEN v END) AS BIGINT) AS ci_lo,
+       CAST(MIN(CASE WHEN cm >= kh THEN v END) AS BIGINT) AS ci_hi
+FROM cum JOIN tot ON tot.g = cum.g
+GROUP BY cum.g"""
+
+
+@query("median_ci_events", oracle=_mat(_median_ci_oracle_sql()))
+def median_ci_events(spark, sf_dir):
+    """EXT R299 (round 6): distribution-free median CI per event type
+    over value cents — binomial order-statistic bounds at 95%
+    (k = ⌊(n−z√n)/2⌋ / ⌈1+(n+z√n)/2⌉, clamped), exact k-th-smallest
+    lookups on the histogram-cum device."""
+    from .operators.analytics import median_ci
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("value").isNotNull())
+    return median_ci(ev, "event_type",
+                     F.round(F.col("value") * 100).cast("long"))

@@ -4659,3 +4659,48 @@ def unit_price_drift(lineitem: DataFrame, threshold_pct: int = 10,
                     F.col("__m0").alias("prev_month_idx"),
                     F.round(pct, round_dp).alias("pct_change"),
                     up.alias("is_increase")))
+
+
+def median_ci(df: DataFrame, group_col: str, value_long,
+              z: float = 1.959963984540054) -> DataFrame:
+    """EXT (round 6): distribution-free median confidence interval —
+    per group, the exact median plus the binomial order-statistic CI:
+    the k-th smallest values at k = ⌊(n − z√n)/2⌋ and
+    ⌈1 + (n + z√n)/2⌉ (clamped to [1, n]), the classic no-assumptions
+    interval the bootstrap (R170-family) approximates by resampling.
+    Pairs with `group_quartiles`: that gives the point shape, this
+    says how sure you are of its center.
+
+    The only float is z·√n — one fixed-shape expression per group
+    whose floor/ceil agree cross-engine (same double in, same
+    integer out); everything else is the integer histogram-cum
+    device. Output: (group, n, median, ci_lo, ci_hi)."""
+    base = df.select(F.col(group_col).alias("__g"),
+                     value_long.cast("long").alias("__v"))
+    hist = base.groupBy("__g", "__v").agg(F.count(F.lit(1))
+                                          .alias("__c"))
+    w = (Window.partitionBy("__g").orderBy(F.col("__v").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cum", F.sum("__c").over(w))
+    tot = (base.select(F.col("__g").alias("__gt"))
+           .groupBy("__gt").agg(F.count(F.lit(1)).alias("__n")))
+    nD = F.col("__n").cast("double")
+    k_med = F.ceil(nD / 2).cast("long")
+    k_lo = F.greatest(F.lit(1).cast("long"),
+                      F.floor((nD - F.lit(z) * F.sqrt(nD)) / 2)
+                      .cast("long"))
+    k_hi = F.least(F.col("__n").cast("long"),
+                   F.ceil(F.lit(1.0) + (nD + F.lit(z) * F.sqrt(nD))
+                          / 2).cast("long"))
+    j = (cum.join(F.broadcast(tot), F.col("__g") == F.col("__gt"))
+         .withColumn("__km", k_med).withColumn("__kl", k_lo)
+         .withColumn("__kh", k_hi))
+    pick = lambda kc: F.min(  # noqa: E731
+        F.when(F.col("__cum") >= F.col(kc), F.col("__v")))
+    return (j.groupBy("__g")
+            .agg(F.max("__n").cast("long").alias("n"),
+                 pick("__km").cast("long").alias("median"),
+                 pick("__kl").cast("long").alias("ci_lo"),
+                 pick("__kh").cast("long").alias("ci_hi"))
+            .select(F.col("__g").alias(group_col), "n", "median",
+                    "ci_lo", "ci_hi"))

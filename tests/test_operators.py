@@ -6032,3 +6032,22 @@ def test_unit_price_drift_threshold_boundary(spark):
     assert abs(out[2].pct_change - 11.0) < 1e-6
     assert out[3].is_increase is False
     assert abs(out[3].pct_change - (-15.0)) < 1e-6
+
+
+def test_median_ci_order_statistics(spark):
+    """n=25 values 1..25: median = 13th = 13; z√25/2 = 4.9 ->
+    kl = floor((25-9.8)/2) = 7 -> 7, kh = ceil(1+(25+9.8)/2) = 19
+    -> 19; a tiny group clamps to [1, n]."""
+    from data_engineering__spark.operators.analytics import median_ci
+    from pyspark.sql import functions as F
+
+    rows = [("a", v) for v in range(1, 26)] + [("b", 5), ("b", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in median_ci(df, "g", F.col("v")).collect()}
+
+    a = out["a"]
+    assert (a.n, a.median) == (25, 13)
+    assert (a.ci_lo, a.ci_hi) == (7, 19)
+    b = out["b"]
+    assert (b.n, b.median) == (2, 5)
+    assert (b.ci_lo, b.ci_hi) == (5, 9)   # clamped to [1st, 2nd]
