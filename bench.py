@@ -167,6 +167,7 @@ HEADLINE = [
     "fiscal_445_revenue",
     "unit_price_drift_parts",
     "median_ci_events",
+    "dataset_card_docs",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

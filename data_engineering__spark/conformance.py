@@ -2384,6 +2384,7 @@ DRIVER_PRIORITY = [
     "fiscal_445_revenue",
     "unit_price_drift_parts",
     "median_ci_events",
+    "dataset_card_docs",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13110,3 +13111,44 @@ def median_ci_events(spark, sf_dir):
         .filter(F.col("value").isNotNull())
     return median_ci(ev, "event_type",
                      F.round(F.col("value") * 100).cast("long"))
+
+
+@query("dataset_card_docs", oracle=_mat(r"""
+WITH per AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(trim(text)),
+              '\s+'), x -> x <> '')) AS BIGINT) AS tk,
+         sha256(text) AS h, lang AS lg, source AS src
+  FROM documents),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tk) AS BIGINT) AS total_tokens,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS nh,
+         CAST(COUNT(DISTINCT lg) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+         CAST(SUM(CASE WHEN tk < 20 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nshort
+  FROM per),
+lang AS (
+  SELECT MIN({'nc': -c, 'l': lg}).l AS top_lang,
+         -(MIN({'nc': -c, 'l': lg}).nc) AS topc
+  FROM (SELECT lg, CAST(COUNT(*) AS BIGINT) AS c
+        FROM per GROUP BY lg) t)
+SELECT n_docs, total_tokens, n_langs, lang.top_lang,
+       ROUND(CAST(topc AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS top_lang_share,
+       n_sources,
+       ROUND(CAST(n_docs - nh AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS exact_dup_rate,
+       ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS mean_tokens,
+       ROUND(CAST(nshort AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS short_doc_share
+FROM scal CROSS JOIN lang"""))
+def dataset_card_docs(spark, sf_dir):
+    """EXT R300 (round 6): the one-row dataset card — corpus size,
+    token totals/shape, language mix with dominant share, source
+    spread, exact duplicate rate; every cell drills into a dedicated
+    registry query. Lowercase whitespace tokens, sha256 text
+    fingerprints, struct-min dominant language."""
+    from .operators.text import dataset_card
+    return dataset_card(read_table(spark, sf_dir, "documents"))

@@ -1287,3 +1287,58 @@ def injection_screen(docs: DataFrame, id_col: str, text_col: str,
                     F.round(F.col("n_docs").cast("double")
                             / F.col("__n").cast("double"), round_dp)
                     .alias("hit_rate")))
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text",
+                 lang_col: str = "lang", source_col: str = "source",
+                 short_tokens: int = 20,
+                 round_dp: int = 6) -> DataFrame:
+    """EXT R300 (round 6): one-row DATASET CARD — the header block of
+    a corpus datasheet, composed from the signals this engine already
+    computes piecemeal: size (docs, whitespace tokens), language mix
+    (count + dominant language and its share), source spread, exact
+    duplicate rate (1 − distinct sha256(text)/n), token-length shape
+    (mean + short-doc share). The number a data consumer reads FIRST;
+    everything in it drills down to a dedicated registry query
+    (text_stats, lang_id, source_curation, text_exact_dedup, ...).
+
+    All cells are exact integers with single divisions; the dominant
+    language is a struct-max (count desc, lang asc). Two hash aggs
+    (doc grain, lang grain) + a scalar join."""
+    toks = token_count(text_col)
+    per_doc = docs.select(
+        toks.cast("long").alias("__tk"),
+        F.sha2(F.col(text_col), 256).alias("__h"),
+        F.col(lang_col).alias("__lg"),
+        F.col(source_col).alias("__src"))
+    scal = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tk").cast("long").alias("total_tokens"),
+        F.countDistinct("__h").cast("long").alias("__nh"),
+        F.countDistinct("__lg").cast("long").alias("n_langs"),
+        F.countDistinct("__src").cast("long").alias("n_sources"),
+        F.sum(F.when(F.col("__tk") < short_tokens, 1).otherwise(0))
+         .cast("long").alias("__nshort"))
+    # min(struct(-count, lang)): biggest count first, then lang ASC on
+    # ties — max(struct(count, lang)) would break ties to the LARGEST
+    # lang string
+    lang = (per_doc.groupBy("__lg")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.min(F.struct((-F.col("__c")).alias("nc"),
+                                F.col("__lg").alias("l"))).alias("__t"))
+            .select(F.col("__t.l").alias("top_lang"),
+                    (-F.col("__t.nc")).cast("long").alias("__topc")))
+    n = F.col("n_docs").cast("double")
+    return (scal.crossJoin(F.broadcast(lang))
+            .select(
+                "n_docs", "total_tokens", "n_langs", "top_lang",
+                F.round(F.col("__topc").cast("double") / n, round_dp)
+                .alias("top_lang_share"),
+                "n_sources",
+                F.round((F.col("n_docs") - F.col("__nh"))
+                        .cast("double") / n, round_dp)
+                .alias("exact_dup_rate"),
+                F.round(F.col("total_tokens").cast("double") / n,
+                        round_dp).alias("mean_tokens"),
+                F.round(F.col("__nshort").cast("double") / n,
+                        round_dp).alias("short_doc_share")))

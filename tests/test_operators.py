@@ -6051,3 +6051,27 @@ def test_median_ci_order_statistics(spark):
     b = out["b"]
     assert (b.n, b.median) == (2, 5)
     assert (b.ci_lo, b.ci_hi) == (5, 9)   # clamped to [1st, 2nd]
+
+
+def test_dataset_card_composition(spark):
+    """Four docs incl. one exact duplicate and a lang tie broken to
+    the smaller lang string; every card cell replays by hand."""
+    from data_engineering__spark.operators.text import dataset_card
+
+    rows = [
+        (1, "hello world", "en", "s1"),
+        (2, "hello world", "en", "s2"),          # exact dup of 1
+        (3, "bonjour le monde entier", "fr", "s1"),
+        (4, "ciao", "fr", "s3"),                 # short doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string,"
+                                     " lang string, source string")
+    r = dataset_card(df, short_tokens=3).collect()[0]
+
+    assert (r.n_docs, r.total_tokens) == (4, 2 + 2 + 4 + 1)
+    assert (r.n_langs, r.n_sources) == (2, 3)
+    # lang counts tie 2-2 -> 'en' (smaller string) wins
+    assert r.top_lang == "en" and r.top_lang_share == 0.5
+    assert r.exact_dup_rate == 0.25
+    assert r.mean_tokens == 2.25
+    assert r.short_doc_share == 0.75  # tokens<3: docs 1, 2, 4
