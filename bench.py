@@ -168,6 +168,7 @@ HEADLINE = [
     "unit_price_drift_parts",
     "median_ci_events",
     "dataset_card_docs",
+    "oof_target_encoding_brands",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

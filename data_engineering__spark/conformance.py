@@ -2385,6 +2385,7 @@ DRIVER_PRIORITY = [
     "unit_price_drift_parts",
     "median_ci_events",
     "dataset_card_docs",
+    "oof_target_encoding_brands",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13152,3 +13153,42 @@ def dataset_card_docs(spark, sf_dir):
     fingerprints, struct-min dominant language."""
     from .operators.text import dataset_card
     return dataset_card(read_table(spark, sf_dir, "documents"))
+
+
+@query("oof_target_encoding_brands", oracle=_mat(f"""
+WITH base AS (
+  SELECT p.p_brand AS c,
+         ({_bucket_sql("CAST(l.l_orderkey * 10 + l.l_linenumber "
+                       "AS VARCHAR)", "fold")}) % 5 AS f,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+cf AS (SELECT c, f, CAST(COUNT(*) AS BIGINT) AS nf,
+              CAST(SUM(y) AS BIGINT) AS kf
+       FROM base GROUP BY 1, 2),
+ct AS (SELECT c AS ct, CAST(SUM(nf) AS BIGINT) AS nc,
+              CAST(SUM(kf) AS BIGINT) AS kc
+       FROM cf GROUP BY 1),
+gl AS (SELECT CAST(SUM(nc) AS HUGEINT) AS gn,
+              CAST(SUM(kc) AS HUGEINT) AS gk FROM ct)
+SELECT cf.c AS p_brand, CAST(cf.f AS BIGINT) AS fold,
+       nf AS n_in_fold,
+       ROUND(CASE WHEN (gn - nf) * (CAST(nc - nf AS HUGEINT) + 100)
+                  <> 0 THEN
+         CAST(CAST(kc - kf AS HUGEINT) * (gn - nf)
+              + 100 * (gk - kf) AS DOUBLE)
+         / CAST((gn - nf) * (CAST(nc - nf AS HUGEINT) + 100)
+                AS DOUBLE) END, 6) AS encoded_oof
+FROM cf JOIN ct ON ct.ct = cf.c CROSS JOIN gl"""))
+def oof_target_encoding_brands(spark, sf_dir):
+    """EXT R301 (round 6): out-of-fold target encoding of brand vs
+    return flag — 5 sha folds on the line key; every fold's encoding
+    built from the OTHER folds' exact integer cells (k−k_f etc.), one
+    exact-decimal division per (category, fold)."""
+    from .operators.analytics import oof_target_encoding
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    line_key = (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    return oof_target_encoding(
+        j.withColumn("__lk", line_key), "p_brand", "__lk",
+        F.col("l_returnflag") == "R")

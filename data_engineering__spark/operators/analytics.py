@@ -4704,3 +4704,53 @@ def median_ci(df: DataFrame, group_col: str, value_long,
                  pick("__kh").cast("long").alias("ci_hi"))
             .select(F.col("__g").alias(group_col), "n", "median",
                     "ci_lo", "ci_hi"))
+
+
+def oof_target_encoding(df: DataFrame, cat_col: str, key_col: str,
+                        target_pred, n_folds: int = 5,
+                        smoothing: int = 100, salt: str = "fold",
+                        round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): OUT-OF-FOLD target encoding — R295's encoder
+    with the training-time leakage guard: each sha fold's encoding is
+    computed from the OTHER folds' statistics only, so a row never
+    sees its own target. This is the difference between an encoder
+    that validates honestly and one that leaks its way to a fake AUC;
+    the plain table (R295) is for scoring-time use, this one joins to
+    TRAIN.
+
+    Exactness: per-(category, fold) integer cells subtract from the
+    category totals (k−k_f, n−n_f), the global prior recomputes
+    per-fold the same way, and each encoded value is ONE division of
+    exact decimal products. Output: (category, fold, n_in_fold,
+    encoded_oof). Folds come from the corpus sha discipline on
+    ``key_col``."""
+    from .sampling import hash_bucket
+
+    dec = "decimal(38,0)"
+    base = df.select(F.col(cat_col).alias("__c"),
+                     (hash_bucket(F.col(key_col), 10_000, salt)
+                      % n_folds).alias("__f"),
+                     F.when(target_pred, 1).otherwise(0).alias("__y"))
+    cf = base.groupBy("__c", "__f").agg(
+        F.count(F.lit(1)).cast("long").alias("__nf"),
+        F.sum("__y").cast("long").alias("__kf"))
+    ct = (cf.select(F.col("__c").alias("__ct"), "__nf", "__kf")
+          .groupBy("__ct").agg(F.sum("__nf").cast("long").alias("__nc"),
+                               F.sum("__kf").cast("long").alias("__kc")))
+    gl = F.broadcast(ct.agg(F.sum("__nc").cast("long").alias("__gn"),
+                            F.sum("__kc").cast("long").alias("__gk")))
+    j = (cf.join(F.broadcast(ct), F.col("__c") == F.col("__ct"))
+         .crossJoin(gl))
+    n_oof = (F.col("__nc") - F.col("__nf")).cast(dec)
+    k_oof = (F.col("__kc") - F.col("__kf")).cast(dec)
+    gn_oof = (F.col("__gn") - F.col("__nf")).cast(dec)
+    gk_oof = (F.col("__gk") - F.col("__kf")).cast(dec)
+    num = k_oof * gn_oof + F.lit(smoothing) * gk_oof
+    den = gn_oof * (n_oof + F.lit(smoothing))
+    return j.select(
+        F.col("__c").alias(cat_col),
+        F.col("__f").cast("long").alias("fold"),
+        F.col("__nf").alias("n_in_fold"),
+        F.round(F.when(den != 0, num.cast("double")
+                       / den.cast("double")), round_dp)
+         .alias("encoded_oof"))

@@ -6075,3 +6075,36 @@ def test_dataset_card_composition(spark):
     assert r.exact_dup_rate == 0.25
     assert r.mean_tokens == 2.25
     assert r.short_doc_share == 0.75  # tokens<3: docs 1, 2, 4
+
+
+def test_oof_target_encoding_excludes_own_fold(spark):
+    """Two folds engineered via sha probing: the fold containing all
+    the positives gets an OOF encoding built ONLY from the all-
+    negative fold (and vice versa) — replayed exactly; the in-fold
+    rate never contaminates."""
+    import hashlib
+
+    from data_engineering__spark.operators.analytics import (
+        oof_target_encoding,
+    )
+    from pyspark.sql import functions as F
+
+    def fold_of(k, n_folds=2):
+        h = hashlib.sha256(f"fold{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000 % n_folds
+
+    f0 = [k for k in range(200) if fold_of(k) == 0][:4]
+    f1 = [k for k in range(200) if fold_of(k) == 1][:4]
+    rows = [("c", k, 1) for k in f0] + [("c", k, 0) for k in f1]
+    df = spark.createDataFrame(rows, "cat string, key long, y int")
+    out = {r.fold: r for r in oof_target_encoding(
+        df, "cat", "key", F.col("y") == 1, n_folds=2,
+        smoothing=10).collect()}
+
+    # category totals: n=8, k=4; global same. For fold 0 (all pos):
+    # oof uses k=0, n=4, gn=4, gk=0 -> enc = (0*4 + 10*0)/(4*(4+10)) = 0
+    assert out[0].encoded_oof == 0.0
+    # fold 1 (all neg): oof k=4, n=4, gn=4, gk=4
+    want = (4 * 4 + 10 * 4) / (4 * (4 + 10))
+    assert abs(out[1].encoded_oof - round(want, 6)) < 1e-9
+    assert out[0].n_in_fold == 4 and out[1].n_in_fold == 4
