@@ -169,6 +169,7 @@ HEADLINE = [
     "median_ci_events",
     "dataset_card_docs",
     "oof_target_encoding_brands",
+    "reciprocity_graph",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

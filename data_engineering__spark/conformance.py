@@ -2386,6 +2386,7 @@ DRIVER_PRIORITY = [
     "median_ci_events",
     "dataset_card_docs",
     "oof_target_encoding_brands",
+    "reciprocity_graph",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13192,3 +13193,40 @@ def oof_target_encoding_brands(spark, sf_dir):
     return oof_target_encoding(
         j.withColumn("__lk", line_key), "p_brand", "__lk",
         F.col("l_returnflag") == "R")
+
+
+@query("reciprocity_graph", oracle=_mat("""
+WITH nodes AS (
+  SELECT DISTINCT doc_id % 50 AS x FROM documents WHERE doc_id < 400),
+raw AS (
+  SELECT x AS a, (x * 3 + 1) % 50 AS b FROM nodes
+  UNION ALL SELECT x, (x + 1) % 50 FROM nodes
+  UNION ALL SELECT x, (x + 49) % 50 FROM nodes),
+g AS (SELECT DISTINCT a AS u, b AS v FROM raw WHERE a <> b),
+recip AS (
+  SELECT COUNT(*) AS nr FROM g
+  WHERE EXISTS (SELECT 1 FROM g g2 WHERE g2.u = g.v AND g2.v = g.u))
+SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_edges,
+       CAST(nr AS BIGINT) AS n_reciprocal,
+       ROUND(CAST(nr AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM g) AS DOUBLE), 6)
+         AS reciprocity
+FROM recip"""))
+def reciprocity_graph(spark, sf_dir):
+    """EXT R302 (round 6): directed reciprocity of the demo graph
+    enriched with BOTH ring directions (x→x+1 and x→x−1 are mutual;
+    the multiplicative chords mostly aren't) — semi-join on the
+    flipped key, one scalar row."""
+    from .operators.graph import reciprocity
+    d = (read_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 400)
+         .select((F.col("doc_id") % 50).alias("x")).distinct())
+    edges = (d.select(F.col("x").alias("id_a"),
+                      ((F.col("x") * 3 + 1) % 50).alias("id_b"))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") + 1) % 50).alias("id_b")))
+             .unionByName(d.select(
+                 F.col("x").alias("id_a"),
+                 ((F.col("x") + 49) % 50).alias("id_b"))))
+    return reciprocity(edges, src="id_a", dst="id_b")

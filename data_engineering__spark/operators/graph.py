@@ -244,3 +244,32 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
             .unionByName(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("core_degree")))
+
+
+def reciprocity(edges: DataFrame, src: str = "src",
+                dst: str = "dst", round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): directed-graph reciprocity — the share of edges
+    whose reverse edge also exists (mutual-link rate). On a citation /
+    quote graph high reciprocity flags cliquey mutual-promotion rings
+    (the directed cousin of `local_clustering`); on a follow graph
+    it's the community-health number. Self-loops are excluded, edge
+    multiplicity collapsed.
+
+    ONE scalar row: (n_edges, n_reciprocal, reciprocity). The check
+    is a self semi-join on the flipped key — no explode, no pairs
+    materialized."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                 & (F.col(src) != F.col(dst)))
+         .distinct().persist())
+    flipped = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    recip = e.join(flipped, ["u", "v"], "semi")
+    agg = (e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+           .crossJoin(recip.agg(F.count(F.lit(1)).cast("long")
+                                .alias("n_reciprocal"))))
+    return agg.select(
+        "n_edges", "n_reciprocal",
+        F.round(F.when(F.col("n_edges") > 0,
+                       F.col("n_reciprocal").cast("double")
+                       / F.col("n_edges").cast("double"))
+                .otherwise(F.lit(0.0)), round_dp).alias("reciprocity"))

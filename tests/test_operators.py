@@ -6108,3 +6108,15 @@ def test_oof_target_encoding_excludes_own_fold(spark):
     want = (4 * 4 + 10 * 4) / (4 * (4 + 10))
     assert abs(out[1].encoded_oof - round(want, 6)) < 1e-9
     assert out[0].n_in_fold == 4 and out[1].n_in_fold == 4
+
+
+def test_reciprocity_counts(spark):
+    """1↔2 mutual (both directions count as reciprocal), 3→4 one-way,
+    self-loop and duplicate edges ignored: 2/3 reciprocity."""
+    from data_engineering__spark.operators.graph import reciprocity
+
+    edges = [(1, 2), (2, 1), (3, 4), (5, 5), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = reciprocity(df).collect()[0]
+    assert (r.n_edges, r.n_reciprocal) == (3, 2)
+    assert abs(r.reciprocity - round(2 / 3, 6)) < 1e-12
