@@ -2387,6 +2387,7 @@ DRIVER_PRIORITY = [
     "dataset_card_docs",
     "oof_target_encoding_brands",
     "reciprocity_graph",
+    "status_consistency_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13230,3 +13231,32 @@ def reciprocity_graph(spark, sf_dir):
                  F.col("x").alias("id_a"),
                  ((F.col("x") + 49) % 50).alias("id_b"))))
     return reciprocity(edges, src="id_a", dst="id_b")
+
+
+@query("status_consistency_orders", oracle=_mat("""
+WITH per AS (
+  SELECT o.o_orderkey, o.o_orderstatus AS s,
+         CAST(SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS nf,
+         CAST(COUNT(*) AS BIGINT) AS nl
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN nf = nl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all_f,
+       CAST(SUM(CASE WHEN nf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_all_o,
+       CAST(SUM(CASE WHEN nf <> nl AND nf <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mixed,
+       CAST(SUM(CASE WHEN (s = 'F' AND nf <> nl)
+                       OR (s = 'O' AND nf <> 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+FROM per GROUP BY s"""))
+def status_consistency_orders(spark, sf_dir):
+    """EXT R303 (round 6): semantic state-consistency audit — orders
+    whose status disagrees with their lines' aggregated state (F with
+    open lines, O with finished lines); the keys-resolve-but-state-
+    lies class referential integrity can't see."""
+    from .operators.quality import status_consistency
+    return status_consistency(read_table(spark, sf_dir, "orders"),
+                              read_table(spark, sf_dir, "lineitem"))

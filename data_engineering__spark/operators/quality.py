@@ -826,3 +826,39 @@ def duplicate_payments(orders: DataFrame,
                     F.col("__kb").alias("orderkey_b"),
                     F.abs(F.col("__db") - F.col("__da")).cast("long")
                     .alias("gap_days")))
+
+
+def status_consistency(orders: DataFrame,
+                       lineitem: DataFrame) -> DataFrame:
+    """EXT (round 6): cross-table SEMANTIC consistency audit — the
+    referential-integrity family (R44/R98) checks that keys exist;
+    this checks that the denormalized STATE AGREES: an order marked
+    fulfilled ('F') whose lines still show open ('O') is a pipeline
+    ordering bug even though every key resolves. Per order status:
+    order counts by line-state mix (all-F / all-O / mixed) and the
+    violation count under the rule {F ⇒ all lines F, O ⇒ all lines O,
+    P ⇒ anything}.
+
+    One per-order conditional agg on the join, one status-grain
+    rollup — integers end to end."""
+    j = orders.join(lineitem,
+                    orders["o_orderkey"] == lineitem["l_orderkey"])
+    per_order = (j.groupBy(F.col("o_orderkey").alias("__k"),
+                           F.col("o_orderstatus").alias("__s"))
+                 .agg(F.sum(F.when(F.col("l_linestatus") == "F", 1)
+                            .otherwise(0)).alias("__nf"),
+                      F.count(F.lit(1)).alias("__nl")))
+    all_f = F.col("__nf") == F.col("__nl")
+    all_o = F.col("__nf") == 0
+    viol = ((F.col("__s") == "F") & ~all_f) \
+        | ((F.col("__s") == "O") & ~all_o)
+    return (per_order.groupBy(F.col("__s").alias("o_orderstatus"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.when(all_f, 1).otherwise(0)).cast("long")
+                  .alias("n_all_f"),
+                 F.sum(F.when(all_o, 1).otherwise(0)).cast("long")
+                  .alias("n_all_o"),
+                 F.sum(F.when(~all_f & ~all_o, 1).otherwise(0))
+                  .cast("long").alias("n_mixed"),
+                 F.sum(F.when(viol, 1).otherwise(0)).cast("long")
+                  .alias("n_violating")))

@@ -6120,3 +6120,30 @@ def test_reciprocity_counts(spark):
     r = reciprocity(df).collect()[0]
     assert (r.n_edges, r.n_reciprocal) == (3, 2)
     assert abs(r.reciprocity - round(2 / 3, 6)) < 1e-12
+
+
+def test_status_consistency_violations(spark):
+    """F-order with an open line violates; O-order with a finished
+    line violates; P-order mixed is fine; clean orders don't flag."""
+    from data_engineering__spark.operators.quality import (
+        status_consistency,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "O"), (4, "O"), (5, "P")],
+        "o_orderkey long, o_orderstatus string")
+    li = spark.createDataFrame(
+        [(1, "F"), (1, "F"),          # clean F
+         (2, "F"), (2, "O"),          # F with open line -> violation
+         (3, "O"),                    # clean O
+         (4, "F"),                    # O with finished line -> violation
+         (5, "F"), (5, "O")],         # P mixed -> fine
+        "l_orderkey long, l_linestatus string")
+    out = {r.o_orderstatus: r for r in
+           status_consistency(orders, li).collect()}
+
+    assert out["F"].n_violating == 1
+    assert out["O"].n_violating == 1
+    assert out["P"].n_violating == 0
+    assert out["P"].n_mixed == 1
+    assert out["F"].n_all_f == 1 and out["O"].n_all_o == 1
