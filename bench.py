@@ -171,6 +171,7 @@ HEADLINE = [
     "oof_target_encoding_brands",
     "reciprocity_graph",
     "status_consistency_orders",
+    "dispersion_orders",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

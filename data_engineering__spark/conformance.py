@@ -2388,6 +2388,7 @@ DRIVER_PRIORITY = [
     "oof_target_encoding_brands",
     "reciprocity_graph",
     "status_consistency_orders",
+    "dispersion_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13260,3 +13261,32 @@ def status_consistency_orders(spark, sf_dir):
     from .operators.quality import status_consistency
     return status_consistency(read_table(spark, sf_dir, "orders"),
                               read_table(spark, sf_dir, "lineitem"))
+
+
+@query("dispersion_orders", oracle=_mat("""
+WITH per AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1),
+agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(c) AS s,
+         SUM(c * c) AS q
+  FROM per)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       ROUND(CAST(n * q - s * s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         AS variance,
+       ROUND(CASE WHEN s > 0 THEN
+         (CAST(n * q - s * s AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END, 6)
+         AS dispersion,
+       (n * q - s * s) * 2 > n * s * 3 AS overdispersed
+FROM agg"""))
+def dispersion_orders(spark, sf_dir):
+    """EXT R304 (round 6): variance/mean dispersion of lines-per-order
+    — the Poisson-assumption check; exact decimal moments, integer
+    cross-multiplied 1.5 boundary."""
+    from .operators.analytics import count_dispersion
+    return count_dispersion(read_table(spark, sf_dir, "lineitem"),
+                            "l_orderkey")

@@ -4754,3 +4754,38 @@ def oof_target_encoding(df: DataFrame, cat_col: str, key_col: str,
         F.round(F.when(den != 0, num.cast("double")
                        / den.cast("double")), round_dp)
          .alias("encoded_oof"))
+
+
+def count_dispersion(df: DataFrame, key_col: str,
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): count-dispersion diagnostic — the variance/mean
+    index of per-key event counts (lines per order, events per user):
+    ≈1 is Poisson, >1 overdispersed (bursts/heavy users — negative-
+    binomial territory), <1 underdispersed (rate-limited/quota'd).
+    The one-number check before ANY count model or anomaly threshold
+    assumes Poisson.
+
+    ONE row: (n_keys, mean, variance, dispersion, overdispersed) —
+    moments exact decimal from the per-key count histogram, the flag
+    an integer cross-multiplication at 1.5 (3·(nQ−S²)·? — boundary
+    integerized as 2·n·(nQ−S²) vs 3·S·(n·S) ⟺ var/mean > 1.5 with
+    population variance (nQ−S²)/n²)."""
+    dec = "decimal(38,0)"
+    per = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast(dec).alias("__c"))
+    agg = per.agg(F.count(F.lit(1)).cast(dec).alias("__n"),
+                  F.sum("__c").alias("__S"),
+                  F.sum(F.col("__c") * F.col("__c")).alias("__Q"))
+    n, S, Q = F.col("__n"), F.col("__S"), F.col("__Q")
+    ssd = n * Q - S * S
+    mean = S.cast("double") / n.cast("double")
+    var = ssd.cast("double") / (n.cast("double") * n.cast("double"))
+    # var/mean > 1.5  ⟺  (nQ−S²)/n² > 1.5·S/n  ⟺  2·(nQ−S²) > 3·n·S
+    over = ssd * 2 > n * S * 3
+    return agg.select(
+        n.cast("long").alias("n_keys"),
+        F.round(mean, round_dp).alias("mean"),
+        F.round(var, round_dp).alias("variance"),
+        F.round(F.when(S > 0, var / mean), round_dp)
+         .alias("dispersion"),
+        over.alias("overdispersed"))

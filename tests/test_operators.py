@@ -6147,3 +6147,26 @@ def test_status_consistency_violations(spark):
     assert out["P"].n_violating == 0
     assert out["P"].n_mixed == 1
     assert out["F"].n_all_f == 1 and out["O"].n_all_o == 1
+
+
+def test_count_dispersion_poisson_vs_bursty(spark):
+    """Counts {2,2,2,2} have zero variance (underdispersed); counts
+    {1,1,1,9} are strongly overdispersed — both replayed from the
+    population-moment formulas."""
+    from data_engineering__spark.operators.analytics import (
+        count_dispersion,
+    )
+
+    even = [(k, i) for k in range(4) for i in range(2)]
+    df1 = spark.createDataFrame(even, "k long, i long")
+    r1 = count_dispersion(df1, "k").collect()[0]
+    assert (r1.n_keys, r1.mean, r1.variance) == (4, 2.0, 0.0)
+    assert r1.dispersion == 0.0 and r1.overdispersed is False
+
+    bursty = [(0, 0)] + [(1, 0)] + [(2, 0)] + [(3, i) for i in range(9)]
+    df2 = spark.createDataFrame(bursty, "k long, i long")
+    r2 = count_dispersion(df2, "k").collect()[0]
+    # counts 1,1,1,9: mean 3, pop var = (1+1+1+81)/4 - 9 = 12
+    assert (r2.mean, r2.variance) == (3.0, 12.0)
+    assert r2.dispersion == 4.0
+    assert r2.overdispersed is True
