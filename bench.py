@@ -172,6 +172,7 @@ HEADLINE = [
     "reciprocity_graph",
     "status_consistency_orders",
     "dispersion_orders",
+    "pipeline_card_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2389,6 +2389,7 @@ DRIVER_PRIORITY = [
     "reciprocity_graph",
     "status_consistency_orders",
     "dispersion_orders",
+    "pipeline_card_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13290,3 +13291,40 @@ def dispersion_orders(spark, sf_dir):
     from .operators.analytics import count_dispersion
     return count_dispersion(read_table(spark, sf_dir, "lineitem"),
                             "l_orderkey")
+
+
+@query("pipeline_card_events", oracle=_mat("""
+WITH base AS (
+  SELECT event_id, user_id, value,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events),
+scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nid,
+         CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nnull
+  FROM base),
+daily AS (
+  SELECT MIN({'nc': -c, 'd': d}).d AS busiest_day,
+         -(MIN({'nc': -c, 'd': d}).nc) AS bc
+  FROM (SELECT d, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY d) t)
+SELECT n_events, n_users, span_days,
+       ROUND(CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+         AS events_per_user,
+       ROUND(CAST(nnull AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS null_value_rate,
+       ROUND(CAST(n_events - nid AS DOUBLE)
+             / CAST(n_events AS DOUBLE), 6) AS dup_id_rate,
+       CAST(busiest_day AS BIGINT) AS busiest_day,
+       ROUND(CAST(bc AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+         AS busiest_day_share
+FROM scal CROSS JOIN daily"""))
+def pipeline_card_events(spark, sf_dir):
+    """EXT R305 (round 6): one-row events pipeline card — volume,
+    intensity, hygiene (null values, duplicate ids), and backfill
+    concentration (busiest day + share, struct-min argmax)."""
+    from .operators.quality import pipeline_card
+    return pipeline_card(read_table(spark, sf_dir, "events"))

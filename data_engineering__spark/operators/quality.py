@@ -862,3 +862,46 @@ def status_consistency(orders: DataFrame,
                   .cast("long").alias("n_mixed"),
                  F.sum(F.when(viol, 1).otherwise(0)).cast("long")
                   .alias("n_violating")))
+
+
+def pipeline_card(events: DataFrame, id_col: str = "event_id",
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value",
+                  round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): one-row EVENTS PIPELINE CARD — the stream-health
+    header next to R300's corpus card: volume (events, users, day
+    span), intensity (events/user), hygiene (null-value rate,
+    duplicate-event-id rate), and concentration (busiest day + its
+    share — a day holding 30% of events is a backfill, not traffic).
+
+    Exact integers with single divisions; the busiest day is a
+    struct-min argmax ((−count, day) — earliest day on ties); dup
+    rate = 1 − distinct(id)/n. Two hash aggs + scalars."""
+    day = F.expr(f"unix_date(CAST({ts_col} AS DATE))").cast("long")
+    scal = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.col(user_col)).cast("long").alias("n_users"),
+        F.countDistinct(F.col(id_col)).cast("long").alias("__nid"),
+        (F.max(day) - F.min(day) + 1).cast("long").alias("span_days"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0))
+         .cast("long").alias("__nnull"))
+    daily = (events.select(day.alias("__d"))
+             .groupBy("__d").agg(F.count(F.lit(1)).alias("__c"))
+             .agg(F.min(F.struct((-F.col("__c")).alias("nc"),
+                                 F.col("__d").alias("d")))
+                  .alias("__t"))
+             .select(F.col("__t.d").alias("busiest_day"),
+                     (-F.col("__t.nc")).cast("long").alias("__bc")))
+    n = F.col("n_events").cast("double")
+    return (scal.crossJoin(F.broadcast(daily))
+            .select("n_events", "n_users", "span_days",
+                    F.round(n / F.col("n_users").cast("double"),
+                            round_dp).alias("events_per_user"),
+                    F.round(F.col("__nnull").cast("double") / n,
+                            round_dp).alias("null_value_rate"),
+                    F.round((F.col("n_events") - F.col("__nid"))
+                            .cast("double") / n, round_dp)
+                    .alias("dup_id_rate"),
+                    "busiest_day",
+                    F.round(F.col("__bc").cast("double") / n,
+                            round_dp).alias("busiest_day_share")))

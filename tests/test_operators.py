@@ -6170,3 +6170,30 @@ def test_count_dispersion_poisson_vs_bursty(spark):
     assert (r2.mean, r2.variance) == (3.0, 12.0)
     assert r2.dispersion == 4.0
     assert r2.overdispersed is True
+
+
+def test_pipeline_card_hygiene_and_concentration(spark):
+    """Planted duplicate id, one null value, and a 3-event backfill
+    day over a 10-day span — every card cell replays by hand."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.quality import pipeline_card
+
+    b = datetime(2024, 5, 1)
+    rows = [
+        (1, 10, b, 1.0), (2, 10, b + timedelta(days=9), None),
+        (3, 11, b + timedelta(days=4), 2.0),
+        (3, 11, b + timedelta(days=4), 2.0),   # dup id
+        (4, 11, b + timedelta(days=4), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    r = pipeline_card(df).collect()[0]
+
+    assert (r.n_events, r.n_users, r.span_days) == (5, 2, 10)
+    assert r.events_per_user == 2.5
+    assert r.null_value_rate == 0.2
+    assert r.dup_id_rate == 0.2
+    d0 = int(b.timestamp()) // 86400
+    assert r.busiest_day == d0 + 4
+    assert r.busiest_day_share == 0.6
