@@ -562,3 +562,69 @@ def test_resample_interpolate_matches_python_reference(spark, obs):
             # same IEEE expression tree as the operator -> exact equality
             want = vp + (vn - vp) * (float(t - prev) / float(nxt - prev))
             assert r.n == 0 and r.v_interp == want
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500),
+              st.integers(0, 100)),
+    min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None)
+def test_interval_union_invariants(spark, ivs):
+    """For random per-key interval sets: total coverage never exceeds
+    the hull span, never undercuts the longest single interval,
+    islands never outnumber intervals, and a brute-force sweep agrees
+    exactly."""
+    from data_engineering__spark.operators.temporal import interval_union
+    from pyspark.sql import functions as F
+
+    rows = [(k, s, s + d) for k, s, d in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    out = {r.k: r for r in interval_union(
+        df, ["k"], F.col("s"), F.col("e")).collect()}
+
+    from collections import defaultdict
+    by_key = defaultdict(list)
+    for k, s, d in ivs:
+        by_key[k].append((s, s + d))
+    for k, items in by_key.items():
+        r = out[k]
+        assert r.n_intervals == len(items)
+        assert r.n_islands <= r.n_intervals
+        hull = max(e for _, e in items) - min(s for s, _ in items)
+        assert r.covered_us <= hull
+        assert r.covered_us >= max(e - s for s, e in items)
+        # brute-force union sweep
+        pts = sorted(items)
+        cov, cur_s, cur_e = 0, None, None
+        n_isl = 0
+        for s, e in pts:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e = s, e
+                n_isl += 1
+            else:
+                cur_e = max(cur_e, e)
+        cov += cur_e - cur_s
+        assert r.covered_us == cov and r.n_islands == n_isl
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_group_quartiles_property(spark, vals):
+    """Quartiles are always actual data values, ordered q1<=q2<=q3,
+    and equal the ceil-rule order statistics of the sorted list."""
+    import math
+
+    from data_engineering__spark.operators.analytics import (
+        group_quartiles,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = group_quartiles(df, "g", F.col("v")).collect()[0]
+    s = sorted(vals)
+    kth = lambda p: s[math.ceil(len(s) * p) - 1]  # noqa: E731
+    assert (r.q1, r.q2, r.q3) == (kth(.25), kth(.5), kth(.75))
+    assert r.q1 <= r.q2 <= r.q3
+    assert all(q in vals for q in (r.q1, r.q2, r.q3))
