@@ -173,6 +173,7 @@ HEADLINE = [
     "status_consistency_orders",
     "dispersion_orders",
     "pipeline_card_events",
+    "hapax_rate_sources",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

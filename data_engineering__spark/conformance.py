@@ -2390,6 +2390,7 @@ DRIVER_PRIORITY = [
     "status_consistency_orders",
     "dispersion_orders",
     "pipeline_card_events",
+    "hapax_rate_sources",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13328,3 +13329,29 @@ def pipeline_card_events(spark, sf_dir):
     concentration (busiest day + share, struct-min argmax)."""
     from .operators.quality import pipeline_card
     return pipeline_card(read_table(spark, sf_dir, "events"))
+
+
+@query("hapax_rate_sources", oracle=_mat(r"""
+WITH toks AS (
+  SELECT source AS s,
+         unnest(list_filter(string_split_regex(lower(trim(text)),
+                '\s+'), x -> x <> '')) AS t
+  FROM documents),
+counts AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2)
+SELECT s AS source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_vocab_rate,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS hapax_token_share
+FROM counts GROUP BY s"""))
+def hapax_rate_sources(spark, sf_dir):
+    """EXT R306 (round 6): hapax legomena rate per source — vocabulary
+    freshness (template spam scores near 0, OCR noise inflates);
+    two integer ratios off one (source, token) histogram."""
+    from .operators.text import hapax_rate
+    return hapax_rate(read_table(spark, sf_dir, "documents"),
+                      "source", "text")

@@ -1342,3 +1342,31 @@ def dataset_card(docs: DataFrame, text_col: str = "text",
                         round_dp).alias("mean_tokens"),
                 F.round(F.col("__nshort").cast("double") / n,
                         round_dp).alias("short_doc_share")))
+
+
+def hapax_rate(docs: DataFrame, source_col: str, text_col: str,
+               round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): hapax legomena rate per source — the share of a
+    source's VOCABULARY that occurs exactly once in it (and the share
+    of its TOKEN MASS those words carry). The corpus-linguistics
+    freshness number behind Heaps/Zipf (R152-family): template spam
+    has a tiny hapax rate (same words forever), OCR noise or
+    mixed-language dumps an inflated one. Two integer ratios per
+    source off one (source, token) histogram."""
+    toks = docs.select(F.col(source_col).alias("__s"),
+                       F.explode(tokens(text_col)).alias("__t"))
+    counts = (toks.groupBy("__s", "__t")
+              .agg(F.count(F.lit(1)).alias("__c")))
+    return (counts.groupBy("__s")
+            .agg(F.count(F.lit(1)).cast("long").alias("vocab_size"),
+                 F.sum("__c").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                  .cast("long").alias("n_hapax"))
+            .select(F.col("__s").alias(source_col), "vocab_size",
+                    "n_tokens", "n_hapax",
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("vocab_size").cast("double"),
+                            round_dp).alias("hapax_vocab_rate"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_tokens").cast("double"),
+                            round_dp).alias("hapax_token_share")))

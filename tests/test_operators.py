@@ -6197,3 +6197,21 @@ def test_pipeline_card_hygiene_and_concentration(spark):
     d0 = int(b.timestamp()) // 86400
     assert r.busiest_day == d0 + 4
     assert r.busiest_day_share == 0.6
+
+
+def test_hapax_rate_counts(spark):
+    """'a a b c' -> vocab 3, hapax {b, c}: vocab rate 2/3, token share
+    2/4; a second source with all-unique tokens rates 1.0."""
+    from data_engineering__spark.operators.text import hapax_rate
+
+    rows = [("s1", "a a b c"), ("s2", "x y z")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r for r in hapax_rate(
+        df, "source", "text").collect()}
+
+    r1 = out["s1"]
+    assert (r1.vocab_size, r1.n_tokens, r1.n_hapax) == (3, 4, 2)
+    assert abs(r1.hapax_vocab_rate - round(2 / 3, 6)) < 1e-12
+    assert r1.hapax_token_share == 0.5
+    r2 = out["s2"]
+    assert (r2.hapax_vocab_rate, r2.hapax_token_share) == (1.0, 1.0)
