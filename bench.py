@@ -174,6 +174,7 @@ HEADLINE = [
     "dispersion_orders",
     "pipeline_card_events",
     "hapax_rate_sources",
+    "time_decay_attribution_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

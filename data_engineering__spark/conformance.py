@@ -2391,6 +2391,7 @@ DRIVER_PRIORITY = [
     "dispersion_orders",
     "pipeline_card_events",
     "hapax_rate_sources",
+    "time_decay_attribution_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13355,3 +13356,37 @@ def hapax_rate_sources(spark, sf_dir):
     from .operators.text import hapax_rate
     return hapax_rate(read_table(spark, sf_dir, "documents"),
                       "source", "text")
+
+
+@query("time_decay_attribution_events", oracle=_mat("""
+WITH conv AS (
+  SELECT user_id AS cu, event_id AS cid,
+         epoch_us(ts) // 1000000 AS ct
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS tu, event_type AS ch,
+         epoch_us(ts) // 1000000 AS tt
+  FROM events WHERE event_type <> 'purchase'),
+pairs AS (
+  SELECT cid, ch,
+         CAST(ROUND(POW(2.0, -(CAST(ct - tt AS DOUBLE) / 86400.0))
+              * 1000000) AS BIGINT) AS w
+  FROM conv JOIN touch ON tu = cu
+  WHERE ct - tt > 0 AND ct - tt <= 259200),
+sums AS (SELECT cid AS sc, CAST(SUM(w) AS BIGINT) AS sw
+         FROM pairs GROUP BY cid),
+credited AS (
+  SELECT ch, w * 1000000 // sw AS cm
+  FROM pairs JOIN sums ON sc = cid)
+SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(cm) AS DOUBLE) / 1e6, 6) AS credit
+FROM credited GROUP BY ch"""))
+def time_decay_attribution_events(spark, sf_dir):
+    """EXT R307 (round 6): time-decay multi-touch attribution — one
+    credit unit per purchase split over 72h-lookback touches at
+    2^(−Δt/24h), micro-quantized weights with integer per-conversion
+    normalization (floor losses ≤ 1 micro per touch, documented)."""
+    from .operators.analytics import time_decay_attribution
+    return time_decay_attribution(
+        read_table(spark, sf_dir, "events"),
+        "user_id", "ts", "event_type", "event_id")

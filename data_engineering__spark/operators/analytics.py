@@ -4789,3 +4789,51 @@ def count_dispersion(df: DataFrame, key_col: str,
         F.round(F.when(S > 0, var / mean), round_dp)
          .alias("dispersion"),
         over.alias("overdispersed"))
+
+
+def time_decay_attribution(events: DataFrame, user_col: str,
+                           ts_col: str, type_col: str, id_col: str,
+                           convert_type: str = "purchase",
+                           lookback_s: int = 259_200,
+                           half_life_s: int = 86_400,
+                           round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): time-decay multi-touch attribution — each
+    conversion splits one unit of credit over the user's touchpoints
+    in the lookback window, weighted 2^(−Δt/half-life) and normalized
+    PER CONVERSION. Completes the attribution rail: last-touch/
+    rule-based (R110), Markov removal (R232), Shapley (R234) — this
+    is the industry-default recency-weighted middle ground.
+
+    Determinism: weights quantize to integer micro-units; the
+    per-conversion normalization is an integer DIV (non-negative by
+    construction), so channel totals are exact integer sums — floor
+    losses make a conversion's credit sum ≤ 1, never >, documented.
+    Scale: a per-user horizon-bounded range join (the R274 shape) +
+    two hash aggs."""
+    conv = events.filter(F.col(type_col) == convert_type).select(
+        F.col(user_col).alias("__cu"),
+        F.col(id_col).alias("__cid"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ct"))
+    touch = events.filter(F.col(type_col) != convert_type).select(
+        F.col(user_col).alias("__tu"),
+        F.col(type_col).alias("__ch"),
+        F.unix_timestamp(F.col(ts_col)).alias("__tt"))
+    dt = F.col("__ct") - F.col("__tt")
+    w = F.round(F.pow(F.lit(2.0),
+                      -dt.cast("double") / F.lit(float(half_life_s)))
+                * 1_000_000).cast("long")
+    pairs = (conv.join(touch, (F.col("__cu") == F.col("__tu"))
+                       & (dt > 0) & (dt <= lookback_s))
+             .select("__cid", "__ch", w.alias("__w")))
+    sums = (pairs.select(F.col("__cid").alias("__sc"),
+                         F.col("__w").alias("__sw0"))
+            .groupBy("__sc").agg(F.sum("__sw0").alias("__sw")))
+    credited = (pairs.join(F.broadcast(sums),
+                           F.col("__cid") == F.col("__sc"))
+                .select("__ch",
+                        F.expr("__w * 1000000 DIV __sw")
+                        .alias("__cm")))
+    return (credited.groupBy(F.col("__ch").alias("channel"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                 F.round(F.sum("__cm").cast("double") / 1e6,
+                         round_dp).alias("credit")))

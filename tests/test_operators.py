@@ -6215,3 +6215,36 @@ def test_hapax_rate_counts(spark):
     assert r1.hapax_token_share == 0.5
     r2 = out["s2"]
     assert (r2.hapax_vocab_rate, r2.hapax_token_share) == (1.0, 1.0)
+
+
+def test_time_decay_attribution_normalization(spark):
+    """One purchase with touches 24h (click, w=0.5) and 48h (view,
+    w=0.25) before: credits 2/3 and 1/3; an out-of-lookback touch and
+    a post-conversion touch get nothing; credits per conversion sum
+    to <= 1."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        time_decay_attribution,
+    )
+
+    c = datetime(2024, 8, 10, 12, 0, 0)
+    rows = [
+        (1, 100, c, "purchase"),
+        (1, 1, c - timedelta(hours=24), "click"),
+        (1, 2, c - timedelta(hours=48), "view"),
+        (1, 3, c - timedelta(days=10), "click"),   # beyond lookback
+        (1, 4, c + timedelta(hours=1), "click"),   # after conversion
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp,"
+              " event_type string")
+    out = {r.channel: r for r in time_decay_attribution(
+        df, "user_id", "ts", "event_type", "event_id").collect()}
+
+    # weights micro: 500000 and 250000; credits 500000*1e6//750000 =
+    # 666666 micro, 250000*1e6//750000 = 333333 micro
+    assert out["click"].n_touches == 1
+    assert out["click"].credit == 0.666666
+    assert out["view"].credit == 0.333333
+    assert out["click"].credit + out["view"].credit <= 1.0
