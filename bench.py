@@ -175,6 +175,7 @@ HEADLINE = [
     "pipeline_card_events",
     "hapax_rate_sources",
     "time_decay_attribution_events",
+    "cosine_histogram_embeddings",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2392,6 +2392,7 @@ DRIVER_PRIORITY = [
     "pipeline_card_events",
     "hapax_rate_sources",
     "time_decay_attribution_events",
+    "cosine_histogram_embeddings",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13390,3 +13391,35 @@ def time_decay_attribution_events(spark, sf_dir):
     return time_decay_attribution(
         read_table(spark, sf_dir, "events"),
         "user_id", "ts", "event_type", "event_id")
+
+
+@query("cosine_histogram_embeddings", oracle=_mat("""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                     q.qv)
+    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT)
+    AS cm
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+per AS (
+  SELECT LEAST(19, (cm + 1000000) * 20 // 2000001) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM per)
+SELECT CAST(bin AS BIGINT) AS bin,
+       ROUND(CAST(bin AS DOUBLE) * 2.0 / 20 - 1.0, 6) AS bin_lo,
+       n_pairs,
+       ROUND(CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM per CROSS JOIN tot"""))
+def cosine_histogram_embeddings(spark, sf_dir):
+    """EXT R308 (round 6): pairwise-cosine geometry fingerprint over
+    the vec_id%25 sample — 20 integer-arithmetic buckets on [−1, 1];
+    the collapse/anisotropy early warning behind every cosine
+    threshold in the registry."""
+    from .operators.vector import cosine_histogram
+    e = read_table(spark, sf_dir, "embeddings")
+    return cosine_histogram(e, e.filter(F.col("vec_id") % 25 == 0))

@@ -1337,3 +1337,45 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
                     F.col("__rn").cast("long").alias("rank"),
                     F.col("__id").alias("negative_id"),
                     F.col("__cm").alias("cos_micro")))
+
+
+def cosine_histogram(candidates: DataFrame, queries: DataFrame,
+                     n_bins: int = 20, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): pairwise-cosine histogram — the corpus GEOMETRY
+    fingerprint: sampled-pair cosines bucketed over [−1, 1]. The
+    embedding-collapse / hubness early-warning the scalar metrics
+    miss: a healthy space is a broad bell, a collapsed one a spike
+    near 1, an anisotropic one sits shifted — read BEFORE trusting
+    any cosine threshold (near-dup 0.95, hard-negative band, ...).
+
+    Bucket ids are integer arithmetic on micro-cosines
+    ((cm + 10⁶)·bins DIV (2·10⁶+1), clamped), counts exact, share a
+    single division. Self-pairs excluded."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
+                                   as_double_array(vec_col)
+                                   .alias("__q")))
+    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
+                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                   * 1_000_000).cast("long")
+    pairs = (candidates
+             .select(F.col(id_col).alias("__id"),
+                     as_double_array(vec_col).alias("__v"))
+             .crossJoin(q)
+             .filter(F.col("__id") != F.col("__qid"))
+             .select(cosm.alias("__cm")))
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.expr(f"(__cm + 1000000) * {n_bins} DIV 2000001")).cast("long")
+    per = pairs.groupBy(bucket.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    tot = F.broadcast(per.agg(F.sum("n_pairs").alias("__t")))
+    lo = (F.col("bin").cast("double") * 2.0 / n_bins) - 1.0
+    return (per.crossJoin(tot)
+            .select("bin",
+                    F.round(lo, round_dp).alias("bin_lo"),
+                    "n_pairs",
+                    F.round(F.col("n_pairs").cast("double")
+                            / F.col("__t").cast("double"), round_dp)
+                    .alias("share")))

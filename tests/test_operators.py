@@ -6248,3 +6248,26 @@ def test_time_decay_attribution_normalization(spark):
     assert out["click"].credit == 0.666666
     assert out["view"].credit == 0.333333
     assert out["click"].credit + out["view"].credit <= 1.0
+
+
+def test_cosine_histogram_bucketing(spark):
+    """Orthogonal/identical/opposite hand vectors land in the middle,
+    top, and bottom buckets; shares sum to 1; self-pairs excluded."""
+    from data_engineering__spark.operators.vector import (
+        cosine_histogram,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]),   # cos(0,1)=1
+            (2, [0.0, 1.0]),                    # cos=0 vs 0/1
+            (3, [-1.0, 0.0])]                   # cos=-1 vs 0/1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.bin: r for r in cosine_histogram(
+        df, df.filter("vec_id = 0"), n_bins=20).collect()}
+
+    # pairs vs query 0: (1: cos 1 -> bin 19), (2: cos 0 -> bin 10? ->
+    # (0+1e6)*20//2000001 = 9), (3: cos -1 -> bin 0)
+    assert set(out) == {0, 9, 19}
+    assert all(r.n_pairs == 1 for r in out.values())
+    # each share rounds to 6dp: sum can be off by one micro per bin
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 3e-6
+    assert out[0].bin_lo == -1.0
