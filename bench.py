@@ -176,6 +176,7 @@ HEADLINE = [
     "hapax_rate_sources",
     "time_decay_attribution_events",
     "cosine_histogram_embeddings",
+    "growth_accounting_weekly",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2393,6 +2393,7 @@ DRIVER_PRIORITY = [
     "hapax_rate_sources",
     "time_decay_attribution_events",
     "cosine_histogram_embeddings",
+    "growth_accounting_weekly",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13423,3 +13424,43 @@ def cosine_histogram_embeddings(spark, sf_dir):
     from .operators.vector import cosine_histogram
     e = read_table(spark, sf_dir, "embeddings")
     return cosine_histogram(e, e.filter(F.col("vec_id") % 25 == 0))
+
+
+@query("growth_accounting_weekly", oracle=_mat("""
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS w
+  FROM events),
+firsts AS (SELECT u AS fu, MIN(w) AS first_w FROM uw GROUP BY u),
+tagged AS (
+  SELECT uw.u, uw.w,
+         EXISTS (SELECT 1 FROM uw p
+                 WHERE p.u = uw.u AND p.w = uw.w - 1) AS ret,
+         uw.w = f.first_w AS is_new
+  FROM uw JOIN firsts f ON f.fu = uw.u),
+per AS (
+  SELECT w AS week, CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(SUM(CASE WHEN NOT is_new AND NOT ret THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM tagged GROUP BY w)
+SELECT p.week AS week, p.n_active, p.n_new, p.n_retained,
+       p.n_resurrected,
+       CAST(s.n_active - p.n_retained AS BIGINT) AS n_churned,
+       ROUND(CASE WHEN s.n_active - p.n_retained > 0
+             THEN CAST(p.n_new + p.n_resurrected AS DOUBLE)
+                  / CAST(s.n_active - p.n_retained AS DOUBLE) END, 6)
+         AS quick_ratio
+FROM per p LEFT JOIN per s ON s.week = p.week - 1"""))
+def growth_accounting_weekly(spark, sf_dir):
+    """EXT R309 (round 6): full weekly growth-accounting matrix —
+    new/retained/resurrected (identity: sums to actives) plus churn
+    attributed to the week after last activity and the quick ratio;
+    distinct (user, week) frame, week-shifted joins, no per-user
+    history window."""
+    from .operators.analytics import growth_accounting
+    return growth_accounting(read_table(spark, sf_dir, "events"),
+                             "user_id", "ts")

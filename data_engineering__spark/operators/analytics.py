@@ -4837,3 +4837,58 @@ def time_decay_attribution(events: DataFrame, user_col: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
                  F.round(F.sum("__cm").cast("double") / 1e6,
                          round_dp).alias("credit")))
+
+
+def growth_accounting(events: DataFrame, user_col: str, ts_col: str,
+                      round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): weekly growth-accounting matrix — the full
+    four-state ledger (new / retained / resurrected / churned) plus
+    the quick ratio (new+resurrected)/churned. `user_growth_weekly`
+    (R113) splits new vs returning; this is the complete version
+    investors and growth teams actually read: churn is attributed to
+    the week AFTER last activity (active w−1, absent w), resurrection
+    means a gap of ≥1 week. Identity audit built in:
+    n_active = new + retained + resurrected every week.
+
+    Weeks are tz-free epoch weeks; states come from one distinct
+    (user, week) frame self-joined on week+1 (prev-active flag) plus
+    a first-week min — no per-user ordered window over full history.
+    Churned_w = active(w−1) − retained(w), via a week-shifted join,
+    NULL for the first observed week."""
+    wk = F.expr(f"unix_date(CAST({ts_col} AS DATE))").cast("long") / 7
+    uw = (events.select(F.col(user_col).alias("__u"),
+                        F.floor(wk).cast("long").alias("__w"))
+          .distinct().localCheckpoint())
+    firsts = (uw.select(F.col("__u").alias("__fu"), F.col("__w")
+                        .alias("__fw"))
+              .groupBy("__fu").agg(F.min("__fw").alias("__first")))
+    prev = uw.select(F.col("__u").alias("__pu"),
+                     (F.col("__w") + 1).alias("__pw"))
+    tagged = (uw.join(prev, (F.col("__u") == F.col("__pu"))
+                      & (F.col("__w") == F.col("__pw")), "left")
+              .join(F.broadcast(firsts),
+                    F.col("__u") == F.col("__fu"))
+              .select("__u", "__w",
+                      F.col("__pu").isNotNull().alias("__ret"),
+                      (F.col("__w") == F.col("__first"))
+                      .alias("__new")))
+    per = tagged.groupBy(F.col("__w").alias("week")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0)).cast("long")
+         .alias("n_new"),
+        F.sum(F.when(F.col("__ret"), 1).otherwise(0)).cast("long")
+         .alias("n_retained"),
+        F.sum(F.when(~F.col("__new") & ~F.col("__ret"), 1)
+              .otherwise(0)).cast("long").alias("n_resurrected"))
+    shifted = per.select((F.col("week") + 1).alias("__sw"),
+                         F.col("n_active").alias("__prev_active"))
+    out = (per.join(shifted, F.col("week") == F.col("__sw"), "left")
+           .withColumn("n_churned",
+                       (F.col("__prev_active")
+                        - F.col("n_retained")).cast("long")))
+    qr = F.when(F.col("n_churned") > 0,
+                (F.col("n_new") + F.col("n_resurrected"))
+                .cast("double") / F.col("n_churned").cast("double"))
+    return out.select("week", "n_active", "n_new", "n_retained",
+                      "n_resurrected", "n_churned",
+                      F.round(qr, round_dp).alias("quick_ratio"))

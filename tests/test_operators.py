@@ -6271,3 +6271,36 @@ def test_cosine_histogram_bucketing(spark):
     # each share rounds to 6dp: sum can be off by one micro per bin
     assert abs(sum(r.share for r in out.values()) - 1.0) < 3e-6
     assert out[0].bin_lo == -1.0
+
+
+def test_growth_accounting_states(spark):
+    """Four weeks of hand activity: u1 active every week (retained),
+    u2 active w0 then resurrects w2, u3 only w0 (churns into w1);
+    identity n_active = new+retained+resurrected holds per week and
+    churn/quick-ratio replay exactly."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        growth_accounting,
+    )
+
+    b = datetime(2024, 1, 4)
+    act = {1: [0, 1, 2, 3], 2: [0, 2], 3: [0]}
+    rows = [(u, b + timedelta(weeks=w))
+            for u, ws in act.items() for w in ws]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {int(r.week - min(x.week for x in
+               growth_accounting(df, "user_id", "ts").collect())): r
+           for r in growth_accounting(df, "user_id", "ts").collect()}
+
+    w0, w1, w2, w3 = (out[i] for i in range(4))
+    assert (w0.n_active, w0.n_new) == (3, 3)
+    assert w0.n_churned is None
+    assert (w1.n_active, w1.n_retained, w1.n_resurrected) == (1, 1, 0)
+    assert w1.n_churned == 2            # u2, u3 left after w0
+    assert w1.quick_ratio == 0.0
+    assert (w2.n_active, w2.n_retained, w2.n_resurrected) == (2, 1, 1)
+    assert w2.n_churned == 0 and w2.quick_ratio is None
+    assert w3.n_churned == 1            # u2 left after w2
+    for w in (w0, w1, w2, w3):
+        assert w.n_active == w.n_new + w.n_retained + w.n_resurrected
