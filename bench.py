@@ -177,6 +177,7 @@ HEADLINE = [
     "time_decay_attribution_events",
     "cosine_histogram_embeddings",
     "growth_accounting_weekly",
+    "assortment_coverage_parts",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2394,6 +2394,7 @@ DRIVER_PRIORITY = [
     "time_decay_attribution_events",
     "cosine_histogram_embeddings",
     "growth_accounting_weekly",
+    "assortment_coverage_parts",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13464,3 +13465,28 @@ def growth_accounting_weekly(spark, sf_dir):
     from .operators.analytics import growth_accounting
     return growth_accounting(read_table(spark, sf_dir, "events"),
                              "user_id", "ts")
+
+
+@query("assortment_coverage_parts", oracle=_mat("""
+WITH base AS (
+  SELECT p_brand AS b, p_size AS s,
+         string_split(p_type, ' ')[1] AS c
+  FROM part),
+grid AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS ns,
+                CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+         FROM base),
+per AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_combos,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_sizes,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_classes
+  FROM (SELECT DISTINCT b, s, c FROM base) t GROUP BY b)
+SELECT b AS p_brand, n_combos, n_sizes, n_classes,
+       ROUND(CAST(n_combos AS DOUBLE) / CAST(ns * nc AS DOUBLE), 6)
+         AS grid_coverage
+FROM per CROSS JOIN grid"""))
+def assortment_coverage_parts(spark, sf_dir):
+    """EXT R310 (round 6): assortment-grid coverage per brand over
+    the (size × type-class) catalog grid — the merchandising
+    holes-or-prune report; exact distinct counts, one division."""
+    from .operators.analytics import assortment_coverage
+    return assortment_coverage(read_table(spark, sf_dir, "part"))

@@ -4892,3 +4892,36 @@ def growth_accounting(events: DataFrame, user_col: str, ts_col: str,
     return out.select("week", "n_active", "n_new", "n_retained",
                       "n_resurrected", "n_churned",
                       F.round(qr, round_dp).alias("quick_ratio"))
+
+
+def assortment_coverage(part: DataFrame, round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): assortment-grid coverage per brand — how much of
+    the catalog's (size × type-class) grid each brand actually fills.
+    The merchandising gap report: a brand at 40% coverage either has
+    holes to fill or SKUs to prune depending on its revenue rank
+    (join R134/R260 for that call). Type-class = the first word of
+    p_type (the TPC-H convention for its 'STANDARD ANODIZED ...'
+    strings).
+
+    Exact integers: global distinct sizes S and classes C define the
+    grid; per brand, coverage = distinct (size, class) combos /
+    (S·C). One distinct agg + one brand rollup + a broadcast scalar."""
+    cls = F.split(F.col("p_type"), " ").getItem(0)
+    base = part.select(F.col("p_brand").alias("__b"),
+                       F.col("p_size").alias("__s"),
+                       cls.alias("__c"))
+    grid = F.broadcast(base.agg(
+        F.countDistinct("__s").alias("__ns"),
+        F.countDistinct("__c").alias("__nc")))
+    per = (base.distinct()
+           .groupBy("__b")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_combos"),
+                F.countDistinct("__s").cast("long").alias("n_sizes"),
+                F.countDistinct("__c").cast("long").alias("n_classes")))
+    return (per.crossJoin(grid)
+            .select(F.col("__b").alias("p_brand"), "n_combos",
+                    "n_sizes", "n_classes",
+                    F.round(F.col("n_combos").cast("double")
+                            / (F.col("__ns") * F.col("__nc"))
+                            .cast("double"), round_dp)
+                    .alias("grid_coverage")))

@@ -6304,3 +6304,25 @@ def test_growth_accounting_states(spark):
     assert w3.n_churned == 1            # u2 left after w2
     for w in (w0, w1, w2, w3):
         assert w.n_active == w.n_new + w.n_retained + w.n_resurrected
+
+
+def test_assortment_coverage_grid(spark):
+    """Grid = 2 sizes x 2 classes: brand A fills 3 cells (0.75, with a
+    duplicate SKU not double-counted), brand B fills 1 (0.25)."""
+    from data_engineering__spark.operators.analytics import (
+        assortment_coverage,
+    )
+
+    rows = [("A", 1, "STANDARD X"), ("A", 1, "STANDARD Y"),
+            ("A", 2, "STANDARD X"), ("A", 1, "ECONOMY X"),
+            ("B", 2, "ECONOMY Z")]
+    df = spark.createDataFrame(rows, "p_brand string, p_size int,"
+                                     " p_type string")
+    out = {r.p_brand: r for r in assortment_coverage(df).collect()}
+
+    a = out["A"]
+    # classes: STANDARD, ECONOMY; sizes: 1, 2 -> grid 4
+    # A combos: (1,STANDARD),(2,STANDARD),(1,ECONOMY) = 3
+    assert (a.n_combos, a.n_sizes, a.n_classes) == (3, 2, 2)
+    assert a.grid_coverage == 0.75
+    assert out["B"].grid_coverage == 0.25
