@@ -178,6 +178,7 @@ HEADLINE = [
     "cosine_histogram_embeddings",
     "growth_accounting_weekly",
     "assortment_coverage_parts",
+    "variety_score_users",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2395,6 +2395,7 @@ DRIVER_PRIORITY = [
     "cosine_histogram_embeddings",
     "growth_accounting_weekly",
     "assortment_coverage_parts",
+    "variety_score_users",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13490,3 +13491,32 @@ def assortment_coverage_parts(spark, sf_dir):
     holes-or-prune report; exact distinct counts, one division."""
     from .operators.analytics import assortment_coverage
     return assortment_coverage(read_table(spark, sf_dir, "part"))
+
+
+@query("variety_score_users", oracle=_mat("""
+WITH base AS (
+  SELECT user_id AS u, ts, event_id AS id, event_type AS t
+  FROM events WHERE user_id % 20 = 0),
+scored AS (
+  SELECT u, id,
+         len(list_distinct(list(t) OVER (
+           PARTITION BY u ORDER BY ts, id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS variety,
+         LEAST(COUNT(*) OVER (
+           PARTITION BY u ORDER BY ts, id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 10) AS window_n
+  FROM base)
+SELECT u AS user_id, id AS event_id, CAST(variety AS BIGINT)
+         AS variety,
+       CAST(window_n AS BIGINT) AS window_n
+FROM scored"""))
+def variety_score_users(spark, sf_dir):
+    """EXT R311 (round 6): rolling distinct-type variety over each
+    sampled user's trailing 10 events — the continuous explore-vs-rut
+    / bot-tell signal; collect_list-over-rows-frame → array_distinct
+    (bounded state, total order)."""
+    from .operators.analytics import variety_score
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("user_id") % 20 == 0)
+    return variety_score(ev, "user_id", "ts", "event_type",
+                         "event_id")

@@ -4925,3 +4925,31 @@ def assortment_coverage(part: DataFrame, round_dp: int = 6) -> DataFrame:
                             / (F.col("__ns") * F.col("__nc"))
                             .cast("double"), round_dp)
                     .alias("grid_coverage")))
+
+
+def variety_score(events: DataFrame, user_col: str, ts_col: str,
+                  type_col: str, order_col: str,
+                  k: int = 10) -> DataFrame:
+    """EXT (round 6): rolling behavioral variety — for every event,
+    the count of DISTINCT event types in the user's trailing ``k``
+    events. The explore-vs-rut signal per event (streaks R283 find
+    the longest rut; this scores variety continuously) and a bot
+    tell: scripted traffic holds variety 1-2 for thousands of events.
+
+    Distinct-over-rows-window isn't a native aggregate; the device is
+    collect_list over the ROWS frame → array_distinct → size —
+    bounded by k per row, so state stays tiny. Total order
+    (ts, order id) makes the frame engine-stable."""
+    w = (Window.partitionBy("__u").orderBy("__ts", "__id")
+         .rowsBetween(-(k - 1), 0))
+    base = events.select(F.col(user_col).alias("__u"),
+                         F.col(ts_col).alias("__ts"),
+                         F.col(order_col).alias("__id"),
+                         F.col(type_col).alias("__t"))
+    return (base.select(
+        F.col("__u").alias(user_col),
+        F.col("__id").alias(order_col),
+        F.size(F.array_distinct(F.collect_list("__t").over(w)))
+         .cast("long").alias("variety"),
+        F.least(F.count(F.lit(1)).over(w), F.lit(k).cast("long"))
+         .cast("long").alias("window_n")))

@@ -6326,3 +6326,25 @@ def test_assortment_coverage_grid(spark):
     assert (a.n_combos, a.n_sizes, a.n_classes) == (3, 2, 2)
     assert a.grid_coverage == 0.75
     assert out["B"].grid_coverage == 0.25
+
+
+def test_variety_score_window(spark):
+    """A scripted a,a,a,... run holds variety 1; after a b,c burst the
+    trailing-3 window reads 1,1,1,2,3,3,2,... exactly."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import variety_score
+
+    b = datetime(2024, 1, 1)
+    seq = ["a", "a", "a", "b", "c", "c", "c"]
+    rows = [(1, b + timedelta(minutes=i), t, i)
+            for i, t in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string,"
+              " event_id long")
+    out = {r.event_id: r for r in variety_score(
+        df, "user_id", "ts", "event_type", "event_id", k=3).collect()}
+
+    want = [1, 1, 1, 2, 3, 2, 1]
+    assert [out[i].variety for i in range(7)] == want
+    assert out[0].window_n == 1 and out[6].window_n == 3
