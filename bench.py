@@ -179,6 +179,7 @@ HEADLINE = [
     "growth_accounting_weekly",
     "assortment_coverage_parts",
     "variety_score_users",
+    "wow_contribution_segments",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

@@ -2396,6 +2396,7 @@ DRIVER_PRIORITY = [
     "growth_accounting_weekly",
     "assortment_coverage_parts",
     "variety_score_users",
+    "wow_contribution_segments",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13520,3 +13521,34 @@ def variety_score_users(spark, sf_dir):
         .filter(F.col("user_id") % 20 == 0)
     return variety_score(ev, "user_id", "ts", "event_type",
                          "event_id")
+
+
+@query("wow_contribution_segments", oracle=_mat("""
+WITH base AS (
+  SELECT c.c_mktsegment AS s,
+         (CAST(o.o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS w,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+mx AS (SELECT MAX(w) AS m FROM base),
+per AS (
+  SELECT s,
+    CAST(COALESCE(SUM(CASE WHEN w = mx.m - 1 THEN v END), 0)
+         AS BIGINT) AS rev0_cents,
+    CAST(COALESCE(SUM(CASE WHEN w = mx.m THEN v END), 0) AS BIGINT)
+      AS rev1_cents
+  FROM base CROSS JOIN mx
+  WHERE w >= mx.m - 1 GROUP BY s),
+tot AS (SELECT CAST(SUM(rev0_cents) AS BIGINT) AS t0 FROM per)
+SELECT s AS c_mktsegment, rev0_cents, rev1_cents,
+       CAST(rev1_cents - rev0_cents AS BIGINT) AS delta_cents,
+       ROUND(CASE WHEN t0 > 0
+             THEN CAST(rev1_cents - rev0_cents AS DOUBLE)
+                  / CAST(t0 AS DOUBLE) END, 6) AS contribution
+FROM per CROSS JOIN tot"""))
+def wow_contribution_segments(spark, sf_dir):
+    """EXT R312 (round 6): WoW growth decomposition by market segment
+    over the last two observed weeks — per-segment contributions that
+    sum exactly to the total growth rate (shared denominator)."""
+    from .operators.analytics import wow_contribution
+    return wow_contribution(read_table(spark, sf_dir, "orders"),
+                            read_table(spark, sf_dir, "customer"))

@@ -6348,3 +6348,34 @@ def test_variety_score_window(spark):
     want = [1, 1, 1, 2, 3, 2, 1]
     assert [out[i].variety for i in range(7)] == want
     assert out[0].window_n == 1 and out[6].window_n == 3
+
+
+def test_wow_contribution_identity(spark):
+    """Two segments with hand revenues: contributions sum to the total
+    growth rate exactly; a segment absent last week still contributes
+    via its delta."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.analytics import (
+        wow_contribution,
+    )
+
+    b = datetime(1996, 2, 1)
+    orders = spark.createDataFrame(
+        [(1, 1, 100.0, b), (2, 2, 100.0, b),
+         (3, 1, 150.0, b + timedelta(weeks=1)),
+         (4, 3, 30.0, b + timedelta(weeks=1))],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate timestamp")
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY"), (3, "HOUSEHOLD")],
+        "c_custkey long, c_mktsegment string")
+    out = {r.c_mktsegment: r for r in wow_contribution(
+        orders, cust).collect()}
+
+    assert out["BUILDING"].contribution == 0.25       # +5000/20000
+    assert out["MACHINERY"].contribution == -0.5      # -10000/20000
+    assert out["HOUSEHOLD"].contribution == 0.15      # +3000/20000
+    total_growth = (18000 - 20000) / 20000
+    assert abs(sum(r.contribution for r in out.values())
+               - total_growth) < 1e-9
