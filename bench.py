@@ -180,6 +180,7 @@ HEADLINE = [
     "assortment_coverage_parts",
     "variety_score_users",
     "wow_contribution_segments",
+    "source_overlap_matrix",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

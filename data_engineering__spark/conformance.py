@@ -2397,6 +2397,7 @@ DRIVER_PRIORITY = [
     "assortment_coverage_parts",
     "variety_score_users",
     "wow_contribution_segments",
+    "source_overlap_matrix",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13552,3 +13553,38 @@ def wow_contribution_segments(spark, sf_dir):
     from .operators.analytics import wow_contribution
     return wow_contribution(read_table(spark, sf_dir, "orders"),
                             read_table(spark, sf_dir, "customer"))
+
+
+@query("source_overlap_matrix", oracle=_mat("""
+WITH d AS (
+  SELECT DISTINCT source AS s, sha256(text) AS h
+  FROM (
+    SELECT source, text FROM documents
+    UNION ALL
+    SELECT 'mirror_' || source, text FROM documents
+    WHERE doc_id % 4 = 0) t),
+sizes AS (SELECT s AS zs, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+shared AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM d a JOIN d b ON b.h = a.h AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE)
+             / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes na ON na.zs = sa
+JOIN sizes nb ON nb.zs = sb"""))
+def source_overlap_matrix(spark, sf_dir):
+    """EXT R313 (round 6): cross-source duplication matrix with
+    PLANTED mirrors (every 4th doc re-ingested under 'mirror_<src>')
+    — digest-set Jaccard per source pair, digests-only shuffle,
+    |union| by inclusion-exclusion."""
+    from .operators.dedup import source_overlap_matrix as som
+    d = read_table(spark, sf_dir, "documents")
+    corpus = (d.select("source", "text")
+              .unionByName(d.filter(F.col("doc_id") % 4 == 0)
+                           .select(F.concat(F.lit("mirror_"),
+                                            F.col("source"))
+                                   .alias("source"), "text")))
+    return som(corpus, "source", "text")

@@ -1459,3 +1459,46 @@ def minhash_recall_report(df: DataFrame, id_col: str, text_col: str,
                            F.round(F.col("n_hit").cast("double")
                                    / F.col("n_true").cast("double"), 6))
                     .alias("recall")))
+
+
+def source_overlap_matrix(docs: DataFrame, source_col: str,
+                          text_col: str,
+                          round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): cross-source duplication matrix — for every
+    source pair, the Jaccard overlap of their EXACT-text fingerprint
+    sets. The mirror detector at the source grain: two crawls with
+    overlap near 1 are one feed ingested twice (drop one), moderate
+    overlap flags syndication. Burrows' Delta (R254) finds STYLE
+    twins; this finds literal content twins.
+
+    Only sha256 digests shuffle (bodies never move — the L1 exact-
+    dedup discipline); per source the digest set dedups first, the
+    pair join meets on digest equality so cost is bounded by true
+    cross-source duplication, and |union| = |A|+|B|−|∩| avoids a
+    second join. Output: (source_a, source_b, n_shared, jaccard),
+    overlapping pairs only."""
+    d = (docs.select(F.col(source_col).alias("__s"),
+                     F.sha2(F.col(text_col), 256).alias("__h"))
+         .distinct().localCheckpoint())
+    sizes = (d.select(F.col("__s").alias("__zs"))
+             .groupBy("__zs").agg(F.count(F.lit(1)).alias("__n")))
+    a = d.select(F.col("__s").alias("__sa"), F.col("__h"))
+    b = d.select(F.col("__s").alias("__sb"),
+                 F.col("__h").alias("__hb"))
+    shared = (a.join(b, (F.col("__h") == F.col("__hb"))
+                     & (F.col("__sa") < F.col("__sb")))
+              .groupBy("__sa", "__sb")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    na = sizes.select(F.col("__zs").alias("__sa2"),
+                      F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__zs").alias("__sb2"),
+                      F.col("__n").alias("__nb"))
+    return (shared
+            .join(F.broadcast(na), F.col("__sa") == F.col("__sa2"))
+            .join(F.broadcast(nb), F.col("__sb") == F.col("__sb2"))
+            .select(F.col("__sa").alias("source_a"),
+                    F.col("__sb").alias("source_b"), "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / (F.col("__na") + F.col("__nb")
+                               - F.col("n_shared")).cast("double"),
+                            round_dp).alias("jaccard")))

@@ -6379,3 +6379,25 @@ def test_wow_contribution_identity(spark):
     total_growth = (18000 - 20000) / 20000
     assert abs(sum(r.contribution for r in out.values())
                - total_growth) < 1e-9
+
+
+def test_source_overlap_matrix_jaccard(spark):
+    """s1/s2 share 2 of (3 ∪ 3) = 4 distinct texts -> jaccard 0.5;
+    within-source duplicates collapse before counting; disjoint
+    sources emit no row."""
+    from data_engineering__spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    rows = [("s1", "a"), ("s1", "a"), ("s1", "b"), ("s1", "c"),
+            ("s2", "b"), ("s2", "c"), ("s2", "d"),
+            ("s3", "zzz")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.source_a, r.source_b): r
+           for r in source_overlap_matrix(df, "source", "text")
+           .collect()}
+
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r.n_shared == 2
+    assert r.jaccard == 0.5
