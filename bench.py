@@ -181,6 +181,7 @@ HEADLINE = [
     "variety_score_users",
     "wow_contribution_segments",
     "source_overlap_matrix",
+    "pchart_returns_weekly",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

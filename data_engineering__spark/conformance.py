@@ -2398,6 +2398,7 @@ DRIVER_PRIORITY = [
     "variety_score_users",
     "wow_contribution_segments",
     "source_overlap_matrix",
+    "pchart_returns_weekly",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13588,3 +13589,40 @@ def source_overlap_matrix(spark, sf_dir):
                                             F.col("source"))
                                    .alias("source"), "text")))
     return som(corpus, "source", "text")
+
+
+@query("pchart_returns_weekly", oracle=_mat("""
+WITH base AS (
+  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') // 7 AS p,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+per AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS k
+        FROM base GROUP BY p),
+tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+               CAST(SUM(k) AS HUGEINT) AS kk FROM per)
+SELECT CAST(p AS BIGINT) AS period, n, k AS n_defect,
+       ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+         AS centerline,
+       ROUND(GREATEST(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)
+             - 3 * SQRT((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                        * (1 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 0.0), 6) AS lcl,
+       ROUND(LEAST(CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE)
+             + 3 * SQRT((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                        * (1 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 1.0), 6) AS ucl,
+       (CAST(k AS HUGEINT) * nn - kk * CAST(n AS HUGEINT))
+         * (CAST(k AS HUGEINT) * nn - kk * CAST(n AS HUGEINT))
+         > 9 * kk * (nn - kk) * CAST(n AS HUGEINT) AS out_of_control
+FROM per CROSS JOIN tot"""))
+def pchart_returns_weekly(spark, sf_dir):
+    """EXT R314 (round 6): SPC p-chart of weekly return rates — 3σ
+    binomial limits per week with the out-of-control flag as exact
+    decimal cross-products ((kN−Kn)² vs 9K(N−K)n); rates/limits
+    fixed-shape floats for display."""
+    from .operators.quality import pchart
+    li = read_table(spark, sf_dir, "lineitem")
+    wk = F.expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7")
+    return pchart(li, wk, F.col("l_returnflag") == "R")

@@ -905,3 +905,46 @@ def pipeline_card(events: DataFrame, id_col: str = "event_id",
                     "busiest_day",
                     F.round(F.col("__bc").cast("double") / n,
                             round_dp).alias("busiest_day_share")))
+
+
+def pchart(df: DataFrame, period_col, defect_pred,
+           round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): SPC p-chart — per period, the defect proportion
+    against the grand centerline with 3σ binomial control limits
+    (σ_w = √(p̄(1−p̄)/n_w), the textbook attribute chart). The
+    manufacturing-grade drift alarm: unlike PSI/KS (distribution
+    drift), the p-chart answers "is THIS week's rate outside common-
+    cause variation" with per-period sample-size-aware limits.
+
+    The out-of-control flag NEVER touches a float:
+    |p_w − p̄| > 3σ_w  ⟺  (k_w·N − K·n_w)² > 9·K·(N−K)·n_w — exact
+    decimal cross-products. Reported rate/limits are fixed-shape
+    floats for humans. One period hash agg + a broadcast scalar."""
+    dec = "decimal(38,0)"
+    base = df.select(period_col.cast("long").alias("__p"),
+                     F.when(defect_pred, 1).otherwise(0).alias("__y"))
+    per = base.groupBy("__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__k"))
+    # __tn/__tk, not __N/__K: Spark resolves case-insensitively and
+    # __N collides with __n (the recurring R256 lesson)
+    tot = F.broadcast(per.agg(F.sum("__n").cast("long").alias("__tn"),
+                              F.sum("__k").cast("long").alias("__tk")))
+    j = per.crossJoin(tot)
+    nD, kD = F.col("__n").cast(dec), F.col("__k").cast(dec)
+    ND, KD = F.col("__tn").cast(dec), F.col("__tk").cast(dec)
+    lhs = (kD * ND - KD * nD)
+    ooc = lhs * lhs > F.lit(9).cast(dec) * KD * (ND - KD) * nD
+    pbar = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    sig = F.sqrt(pbar * (1 - pbar) / F.col("__n").cast("double"))
+    return j.select(
+        F.col("__p").alias("period"),
+        F.col("__n").alias("n"), F.col("__k").alias("n_defect"),
+        F.round(F.col("__k").cast("double")
+                / F.col("__n").cast("double"), round_dp).alias("rate"),
+        F.round(pbar, round_dp).alias("centerline"),
+        F.round(F.greatest(pbar - 3 * sig, F.lit(0.0)), round_dp)
+         .alias("lcl"),
+        F.round(F.least(pbar + 3 * sig, F.lit(1.0)), round_dp)
+         .alias("ucl"),
+        ooc.alias("out_of_control"))

@@ -6401,3 +6401,31 @@ def test_source_overlap_matrix_jaccard(spark):
     r = out[("s1", "s2")]
     assert r.n_shared == 2
     assert r.jaccard == 0.5
+
+
+def test_pchart_control_limits(spark):
+    """Three periods at the common rate stay in control; a planted
+    blow-up period (90% defects vs p-bar ~0.2) flags; limits replay
+    the binomial formula and clamp to [0, 1]."""
+    import math
+
+    from data_engineering__spark.operators.quality import pchart
+    from pyspark.sql import functions as F
+
+    ks = [20, 19, 21, 20, 20, 19, 21, 20, 20, 50]  # last one blows up
+    rows = []
+    for p, k in enumerate(ks):
+        rows += [(p, 1)] * k + [(p, 0)] * (100 - k)
+    df = spark.createDataFrame(rows, "p long, y int")
+    out = {r.period: r for r in pchart(
+        df, F.col("p"), F.col("y") == 1).collect()}
+
+    K, N = sum(ks), 100 * len(ks)
+    pbar = K / N
+    sig = math.sqrt(pbar * (1 - pbar) / 100)
+    for p in range(9):
+        assert out[p].out_of_control is False, p
+    assert out[9].out_of_control is True
+    assert out[0].centerline == round(pbar, 6)
+    assert out[0].ucl == round(min(pbar + 3 * sig, 1.0), 6)
+    assert out[0].lcl == round(max(pbar - 3 * sig, 0.0), 6)
