@@ -182,6 +182,7 @@ HEADLINE = [
     "wow_contribution_segments",
     "source_overlap_matrix",
     "pchart_returns_weekly",
+    "lang_source_residuals",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

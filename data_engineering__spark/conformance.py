@@ -2399,6 +2399,7 @@ DRIVER_PRIORITY = [
     "wow_contribution_segments",
     "source_overlap_matrix",
     "pchart_returns_weekly",
+    "lang_source_residuals",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13626,3 +13627,37 @@ def pchart_returns_weekly(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     wk = F.expr("unix_date(CAST(l_shipdate AS DATE)) DIV 7")
     return pchart(li, wk, F.col("l_returnflag") == "R")
+
+
+@query("lang_source_residuals", oracle=_mat("""
+WITH cells AS (
+  SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+rm AS (SELECT r AS rr, CAST(SUM(o) AS BIGINT) AS rt
+       FROM cells GROUP BY 1),
+cm AS (SELECT c AS cc, CAST(SUM(o) AS BIGINT) AS ct
+       FROM cells GROUP BY 1),
+nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells)
+SELECT r AS lang, c AS source, o AS observed,
+       ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS expected,
+       ROUND(CAST(CAST(o AS HUGEINT) * n
+                  - CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT)
+                  AS DOUBLE)
+             / SQRT(CAST(CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT)
+                         * n AS DOUBLE)), 6) AS residual,
+       (CAST(o AS HUGEINT) * n
+        - CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT))
+       * (CAST(o AS HUGEINT) * n
+          - CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT))
+       > 9 * CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) * n
+         AS significant
+FROM cells JOIN rm ON rr = r JOIN cm ON cc = c CROSS JOIN nn"""))
+def lang_source_residuals(spark, sf_dir):
+    """EXT R315 (round 6): Pearson-residual cells of the lang×source
+    contingency — names WHICH cells drive R192's omnibus chi-square;
+    integer numerators, one sqrt per cell, |r|>3 flag as exact
+    cross-products."""
+    from .operators.quality import contingency_residuals
+    return contingency_residuals(
+        read_table(spark, sf_dir, "documents"), "lang", "source")

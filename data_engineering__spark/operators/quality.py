@@ -948,3 +948,42 @@ def pchart(df: DataFrame, period_col, defect_pred,
         F.round(F.least(pbar + 3 * sig, F.lit(1.0)), round_dp)
          .alias("ucl"),
         ooc.alias("out_of_control"))
+
+
+def contingency_residuals(df: DataFrame, row_col: str, col_col: str,
+                          round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): Pearson-residual cells of a contingency table —
+    the drill-down behind the omnibus chi-square (R192 says "lang and
+    source are dependent"; this names WHICH cells drive it). Per cell:
+    observed, expected, residual (o−e)/√e, and a |r|>3 flag.
+
+    The residual is (oN − rc)/√(rcN) — integer numerator, one sqrt of
+    an exact integer product; the flag integerizes as
+    (oN − rc)² > 9·r·c·N, so a cell exactly at 3σ can't flip engines.
+    Grid-sized aggregation throughout."""
+    dec = "decimal(38,0)"
+    cells = (df.groupBy(F.col(row_col).alias("__r"),
+                        F.col(col_col).alias("__c"))
+             .agg(F.count(F.lit(1)).cast("long").alias("__o")))
+    rm = (cells.select(F.col("__r").alias("__rr"), F.col("__o"))
+          .groupBy("__rr").agg(F.sum("__o").cast("long").alias("__rt")))
+    cm = (cells.select(F.col("__c").alias("__cc"), F.col("__o"))
+          .groupBy("__cc").agg(F.sum("__o").cast("long").alias("__ct")))
+    nn = F.broadcast(cells.agg(F.sum("__o").cast("long").alias("__nn")))
+    j = (cells.join(F.broadcast(rm), F.col("__r") == F.col("__rr"))
+         .join(F.broadcast(cm), F.col("__c") == F.col("__cc"))
+         .crossJoin(nn))
+    oD, rD = F.col("__o").cast(dec), F.col("__rt").cast(dec)
+    cD, ND = F.col("__ct").cast(dec), F.col("__nn").cast(dec)
+    num = oD * ND - rD * cD
+    flag = num * num > F.lit(9).cast(dec) * rD * cD * ND
+    exp = (F.col("__rt").cast("double") * F.col("__ct").cast("double")
+           / F.col("__nn").cast("double"))
+    resid = (num.cast("double")
+             / F.sqrt((rD * cD * ND).cast("double")))
+    return j.select(F.col("__r").alias(row_col),
+                    F.col("__c").alias(col_col),
+                    F.col("__o").alias("observed"),
+                    F.round(exp, round_dp).alias("expected"),
+                    F.round(resid, round_dp).alias("residual"),
+                    flag.alias("significant"))

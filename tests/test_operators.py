@@ -6429,3 +6429,34 @@ def test_pchart_control_limits(spark):
     assert out[0].centerline == round(pbar, 6)
     assert out[0].ucl == round(min(pbar + 3 * sig, 1.0), 6)
     assert out[0].lcl == round(max(pbar - 3 * sig, 0.0), 6)
+
+
+def test_contingency_residuals_formula(spark):
+    """A 2x2 with a planted excess cell: residuals replay
+    (o−e)/sqrt(e) via the integer form, the hot cell flags at |r|>3,
+    and residuals of a row sum to ~0 under balance."""
+    import math
+
+    from data_engineering__spark.operators.quality import (
+        contingency_residuals,
+    )
+
+    # rows: 60 (a,x), 20 (a,y), 20 (b,x), 60 (b,y) -> strong diagonal
+    rows = ([("a", "x")] * 60 + [("a", "y")] * 20
+            + [("b", "x")] * 20 + [("b", "y")] * 60)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(x.r, x.c): x for x in contingency_residuals(
+        df, "r", "c").collect()}
+
+    N = 160
+    rt = {"a": 80, "b": 80}
+    ct = {"x": 80, "y": 80}
+    for (rr, cc), cell in out.items():
+        e = rt[rr] * ct[cc] / N
+        resid = (cell.observed - e) / math.sqrt(e)
+        assert cell.expected == round(e, 6)
+        assert abs(cell.residual - round(resid, 6)) < 1e-9
+    assert out[("a", "x")].significant is True
+    assert out[("a", "x")].residual > 3
+    assert out[("a", "y")].significant is True  # deficit cell, r < -3
+    assert out[("a", "y")].residual < -3
