@@ -183,6 +183,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "pchart_returns_weekly",
     "lang_source_residuals",
+    "payday_lift_orders",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

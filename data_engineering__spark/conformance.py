@@ -2400,6 +2400,7 @@ DRIVER_PRIORITY = [
     "source_overlap_matrix",
     "pchart_returns_weekly",
     "lang_source_residuals",
+    "payday_lift_orders",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13661,3 +13662,46 @@ def lang_source_residuals(spark, sf_dir):
     from .operators.quality import contingency_residuals
     return contingency_residuals(
         read_table(spark, sf_dir, "documents"), "lang", "source")
+
+
+@query("payday_lift_orders", oracle=_mat("""
+WITH base AS (
+  SELECT day(CAST(o_orderdate AS DATE)) IN (1, 15) AS pay,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+agg AS (
+  SELECT
+    CAST(COUNT(DISTINCT CASE WHEN pay THEN d END) AS BIGINT) AS pd,
+    CAST(COUNT(DISTINCT CASE WHEN NOT pay THEN d END) AS BIGINT)
+      AS od,
+    CAST(SUM(CASE WHEN pay THEN 1 ELSE 0 END) AS BIGINT) AS pn,
+    CAST(SUM(CASE WHEN NOT pay THEN 1 ELSE 0 END) AS BIGINT) AS onn,
+    CAST(COALESCE(SUM(CASE WHEN pay THEN v END), 0) AS BIGINT) AS pv,
+    CAST(COALESCE(SUM(CASE WHEN NOT pay THEN v END), 0) AS BIGINT)
+      AS ov
+  FROM base)
+SELECT pd AS payday_days, od AS other_days,
+  ROUND(CASE WHEN pd > 0 AND od > 0
+        THEN CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) END, 6)
+    AS orders_per_payday,
+  ROUND(CASE WHEN pd > 0 AND od > 0
+        THEN CAST(onn AS DOUBLE) / CAST(od AS DOUBLE) END, 6)
+    AS orders_per_other_day,
+  ROUND(CASE WHEN pd > 0 AND od > 0 AND onn > 0
+        THEN (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))
+             / (CAST(onn AS DOUBLE) / CAST(od AS DOUBLE)) END, 6)
+    AS count_lift,
+  ROUND(CASE WHEN pd > 0 AND od > 0 AND ov > 0
+        THEN (CAST(pv AS DOUBLE) / CAST(pd AS DOUBLE))
+             / (CAST(ov AS DOUBLE) / CAST(od AS DOUBLE)) END, 6)
+    AS value_lift
+FROM agg"""))
+def payday_lift_orders(spark, sf_dir):
+    """EXT R316 (round 6): payday-lift report — per-calendar-day order
+    and value rates on the 1st/15th vs other days (distinct-day
+    denominators so absent days don't deflate), lift ratios; also the
+    month-bucketed-timestamp data-bug tell."""
+    from .operators.analytics import payday_lift
+    return payday_lift(read_table(spark, sf_dir, "orders"))

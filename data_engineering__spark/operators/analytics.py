@@ -4997,3 +4997,51 @@ def wow_contribution(orders: DataFrame, customer: DataFrame,
                                    .cast("double")
                                    / F.col("__t0").cast("double")),
                             round_dp).alias("contribution")))
+
+
+def payday_lift(orders: DataFrame, paydays: tuple = (1, 15),
+                round_dp: int = 6) -> DataFrame:
+    """EXT (round 6): payday-lift report — mean order count and value
+    on payday calendar days (1st/15th by default) vs all other days,
+    and the lift ratios. The staffing/promo-timing readout; also a
+    data-bug tell (a huge '1st' spike can be month-bucketed upstream
+    timestamps, not shoppers).
+
+    Per-day means are single divisions of exact integer sums over
+    exact day counts (distinct calendar days per bucket — absent days
+    don't deflate the comparison). ONE row."""
+    dom = F.expr("day(CAST(o_orderdate AS DATE))").cast("int")
+    d = F.expr("unix_date(CAST(o_orderdate AS DATE))").cast("long")
+    base = orders.select(
+        dom.isin(*[int(p) for p in paydays]).alias("__pay"),
+        d.alias("__d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("__v"))
+    agg = base.agg(
+        F.countDistinct(F.when(F.col("__pay"), F.col("__d")))
+         .cast("long").alias("__pd"),
+        F.countDistinct(F.when(~F.col("__pay"), F.col("__d")))
+         .cast("long").alias("__od"),
+        F.sum(F.when(F.col("__pay"), 1).otherwise(0)).cast("long")
+         .alias("__pn"),
+        F.sum(F.when(~F.col("__pay"), 1).otherwise(0)).cast("long")
+         .alias("__on"),
+        F.coalesce(F.sum(F.when(F.col("__pay"), F.col("__v"))),
+                   F.lit(0)).cast("long").alias("__pv"),
+        F.coalesce(F.sum(F.when(~F.col("__pay"), F.col("__v"))),
+                   F.lit(0)).cast("long").alias("__ov"))
+    pn_rate = F.col("__pn").cast("double") / F.col("__pd").cast("double")
+    on_rate = F.col("__on").cast("double") / F.col("__od").cast("double")
+    pv_rate = F.col("__pv").cast("double") / F.col("__pd").cast("double")
+    ov_rate = F.col("__ov").cast("double") / F.col("__od").cast("double")
+    ok = (F.col("__pd") > 0) & (F.col("__od") > 0)
+    return agg.select(
+        F.col("__pd").alias("payday_days"),
+        F.col("__od").alias("other_days"),
+        F.round(F.when(ok, pn_rate), round_dp)
+         .alias("orders_per_payday"),
+        F.round(F.when(ok, on_rate), round_dp)
+         .alias("orders_per_other_day"),
+        F.round(F.when(ok & (F.col("__on") > 0), pn_rate / on_rate),
+                round_dp).alias("count_lift"),
+        F.round(F.when(ok & (F.col("__ov") > 0), pv_rate / ov_rate),
+                round_dp).alias("value_lift"))

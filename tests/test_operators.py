@@ -6460,3 +6460,27 @@ def test_contingency_residuals_formula(spark):
     assert out[("a", "x")].residual > 3
     assert out[("a", "y")].significant is True  # deficit cell, r < -3
     assert out[("a", "y")].residual < -3
+
+
+def test_payday_lift_rates(spark):
+    """Hand calendar: two payday dates with 3 orders each vs two other
+    dates with 1 each -> count lift 3.0; value lift replays from the
+    cents sums."""
+    from datetime import datetime
+
+    from data_engineering__spark.operators.analytics import payday_lift
+
+    mk = lambda d, v: (datetime(1997, 3, d), v)  # noqa: E731
+    rows = [mk(1, 10.0), mk(1, 20.0), mk(1, 30.0),
+            mk(15, 10.0), mk(15, 10.0), mk(15, 10.0),
+            mk(7, 5.0), mk(22, 15.0)]
+    df = spark.createDataFrame(rows, "o_orderdate timestamp,"
+                                     " o_totalprice double")
+    r = payday_lift(df).collect()[0]
+
+    assert (r.payday_days, r.other_days) == (2, 2)
+    assert r.orders_per_payday == 3.0
+    assert r.orders_per_other_day == 1.0
+    assert r.count_lift == 3.0
+    # value: payday 9000/2 vs other 2000/2 -> 4.5
+    assert r.value_lift == 4.5
