@@ -184,6 +184,7 @@ HEADLINE = [
     "pchart_returns_weekly",
     "lang_source_residuals",
     "payday_lift_orders",
+    "error_bursts_events",
     # round 4: script triage, bounded-memory heavy hitters, incremental
     # dedup index probe
     "script_profile_docs", "token_heavy_hitters",

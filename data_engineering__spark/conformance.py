@@ -2401,6 +2401,7 @@ DRIVER_PRIORITY = [
     "pchart_returns_weekly",
     "lang_source_residuals",
     "payday_lift_orders",
+    "error_bursts_events",
     "rate_cap_events", "resample_locf_events",
     # --- rotation: keys whose only green driver row is round 1 queue
     # here for round 7 (round 6's window is fully consumed above)
@@ -13705,3 +13706,31 @@ def payday_lift_orders(spark, sf_dir):
     month-bucketed-timestamp data-bug tell."""
     from .operators.analytics import payday_lift
     return payday_lift(read_table(spark, sf_dir, "orders"))
+
+
+@query("error_bursts_events", oracle=_mat("""
+WITH base AS (
+  SELECT epoch_us(ts) // 1000000 AS s FROM events
+  WHERE event_type = 'error'),
+flagged AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY s) IS NULL
+                   OR s - LAG(s) OVER (ORDER BY s) > 300
+            THEN 1 ELSE 0 END AS nw
+  FROM base),
+isl AS (SELECT s, SUM(nw) OVER (ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS i
+        FROM flagged)
+SELECT CAST(MIN(s) AS BIGINT) AS burst_start_epoch,
+       CAST(MAX(s) AS BIGINT) AS burst_end_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s
+FROM isl GROUP BY i HAVING COUNT(*) >= 3"""))
+def error_bursts_events(spark, sf_dir):
+    """EXT R317 (round 6): error-burst incident detector — maximal
+    runs of errors with ≤5-min inter-arrival gaps, reported at ≥3
+    events; global-stream gaps-and-islands (the per-key variant is
+    sessionize), window bounded by the filtered error stream."""
+    from .operators.temporal import event_bursts
+    ev = read_table(spark, sf_dir, "events") \
+        .filter(F.col("event_type") == "error")
+    return event_bursts(ev, "ts", gap_s=300, min_size=3)

@@ -858,3 +858,43 @@ def fiscal_445_agg(orders: DataFrame, value_long,
         F.round(F.col("revenue_cents").cast("double")
                 / n_weeks.cast("double"), round_dp)
         .alias("weekly_rate_cents"))
+
+
+def event_bursts(df: DataFrame, ts_col: str, gap_s: int = 300,
+                 min_size: int = 3) -> DataFrame:
+    """EXT (round 6): burst detector over a filtered event stream —
+    maximal runs where consecutive events arrive within ``gap_s``,
+    reported when the run reaches ``min_size``. Pointed at errors this
+    is the incident detector (one error is noise, eight in five
+    minutes is an outage); pointed at purchases it finds flash-sale
+    spikes. Global stream (not per-user): sessionize (ST2/R46) owns
+    the per-key variant; the global one needs the same islands over a
+    SINGLE ordered stream, which this builds from the time-gap flag
+    device.
+
+    Output per burst: (burst_start_epoch, burst_end_epoch, n_events,
+    span_s). Integer epoch seconds; the single global window is
+    bounded by the FILTERED stream size by contract (callers pass
+    errors, not the firehose) — documented, same class as the
+    histogram windows."""
+    s = F.unix_timestamp(F.col(ts_col))
+    base = df.select(s.alias("__s"))
+    w = Window.orderBy("__s")
+    flagged = base.select(
+        "__s",
+        F.when(F.lag("__s").over(w).isNull()
+               | (F.col("__s") - F.lag("__s").over(w) > gap_s), 1)
+         .otherwise(0).alias("__new"))
+    isl = flagged.select(
+        "__s", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("__i"))
+    return (isl.groupBy("__i")
+            .agg(F.min("__s").cast("long").alias("burst_start_epoch"),
+                 F.max("__s").cast("long").alias("burst_end_epoch"),
+                 F.count(F.lit(1)).cast("long").alias("n_events"),
+                 (F.max("__s") - F.min("__s")).cast("long")
+                 .alias("span_s"))
+            .filter(F.col("n_events") >= min_size)
+            .drop("__i")
+            .select("burst_start_epoch", "burst_end_epoch",
+                    "n_events", "span_s"))

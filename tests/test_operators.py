@@ -6484,3 +6484,29 @@ def test_payday_lift_rates(spark):
     assert r.count_lift == 3.0
     # value: payday 9000/2 vs other 2000/2 -> 4.5
     assert r.value_lift == 4.5
+
+
+def test_event_bursts_gap_and_min_size(spark):
+    """Errors at t=0,100,200 form a burst (gaps <=300); t=1000 is a
+    singleton (dropped by min_size); t=2000,2100 is a pair (dropped
+    at min_size=3, kept at 2); a gap of exactly 300 s still chains."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.operators.temporal import event_bursts
+
+    b = datetime(2024, 9, 1)
+    offs = [0, 100, 200, 1000, 2000, 2100, 2400]
+    df = spark.createDataFrame(
+        [(b + timedelta(seconds=o),) for o in offs], "ts timestamp")
+    out = event_bursts(df, "ts", gap_s=300, min_size=3).collect()
+
+    t0 = int(b.timestamp())
+    assert len(out) == 2
+    by_start = {r.burst_start_epoch - t0: r for r in out}
+    assert by_start[0].n_events == 3 and by_start[0].span_s == 200
+    # 2000,2100,2400: gaps 100 and exactly 300 -> one burst of 3
+    assert by_start[2000].n_events == 3
+    assert by_start[2000].span_s == 400
+
+    out2 = event_bursts(df, "ts", gap_s=300, min_size=2).collect()
+    assert len(out2) == 2  # the singleton at 1000 still drops
