@@ -2243,52 +2243,15 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 # query.
 
 DRIVER_PRIORITY = [
-    # --- NEVER driver-verified: the round-4 main-session additions
-    # R114-R151 that rounds 4-5 never reached (r5 re-verified the r4
-    # window verbatim). Each of these 36 is hash-verified locally at
-    # sf0.001 + sf0.01 and by two independent judge sf0.01 sweeps
-    # (VERDICT r4 + r5); the driver row is the durable record this
-    # round must land. All 36 fit the 50-slot window.
-    "duplicate_passages_docs", "dup_span_profile_docs",
-    "k_anonymity_customer", "outlier_zscore_events",
-    "embedding_cov_block", "source_curation_docs",
-    "exact_quantiles_prices", "top_pc_loadings",
-    "brand_basket_pairs", "experiment_report_events",
-    "edit_neighbors_suppliers",
-    "trend_slope_events", "ewma_user_values", "incremental_agg_merge",
-    "column_drift_orders", "benford_prices", "pysource_sensor_rollup",
-    "sq8_error_report", "interval_concurrency_events",
-    "mad_profile_events", "pareto_abc_brands", "concentration_suppliers",
-    "containment_pairs_docs", "psi_value_drift",
-    "funnel_gap_stats_events", "bfs_hops_graph",
-    "incremental_join_orders", "skyline_parts", "bpe_pair_counts_docs",
-    "negative_samples_embeddings", "rendezvous_shard_report",
-    "countmin_token_check", "token_budget_mix_docs",
-    "grouped_split_counts", "apportioned_sample_docs",
-    "auc_quality_vs_lang",
-    # --- new or changed this round (round 6): new key / implementation
-    # touched — needs a fresh row even where an older green row exists.
-    # Window arithmetic: 36 never-sampled + 14 new/changed fill the
-    # driver's 50 slots exactly; the r1-rotation block below rides to
-    # round 7. (http_enrich and multimodal_features changed in round 6 —
-    # gated live transport / codec-guarded kernels — but neither change
-    # alters the driver-visible path: the conformance stub-injection and
-    # undecodable-payload fallback produce byte-identical results, so
-    # both keep their r2 rows and queue with the rotation instead of
-    # taking slots.)
-    "pipeline_clean_authors", "variant_props_stats", "vocab_coverage_docs",
-    "embedding_leakage_report", "recursive_rollup_docs",
-    "resample_interpolate_events",
-    "ks_drift_events", "span_removal_docs", "referential_integrity_report",
-    "streaming_left_outer_join", "lateral_topk_orders",
-    "prefix_jaccard_docs", "passjoin_suppliers", "weighted_dedup_docs",
-    # --- round-7 queue head: the window above is exactly full, so these
-    # ride first next round — the round-6 part-8-onward new keys in
-    # registration order (every one driver-sim-verified at sf0.01 via the
-    # verify recipe in the session it landed), then rate_cap_events
-    # (round-6 single-scan rewrite) and resample_locf_events (mechanical
-    # _bucket_grid refactor), both hash-identical and
-    # driver-sim-verified at sf0.01
+    # --- Round-7 window: the 50 r06 rows all landed green
+    # (CORRECTNESS_r06.json 50/50, zero err), so those keys drop out of
+    # the head. What remains is the never-driver-verified backlog —
+    # 152 round-5/6-wave keys, every one judge-verified at sf0.01
+    # (VERDICT r6: independent 150/150 sweep) and pytest-verified at
+    # sf0.001 — in the same queue order the r6 close staged. The driver
+    # samples the first ~50 per round, so rounds 7-9 drain this block;
+    # REGISTRY FREEZE: new keys this round queue BEHIND the backlog and
+    # stay within the 50/round drain rate (VERDICT r6 task 1).
     "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
     "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
     "chi_square_lang_source", "ann_recall_report",
@@ -2403,8 +2366,11 @@ DRIVER_PRIORITY = [
     "payday_lift_orders",
     "error_bursts_events",
     "rate_cap_events", "resample_locf_events",
-    # --- rotation: keys whose only green driver row is round 1 queue
-    # here for round 7 (round 6's window is fully consumed above)
+    # --- rotation: keys whose only green driver row is round 1. They
+    # ride behind the backlog (ETA round 10) so that once every key has
+    # a row, no key's newest green row stays >4 rounds old (VERDICT r6
+    # task 4). The 50 r06-green keys are deliberately unlisted — they
+    # follow in registration order after this block, i.e. last.
     "sample_limit", "filter_strlen_trim", "null_blank_validate",
     "anti_join", "semi_join", "group_having_dup", "dedup_by_key",
     "agg_stats", "rollup_counts", "topk_per_group", "window_rank",
