@@ -13695,7 +13695,9 @@ def error_bursts_events(spark, sf_dir):
     """EXT R317 (round 6): error-burst incident detector — maximal
     runs of errors with ≤5-min inter-arrival gaps, reported at ≥3
     events; global-stream gaps-and-islands (the per-key variant is
-    sessionize), window bounded by the filtered error stream."""
+    sessionize). Round 7: two-level prefix — per-gap_s-bucket hash
+    aggregate first, islands window over the bucket table only (time-
+    domain-bounded, never the raw stream)."""
     from .operators.temporal import event_bursts
     ev = read_table(spark, sf_dir, "events") \
         .filter(F.col("event_type") == "error")

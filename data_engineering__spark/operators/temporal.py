@@ -873,26 +873,39 @@ def event_bursts(df: DataFrame, ts_col: str, gap_s: int = 300,
     device.
 
     Output per burst: (burst_start_epoch, burst_end_epoch, n_events,
-    span_s). Integer epoch seconds; the single global window is
-    bounded by the FILTERED stream size by contract (callers pass
-    errors, not the firehose) — documented, same class as the
-    histogram windows."""
+    span_s), integer epoch seconds.
+
+    Scale shape (two-level prefix, round 7): bucketing seconds by
+    ``gap_s`` makes every bucket a single island fragment — two events
+    in the same bucket are < ``gap_s`` apart, so the within-bucket
+    chain never breaks — and fragments can only merge with the
+    ADJACENT bucket (non-adjacent buckets are > ``gap_s`` apart by
+    construction). Stage 1 is therefore a distributed hash aggregate
+    that collapses the stream to one row per non-empty ``gap_s`` slot;
+    only that time-domain-bounded bucket table flows through the
+    global islands window (a year of data is ~105k rows at
+    gap_s=300, regardless of event volume)."""
     s = F.unix_timestamp(F.col(ts_col))
-    base = df.select(s.alias("__s"))
-    w = Window.orderBy("__s")
-    flagged = base.select(
-        "__s",
-        F.when(F.lag("__s").over(w).isNull()
-               | (F.col("__s") - F.lag("__s").over(w) > gap_s), 1)
+    base = df.select(s.alias("__s"),
+                     F.floor(s / F.lit(gap_s)).alias("__b"))
+    frags = base.groupBy("__b").agg(
+        F.min("__s").alias("__min"), F.max("__s").alias("__max"),
+        F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("__b")
+    flagged = frags.select(
+        "__b", "__min", "__max", "__n",
+        F.when(F.lag("__b").over(w).isNull()
+               | (F.col("__b") - F.lag("__b").over(w) > 1)
+               | (F.col("__min") - F.lag("__max").over(w) > gap_s), 1)
          .otherwise(0).alias("__new"))
     isl = flagged.select(
-        "__s", F.sum("__new").over(
+        "__min", "__max", "__n", F.sum("__new").over(
             w.rowsBetween(Window.unboundedPreceding, 0)).alias("__i"))
     return (isl.groupBy("__i")
-            .agg(F.min("__s").cast("long").alias("burst_start_epoch"),
-                 F.max("__s").cast("long").alias("burst_end_epoch"),
-                 F.count(F.lit(1)).cast("long").alias("n_events"),
-                 (F.max("__s") - F.min("__s")).cast("long")
+            .agg(F.min("__min").cast("long").alias("burst_start_epoch"),
+                 F.max("__max").cast("long").alias("burst_end_epoch"),
+                 F.sum("__n").cast("long").alias("n_events"),
+                 (F.max("__max") - F.min("__min")).cast("long")
                  .alias("span_s"))
             .filter(F.col("n_events") >= min_size)
             .drop("__i")

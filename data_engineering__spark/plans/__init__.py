@@ -1,3 +1,3 @@
-from . import pipeline
+from . import audit, pipeline
 
-__all__ = ["pipeline"]
+__all__ = ["audit", "pipeline"]

@@ -1,0 +1,84 @@
+"""Structural plan audits.
+
+The scale contract this repo makes (ARCHITECTURE.md, VERDICT r6 task 2) is
+that no query ever moves an unbounded fact stream through a
+single-partition window: every unpartitioned ``Window`` /
+``WindowGroupLimit`` / ``WindowInPandas`` must consume a *bounded-domain*
+frame — the output of an aggregation (group cardinality, not row count),
+a literal/local grid, or a limit — never a raw file scan. At sf0.001 a
+global window over ``lineitem`` and one over a 24-row hour grid look
+identical in wall time; at 100 TB the first is a single-executor OOM. This
+module makes the distinction statically checkable so the plan test in
+``tests/test_plans.py`` can assert it for the ENTIRE query registry, not a
+hand-audited subset.
+
+Works on ``queryExecution().sparkPlan()`` — the physical plan before
+exchange insertion — where window operators still expose ``partitionSpec``
+and the tree is free of Exchange/Sort noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# Nodes that bound the cardinality of everything beneath them: an
+# aggregation collapses rows to group-domain size, a limit to k.
+_BOUNDING = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "GlobalLimit", "CollectLimit", "TakeOrderedAndProject",
+)
+
+# Leaves that ARE bounded: literal/local data (driver-built grids,
+# createDataFrame fixtures, streaming memory-sink results) and Range
+# (used only for small generated grids in this codebase).
+_BOUNDED_LEAVES = (
+    "LocalTableScan", "Scan OneRowRelation", "Range", "Scan ExistingRDD",
+    "LocalRelation", "Scan\n", "EmptyRelation",
+)
+
+_WINDOW_NODES = ("Window", "WindowInPandas", "WindowGroupLimit")
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk(ch.apply(i))
+
+
+def _is_bounded(node) -> bool:
+    name = node.nodeName()
+    if any(name.startswith(b) for b in _BOUNDING):
+        return True
+    ch = node.children()
+    n = ch.length()
+    if n == 0:
+        return any(name.startswith(l) for l in _BOUNDED_LEAVES)
+    # Pass-through / combining nodes (Project, Filter, Generate, joins,
+    # unions, other windows...): bounded iff every input is bounded. A
+    # join or explode of bounded domains stays domain-bounded.
+    return all(_is_bounded(ch.apply(i)) for i in range(n))
+
+
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Return one description per unpartitioned window operator in ``df``'s
+    physical plan whose input is NOT a bounded-domain frame. Empty list ==
+    the plan keeps the no-global-window-over-facts contract."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    out = []
+    for node in _walk(plan):
+        name = node.nodeName()
+        if name not in _WINDOW_NODES:
+            continue
+        try:
+            if not node.partitionSpec().isEmpty():
+                continue
+        except Exception:  # pragma: no cover - future node-API drift
+            pass
+        child = node.children().apply(0)
+        if not _is_bounded(child):
+            leaves = [n.nodeName() for n in _walk(child)
+                      if n.children().length() == 0]
+            out.append(f"{name} with empty partitionSpec over unbounded "
+                       f"input (leaves: {leaves})")
+    return out

@@ -59,6 +59,57 @@ def test_no_global_window_in_headline_queries(spark, sf_dir):
         assert "SinglePartition" not in p, f"{name} collapses to one partition"
 
 
+# Registry-wide structural audit (VERDICT r6 task 2): an unpartitioned
+# window is legal ONLY over a bounded-domain frame — post-aggregate
+# (group cardinality), post-limit, or literal/local data — never over a
+# raw fact scan. Keys whose boundedness the plan walker cannot see get an
+# entry here with a one-line justification; the registry currently needs
+# NONE (the one offender the first sweep found, error_bursts_events, was
+# fixed structurally with a per-gap_s-bucket pre-aggregate).
+BOUNDED_DOMAIN_ALLOWLIST: dict[str, str] = {}
+
+
+def test_audit_classifier_detects_global_window_over_scan(spark, sf_dir):
+    """Pin the walker itself: a global window straight over a parquet scan
+    is flagged; the same window post-aggregate, post-limit, over local
+    data, or partitioned is not."""
+    from pyspark.sql import Window as W
+    from data_engineering__spark.plans.audit import global_window_violations
+    from data_engineering__spark.sources.io import read_table
+    orders = read_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(W.orderBy("o_orderkey"))
+    assert global_window_violations(orders.withColumn("rn", rn))
+    agg = orders.groupBy("o_orderstatus").count()
+    assert not global_window_violations(
+        agg.withColumn("rn", F.row_number().over(W.orderBy("count"))))
+    assert not global_window_violations(
+        orders.limit(10).withColumn("rn", rn))
+    local = spark.createDataFrame([Row(o_orderkey=1), Row(o_orderkey=2)])
+    assert not global_window_violations(local.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_orderkey"))))
+    assert not global_window_violations(orders.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("o_custkey").orderBy("o_orderkey"))))
+
+
+def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
+    """EVERY registry query keeps the contract — not just the hand-picked
+    headline subset. One row-bounded global window hiding among the ~880
+    benign bounded-domain ones would be a single-executor OOM at 100 TB;
+    this makes the distinction statically checked instead of prose."""
+    from data_engineering__spark.plans.audit import global_window_violations
+    violations = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in BOUNDED_DOMAIN_ALLOWLIST:
+            continue
+        found = global_window_violations(fn(spark, sf_dir))
+        if found:
+            violations[name] = found
+    assert not violations, (
+        "global window over unbounded input (fix the plan or add a "
+        f"justified allowlist entry): {violations}")
+
+
 def test_salted_join_equals_plain_join(spark):
     from data_engineering__spark.operators.relational import salted_join
     big = spark.createDataFrame(
