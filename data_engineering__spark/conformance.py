@@ -13702,3 +13702,73 @@ def error_bursts_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events") \
         .filter(F.col("event_type") == "error")
     return event_bursts(ev, "ts", gap_s=300, min_size=3)
+
+
+@query("streaming_right_outer_join", oracle="""
+WITH w AS (
+  SELECT to_timestamp(
+           (epoch_us(LEAST(
+              (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+              (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+            - INTERVAL 1 HOUR) // 1000 * 1000) / 1000000.0) AS wm)
+SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+       r.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+CROSS JOIN w
+WHERE l.event_id IS NOT NULL OR r.ts < w.wm""")
+def streaming_right_outer_join(spark, sf_dir):
+    """ST EXT R318 (round 7): stream-stream RIGHT OUTER interval join
+    (clicks ⋈ purchases in a 10-minute attribution window; purchases
+    with NO attributing click surface as NULL-click rows) — completes
+    the streaming join matrix (inner R48, left R161, full R186, semi
+    R213). Oracle pins the right-side emission rule in isolation:
+    matched rows emit eagerly, null-extended rights appear iff the
+    final global watermark (epoch-ms-floored min over the two filtered
+    inputs of max event time − delay, the R161 device) passed the
+    right row's own timestamp."""
+    from .streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_right_join,
+    )
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = stream_stream_right_join(clicks, purchases).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.user_id").alias("user_id"))
+    name, _ = run_to_memory(j, output_mode="append")
+    return spark.table(name)
+
+
+@query("sql_pipe_agg", oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+def sql_pipe_agg(spark, sf_dir):
+    """EP3 EXT R319 (round 7): the Spark 4 SQL PIPE syntax surface
+    (SPARK-49555, `FROM t |> WHERE ... |> AGGREGATE ... |> ORDER BY`)
+    over the same engine — API parity next to ``sql_api_join``: pipe
+    stages compile to the identical Catalyst plan as the nested-SQL /
+    DataFrame formulations (scan-time filter pushdown, partial aggs),
+    so the surface costs nothing at 100 TB. Oracle is the plain-SQL
+    equivalent."""
+    read_table(spark, sf_dir, "lineitem") \
+        .createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql("""
+        FROM lineitem_pipe_v
+        |> WHERE l_quantity >= 10
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, revenue""")

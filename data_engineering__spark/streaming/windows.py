@@ -211,6 +211,31 @@ def stream_stream_full_join(left: DataFrame, right: DataFrame,
         "fullOuter")
 
 
+def stream_stream_right_join(left: DataFrame, right: DataFrame,
+                             user_col: str = "user_id",
+                             horizon: str = "10 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """ST EXT (R318, round 7): stream-STREAM RIGHT OUTER interval join —
+    the last missing member of the streaming join matrix (inner R48,
+    left outer R161, full outer R186, left semi R213). Each right event
+    keeps any left event of the same user whose horizon covers it
+    (``l.ts <= r.ts <= l.ts + horizon``); rights that never match emit a
+    NULL-left row once the watermark passes their OWN timestamp
+    (``wm > r.ts`` — any future left arrives with ts beyond the
+    watermark, hence > r.ts, and a match needs l.ts <= r.ts). This is
+    the full-outer join's right-side emission rule standing alone: the
+    purchases-without-an-attributing-click audit, streamed. State on
+    both sides evicts on the same boundaries that gate emission."""
+    l = (left.withWatermark("ts", watermark).alias("l"))
+    r = (right.withWatermark("ts", watermark).alias("r"))
+    return l.join(
+        r,
+        (F.col(f"l.{user_col}") == F.col(f"r.{user_col}"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
+        "rightOuter")
+
+
 def stream_stream_interval_join(left: DataFrame, right: DataFrame,
                                 user_col: str = "user_id",
                                 lookback: str = "10 minutes",

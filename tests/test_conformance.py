@@ -147,3 +147,27 @@ def test_driver_window_spends_no_slot_without_an_oracle():
 
     assert [k for k in DRIVER_PRIORITY[:50] if k not in ORACLE] == []
     assert [k for k in DRIVER_PRIORITY if k not in QUERIES] == []
+
+
+def test_bench_headline_and_r01_subset_resolve():
+    """bench.py must keep benching exactly what it claims: every HEADLINE
+    key is a registry query, and the r01 trend subset is the same 67 keys
+    BENCH_r01.json recorded, all still benched — so `r01_subset_sec` in
+    every bench line stays apples-to-apples with the 51.1 s baseline."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import HEADLINE, R01_SUBSET
+
+    assert [k for k in HEADLINE if k not in QUERIES] == []
+    assert len(HEADLINE) == len(set(HEADLINE))
+    assert [k for k in R01_SUBSET if k not in HEADLINE] == []
+    r01_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_r01.json")
+    if os.path.exists(r01_path):
+        with open(r01_path) as fh:
+            recorded = json.load(fh)["parsed"]["queries"]
+        assert sorted(R01_SUBSET) == sorted(recorded)
