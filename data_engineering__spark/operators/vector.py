@@ -34,6 +34,25 @@ def as_double_array(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+#: In-plan ceiling on broadcast sample frames (query sets, corpus-subset
+#: centroids, exact-eval samples). The sample-regime operators broadcast
+#: a "small by contract" frame into a nested-loop scoring grid; prose
+#: cannot stop a caller from handing them a percentage sample that grows
+#: with the corpus. The limit makes the contract physical: identity for
+#: every legitimate sample (≤ 65536 rows — far above any eval query set,
+#: ~34 MB of 64-dim doubles broadcast worst case), a hard bound instead
+#: of an unbounded broadcast beyond it. It also lets the structural plan
+#: audit (plans/audit.py) verify boundedness statically instead of
+#: trusting docstrings — the same device as the containment DF cap.
+SAMPLE_CAP = 65536
+
+
+def sample_bounded(df: DataFrame) -> DataFrame:
+    """Enforce the sample-regime contract in-plan (a GlobalLimit node;
+    identity below :data:`SAMPLE_CAP` rows)."""
+    return df.limit(SAMPLE_CAP)
+
+
 def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 out_score: str = "cosine") -> DataFrame:
@@ -43,7 +62,8 @@ def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
     a map-side cross join, zero shuffle for scoring; the only exchange is the
     k-row TakeOrderedAndProject merge. Ties broken by id for determinism.
     """
-    q = F.broadcast(query.select(as_double_array(vec_col).alias("__q")))
+    q = F.broadcast(sample_bounded(query)
+                    .select(as_double_array(vec_col).alias("__q")))
     scored = (candidates
               .withColumn("__v", as_double_array(vec_col))
               .crossJoin(q)
@@ -222,9 +242,10 @@ def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
     cand = candidates.select(F.col(id_col).alias("__cid"),
                              as_double_array(vec_col).alias("__v"),
                              sig.alias("__sig"))
-    qs = F.broadcast(queries.select(F.col(id_col).alias("q_id"),
-                                    as_double_array(vec_col).alias("__q"),
-                                    sig.alias("__qsig")))
+    qs = F.broadcast(sample_bounded(queries)
+                     .select(F.col(id_col).alias("q_id"),
+                             as_double_array(vec_col).alias("__q"),
+                             sig.alias("__qsig")))
     rank_w = (Window.partitionBy("q_id")
               .orderBy(F.round(F.col("__c"), 6).desc(),
                        F.col("__cid").asc()))
@@ -285,8 +306,9 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
     will). Query cost: |cells probed| / |cells| of the corpus, exact cosine
     re-rank inside. Recall/latency trades via ``nprobe``.
     """
-    cents = candidates.filter(F.col(id_col) % centroid_mod == 0) \
-                      .select(id_col, vec_col)
+    cents = sample_bounded(
+        candidates.filter(F.col(id_col) % centroid_mod == 0)
+                  .select(id_col, vec_col))
     assign = ivf_assign(candidates, cents, id_col, vec_col)
     qv = as_double_array(vec_col)
     qscore = (query.select(qv.alias("__q")).crossJoin(
@@ -298,7 +320,7 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
               .limit(nprobe).select(F.col("__cid").alias("cell")))
     probe = (candidates.join(assign, id_col)
              .join(F.broadcast(qcells), "cell"))
-    q = F.broadcast(query.select(qv.alias("__q")))
+    q = F.broadcast(sample_bounded(query).select(qv.alias("__q")))
     scored = (probe.withColumn("__v", as_double_array(vec_col))
               .crossJoin(q)
               .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
@@ -439,7 +461,7 @@ def ivf_topk_trained(candidates: DataFrame, query: DataFrame, k: int,
               .limit(nprobe).select("cell"))
     probe = (candidates.join(assign, id_col)
              .join(F.broadcast(qcells), "cell"))
-    q = F.broadcast(query.select(qv.alias("__q")))
+    q = F.broadcast(sample_bounded(query).select(qv.alias("__q")))
     scored = (probe.withColumn("__v", as_double_array(vec_col))
               .crossJoin(q)
               .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
@@ -904,7 +926,7 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
     Scale shape (sample regime): one broadcast of the ≤ max_id-row
     side, map-side pair scoring, one WindowGroupLimit top-1 per id,
     and a self-join of best-match rows (≤ one row per id)."""
-    sub = (df.filter(F.col(id_col) < max_id)
+    sub = (sample_bounded(df.filter(F.col(id_col) < max_id))
              .select(F.col(id_col).alias("__id"),
                      as_double_array(vec_col).alias("__v"))
              .withColumn("__nv", _norm(F.col("__v"))))
@@ -955,7 +977,7 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
     folds per pair), one WindowGroupLimit per (query, width), and the
     overlap join is k-rows-per-query-sized."""
     full = max(dims)
-    q = F.broadcast(queries.select(
+    q = F.broadcast(sample_bounded(queries).select(
         F.col(id_col).alias("__qid"),
         as_double_array(vec_col).alias("__q")))
     pairs = (candidates
@@ -1102,9 +1124,9 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
         rows, "cell long, cvec array<double>")
     assign = kmeans_assign(candidates, centroids, id_col, vec_col)
     n_corpus = candidates.count()
-    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
-                                   as_double_array(vec_col)
-                                   .alias("__q")))
+    q = F.broadcast(sample_bounded(queries)
+                    .select(F.col(id_col).alias("__qid"),
+                            as_double_array(vec_col).alias("__q")))
     cellrank = (q.crossJoin(F.broadcast(centroids))
                 .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
                 .withColumn("__crk", F.row_number().over(
@@ -1178,10 +1200,10 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
     ties). Scale: queries are a sample by contract; scoring is the
     broadcast map-side grid, then one WindowGroupLimit and two
     grid-sized aggs."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
-                                   F.col(label_col).alias("__ql"),
-                                   as_double_array(vec_col)
-                                   .alias("__q")))
+    q = F.broadcast(sample_bounded(queries)
+                    .select(F.col(id_col).alias("__qid"),
+                            F.col(label_col).alias("__ql"),
+                            as_double_array(vec_col).alias("__q")))
     pairs = (candidates
              .select(F.col(id_col).alias("__id"),
                      F.col(label_col).alias("__l"),
@@ -1253,10 +1275,10 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
     integer-DIV mean — no float accumulation anywhere. Self-pairs are
     excluded. Scale: |queries|·|corpus| map-side grid (queries a
     sample by contract), one label-grain agg."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
-                                   F.col(label_col).alias("__ql"),
-                                   as_double_array(vec_col)
-                                   .alias("__q")))
+    q = F.broadcast(sample_bounded(queries)
+                    .select(F.col(id_col).alias("__qid"),
+                            F.col(label_col).alias("__ql"),
+                            as_double_array(vec_col).alias("__q")))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
                     / (_norm(F.col("__v")) * _norm(F.col("__q"))))
                    * 1_000_000).cast("long")
@@ -1313,10 +1335,10 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
     WindowGroupLimit. Scale: broadcast anchor grid, map-side scoring,
     one per-anchor window."""
     lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
-    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
-                                   F.col(label_col).alias("__ql"),
-                                   as_double_array(vec_col)
-                                   .alias("__q")))
+    q = F.broadcast(sample_bounded(queries)
+                    .select(F.col(id_col).alias("__qid"),
+                            F.col(label_col).alias("__ql"),
+                            as_double_array(vec_col).alias("__q")))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
                     / (_norm(F.col("__v")) * _norm(F.col("__q"))))
                    * 1_000_000).cast("long")
@@ -1353,9 +1375,9 @@ def cosine_histogram(candidates: DataFrame, queries: DataFrame,
     Bucket ids are integer arithmetic on micro-cosines
     ((cm + 10⁶)·bins DIV (2·10⁶+1), clamped), counts exact, share a
     single division. Self-pairs excluded."""
-    q = F.broadcast(queries.select(F.col(id_col).alias("__qid"),
-                                   as_double_array(vec_col)
-                                   .alias("__q")))
+    q = F.broadcast(sample_bounded(queries)
+                    .select(F.col(id_col).alias("__qid"),
+                            as_double_array(vec_col).alias("__q")))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
                     / (_norm(F.col("__v")) * _norm(F.col("__q"))))
                    * 1_000_000).cast("long")

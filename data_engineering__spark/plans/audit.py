@@ -60,6 +60,32 @@ def _is_bounded(node) -> bool:
     return all(_is_bounded(ch.apply(i)) for i in range(n))
 
 
+_QUADRATIC_JOINS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def cartesian_violations(df: DataFrame) -> list[str]:
+    """Return one description per cartesian-product / nested-loop join in
+    ``df``'s physical plan where BOTH inputs are unbounded fact frames.
+    A nested-loop join with one bounded-domain side is a constant-factor
+    map (grid probes, threshold sweeps, scalar cross joins); with two
+    unbounded sides it is the |L|x|R| scale killer no cluster survives.
+    Empty list == the plan keeps the contract."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    out = []
+    for node in _walk(plan):
+        name = node.nodeName()
+        if not any(name.startswith(j) for j in _QUADRATIC_JOINS):
+            continue
+        ch = node.children()
+        sides = [_is_bounded(ch.apply(i)) for i in range(ch.length())]
+        if not any(sides):
+            leaves = [n.nodeName() for n in _walk(node)
+                      if n.children().length() == 0]
+            out.append(f"{name} with two unbounded inputs "
+                       f"(leaves: {leaves})")
+    return out
+
+
 def global_window_violations(df: DataFrame) -> list[str]:
     """Return one description per unpartitioned window operator in ``df``'s
     physical plan whose input is NOT a bounded-domain frame. Empty list ==

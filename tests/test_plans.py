@@ -92,22 +92,45 @@ def test_audit_classifier_detects_global_window_over_scan(spark, sf_dir):
             W.partitionBy("o_custkey").orderBy("o_orderkey"))))
 
 
-def test_no_unbounded_global_window_anywhere_in_registry(spark, sf_dir):
-    """EVERY registry query keeps the contract — not just the hand-picked
-    headline subset. One row-bounded global window hiding among the ~880
-    benign bounded-domain ones would be a single-executor OOM at 100 TB;
-    this makes the distinction statically checked instead of prose."""
-    from data_engineering__spark.plans.audit import global_window_violations
+def test_audit_classifier_detects_double_unbounded_cartesian(spark, sf_dir):
+    """Pin the cartesian walker: a nested-loop join of two raw fact scans
+    is flagged; the same join with one bounded side (limit, aggregate,
+    local data) is not."""
+    from data_engineering__spark.plans.audit import cartesian_violations
+    from data_engineering__spark.sources.io import read_table
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    assert cartesian_violations(
+        orders.join(lineitem, F.col("o_orderkey") != F.col("l_orderkey")))
+    assert not cartesian_violations(
+        orders.crossJoin(F.broadcast(lineitem.limit(5))))
+    assert not cartesian_violations(
+        orders.crossJoin(F.broadcast(lineitem.groupBy("l_returnflag").count())))
+
+
+def test_no_unbounded_global_window_or_cartesian_anywhere_in_registry(
+        spark, sf_dir):
+    """EVERY registry query keeps both scale contracts — not just the
+    hand-picked headline subset. One row-bounded global window hiding
+    among the ~880 benign bounded-domain ones, or one quadratic join of
+    two fact frames, would be a single-executor OOM / |L|x|R| blow-up at
+    100 TB; this makes the distinction statically checked instead of
+    prose. Both audits share one plan-build pass per key."""
+    from data_engineering__spark.plans.audit import (
+        cartesian_violations,
+        global_window_violations,
+    )
     violations = {}
     for name, fn in sorted(QUERIES.items()):
         if name in BOUNDED_DOMAIN_ALLOWLIST:
             continue
-        found = global_window_violations(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        found = global_window_violations(df) + cartesian_violations(df)
         if found:
             violations[name] = found
     assert not violations, (
-        "global window over unbounded input (fix the plan or add a "
-        f"justified allowlist entry): {violations}")
+        "unbounded global window / double-unbounded cartesian (fix the "
+        f"plan or add a justified allowlist entry): {violations}")
 
 
 def test_salted_join_equals_plain_join(spark):
