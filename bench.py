@@ -30,7 +30,7 @@ HEADLINE = [
     "cube_counts", "percentile_stats", "salted_join_agg", "cond_agg_flags",
     "scd2_dim_history",
     "string_agg_groups", "unpivot_metrics", "pivot_counts", "sql_api_join",
-    "sql_pipe_agg",
+    "sql_pipe_agg", "variant_nested_paths",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",
     "window_ntile", "sort_limit_topk", "asof_join", "range_join",

@@ -13772,3 +13772,47 @@ def sql_pipe_agg(spark, sf_dir):
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n_lines, revenue""")
+
+
+@query("variant_nested_paths", oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * 2) AS BIGINT)
+         AS sum_vals1,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(COUNT(*) AS BIGINT) AS n_nopath
+FROM events GROUP BY event_type""")
+def variant_nested_paths(spark, sf_dir):
+    """F11 EXT R320 (round 7): VARIANT nested-path extraction — extends
+    R153 (flat try_parse_json + one typed path) to the full access
+    surface a semi-structured pipeline needs: nested object paths
+    (``$.meta.type``), array INDEXING (``$.meta.vals[1]``), typed
+    coercion per path, and missing-path NULL semantics (``$.absent`` —
+    n_nopath counts the NULLs and must equal n_rows). The payload is
+    built row-side with ``to_json(struct(...))`` then ``parse_json``-ed,
+    so Spark exercises one binary parse + three cheap binary probes per
+    row — never re-parsing text per expression; values ride as integer
+    cents (the established ROUND(value*100) discipline) so cross-engine
+    sums are exact. The oracle recomputes every extraction from the raw
+    columns the payload was built from."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    payload = F.to_json(F.struct(
+        F.struct(F.col("event_type").alias("type"),
+                 F.array(cents, cents * F.lit(2)).alias("vals"))
+         .alias("meta"),
+        k.alias("k")))
+    v = F.parse_json(payload)
+    ex = ev.select(
+        F.try_variant_get(v, "$.meta.type", "string").alias("event_type"),
+        F.try_variant_get(v, "$.meta.vals[1]", "bigint").alias("__v1"),
+        F.try_variant_get(v, "$.k", "bigint").alias("__k"),
+        F.try_variant_get(v, "$.absent", "string").alias("__np"))
+    return (ex.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("__v1").cast("long").alias("sum_vals1"),
+                 F.max("__k").cast("long").alias("max_k"),
+                 F.sum(F.when(F.col("__np").isNull(), 1).otherwise(0))
+                  .cast("long").alias("n_nopath")))

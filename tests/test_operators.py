@@ -6510,3 +6510,40 @@ def test_event_bursts_gap_and_min_size(spark):
 
     out2 = event_bursts(df, "ts", gap_s=300, min_size=2).collect()
     assert len(out2) == 2  # the singleton at 1000 still drops
+
+
+def test_variant_parquet_round_trip(spark, sf_dir, tmp_path):
+    """S3 x F11 (round 7): VariantType survives a parquet write/read
+    round-trip — the storage half of the R153/R320 VARIANT surface.
+    Spark 4.1 writes the unshredded binary encoding (typed_value
+    shredding on WRITE is not exposed in this build;
+    `spark.sql.variant.allowReadingShredded` is on, so shredded files
+    from newer writers would still read). Pins: schema round-trips as
+    variant, row count survives, and nested/array path extraction
+    yields identical results before and after the round-trip."""
+    from pyspark.sql import functions as F
+    from data_engineering__spark.sources.io import read_table
+
+    assert spark.conf.get("spark.sql.variant.allowReadingShredded") == "true"
+    ev = read_table(spark, sf_dir, "events").limit(500)
+    payload = F.to_json(F.struct(
+        F.struct(F.col("event_type").alias("type"),
+                 F.array(F.col("event_id"), F.col("event_id") * 2)
+                 .alias("ids")).alias("meta")))
+    df = ev.select("event_id", F.parse_json(payload).alias("v"))
+    path = str(tmp_path / "variant_rt")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        ["bigint", "variant"]
+
+    def extract(d):
+        return sorted(map(tuple, d.select(
+            "event_id",
+            F.try_variant_get("v", "$.meta.type", "string"),
+            F.try_variant_get("v", "$.meta.ids[1]", "bigint"),
+            F.try_variant_get("v", "$.absent", "string")).collect()))
+
+    before, after = extract(df), extract(back)
+    assert len(after) == 500 and before == after
+    assert all(r[2] == r[0] * 2 and r[3] is None for r in after)
