@@ -124,6 +124,13 @@ def test_no_unbounded_global_window_or_cartesian_anywhere_in_registry(
     for name, fn in sorted(QUERIES.items()):
         if name in BOUNDED_DOMAIN_ALLOWLIST:
             continue
+        if name.startswith(("streaming_", "stateful_")):
+            # these callables RUN a full streaming lifecycle and return
+            # the memory-sink table — the audited plan would be a bare
+            # LocalTableScan (nothing to check) at the cost of a real
+            # stream execution each; their stateful plans are compiled
+            # and semantics-pinned by their own oracle tests
+            continue
         df = fn(spark, sf_dir)
         found = global_window_violations(df) + cartesian_violations(df)
         if found:
