@@ -628,3 +628,39 @@ def test_group_quartiles_property(spark, vals):
     assert (r.q1, r.q2, r.q3) == (kth(.25), kth(.5), kth(.75))
     assert r.q1 <= r.q2 <= r.q3
     assert all(q in vals for q in (r.q1, r.q2, r.q3))
+
+
+@given(secs=st.lists(st.integers(0, 3000), min_size=1, max_size=60),
+       gap=st.sampled_from([1, 7, 300]),
+       min_size=st.integers(1, 3))
+@SETTINGS
+def test_event_bursts_matches_sequential_islands(spark, secs, gap, min_size):
+    """The round-7 two-level rewrite (per-gap_s-bucket aggregate, islands
+    over the bucket table) must equal the sequential single-stream
+    definition on ANY second multiset — including gaps exactly == gap_s
+    (same island), == gap_s+1 (split), duplicate seconds, and events
+    straddling bucket boundaries. Hypothesis drives those edges; the
+    reference is a 10-line driver-side fold."""
+    import datetime as dt
+
+    from data_engineering__spark.operators.temporal import event_bursts
+
+    rows = [Row(ts=dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+                + dt.timedelta(seconds=s)) for s in secs]
+    got = sorted(map(tuple, event_bursts(
+        spark.createDataFrame(rows), "ts", gap_s=gap,
+        min_size=min_size).collect()))
+
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    ordered = sorted(base + s for s in secs)
+    islands, cur = [], [ordered[0]]
+    for s in ordered[1:]:
+        if s - cur[-1] > gap:
+            islands.append(cur)
+            cur = [s]
+        else:
+            cur.append(s)
+    islands.append(cur)
+    want = sorted((i[0], i[-1], len(i), i[-1] - i[0])
+                  for i in islands if len(i) >= min_size)
+    assert got == want
