@@ -83,3 +83,35 @@ def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
     assert ks.count(1) == 2
     assert (1, str(b + timedelta(hours=4))) in got
     assert (1, str(b + timedelta(hours=2))) not in got
+
+
+def test_statestore_reader_exposes_agg_state(spark, tmp_path):
+    """Round 7: Spark 4 State Data Source (reader) — the streaming-ops
+    surface for inspecting checkpointed state without replaying the
+    query (debugging skew/leaks on a live deployment). Pins: the
+    statestore format reads the aggregation's keyed state from the
+    checkpoint, and the state VALUES equal the batch groupBy exactly
+    (count + sum per key)."""
+    src = spark.createDataFrame(
+        [(i, f"u{i % 5}") for i in range(100)], "v long, user string")
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    stream = (spark.readStream.schema("v long, user string")
+              .parquet(str(tmp_path / "in"))
+              .groupBy("user").agg(F.count("*").alias("n"),
+                                   F.sum("v").alias("s")))
+    q = (stream.writeStream.format("memory").queryName("agg_state_rt")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    state = (spark.read.format("statestore")
+             .load(str(tmp_path / "ckpt"))
+             .select(F.col("key.user").alias("user"),
+                     F.col("value.count").alias("n"),
+                     F.col("value.sum").alias("s")))
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, src.groupBy("user")
+                      .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+                      .collect()))
+    assert got == want and len(got) == 5
