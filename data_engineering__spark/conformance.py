@@ -2382,6 +2382,10 @@ DRIVER_PRIORITY = [
     "range_join", "window_lag_lead", "pivot_counts", "udaf_weighted_mean",
     "sql_api_join", "lang_id", "quality_score",
     "scan_parquet_count", "project_prune",
+    # --- round-7 additions: never-verified, but per the registry freeze
+    # they queue BEHIND the backlog and the r1 rotation — ahead only of
+    # re-verifying keys whose green rows are already fresh (r06).
+    "streaming_right_outer_join", "sql_pipe_agg", "variant_nested_paths",
     # (minhash_near_dup / simhash_near_dup — rows-only by design, their
     # portable twins are oracle-verified — sit after the window.)
 ]
