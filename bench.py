@@ -312,6 +312,13 @@ def main() -> None:
     # printed line carries the summary plus only the slowest queries —
     # compact enough to survive the capture window intact.
     r01_subset = round(sum(timings[k] for k in R01_SUBSET if k in timings), 3)
+    # shared box: record the 1-minute load average AT CLOSE so a noisy
+    # row in the trend table is self-explaining (neighbor load has
+    # produced 5x swings on untouched queries in past rounds)
+    try:
+        load_1m = round(os.getloadavg()[0], 1)
+    except OSError:  # pragma: no cover
+        load_1m = None
     detail = {
         "metric": "headline_query_set_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -320,6 +327,7 @@ def main() -> None:
         "sf": sf_value,
         "r01_subset_sec": r01_subset,
         "r01_subset_n": sum(1 for k in R01_SUBSET if k in timings),
+        "load_1m": load_1m,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
@@ -334,6 +342,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_value,
         "r01_subset_sec": r01_subset,
+        "load_1m": load_1m,
         "queries": slowest,
         "detail": "bench_detail.json",
     }

@@ -6547,3 +6547,51 @@ def test_variant_parquet_round_trip(spark, sf_dir, tmp_path):
     before, after = extract(df), extract(back)
     assert len(after) == 500 and before == after
     assert all(r[2] == r[0] * 2 and r[3] is None for r in after)
+
+
+def test_lateral_join_dataframe_api_matches_sql_lateral(spark, sf_dir):
+    """Round 7: the Spark 4 DataFrame-API lateral join
+    (`df.lateralJoin` + `col(...).outer()` correlation) produces exactly
+    the SQL `LATERAL (... LIMIT 3)` key's rows — API-surface parity in
+    the sql_pipe_agg spirit, pinned by equality instead of a second
+    registry key (zero verification debt; the capability's oracle is
+    lateral_topk_orders)."""
+    from pyspark.sql import functions as F
+    from data_engineering__spark.conformance import QUERIES
+    from data_engineering__spark.sources.io import read_table
+
+    c = (read_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 10 == 0).select("c_custkey"))
+    o = read_table(spark, sf_dir, "orders")
+    sub = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(3)
+            .select("o_orderkey", "o_totalprice"))
+    via_api = sorted(map(tuple, c.lateralJoin(sub)
+                         .select("c_custkey", "o_orderkey", "o_totalprice")
+                         .collect()))
+    via_sql = sorted(map(tuple, QUERIES["lateral_topk_orders"](
+        spark, sf_dir).collect()))
+    assert via_api == via_sql and via_api
+
+
+def test_sql_scripting_block_runs_end_to_end(spark):
+    """Round 7: Spark 4 SQL scripting (BEGIN ... END with DECLARE/SET,
+    behind spark.sql.scripting.enabled) — the procedural surface a
+    SQL-first user of the reference would reach for; pinned as a smoke
+    (variables flow through statements, final SELECT is the result)."""
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        rows = spark.sql("""
+        BEGIN
+          DECLARE tot BIGINT DEFAULT 0;
+          SET tot = (SELECT COUNT(*) FROM RANGE(100));
+          SELECT tot AS total, tot * 2 AS doubled;
+        END""").collect()
+        assert [tuple(r) for r in rows] == [(100, 200)]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
