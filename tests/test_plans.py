@@ -92,6 +92,17 @@ def test_audit_classifier_detects_global_window_over_scan(spark, sf_dir):
             W.partitionBy("o_custkey").orderBy("o_orderkey"))))
 
 
+def test_pipe_syntax_compiles_to_pushed_down_plan(spark, sf_dir):
+    """R319: SQL pipe stages must cost nothing — the |> WHERE reaches the
+    scan as a pushed filter, ReadSchema prunes to the 5 referenced
+    columns, and the AGGREGATE stage partial-aggregates before the
+    exchange exactly like the nested-SQL/DataFrame forms."""
+    p = plan_of(QUERIES["sql_pipe_agg"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,10" in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
 def test_audit_classifier_detects_double_unbounded_cartesian(spark, sf_dir):
     """Pin the cartesian walker: a nested-loop join of two raw fact scans
     is flagged; the same join with one bounded side (limit, aggregate,
