@@ -29,12 +29,22 @@ _BOUNDING = (
 )
 
 # Leaves that ARE bounded: literal/local data (driver-built grids,
-# createDataFrame fixtures, streaming memory-sink results) and Range
-# (used only for small generated grids in this codebase).
+# createDataFrame fixtures, streaming memory-sink results). Range is
+# handled separately — bounded only up to _RANGE_CAP elements, so a
+# spark.range(10**12) grid cannot masquerade as a bounded domain.
 _BOUNDED_LEAVES = (
-    "LocalTableScan", "Scan OneRowRelation", "Range", "Scan ExistingRDD",
+    "LocalTableScan", "Scan OneRowRelation", "Scan ExistingRDD",
     "LocalRelation", "Scan\n", "EmptyRelation",
 )
+
+_RANGE_CAP = 10_000_000
+
+
+def _range_is_bounded(node) -> bool:
+    try:
+        return int(str(node.numElements())) <= _RANGE_CAP
+    except Exception:  # pragma: no cover - accessor drift
+        return False
 
 _WINDOW_NODES = ("Window", "WindowInPandas", "WindowGroupLimit")
 
@@ -53,6 +63,8 @@ def _is_bounded(node) -> bool:
     ch = node.children()
     n = ch.length()
     if n == 0:
+        if name.startswith("Range"):
+            return _range_is_bounded(node)
         return any(name.startswith(l) for l in _BOUNDED_LEAVES)
     # Pass-through / combining nodes (Project, Filter, Generate, joins,
     # unions, other windows...): bounded iff every input is bounded. A

@@ -87,6 +87,13 @@ def test_audit_classifier_detects_global_window_over_scan(spark, sf_dir):
     local = spark.createDataFrame([Row(o_orderkey=1), Row(o_orderkey=2)])
     assert not global_window_violations(local.withColumn(
         "rn", F.row_number().over(W.orderBy("o_orderkey"))))
+    # Range grids: bounded only up to the cap — a planet-sized range
+    # cannot masquerade as a bounded window domain
+    rn_id = F.row_number().over(W.orderBy("id"))
+    assert not global_window_violations(
+        spark.range(24).withColumn("rn", rn_id))
+    assert global_window_violations(
+        spark.range(10 ** 12).withColumn("rn", rn_id))
     assert not global_window_violations(orders.withColumn(
         "rn", F.row_number().over(
             W.partitionBy("o_custkey").orderBy("o_orderkey"))))
