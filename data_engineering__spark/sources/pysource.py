@@ -19,7 +19,12 @@ primes), so a DuckDB `generate_series` oracle reproduces it verbatim.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Knuth multiplicative constant — the same one dedup_keep_best's
 #: conformance quality hash uses.
@@ -51,8 +56,64 @@ class _SyntheticEventsReader(DataSourceReader):
                    (h // 7) % 86_400)    # second-of-day
 
 
+class _SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Round 7: the STREAMING tail of the same deterministic generator —
+    the Spark 4 Python streaming source protocol (initialOffset /
+    latestOffset / partitions(start, end) / read / commit). Each
+    micro-batch advances the offset by ``rowsperbatch`` ids; rows are
+    the identical id→row arithmetic as the batch reader, so the batch
+    read over the same id range is the exact oracle, and a RESTART from
+    a checkpoint resumes from the committed offset (exactly-once ids,
+    pinned in pytest)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 50))
+        # the generator's "external system tip": persisted to a driver-
+        # side file when ``tipfile`` is set so a RESTARTED query sees
+        # the source having advanced past its committed offset (a real
+        # source queries the broker/cursor here); in-memory otherwise
+        self.tipfile = options.get("tipfile")
+        self._latest = 0
+
+    def _advance_tip(self) -> int:
+        if self.tipfile:
+            import os
+            tip = 0
+            if os.path.exists(self.tipfile):
+                with open(self.tipfile) as fh:
+                    tip = int(fh.read().strip() or 0)
+            tip += self.rows_per_batch
+            with open(self.tipfile, "w") as fh:
+                fh.write(str(tip))
+            return tip
+        self._latest += self.rows_per_batch
+        return self._latest
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def latestOffset(self):
+        return {"n": self._advance_tip()}
+
+    def partitions(self, start, end):
+        return [_Range(start["n"], end["n"])]
+
+    def read(self, part):
+        for i in range(part.start, part.end):
+            h = (i * _KNUTH) % _MOD
+            yield (i,
+                   f"sensor{h % 50}",
+                   h % 10_000,
+                   (h // 7) % 86_400)
+
+    def commit(self, end):
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
-    """`spark.read.format("synthetic_events").option("n", ...)` source."""
+    """`spark.read.format("synthetic_events").option("n", ...)` source;
+    `spark.readStream.format("synthetic_events")` streams the same rows
+    in ``rowsperbatch``-id micro-batches."""
 
     @classmethod
     def name(cls):
@@ -64,6 +125,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return _SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema):
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -115,3 +115,47 @@ def test_statestore_reader_exposes_agg_state(spark, tmp_path):
                       .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
                       .collect()))
     assert got == want and len(got) == 5
+
+
+def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
+    """Round 7: the Spark 4 PYTHON streaming data source protocol
+    (initialOffset/latestOffset/partitions(start,end)/read/commit) on
+    the synthetic-events generator. Pins: (1) an availableNow run
+    produces exactly the batch reader's rows over the same id range —
+    the deterministic id→row arithmetic IS the oracle; (2) a restart on
+    the same checkpoint resumes from the COMMITTED offset: ids never
+    repeat, the union is a contiguous prefix (exactly-once semantics of
+    the offset/commit contract)."""
+    from data_engineering__spark.sources.pysource import (
+        read_synthetic_events,
+        register,
+    )
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    tip = str(tmp_path / "tip")
+
+    def run_once():
+        q = (spark.readStream.format("synthetic_events")
+             .option("rowsperbatch", "40").option("tipfile", tip).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.reading_id for r in spark.read.parquet(out).collect()}
+
+    first = run_once()
+    assert first == set(range(40))
+    batch_rows = {tuple(r) for r in
+                  read_synthetic_events(spark, n=40).collect()}
+    stream_rows = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert stream_rows == batch_rows
+
+    both = run_once()
+    second = both - first
+    assert second and min(second) == 40, \
+        "restart resumes from the committed offset"
+    assert both == set(range(max(both) + 1)), \
+        "ids never repeat and form a contiguous prefix"
