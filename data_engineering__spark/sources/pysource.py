@@ -23,7 +23,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: Knuth multiplicative constant — the same one dedup_keep_best's
@@ -130,9 +132,71 @@ class SyntheticEventsDataSource(DataSource):
         return _SyntheticEventsStreamReader(self.options)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int):
+        self.tmp_file, self.n_rows = tmp_file, n_rows
+
+
+class _JsonlPartWriter(DataSourceWriter):
+    """Round 7: the WRITE side of the Python data source protocol, with
+    real two-phase commit — executors write ``_tmp-*`` part files and
+    return commit messages; ``commit`` (driver) atomically publishes by
+    rename and writes a ``_SUCCESS`` manifest with the total row count;
+    ``abort`` deletes the temps so a failed job leaves no partial
+    output visible. The pattern any proprietary-SDK sink follows."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_file, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(json.dumps({"rows": total}))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonl_sink").option("path", ...)` custom sink."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite):
+        return _JsonlPartWriter(self.options)
+
+
 def register(spark) -> None:
-    """Idempotent registration of the custom source on a session."""
+    """Idempotent registration of the custom source + sink on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
 
 
 def read_synthetic_events(spark, n: int = 1000, parts: int = 8):
