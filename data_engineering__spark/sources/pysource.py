@@ -23,6 +23,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -182,8 +183,44 @@ class _JsonlPartWriter(DataSourceWriter):
                 os.remove(m.tmp_file)
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming tier of the sink: same executor-side temp parts, but
+    commit/abort run PER MICRO-BATCH with the batch id — committed
+    batches publish under ``batch-<id>`` names and append to the
+    ``_BATCHES`` ledger, so replayed batch ids after a restart are
+    detectable (the idempotent-sink contract foreachBatch sinks keep)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, rows):
+        return _JsonlPartWriter({"path": self.path}).write(rows)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path,
+                                 f"batch-{batchId:05d}-part-{i:05d}.jsonl")
+            os.replace(m.tmp_file, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_BATCHES"), "a") as fh:
+            fh.write(json.dumps({"batch": batchId, "rows": total}) + "\n")
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
 class JsonlSinkDataSource(DataSource):
-    """`df.write.format("jsonl_sink").option("path", ...)` custom sink."""
+    """`df.write.format("jsonl_sink").option("path", ...)` custom sink;
+    `df.writeStream.format("jsonl_sink")` streams into per-batch files
+    with a batch ledger."""
 
     @classmethod
     def name(cls):
@@ -191,6 +228,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _JsonlPartWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
 
 
 def register(spark) -> None:

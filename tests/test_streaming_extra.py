@@ -159,3 +159,38 @@ def test_python_streaming_datasource_offsets_and_restart(spark, tmp_path):
         "restart resumes from the committed offset"
     assert both == set(range(max(both) + 1)), \
         "ids never repeat and form a contiguous prefix"
+
+
+def test_python_datasource_end_to_end_stream_source_to_sink(spark, tmp_path):
+    """Round 7: full Python-data-source streaming path — the synthetic
+    STREAM source feeding the custom jsonl STREAM sink in one query.
+    Pins: per-batch commit publishes batch-<id> part files plus a
+    _BATCHES ledger whose per-batch row counts sum to the rows read;
+    the sink's rows equal the batch reader over the same id range."""
+    import json
+    import os
+
+    from data_engineering__spark.sources.pysource import (
+        read_synthetic_events,
+        register,
+    )
+
+    register(spark)
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("synthetic_events")
+         .option("rowsperbatch", "30")
+         .option("tipfile", str(tmp_path / "tip")).load()
+         .writeStream.format("jsonl_sink").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    with open(os.path.join(out, "_BATCHES")) as fh:
+        ledger = [json.loads(l) for l in fh]
+    assert sum(b["rows"] for b in ledger) == 30
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp-")]
+    src = read_synthetic_events(spark, n=30)
+    back = spark.read.json(os.path.join(out, "batch-*.jsonl"),
+                           schema=src.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, src.collect()))
