@@ -47,10 +47,17 @@ def as_double_array(col: str | Column) -> Column:
 SAMPLE_CAP = 65536
 
 
-def sample_bounded(df: DataFrame) -> DataFrame:
-    """Enforce the sample-regime contract in-plan (a GlobalLimit node;
-    identity below :data:`SAMPLE_CAP` rows)."""
-    return df.limit(SAMPLE_CAP)
+def sample_bounded(df: DataFrame, order_col: str) -> DataFrame:
+    """Enforce the sample-regime contract in-plan (a TakeOrderedAndProject
+    node; identity below :data:`SAMPLE_CAP` rows).
+
+    ``order_col`` (the frame's id column) makes over-cap truncation
+    DETERMINISTIC: a bare ``limit`` keeps an arbitrary planner-dependent
+    subset, so a caller whose "sample" silently outgrew the cap would
+    diverge from the full-frame cross-engine oracles nondeterministically.
+    Ordered truncation keeps the smallest-id rows — rerun-stable, so
+    oracle parity either holds or breaks loudly and reproducibly."""
+    return df.orderBy(F.col(order_col).asc()).limit(SAMPLE_CAP)
 
 
 def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
@@ -62,7 +69,7 @@ def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
     a map-side cross join, zero shuffle for scoring; the only exchange is the
     k-row TakeOrderedAndProject merge. Ties broken by id for determinism.
     """
-    q = F.broadcast(sample_bounded(query)
+    q = F.broadcast(sample_bounded(query, id_col)
                     .select(as_double_array(vec_col).alias("__q")))
     scored = (candidates
               .withColumn("__v", as_double_array(vec_col))
@@ -242,7 +249,7 @@ def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
     cand = candidates.select(F.col(id_col).alias("__cid"),
                              as_double_array(vec_col).alias("__v"),
                              sig.alias("__sig"))
-    qs = F.broadcast(sample_bounded(queries)
+    qs = F.broadcast(sample_bounded(queries, id_col)
                      .select(F.col(id_col).alias("q_id"),
                              as_double_array(vec_col).alias("__q"),
                              sig.alias("__qsig")))
@@ -308,7 +315,7 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
     """
     cents = sample_bounded(
         candidates.filter(F.col(id_col) % centroid_mod == 0)
-                  .select(id_col, vec_col))
+                  .select(id_col, vec_col), id_col)
     assign = ivf_assign(candidates, cents, id_col, vec_col)
     qv = as_double_array(vec_col)
     qscore = (query.select(qv.alias("__q")).crossJoin(
@@ -320,7 +327,7 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
               .limit(nprobe).select(F.col("__cid").alias("cell")))
     probe = (candidates.join(assign, id_col)
              .join(F.broadcast(qcells), "cell"))
-    q = F.broadcast(sample_bounded(query).select(qv.alias("__q")))
+    q = F.broadcast(sample_bounded(query, id_col).select(qv.alias("__q")))
     scored = (probe.withColumn("__v", as_double_array(vec_col))
               .crossJoin(q)
               .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
@@ -461,7 +468,7 @@ def ivf_topk_trained(candidates: DataFrame, query: DataFrame, k: int,
               .limit(nprobe).select("cell"))
     probe = (candidates.join(assign, id_col)
              .join(F.broadcast(qcells), "cell"))
-    q = F.broadcast(sample_bounded(query).select(qv.alias("__q")))
+    q = F.broadcast(sample_bounded(query, id_col).select(qv.alias("__q")))
     scored = (probe.withColumn("__v", as_double_array(vec_col))
               .crossJoin(q)
               .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
@@ -926,7 +933,7 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
     Scale shape (sample regime): one broadcast of the ≤ max_id-row
     side, map-side pair scoring, one WindowGroupLimit top-1 per id,
     and a self-join of best-match rows (≤ one row per id)."""
-    sub = (sample_bounded(df.filter(F.col(id_col) < max_id))
+    sub = (sample_bounded(df.filter(F.col(id_col) < max_id), id_col)
              .select(F.col(id_col).alias("__id"),
                      as_double_array(vec_col).alias("__v"))
              .withColumn("__nv", _norm(F.col("__v"))))
@@ -977,7 +984,7 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
     folds per pair), one WindowGroupLimit per (query, width), and the
     overlap join is k-rows-per-query-sized."""
     full = max(dims)
-    q = F.broadcast(sample_bounded(queries).select(
+    q = F.broadcast(sample_bounded(queries, id_col).select(
         F.col(id_col).alias("__qid"),
         as_double_array(vec_col).alias("__q")))
     pairs = (candidates
@@ -1124,7 +1131,7 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
         rows, "cell long, cvec array<double>")
     assign = kmeans_assign(candidates, centroids, id_col, vec_col)
     n_corpus = candidates.count()
-    q = F.broadcast(sample_bounded(queries)
+    q = F.broadcast(sample_bounded(queries, id_col)
                     .select(F.col(id_col).alias("__qid"),
                             as_double_array(vec_col).alias("__q")))
     cellrank = (q.crossJoin(F.broadcast(centroids))
@@ -1200,7 +1207,7 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
     ties). Scale: queries are a sample by contract; scoring is the
     broadcast map-side grid, then one WindowGroupLimit and two
     grid-sized aggs."""
-    q = F.broadcast(sample_bounded(queries)
+    q = F.broadcast(sample_bounded(queries, id_col)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q")))
@@ -1275,7 +1282,7 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
     integer-DIV mean — no float accumulation anywhere. Self-pairs are
     excluded. Scale: |queries|·|corpus| map-side grid (queries a
     sample by contract), one label-grain agg."""
-    q = F.broadcast(sample_bounded(queries)
+    q = F.broadcast(sample_bounded(queries, id_col)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q")))
@@ -1335,7 +1342,7 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
     WindowGroupLimit. Scale: broadcast anchor grid, map-side scoring,
     one per-anchor window."""
     lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
-    q = F.broadcast(sample_bounded(queries)
+    q = F.broadcast(sample_bounded(queries, id_col)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q")))
@@ -1375,7 +1382,7 @@ def cosine_histogram(candidates: DataFrame, queries: DataFrame,
     Bucket ids are integer arithmetic on micro-cosines
     ((cm + 10⁶)·bins DIV (2·10⁶+1), clamped), counts exact, share a
     single division. Self-pairs excluded."""
-    q = F.broadcast(sample_bounded(queries)
+    q = F.broadcast(sample_bounded(queries, id_col)
                     .select(F.col(id_col).alias("__qid"),
                             as_double_array(vec_col).alias("__q")))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))

@@ -34,7 +34,7 @@ _BOUNDING = (
 # spark.range(10**12) grid cannot masquerade as a bounded domain.
 _BOUNDED_LEAVES = (
     "LocalTableScan", "Scan OneRowRelation", "Scan ExistingRDD",
-    "LocalRelation", "Scan\n", "EmptyRelation",
+    "LocalRelation", "EmptyRelation",
 )
 
 _RANGE_CAP = 10_000_000

@@ -36,7 +36,14 @@ def main() -> int:
     from data_engineering__spark.conformance import DRIVER_PRIORITY, QUERIES
 
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    target = sys.argv[1] if len(sys.argv) > 1 else files[-1]
+    if len(sys.argv) > 1:
+        target = sys.argv[1]
+    elif files:
+        target = files[-1]
+    else:
+        print("no CORRECTNESS_r*.json on disk — nothing to rotate from; "
+              "pass a file explicitly or wait for a driver round")
+        return 1
     rnd = int(re.search(r"_r(\d+)\.json", target).group(1))
     with open(target) as fh:
         latest = json.load(fh)
@@ -52,8 +59,10 @@ def main() -> int:
              if k not in newest and k in QUERIES and k not in bad]
     never += [k for k in QUERIES if k not in newest and k not in never
               and k not in bad]
+    # a key red in the target round keeps its head slot via `bad`; do not
+    # list it a second time in the stale block even if an old row is stale
     stale = sorted(((r, k) for k, r in newest.items()
-                    if k in QUERIES and rnd - r > 4))
+                    if k in QUERIES and rnd - r > 4 and k not in bad))
     head = sorted(bad) + never + [k for _, k in stale]
 
     print(f"# proposed DRIVER_PRIORITY after round {rnd} "

@@ -34,14 +34,16 @@ def load_rows() -> dict[str, int]:
         with open(path) as fh:
             rows = json.load(fh)
         for key, row in rows.items():
-            ok = (row.get("rows_match") and row.get("schema_match")
-                  and row.get("hash_match") and not row.get("err"))
-            # weaker rows-only records (no oracle) count as green too:
-            # the driver emits hash_match=None/absent for those
-            if row.get("err") is None and row.get("rows_match") is not False \
-                    and row.get("schema_match") is not False \
-                    and row.get("hash_match") is not False:
-                ok = True
+            matches = (row.get("rows_match"), row.get("schema_match"),
+                       row.get("hash_match"))
+            # Green = no error, no explicit mismatch, AND at least one
+            # explicit True. Weaker rows-only records (hash_match
+            # None/absent) stay green, but a placeholder/partial row like
+            # {"err": null} with every field absent does NOT count as a
+            # driver verification.
+            ok = (row.get("err") is None
+                  and not any(m is False for m in matches)
+                  and any(m is True for m in matches))
             if ok:
                 newest[key] = max(newest.get(key, 0), rnd)
     return newest
