@@ -2243,151 +2243,85 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 # query.
 
 DRIVER_PRIORITY = [
-    # --- Round-7 window: the 50 r06 rows all landed green
-    # (CORRECTNESS_r06.json 50/50, zero err), so those keys drop out of
-    # the head. What remains is the never-driver-verified backlog —
-    # 152 round-5/6-wave keys, every one judge-verified at sf0.01
-    # (VERDICT r6: independent 150/150 sweep) and pytest-verified at
-    # sf0.001 — in the same queue order the r6 close staged. The driver
-    # samples the first ~50 per round, so rounds 7-9 drain this block;
-    # REGISTRY FREEZE: new keys this round queue BEHIND the backlog and
-    # stay within the 50/round drain rate (VERDICT r6 task 1).
-    "ann_topk_multiprobe", "theil_sen_users", "kappa_lang_agreement",
-    "mann_kendall_users", "l_diversity_customer", "assoc_rules_brands",
-    "chi_square_lang_source", "ann_recall_report",
-    "session_window_dynamic_gap", "quantile_normalize_events",
-    "spearman_value_vs_time", "kendall_tau_users",
-    "kaplan_meier_conversion", "bloom_membership_report",
-    "cusum_changepoint_events", "t_closeness_customer",
-    "weighted_quantiles_docs", "seasonal_outliers_events",
-    "reconciliation_orders", "param_sql_price_bands",
-    "streaming_full_outer_join", "media_phash_near_dup",
-    "sliding_distinct_users", "cardinality_profile_orders",
-    "burstiness_users", "lang_prf_report", "xcorr_click_purchase",
-    "keyness_terms_sources", "source_vocab_overlap",
-    "brand_basket_triples", "supplier_er_clusters", "did_report_events",
-    "cuped_report_events", "bootstrap_means_events",
-    "adversarial_validation_docs", "filter_parity_langs",
-    "permutation_test_events", "readability_docs",
-    "streaming_session_dynamic", "rfm_segments_customers",
-    "degree_assortativity_graph", "kmv_distinct_users",
-    "vocab_growth_docs", "minhash_recall_report",
-    "js_divergence_sources", "calibration_bins_events",
-    "nelson_aalen_conversion", "streaming_semi_join",
-    "cmh_experiment_weeks", "freshness_report_events",
+    # --- Round-8 rotation (generated by tools/rotate_driver_priority.py
+    # from CORRECTNESS_r01..r07; VERDICT r7 tasks 1/3/5). The 50 r07 rows
+    # all landed green, so those keys dropped out of the head. Structure:
+    #   1) never-driver-verified backlog, 105 keys in queue order — the
+    #      round-8 window is the first 50 (old slots 51-100, pre-verified
+    #      twice: builder driver-sim 50/50 + judge sf0.01 sweep 103/103);
+    #      round 9 takes the next 50; the final 5 (incl. the 2 by-design
+    #      rows-only near-dup variants and the 3 round-7 additions) spill
+    #      into round 10;
+    #   2) the STALENESS-FIRST rotation (committed now, executes from
+    #      round 10 per VERDICT r7 task 3): the 77 keys whose newest green
+    #      row is r01/r02, oldest round first then key order, so once the
+    #      backlog drains no key's newest green row stays >4 rounds old.
+    # Keys with fresher rows (r05-r07) follow in registration order, last.
+    # REGISTRY FREEZE discipline: new keys queue BEHIND the backlog and
+    # stay within the 50/round drain rate.
+    # -- (1) never-driver-verified backlog (round-8 window = first 50)
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
-    "ltv_cohort_triangle", "cvm_drift_events",
-    "theil_decomposition_orders", "kmv_set_ops_users",
-    "brier_decomposition_events", "mutual_best_match_embeddings",
+    "ltv_cohort_triangle", "cvm_drift_events", "theil_decomposition_orders",
+    "kmv_set_ops_users", "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
-    "retention_halflife_events", "eb_return_rates_brands",
-    "ols_price_lineitem", "covariate_balance_events",
-    "cm_selfjoin_size_lineitem", "markov_attribution_events",
-    "shapley_attribution_events",
-    "tfidf_cosine_pairs_docs",
-    "lm_score_docs",
-    "periodogram_events",
-    "item_cf_brands",
-    "seq_patterns_events",
-    "hdr_quantiles_prices",
-    "isotonic_calibration_events",
-    "logrank_test_events",
-    "rake_keyphrases_docs",
-    "pettitt_changepoint_events",
-    "threshold_sweep_events",
-    "clustering_coeff_graph",
-    "kcore_graph",
-    "sprt_report_events",
-    "forecast_backtest_events",
-    "mde_report_events",
-    "interval_union_users",
-    "functional_deps_orders",
-    "grouped_ols_brands",
-    "burrows_delta_sources",
-    "ranking_metrics_suppliers",
-    "seasonality_strength_events",
-    "event_study_events",
-    "qini_uplift_events",
-    "dim_truncation_report_embeddings",
-    "abc_xyz_brands",
-    "funnel_within_events",
-    "price_volume_bridge_brands",
-    "cluster_quality_embeddings",
-    "discount_impact_brands",
-    "customer360_snapshot",
-    "markov_stationary_events",
-    "order_aging_buckets",
-    "segment_order_quartiles",
-    "slo_burn_events",
-    "rollup_share_parent",
-    "ivf_nprobe_curve_embeddings",
-    "tpch_q3_shaped",
-    "nearest_error_join",
-    "label_noise_knn_embeddings",
-    "embedding_norm_profile",
-    "key_case_conflicts_part",
-    "geo_nearest_warehouse",
-    "geo_cell_density",
-    "decay_score_users",
-    "split_shipment_orders",
-    "collation_dedup_suppliers",
-    "event_streaks_users",
-    "iqr_outlier_counts_events",
-    "geo_pairs_within",
-    "label_margin_embeddings",
-    "hard_negatives_embeddings",
-    "duplicate_payments_orders",
-    "customer_revenue_percentile",
-    "injection_screen_docs",
-    "safety_stock_brands",
-    "churn_training_set",
-    "feature_hash_users",
-    "target_encoding_brands",
-    "srm_check_events",
-    "fiscal_445_revenue",
-    "unit_price_drift_parts",
-    "median_ci_events",
-    "dataset_card_docs",
-    "oof_target_encoding_brands",
-    "reciprocity_graph",
-    "status_consistency_orders",
-    "dispersion_orders",
-    "pipeline_card_events",
-    "hapax_rate_sources",
-    "time_decay_attribution_events",
-    "cosine_histogram_embeddings",
-    "growth_accounting_weekly",
-    "assortment_coverage_parts",
-    "variety_score_users",
-    "wow_contribution_segments",
-    "source_overlap_matrix",
-    "pchart_returns_weekly",
-    "lang_source_residuals",
-    "payday_lift_orders",
-    "error_bursts_events",
-    "rate_cap_events", "resample_locf_events",
-    # --- rotation: keys whose only green driver row is round 1. They
-    # ride behind the backlog (ETA round 10) so that once every key has
-    # a row, no key's newest green row stays >4 rounds old (VERDICT r6
-    # task 4). The 50 r06-green keys are deliberately unlisted — they
-    # follow in registration order after this block, i.e. last.
-    "sample_limit", "filter_strlen_trim", "null_blank_validate",
-    "anti_join", "semi_join", "group_having_dup", "dedup_by_key",
-    "agg_stats", "rollup_counts", "topk_per_group", "window_rank",
-    "window_running_sum", "sort_limit_topk", "union_all", "except_all",
-    "intersect_keys", "explode_split", "substring_first_token",
-    "case_when_mapping", "map_lookup_normalize", "date_extract",
-    "json_extract", "array_ops", "audit_diff", "tumbling_window_agg",
-    "text_exact_dedup", "text_stats", "token_count", "cosine_topk",
-    "range_join", "window_lag_lead", "pivot_counts", "udaf_weighted_mean",
-    "sql_api_join", "lang_id", "quality_score",
-    "scan_parquet_count", "project_prune",
-    # --- round-7 additions: never-verified, but per the registry freeze
-    # they queue BEHIND the backlog and the r1 rotation — ahead only of
-    # re-verifying keys whose green rows are already fresh (r06).
-    "streaming_right_outer_join", "sql_pipe_agg", "variant_nested_paths",
-    # (minhash_near_dup / simhash_near_dup — rows-only by design, their
-    # portable twins are oracle-verified — sit after the window.)
+    "retention_halflife_events", "eb_return_rates_brands", "ols_price_lineitem",
+    "covariate_balance_events", "cm_selfjoin_size_lineitem", "markov_attribution_events",
+    "shapley_attribution_events", "tfidf_cosine_pairs_docs", "lm_score_docs",
+    "periodogram_events", "item_cf_brands", "seq_patterns_events",
+    "hdr_quantiles_prices", "isotonic_calibration_events", "logrank_test_events",
+    "rake_keyphrases_docs", "pettitt_changepoint_events", "threshold_sweep_events",
+    "clustering_coeff_graph", "kcore_graph", "sprt_report_events",
+    "forecast_backtest_events", "mde_report_events", "interval_union_users",
+    "functional_deps_orders", "grouped_ols_brands", "burrows_delta_sources",
+    "ranking_metrics_suppliers", "seasonality_strength_events", "event_study_events",
+    "qini_uplift_events", "dim_truncation_report_embeddings", "abc_xyz_brands",
+    "funnel_within_events", "price_volume_bridge_brands", "cluster_quality_embeddings",
+    "discount_impact_brands", "customer360_snapshot", "markov_stationary_events",
+    "order_aging_buckets", "segment_order_quartiles", "slo_burn_events",
+    "rollup_share_parent", "ivf_nprobe_curve_embeddings", "tpch_q3_shaped",
+    "nearest_error_join", "label_noise_knn_embeddings", "embedding_norm_profile",
+    "key_case_conflicts_part", "geo_nearest_warehouse", "geo_cell_density",
+    "decay_score_users", "split_shipment_orders", "collation_dedup_suppliers",
+    "event_streaks_users", "iqr_outlier_counts_events", "geo_pairs_within",
+    "label_margin_embeddings", "hard_negatives_embeddings", "duplicate_payments_orders",
+    "customer_revenue_percentile", "injection_screen_docs", "safety_stock_brands",
+    "churn_training_set", "feature_hash_users", "target_encoding_brands",
+    "srm_check_events", "fiscal_445_revenue", "unit_price_drift_parts",
+    "median_ci_events", "dataset_card_docs", "oof_target_encoding_brands",
+    "reciprocity_graph", "status_consistency_orders", "dispersion_orders",
+    "pipeline_card_events", "hapax_rate_sources", "time_decay_attribution_events",
+    "cosine_histogram_embeddings", "growth_accounting_weekly", "assortment_coverage_parts",
+    "variety_score_users", "wow_contribution_segments", "source_overlap_matrix",
+    "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
+    "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
+    "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
+    # -- (2) staleness-first rotation (newest green row r01/r02)
+    "agg_stats", "anti_join", "array_ops",
+    "audit_diff", "case_when_mapping", "cosine_topk",
+    "date_extract", "dedup_by_key", "except_all",
+    "explode_split", "filter_strlen_trim", "group_having_dup",
+    "intersect_keys", "json_extract", "lang_id",
+    "map_lookup_normalize", "null_blank_validate", "pivot_counts",
+    "quality_score", "range_join", "rollup_counts",
+    "sample_limit", "semi_join", "sort_limit_topk",
+    "sql_api_join", "substring_first_token", "text_exact_dedup",
+    "text_stats", "token_count", "topk_per_group",
+    "tumbling_window_agg", "udaf_weighted_mean", "union_all",
+    "window_lag_lead", "window_rank", "window_running_sum",
+    "ann_topk_lsh", "asof_join", "connected_components_graph",
+    "connected_components_star_graph", "cross_join_small", "cube_counts",
+    "date_functions", "dim_upsert", "doc_fingerprint",
+    "embedding_near_dup", "filter_predicate", "full_outer_join",
+    "hash_split_counts", "http_enrich", "inner_join_agg_sort",
+    "ivf_topk", "json_struct_parse", "left_join_count_multisort",
+    "multimodal_features", "ngram_jaccard_pairs", "percentile_stats",
+    "pipeline_parity_authors", "pipeline_parity_authors_enriched", "pipeline_parity_categories",
+    "pipeline_parity_categories_enriched", "pipeline_parity_citations", "project_prune",
+    "quota_per_domain", "regex_extract", "salted_join_agg",
+    "scan_parquet_count", "session_window_agg", "simhash_near_dup_portable",
+    "sliding_window_agg", "stratified_sample_counts", "streaming_enrich_join",
+    "string_agg_groups", "three_way_join_agg", "unpivot_metrics",
+    "upsert_merge", "window_ntile",
 ]
 
 
