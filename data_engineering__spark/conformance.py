@@ -2295,6 +2295,8 @@ DRIVER_PRIORITY = [
     "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
     "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
     "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
+    # round-8 additions (R321/R322) — behind the backlog per the freeze
+    "recursive_cte_reachability", "lateral_topk_brands",
     # -- (2) staleness-first rotation (newest green row r01/r02)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -13754,3 +13756,81 @@ def variant_nested_paths(spark, sf_dir):
                  F.max("__k").cast("long").alias("max_k"),
                  F.sum(F.when(F.col("__np").isNull(), 1).otherwise(0))
                   .cast("long").alias("n_nopath")))
+
+
+# ========================= round-8 SQL-surface breadth (R321-R322)
+
+@query("recursive_cte_reachability", oracle="""
+WITH RECURSIVE reach(start_id, id, hop) AS (
+  SELECT u AS start_id, u AS id, 0 AS hop
+  FROM (SELECT DISTINCT doc_id % 50 AS u FROM documents
+        WHERE doc_id < 400 AND doc_id % 50 < 10)
+  UNION ALL
+  SELECT r.start_id, e.v, r.hop + 1
+  FROM reach r
+  JOIN (SELECT DISTINCT doc_id % 50 AS u, (doc_id * 3 + 1) % 50 AS v
+        FROM documents WHERE doc_id < 400
+          AND doc_id % 50 <> (doc_id * 3 + 1) % 50) e
+    ON e.u = r.id
+  WHERE r.hop < 3)
+SELECT start_id, id, CAST(MIN(hop) AS INT) AS min_hop,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY start_id, id""")
+def recursive_cte_reachability(spark, sf_dir):
+    """EP3 EXT R321 (round 8): the Spark 4 recursive-CTE surface
+    (SPARK-24497, ``WITH RECURSIVE`` → UnionLoop execution) — bounded
+    multi-source reachability (min-hop BFS ≤3 hops from 10 seed nodes)
+    over the same deterministic doc-derived graph as the CC/PageRank
+    family (`_cc_edges`). Complements those keys from the other
+    direction: there the ITERATION lives in DataFrame-side Python with
+    a recursive-CTE ORACLE; here the recursion runs IN the engine and
+    DuckDB replays the identical SQL. Scale shape: the loop carries
+    only (start, node, hop) triples — per-iteration cost is one
+    hash-join of the frontier against the deduped edge list, depth
+    capped by the hop guard, so the 100 TB posture matches the
+    iterative min-label CC (frontier rows, never bodies). Termination
+    is structural (hop < 3), not convergence-dependent."""
+    read_table(spark, sf_dir, "documents") \
+        .createOrReplaceTempView("documents_rcte_v")
+    return spark.sql("""
+WITH RECURSIVE reach(start_id, id, hop) AS (
+  SELECT u AS start_id, u AS id, 0 AS hop
+  FROM (SELECT DISTINCT doc_id % 50 AS u FROM documents_rcte_v
+        WHERE doc_id < 400 AND doc_id % 50 < 10)
+  UNION ALL
+  SELECT r.start_id, e.v, r.hop + 1
+  FROM reach r
+  JOIN (SELECT DISTINCT doc_id % 50 AS u, (doc_id * 3 + 1) % 50 AS v
+        FROM documents_rcte_v WHERE doc_id < 400
+          AND doc_id % 50 <> (doc_id * 3 + 1) % 50) e
+    ON e.u = r.id
+  WHERE r.hop < 3)
+SELECT start_id, id, CAST(MIN(hop) AS INT) AS min_hop,
+       COUNT(*) AS n_paths
+FROM reach GROUP BY start_id, id""")
+
+
+@query("lateral_topk_brands", oracle="""
+SELECT b.p_brand, t.p_partkey, t.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM part) b,
+LATERAL (SELECT p_partkey, p_retailprice FROM part p
+         WHERE p.p_brand = b.p_brand
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 3) t""")
+def lateral_topk_brands(spark, sf_dir):
+    """EP3 EXT R322 (round 8): the LATERAL correlated-subquery surface
+    (correlation under LIMIT/ORDER BY) — per-brand top-3 parts by
+    retail price expressed as a lateral join, the SQL-standard twin of
+    the W1 ``topk_per_group`` window formulation. Catalyst decorrelates
+    the lateral subquery into the same rank-then-filter shape (no
+    per-brand re-scan — the plan carries one part scan + window, pinned
+    by the shared plan audit), so the surface is free at 100 TB; DuckDB
+    executes the identical lateral SQL natively. Ties broken by partkey
+    for cross-engine determinism."""
+    read_table(spark, sf_dir, "part") \
+        .createOrReplaceTempView("part_lat_v")
+    return spark.sql("""
+SELECT b.p_brand, t.p_partkey, t.p_retailprice
+FROM (SELECT DISTINCT p_brand FROM part_lat_v) b,
+LATERAL (SELECT p_partkey, p_retailprice FROM part_lat_v p
+         WHERE p.p_brand = b.p_brand
+         ORDER BY p_retailprice DESC, p_partkey LIMIT 3) t""")

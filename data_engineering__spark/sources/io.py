@@ -90,6 +90,47 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_parquet_variant(df: DataFrame, path: str, shredded: bool = True,
+                          mode: str = "overwrite") -> None:
+    """S3 EXT (round 8): parquet write with explicit VARIANT-SHREDDING
+    control — the write side of the R320 VARIANT read surface.
+
+    With shredding (``spark.sql.variant.writeShredding.enabled`` +
+    ``inferShreddingSchema`` — Spark 4.1's DEFAULT), each VARIANT column
+    lands as the Parquet Variant group (``metadata``/``value``) PLUS an
+    inferred per-path ``typed_value`` column group — so downstream scans
+    of a stable path (``v:meta.type``) read a plain typed column
+    (pruned, min/max-pruneable) instead of re-probing binary blobs row
+    by row. At 100 TB of semi-structured logs that is the difference
+    between a columnar scan and a full binary decode; rows whose shape
+    misses the inferred schema ride the residual ``value`` binary with
+    full fidelity. ``shredded=False`` forces the legacy pure-binary
+    layout — for sinks consumed by readers that predate the shredded
+    Variant spec.
+
+    Session confs are set for the duration of the write and restored
+    after — the layout is a property of THIS sink, not the session.
+    """
+    spark = df.sparkSession
+    names = ("spark.sql.variant.writeShredding.enabled",
+             "spark.sql.variant.inferShreddingSchema")
+    old = {}
+    for n in names:
+        try:
+            old[n] = spark.conf.get(n)
+        except Exception:
+            old[n] = None
+        spark.conf.set(n, "true" if shredded else "false")
+    try:
+        df.write.mode(mode).parquet(path)
+    finally:
+        for n, v in old.items():
+            if v is None:
+                spark.conf.unset(n)
+            else:
+                spark.conf.set(n, v)
+
+
 def write_bucketed(df: DataFrame, table: str, buckets: int,
                    bucket_cols: list[str],
                    sort_cols: list[str] | None = None) -> None:

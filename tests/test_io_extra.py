@@ -1,0 +1,96 @@
+"""Round-8 IO additions: VARIANT shredded parquet WRITE control.
+
+Completes the R320 VARIANT surface: round 7 pinned the READ capability
+(`allowReadingShredded` on, binary round-trip); this pins the WRITE side —
+shredding (Spark 4.1's default) emits real per-path typed parquet columns,
+`shredded=False` forces the legacy pure-binary layout, and values survive
+both layouts bit-identically.
+"""
+from pyspark.sql import functions as F
+
+
+def _parquet_message_type(spark, parquet_file: str) -> str:
+    """Footer schema via the JVM parquet reader — pyarrow's thrift parser
+    predates the VARIANT logical type and refuses the footer outright."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(parquet_file)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        return reader.getFooter().getFileMetaData().getSchema().toString()
+    finally:
+        reader.close()
+
+
+def test_variant_shredded_write_roundtrip(spark, tmp_path):
+    """Pins: (1) the shredded write emits the Parquet Variant group WITH
+    an inferred `typed_value` column group carrying plain typed columns
+    per stable path (int64 for `a`, STRING for `b.c`) — the columnar
+    scan path for semi-structured data at scale; (2) `shredded=False`
+    yields the legacy binary-only layout; (3) values read back identical
+    across layouts, including the row whose `a` is a string (it rides
+    the residual `value` fallback, not the typed column); (4) the
+    session confs are restored after each write."""
+    import glob
+
+    from data_engineering__spark.sources.io import write_parquet_variant
+
+    before = {}
+    for n in ("spark.sql.variant.writeShredding.enabled",
+              "spark.sql.variant.inferShreddingSchema"):
+        try:
+            before[n] = spark.conf.get(n)
+        except Exception:
+            before[n] = None
+
+    df = spark.range(20).select(
+        "id",
+        F.parse_json(F.when(
+            F.col("id") == 7,
+            F.lit('{"a": "not-an-int", "b": {"c": "x7"}}'),
+        ).otherwise(F.concat(
+            F.lit('{"a": '), F.col("id").cast("string"),
+            F.lit(', "b": {"c": "x'), F.col("id").cast("string"),
+            F.lit('"}}')))).alias("v"))
+
+    shred_dir = str(tmp_path / "shredded")
+    plain_dir = str(tmp_path / "plain")
+    write_parquet_variant(df, shred_dir, shredded=True)
+    write_parquet_variant(df, plain_dir, shredded=False)
+
+    for n, v in before.items():  # confs restored after both writes
+        try:
+            now = spark.conf.get(n)
+        except Exception:
+            now = None
+        assert now == v, n
+
+    schema = _parquet_message_type(
+        spark, glob.glob(f"{shred_dir}/*.parquet")[0])
+    assert "typed_value" in schema
+    assert "optional int64 typed_value" in schema            # path $.a
+    assert "optional binary typed_value (STRING)" in schema  # path $.b.c
+    plain_schema = _parquet_message_type(
+        spark, glob.glob(f"{plain_dir}/*.parquet")[0])
+    assert "typed_value" not in plain_schema
+    assert "value" in plain_schema and "metadata" in plain_schema
+
+    back = {r["id"]: r["j"] for r in
+            spark.read.parquet(shred_dir)
+            .select("id", F.to_json("v").alias("j")).collect()}
+    want = {r["id"]: r["j"] for r in
+            spark.read.parquet(plain_dir)
+            .select("id", F.to_json("v").alias("j")).collect()}
+    assert back == want and len(back) == 20
+    assert back[7] == '{"a":"not-an-int","b":{"c":"x7"}}'
+
+    # typed-path extraction over the shredded files keeps full fidelity:
+    # 19 int rows + the string row as a try-cast NULL
+    got = (spark.read.parquet(shred_dir)
+           .select(F.try_variant_get("v", "$.a", "bigint").alias("a"))
+           .collect())
+    vals = sorted((r["a"] for r in got if r["a"] is not None))
+    assert vals == [i for i in range(20) if i != 7]
+    assert sum(1 for r in got if r["a"] is None) == 1

@@ -194,3 +194,51 @@ def test_python_datasource_end_to_end_stream_source_to_sink(spark, tmp_path):
                            schema=src.schema)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, src.collect()))
+
+
+def test_statestore_reader_exposes_join_state(spark, tmp_path):
+    """Round 8: extends the round-7 aggregation-state pin to stream-
+    stream JOIN state. `spark.read.format("statestore")` with a
+    `joinSide` option reads the rows each side has BUFFERED in the
+    join's state stores — the ops surface for debugging watermark-lag
+    skew (which user's clicks are piling up?) without replaying the
+    query. After ONE availableNow trigger nothing is evicted yet (the
+    watermark only advances for the NEXT batch), so each side's
+    buffered state must equal its full input — a deterministic pin of
+    what the reader exposes."""
+    from datetime import datetime, timedelta
+
+    from data_engineering__spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    base = datetime(2024, 1, 1)
+    clicks = [(u, base + timedelta(minutes=m))
+              for u in range(4) for m in range(0, 30, 10)]
+    buys = [(u, base + timedelta(minutes=m + 5))
+            for u in range(4) for m in range(0, 30, 15)]
+    spark.createDataFrame(clicks, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(tmp_path / "l"))
+    spark.createDataFrame(buys, "user_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(tmp_path / "r"))
+
+    l = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(str(tmp_path / "l"))
+    r = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(str(tmp_path / "r"))
+    q = (stream_stream_interval_join(l, r)
+         .writeStream.format("memory").queryName("join_state_rt")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    def side(name):
+        return sorted(
+            (rw["key"]["field0"], str(rw["value"]["ts"]))
+            for rw in (spark.read.format("statestore")
+                       .option("joinSide", name)
+                       .load(str(tmp_path / "ckpt"))
+                       .select("key", "value").collect()))
+
+    assert side("left") == sorted((u, str(t)) for u, t in clicks)
+    assert side("right") == sorted((u, str(t)) for u, t in buys)
