@@ -2243,23 +2243,17 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 # query.
 
 DRIVER_PRIORITY = [
-    # --- Round-8 rotation (generated by tools/rotate_driver_priority.py
-    # from CORRECTNESS_r01..r07; VERDICT r7 tasks 1/3/5). The 50 r07 rows
-    # all landed green, so those keys dropped out of the head. Structure:
-    #   1) never-driver-verified backlog, 105 keys in queue order — the
-    #      round-8 window is the first 50 (old slots 51-100, pre-verified
-    #      twice: builder driver-sim 50/50 + judge sf0.01 sweep 103/103);
-    #      round 9 takes the next 50; the final 5 (incl. the 2 by-design
-    #      rows-only near-dup variants and the 3 round-7 additions) spill
-    #      into round 10;
-    #   2) the STALENESS-FIRST rotation (committed now, executes from
-    #      round 10 per VERDICT r7 task 3): the 77 keys whose newest green
-    #      row is r01/r02, oldest round first then key order, so once the
-    #      backlog drains no key's newest green row stays >4 rounds old.
-    # Keys with fresher rows (r05-r07) follow in registration order, last.
-    # REGISTRY FREEZE discipline: new keys queue BEHIND the backlog and
-    # stay within the 50/round drain rate.
-    # -- (1) never-driver-verified backlog (round-8 window = first 50)
+    # --- generated by tools/rotate_driver_priority.py from
+    # CORRECTNESS_r01..r07 (re-run with --apply after each
+    # driver round). Structure: (0) keys RED in the latest round
+    # keep head slots; (1) never-driver-verified backlog in queue
+    # order — the next driver window is the first 50; (2) the
+    # staleness-first rotation (newest green row > 4 rounds old,
+    # oldest first) so no key's newest row decays once the backlog
+    # drains. Fresher keys follow in registration order, last.
+    # REGISTRY FREEZE discipline: new keys queue BEHIND the
+    # backlog and stay within the 50/round drain rate.
+    # -- (1) never-driver-verified backlog (next window = first 50)
     "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
     "ltv_cohort_triangle", "cvm_drift_events", "theil_decomposition_orders",
     "kmv_set_ops_users", "brier_decomposition_events", "mutual_best_match_embeddings",
@@ -2295,9 +2289,8 @@ DRIVER_PRIORITY = [
     "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
     "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
     "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
-    # round-8 additions (R321/R322) — behind the backlog per the freeze
     "recursive_cte_reachability", "lateral_topk_brands",
-    # -- (2) staleness-first rotation (newest green row r01/r02)
+    # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
     "date_extract", "dedup_by_key", "except_all",
