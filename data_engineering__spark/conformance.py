@@ -2289,7 +2289,7 @@ DRIVER_PRIORITY = [
     "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
     "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
     "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
-    "recursive_cte_reachability", "lateral_topk_brands",
+    "recursive_cte_reachability",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -13802,28 +13802,3 @@ SELECT start_id, id, CAST(MIN(hop) AS INT) AS min_hop,
        COUNT(*) AS n_paths
 FROM reach GROUP BY start_id, id""")
 
-
-@query("lateral_topk_brands", oracle="""
-SELECT b.p_brand, t.p_partkey, t.p_retailprice
-FROM (SELECT DISTINCT p_brand FROM part) b,
-LATERAL (SELECT p_partkey, p_retailprice FROM part p
-         WHERE p.p_brand = b.p_brand
-         ORDER BY p_retailprice DESC, p_partkey LIMIT 3) t""")
-def lateral_topk_brands(spark, sf_dir):
-    """EP3 EXT R322 (round 8): the LATERAL correlated-subquery surface
-    (correlation under LIMIT/ORDER BY) — per-brand top-3 parts by
-    retail price expressed as a lateral join, the SQL-standard twin of
-    the W1 ``topk_per_group`` window formulation. Catalyst decorrelates
-    the lateral subquery into the same rank-then-filter shape (no
-    per-brand re-scan — the plan carries one part scan + window, pinned
-    by the shared plan audit), so the surface is free at 100 TB; DuckDB
-    executes the identical lateral SQL natively. Ties broken by partkey
-    for cross-engine determinism."""
-    read_table(spark, sf_dir, "part") \
-        .createOrReplaceTempView("part_lat_v")
-    return spark.sql("""
-SELECT b.p_brand, t.p_partkey, t.p_retailprice
-FROM (SELECT DISTINCT p_brand FROM part_lat_v) b,
-LATERAL (SELECT p_partkey, p_retailprice FROM part_lat_v p
-         WHERE p.p_brand = b.p_brand
-         ORDER BY p_retailprice DESC, p_partkey LIMIT 3) t""")
