@@ -6634,3 +6634,42 @@ def test_python_datasource_sink_two_phase_commit(spark, tmp_path):
     open(tmp, "w").write("{}\n")
     w.abort([_JsonlCommit(tmp, 1), None])
     assert os.listdir(str(tmp_path / "aborted")) == []
+
+
+def test_recursive_cte_matches_dataframe_bfs(spark, sf_dir):
+    """Round 8: the WITH RECURSIVE key's UnionLoop recursion produces
+    exactly the rows of a DataFrame-side unrolled BFS (3 frontier⋈edges
+    joins + union + min-hop/count aggregate) — the same
+    two-formulations-one-result device as the lateral/window pins. Also
+    pins UnionLoop presence in the physical plan, so a future Catalyst
+    rewrite that silently de-recursed the query would be visible."""
+    from pyspark.sql import functions as F
+    from data_engineering__spark.conformance import QUERIES
+    from data_engineering__spark.sources.io import read_table
+
+    via_sql = QUERIES["recursive_cte_reachability"](spark, sf_dir)
+    assert "UnionLoop" in \
+        via_sql._jdf.queryExecution().sparkPlan().toString()
+
+    d = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    edges = (d.select((F.col("doc_id") % 50).alias("u"),
+                      ((F.col("doc_id") * 3 + 1) % 50).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    frontier = (edges.select(F.col("u").alias("start_id"))
+                .filter(F.col("start_id") < 10).distinct()
+                .select("start_id", F.col("start_id").alias("id"),
+                        F.lit(0).alias("hop")))
+    layers = [frontier]
+    for _ in range(3):
+        frontier = (frontier.join(edges, frontier["id"] == edges["u"])
+                    .select("start_id", F.col("v").alias("id"),
+                            (F.col("hop") + 1).alias("hop")))
+        layers.append(frontier)
+    union = layers[0]
+    for l in layers[1:]:
+        union = union.unionByName(l)
+    via_df = (union.groupBy("start_id", "id")
+              .agg(F.min("hop").cast("int").alias("min_hop"),
+                   F.count(F.lit(1)).alias("n_paths")))
+    assert sorted(map(tuple, via_sql.collect())) == \
+        sorted(map(tuple, via_df.collect()))
