@@ -1,0 +1,102 @@
+"""Unit pins for the round-workflow tools (round 8).
+
+The rotation and ledger scripts now carry real policy (what counts as a
+green driver row; how the queue rotates) — policy that decides which keys
+the driver verifies next round, so it gets the same test treatment as an
+operator. These run without Spark.
+"""
+from __future__ import annotations
+
+import sys
+
+
+def _load_rows_for(rows_by_round, monkeypatch, tmp_path):
+    import json
+
+    for rnd, rows in rows_by_round.items():
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(rows))
+    import tools.verification_ledger as vl
+    monkeypatch.setattr(vl, "REPO", str(tmp_path))
+    return vl.load_rows()
+
+
+def test_load_rows_green_red_rowsonly_and_placeholder(monkeypatch, tmp_path):
+    """ADVICE r7: a green row needs err=None, no explicit False, AND at
+    least one explicit True — so a placeholder like {"err": null} or the
+    legacy no-oracle rows (err='no_oracle', all-None matches) never count
+    as driver verifications, while a weaker rows-only record with an
+    explicit rows_match=True stays green."""
+    full = {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+    rows_only = {"rows_match": True, "schema_match": True,
+                 "hash_match": None, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "err": None}
+    errored = dict(full, err="boom")
+    legacy_no_oracle = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "err": "no_oracle"}
+    placeholder = {"err": None}
+
+    newest = _load_rows_for(
+        {3: {"a": full, "b": rows_only, "c": red, "d": errored,
+             "e": legacy_no_oracle, "f": placeholder},
+         5: {"a": full, "c": full}},
+        monkeypatch, tmp_path)
+    assert newest == {"a": 5, "b": 3, "c": 5}
+
+
+def test_rotation_render_apply_roundtrip(monkeypatch, tmp_path):
+    """--apply's block rewrite: the rendered DRIVER_PRIORITY block must
+    substitute cleanly into a conformance-shaped file and parse back to
+    exactly bad+never+stale in that order."""
+    import ast
+    import re
+
+    import tools.rotate_driver_priority as rp
+
+    block = rp.render_block(["red1"], ["n1", "n2", "n3"], ["s1"], rnd=8)
+    src = ("X = 1\n\nDRIVER_PRIORITY = [\n    # old\n    \"zzz\",\n]\n\n"
+           "def driver_ordered(d):\n    return d\n")
+    target = tmp_path / "conformance.py"
+    target.write_text(src)
+    monkeypatch.setattr(rp, "CONFORMANCE", str(target))
+    rp.apply_block(block)
+    out = target.read_text()
+    assert out.startswith("X = 1") and out.rstrip().endswith("return d")
+    m = re.search(r"DRIVER_PRIORITY = (\[.*?\n\])\n", out, re.S)
+    assert ast.literal_eval(m.group(1)) == ["red1", "n1", "n2", "n3", "s1"]
+    assert "zzz" not in out
+
+
+def test_rotation_compute_tiers(monkeypatch, tmp_path):
+    """compute(): red keys keep head slots and are excluded from both
+    the never and stale tiers (ADVICE r7 — no double listing); staleness
+    is >4 rounds vs the target round, oldest first."""
+    import json
+
+    import tools.rotate_driver_priority as rp
+    import tools.verification_ledger as vl
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "err": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"old1": g, "old2": g, "redkey": g}))
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"fresh": g, "redkey": bad}))
+    monkeypatch.setattr(vl, "REPO", str(tmp_path))
+
+    fake_keys = ["neverA", "neverB", "fresh", "old1", "old2", "redkey"]
+    import data_engineering__spark.conformance as conf
+    monkeypatch.setattr(conf, "DRIVER_PRIORITY", ["neverB", "neverA"])
+    monkeypatch.setattr(conf, "QUERIES", {k: None for k in fake_keys})
+
+    badk, never, stale, rnd = rp.compute(
+        str(tmp_path / "CORRECTNESS_r06.json"))
+    assert rnd == 6 and badk == ["redkey"]
+    assert never == ["neverB", "neverA"]      # queue order preserved
+    assert stale == ["old1", "old2"]          # r01 is 5 rounds old
+    # redkey has a stale r01 green row but rides the red tier only
+    assert "redkey" not in stale and "redkey" not in never
