@@ -145,7 +145,11 @@ def test_driver_window_spends_no_slot_without_an_oracle():
     and every prioritized key exists."""
     from data_engineering__spark.conformance import DRIVER_PRIORITY
 
-    assert [k for k in DRIVER_PRIORITY[:50] if k not in ORACLE] == []
+    # two windows deep: the NEXT round's 50 slots must also carry only
+    # oracle-backed keys, so a rotation never stages a rows-only key
+    # into a verification slot one round out (the 2 by-design rows-only
+    # near-dup variants ride behind the oracle-backed backlog)
+    assert [k for k in DRIVER_PRIORITY[:100] if k not in ORACLE] == []
     assert [k for k in DRIVER_PRIORITY if k not in QUERIES] == []
 
 
