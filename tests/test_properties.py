@@ -664,3 +664,48 @@ def test_event_bursts_matches_sequential_islands(spark, secs, gap, min_size):
     want = sorted((i[0], i[-1], len(i), i[-1] - i[0])
                   for i in islands if len(i) >= min_size)
     assert got == want
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=0, max_size=25),
+       max_hop=st.integers(1, 3))
+@SETTINGS
+def test_recursive_cte_min_hop_matches_python_bfs(spark, edges, max_hop):
+    """Property (round 8): the WITH RECURSIVE UnionLoop's min-hop BFS
+    equals a reference Python BFS on ANY small directed graph (cycles,
+    self-loop-free after filtering, disconnected nodes) and any hop
+    bound 1..3 — the property form of the fixed-graph R321 oracle.
+    Seeds are all nodes < 4; only min_hop is compared (path counts grow
+    combinatorially and are pinned by the fixed-graph oracle instead)."""
+    edges = [(u, v) for u, v in edges if u != v]
+    e_df = (spark.createDataFrame(edges or [(99, 98)], "u long, v long")
+            .limit(len(edges)).distinct())
+    e_df.createOrReplaceTempView("___rcte_prop_e")
+    got = {(r.start_id, r.id): r.min_hop for r in spark.sql(f"""
+WITH RECURSIVE reach(start_id, id, hop) AS (
+  SELECT u AS start_id, u AS id, 0 AS hop
+  FROM (SELECT DISTINCT u FROM ___rcte_prop_e WHERE u < 4)
+  UNION ALL
+  SELECT r.start_id, e.v, r.hop + 1
+  FROM reach r JOIN ___rcte_prop_e e ON e.u = r.id
+  WHERE r.hop < {max_hop})
+SELECT start_id, id, MIN(hop) AS min_hop
+FROM reach GROUP BY start_id, id""").collect()}
+
+    adj = {}
+    for u, v in set(edges):
+        adj.setdefault(u, []).append(v)
+    want = {}
+    for s in {u for u, _ in edges if u < 4}:
+        frontier, dist = [s], {s: 0}
+        for hop in range(1, max_hop + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj.get(n, []):
+                    if m not in dist:
+                        dist[m] = hop
+                        nxt.append(m)
+            frontier = nxt
+        for node, d in dist.items():
+            want[(s, node)] = d
+    assert got == want
