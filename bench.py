@@ -31,7 +31,7 @@ HEADLINE = [
     "scd2_dim_history",
     "string_agg_groups", "unpivot_metrics", "pivot_counts", "sql_api_join",
     "sql_pipe_agg", "variant_nested_paths",
-    "recursive_cte_reachability",
+    "recursive_cte_reachability", "zorder_skipping_events",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",
     "window_ntile", "sort_limit_topk", "asof_join", "range_join",

@@ -2289,7 +2289,7 @@ DRIVER_PRIORITY = [
     "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
     "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
     "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
-    "recursive_cte_reachability",
+    "recursive_cte_reachability", "zorder_skipping_events",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -13802,3 +13802,52 @@ SELECT start_id, id, CAST(MIN(hop) AS INT) AS min_hop,
        COUNT(*) AS n_paths
 FROM reach GROUP BY start_id, id""")
 
+
+
+# ===================== round-8 storage-layout / data-skipping (R323)
+
+def _spread16_sql(col_sql: str) -> str:
+    """DuckDB replica of ``operators.layout._spread16`` — the identical
+    magic-number interleave, bit for bit."""
+    e = f"CAST({col_sql} AS BIGINT)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+_ZORDER_X_SQL = "(user_id & 65535)"
+_ZORDER_Y_SQL = ("LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0), "
+                 "65535)")
+
+
+@query("zorder_skipping_events", oracle=f"""
+WITH z AS (
+  SELECT {_ZORDER_X_SQL} AS x, {_ZORDER_Y_SQL} AS y,
+         ({_spread16_sql(_ZORDER_X_SQL)}
+          | ({_spread16_sql(_ZORDER_Y_SQL)} << 1)) AS zkey
+  FROM events)
+SELECT zkey >> 24 AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+FROM z GROUP BY zkey >> 24""")
+def zorder_skipping_events(spark, sf_dir):
+    """EXT R323 (round 8): Z-ORDER data-skipping report — the storage-
+    layout family's query side. Events are keyed by the Morton
+    interleave of (user_id & 0xFFFF, integer-cents value clamped to
+    16 bits) — `operators/layout.py morton_key`, pure codegen bit
+    arithmetic — and bucketed into the 256 equal z-ranges a
+    `repartitionByRange(zkey)` write (``layout.write_zordered``) would
+    draw as file boundaries. Each bucket's min/max RECTANGLE in both
+    dimensions is exactly the parquet min/max stats a reader would
+    prune with: tight in x AND y at once, the property no 1-D sort
+    gives. The oracle replays the interleave, the top-8-bit bucketing,
+    and the rectangles verbatim in DuckDB integer arithmetic. Scale:
+    one map-side expression + one hash aggregate over ≤256 buckets."""
+    from .operators.layout import zorder_skipping_stats
+    ev = read_table(spark, sf_dir, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(65535))
+    y = F.least(F.greatest(F.round(F.col("value") * 100).cast("long"),
+                           F.lit(0)), F.lit(65535))
+    return zorder_skipping_stats(ev, x, y, bucket_bits=8)

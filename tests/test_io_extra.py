@@ -94,3 +94,82 @@ def test_variant_shredded_write_roundtrip(spark, tmp_path):
     vals = sorted((r["a"] for r in got if r["a"] is not None))
     assert vals == [i for i in range(20) if i != 7]
     assert sum(1 for r in got if r["a"] is None) == 1
+
+
+def test_write_zordered_files_are_disjoint_zranges(spark, tmp_path):
+    """Round 8 (layout family): `write_zordered` range-partitions on the
+    Morton key, so each output file must cover a z-range DISJOINT from
+    every other file's — the precondition for min/max file pruning on
+    both dimensions — and the rewrite is row-identical. Also pins that
+    z-bucket rectangles are tighter in x than a y-sorted layout's
+    (the 2-D locality a 1-D sort cannot give): with rows laid out by
+    y alone, every file spans ~the full x domain."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from data_engineering__spark.operators.layout import (
+        morton_key,
+        write_zordered,
+    )
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64 * 1024).alias("x"),
+        (F.floor(F.col("id") / 64) * 1024).alias("y"))
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, F.col("x"), F.col("y"), n_files=8)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    back_total = 0
+    for f in files:
+        part = spark.read.parquet(f).select(
+            morton_key(F.col("x"), F.col("y")).alias("z"), "x", "y")
+        row = part.agg(F.min("z"), F.max("z"), F.count(F.lit(1))).collect()[0]
+        if row[2]:
+            ranges.append((row[0], row[1]))
+            back_total += row[2]
+    assert back_total == n
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # strictly disjoint z-ranges
+
+    # row identity
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == \
+        sorted(map(tuple, df.collect()))
+
+    # 2-D locality: mean per-file x-span under z-order << under y-sort
+    def mean_x_span(path):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            r = spark.read.parquet(f).agg(F.min("x"), F.max("x"),
+                                          F.count(F.lit(1))).collect()[0]
+            if r[2]:
+                spans.append(r[1] - r[0])
+        return sum(spans) / len(spans)
+
+    ysorted = str(tmp_path / "ysorted")
+    df.repartitionByRange(8, "y").write.parquet(ysorted)
+    assert mean_x_span(out) < 0.8 * mean_x_span(ysorted)
+
+
+def test_compact_parquet_binpacks_and_keeps_rows(spark, tmp_path):
+    """Round 8 (layout family): many small files in, few files out,
+    rows identical — the OPTIMIZE bin-pack half of layout maintenance
+    (streaming sinks and incremental loads fragment; footer/open
+    overhead dominates scans at scale)."""
+    import glob
+
+    from data_engineering__spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    assert n == 1  # tiny data bin-packs to a single file
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
+    assert sorted(r[0] for r in spark.read.parquet(dst).collect()) == \
+        list(range(10_000))
