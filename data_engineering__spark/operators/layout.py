@@ -34,8 +34,11 @@ ZORDER_DOMAIN = 1 << (2 * ZORDER_BITS)  # zkey in [0, 2^32)
 
 def _spread16(c: Column) -> Column:
     """Spread a 16-bit int's bits to the even positions (classic
-    interleave-by-magic-numbers: O(log bits) codegen ops, no UDF)."""
-    out = c.cast("long")
+    interleave-by-magic-numbers: O(log bits) codegen ops, no UDF).
+    The input is masked to 16 bits up front — without it, bit 16 of an
+    over-range value survives the 0x00FF00FF round and collides with an
+    interleaved position, silently corrupting the key (ADVICE r8)."""
+    out = c.cast("long").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD_MASKS:
         out = (out.bitwiseOR(F.shiftleft(out, shift))).bitwiseAND(F.lit(mask))
     return out
@@ -99,5 +102,19 @@ def compact_parquet(spark, src: str, dst: str,
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     size = fs.getContentSummary(jpath).getLength()
     n = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
-    df.coalesce(n).write.mode("overwrite").parquet(dst)
-    return n
+    # coalesce() can only MERGE partitions; when the source has fewer
+    # partitions than n (one oversized file), a full shuffle repartition
+    # is required to actually split it (ADVICE r8)
+    if n > df.rdd.getNumPartitions():
+        df.repartition(n).write.mode("overwrite").parquet(dst)
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(dst)
+    # report the count actually written, not the request: the writer may
+    # emit fewer files (empty partitions are skipped)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    it = fs.listFiles(jdst, True)
+    written = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            written += 1
+    return written

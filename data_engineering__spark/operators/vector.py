@@ -49,14 +49,19 @@ SAMPLE_CAP = 65536
 
 def sample_bounded(df: DataFrame, order_col: str) -> DataFrame:
     """Enforce the sample-regime contract in-plan (a TakeOrderedAndProject
-    node; identity below :data:`SAMPLE_CAP` rows).
+    node; SET-identity — not plan-identity — below :data:`SAMPLE_CAP`
+    rows: the row set is unchanged under the cap, but every call site
+    pays a per-partition top-SAMPLE_CAP heap sort; accepted cost, bench
+    was flat across all 13 call sites, ADVICE r8).
 
-    ``order_col`` (the frame's id column) makes over-cap truncation
-    DETERMINISTIC: a bare ``limit`` keeps an arbitrary planner-dependent
-    subset, so a caller whose "sample" silently outgrew the cap would
-    diverge from the full-frame cross-engine oracles nondeterministically.
-    Ordered truncation keeps the smallest-id rows — rerun-stable, so
-    oracle parity either holds or breaks loudly and reproducibly."""
+    ``order_col`` MUST be unique (the frames' id column) — determinism of
+    the kept subset is only guaranteed under a unique key. It makes
+    over-cap truncation DETERMINISTIC: a bare ``limit`` keeps an
+    arbitrary planner-dependent subset, so a caller whose "sample"
+    silently outgrew the cap would diverge from the full-frame
+    cross-engine oracles nondeterministically. Ordered truncation keeps
+    the smallest-id rows — rerun-stable, so oracle parity either holds
+    or breaks loudly and reproducibly."""
     return df.orderBy(F.col(order_col).asc()).limit(SAMPLE_CAP)
 
 

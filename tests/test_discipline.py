@@ -18,42 +18,46 @@ import os
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "data_engineering__spark")
 
-# (module-relative path, enclosing function) -> why the collect is bounded.
+# (module-relative path, enclosing function) ->
+#     (expected site COUNT, why each collect is bounded).
+# The count pins the audit exactly: without it, a NEW .collect() added to
+# an already-allowlisted function would pass silently (ADVICE r8).
 COLLECT_ALLOWLIST = {
     ("conformance.py", "did_report_events"):
-        "1-row scalar probe (pre-period group means)",
+        (1, "1-row scalar probe (pre-period group means)"),
     ("conformance.py", "cuped_report_events"):
-        "1-row scalar probe (theta covariance terms)",
+        (1, "1-row scalar probe (theta covariance terms)"),
     ("plans/pipeline.py", "ingest_incremental"):
-        "1-row scalar probe (max load date watermark)",
+        (1, "1-row scalar probe (max load date watermark)"),
     ("plans/pipeline.py", "enrich"):
-        "bounded unseen-title list for the HTTP side-channel (quota-capped)",
+        (1, "bounded unseen-title list for the HTTP side-channel "
+            "(quota-capped)"),
     ("operators/analytics.py", "markov_attribution"):
-        "|states|^2 transition matrix (event-type vocabulary, not rows)",
+        (1, "|states|^2 transition matrix (event-type vocabulary, not rows)"),
     ("operators/analytics.py", "funnel_within"):
-        "k-row funnel-step counts (k = number of steps)",
+        (1, "k-row funnel-step counts (k = number of steps)"),
     ("operators/dedup.py", "connected_components"):
-        "1-row convergence check per iteration (changed-count)",
+        (2, "1-row convergence check per iteration (changed-count)"),
     ("operators/dedup.py", "connected_components_star"):
-        "1-row convergence check per iteration",
+        (1, "1-row convergence check per iteration"),
     ("operators/merge.py", "assign_ids"):
-        "per-partition count map (numPartitions rows)",
+        (1, "per-partition count map (numPartitions rows)"),
     ("operators/merge.py", "dim_upsert"):
-        "1-row scalar probe (current max surrogate id)",
+        (1, "1-row scalar probe (current max surrogate id)"),
     ("operators/vector.py", "kmeans_assign"):
-        "k x d centroid table broadcast via literal array",
+        (1, "k x d centroid table broadcast via literal array"),
     ("operators/vector.py", "kmeans_fit"):
-        "k x d centroid table per Lloyd pass",
+        (1, "k x d centroid table per Lloyd pass"),
     ("operators/vector.py", "ivf_topk_trained"):
-        "nprobe-row probed-cell list",
+        (1, "nprobe-row probed-cell list"),
     ("operators/vector.py", "semantic_dedup"):
-        "k x d centroid table (two Lloyd passes)",
+        (1, "k x d centroid table (two Lloyd passes)"),
     ("operators/vector.py", "pq_encode"):
-        "m x 256 x (d/m) codebook table",
+        (1, "m x 256 x (d/m) codebook table"),
     ("operators/vector.py", "ivfpq_topk"):
-        "codebooks + probed-cell list + ADC LUT (all k/m-sized)",
+        (3, "codebooks + probed-cell list + ADC LUT (all k/m-sized)"),
     ("operators/vector.py", "ivf_nprobe_curve"):
-        "per-nprobe recall grid (len(nprobes) rows)",
+        (1, "per-nprobe recall grid (len(nprobes) rows)"),
 }
 
 
@@ -101,6 +105,15 @@ def test_no_topandas_no_row_udf_and_all_collects_allowlisted():
     assert unlisted == [], (
         "new .collect() site(s) — add to COLLECT_ALLOWLIST with a "
         f"boundedness argument: {unlisted}")
+    # exact per-function site counts: a new collect inside an already
+    # allowlisted function must fail too, not ride the existing entry
+    from collections import Counter
+    live = Counter((h[1], h[2]) for h in hits if h[0] == "collect")
+    wrong = {k: (live.get(k, 0), n) for k, (n, _why) in
+             COLLECT_ALLOWLIST.items() if live.get(k, 0) != n}
+    assert wrong == {}, (
+        "collect-site count drifted (live, allowlisted) — re-audit the "
+        f"function's boundedness and update the count: {wrong}")
 
 
 def test_collect_allowlist_carries_no_dead_entries():

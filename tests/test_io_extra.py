@@ -173,3 +173,28 @@ def test_compact_parquet_binpacks_and_keeps_rows(spark, tmp_path):
     assert len(glob.glob(f"{dst}/part-*.parquet")) == 1
     assert sorted(r[0] for r in spark.read.parquet(dst).collect()) == \
         list(range(10_000))
+
+
+def test_compact_parquet_splits_oversized_file(spark, tmp_path):
+    """ADVICE r8: coalesce() cannot RAISE the partition count, so an
+    oversized single file must go through repartition to actually split
+    — and the return value is the count of files WRITTEN, not the
+    request (the two diverge exactly in this case without the fix)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_engineering__spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "one_big")
+    # ~3 MB of incompressible-ish payload in ONE file
+    (spark.range(40_000)
+     .withColumn("pad", F.sha2(F.col("id").cast("string"), 512))
+     .coalesce(1).write.parquet(src))
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 1
+
+    dst = str(tmp_path / "split")
+    n = compact_parquet(spark, src, dst, target_mb=1)
+    written = len(glob.glob(f"{dst}/part-*.parquet"))
+    assert n == written and written > 1
+    assert spark.read.parquet(dst).count() == 40_000

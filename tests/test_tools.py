@@ -88,15 +88,23 @@ def test_rotation_compute_tiers(monkeypatch, tmp_path):
         json.dumps({"fresh": g, "redkey": bad}))
     monkeypatch.setattr(vl, "REPO", str(tmp_path))
 
-    fake_keys = ["neverA", "neverB", "fresh", "old1", "old2", "redkey"]
+    fake_keys = ["neverA", "neverB", "neverRowsOnly", "fresh", "old1",
+                 "old2", "redkey"]
     import data_engineering__spark.conformance as conf
-    monkeypatch.setattr(conf, "DRIVER_PRIORITY", ["neverB", "neverA"])
+    monkeypatch.setattr(conf, "DRIVER_PRIORITY",
+                        ["neverRowsOnly", "neverB", "neverA"])
     monkeypatch.setattr(conf, "QUERIES", {k: None for k in fake_keys})
+    # neverRowsOnly has no oracle: it must sort BEHIND every oracle-backed
+    # never key even though it leads the current queue (ADVICE r8 — a
+    # driver slot spent on a rows-only key wastes a hash check)
+    monkeypatch.setattr(conf, "ORACLE",
+                        {k: "SELECT 1" for k in fake_keys
+                         if k != "neverRowsOnly"})
 
     badk, never, stale, rnd = rp.compute(
         str(tmp_path / "CORRECTNESS_r06.json"))
     assert rnd == 6 and badk == ["redkey"]
-    assert never == ["neverB", "neverA"]      # queue order preserved
+    assert never == ["neverB", "neverA", "neverRowsOnly"]
     assert stale == ["old1", "old2"]          # r01 is 5 rounds old
     # redkey has a stale r01 green row but rides the red tier only
     assert "redkey" not in stale and "redkey" not in never
