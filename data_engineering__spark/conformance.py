@@ -2244,7 +2244,7 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 
 DRIVER_PRIORITY = [
     # --- generated by tools/rotate_driver_priority.py from
-    # CORRECTNESS_r01..r07 (re-run with --apply after each
+    # CORRECTNESS_r01..r08 (re-run with --apply after each
     # driver round). Structure: (0) keys RED in the latest round
     # keep head slots; (1) never-driver-verified backlog in queue
     # order — the next driver window is the first 50; (2) the
@@ -2254,42 +2254,25 @@ DRIVER_PRIORITY = [
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
     # -- (1) never-driver-verified backlog (next window = first 50)
-    "hill_tail_orders", "cramers_v_orders", "zipf_slope_docs",
-    "ltv_cohort_triangle", "cvm_drift_events", "theil_decomposition_orders",
-    "kmv_set_ops_users", "brier_decomposition_events", "mutual_best_match_embeddings",
-    "acf_hourly_events", "qte_report_events", "anova_value_event_type",
-    "retention_halflife_events", "eb_return_rates_brands", "ols_price_lineitem",
-    "covariate_balance_events", "cm_selfjoin_size_lineitem", "markov_attribution_events",
-    "shapley_attribution_events", "tfidf_cosine_pairs_docs", "lm_score_docs",
-    "periodogram_events", "item_cf_brands", "seq_patterns_events",
-    "hdr_quantiles_prices", "isotonic_calibration_events", "logrank_test_events",
-    "rake_keyphrases_docs", "pettitt_changepoint_events", "threshold_sweep_events",
-    "clustering_coeff_graph", "kcore_graph", "sprt_report_events",
-    "forecast_backtest_events", "mde_report_events", "interval_union_users",
-    "functional_deps_orders", "grouped_ols_brands", "burrows_delta_sources",
-    "ranking_metrics_suppliers", "seasonality_strength_events", "event_study_events",
-    "qini_uplift_events", "dim_truncation_report_embeddings", "abc_xyz_brands",
-    "funnel_within_events", "price_volume_bridge_brands", "cluster_quality_embeddings",
-    "discount_impact_brands", "customer360_snapshot", "markov_stationary_events",
-    "order_aging_buckets", "segment_order_quartiles", "slo_burn_events",
-    "rollup_share_parent", "ivf_nprobe_curve_embeddings", "tpch_q3_shaped",
-    "nearest_error_join", "label_noise_knn_embeddings", "embedding_norm_profile",
-    "key_case_conflicts_part", "geo_nearest_warehouse", "geo_cell_density",
-    "decay_score_users", "split_shipment_orders", "collation_dedup_suppliers",
-    "event_streaks_users", "iqr_outlier_counts_events", "geo_pairs_within",
-    "label_margin_embeddings", "hard_negatives_embeddings", "duplicate_payments_orders",
-    "customer_revenue_percentile", "injection_screen_docs", "safety_stock_brands",
-    "churn_training_set", "feature_hash_users", "target_encoding_brands",
-    "srm_check_events", "fiscal_445_revenue", "unit_price_drift_parts",
-    "median_ci_events", "dataset_card_docs", "oof_target_encoding_brands",
-    "reciprocity_graph", "status_consistency_orders", "dispersion_orders",
-    "pipeline_card_events", "hapax_rate_sources", "time_decay_attribution_events",
-    "cosine_histogram_embeddings", "growth_accounting_weekly", "assortment_coverage_parts",
-    "variety_score_users", "wow_contribution_segments", "source_overlap_matrix",
-    "pchart_returns_weekly", "lang_source_residuals", "payday_lift_orders",
-    "error_bursts_events", "streaming_right_outer_join", "sql_pipe_agg",
-    "variant_nested_paths", "minhash_near_dup", "simhash_near_dup",
-    "recursive_cte_reachability", "zorder_skipping_events",
+    "markov_stationary_events", "order_aging_buckets", "segment_order_quartiles",
+    "slo_burn_events", "rollup_share_parent", "ivf_nprobe_curve_embeddings",
+    "tpch_q3_shaped", "nearest_error_join", "label_noise_knn_embeddings",
+    "embedding_norm_profile", "key_case_conflicts_part", "geo_nearest_warehouse",
+    "geo_cell_density", "decay_score_users", "split_shipment_orders",
+    "collation_dedup_suppliers", "event_streaks_users", "iqr_outlier_counts_events",
+    "geo_pairs_within", "label_margin_embeddings", "hard_negatives_embeddings",
+    "duplicate_payments_orders", "customer_revenue_percentile", "injection_screen_docs",
+    "safety_stock_brands", "churn_training_set", "feature_hash_users",
+    "target_encoding_brands", "srm_check_events", "fiscal_445_revenue",
+    "unit_price_drift_parts", "median_ci_events", "dataset_card_docs",
+    "oof_target_encoding_brands", "reciprocity_graph", "status_consistency_orders",
+    "dispersion_orders", "pipeline_card_events", "hapax_rate_sources",
+    "time_decay_attribution_events", "cosine_histogram_embeddings", "growth_accounting_weekly",
+    "assortment_coverage_parts", "variety_score_users", "wow_contribution_segments",
+    "source_overlap_matrix", "pchart_returns_weekly", "lang_source_residuals",
+    "payday_lift_orders", "error_bursts_events", "streaming_right_outer_join",
+    "sql_pipe_agg", "variant_nested_paths", "recursive_cte_reachability",
+    "zorder_skipping_events", "minhash_near_dup", "simhash_near_dup",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -2316,7 +2299,16 @@ DRIVER_PRIORITY = [
     "scan_parquet_count", "session_window_agg", "simhash_near_dup_portable",
     "sliding_window_agg", "stratified_sample_counts", "streaming_enrich_join",
     "string_agg_groups", "three_way_join_agg", "unpivot_metrics",
-    "upsert_merge", "window_ntile",
+    "upsert_merge", "window_ntile", "approx_quantile_check",
+    "chunk_documents", "decontaminate_corpus", "grouping_sets_counts",
+    "histogram_prices", "hll_distinct_rollup", "ivf_kmeans_topk",
+    "key_skew_profile", "ngram_counts", "normalize_text_docs",
+    "null_profile_events", "pack_training_sequences", "pagerank_graph",
+    "pipeline_parity_incremental", "redact_pii_docs", "repetition_flags",
+    "resample_locf_events", "sample_per_group", "scd2_asof",
+    "semantic_dedup", "sessionize_events", "streaming_join_interval",
+    "tfidf_top_terms", "token_entropy", "udtf_split_authors",
+    "weighted_sample_counts",
 ]
 
 
