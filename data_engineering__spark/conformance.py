@@ -2272,7 +2272,7 @@ DRIVER_PRIORITY = [
     "source_overlap_matrix", "pchart_returns_weekly", "lang_source_residuals",
     "payday_lift_orders", "error_bursts_events", "streaming_right_outer_join",
     "sql_pipe_agg", "variant_nested_paths", "recursive_cte_reachability",
-    "zorder_skipping_events", "minhash_near_dup", "simhash_near_dup",
+    "zorder_skipping_events",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -2309,6 +2309,8 @@ DRIVER_PRIORITY = [
     "semantic_dedup", "sessionize_events", "streaming_join_interval",
     "tfidf_top_terms", "token_entropy", "udtf_split_authors",
     "weighted_sample_counts",
+    # -- (3) rows-only keys (no oracle by design) — behind every hash-verifiable key
+    "minhash_near_dup", "simhash_near_dup",
 ]
 
 

@@ -55,7 +55,7 @@ def test_rotation_render_apply_roundtrip(monkeypatch, tmp_path):
 
     import tools.rotate_driver_priority as rp
 
-    block = rp.render_block(["red1"], ["n1", "n2", "n3"], ["s1"], rnd=8)
+    block = rp.render_block(["red1"], ["n1", "n2", "n3"], ["s1"], [], rnd=8)
     src = ("X = 1\n\nDRIVER_PRIORITY = [\n    # old\n    \"zzz\",\n]\n\n"
            "def driver_ordered(d):\n    return d\n")
     target = tmp_path / "conformance.py"
@@ -95,16 +95,17 @@ def test_rotation_compute_tiers(monkeypatch, tmp_path):
                         ["neverRowsOnly", "neverB", "neverA"])
     monkeypatch.setattr(conf, "QUERIES", {k: None for k in fake_keys})
     # neverRowsOnly has no oracle: it must sort BEHIND every oracle-backed
-    # never key even though it leads the current queue (ADVICE r8 — a
-    # driver slot spent on a rows-only key wastes a hash check)
+    # key — never AND stale tiers — even though it leads the current queue
+    # (ADVICE r8: the two-window guard requires slots 1-100 hash-verifiable)
     monkeypatch.setattr(conf, "ORACLE",
                         {k: "SELECT 1" for k in fake_keys
                          if k != "neverRowsOnly"})
 
-    badk, never, stale, rnd = rp.compute(
+    badk, never, stale, rows_only, rnd = rp.compute(
         str(tmp_path / "CORRECTNESS_r06.json"))
     assert rnd == 6 and badk == ["redkey"]
-    assert never == ["neverB", "neverA", "neverRowsOnly"]
+    assert never == ["neverB", "neverA"]      # queue order preserved
     assert stale == ["old1", "old2"]          # r01 is 5 rounds old
+    assert rows_only == ["neverRowsOnly"]     # rendered LAST, after stale
     # redkey has a stale r01 green row but rides the red tier only
     assert "redkey" not in stale and "redkey" not in never
