@@ -32,6 +32,7 @@ HEADLINE = [
     "string_agg_groups", "unpivot_metrics", "pivot_counts", "sql_api_join",
     "sql_pipe_agg", "variant_nested_paths",
     "recursive_cte_reachability", "zorder_skipping_events",
+    "sql_scripting_order_share",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",
     "window_ntile", "sort_limit_topk", "asof_join", "range_join",
@@ -249,7 +250,8 @@ R01_SUBSET = [
     "window_ntile", "window_rank", "window_running_sum",
 ]
 # excluded: streaming_* (incl. streaming_rate_tumbling) / stateful_profile
-# (Structured Streaming lifecycle, not query throughput),
+# / foreach_batch_replay_events (Structured Streaming lifecycle — two
+# checkpointed availableNow runs per call — not query throughput),
 # http_enrich / multimodal_features (stubbed kernels),
 # udtf_split_authors (row-at-a-time Python API-coverage demo; its codegen
 # twin explode_split IS benched),

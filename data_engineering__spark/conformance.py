@@ -2273,6 +2273,8 @@ DRIVER_PRIORITY = [
     "payday_lift_orders", "error_bursts_events", "streaming_right_outer_join",
     "sql_pipe_agg", "variant_nested_paths", "recursive_cte_reachability",
     "zorder_skipping_events",
+    # round-9 new keys (registry freeze: behind the backlog, ≤3/round)
+    "sql_scripting_order_share", "foreach_batch_replay_events",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -13845,3 +13847,106 @@ def zorder_skipping_events(spark, sf_dir):
     y = F.least(F.greatest(F.round(F.col("value") * 100).cast("long"),
                            F.lit(0)), F.lit(65535))
     return zorder_skipping_stats(ev, x, y, bucket_bits=8)
+
+
+# ======== round-9 procedural SQL + exactly-once replay surfaces (R324/R325)
+
+@query("sql_scripting_order_share", oracle="""
+WITH t AS (SELECT COUNT(*) AS total FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST((COUNT(*) * 1000) // t.total AS BIGINT) AS share_permille,
+       CAST(t.total AS BIGINT) AS total_orders
+FROM orders, t
+GROUP BY o_orderstatus, t.total""")
+def sql_scripting_order_share(spark, sf_dir):
+    """EXT R324 (round 9): Spark 4 SQL scripting (BEGIN ... END with
+    DECLARE/SET, behind ``spark.sql.scripting.enabled``) promoted from a
+    pytest smoke to an oracle-backed key — the procedural surface a
+    SQL-first user of the reference's Postgres workflow (`database and
+    queries aupostgres.sql`, DO-block style maintenance) would reach
+    for. A script variable holds the data-driven total order count; the
+    final SELECT computes each status's exact per-mille share with
+    integer arithmetic against that variable (no floats — the share is
+    reproducible bit-for-bit in any engine; DuckDB inlines the variable
+    as a scalar CTE). Scale shape: the variable assignment is one
+    metadata-answerable COUNT, the final SELECT one hash aggregate over
+    a 3-value status domain — scripting adds sequencing, not data
+    movement; at 100 TB the plan is identical to the plain aggregate."""
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        read_table(spark, sf_dir, "orders") \
+            .createOrReplaceTempView("orders_script_v")
+        return spark.sql("""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT COUNT(*) FROM orders_script_v);
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(COUNT(*) * 1000 DIV total AS BIGINT)
+                   AS share_permille,
+                 CAST(total AS BIGINT) AS total_orders
+          FROM orders_script_v
+          GROUP BY o_orderstatus;
+        END""")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+@query("foreach_batch_replay_events", oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum
+FROM events GROUP BY event_type""")
+def foreach_batch_replay_events(spark, sf_dir):
+    """EXT R325 (round 9): the exactly-once ``foreachBatch`` contract
+    VERIFIED THROUGH THE ORACLE — the reference DAG's daily
+    insert-then-process loop (`dag file automation.py`) re-expressed as
+    Structured Streaming with an idempotent batch-id-keyed sink
+    (`streaming/sinks.py idempotent_batch_write`). The same availableNow
+    file stream over `events` runs TWICE: the second run starts from a
+    FRESH checkpoint (a full restart that replays every micro-batch),
+    and the sink's committed-marker protocol makes each replayed write a
+    no-op. The returned aggregate reads back ONLY committed batches — if
+    the replay double-wrote even one batch, every count and exact
+    cents-sum would double and the hash against the plain batch oracle
+    would break, so idempotence is what the driver hash-verifies, not a
+    docstring claim. Deterministic under availableNow: the source file
+    set is fixed, both runs plan the identical batch split, and the
+    aggregate is integer-exact (cents, not float sums). Scale shape: at
+    100 TB the sink cost is the stream's own write amortized per batch;
+    the replay path costs one marker stat per batch, and recovery work
+    is bounded by the one uncommitted batch, never the history."""
+    import tempfile
+
+    from .streaming.sinks import (idempotent_batch_write,
+                                  read_committed_batches)
+
+    # raw physical schema (ts layout varies; only type/value are read)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
+    sink = tempfile.mkdtemp(prefix="fb_replay_sink_")
+
+    def commit(batch_df, batch_id):
+        idempotent_batch_write(batch_df, sink, batch_id)
+
+    for _ in range(2):  # second run: fresh checkpoint = restart-replay
+        cp = tempfile.mkdtemp(prefix="fb_replay_cp_")
+        q = (spark.readStream.schema(raw_schema).parquet(src + "*")
+             .select("event_type", "value")
+             .writeStream.foreachBatch(commit)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    return (read_committed_batches(spark, sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .cast("long").alias("value_cents_sum")))
