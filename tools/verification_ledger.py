@@ -79,6 +79,19 @@ def main() -> int:
         f"(drains ~50/round in `DRIVER_PRIORITY` order)",
         f"- stale keys (newest green row > 4 rounds old): **{len(stale)}**",
         "",
+        "## Rotation policy (steady state, rounds 10+)",
+        "",
+        "Once the backlog drains, each driver round re-verifies ~50 keys "
+        "in staleness-first order (oldest newest-green row first; keys "
+        "RED in the latest round pre-empt the head; rows-only keys ride "
+        "last). Projected staleness ceiling at the current registry size "
+        f"({len(keys)} keys / 50 slots per round): every key's newest "
+        f"green row is re-earned at least once every "
+        f"ceil({len(keys)}/50) = {-(-len(keys) // 50)} rounds — the "
+        "oldest row in steady state is bounded by that cycle length, "
+        "and the freeze rule (new keys ≤3/round, queued behind the "
+        "backlog) keeps the cycle from growing faster than it drains.",
+        "",
         "## Never-driver-verified (queue order — next driver window first)",
         "",
     ]
