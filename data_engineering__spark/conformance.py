@@ -558,15 +558,21 @@ def json_extract(spark, sf_dir):
 @query("array_ops", oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val
 FROM embeddings""")
 def array_ops(spark, sf_dir):
-    """F11 EXT: array functions over embedding columns."""
+    """F11 EXT: array functions over embedding columns.
+
+    The ``+ 0.0`` on the rounded float canonicalizes IEEE negative zero
+    (round-9 sf0.1 sweep finding: a small negative value rounds to -0.0
+    in DuckDB but Spark's BigDecimal round drops the sign — -0.0 + 0.0
+    is +0.0 in both engines)."""
     e = read_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"))
+        (F.round(F.element_at("embedding", 1).cast("double"), 4)
+         + F.lit(0.0)).alias("first_val"))
 
 
 # ======================================================== §2.11 quality/audit
@@ -2711,9 +2717,11 @@ def hll_distinct_rollup(spark, sf_dir):
 
     Oracle device: the sketch estimate itself is engine-private, so the
     query emits the exact count plus a deterministic ``within_tol`` flag
-    (estimate within 2% of exact — at test cardinalities the sketch is in
-    sparse mode and near-exact, so the flag is stably TRUE); DuckDB
-    reproduces the flag as a literal. A broken sketch path flips the flag
+    (estimate within 5% of exact — >3× the lgK=12 sketch's ~1.6% relative
+    standard error, so the flag is stably TRUE at any cardinality; the
+    round-9 sf0.1 sweep caught the old 2% bound at 1.2σ flipping on a
+    3k-cardinality region at exactly 2.01% error); DuckDB reproduces the
+    flag as a literal. A broken sketch path flips the flag
     → hash mismatch."""
     from .operators.sketches import hll_rollup, hll_union_rollup
     c = read_table(spark, sf_dir, "customer")
@@ -2729,7 +2737,7 @@ def hll_distinct_rollup(spark, sf_dir):
             .select("r_name", "n_customers",
                     (F.abs(F.col("distinct_est") - F.col("n_customers"))
                      <= F.greatest(F.lit(1.0),
-                                   F.col("n_customers") * 0.02))
+                                   F.col("n_customers") * 0.05))
                     .alias("within_tol")))
 
 
@@ -10744,7 +10752,7 @@ SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
   ROUND(CASE WHEN pp > 0 AND (nn - pp) > 0
              THEN CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)
                   - CAST(pred_pos - tp AS DOUBLE)
-                    / CAST(nn - pp AS DOUBLE) END, 6) AS youden_j
+                    / CAST(nn - pp AS DOUBLE) END, 6) + 0.0 AS youden_j
 FROM cum CROSS JOIN tot"""))
 def threshold_sweep_events(spark, sf_dir):
     """EXT R245: full classification threshold sweep of value-cents
@@ -11635,23 +11643,44 @@ per AS (
 SELECT b AS p_brand, r0, q0, r1, q1,
        CAST(r1 - r0 AS BIGINT) AS delta_cents,
        ROUND(CASE WHEN q0 > 0 AND q1 > 0
-             THEN CAST(q1 - q0 AS DOUBLE)
-                  * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) END, 6)
-         AS volume_effect,
+             THEN CAST(q1 AS DOUBLE) / CAST(q0 AS DOUBLE) - 1.0
+             END, 6) + 0.0 AS volume_ratio,
        ROUND(CASE WHEN q0 > 0 AND q1 > 0
-             THEN (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
-                   - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
-                  * CAST(q1 AS DOUBLE) END, 6) AS price_effect
+             THEN CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE)
+                  - CAST(q1 AS DOUBLE) / CAST(q0 AS DOUBLE)
+             END, 6) + 0.0 AS price_ratio
 FROM per"""))
 def price_volume_bridge_brands(spark, sf_dir):
     """EXT R262 (round 6): price-volume revenue bridge per brand
     between the data's two halves — ΔR decomposed into ΔQ·p₀ + Δp·Q₁
-    (exact identity, the built-in audit); integer cells, fixed-shape
-    float effects, tz-free midpoint-day split."""
+    (exact identity, the built-in audit); integer cells, tz-free
+    midpoint-day split.
+
+    The key reports the bridge in DIMENSIONLESS form (round-9 sf0.1
+    sweep finding): the absolute cent effects at ~6e8 magnitude need 16
+    significant digits at 6 dp — beyond double precision, so engines'
+    ROUNDs legitimately disagree in the last digit, and the problem
+    only grows with data size. The algebraically identical ratio form
+    divides the identity by r0: volume_ratio = ΔQ·p₀/R₀ = q1/q0 − 1,
+    price_ratio = Δp·Q₁/R₀ = r1/r0 − q1/q0, summing to ΔR/R₀ — each a
+    single correctly-rounded IEEE division of exact bigints, O(1)
+    magnitude at ANY scale, bit-identical in any engine. The operator
+    (`operators/analytics.py price_volume_bridge`) keeps the absolute
+    cent effects for users; the exact integer cells here let either
+    form be reconstructed."""
     from .operators.analytics import price_volume_bridge
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
-    return price_volume_bridge(li, p)
+    b = price_volume_bridge(li, p)
+    ok = (F.col("q0") > 0) & (F.col("q1") > 0)
+    q_ratio = F.col("q1").cast("double") / F.col("q0").cast("double")
+    r_ratio = F.col("r1").cast("double") / F.col("r0").cast("double")
+    return b.select(
+        "p_brand", "r0", "q0", "r1", "q1", "delta_cents",
+        (F.round(F.when(ok, q_ratio - 1.0), 6) + F.lit(0.0))
+        .alias("volume_ratio"),
+        (F.round(F.when(ok, r_ratio - q_ratio), 6) + F.lit(0.0))
+        .alias("price_ratio"))
 
 
 def _cluster_quality_oracle_sql(k: int = 8, n_iter: int = 2,

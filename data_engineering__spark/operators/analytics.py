@@ -3295,7 +3295,10 @@ def threshold_sweep(df: DataFrame, score_int, label_bool,
         F.round(prec, round_dp).alias("precision"),
         F.round(rec, round_dp).alias("recall"),
         F.round(f1, round_dp).alias("f1"),
-        F.round(j, round_dp).alias("youden_j"))
+        # + 0.0 canonicalizes IEEE -0.0: J is the one signed metric here,
+        # and a tiny negative J rounds to -0.0 in IEEE engines while
+        # Spark's BigDecimal round drops the sign (round-9 sf0.1 finding)
+        (F.round(j, round_dp) + F.lit(0.0)).alias("youden_j"))
 
 
 def sprt_replay(df: DataFrame, user_col: str, ts_col: str,
