@@ -109,3 +109,15 @@ def test_rotation_compute_tiers(monkeypatch, tmp_path):
     assert rows_only == ["neverRowsOnly"]     # rendered LAST, after stale
     # redkey has a stale r01 green row but rides the red tier only
     assert "redkey" not in stale and "redkey" not in never
+
+
+def test_sweep_tool_slot_slice_is_driver_window_semantics():
+    """tools/sweep_oracles.py --slots A-B must slice exactly the way the
+    driver windows are quoted everywhere (1-indexed, inclusive): slots
+    1-50 of a list IS its first 50 entries."""
+    import tools.sweep_oracles as sw
+
+    keys = [f"k{i}" for i in range(1, 121)]
+    assert sw.parse_slots("1-50", keys) == keys[:50]
+    assert sw.parse_slots("51-100", keys) == keys[50:100]
+    assert sw.parse_slots("120-130", keys) == ["k120"]  # clamped tail

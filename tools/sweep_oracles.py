@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Driver-sim oracle sweep — the verification loop as one command.
+
+Simulates the external driver on a VANILLA SparkSession (no tuned
+configs — the code under test must ``tune()`` itself) and hash-compares
+every oracle-backed ``queries()`` entry against DuckDB via
+``tests/oracle.compare`` (the faithful replica of the driver's
+normalization — never hand-roll a str() compare):
+
+    python tools/sweep_oracles.py                      # sf0.01, all keys
+    python tools/sweep_oracles.py --sf /root/testdata/sf0.1
+    python tools/sweep_oracles.py --slots 1-50         # one driver window
+    python tools/sweep_oracles.py key1 key2            # just these keys
+
+Run BOTH scales each round: sf0.01 is the driver's gate; the sf0.1
+sweep (round-9 practice) catches scale-boundary oracle fragility —
+IEEE -0.0 through ROUND, >16-significant-digit rounding, sketch
+tolerance flags at low sigma — that the small gate cannot.
+
+Exit code = number of failures (0 = all green).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_slots(spec: str, keys: list[str]) -> list[str]:
+    """'A-B' (1-indexed, inclusive) slice of the driver-ordered keys."""
+    lo, hi = (int(p) for p in spec.split("-", 1))
+    return keys[lo - 1:hi]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*", help="explicit keys (default: all)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--slots", help="driver-window slice, e.g. 1-50")
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    # run from outside the repo so Spark's spark-warehouse/ litter and
+    # cwd-relative reads never touch the tree (verify-skill gotcha)
+    os.chdir("/tmp")
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(args.master)
+             .appName("driver-sim").getOrCreate())
+
+    import __spark_entry__ as E
+    from tests.oracle import compare
+
+    Q, O = E.queries(), E.oracle_sql()
+    ordered = list(Q)
+    if args.slots:
+        names = parse_slots(args.slots, ordered)
+    elif args.keys:
+        names = args.keys
+    else:
+        names = sorted(O)
+
+    t0 = time.time()
+    bad: list[str] = []
+    for name in names:
+        if name not in O:
+            print(f"SKIP {name}: rows-only (no oracle)")
+            continue
+        try:
+            ok, msg = compare(spark, name, args.sf)
+        except Exception as exc:  # surface, keep sweeping
+            ok, msg = False, repr(exc)
+        if not ok:
+            bad.append(name)
+            print(f"FAIL {name}: {(msg or '')[:300]}")
+    print(f"swept {len(names)} keys vs {os.path.basename(args.sf)} in "
+          f"{round(time.time() - t0)}s — failures: {bad or 'none'}")
+    return len(bad)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
