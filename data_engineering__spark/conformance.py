@@ -863,13 +863,13 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM ___lat_o o
 
 def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):
     """Demo corpus guaranteeing near-dup pairs: a doc subset unioned with
-    copies that drop their last token (ids offset by 1_000_000). Subset is
+    copies that drop their last token (ids offset by 10**12). Subset is
     taken BEFORE the union so every kept doc has its perturbed twin."""
     docs = (read_table(spark, sf_dir, "documents").select("doc_id", "text")
             .filter(F.col("doc_id") % keep_mod == 0))
     toks = F.split(F.col("text"), " ")
     perturbed = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))).alias("text"))
     # testdata ships single-row-group parquet → the scan is 1 task no matter
     # the split size; round-robin repartition (a few MB) fans the CPU-heavy
@@ -921,7 +921,7 @@ WITH docs0 AS (
 corpus AS (
   SELECT doc_id, text FROM docs0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + 1000000000000 AS doc_id,
          array_to_string(
            string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
            ' ') AS text
@@ -966,7 +966,7 @@ WITH base AS (
 corpus AS (
   SELECT vec_id, embedding FROM base
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT vec_id + 1000000000000 AS vec_id,
          list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding
   FROM base),
 pairs AS (
@@ -986,7 +986,7 @@ def embedding_near_dup(spark, sf_dir):
     just that it returns plausible pairs."""
     e = (read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
          .filter(F.col("vec_id") % 7 == 0))
-    dup = e.select((F.col("vec_id") + 1000000).alias("vec_id"),
+    dup = e.select((F.col("vec_id") + 1000000000000).alias("vec_id"),
                    F.transform("embedding",
                                lambda x: (x * F.lit(1.001)).cast("float")).alias("embedding"))
     corpus = e.unionByName(dup)
@@ -2421,7 +2421,7 @@ def _minhash_pair_ctes(keep_mod: int, num_hashes: int, bands: int,
 corpus AS (
   SELECT doc_id, text FROM docs0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + 1000000000000 AS doc_id,
          array_to_string(
            string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
            ' ') AS text
@@ -2512,7 +2512,7 @@ def minhash_near_dup_portable(spark, sf_dir):
 
 def _minhash_incremental_oracle_sql() -> str:
     """Full-recompute pair oracle restricted to pairs touching the new
-    batch (ids ≥ 1_000_000) — the incremental probe's equivalence
+    batch (ids ≥ 10**12) — the incremental probe's equivalence
     contract: probe(index, batch) ≡ recompute(corpus ∪ batch) ∩ touching
     batch."""
     ctes = _minhash_pair_ctes(keep_mod=10, num_hashes=32, bands=16,
@@ -2520,7 +2520,7 @@ def _minhash_incremental_oracle_sql() -> str:
     return f"""
 WITH {ctes}
 SELECT id_a, id_b, jaccard_est FROM est
-WHERE jaccard_est >= 0.8 AND (id_a >= 1000000 OR id_b >= 1000000)"""
+WHERE jaccard_est >= 0.8 AND (id_a >= 1000000000000 OR id_b >= 1000000000000)"""
 
 
 @query("minhash_incremental_pairs", oracle=_minhash_incremental_oracle_sql())
@@ -2536,7 +2536,7 @@ def minhash_incremental_pairs(spark, sf_dir):
             .filter(F.col("doc_id") % 10 == 0))
     toks = F.split(F.col("text"), " ")
     batch = docs.select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 1,
                                                      F.lit(1)))).alias("text"))
     n_parts = spark.sparkContext.defaultParallelism
@@ -2590,7 +2590,7 @@ WITH docs0 AS (
 corpus AS (
   SELECT doc_id, text FROM docs0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + 1000000000000 AS doc_id,
          array_to_string(
            string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
            ' ') AS text
@@ -3800,7 +3800,7 @@ def token_heavy_hitters(spark, sf_dir):
 _SEMDEDUP_SRC = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
+  SELECT vec_id + 1000000000000 AS vec_id,
          list_transform(embedding, x -> CAST(x * 1.001 AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % 7 = 0)"""
 
@@ -3835,7 +3835,7 @@ def semantic_dedup_q(spark, sf_dir):
     boundary."""
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = (e.filter(F.col("vec_id") % 7 == 0)
-             .select((F.col("vec_id") + 1000000).alias("vec_id"),
+             .select((F.col("vec_id") + 1000000000000).alias("vec_id"),
                      F.transform("embedding",
                                  lambda x: (x * F.lit(1.001)).cast("float"))
                       .alias("embedding")))
@@ -4565,7 +4565,7 @@ WITH docs0 AS (
 corpus AS (
   SELECT doc_id, text FROM docs0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id,
+  SELECT doc_id + 1000000000000 AS doc_id,
          array_to_string(
            string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 1, 1)],
            ' ') AS text
@@ -5489,7 +5489,7 @@ comp AS (
   SELECT id, MIN(r) AS component FROM reach GROUP BY id),
 scored AS (
   SELECT c.doc_id, COALESCE(comp.component, c.doc_id) AS cmp,
-         (c.doc_id * 2654435761) % 2147483648 AS q
+         ((c.doc_id % 2147483648) * 2654435761) % 2147483648 AS q
   FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)
 SELECT doc_id FROM (
   SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cmp
@@ -5511,8 +5511,11 @@ def dedup_keep_best_docs(spark, sf_dir):
                                      jaccard_threshold=0.5, num_hashes=32,
                                      bands=16, tok_hash="sha",
                                      bucket="slice").select("id_a", "id_b")
-    quality = F.pmod(F.col("doc_id") * F.lit(2654435761),
-                     F.lit(2 ** 31))
+    # reduce the id mod 2^31 BEFORE the Knuth multiply: ids can reach
+    # 1e12 (the twin sentinel, or any real corpus), and 1e12 * 2654435761
+    # overflows int64 (ANSI throws; round-9 synthetic-sf1 finding)
+    quality = F.pmod(F.pmod(F.col("doc_id"), F.lit(2 ** 31))
+                     * F.lit(2654435761), F.lit(2 ** 31))
     return D.dedup_keep_best(corpus, "doc_id", pairs, quality) \
             .select("doc_id")
 
@@ -5705,7 +5708,7 @@ WITH t AS (
 corpus AS (
   SELECT doc_id, toks FROM t
   UNION ALL
-  SELECT doc_id + 1000000, toks[1:len(toks) - 1] FROM t
+  SELECT doc_id + 1000000000000, toks[1:len(toks) - 1] FROM t
   WHERE len(toks) >= 4),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -5737,7 +5740,7 @@ def prefix_jaccard_docs(spark, sf_dir):
                     lambda t: t != "")
     base = docs.select("doc_id", toks.alias("__tk"))
     clipped = (base.filter(F.size("__tk") >= 4)
-               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+               .select((F.col("doc_id") + 1000000000000).alias("doc_id"),
                        F.slice("__tk", 1, F.size("__tk") - 1).alias("__tk")))
     corpus = (base.unionByName(clipped)
               .select("doc_id", F.array_join("__tk", " ").alias("text")))
@@ -5866,7 +5869,7 @@ def embedding_cov_block(spark, sf_dir):
 WITH corpus AS (
   SELECT doc_id, text, source FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, source
+  SELECT doc_id + 1000000000000 AS doc_id, text, source
   FROM documents WHERE doc_id % 40 < 10),
 toks AS (
   SELECT doc_id, source, text,
@@ -5923,7 +5926,7 @@ def source_curation_docs(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents") \
         .select("doc_id", "text", "source")
     planted = (d.filter(F.col("doc_id") % 40 < 10)
-               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+               .select((F.col("doc_id") + 1000000000000).alias("doc_id"),
                        "text", "source"))
     corpus = d.unionByName(planted).drop("doc_id")
     return X.source_curation_report(corpus, "text", "source")
@@ -8196,9 +8199,9 @@ WITH RECURSIVE
 feed AS ({_ER_FEED_SQL}),
 nodes AS (
   SELECT s_suppkey AS id FROM supplier
-  UNION ALL SELECT feed_key + 1000000 FROM feed),
+  UNION ALL SELECT feed_key + 1000000000000 FROM feed),
 edges0 AS (
-  SELECT s.s_suppkey AS a, f.feed_key + 1000000 AS b
+  SELECT s.s_suppkey AS a, f.feed_key + 1000000000000 AS b
   FROM supplier s JOIN feed f
     ON ABS(length(s.s_name) - length(f.feed_name)) <= 2
    AND levenshtein(s.s_name, f.feed_name) <= 2),
@@ -8242,10 +8245,10 @@ def supplier_er_clusters(spark, sf_dir):
                            "feed_key", "feed_name", max_dist=2)
     edges = pairs.select(
         F.col("s_suppkey").alias("id_a"),
-        (F.col("feed_key") + 1000000).cast("long").alias("id_b"))
+        (F.col("feed_key") + 1000000000000).cast("long").alias("id_b"))
     cc = connected_components(edges)
     nodes = (s.select(F.col("s_suppkey").cast("long").alias("node_id"))
-             .unionAll(feed.select((F.col("feed_key") + 1000000)
+             .unionAll(feed.select((F.col("feed_key") + 1000000000000)
                                    .cast("long").alias("node_id"))))
     labeled = (nodes.join(cc.withColumnRenamed("id", "node_id"),
                           "node_id", "left")

@@ -1197,9 +1197,11 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .agg(F.count(F.lit(1)).alias("__it")))
     sized = (inter
              .join(sizes.select(F.col(id_col).alias("__ia"),
-                                F.col("__n").alias("__na")), "__ia")
+                                F.col("__n").alias("__na"))
+                   .hint("merge"), "__ia")
              .join(sizes.select(F.col(id_col).alias("__ib"),
-                                F.col("__n").alias("__nb")), "__ib"))
+                                F.col("__n").alias("__nb"))
+                   .hint("merge"), "__ib"))
     union_sz = F.col("__na") + F.col("__nb") - F.col("__it")
     return (sized.filter(F.lit(q) * F.col("__it") >= F.lit(p) * union_sz)
             .select(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
@@ -1317,7 +1319,13 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         marked_h = dfreq.withColumn("__hot", F.col("__df") > max_df)
     keep = marked_h.filter(~F.col("__hot")).select("__h")
     hot = marked_h.filter(F.col("__hot")).select("__h")
-    rare = sh.join(keep, "__h").localCheckpoint()
+    # merge hints on every join whose build side GROWS with the corpus
+    # (vocabulary = distinct shingles, per-doc sizes, hot-doc lists):
+    # the checkpointed lineage loses stats, and Catalyst otherwise
+    # auto-broadcasts one of them — which OOMs the driver the moment
+    # the corpus outgrows it (round-9 synthetic-sf1 sweep, 100x). The
+    # only broadcast kept is the genuinely 1-row ndocs frame above.
+    rare = sh.join(keep.hint("merge"), "__h").localCheckpoint()
     a, b = rare.alias("a"), rare.alias("b")
     # one pruned co-occurrence join yields BOTH the candidate pairs and
     # their rare-shingle intersection counts
@@ -1331,7 +1339,7 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     # rare-join count already equals the exact intersection, so the
     # expensive |cand|·|A| verify runs on the hot-doc pairs alone (empty
     # on corpora where the cap prunes nothing — the measured common case)
-    hot_docs = (sh.join(hot, "__h").select(id_col).distinct()
+    hot_docs = (sh.join(hot.hint("merge"), "__h").select(id_col).distinct()
                 .withColumn("__hd", F.lit(1)).localCheckpoint())
     # persist: `marked` feeds BOTH the exact and dirty branches — without
     # the share each branch re-runs the co-occurrence join and the whole
@@ -1343,11 +1351,11 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     from pyspark import StorageLevel
     marked = (inter_rare
               .join(hot_docs.select(F.col(id_col).alias("__ia"),
-                                    F.col("__hd").alias("__pa")),
-                    "__ia", "left")
+                                    F.col("__hd").alias("__pa"))
+                    .hint("merge"), "__ia", "left")
               .join(hot_docs.select(F.col(id_col).alias("__ib"),
-                                    F.col("__hd").alias("__pb")),
-                    "__ib", "left")
+                                    F.col("__hd").alias("__pb"))
+                    .hint("merge"), "__ib", "left")
               .persist(StorageLevel.MEMORY_AND_DISK))
     exact = (marked.filter(F.col("__pa").isNull() & F.col("__pb").isNull())
              .select("__ia", "__ib", F.col("__cr").alias("__inter")))
@@ -1356,17 +1364,19 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
              .select("__ia", "__ib"))
     verified = (dirty
                 .join(sh.select(F.col(id_col).alias("__ia"),
-                                F.col("__h")), "__ia")
-                .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h")),
-                      ["__ib", "__h"], "left_semi")
+                                F.col("__h")).hint("merge"), "__ia")
+                .join(sh.select(F.col(id_col).alias("__ib"), F.col("__h"))
+                      .hint("merge"), ["__ib", "__h"], "left_semi")
                 .groupBy("__ia", "__ib")
                 .agg(F.count(F.lit(1)).alias("__inter")))
     inter = exact.unionByName(verified)
     sized = (inter
              .join(sizes.select(F.col(id_col).alias("__ia"),
-                                F.col("__n").alias("__na")), "__ia")
+                                F.col("__n").alias("__na"))
+                   .hint("merge"), "__ia")
              .join(sizes.select(F.col(id_col).alias("__ib"),
-                                F.col("__n").alias("__nb")), "__ib"))
+                                F.col("__n").alias("__nb"))
+                   .hint("merge"), "__ib"))
     both = sized.select(F.explode(F.array(
         F.struct(F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b"),
                  (F.col("__inter") / F.col("__na")).alias("c")),

@@ -1150,18 +1150,25 @@ def rake_keyphrases(df: DataFrame, text_col: str, k: int = 25,
              .agg(F.count(F.lit(1)).alias("__freq"),
                   F.sum("__len").alias("__deg")))
     occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    # EVERY side of the joins below is corpus-growing (distinct phrases
+    # / distinct words — vocabulary keeps growing with a real corpus),
+    # so force sort-merge: the checkpointed lineage above loses stats
+    # and Catalyst otherwise auto-broadcasts a phrase-level frame, which
+    # OOMs the driver the moment the corpus outgrows it (caught by the
+    # round-9 synthetic-sf1 sweep at 100x).
     # word multiplicity within a phrase matters: count per (phrase, word)
-    mult = (inst_words.join(occ.select("phrase", "n_occ"), "phrase")
+    mult = (inst_words.join(occ.select("phrase", "n_occ").hint("merge"),
+                            "phrase")
             .groupBy("phrase", "__w", "n_occ")
             .agg((F.count(F.lit(1)) / F.col("n_occ")).cast("long")
                  .alias("__mult")))
-    score = (mult.join(wstat, "__w")
+    score = (mult.join(wstat.hint("merge"), "__w")
              .groupBy("phrase")
              .agg(F.sum(F.col("__mult").cast("double")
                         * (F.col("__deg").cast("double")
                            / F.col("__freq").cast("double")))
                   .alias("__score")))
-    ranked = (occ.join(score, "phrase")
+    ranked = (occ.join(score.hint("merge"), "phrase")
               .select("phrase", "n_occ",
                       F.round("__score", round_dp).alias("score")))
     return (ranked.orderBy(F.col("score").desc(), F.col("phrase").asc())
