@@ -121,3 +121,16 @@ def test_sweep_tool_slot_slice_is_driver_window_semantics():
     assert sw.parse_slots("1-50", keys) == keys[:50]
     assert sw.parse_slots("51-100", keys) == keys[50:100]
     assert sw.parse_slots("120-130", keys) == ["k120"]  # clamped tail
+
+
+def test_scaled_testdata_offsets_stay_below_twin_sentinel():
+    """tools/make_scaled_testdata.py: the per-copy key shift must keep
+    every synthetic id far below the 1e12 twin-plant sentinel the
+    fixture keys add, and cover exactly the repo's table registry."""
+    import tools.make_scaled_testdata as mk
+
+    from data_engineering__spark.sources.io import TABLES
+
+    assert set(mk.KEY_COLUMNS) | set(mk.COPY_AS_IS) == set(TABLES)
+    # 10 copies of sf10-sized ids still two orders below the sentinel
+    assert 10 * mk.KEY_OFFSET + 10_000_000_000 < 1_000_000_000_000
