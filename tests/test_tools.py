@@ -123,6 +123,24 @@ def test_sweep_tool_slot_slice_is_driver_window_semantics():
     assert sw.parse_slots("120-130", keys) == ["k120"]  # clamped tail
 
 
+def test_scale_battery_excludes_only_the_documented_pair():
+    """tools/sweep_oracles.py --scale-battery: the exclusion set must
+    stay exactly the two fixtures whose brute-force oracles the
+    synthetic upsample makes quadratic by construction — every one of
+    the exclusions must be a REAL registry oracle (a stale name here
+    would silently re-include the key), and every other oracle-backed
+    key must be in the battery."""
+    import tools.sweep_oracles as sw
+    from data_engineering__spark import conformance as C
+
+    assert sw.IMPRACTICAL_AT_SYNTHETIC_SF1 == {
+        "containment_pairs_docs", "supplier_er_clusters"}
+    assert sw.IMPRACTICAL_AT_SYNTHETIC_SF1 <= set(C.ORACLE)
+    got = sw.battery_keys(C.ORACLE)
+    assert got == sorted(set(C.ORACLE) - sw.IMPRACTICAL_AT_SYNTHETIC_SF1)
+    assert len(got) == len(C.ORACLE) - 2
+
+
 def test_scaled_testdata_offsets_stay_below_twin_sentinel():
     """tools/make_scaled_testdata.py: the per-copy key shift must keep
     every synthetic id far below the 1e12 twin-plant sentinel the

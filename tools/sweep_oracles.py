@@ -17,6 +17,14 @@ sweep (round-9 practice) catches scale-boundary oracle fragility —
 IEEE -0.0 through ROUND, >16-significant-digit rounding, sketch
 tolerance flags at low sigma — that the small gate cannot.
 
+The 100x battery (round-9 practice) is the same sweep against the
+synthetic-sf1 upsample, minus the keys whose ORACLES the upsample
+makes impractical by construction:
+
+    python tools/make_scaled_testdata.py               # /tmp/sf1
+    PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" \\
+        python tools/sweep_oracles.py --sf /tmp/sf1 --scale-battery
+
 Exit code = number of failures (0 = all green).
 """
 
@@ -28,6 +36,25 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Excluded from ``--scale-battery`` ONLY. The synthetic upsample
+#: duplicates every text/name N-fold (tools/make_scaled_testdata.py), so
+#: the deliberately-planted duplicate density of these two fixtures
+#: inflates QUADRATICALLY — their brute-force cross-engine oracles
+#: (all-pairs verify joins) are impractical at that density by
+#: construction of the probe data, not by any property of the operators
+#: (both complete on the Spark side at sf1 with a provisioned heap —
+#: BASELINE.md round-9 probe notes). Everything else sweeps.
+IMPRACTICAL_AT_SYNTHETIC_SF1 = frozenset({
+    "containment_pairs_docs",
+    "supplier_er_clusters",
+})
+
+
+def battery_keys(oracles) -> list[str]:
+    """The ``--scale-battery`` key set: every oracle-backed key minus the
+    documented synthetic-upsample exclusions, sorted for stable output."""
+    return sorted(k for k in oracles if k not in IMPRACTICAL_AT_SYNTHETIC_SF1)
 
 
 def parse_slots(spec: str, keys: list[str]) -> list[str]:
@@ -41,6 +68,9 @@ def main() -> int:
     ap.add_argument("keys", nargs="*", help="explicit keys (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--slots", help="driver-window slice, e.g. 1-50")
+    ap.add_argument("--scale-battery", action="store_true",
+                    help="all oracle keys minus the documented "
+                         "synthetic-sf1 oracle exclusions")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
 
@@ -60,6 +90,8 @@ def main() -> int:
     ordered = list(Q)
     if args.slots:
         names = parse_slots(args.slots, ordered)
+    elif args.scale_battery:
+        names = battery_keys(O)
     elif args.keys:
         names = args.keys
     else:
@@ -67,7 +99,7 @@ def main() -> int:
 
     t0 = time.time()
     bad: list[str] = []
-    for name in names:
+    for i, name in enumerate(names, 1):
         if name not in O:
             print(f"SKIP {name}: rows-only (no oracle)")
             continue
@@ -77,7 +109,10 @@ def main() -> int:
             ok, msg = False, repr(exc)
         if not ok:
             bad.append(name)
-            print(f"FAIL {name}: {(msg or '')[:300]}")
+            print(f"FAIL {name}: {(msg or '')[:300]}", flush=True)
+        if i % 25 == 0:  # heartbeat so a long sweep is monitorable
+            print(f".. {i}/{len(names)} in {round(time.time() - t0)}s "
+                  f"(last: {name})", flush=True)
     print(f"swept {len(names)} keys vs {os.path.basename(args.sf)} in "
           f"{round(time.time() - t0)}s — failures: {bad or 'none'}")
     return len(bad)
