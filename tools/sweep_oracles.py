@@ -71,6 +71,10 @@ def main() -> int:
     ap.add_argument("--scale-battery", action="store_true",
                     help="all oracle keys minus the documented "
                          "synthetic-sf1 oracle exclusions")
+    ap.add_argument("--timings", metavar="PATH",
+                    help="write per-key wall seconds (Spark query + DuckDB "
+                         "oracle + hash compare) as JSON — turns a battery "
+                         "into a scale profile of where the wall time lives")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
 
@@ -99,20 +103,28 @@ def main() -> int:
 
     t0 = time.time()
     bad: list[str] = []
+    timings: dict[str, float] = {}
     for i, name in enumerate(names, 1):
         if name not in O:
             print(f"SKIP {name}: rows-only (no oracle)")
             continue
+        k0 = time.time()
         try:
             ok, msg = compare(spark, name, args.sf)
         except Exception as exc:  # surface, keep sweeping
             ok, msg = False, repr(exc)
+        timings[name] = round(time.time() - k0, 2)
         if not ok:
             bad.append(name)
             print(f"FAIL {name}: {(msg or '')[:300]}", flush=True)
         if i % 25 == 0:  # heartbeat so a long sweep is monitorable
             print(f".. {i}/{len(names)} in {round(time.time() - t0)}s "
                   f"(last: {name})", flush=True)
+    if args.timings:
+        import json
+        with open(args.timings, "w") as fh:
+            json.dump(timings, fh, indent=0, sort_keys=True)
+        print(f"per-key timings -> {args.timings}")
     print(f"swept {len(names)} keys vs {os.path.basename(args.sf)} in "
           f"{round(time.time() - t0)}s — failures: {bad or 'none'}")
     return len(bad)
