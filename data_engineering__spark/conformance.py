@@ -11495,17 +11495,23 @@ def qini_uplift_events(spark, sf_dir):
 @query("dim_truncation_report_embeddings", oracle=_mat("""
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id % 100 = 0),
+  FROM embeddings WHERE vec_id % 100 = 0
+  ORDER BY vec_id LIMIT 1024),
 dimlist AS (SELECT CAST(unnest([64, 32, 16, 8]) AS BIGINT) AS d),
+qn AS (
+  SELECT qid, qe, d,
+         sqrt(list_dot_product(qe[1:d], qe[1:d])) AS qnrm
+  FROM q CROSS JOIN dimlist),
+en AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, d,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[])[1:d],
+                               CAST(embedding AS DOUBLE[])[1:d])) AS vnrm
+  FROM embeddings CROSS JOIN dimlist),
 stacked AS (
-  SELECT e.vec_id AS id, q.qid, dl.d,
-         list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dl.d],
-                          q.qe[1:dl.d])
-         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[])[1:dl.d],
-                                  CAST(e.embedding AS DOUBLE[])[1:dl.d]))
-            * sqrt(list_dot_product(q.qe[1:dl.d], q.qe[1:dl.d])))
-           AS cos
-  FROM embeddings e CROSS JOIN q CROSS JOIN dimlist dl),
+  SELECT e.vec_id AS id, q.qid, e.d,
+         list_dot_product(e.v[1:e.d], q.qe[1:e.d])
+         / (e.vnrm * q.qnrm) AS cos
+  FROM en e JOIN qn q ON q.d = e.d),
 top AS (
   SELECT qid, d, id
   FROM (SELECT qid, d, id,
@@ -12039,7 +12045,11 @@ def _ivf_nprobe_curve_oracle_sql(k: int = 10, k_cells: int = 8,
     cte_block = ",\n".join(ctes)
     return f"""
 WITH {cte_block},
-q AS (SELECT vec_id AS qid, v AS qv FROM ev WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS qid, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM ev WHERE vec_id % 100 = 0
+      ORDER BY vec_id LIMIT 1024),
+evn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS vn FROM ev),
 cellrank AS (
   SELECT qid, cell,
          ROW_NUMBER() OVER (PARTITION BY qid
@@ -12049,11 +12059,9 @@ cellrank AS (
         FROM q CROSS JOIN {fin} c) z),
 pairs AS (
   SELECT q.qid, e.vec_id AS id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+         list_dot_product(e.v, q.qv) / (e.vn * q.qn) AS cos,
          cr.crk
-  FROM ev e
+  FROM evn e
   JOIN af ON af.vec_id = e.vec_id
   CROSS JOIN q
   JOIN cellrank cr ON cr.qid = q.qid AND cr.cell = af.cell),
@@ -12189,15 +12197,20 @@ def nearest_error_join(spark, sf_dir):
 
 @query("label_noise_knn_embeddings", oracle=_mat("""
 WITH q AS (
-  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 20 = 0),
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id % 20 = 0
+  ORDER BY vec_id LIMIT 1024),
+e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vn
+  FROM embeddings),
 pairs AS (
   SELECT q.qid, q.ql, e.vec_id AS id, e.label AS l,
-         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         list_dot_product(e.v, q.qv) / (e.vn * q.qn) AS cos
+  FROM e2 e CROSS JOIN q WHERE e.vec_id <> q.qid),
 nn AS (
   SELECT qid, ql, l FROM (
     SELECT qid, ql, l,
@@ -12597,17 +12610,21 @@ def geo_pairs_within(spark, sf_dir):
 
 @query("label_margin_embeddings", oracle=_mat("""
 WITH q AS (
-  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 20 = 0),
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id % 20 = 0
+  ORDER BY vec_id LIMIT 1024),
+e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vn
+  FROM embeddings),
 pairs AS (
   SELECT q.ql, e.label = q.ql AS same,
-         CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                     q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))) * 1000000)
-           AS BIGINT) AS cm
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         CAST(ROUND(list_dot_product(e.v, q.qv)
+           / (e.vn * q.qn) * 1000000) AS BIGINT) AS cm
+  FROM e2 e CROSS JOIN q WHERE e.vec_id <> q.qid),
 agg AS (
   SELECT ql AS label,
          CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS ni,
@@ -12643,17 +12660,21 @@ def label_margin_embeddings(spark, sf_dir):
 
 @query("hard_negatives_embeddings", oracle=_mat("""
 WITH q AS (
-  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 50 = 0),
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id % 50 = 0
+  ORDER BY vec_id LIMIT 1024),
+e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vn
+  FROM embeddings),
 scored AS (
   SELECT q.qid, e.vec_id AS id,
-         CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                     q.qv)
-           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])))
-              * sqrt(list_dot_product(q.qv, q.qv))) * 1000000)
-           AS BIGINT) AS cm
-  FROM embeddings e CROSS JOIN q
+         CAST(ROUND(list_dot_product(e.v, q.qv)
+           / (e.vn * q.qn) * 1000000) AS BIGINT) AS cm
+  FROM e2 e CROSS JOIN q
   WHERE e.vec_id <> q.qid AND e.label <> q.ql)
 SELECT qid AS anchor_id, CAST(rn AS BIGINT) AS rank,
        id AS negative_id, cm AS cos_micro
@@ -13331,16 +13352,21 @@ def time_decay_attribution_events(spark, sf_dir):
 
 @query("cosine_histogram_embeddings", oracle=_mat("""
 WITH q AS (
-  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id % 25 = 0),
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id % 25 = 0
+  ORDER BY vec_id LIMIT 1024),
+e2 AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS vn
+  FROM embeddings),
 pairs AS (
-  SELECT CAST(ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                     q.qv)
-    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                             CAST(e.embedding AS DOUBLE[])))
-       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT)
+  SELECT CAST(ROUND(list_dot_product(e.v, q.qv)
+    / (e.vn * q.qn) * 1000000) AS BIGINT)
     AS cm
-  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+  FROM e2 e CROSS JOIN q WHERE e.vec_id <> q.qid),
 per AS (
   SELECT LEAST(19, (cm + 1000000) * 20 // 2000001) AS bin,
          CAST(COUNT(*) AS BIGINT) AS n_pairs

@@ -46,13 +46,33 @@ def as_double_array(col: str | Column) -> Column:
 #: trusting docstrings — the same device as the containment DF cap.
 SAMPLE_CAP = 65536
 
+#: Anchor-side cap for the EVAL-REPORT operators (label noise, label
+#: margin, hard negatives, cosine histogram, dim truncation, nprobe
+#: curve, recall report). Those operators score an anchors × corpus
+#: grid, so :data:`SAMPLE_CAP` — sized as a BROADCAST bound (~34 MB) —
+#: is not a COMPUTE bound: 65536 anchors × a 100M-vector corpus is a
+#: 6.5e12-pair grid. Found live at the synthetic-sf10 probe (round 9):
+#: a `vec_id % 20` anchor sample grows linearly with the corpus, so the
+#: grid grows quadratically — 10k anchors × 200k vectors ran 20+ min
+#: where every other key took seconds. An eval report's statistical
+#: value saturates around a thousand anchors; past that the extra rows
+#: buy noise reduction no decision needs. 1024 never bites at the
+#: verification scales (sf0.01/0.1/1 anchor counts: 10–1000, results
+#: bit-identical), and bounds the grid at ANY corpus size. The oracles
+#: replay the identical ordered truncation (ORDER BY id LIMIT 1024).
+EVAL_ANCHOR_CAP = 1024
 
-def sample_bounded(df: DataFrame, order_col: str) -> DataFrame:
+
+def sample_bounded(df: DataFrame, order_col: str,
+                   cap: int = SAMPLE_CAP) -> DataFrame:
     """Enforce the sample-regime contract in-plan (a TakeOrderedAndProject
-    node; SET-identity — not plan-identity — below :data:`SAMPLE_CAP`
-    rows: the row set is unchanged under the cap, but every call site
-    pays a per-partition top-SAMPLE_CAP heap sort; accepted cost, bench
-    was flat across all 13 call sites, ADVICE r8).
+    node; SET-identity — not plan-identity — below ``cap`` rows: the row
+    set is unchanged under the cap, but every call site pays a
+    per-partition top-``cap`` heap sort; accepted cost, bench was flat
+    across all 13 call sites, ADVICE r8). ``cap`` defaults to the
+    broadcast-size bound :data:`SAMPLE_CAP`; the anchors × corpus grid
+    evals pass :data:`EVAL_ANCHOR_CAP` instead — see that constant for
+    why a broadcast bound is not a compute bound.
 
     ``order_col`` MUST be unique (the frames' id column) — determinism of
     the kept subset is only guaranteed under a unique key. It makes
@@ -62,7 +82,7 @@ def sample_bounded(df: DataFrame, order_col: str) -> DataFrame:
     cross-engine oracles nondeterministically. Ordered truncation keeps
     the smallest-id rows — rerun-stable, so oracle parity either holds
     or breaks loudly and reproducibly."""
-    return df.orderBy(F.col(order_col).asc()).limit(SAMPLE_CAP)
+    return df.orderBy(F.col(order_col).asc()).limit(cap)
 
 
 def cosine_topk(candidates: DataFrame, query: DataFrame, k: int,
@@ -254,7 +274,7 @@ def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
     cand = candidates.select(F.col(id_col).alias("__cid"),
                              as_double_array(vec_col).alias("__v"),
                              sig.alias("__sig"))
-    qs = F.broadcast(sample_bounded(queries, id_col)
+    qs = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                      .select(F.col(id_col).alias("q_id"),
                              as_double_array(vec_col).alias("__q"),
                              sig.alias("__qsig")))
@@ -989,19 +1009,26 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
     folds per pair), one WindowGroupLimit per (query, width), and the
     overlap join is k-rows-per-query-sized."""
     full = max(dims)
-    q = F.broadcast(sample_bounded(queries, id_col).select(
+    # per-width norms hoisted once per SIDE (the mutual_best_match
+    # device): len(dims) norm folds per row instead of 2·len(dims)
+    # per PAIR; the division sees the identical IEEE doubles
+    qdf = sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP).select(
         F.col(id_col).alias("__qid"),
-        as_double_array(vec_col).alias("__q")))
-    pairs = (candidates
-             .select(F.col(id_col).alias("__id"),
-                     as_double_array(vec_col).alias("__v"))
-             .crossJoin(q))
+        as_double_array(vec_col).alias("__q"))
+    cand = candidates.select(F.col(id_col).alias("__id"),
+                             as_double_array(vec_col).alias("__v"))
+    for d in dims:
+        qdf = qdf.withColumn(f"__nq{d}", _norm(F.slice("__q", 1, d)))
+        cand = cand.withColumn(f"__nv{d}", _norm(F.slice("__v", 1, d)))
+    q = F.broadcast(qdf)
+    pairs = cand.crossJoin(q)
     per_dim = []
     for d in dims:
         vs, qs = F.slice("__v", 1, d), F.slice("__q", 1, d)
         per_dim.append(F.struct(
             F.lit(d).alias("d"),
-            (_dot(vs, qs) / (_norm(vs) * _norm(qs))).alias("cos")))
+            (_dot(vs, qs) / (F.col(f"__nv{d}") * F.col(f"__nq{d}")))
+            .alias("cos")))
     stacked = pairs.select(
         "__id", "__qid",
         F.explode(F.array(*per_dim)).alias("__s")) \
@@ -1136,9 +1163,10 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
         rows, "cell long, cvec array<double>")
     assign = kmeans_assign(candidates, centroids, id_col, vec_col)
     n_corpus = candidates.count()
-    q = F.broadcast(sample_bounded(queries, id_col)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                     .select(F.col(id_col).alias("__qid"),
-                            as_double_array(vec_col).alias("__q")))
+                            as_double_array(vec_col).alias("__q"))
+                    .withColumn("__nq", _norm(F.col("__q"))))
     cellrank = (q.crossJoin(F.broadcast(centroids))
                 .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
                 .withColumn("__crk", F.row_number().over(
@@ -1150,9 +1178,10 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                                as_double_array(vec_col).alias("__v"))
              .join(assign.select(F.col(id_col).alias("__id"),
                                  F.col("cell")), "__id")
+             .withColumn("__nv", _norm(F.col("__v")))
              .crossJoin(q)
              .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
-                         / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                         / (F.col("__nv") * F.col("__nq")))
              .join(F.broadcast(cellrank),
                    (F.col("__qid") == F.col("__cq"))
                    & (F.col("cell") == F.col("__cc")))
@@ -1212,18 +1241,23 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
     ties). Scale: queries are a sample by contract; scoring is the
     broadcast map-side grid, then one WindowGroupLimit and two
     grid-sized aggs."""
-    q = F.broadcast(sample_bounded(queries, id_col)
+    # norms hoisted out of the pair expression (the mutual_best_match
+    # device): computed once per side, the division sees the identical
+    # IEEE doubles — 3 folds/pair -> 1 fold/pair on the anchor grid
+    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q")))
+                            as_double_array(vec_col).alias("__q"))
+                    .withColumn("__nq", _norm(F.col("__q"))))
     pairs = (candidates
              .select(F.col(id_col).alias("__id"),
                      F.col(label_col).alias("__l"),
                      as_double_array(vec_col).alias("__v"))
+             .withColumn("__nv", _norm(F.col("__v")))
              .crossJoin(q)
              .filter(F.col("__id") != F.col("__qid"))
              .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
-                         / (_norm(F.col("__v")) * _norm(F.col("__q")))))
+                         / (F.col("__nv") * F.col("__nq"))))
     wn = Window.partitionBy("__qid").orderBy(
         F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
     nn = (pairs.withColumn("__rn", F.row_number().over(wn))
@@ -1287,17 +1321,21 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
     integer-DIV mean — no float accumulation anywhere. Self-pairs are
     excluded. Scale: |queries|·|corpus| map-side grid (queries a
     sample by contract), one label-grain agg."""
-    q = F.broadcast(sample_bounded(queries, id_col)
+    # norms hoisted once per side (mutual_best_match device) — the
+    # division sees identical IEEE doubles, 3 folds/pair -> 1
+    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q")))
+                            as_double_array(vec_col).alias("__q"))
+                    .withColumn("__nq", _norm(F.col("__q"))))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                    / (F.col("__nv") * F.col("__nq")))
                    * 1_000_000).cast("long")
     pairs = (candidates
              .select(F.col(id_col).alias("__id"),
                      F.col(label_col).alias("__l"),
                      as_double_array(vec_col).alias("__v"))
+             .withColumn("__nv", _norm(F.col("__v")))
              .crossJoin(q)
              .filter(F.col("__id") != F.col("__qid"))
              .select(F.col("__ql"),
@@ -1347,17 +1385,20 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
     WindowGroupLimit. Scale: broadcast anchor grid, map-side scoring,
     one per-anchor window."""
     lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
-    q = F.broadcast(sample_bounded(queries, id_col)
+    # norms hoisted once per side (mutual_best_match device)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q")))
+                            as_double_array(vec_col).alias("__q"))
+                    .withColumn("__nq", _norm(F.col("__q"))))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                    / (F.col("__nv") * F.col("__nq")))
                    * 1_000_000).cast("long")
     scored = (candidates
               .select(F.col(id_col).alias("__id"),
                       F.col(label_col).alias("__l"),
                       as_double_array(vec_col).alias("__v"))
+              .withColumn("__nv", _norm(F.col("__v")))
               .crossJoin(q)
               .filter((F.col("__id") != F.col("__qid"))
                       & (F.col("__l") != F.col("__ql")))
@@ -1387,15 +1428,18 @@ def cosine_histogram(candidates: DataFrame, queries: DataFrame,
     Bucket ids are integer arithmetic on micro-cosines
     ((cm + 10⁶)·bins DIV (2·10⁶+1), clamped), counts exact, share a
     single division. Self-pairs excluded."""
-    q = F.broadcast(sample_bounded(queries, id_col)
+    # norms hoisted once per side (mutual_best_match device)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
                     .select(F.col(id_col).alias("__qid"),
-                            as_double_array(vec_col).alias("__q")))
+                            as_double_array(vec_col).alias("__q"))
+                    .withColumn("__nq", _norm(F.col("__q"))))
     cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+                    / (F.col("__nv") * F.col("__nq")))
                    * 1_000_000).cast("long")
     pairs = (candidates
              .select(F.col(id_col).alias("__id"),
                      as_double_array(vec_col).alias("__v"))
+             .withColumn("__nv", _norm(F.col("__v")))
              .crossJoin(q)
              .filter(F.col("__id") != F.col("__qid"))
              .select(cosm.alias("__cm")))
