@@ -2643,7 +2643,8 @@ _IVF_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
 @query("ivf_topk", oracle=f"""
 WITH cents AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id % 50 = 0),
+  WHERE vec_id % 50 = 0
+  ORDER BY vec_id LIMIT 4096),
 cosd AS (
   SELECT e.vec_id, c.cid,
          {_IVF_COS.format(a="e.embedding", b="c.cvec")} AS cs

@@ -62,6 +62,18 @@ SAMPLE_CAP = 65536
 #: replay the identical ordered truncation (ORDER BY id LIMIT 1024).
 EVAL_ANCHOR_CAP = 1024
 
+#: Index-structure cap for the modulo-centroid IVF variant: `id %
+#: centroid_mod` derives the cell count from the CORPUS size, so the
+#: per-row assignment cost (|cells| folds) grows linearly with the
+#: corpus — quadratic total, the centroid-side twin of the anchor bug
+#: above (found at the same sf10 probe: 4000 cells x 200k vectors =
+#: 800M distance folds in one key). 4096 bites at no probed scale
+#: (cells: 4/40/400/4000 at sf0.01/0.1/1/10 - results identical) and
+#: bounds the index, hence the per-row assignment work, at any corpus
+#: size. Real deployments swap in trained centroids (ivf_topk_trained)
+#: whose k is chosen, not corpus-derived.
+INDEX_CELL_CAP = 4096
+
 
 def sample_bounded(df: DataFrame, order_col: str,
                    cap: int = SAMPLE_CAP) -> DataFrame:
@@ -340,7 +352,7 @@ def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,
     """
     cents = sample_bounded(
         candidates.filter(F.col(id_col) % centroid_mod == 0)
-                  .select(id_col, vec_col), id_col)
+                  .select(id_col, vec_col), id_col, cap=INDEX_CELL_CAP)
     assign = ivf_assign(candidates, cents, id_col, vec_col)
     qv = as_double_array(vec_col)
     qscore = (query.select(qv.alias("__q")).crossJoin(
