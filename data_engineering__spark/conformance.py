@@ -2250,7 +2250,7 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 
 DRIVER_PRIORITY = [
     # --- generated by tools/rotate_driver_priority.py from
-    # CORRECTNESS_r01..r08 (re-run with --apply after each
+    # CORRECTNESS_r01..r09 (re-run with --apply after each
     # driver round). Structure: (0) keys RED in the latest round
     # keep head slots; (1) never-driver-verified backlog in queue
     # order — the next driver window is the first 50; (2) the
@@ -2260,27 +2260,9 @@ DRIVER_PRIORITY = [
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
     # -- (1) never-driver-verified backlog (next window = first 50)
-    "markov_stationary_events", "order_aging_buckets", "segment_order_quartiles",
-    "slo_burn_events", "rollup_share_parent", "ivf_nprobe_curve_embeddings",
-    "tpch_q3_shaped", "nearest_error_join", "label_noise_knn_embeddings",
-    "embedding_norm_profile", "key_case_conflicts_part", "geo_nearest_warehouse",
-    "geo_cell_density", "decay_score_users", "split_shipment_orders",
-    "collation_dedup_suppliers", "event_streaks_users", "iqr_outlier_counts_events",
-    "geo_pairs_within", "label_margin_embeddings", "hard_negatives_embeddings",
-    "duplicate_payments_orders", "customer_revenue_percentile", "injection_screen_docs",
-    "safety_stock_brands", "churn_training_set", "feature_hash_users",
-    "target_encoding_brands", "srm_check_events", "fiscal_445_revenue",
-    "unit_price_drift_parts", "median_ci_events", "dataset_card_docs",
-    "oof_target_encoding_brands", "reciprocity_graph", "status_consistency_orders",
-    "dispersion_orders", "pipeline_card_events", "hapax_rate_sources",
-    "time_decay_attribution_events", "cosine_histogram_embeddings", "growth_accounting_weekly",
-    "assortment_coverage_parts", "variety_score_users", "wow_contribution_segments",
-    "source_overlap_matrix", "pchart_returns_weekly", "lang_source_residuals",
-    "payday_lift_orders", "error_bursts_events", "streaming_right_outer_join",
-    "sql_pipe_agg", "variant_nested_paths", "recursive_cte_reachability",
-    "zorder_skipping_events",
-    # round-9 new keys (registry freeze: behind the backlog, ≤3/round)
-    "sql_scripting_order_share", "foreach_batch_replay_events",
+    "streaming_right_outer_join", "sql_pipe_agg", "variant_nested_paths",
+    "recursive_cte_reachability", "zorder_skipping_events", "sql_scripting_order_share",
+    "foreach_batch_replay_events",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
