@@ -7178,7 +7178,8 @@ WITH sigs AS (
          {_rp_sig_sql_expr('embedding', dim=64, n_planes=4, seed=42)} AS sig
   FROM embeddings),
 q AS (SELECT vec_id AS q_id, embedding AS qv, sig AS qsig
-      FROM sigs WHERE vec_id < 8),
+      FROM sigs WHERE vec_id < 8
+      ORDER BY vec_id LIMIT 1024),
 ex AS (
   SELECT q_id, vec_id FROM (
     SELECT q.q_id, s.vec_id,

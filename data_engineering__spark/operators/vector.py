@@ -266,7 +266,8 @@ def ann_topk_multiprobe(candidates: DataFrame, query: DataFrame, k: int,
 def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
                       dim: int, id_col: str = "vec_id",
                       vec_col: str = "embedding", n_planes: int = 4,
-                      seed: int = 42, round_dp: int = 6) -> DataFrame:
+                      seed: int = 42, round_dp: int = 6,
+                      anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (R173, round 6): ANN index-quality report — per-query
     recall@k of the single-probe LSH index against brute-force exact
     cosine ground truth. The eval harness that decides whether an index
@@ -281,12 +282,17 @@ def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
     engine-stable. Ground truth is a cross join of corpus × queries:
     an OFFLINE eval over a sampled query set (hundreds), not a serving
     path — the report's cost is |corpus|·|queries| map-side scores with
-    a per-query TakeOrdered, no shuffle of the corpus itself."""
+    a per-query TakeOrdered, no shuffle of the corpus itself.
+
+    ``queries`` is truncated to the ``anchor_cap`` smallest ids
+    (default :data:`EVAL_ANCHOR_CAP`) — the corpus-independent bound
+    on the anchors × corpus grid; pass a larger cap to widen the
+    sample deliberately."""
     sig = rp_signature(as_double_array(vec_col), dim, n_planes, seed)
     cand = candidates.select(F.col(id_col).alias("__cid"),
                              as_double_array(vec_col).alias("__v"),
                              sig.alias("__sig"))
-    qs = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    qs = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                      .select(F.col(id_col).alias("q_id"),
                              as_double_array(vec_col).alias("__q"),
                              sig.alias("__qsig")))
@@ -1000,7 +1006,8 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
 def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
                           dims: tuple = (64, 32, 16, 8), k: int = 10,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): dimension-truncation retrieval report — for each
     truncated prefix width d, how much of the FULL-dimension cosine
     top-k survives when scoring on only the first d components
@@ -1019,12 +1026,14 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
 
     Scale: queries broadcast, scoring map-side (len(dims) codegen
     folds per pair), one WindowGroupLimit per (query, width), and the
-    overlap join is k-rows-per-query-sized."""
+    overlap join is k-rows-per-query-sized. ``queries`` is truncated
+    to the ``anchor_cap`` smallest ids (default
+    :data:`EVAL_ANCHOR_CAP`) — the corpus-independent grid bound."""
     full = max(dims)
     # per-width norms hoisted once per SIDE (the mutual_best_match
     # device): len(dims) norm folds per row instead of 2·len(dims)
     # per PAIR; the division sees the identical IEEE doubles
-    qdf = sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP).select(
+    qdf = sample_bounded(queries, id_col, cap=anchor_cap).select(
         F.col(id_col).alias("__qid"),
         as_double_array(vec_col).alias("__q"))
     cand = candidates.select(F.col(id_col).alias("__id"),
@@ -1149,7 +1158,8 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                      nprobes: tuple = (1, 2, 4), k: int = 10,
                      k_cells: int = 8, n_iter: int = 2, dim: int = 64,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): IVF recall-vs-nprobe tuning curve — for each
     probe budget, mean recall@k of the trained-IVF search against
     brute-force truth AND the mean fraction of the corpus scanned.
@@ -1166,7 +1176,9 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
     integer-DIV means (the R255 discipline).
 
     Scale: the grid is |queries|·|corpus| — queries are a sample by
-    contract; everything after is windowed per (query, nprobe)."""
+    contract, truncated to the ``anchor_cap`` smallest ids (default
+    :data:`EVAL_ANCHOR_CAP`, the corpus-independent grid bound);
+    everything after is windowed per (query, nprobe)."""
     cents = kmeans_fit(candidates, k=k_cells, n_iter=n_iter,
                        id_col=id_col, vec_col=vec_col, dim=dim)
     rows = sorted((int(r["cell"]), [float(x) for x in r["cvec"]])
@@ -1175,7 +1187,7 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
         rows, "cell long, cvec array<double>")
     assign = kmeans_assign(candidates, centroids, id_col, vec_col)
     n_corpus = candidates.count()
-    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
                             as_double_array(vec_col).alias("__q"))
                     .withColumn("__nq", _norm(F.col("__q"))))
@@ -1240,7 +1252,8 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
                     k: int = 5, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label",
-                    round_dp: int = 6) -> DataFrame:
+                    round_dp: int = 6,
+                    anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): kNN label-noise screen — for each checked vector,
     the majority label among its k nearest neighbours (cosine, self
     excluded); a vector whose own label loses that vote is a mislabel
@@ -1250,13 +1263,14 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
 
     Neighbour rank = (cos ROUND-6 desc, id asc) — the corpus tie rule;
     majority = count desc then LABEL ASC (deterministic even on vote
-    ties). Scale: queries are a sample by contract; scoring is the
-    broadcast map-side grid, then one WindowGroupLimit and two
-    grid-sized aggs."""
+    ties). Scale: queries are a sample by contract, truncated to the
+    ``anchor_cap`` smallest ids (default :data:`EVAL_ANCHOR_CAP`, the
+    corpus-independent grid bound); scoring is the broadcast map-side
+    grid, then one WindowGroupLimit and two grid-sized aggs."""
     # norms hoisted out of the pair expression (the mutual_best_match
     # device): computed once per side, the division sees the identical
     # IEEE doubles — 3 folds/pair -> 1 fold/pair on the anchor grid
-    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q"))
@@ -1320,7 +1334,8 @@ def embedding_norm_profile(df: DataFrame, id_col: str = "vec_id",
 
 def label_margin(candidates: DataFrame, queries: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 label_col: str = "label") -> DataFrame:
+                 label_col: str = "label",
+                 anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): label-margin report (silhouette-lite) — per
     label: mean cosine of sampled members to OTHER members of their
     label vs to everything else, and the margin between the two. The
@@ -1332,10 +1347,12 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
     micro-units; intra/inter means are integer sums with the R255
     integer-DIV mean — no float accumulation anywhere. Self-pairs are
     excluded. Scale: |queries|·|corpus| map-side grid (queries a
-    sample by contract), one label-grain agg."""
+    sample by contract, truncated to the ``anchor_cap`` smallest ids —
+    default :data:`EVAL_ANCHOR_CAP`, the corpus-independent grid
+    bound), one label-grain agg."""
     # norms hoisted once per side (mutual_best_match device) — the
     # division sees identical IEEE doubles, 3 folds/pair -> 1
-    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q"))
@@ -1383,7 +1400,8 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
 def hard_negatives(candidates: DataFrame, queries: DataFrame,
                    band: tuple = (0.3, 0.7), k: int = 3,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   label_col: str = "label") -> DataFrame:
+                   label_col: str = "label",
+                   anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): hard-negative mining for contrastive training —
     per anchor, the top-``k`` WRONG-label candidates inside a cosine
     band (similar enough to teach, not so similar they're label
@@ -1394,11 +1412,13 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
     Band membership tests on the micro-quantized cosine (integer
     compare — a raw float >= band edge is a cross-engine boundary
     risk); ranking is the corpus (cos desc, id asc) rule via
-    WindowGroupLimit. Scale: broadcast anchor grid, map-side scoring,
-    one per-anchor window."""
+    WindowGroupLimit. Scale: broadcast anchor grid (anchors truncated
+    to the ``anchor_cap`` smallest ids — default
+    :data:`EVAL_ANCHOR_CAP`, the corpus-independent grid bound),
+    map-side scoring, one per-anchor window."""
     lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
     # norms hoisted once per side (mutual_best_match device)
-    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
                             F.col(label_col).alias("__ql"),
                             as_double_array(vec_col).alias("__q"))
@@ -1429,7 +1449,8 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
 def cosine_histogram(candidates: DataFrame, queries: DataFrame,
                      n_bins: int = 20, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     round_dp: int = 6) -> DataFrame:
+                     round_dp: int = 6,
+                     anchor_cap: int = EVAL_ANCHOR_CAP) -> DataFrame:
     """EXT (round 6): pairwise-cosine histogram — the corpus GEOMETRY
     fingerprint: sampled-pair cosines bucketed over [−1, 1]. The
     embedding-collapse / hubness early-warning the scalar metrics
@@ -1439,9 +1460,11 @@ def cosine_histogram(candidates: DataFrame, queries: DataFrame,
 
     Bucket ids are integer arithmetic on micro-cosines
     ((cm + 10⁶)·bins DIV (2·10⁶+1), clamped), counts exact, share a
-    single division. Self-pairs excluded."""
+    single division. Self-pairs excluded. ``queries`` is truncated to
+    the ``anchor_cap`` smallest ids (default :data:`EVAL_ANCHOR_CAP`)
+    — the corpus-independent bound on the sampled-pair grid."""
     # norms hoisted once per side (mutual_best_match device)
-    q = F.broadcast(sample_bounded(queries, id_col, cap=EVAL_ANCHOR_CAP)
+    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
                             as_double_array(vec_col).alias("__q"))
                     .withColumn("__nq", _norm(F.col("__q"))))

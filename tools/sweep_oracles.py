@@ -77,6 +77,11 @@ def main() -> int:
                          "into a scale profile of where the wall time lives")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
+    n_selectors = sum((bool(args.slots), args.scale_battery, bool(args.keys)))
+    if n_selectors > 1:
+        ap.error("pass at most ONE of --slots / --scale-battery / explicit "
+                 "keys — mixing them would silently ignore the lower-"
+                 "precedence selector")
 
     sys.path.insert(0, REPO)
     # run from outside the repo so Spark's spark-warehouse/ litter and
