@@ -101,6 +101,7 @@ HEADLINE = [
     "freshness_report_events", "hill_tail_orders", "cramers_v_orders",
     "zipf_slope_docs", "ltv_cohort_triangle", "cvm_drift_events",
     "theil_decomposition_orders", "kmv_set_ops_users",
+    "theta_set_ops_users",
     "brier_decomposition_events", "mutual_best_match_embeddings",
     "acf_hourly_events", "qte_report_events", "anova_value_event_type",
     "retention_halflife_events", "eb_return_rates_brands",

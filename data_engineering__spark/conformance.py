@@ -2262,7 +2262,7 @@ DRIVER_PRIORITY = [
     # -- (1) never-driver-verified backlog (next window = first 50)
     "streaming_right_outer_join", "sql_pipe_agg", "variant_nested_paths",
     "recursive_cte_reachability", "zorder_skipping_events", "sql_scripting_order_share",
-    "foreach_batch_replay_events",
+    "foreach_batch_replay_events", "theta_set_ops_users",
     # -- (2) staleness-first rotation (newest green row stale)
     "agg_stats", "anti_join", "array_ops",
     "audit_diff", "case_when_mapping", "cosine_topk",
@@ -9496,6 +9496,89 @@ def kmv_set_ops_users(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     return kmv_set_ops_check(ev, "user_id", F.col("event_type"),
                              "click", "purchase")
+
+
+@query("theta_set_ops_users", oracle=_mat("""
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'a'
+              WHEN event_type = 'purchase' THEN 'b' END AS g,
+         CAST(('0x' || substr(sha256('theta|' || CAST(user_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS h,
+         user_id AS key
+  FROM events WHERE event_type IN ('click', 'purchase')),
+d AS (SELECT DISTINCT g, h FROM tagged),
+ranked AS (
+  SELECT g, h, rn FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM d) WHERE rn <= 65),
+ti AS (
+  SELECT CAST(MIN(theta) AS BIGINT) AS ti FROM (
+    SELECT g, COALESCE(MAX(CASE WHEN rn = 65 THEN h END),
+                       4294967296) AS theta
+    FROM ranked GROUP BY g)),
+kept AS (
+  SELECT r.g, r.h, ti.ti FROM ranked r CROSS JOIN ti
+  WHERE r.rn <= 64 AND r.h < ti.ti),
+flags AS (
+  SELECT h, MAX(ti) AS ti,
+         MAX(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ina,
+         MAX(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS inb
+  FROM kept GROUP BY h),
+usk AS (
+  SELECT CAST(MAX(ti) AS BIGINT) AS ti, CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(ina * inb) AS BIGINT) AS nboth,
+         CAST(SUM(ina * (1 - inb)) AS BIGINT) AS nanotb,
+         CAST(SUM((1 - ina) * inb) AS BIGINT) AS nbnota,
+         MAX(CASE WHEN rn = 65 THEN h END) AS ukp1
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM flags)),
+ek AS (
+  SELECT key, MAX(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS ea,
+         MAX(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS eb
+  FROM tagged GROUP BY key),
+exact AS (
+  SELECT CAST(SUM(ea) AS BIGINT) AS n_a_exact,
+         CAST(SUM(eb) AS BIGINT) AS n_b_exact,
+         CAST(COUNT(*) AS BIGINT) AS union_exact,
+         CAST(SUM(ea * eb) AS BIGINT) AS inter_exact,
+         CAST(SUM(ea * (1 - eb)) AS BIGINT) AS a_not_b_exact,
+         CAST(SUM((1 - ea) * eb) AS BIGINT) AS b_not_a_exact
+  FROM ek),
+e AS (
+  SELECT exact.*,
+         CAST(ROUND(CAST(LEAST(nu, 64) AS DOUBLE) * 4294967296.0
+                    / CAST(COALESCE(ukp1, ti) AS DOUBLE)) AS BIGINT)
+           AS union_est,
+         CAST(ROUND(CAST(nboth AS DOUBLE) * 4294967296.0
+                    / CAST(ti AS DOUBLE)) AS BIGINT) AS inter_est,
+         CAST(ROUND(CAST(nanotb AS DOUBLE) * 4294967296.0
+                    / CAST(ti AS DOUBLE)) AS BIGINT) AS a_not_b_est,
+         CAST(ROUND(CAST(nbnota AS DOUBLE) * 4294967296.0
+                    / CAST(ti AS DOUBLE)) AS BIGINT) AS b_not_a_est
+  FROM exact CROSS JOIN usk)
+SELECT n_a_exact, n_b_exact, union_exact, inter_exact,
+       a_not_b_exact, b_not_a_exact, union_est, inter_est,
+       a_not_b_est, b_not_a_est,
+       ROUND(CAST(inter_exact AS DOUBLE)
+             / CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
+       CASE WHEN union_est > 0
+            THEN ROUND(CAST(inter_est AS DOUBLE)
+                       / CAST(union_est AS DOUBLE), 6)
+       END AS jaccard_est
+FROM e"""))
+def theta_set_ops_users(spark, sf_dir):
+    """EXT R326 (round 10): Theta-sketch set-operation accuracy report
+    — union / intersection / A∖B / B∖A / Jaccard of click vs purchase
+    user sets estimated from two bottom-(k+1) θ sketches (Datasketches
+    semantics: estimate = |retained|·M/θ, union re-trimmed to k under
+    the merged θ, differences on the un-trimmed retained sets), against
+    the exact distinct-join answers. The Datasketches-side twin of R222
+    (`kmv_set_ops_users`) — same portable sha hash family, different
+    estimator, and the A-NOT-B axis KMV's combined sketch cannot
+    answer."""
+    from .operators.sketches import theta_set_ops_check
+    ev = read_table(spark, sf_dir, "events")
+    return theta_set_ops_check(ev, "user_id", F.col("event_type"),
+                               "click", "purchase")
 
 
 def _brier_oracle_sql(n_bins: int = 10) -> str:

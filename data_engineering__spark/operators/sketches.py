@@ -418,6 +418,114 @@ def kmv_set_ops_check(df: DataFrame, key_col: str, label_col,
         F.round(rho, 6).alias("jaccard_est"))
 
 
+def theta_set_ops_check(df: DataFrame, key_col: str, label_col,
+                        label_a: str, label_b: str,
+                        k: int = 64, salt: str = "theta") -> DataFrame:
+    """EXT (R326, round 10): Theta-sketch set-operation estimates — the
+    Datasketches-side twin of R222's KMV combined-sketch method. A
+    Theta sketch retains every hash below a threshold θ (here the
+    (k+1)-th smallest when the sketch is full, else the full hash
+    space M = 2³²) and estimates any retained set's cardinality as
+    ``|S|·M/θ`` — which is what lets it answer the set op KMV's
+    combined sketch cannot: the A-AND-NOT-B difference. Union follows
+    Datasketches semantics (merge under θᵢ = min(θ_a, θ_b), re-trim to
+    k with θ_u = the merged (k+1)-th value); intersection and both
+    differences operate on the un-trimmed retained sets under θᵢ.
+    Report: exact vs estimated union / intersection / A∖B / B∖A plus
+    exact and estimated Jaccard — the accuracy contract read before
+    trusting stored sketches for audience-overlap arithmetic at scale.
+
+    Exactness: hashes are the portable sha convention (``_kmv_hash``,
+    byte-replicable in any engine); θ and every retained count are
+    exact integers; each estimate is one fixed-shape IEEE expression
+    ``ROUND(count·M/θ)`` (count ≤ k, so count·M is exact in double),
+    degrading to the EXACT count when θ = M (undersized sketch).
+
+    Scale shape: per-side sketches are a (label, hash) distinct
+    collapse + WindowGroupLimit bottom-(k+1); everything after the
+    trim sees ≤ 2(k+1) rows — the global windows and the 1-row θᵢ
+    broadcast are bounded-domain by construction, never data-sized.
+    The exact side (one distinct aggregate + one two-flag group-by)
+    is the expensive half and exists only because this IS the
+    accuracy report."""
+    m_total = 2 ** 32
+    h = _kmv_hash(F.col(key_col), salt)
+    tagged = (df.select(
+        F.when(label_col == label_a, F.lit("a"))
+         .when(label_col == label_b, F.lit("b")).alias("__g"),
+        h.alias("__h"), F.col(key_col).alias("__key"))
+        .filter(F.col("__g").isNotNull()))
+    d = tagged.select("__g", "__h").distinct()
+    w = Window.partitionBy("__g").orderBy(F.col("__h").asc())
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k + 1))
+    # θᵢ = min over sides of (h₍ₖ₊₁₎ if full else M) — a 1-row scalar
+    ti = (ranked.groupBy("__g")
+          .agg(F.coalesce(
+              F.max(F.when(F.col("__rn") == k + 1, F.col("__h"))),
+              F.lit(m_total)).alias("__theta"))
+          .agg(F.min("__theta").cast("long").alias("__ti")))
+    kept = (ranked.filter(F.col("__rn") <= k)
+            .crossJoin(F.broadcast(ti))
+            .filter(F.col("__h") < F.col("__ti")))
+    flags = (kept.groupBy("__h")
+             .agg(F.max("__ti").alias("__ti"),
+                  F.max(F.when(F.col("__g") == "a", 1).otherwise(0))
+                   .alias("__ina"),
+                  F.max(F.when(F.col("__g") == "b", 1).otherwise(0))
+                   .alias("__inb")))
+    wl = Window.orderBy(F.col("__h").asc())  # bounded: ≤ 2k rows
+    usk = (flags.withColumn("__rn", F.row_number().over(wl))
+           .agg(F.max("__ti").cast("long").alias("__ti"),
+                F.count(F.lit(1)).cast("long").alias("__nu"),
+                F.sum(F.col("__ina") * F.col("__inb")).cast("long")
+                 .alias("__nboth"),
+                F.sum(F.col("__ina") * (F.lit(1) - F.col("__inb")))
+                 .cast("long").alias("__nanotb"),
+                F.sum((F.lit(1) - F.col("__ina")) * F.col("__inb"))
+                 .cast("long").alias("__nbnota"),
+                F.max(F.when(F.col("__rn") == k + 1, F.col("__h")))
+                 .alias("__ukp1")))
+    exact = (tagged.groupBy("__key")
+             .agg(F.max(F.when(F.col("__g") == "a", 1).otherwise(0))
+                   .alias("__ea"),
+                  F.max(F.when(F.col("__g") == "b", 1).otherwise(0))
+                   .alias("__eb"))
+             .agg(F.sum("__ea").cast("long").alias("n_a_exact"),
+                  F.sum("__eb").cast("long").alias("n_b_exact"),
+                  F.count(F.lit(1)).cast("long").alias("union_exact"),
+                  F.sum(F.col("__ea") * F.col("__eb")).cast("long")
+                   .alias("inter_exact"),
+                  F.sum(F.col("__ea") * (F.lit(1) - F.col("__eb")))
+                   .cast("long").alias("a_not_b_exact"),
+                  F.sum((F.lit(1) - F.col("__ea")) * F.col("__eb"))
+                   .cast("long").alias("b_not_a_exact")))
+    md = float(m_total)
+
+    def est(cnt, theta):
+        return (F.round(cnt.cast("double") * F.lit(md)
+                        / theta.cast("double")).cast("long"))
+
+    theta_u = F.coalesce(F.col("__ukp1"), F.col("__ti")).cast("long")
+    out = exact.crossJoin(F.broadcast(usk))
+    union_est = est(F.least(F.col("__nu"), F.lit(k)), theta_u)
+    inter_est = est(F.col("__nboth"), F.col("__ti"))
+    return out.select(
+        "n_a_exact", "n_b_exact", "union_exact", "inter_exact",
+        "a_not_b_exact", "b_not_a_exact",
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+        est(F.col("__nanotb"), F.col("__ti")).alias("a_not_b_est"),
+        est(F.col("__nbnota"), F.col("__ti")).alias("b_not_a_est"),
+        F.round(F.col("inter_exact").cast("double")
+                / F.col("union_exact").cast("double"), 6)
+         .alias("jaccard_exact"),
+        F.when(union_est > 0,
+               F.round(inter_est.cast("double")
+                       / union_est.cast("double"), 6))
+         .alias("jaccard_est"))
+
+
 def cm_selfjoin_size(df: DataFrame, key_col: str, depth: int = 4,
                      width: int = 256, salt: str = "cm",
                      round_dp: int = 6) -> DataFrame:

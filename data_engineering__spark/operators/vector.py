@@ -328,21 +328,57 @@ def ann_recall_report(candidates: DataFrame, queries: DataFrame, k: int,
 def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: (id, cell) — each vector's nearest centroid
-    by cosine (ties → smallest centroid id). Centroids broadcast; the
-    argmax is a map-side struct-max (one partial-aggregated groupBy, no
-    per-centroid shuffle). At cluster scale the assignment is computed once
-    and persisted/bucketed by cell — queries then touch only their probed
-    cells' partitions."""
-    c = F.broadcast(centroids.select(F.col(id_col).alias("__cid"),
-                                     as_double_array(vec_col).alias("__cvec")))
-    v = as_double_array(vec_col)
-    scored = (df.select(F.col(id_col), v.alias("__v")).crossJoin(c)
-              .withColumn("__cos", _dot(F.col("__v"), F.col("__cvec"))
-                          / (_norm(F.col("__v")) * _norm(F.col("__cvec")))))
-    best = F.max(F.struct(F.col("__cos"), (-F.col("__cid")).alias("__n"),
-                          F.col("__cid").alias("__c"))).alias("__m")
-    return (scored.groupBy(id_col).agg(best)
-                  .select(F.col(id_col), F.col("__m.__c").alias("cell")))
+    by cosine (ties → smallest centroid id). The centroid table is
+    collected to the driver (≤ ``INDEX_CELL_CAP``·dim doubles — the
+    driver-small budget class) and rides into an Arrow kernel as a numpy
+    matrix: per batch ONE vectorized scoring pass and NO shuffle — the
+    crossJoin + groupBy struct-max this replaces (round 10) materialized
+    n·k rows THROUGH A HASH SHUFFLE (800M rows at the sf10 probe) with
+    per-pair interpreted folds; the kernel is map-only, the same device
+    ``kmeans_assign`` already uses for the trained variant. At cluster
+    scale the assignment is computed once and persisted/bucketed by cell
+    — queries then touch only their probed cells' partitions.
+
+    Bit-reproducibility is preserved: the dot product and BOTH norms
+    accumulate DIM-BY-DIM (the exact left-fold order of ``_dot``/
+    ``_norm`` and the SQL oracle's expression chain — ``np.sum``'s
+    pairwise order could flip an argmax at ulp distance), and the cosine
+    is the identical one-multiply one-divide expression shape. Ties:
+    centroid rows sort by id and ``argmax`` returns the FIRST maximum =
+    smallest centroid id, matching the struct-max rule. Vectors are
+    assumed nonzero-norm (the fold form shared the precondition)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted((r[0], list(r[1])) for r in
+                  centroids.select(F.col(id_col),
+                                   as_double_array(vec_col)).collect())
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)      # (k, dim)
+    nc2 = np.zeros(len(cids))
+    for j in range(cmat.shape[1]):
+        nc2 = nc2 + cmat[:, j] * cmat[:, j]
+    ncs = np.sqrt(nc2)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (B, dim)
+            d = np.zeros((len(v), len(cids)))
+            nv2 = np.zeros(len(v))
+            for j in range(cmat.shape[1]):
+                d = d + v[:, j:j + 1] * cmat[None, :, j]
+                nv2 = nv2 + v[:, j] * v[:, j]
+            cos = d / (np.sqrt(nv2)[:, None] * ncs[None, :])
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cell": cids[np.argmax(cos, axis=1)]})
+
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, cell bigint"
+    return (df.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+            .mapInPandas(run, out_schema))
 
 
 def ivf_topk(candidates: DataFrame, query: DataFrame, k: int,

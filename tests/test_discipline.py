@@ -44,6 +44,8 @@ COLLECT_ALLOWLIST = {
         (1, "per-partition count map (numPartitions rows)"),
     ("operators/merge.py", "dim_upsert"):
         (1, "1-row scalar probe (current max surrogate id)"),
+    ("operators/vector.py", "ivf_assign"):
+        (1, "INDEX_CELL_CAP x d centroid table into the Arrow kernel"),
     ("operators/vector.py", "kmeans_assign"):
         (1, "k x d centroid table broadcast via literal array"),
     ("operators/vector.py", "kmeans_fit"):

@@ -3474,6 +3474,65 @@ def test_kmv_set_ops_sketch_regime_close(spark):
         abs(o64.jaccard_est - o64.jaccard_exact)
 
 
+def test_theta_set_ops_exact_regime_and_disjoint(spark):
+    """R326: with fewer distinct keys than k on every side, θ = M and
+    every Theta estimate — union, intersection, and BOTH difference
+    axes KMV cannot answer — degrades to the exact count (count·M/M).
+    Disjoint cohorts estimate intersection 0 and each difference equals
+    its side's cardinality."""
+    from data_engineering__spark.operators.sketches import (
+        theta_set_ops_check,
+    )
+
+    rows = ([("a", i) for i in range(10)]
+            + [("b", i) for i in range(5, 15)])
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = theta_set_ops_check(df, "k", F.col("g"), "a", "b",
+                              k=64).collect()[0]
+    assert out.n_a_exact == 10 and out.n_b_exact == 10
+    assert out.union_exact == 15 and out.inter_exact == 5
+    assert out.a_not_b_exact == 5 and out.b_not_a_exact == 5
+    assert out.union_est == 15 and out.inter_est == 5
+    assert out.a_not_b_est == 5 and out.b_not_a_est == 5
+    assert out.jaccard_exact == round(5 / 15, 6)
+    assert out.jaccard_est == out.jaccard_exact
+
+    dis = spark.createDataFrame(
+        [("a", i) for i in range(8)] + [("b", i + 100) for i in range(8)],
+        "g string, k long")
+    o2 = theta_set_ops_check(dis, "k", F.col("g"), "a", "b",
+                             k=64).collect()[0]
+    assert o2.inter_est == 0 and o2.union_est == 16
+    assert o2.a_not_b_est == 8 and o2.b_not_a_est == 8
+    assert o2.jaccard_est == 0.0
+
+
+def test_theta_set_ops_sketch_regime_close(spark):
+    """R326: above the sketch size the θ estimates are approximate with
+    ~1/sqrt(k) relative noise; the sha hashes make the draw
+    deterministic, so the k=128 values over 400/400 keys sharing 200
+    are pinned exactly (union 634/600, intersection 186/200, A∖B
+    218/200, B∖A 199/200 — all inside the 2-sigma band) and the
+    Jaccard tightens vs the k=64 draw."""
+    from data_engineering__spark.operators.sketches import (
+        theta_set_ops_check,
+    )
+
+    rows = ([("a", i) for i in range(400)]
+            + [("b", i + 200) for i in range(400)])
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = theta_set_ops_check(df, "k", F.col("g"), "a", "b",
+                              k=128).collect()[0]
+    assert out.union_exact == 600 and out.inter_exact == 200
+    assert out.a_not_b_exact == 200 and out.b_not_a_exact == 200
+    assert out.union_est == 634 and out.inter_est == 186
+    assert out.a_not_b_est == 218 and out.b_not_a_est == 199
+    o64 = theta_set_ops_check(df, "k", F.col("g"), "a", "b",
+                              k=64).collect()[0]
+    assert abs(out.jaccard_est - out.jaccard_exact) <= \
+        abs(o64.jaccard_est - o64.jaccard_exact)
+
+
 def test_brier_decomposition_hand_case(spark):
     """Binary forecaster with constant forecasts inside each bin: the
     decomposition is EXACT (gap 0). s=4 predicts 1.0 (3 of 4 positive),

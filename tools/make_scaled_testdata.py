@@ -84,7 +84,15 @@ def consolidate(d: str) -> None:
     files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
     merged = pa.concat_tables(pq.read_table(f) for f in files)
     tmp = d + ".one"
-    pq.write_table(merged, tmp, compression="snappy")
+    # Bound the row-group size so every table carries >= ~16 splittable
+    # row groups: Spark's minimum split granularity is the row group, and
+    # pyarrow's default (1M rows) left the small tables (embeddings,
+    # documents) as ONE group — serializing every corpus scan into a
+    # single task, which is how the round-9 sf10 probe mistook a fixture
+    # artifact for a 21-minute straggler. A deployment's corpus arrives
+    # as thousands of splits; the probe data should too.
+    rg = min(1_048_576, max(8_192, merged.num_rows // 16))
+    pq.write_table(merged, tmp, compression="snappy", row_group_size=rg)
     shutil.rmtree(d)
     os.rename(tmp, d)
 
