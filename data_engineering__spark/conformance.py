@@ -7149,11 +7149,15 @@ ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM grid GROUP BY a),
 cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM grid GROUP BY b),
 n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid)
 SELECT grid.a AS lang, grid.b AS source, grid.o AS observed,
-       ROUND(CAST(ra.r * cb.c AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+       ROUND(CAST(CAST(ra.r AS HUGEINT) * cb.c AS DOUBLE)
+             / CAST(n.n AS DOUBLE), 6)
          AS expected,
-       ROUND(CAST(grid.o * n.n - ra.r * cb.c AS DOUBLE)
-             * CAST(grid.o * n.n - ra.r * cb.c AS DOUBLE)
-             / CAST(ra.r * cb.c * n.n AS DOUBLE), 6) AS chi_cell
+       ROUND(CAST(CAST(grid.o AS HUGEINT) * n.n
+                  - CAST(ra.r AS HUGEINT) * cb.c AS DOUBLE)
+             * CAST(CAST(grid.o AS HUGEINT) * n.n
+                    - CAST(ra.r AS HUGEINT) * cb.c AS DOUBLE)
+             / CAST(CAST(ra.r AS HUGEINT) * cb.c * n.n AS DOUBLE), 6)
+         AS chi_cell
 FROM grid JOIN ra ON grid.a = ra.a JOIN cb ON grid.b = cb.b CROSS JOIN n"""))
 def chi_square_lang_source(spark, sf_dir):
     """EXT R172: per-cell chi-square independence screen between the
@@ -8064,11 +8068,14 @@ tm AS (SELECT t, CAST(SUM(o) AS BIGINT) AS c FROM grid GROUP BY t),
 n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid),
 scored AS (
   SELECT grid.g, grid.t, grid.o,
-         ROUND(CAST(grid.o * n.n - gm.r * tm.c AS DOUBLE)
-               * CAST(grid.o * n.n - gm.r * tm.c AS DOUBLE)
-               / CAST(gm.r * tm.c * n.n AS DOUBLE), 6) AS chi
+         ROUND(CAST(CAST(grid.o AS HUGEINT) * n.n
+                    - CAST(gm.r AS HUGEINT) * tm.c AS DOUBLE)
+               * CAST(CAST(grid.o AS HUGEINT) * n.n
+                      - CAST(gm.r AS HUGEINT) * tm.c AS DOUBLE)
+               / CAST(CAST(gm.r AS HUGEINT) * tm.c * n.n AS DOUBLE), 6)
+           AS chi
   FROM grid JOIN gm ON grid.g = gm.g JOIN tm ON grid.t = tm.t CROSS JOIN n
-  WHERE grid.o * n.n > gm.r * tm.c),
+  WHERE CAST(grid.o AS HUGEINT) * n.n > CAST(gm.r AS HUGEINT) * tm.c),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY g
                ORDER BY chi DESC, t ASC) AS rn

@@ -474,27 +474,32 @@ def chi_square_cells(df: DataFrame, col_a: str, col_b: str,
     Exactness: o, row/column totals r, c and N are exact integers;
     e = r·c/N and the contribution ((o·N − r·c)/N-free form
     (o·N − r·c)²/(r·c·N)) are each ONE fixed-shape IEEE expression
-    over those integers, ROUND 6. Integer products stay in long range
-    for N·max(o) < 2⁶³ (petabyte tables should pre-aggregate or cast
-    the products to double first).
+    over those integers, ROUND 6. The integer products run in
+    decimal(38,0) — r·c·N overflows int64 past ~10⁸ total rows (the
+    class the round-10 sf10 probe caught in the sibling
+    ``keyness_terms``), and decimal keeps the arithmetic EXACT with a
+    single final rounding at the cast to double, bit-identical to the
+    long path in-range.
 
     Scale shape (100 TB): one hash agg to the (a, b) grid (map-side
     partial), two grid-sized aggs for the margins, margins broadcast
     back onto the grid — nothing after the first agg is row-scale."""
+    dec = "decimal(38,0)"
     grid = (df.groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
             .agg(F.count(F.lit(1)).cast("long").alias("__o")))
     ra = grid.groupBy("__a").agg(F.sum("__o").cast("long").alias("__r"))
     cb = grid.groupBy("__b").agg(F.sum("__o").cast("long").alias("__c"))
     n = grid.agg(F.sum("__o").cast("long").alias("__n"))
-    d = (F.col("__o") * F.col("__n") - F.col("__r") * F.col("__c")) \
+    rc = F.col("__r").cast(dec) * F.col("__c").cast(dec)
+    d = (F.col("__o").cast(dec) * F.col("__n").cast(dec) - rc) \
         .cast("double")
-    chi = d * d / (F.col("__r") * F.col("__c") * F.col("__n")).cast("double")
+    chi = d * d / (rc * F.col("__n").cast(dec)).cast("double")
     return (grid.join(F.broadcast(ra), "__a")
             .join(F.broadcast(cb), "__b")
             .crossJoin(F.broadcast(n))
             .select(F.col("__a").alias(col_a), F.col("__b").alias(col_b),
                     F.col("__o").alias("observed"),
-                    F.round((F.col("__r") * F.col("__c")).cast("double")
+                    F.round(rc.cast("double")
                             / F.col("__n").cast("double"),
                             round_dp).alias("expected"),
                     F.round(chi, round_dp).alias("chi_cell")))

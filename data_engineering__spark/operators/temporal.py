@@ -796,15 +796,28 @@ def nearest_join(left: DataFrame, right: DataFrame, key_col: str,
 
     Left rows with no right in the horizon survive with NULLs (left
     semantics). Selection is a struct-min over (|Δt|, right ts, right
-    id) — one aggregation, no window. Scale: the candidate join is a
-    per-key range join bounded by the horizon (never all-pairs);
-    integer-second arithmetic end to end."""
+    id) — one aggregation, no window. Scale: the candidate join is
+    equi-keyed on (key, horizon-sized TIME BUCKET) — the right side
+    explodes to its bucket ±1, so every in-horizon pair meets in
+    exactly one bucket (|⌊lt/h⌋ − ⌊rt/h⌋| ≤ 1 when |lt−rt| ≤ h, and a
+    single left bucket value matches one of the three exploded rows) —
+    then the exact |Δt| ≤ h filter. Without the bucket key the
+    candidate set is each key's FULL history cross its errors
+    (round-10 sf10 probe: ~10⁹ pairs streamed per box for a 24h
+    horizon over multi-year histories); with it, candidates are only
+    the adjacent-bucket neighbourhood at ANY history length. Result
+    set identical — the bucket is a pre-filter, the horizon predicate
+    still decides. Integer-second arithmetic end to end."""
     lts = F.unix_timestamp(F.col(ts_col))
     la = left.select(F.col(key_col).alias("__k"),
                      F.col(lid_col).alias("__lid"), lts.alias("__lt"))
-    ra = right.select(F.col(key_col).alias("__rk"),
-                      F.col(rid_col).alias("__rid"), lts.alias("__rt"))
+    rbk = F.floor(F.col("__rt") / F.lit(horizon_s)).cast("long")
+    ra = (right.select(F.col(key_col).alias("__rk"),
+                       F.col(rid_col).alias("__rid"), lts.alias("__rt"))
+          .withColumn("__bk", F.explode(F.array(rbk - 1, rbk, rbk + 1))))
     j = la.join(ra, (F.col("__k") == F.col("__rk"))
+                & (F.floor(F.col("__lt") / F.lit(horizon_s)).cast("long")
+                   == F.col("__bk"))
                 & (F.abs(F.col("__rt") - F.col("__lt"))
                    <= F.lit(horizon_s)))
     best = (j.groupBy(F.col("__lid").alias("__bl"))

@@ -753,7 +753,16 @@ def keyness_terms(df: DataFrame, group_col: str, text_col: str,
 
     Scale shape (100 TB): one (group, term) hash agg over exploded
     tokens (map-side partials), margins are grid-sized aggs broadcast
-    back, top-k is one window per group over its vocabulary."""
+    back, top-k is one window per group over its vocabulary.
+
+    Exactness at scale: the margin products run in decimal(38,0) —
+    r·c·N overflows int64 once the corpus passes ~10⁸ tokens (the
+    round-10 sf10 probe threw ArithmeticException under ANSI exactly
+    there), and decimal keeps the arithmetic EXACT (single final
+    rounding at the cast to double, bit-identical to the long path
+    in-range) where an early double cast would move ROUND-6
+    boundaries. The oracle runs the same products as HUGEINT."""
+    dec = "decimal(38,0)"
     toks = (df.select(F.col(group_col).alias("__g"),
                       F.explode(tokens(text_col)).alias("__t")))
     grid = (toks.groupBy("__g", "__t")
@@ -761,16 +770,16 @@ def keyness_terms(df: DataFrame, group_col: str, text_col: str,
     gm = grid.groupBy("__g").agg(F.sum("__o").cast("long").alias("__r"))
     tm = grid.groupBy("__t").agg(F.sum("__o").cast("long").alias("__c"))
     n = grid.agg(F.sum("__o").cast("long").alias("__n"))
-    d = (F.col("__o") * F.col("__n") - F.col("__r") * F.col("__c")) \
-        .cast("double")
+    on_ = F.col("__o").cast(dec) * F.col("__n").cast(dec)
+    rc = F.col("__r").cast(dec) * F.col("__c").cast(dec)
+    d = (on_ - rc).cast("double")
     chi = F.round(
-        d * d / (F.col("__r") * F.col("__c") * F.col("__n")).cast("double"),
+        d * d / (rc * F.col("__n").cast(dec)).cast("double"),
         round_dp)
     scored = (grid.join(F.broadcast(gm), "__g")
               .join(tm, "__t")
               .crossJoin(F.broadcast(n))
-              .filter(F.col("__o") * F.col("__n")
-                      > F.col("__r") * F.col("__c"))
+              .filter(on_ > rc)
               .withColumn("__chi", chi))
     w = (Window.partitionBy("__g")
          .orderBy(F.col("__chi").desc(), F.col("__t").asc()))
