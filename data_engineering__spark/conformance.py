@@ -2250,7 +2250,7 @@ def pipeline_parity_categories_enriched(spark, sf_dir):
 
 DRIVER_PRIORITY = [
     # --- generated by tools/rotate_driver_priority.py from
-    # CORRECTNESS_r01..r09 (re-run with --apply after each
+    # CORRECTNESS_r01..r10 (re-run with --apply after each
     # driver round). Structure: (0) keys RED in the latest round
     # keep head slots; (1) never-driver-verified backlog in queue
     # order — the next driver window is the first 50; (2) the
@@ -2259,25 +2259,7 @@ DRIVER_PRIORITY = [
     # drains. Fresher keys follow in registration order, last.
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
-    # -- (1) never-driver-verified backlog (next window = first 50)
-    "streaming_right_outer_join", "sql_pipe_agg", "variant_nested_paths",
-    "recursive_cte_reachability", "zorder_skipping_events", "sql_scripting_order_share",
-    "foreach_batch_replay_events", "theta_set_ops_users",
     # -- (2) staleness-first rotation (newest green row stale)
-    "agg_stats", "anti_join", "array_ops",
-    "audit_diff", "case_when_mapping", "cosine_topk",
-    "date_extract", "dedup_by_key", "except_all",
-    "explode_split", "filter_strlen_trim", "group_having_dup",
-    "intersect_keys", "json_extract", "lang_id",
-    "map_lookup_normalize", "null_blank_validate", "pivot_counts",
-    "quality_score", "range_join", "rollup_counts",
-    "sample_limit", "semi_join", "sort_limit_topk",
-    "sql_api_join", "substring_first_token", "text_exact_dedup",
-    "text_stats", "token_count", "topk_per_group",
-    "tumbling_window_agg", "udaf_weighted_mean", "union_all",
-    "window_lag_lead", "window_rank", "window_running_sum",
-    "ann_topk_lsh", "asof_join", "connected_components_graph",
-    "connected_components_star_graph", "cross_join_small", "cube_counts",
     "date_functions", "dim_upsert", "doc_fingerprint",
     "embedding_near_dup", "filter_predicate", "full_outer_join",
     "hash_split_counts", "http_enrich", "inner_join_agg_sort",
@@ -2298,7 +2280,23 @@ DRIVER_PRIORITY = [
     "resample_locf_events", "sample_per_group", "scd2_asof",
     "semantic_dedup", "sessionize_events", "streaming_join_interval",
     "tfidf_top_terms", "token_entropy", "udtf_split_authors",
-    "weighted_sample_counts",
+    "weighted_sample_counts", "apply_cdc_snapshot", "attribution_report_events",
+    "bm25_search_docs", "cohort_retention_weekly", "collocations_docs",
+    "cond_agg_flags", "contamination_report_docs", "conversion_funnel_steps",
+    "corpus_report_docs", "corr_matrix_lineitem", "curate_corpus_funnel",
+    "dedup_cluster_sizes", "dedup_keep_best_docs", "epoch_shuffle_head",
+    "event_transition_matrix", "expectation_suite_lineitem", "fuzzy_join_suppliers",
+    "grouped_map_gaps", "hybrid_search_rrf", "ivfpq_adc_topk",
+    "join_health_orders", "journey_paths_events", "length_bucketed_batches",
+    "line_dedup_docs", "minhash_cc_dedup", "minhash_incremental_pairs",
+    "minhash_near_dup_portable", "null_safe_join_counts", "pq_code_histogram",
+    "rate_cap_events", "related_docs_topk", "rolling_hour_window",
+    "scd2_dim_history", "script_profile_docs", "shard_by_tokens_docs",
+    "split_leakage_report", "stateful_profile", "streaming_dedup",
+    "streaming_rate_tumbling", "streaming_session", "streaming_tumbling",
+    "temperature_mix_counts", "time_weighted_avg_users", "token_heavy_hitters",
+    "token_rarity_docs", "triangle_counts_graph", "union_schema_drift",
+    "user_growth_weekly", "winsorized_stats_events", "wow_revenue_growth",
     # -- (3) rows-only keys (no oracle by design) — behind every hash-verifiable key
     "minhash_near_dup", "simhash_near_dup",
 ]
@@ -9489,8 +9487,10 @@ j AS (
 SELECT n_a_exact, n_b_exact, union_exact, inter_exact, union_est,
        CAST(ROUND((CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE))
                   * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est,
-       ROUND(CAST(inter_exact AS DOUBLE)
-             / CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
+       CASE WHEN union_exact > 0
+            THEN ROUND(CAST(inter_exact AS DOUBLE)
+                       / CAST(union_exact AS DOUBLE), 6)
+       END AS jaccard_exact,
        ROUND(CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE), 6) AS jaccard_est
 FROM j"""))
 def kmv_set_ops_users(spark, sf_dir):
@@ -9565,8 +9565,10 @@ e AS (
 SELECT n_a_exact, n_b_exact, union_exact, inter_exact,
        a_not_b_exact, b_not_a_exact, union_est, inter_est,
        a_not_b_est, b_not_a_est,
-       ROUND(CAST(inter_exact AS DOUBLE)
-             / CAST(union_exact AS DOUBLE), 6) AS jaccard_exact,
+       CASE WHEN union_exact > 0
+            THEN ROUND(CAST(inter_exact AS DOUBLE)
+                       / CAST(union_exact AS DOUBLE), 6)
+       END AS jaccard_exact,
        CASE WHEN union_est > 0
             THEN ROUND(CAST(inter_est AS DOUBLE)
                        / CAST(union_est AS DOUBLE), 6)

@@ -412,8 +412,9 @@ def kmv_set_ops_check(df: DataFrame, key_col: str, label_col,
         "union_est",
         F.round(rho * F.col("union_est").cast("double")).cast("long")
          .alias("inter_est"),
-        F.round(F.col("inter_exact").cast("double")
-                / F.col("union_exact").cast("double"), 6)
+        F.when(F.col("union_exact") > 0,
+               F.round(F.col("inter_exact").cast("double")
+                       / F.col("union_exact").cast("double"), 6))
          .alias("jaccard_exact"),
         F.round(rho, 6).alias("jaccard_est"))
 
@@ -517,8 +518,9 @@ def theta_set_ops_check(df: DataFrame, key_col: str, label_col,
         inter_est.alias("inter_est"),
         est(F.col("__nanotb"), F.col("__ti")).alias("a_not_b_est"),
         est(F.col("__nbnota"), F.col("__ti")).alias("b_not_a_est"),
-        F.round(F.col("inter_exact").cast("double")
-                / F.col("union_exact").cast("double"), 6)
+        F.when(F.col("union_exact") > 0,
+               F.round(F.col("inter_exact").cast("double")
+                       / F.col("union_exact").cast("double"), 6))
          .alias("jaccard_exact"),
         F.when(union_est > 0,
                F.round(inter_est.cast("double")

@@ -814,6 +814,9 @@ def nearest_join(left: DataFrame, right: DataFrame, key_col: str,
     rbk = F.floor(F.col("__rt") / F.lit(horizon_s)).cast("long")
     ra = (right.select(F.col(key_col).alias("__rk"),
                        F.col(rid_col).alias("__rid"), lts.alias("__rt"))
+          .filter(F.col("__rt").isNotNull())  # NULL-ts rows can never
+          # satisfy |Δt| ≤ h; dropping them here avoids exploding each
+          # into three dead NULL-bucket candidate rows (ADVICE r10)
           .withColumn("__bk", F.explode(F.array(rbk - 1, rbk, rbk + 1))))
     j = la.join(ra, (F.col("__k") == F.col("__rk"))
                 & (F.floor(F.col("__lt") / F.lit(horizon_s)).cast("long")

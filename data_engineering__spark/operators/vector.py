@@ -346,7 +346,11 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     is the identical one-multiply one-divide expression shape. Ties:
     centroid rows sort by id and ``argmax`` returns the FIRST maximum =
     smallest centroid id, matching the struct-max rule. Vectors are
-    assumed nonzero-norm (the fold form shared the precondition)."""
+    assumed nonzero-norm (the fold form shared the precondition);
+    NULL-embedding rows are dropped up front — the fold path emitted a
+    NULL-cosine row for them, the kernel would hard-crash stacking the
+    batch matrix, and neither produces a usable cell. Ragged (wrong-dim)
+    vectors remain a stated precondition violation."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -377,7 +381,8 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
                                 "cell": cids[np.argmax(cos, axis=1)]})
 
     out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, cell bigint"
-    return (df.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
             .mapInPandas(run, out_schema))
 
 
@@ -441,7 +446,9 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
     left-fold summation order the SQL oracle's expression chain uses —
     ``np.sum`` would pairwise-sum in a different order and could flip an
     argmin at ulp distance. Ties: centroid rows sort by cell id and
-    ``argmin`` returns the FIRST minimum = smallest cell.
+    ``argmin`` returns the FIRST minimum = smallest cell. NULL-embedding
+    rows are dropped up front (no cell is assignable; stacking them would
+    crash the batch matrix).
     """
     from collections.abc import Iterator
 
@@ -466,7 +473,8 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
                                 "cell": cells[np.argmin(d2, axis=1)]})
 
     out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, cell bigint"
-    return (df.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
             .mapInPandas(run, out_schema))
 
 

@@ -3533,6 +3533,25 @@ def test_theta_set_ops_sketch_regime_close(spark):
         abs(o64.jaccard_est - o64.jaccard_exact)
 
 
+def test_set_ops_empty_cohorts_null_jaccard(spark):
+    """ADVICE r10: zero keys in BOTH label classes must yield NULL
+    jaccard_exact/jaccard_est, not an ANSI DIVIDE_BY_ZERO — for the
+    Theta report and its KMV twin alike."""
+    from data_engineering__spark.operators.sketches import (
+        kmv_set_ops_check,
+        theta_set_ops_check,
+    )
+
+    df = spark.createDataFrame([("c", 1), ("c", 2)], "g string, k long")
+    t = theta_set_ops_check(df, "k", F.col("g"), "a", "b",
+                            k=64).collect()[0]
+    assert t.union_exact == 0 and t.inter_exact is None  # SUM of no rows
+    assert t.jaccard_exact is None and t.jaccard_est is None
+    m = kmv_set_ops_check(df, "k", F.col("g"), "a", "b",
+                          k=64).collect()[0]
+    assert m.union_exact == 0 and m.jaccard_exact is None
+
+
 def test_brier_decomposition_hand_case(spark):
     """Binary forecaster with constant forecasts inside each bin: the
     decomposition is EXACT (gap 0). s=4 predicts 1.0 (3 of 4 positive),
@@ -5491,6 +5510,40 @@ def test_nearest_join_bidirectional_and_ties(spark):
     assert out[101].nearest_id is None and out[101].delta_s is None
     # exact tie (30s both sides) -> earlier right (910)
     assert out[200].nearest_id == 910 and out[200].delta_s == -30
+
+    # NULL right timestamps are dropped before the bucket explode
+    # (ADVICE r10) — results identical to not having the row at all
+    right2 = right.union(spark.createDataFrame(
+        [(1, 999, None)], "user_id long, event_id long, ts timestamp"))
+    out2 = {r.event_id: (r.nearest_id, r.delta_s) for r in nearest_join(
+        left, right2, "user_id", "event_id", "event_id", "ts",
+        3600).collect()}
+    assert out2 == {k: (v.nearest_id, v.delta_s) for k, v in out.items()}
+
+
+def test_assign_kernels_drop_null_embeddings(spark):
+    """ADVICE r10: a NULL embedding row must not crash the Arrow batch
+    stack in ivf_assign/kmeans_assign — it is dropped (no cell is
+    assignable), and the non-NULL rows' cells are unaffected."""
+    from data_engineering__spark.operators.vector import (
+        ivf_assign,
+        kmeans_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    df = spark.createDataFrame(
+        [(10, [2.0, 0.1]), (11, None), (12, [0.1, 3.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cell for r in
+           ivf_assign(df, cents, "vec_id", "embedding").collect()}
+    assert got == {10: 0, 12: 1}
+    kc = cents.select(F.col("vec_id").alias("cell"),
+                      F.col("embedding").alias("cvec"))
+    got2 = {r.vec_id: r.cell for r in
+            kmeans_assign(df, kc, "vec_id", "embedding").collect()}
+    assert got2 == {10: 0, 12: 1}
 
 
 def test_label_noise_knn_planted_mislabel(spark):
