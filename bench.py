@@ -33,6 +33,7 @@ HEADLINE = [
     "sql_pipe_agg", "variant_nested_paths",
     "recursive_cte_reachability", "zorder_skipping_events",
     "sql_scripting_order_share",
+    "scalar_subquery_q17_shaped", "tpch_q18_shaped",
     # windows / sorts / temporal
     "topk_per_group", "window_rank", "window_running_sum", "window_lag_lead",
     "window_ntile", "sort_limit_topk", "asof_join", "range_join",
@@ -271,10 +272,40 @@ R01_SUBSET = [
 # pq_code_histogram and ivf_kmeans_topk)
 
 
+def _load_gate() -> dict:
+    """Bench-shot hygiene (VERDICT r10 task 3): past rounds recorded shots
+    taken under neighbor load (load_1m up to 65) and needed prose to
+    explain 5x swings on untouched queries. Gate: before timing anything,
+    wait (bounded) for the 1-minute load average to drop below
+    ``$SPARK_GRAFT_LOAD_GATE`` (default 2.0), polling every 15 s for up to
+    ``$SPARK_GRAFT_LOAD_WAIT`` seconds (default 300). Never refuses — the
+    driver's per-round shot must still land — but the printed line carries
+    the gate verdict so a high-load row is machine-flagged, not narrated."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    deadline = time.monotonic() + wait_s
+    waited = 0.0
+    try:
+        load = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        return {"threshold": gate, "load_at_start": None, "status": "unknown"}
+    while load >= gate and time.monotonic() < deadline:
+        print(f"load_gate: load_1m={load:.1f} >= {gate}, waiting...",
+              file=sys.stderr)
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    status = "ok" if load < gate else "high_load"
+    return {"threshold": gate, "load_at_start": round(load, 1),
+            "waited_sec": round(waited), "status": status}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    load_gate = _load_gate()
 
     from data_engineering__spark.conformance import QUERIES
     from data_engineering__spark.session import get_spark
@@ -332,6 +363,7 @@ def main() -> None:
         "r01_subset_sec": r01_subset,
         "r01_subset_n": sum(1 for k in R01_SUBSET if k in timings),
         "load_1m": load_1m,
+        "load_gate": load_gate,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
@@ -347,6 +379,7 @@ def main() -> None:
         "sf": sf_value,
         "r01_subset_sec": r01_subset,
         "load_1m": load_1m,
+        "load_gate": load_gate,
         "queries": slowest,
         "detail": "bench_detail.json",
     }

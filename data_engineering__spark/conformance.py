@@ -2297,6 +2297,8 @@ DRIVER_PRIORITY = [
     "temperature_mix_counts", "time_weighted_avg_users", "token_heavy_hitters",
     "token_rarity_docs", "triangle_counts_graph", "union_schema_drift",
     "user_growth_weekly", "winsorized_stats_events", "wow_revenue_growth",
+    # -- new keys (round 11, registry-freeze budget) queue behind the rotation
+    "scalar_subquery_q17_shaped", "tpch_q18_shaped",
     # -- (3) rows-only keys (no oracle by design) — behind every hash-verifiable key
     "minhash_near_dup", "simhash_near_dup",
 ]
@@ -12240,6 +12242,105 @@ def tpch_q3_shaped(spark, sf_dir):
             .limit(10))
 
 
+@query("scalar_subquery_q17_shaped", oracle=_mat("""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT) AS price_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+ORDER BY p.p_brand"""))
+def scalar_subquery_q17_shaped(spark, sf_dir):
+    """EXT R327 (round 11): TPC-H Q17-shaped correlated SCALAR subquery —
+    per-part "small-quantity" lines (below 1/5 of the part's own average
+    quantity), revenue rolled up by brand. The one canonical SQL surface
+    a warehouse port hits that the registry didn't yet name: a correlated
+    aggregate subquery in WHERE, which Catalyst DECORRELATES into an
+    aggregate + equi-join (RewriteCorrelatedScalarSubquery) while DuckDB
+    runs the identical text verbatim — the cross-engine check therefore
+    pins the decorrelation's semantics, not just the arithmetic.
+
+    Exactness: ``l_quantity < 0.2·AVG(l_quantity)`` is stated in the
+    integer-cross-multiplied form ``5·qty·COUNT < SUM`` (quantities are
+    integral) — no IEEE average on either side, so a borderline part
+    cannot flip on ulp differences between Spark's decimal AVG and
+    DuckDB's double AVG. Per-line revenue rounds to exact invoice cents
+    before the sum (same rule as ``tpch_q3_shaped``).
+
+    Scale shape: the decorrelated per-part aggregate is ONE partial-agg
+    shuffle of lineitem by l_partkey, reused by both subqueries
+    (MergeScalarSubqueries collapses them); the probe side joins on the
+    same key, and the brand rollup is bounded-domain (25 brands). No
+    nested loop anywhere — the plan pin asserts it."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql("""
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT)
+                 AS price_cents
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE 5 * CAST(l.l_quantity AS BIGINT)
+                * (SELECT COUNT(*) FROM lineitem_v l2
+                   WHERE l2.l_partkey = p.p_partkey)
+              < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem_v l2
+                 WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand""")
+
+
+@query("tpch_q18_shaped", oracle=_mat("""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100"""))
+def tpch_q18_shaped(spark, sf_dir):
+    """EXT R328 (round 11): TPC-H Q18-shaped large-volume-customer query
+    — orders whose total quantity crosses a threshold, found via
+    ``IN (SELECT … GROUP BY … HAVING …)``, then re-joined to customer
+    and lineitem for the top-100 report. Completes the Q17 pair: the
+    membership subquery is a grouped-HAVING set that Catalyst rewrites
+    to a LEFT SEMI join on the aggregated key while DuckDB runs the
+    text verbatim — pinning the IN-decorrelation semantics.
+
+    Exactness: quantities are integral, so the HAVING threshold and the
+    reported sum are exact BIGINT arithmetic; ``o_totalprice`` passes
+    through untransformed (bit-identical parquet doubles on both
+    engines) and the (price DESC, orderkey ASC) total order makes the
+    LIMIT deterministic.
+
+    Scale shape: the HAVING set is one partial-agg shuffle of lineitem
+    by l_orderkey; the semi join and the fact join share that key, the
+    customer join is FK-shaped, and the top-100 is a
+    TakeOrderedAndProject — never a full sort."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer_v c
+        JOIN orders_v o ON o.o_custkey = c.c_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+                               GROUP BY l_orderkey
+                               HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        GROUP BY c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 100""")
+
+
 @query("nearest_error_join", oracle=_mat("""
 WITH l AS (
   SELECT user_id AS k, event_id AS lid,
@@ -12249,9 +12350,18 @@ r AS (
   SELECT user_id AS rk, event_id AS rid,
          epoch_us(ts) // 1000000 AS rt
   FROM events WHERE event_type = 'error'),
+rb AS (
+  -- horizon-bucketed candidate form (VERDICT r10 task 4): replicate each
+  -- error row to its 86400 s bucket ±1 so every in-horizon pair meets in
+  -- exactly one equi-bucket, mirroring the Spark operator's join shape
+  -- and making the oracle sf10-practical; the exact |dt| predicate below
+  -- still decides every pair, so this stays a pair-level check
+  SELECT rk, rid, rt, (rt // 86400) + off.o AS bk
+  FROM r CROSS JOIN (VALUES (-1), (0), (1)) off(o)),
 best AS (
   SELECT lid AS bl, MIN({'ad': ABS(rt - lt), 'rt': rt, 'ri': rid}) AS b
-  FROM l JOIN r ON r.rk = l.k AND ABS(rt - lt) <= 86400
+  FROM l JOIN rb ON rb.rk = l.k AND rb.bk = (l.lt // 86400)
+                AND ABS(rt - lt) <= 86400
   GROUP BY lid)
 SELECT l.k AS user_id, l.lid AS event_id,
        CAST(b.ri AS BIGINT) AS nearest_id,

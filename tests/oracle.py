@@ -86,3 +86,76 @@ def compare(spark, name: str, sf_dir: str) -> tuple[bool, str]:
         only_d = list((dn - sn).items())[:5]
         return False, f"value mismatch: spark-only={only_s} duck-only={only_d}"
     return True, f"ok ({len(s_rows)} rows)"
+
+
+_DIGEST_MOD = (1 << 127) - 1
+
+
+def _digest_stream(cols: list[str], rows) -> tuple[int, int]:
+    """Order-insensitive multiset digest of an iterable of row tuples:
+    (count, sum over rows of sha1(repr(normalized_tuple)) mod 2^127-1).
+    Same per-cell normalization as ``_norm_rows`` — floats canonicalized
+    to repr, Decimal→float, dates→str — so a digest match means exactly
+    what a Counter match means, without holding the rows."""
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    n, acc = 0, 0
+    for r in rows:
+        t = tuple(_norm_cell(r[i]) for i in order)
+        h = int.from_bytes(hashlib.sha1(repr(t).encode()).digest(), "big")
+        acc = (acc + h) % _DIGEST_MOD
+        n += 1
+    return n, acc
+
+
+def compare_digest(spark, name: str, sf_dir: str,
+                   batch: int = 100_000) -> tuple[bool, str]:
+    """Scale-probe variant of ``compare`` for DATA-SIZED result sets.
+
+    ``compare`` materializes both result sets as Python Counters — at the
+    sf10 synthetic upsample a per-event result (e.g. ``nearest_error_join``,
+    ~8M rows × 4 cols) costs tens of GB of Python objects and killed the
+    round-10/11 probes (the documented "oracle RSS" was the COMPARE
+    vehicle, not the oracle's join). This variant streams both sides
+    (``toLocalIterator`` / ``fetchmany``) into an order-insensitive
+    sha1-sum multiset digest: identical normalization, O(batch) memory,
+    at the price of no per-row mismatch listing — use it for scale
+    batteries, keep ``compare`` (the driver's faithful replica) for the
+    driver-gate scales where mismatches must be diagnosable."""
+    from data_engineering__spark.conformance import ORACLE, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    s_cols = sdf.columns
+    s_n, s_dig = _digest_stream(
+        s_cols, (tuple(r) for r in sdf.toLocalIterator()))
+
+    con = duck_connection(sf_dir)
+    dtypes = con.execute(f"DESCRIBE (\n{ORACLE[name]}\n)").fetchall()
+    huge = [r[0] for r in dtypes if "HUGEINT" in r[1].upper()]
+    if huge:
+        con.close()
+        return False, (f"oracle emits HUGEINT column(s) {huge} — the driver "
+                       "hashes these as float64; CAST(... AS BIGINT)")
+    res = con.execute(ORACLE[name])
+    d_cols = [d[0] for d in res.description]
+    if sorted(s_cols) != sorted(d_cols):
+        con.close()
+        return False, (f"column mismatch: spark={sorted(s_cols)} "
+                       f"duck={sorted(d_cols)}")
+
+    def duck_rows():
+        while True:
+            chunk = res.fetchmany(batch)
+            if not chunk:
+                return
+            yield from chunk
+
+    d_n, d_dig = _digest_stream(d_cols, duck_rows())
+    con.close()
+    if s_n != d_n:
+        return False, f"row count: spark={s_n} duck={d_n}"
+    if s_dig != d_dig:
+        return False, (f"multiset digest mismatch over {s_n} rows "
+                       f"(spark={s_dig:x} duck={d_dig:x})")
+    return True, f"ok ({s_n} rows, digest)"

@@ -585,6 +585,23 @@ def test_tpch_q3_plan_pushdown_and_takeordered(spark, sf_dir):
     assert "BroadcastHashJoin" in p
 
 
+def test_q17_q18_subqueries_decorrelate_no_nested_loop(spark, sf_dir):
+    """R327/R328 plan pins: the Q17 correlated scalar subqueries must
+    decorrelate into aggregate + equi-joins (no nested loop, no
+    cartesian), and the Q18 ``IN (GROUP BY HAVING)`` must become a semi
+    join on the aggregated key with the top-100 as TakeOrdered — never
+    a full sort."""
+    p17 = plan_of(QUERIES["scalar_subquery_q17_shaped"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p17
+    assert "CartesianProduct" not in p17
+    assert "Join" in p17 and "HashAggregate" in p17
+    p18 = plan_of(QUERIES["tpch_q18_shaped"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p18
+    assert "CartesianProduct" not in p18
+    assert "LeftSemi" in p18
+    assert "TakeOrderedAndProject" in p18
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark, tmp_path):
     """Round 8 (layout/skipping family): Spark's runtime row-level
     filtering — a selective dim filter on one side of a SHUFFLE join

@@ -152,3 +152,29 @@ def test_scaled_testdata_offsets_stay_below_twin_sentinel():
     assert set(mk.KEY_COLUMNS) | set(mk.COPY_AS_IS) == set(TABLES)
     # 10 copies of sf10-sized ids still two orders below the sentinel
     assert 10 * mk.KEY_OFFSET + 10_000_000_000 < 1_000_000_000_000
+
+
+def test_digest_stream_is_order_insensitive_multiset():
+    """tests/oracle._digest_stream: the scale-probe digest must equal the
+    Counter compare's semantics — order-independent, duplicate-sensitive,
+    cell-normalization identical (floats → repr, Decimal → float) — and
+    any single-cell change must move the digest."""
+    from decimal import Decimal
+
+    from tests.oracle import _digest_stream
+
+    cols = ["b", "a"]
+    rows = [(1, 0.5), (2, None), (1, 0.5)]
+    n1, d1 = _digest_stream(cols, iter(rows))
+    n2, d2 = _digest_stream(cols, iter(reversed(rows)))
+    assert (n1, d1) == (n2, d2) == (3, d1)
+    # Decimal('0.50') normalizes to the same cell as float 0.5
+    _, d3 = _digest_stream(cols, iter([(1, Decimal("0.50")), (2, None),
+                                       (1, 0.5)]))
+    assert d3 == d1
+    # duplicate-sensitive: dropping one copy of the dup row changes it
+    _, d4 = _digest_stream(cols, iter(rows[:2]))
+    assert d4 != d1
+    # single-cell change changes it
+    _, d5 = _digest_stream(cols, iter([(1, 0.5), (2, 7), (1, 0.5)]))
+    assert d5 != d1

@@ -76,6 +76,11 @@ def main() -> int:
                          "oracle + hash compare) as JSON — turns a battery "
                          "into a scale profile of where the wall time lives")
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--digest", action="store_true",
+                    help="streaming multiset-digest compare (O(1) memory) "
+                         "for scale probes whose RESULT SETS are data-"
+                         "sized; same normalization as the default "
+                         "Counter compare, no per-row mismatch listing")
     args = ap.parse_args()
     n_selectors = sum((bool(args.slots), args.scale_battery, bool(args.keys)))
     if n_selectors > 1:
@@ -93,7 +98,9 @@ def main() -> int:
              .appName("driver-sim").getOrCreate())
 
     import __spark_entry__ as E
-    from tests.oracle import compare
+    from tests.oracle import compare, compare_digest
+    if args.digest:
+        compare = compare_digest
 
     Q, O = E.queries(), E.oracle_sql()
     ordered = list(Q)
