@@ -300,12 +300,30 @@ def _load_gate() -> dict:
             "waited_sec": round(waited), "status": status}
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread CPU work unit (~1 s), reported with every shot.
+
+    Round-11 finding: the shared box's per-round hardware varies (r11's
+    host measured untouched r10 quiet-floor keys at 1.6-2.1x their
+    recorded floors with ZERO steal and load < 1 — slower clocks, not
+    neighbor load). `load_1m`/`load_gate` flag contention but cannot see
+    a slower host; this probe is the box-speed denominator that lets a
+    cross-round bench ratio separate "code got slower" from "box got
+    slower". Compare probes before comparing totals."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     load_gate = _load_gate()
+    cpu_probe = _cpu_probe()
 
     from data_engineering__spark.conformance import QUERIES
     from data_engineering__spark.session import get_spark
@@ -364,6 +382,7 @@ def main() -> None:
         "r01_subset_n": sum(1 for k in R01_SUBSET if k in timings),
         "load_1m": load_1m,
         "load_gate": load_gate,
+        "cpu_probe_sec": cpu_probe,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
@@ -380,6 +399,7 @@ def main() -> None:
         "r01_subset_sec": r01_subset,
         "load_1m": load_1m,
         "load_gate": load_gate,
+        "cpu_probe_sec": cpu_probe,
         "queries": slowest,
         "detail": "bench_detail.json",
     }

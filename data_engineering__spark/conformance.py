@@ -2259,6 +2259,10 @@ DRIVER_PRIORITY = [
     # drains. Fresher keys follow in registration order, last.
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
+    # -- (1) never-driver-verified backlog: the two round-11 freeze-budget
+    # keys take the head slots so no key waits rounds for its FIRST
+    # driver row (stated policy: backlog drains before the rotation)
+    "scalar_subquery_q17_shaped", "tpch_q18_shaped",
     # -- (2) staleness-first rotation (newest green row stale)
     "date_functions", "dim_upsert", "doc_fingerprint",
     "embedding_near_dup", "filter_predicate", "full_outer_join",
