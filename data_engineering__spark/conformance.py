@@ -1876,7 +1876,13 @@ def _arxiv_raw(spark, sf_dir, keep_mod: int = 5):
              pair(F.concat(F.lit("A"), s(m % 11)), "Alice"),
              pair(F.concat(F.lit("D"), s(m % 9)), "Dana"))))
     return d.select(
-        F.concat(F.lit("arx."), F.lpad(s(F.col("doc_id")), 8, "0")).alias("id"),
+        # 12-wide pad: lpad TRUNCATES strings longer than the pad width,
+        # so an 8-wide id collides once doc_ids pass 1e8 (the r11 sf10
+        # probe caught the dedup/row_number tie-breaks going ambiguous on
+        # the collided ids — engines legitimately pick different rows).
+        # 12 digits is unique to 1e12 docs; zero-padded numeric sort, so
+        # every pub_id and recorded hash below 1e8 is unchanged.
+        F.concat(F.lit("arx."), F.lpad(s(F.col("doc_id")), 12, "0")).alias("id"),
         F.lit("sub").alias("submitter"),
         authors.alias("authors"),
         authors_parsed.alias("authors_parsed"),
@@ -1915,7 +1921,7 @@ def _arxiv_raw_sql(pred: str) -> str:
     parameterized by the doc-subset predicate — shared by the full-load
     parity prefix and the incremental-load oracle (a doc's fixture row
     depends only on its id, so waves agree row-for-row)."""
-    return f"""SELECT 'arx.' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS arxiv_id,
+    return f"""SELECT 'arx.' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS arxiv_id,
          CASE WHEN (doc_id // 5) % 23 = 0 THEN ''
               WHEN (doc_id // 5) % 3 = 0 THEN
                 'Alice A' || CAST((doc_id // 5) % 11 AS VARCHAR) ||
@@ -4010,7 +4016,7 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
          AS gid,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), (o_orderstatus), ())""")
@@ -4020,12 +4026,19 @@ def grouping_sets_counts(spark, sf_dir):
     marker disambiguating the all-rows NULL from a genuine NULL group.
     One shuffle: Spark expands the sets map-side, aggregates once."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    # integer-cents accumulation (the repo's established discipline, cf.
+    # variant_nested_paths): ROUND(SUM(double), 2) at the grand-total
+    # grouping set needs >16 significant digits once the table passes
+    # ~1e7 rows, so engine summation order flips the rounded cent — the
+    # r11 sf10 probe caught exactly that. Per-row cents are the same IEEE
+    # double in both engines; the BIGINT sum is exact and order-free.
     return spark.sql("""
         SELECT o_orderpriority, o_orderstatus,
                CAST(GROUPING(o_orderpriority) * 2
                     + GROUPING(o_orderstatus) AS INT) AS gid,
                COUNT(*) AS n,
-               ROUND(SUM(o_totalprice), 2) AS total
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus), ())""")
@@ -13925,7 +13938,8 @@ def streaming_right_outer_join(spark, sf_dir):
 @query("sql_pipe_agg", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue
 FROM lineitem
 WHERE l_quantity >= 10
 GROUP BY l_returnflag, l_linestatus
@@ -13940,12 +13954,16 @@ def sql_pipe_agg(spark, sf_dir):
     equivalent."""
     read_table(spark, sf_dir, "lineitem") \
         .createOrReplaceTempView("lineitem_pipe_v")
+    # integer-cents accumulation (see grouping_sets_counts): the revenue
+    # sum passes 4e11 at sf10 and ROUND(SUM(double), 2) needs more
+    # significant digits than double carries — the per-row cent is the
+    # same IEEE double in both engines, the BIGINT sum is order-free.
     return spark.sql("""
         FROM lineitem_pipe_v
         |> WHERE l_quantity >= 10
         |> AGGREGATE COUNT(*) AS n_lines,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
+                     SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)) / 100.0 AS revenue
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n_lines, revenue""")
