@@ -9,6 +9,7 @@ every oracle mismatch is caught at test time, not at driver verify time.
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 from datetime import date, datetime
 from decimal import Decimal
@@ -20,6 +21,14 @@ from data_engineering__spark.sources.io import TABLES
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # In-memory connections have NO temp directory, so DuckDB cannot
+    # spill and a memory-hungry oracle (60M-row window at the sf10 probe
+    # scale) grows until the kernel kills the whole sweep. Cap the budget
+    # and give it somewhere to spill — out-of-core instead of OOM. At the
+    # driver-gate scales neither setting ever engages.
+    budget_gb = int(os.environ.get("ORACLE_DUCK_MEM_GB", "40"))
+    con.execute(f"SET memory_limit='{budget_gb}GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -145,11 +154,17 @@ def compare_digest(spark, name: str, sf_dir: str,
                        f"duck={sorted(d_cols)}")
 
     def duck_rows():
-        while True:
-            chunk = res.fetchmany(batch)
-            if not chunk:
-                return
-            yield from chunk
+        # fetchmany() materializes the ENTIRE result on its first call
+        # (DuckDB's python API buffers the full result set) — on a 60M-row
+        # sf10 result that is tens of GB of process RSS, which is what
+        # killed the round-11 wave-4 digest batch, not the oracle's join.
+        # fetch_record_batch() is the genuinely streaming path: Arrow
+        # batches materialize one at a time; to_pylist() yields the same
+        # Python object types fetchmany does (Decimal/datetime/str/int),
+        # so _norm_cell sees identical cells either way.
+        reader = res.fetch_record_batch(batch)
+        for rb in reader:
+            yield from zip(*(c.to_pylist() for c in rb.columns))
 
     d_n, d_dig = _digest_stream(d_cols, duck_rows())
     con.close()
