@@ -859,7 +859,7 @@ LATERAL (SELECT o_orderkey, o_totalprice FROM ___lat_o o
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t""")
 
 
-# ------------------------- rows-only (no SQL oracle; driver checks rows>0)
+# --------------- near-dup fixture corpus (shared by the L2 pair keys)
 
 def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):
     """Demo corpus guaranteeing near-dup pairs: a doc subset unioned with
@@ -877,23 +877,6 @@ def _docs_with_near_dups(spark, sf_dir, keep_mod: int = 5):
     # itself provides this parallelism and the repartition is a no-op cost.
     n_parts = spark.sparkContext.defaultParallelism
     return docs.unionByName(perturbed).repartition(n_parts)
-
-
-@query("minhash_near_dup")
-def minhash_near_dup(spark, sf_dir):
-    """L2 (rows-only): MinHash+LSH banding near-dup candidate pairs verified
-    by signature-estimated Jaccard."""
-    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=5)
-    pairs = D.minhash_candidate_pairs(corpus, "doc_id", "text",
-                                      num_hashes=32, bands=16)
-    return pairs.orderBy("id_a", "id_b")
-
-
-@query("simhash_near_dup")
-def simhash_near_dup(spark, sf_dir):
-    """EXT (rows-only): SimHash fingerprints + block-banded Hamming pairs."""
-    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=5)
-    return D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=6)
 
 
 #: DuckDB replica of ``operators.vector.rp_signature``'s seeded ±1 planes
@@ -2265,10 +2248,13 @@ DRIVER_PRIORITY = [
     # drains. Fresher keys follow in registration order, last.
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
-    # -- (1) never-driver-verified backlog: the two round-11 freeze-budget
-    # keys take the head slots so no key waits rounds for its FIRST
-    # driver row (stated policy: backlog drains before the rotation)
+    # -- (1) never-HASH-verified backlog: the two round-11 freeze-budget
+    # keys plus the two round-11 RE-KEYED near-dup keys (rows-only →
+    # oracle-backed; their old rows-only driver rows don't count as hash
+    # records) take the head slots so no key waits rounds for its FIRST
+    # hash row (stated policy: backlog drains before the rotation)
     "scalar_subquery_q17_shaped", "tpch_q18_shaped",
+    "minhash_near_dup", "simhash_near_dup",
     # -- (2) staleness-first rotation (newest green row stale)
     "date_functions", "dim_upsert", "doc_fingerprint",
     "embedding_near_dup", "filter_predicate", "full_outer_join",
@@ -2307,10 +2293,6 @@ DRIVER_PRIORITY = [
     "temperature_mix_counts", "time_weighted_avg_users", "token_heavy_hitters",
     "token_rarity_docs", "triangle_counts_graph", "union_schema_drift",
     "user_growth_weekly", "winsorized_stats_events", "wow_revenue_growth",
-    # -- new keys (round 11, registry-freeze budget) queue behind the rotation
-    "scalar_subquery_q17_shaped", "tpch_q18_shaped",
-    # -- (3) rows-only keys (no oracle by design) — behind every hash-verifiable key
-    "minhash_near_dup", "simhash_near_dup",
 ]
 
 
@@ -2625,6 +2607,60 @@ def simhash_near_dup_portable(spark, sf_dir):
     return D.simhash_near_dup_pairs(corpus, "doc_id", "text",
                                     max_hamming=6, blocks=4, bits=32,
                                     tok_hash="sha")
+
+
+def _minhash_cand_oracle_sql(keep_mod: int, num_hashes: int, bands: int,
+                             shingle_n: int, seed: int) -> str:
+    """Raw banding-candidate oracle: the shared portable CTE chain, stopped
+    at ``cand`` (no estimate, no threshold) — the pre-verify surface."""
+    ctes = _minhash_pair_ctes(keep_mod, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH {ctes}
+SELECT id_a, id_b FROM cand"""
+
+
+@query("minhash_near_dup",
+       oracle=_minhash_cand_oracle_sql(keep_mod=5, num_hashes=32, bands=16,
+                                       shingle_n=3, seed=42))
+def minhash_near_dup(spark, sf_dir):
+    """L2: MinHash+LSH banding near-dup CANDIDATE pairs — the raw pre-verify
+    banding surface, on the portable (sha-bucket, raw-slice) hash family so
+    the DuckDB oracle recomputes the exact candidate set from first
+    principles.
+
+    Re-keyed in round 11 (VERDICT r10 debt #1): the engine-private
+    xxhash64/siphash variant could only ever be rows-only in the driver
+    record; this key now pins the one stage the verified-pair twins
+    (`minhash_near_dup_portable`, threshold surface, keep_mod=10) cannot —
+    candidate GENERATION, where a banding bug silently loses recall because
+    verification never sees a pair that was never a candidate. Denser
+    corpus (keep_mod=5) than the twin, so chance band collisions are part
+    of the checked surface. The engine-hash fast path stays the production
+    default (`minhash_signatures(impl="pandas")`) and stays pytest-pinned."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=5)
+    pairs = D.minhash_candidate_pairs(corpus, "doc_id", "text",
+                                      num_hashes=32, bands=16,
+                                      tok_hash="sha", bucket="slice")
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query("simhash_near_dup",
+       oracle=_simhash_oracle_sql(keep_mod=5, bits=32, blocks=4,
+                                  max_hamming=8))
+def simhash_near_dup(spark, sf_dir):
+    """EXT: SimHash block-banded Hamming pairs on the portable 32-bit
+    sha-bucket token hash — denser corpus (keep_mod=5) and looser verify
+    (hamming ≤ 8) than the `simhash_near_dup_portable` twin, so more of the
+    block-collision candidate surface lands in the recorded result.
+
+    Re-keyed in round 11 (VERDICT r10 debt #1) from the engine-private
+    64-bit siphash variant, which was structurally rows-only. The 64-bit
+    engine-hash kernel stays the production default and stays
+    pytest-pinned."""
+    corpus = _docs_with_near_dups(spark, sf_dir, keep_mod=5)
+    return D.simhash_near_dup_pairs(corpus, "doc_id", "text", max_hamming=8,
+                                    blocks=4, bits=32, tok_hash="sha")
+
 
 
 _IVF_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "

@@ -414,7 +414,9 @@ def minhash_index_probe(index_sig: DataFrame, new_docs: DataFrame,
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 64, bands: int = 16,
-                            shingle_n: int = 3, seed: int = 42) -> DataFrame:
+                            shingle_n: int = 3, seed: int = 42,
+                            tok_hash: str = "pandas",
+                            bucket: str = "hash") -> DataFrame:
     """L2: LSH banding — near-dup CANDIDATE pairs (id_a < id_b).
 
     Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
@@ -422,9 +424,16 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     are pairs sharing a bucket. Cost is Σ bucket² — sub-quadratic for
     realistic skew; a self-join on (band, bucket_hash) keys, i.e. ONE shuffle
     of (id, 2×8B) rows, never document text.
+
+    ``tok_hash="sha"`` + ``bucket="slice"``: the engine-neutral hash family
+    (see ``minhash_verified_pairs``) — lets an external SQL oracle recompute
+    the raw candidate set, pinning the banding stage itself (the stage where
+    a bug silently LOSES recall: verification can never flag a pair that was
+    never a candidate). The pandas-siphash default stays the fast path.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
-    return _band_candidate_pairs(sig, num_hashes, bands)
+    sig = _minhash_signatures_pandas(df, id_col, text_col, num_hashes,
+                                     shingle_n, seed, tok_hash)
+    return _band_candidate_pairs(sig, num_hashes, bands, bucket)
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,

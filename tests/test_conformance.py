@@ -147,8 +147,9 @@ def test_driver_window_spends_no_slot_without_an_oracle():
 
     # two windows deep: the NEXT round's 50 slots must also carry only
     # oracle-backed keys, so a rotation never stages a rows-only key
-    # into a verification slot one round out (the 2 by-design rows-only
-    # near-dup variants ride behind the oracle-backed backlog)
+    # into a verification slot one round out (since the round-11 re-key
+    # of the two near-dup variants the registry carries NO rows-only
+    # keys, so this holds registry-wide by construction)
     assert [k for k in DRIVER_PRIORITY[:100] if k not in ORACLE] == []
     assert [k for k in DRIVER_PRIORITY if k not in QUERIES] == []
 

@@ -104,6 +104,26 @@ def test_simhash_sha_rejects_wide_bits(spark):
     assert simhash(df, "doc_id", "text", bits=32, tok_hash="sha").count() == 1
 
 
+def test_minhash_candidates_both_hash_families_find_twin(spark):
+    """The engine-hash (pandas-siphash, production fast path) and portable
+    (sha/slice, oracle-replicable) candidate pipelines both surface a
+    planted high-Jaccard twin — the fast path keeps its recall pin now
+    that the `minhash_near_dup` registry key runs the portable family
+    (round-11 re-key; the kernels share every stage but the token hash)."""
+    from data_engineering__spark.operators.dedup import minhash_candidate_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " tail"),           # near-dup twin
+            Row(doc_id=3, text="completely unrelated words " * 3)]
+    df = spark.createDataFrame(rows)
+    for kw in ({}, {"tok_hash": "sha", "bucket": "slice"}):
+        pairs = {(r.id_a, r.id_b)
+                 for r in minhash_candidate_pairs(
+                     df, "doc_id", "text", num_hashes=32, bands=16,
+                     **kw).collect()}
+        assert (1, 2) in pairs, f"twin pair lost with {kw or 'defaults'}"
+
+
 def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     """S2: JDBC source smoke against embedded Apache Derby (the one JDBC
     engine already on Spark's default classpath — no database server in
