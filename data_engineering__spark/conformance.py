@@ -9866,16 +9866,26 @@ pg AS (
          CAST(SUM(v) AS HUGEINT) AS sg,
          SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qg
   FROM base GROUP BY g),
+-- exact integer/remainder split of sg²/ng: % is exact on HUGEINT and
+-- the even division // is rounding-free; fg ∈ [0,1) is one IEEE
+-- division of exact integers (mirrors the Spark decimal split)
+pg2 AS (
+  SELECT g, ng, sg, qg,
+         (sg * sg - (sg * sg) % ng) // ng AS tg,
+         CAST((sg * sg) % ng AS DOUBLE) / CAST(ng AS DOUBLE) AS fg
+  FROM pg),
 cum AS (
   SELECT ROW_NUMBER() OVER (ORDER BY g) AS rn,
          COUNT(*) OVER () AS k,
          SUM(ng) OVER () AS n,
          SUM(sg) OVER () AS s,
          SUM(qg) OVER () AS q,
+         SUM(tg) OVER () AS t,
+         SUM(fg) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS rfrac,
          SUM((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
              / CAST(ng AS DOUBLE))
            OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS bsum
-  FROM pg),
+  FROM pg2),
 fin AS (
   SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
          bsum - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
@@ -9883,11 +9893,18 @@ fin AS (
          CAST(q AS DOUBLE) - bsum AS ss_w,
          CAST(q AS DOUBLE)
            - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-             / CAST(n AS DOUBLE) AS ss_tot
+             / CAST(n AS DOUBLE) AS ss_tot,
+         -- reported SS: exact integer part (order-free HUGEINT sums)
+         -- + 6dp-rounded small residue, ONE IEEE addition — the
+         -- sub-ulp ROUND(double,6) class the sf10 battery caught
+         CAST(t - ((s * s - (s * s) % n) // n) AS DOUBLE)
+           + ROUND(rfrac - CAST((s * s) % n AS DOUBLE)
+                             / CAST(n AS DOUBLE), 6) AS ss_b_rep,
+         CAST(q - t AS DOUBLE) - ROUND(rfrac, 6) AS ss_w_rep
   FROM cum WHERE rn = k)
 SELECT k_groups, n,
-       ROUND(ss_b, 6) AS ss_between,
-       ROUND(ss_w, 6) AS ss_within,
+       ss_b_rep AS ss_between,
+       ss_w_rep AS ss_within,
        ROUND(CASE WHEN k_groups > 1 AND n > k_groups AND ss_w > 0 THEN
          (ss_b / (CAST(k_groups AS DOUBLE) - 1.0))
            / (ss_w / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)))

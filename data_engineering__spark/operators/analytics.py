@@ -2424,10 +2424,20 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
     source matter AT ALL for this metric, before pairwise tests.
 
     Exactness: per-group n_g, S_g, Σx² are exact integers
-    (decimal(38,0)); SS_tot = Σx² − S²/n and each S_g²/n_g are ONE
-    IEEE division each; the K per-group terms sum under an ordered
-    window on the group key (fixed addition order); F and η² are
-    fixed-shape finals with K>1 / n>K / SS_w>0 guards.
+    (decimal(38,0)). The REPORTED SS columns decompose every S_g²/n_g
+    into integer quotient + remainder via exact modulo (`S_g² % n_g` is
+    exact in decimal; the even division (S_g² − r_g)/n_g is
+    rounding-free), so SS_between/SS_within each become one exact
+    integer (summed order-free in decimal) plus a fractional residue in
+    (−1, K) whose `round_dp` round sits far above the double's ulp at
+    ANY magnitude; the report is a single IEEE addition of those two
+    identically-derived doubles. The round-11 sf10 battery caught the
+    previous formulation — `ROUND(double, 6)` on an SS near 2e10 rounds
+    BELOW the ulp, where engines' round implementations legitimately
+    pick adjacent doubles. F and η² keep the raw fixed-shape double
+    finals (their raw values are bit-identical cross-engine; at f-stat
+    magnitudes ≳1e10 the same sub-ulp round class would reappear, far
+    beyond any realistic F).
 
     Scale shape: one map-side-partial hash aggregate to K group rows,
     then K-row windows — the statistic costs exactly one aggregation
@@ -2440,6 +2450,15 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
         F.sum(F.col("__v").cast(dec)).alias("__sg"),
         F.sum(F.col("__v").cast(dec) * F.col("__v").cast(dec))
          .alias("__qg"))
+    # exact integer/remainder split of S_g²/n_g (division is even, so
+    # the decimal quotient is rounding-free); __fg ∈ [0, 1) is one IEEE
+    # division of exact integers — identical in any engine
+    sq = F.col("__sg") * F.col("__sg")
+    g = (g.withColumn("__rg", sq % F.col("__ng").cast(dec))
+          .withColumn("__tg", ((sq - F.col("__rg"))
+                               / F.col("__ng").cast(dec)).cast(dec))
+          .withColumn("__fg", F.col("__rg").cast("double")
+                      / F.col("__ng").cast("double")))
     term = ((F.col("__sg").cast("double") * F.col("__sg").cast("double"))
             / F.col("__ng").cast("double"))
     wk = Window.orderBy("__g")
@@ -2452,6 +2471,8 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
         F.sum("__ng").over(wn).alias("__n"),
         F.sum("__sg").over(wn).alias("__s"),
         F.sum("__qg").over(wn).alias("__q"),
+        F.sum("__tg").over(wn).alias("__t"),
+        F.sum("__fg").over(wc).alias("__rfrac"),
         F.sum(term).over(wc).alias("__bsum"))
         .filter(F.col("__rn") == F.col("__k")))
     nd = F.col("__n").cast("double")
@@ -2460,6 +2481,17 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
     ss_tot = F.col("__q").cast("double") - corr
     ss_b = F.col("__bsum") - corr
     ss_w = F.col("__q").cast("double") - F.col("__bsum")
+    # exact-integer SS report: same modulo split for S²/n, then ONE
+    # addition of (exact-int cast to double) + (round_dp-rounded residue)
+    ssq = F.col("__s") * F.col("__s")
+    ndec = F.col("__n").cast(dec)
+    wrem = ssq % ndec
+    u_int = ((ssq - wrem) / ndec).cast(dec)
+    frac_s = wrem.cast("double") / nd
+    ss_b_rep = ((F.col("__t") - u_int).cast("double")
+                + F.round(F.col("__rfrac") - frac_s, round_dp))
+    ss_w_rep = ((F.col("__q") - F.col("__t")).cast("double")
+                - F.round(F.col("__rfrac"), round_dp))
     kd = F.col("__k").cast("double")
     f_ok = ((F.col("__k") > 1) & (F.col("__n") > F.col("__k"))
             & (ss_w > 0))
@@ -2468,8 +2500,8 @@ def anova_oneway(df: DataFrame, group_col: str, value_int,
     return cum.select(
         F.col("__k").alias("k_groups"),
         F.col("__n").alias("n"),
-        F.round(ss_b, round_dp).alias("ss_between"),
-        F.round(ss_w, round_dp).alias("ss_within"),
+        ss_b_rep.alias("ss_between"),
+        ss_w_rep.alias("ss_within"),
         F.round(F.when(f_ok, f_stat), round_dp).alias("f_stat"),
         F.round(F.when(ss_tot > 0, eta), round_dp).alias("eta_sq"))
 
