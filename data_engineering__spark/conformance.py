@@ -1674,18 +1674,18 @@ SELECT user_id,
        CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS total_gap_us
 FROM gaps GROUP BY user_id""")
 def grouped_map_gaps(spark, sf_dir):
-    """U4: GROUPED_MAP applyInPandas — per-user inter-event gap profile;
-    integer microsecond outputs make the pandas/SQL comparison exact.
+    """U4: per-user inter-event gap profile; integer microsecond outputs
+    make the cross-engine comparison exact.
 
-    API-SURFACE DEMO, not the production formulation: it exists to
-    exercise (and cross-engine-verify) the grouped-map path itself. The
-    same per-entity ordered statistics compile to pure-JVM lag()+grouped
-    sum — see ``sessionize_events`` (~10× cheaper: no Arrow transfer, no
-    per-group pandas materialization). Reach for GROUPED_MAP only when
-    the per-group loop genuinely cannot be expressed with window
-    functions."""
-    from .functions.udafs import user_gap_stats
-    return user_gap_stats(read_table(spark, sf_dir, "events"))
+    r11 OPTIMIZATION (guide §4.1): this key now runs the pure-JVM twin
+    ``user_gap_stats_native`` (lag() + grouped sum, ONE exchange, zero
+    Python boundary) — the per-group ``applyInPandas`` materialization
+    cost ~4 s at sf0.1 for a stat that window functions fully express.
+    The GROUPED_MAP surface itself stays covered by ``user_gap_stats``
+    (same outputs, equivalence pinned in tests/test_operators.py); reach
+    for it only when the per-group loop cannot compile to windows."""
+    from .functions.udafs import user_gap_stats_native
+    return user_gap_stats_native(read_table(spark, sf_dir, "events"))
 
 
 @query("json_struct_parse", oracle="""

@@ -63,3 +63,32 @@ def user_gap_stats(events) -> "DataFrame":
             .applyInPandas(profile,
                            "user_id bigint, n_events bigint, "
                            "n_gaps bigint, total_gap_us bigint"))
+
+
+def user_gap_stats_native(events) -> "DataFrame":
+    """The pure-JVM twin of :func:`user_gap_stats` — identical output
+    (same schema, same integer microsecond sums), zero Python boundary.
+
+    ``lag(ts) over (partition by user_id order by ts)`` + one grouped sum:
+    the window and the aggregation share the ``user_id`` hash partitioning,
+    so the whole profile is ONE exchange with no Arrow transfer and no
+    per-group pandas materialization. All arithmetic is integer microseconds
+    (``unix_micros`` differences), exact at any magnitude.
+
+    This is the production formulation; ``user_gap_stats`` remains as the
+    GROUPED_MAP API surface for semantics window functions cannot express
+    (equivalence pinned in tests/test_operators.py).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")
+    return (events.select("user_id", "ts")
+            .withColumn("gap_us", gap)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("gap_us").alias("n_gaps"),
+                 F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long")
+                  .alias("total_gap_us")))

@@ -431,8 +431,11 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def kmeans_assign(df: DataFrame, centroids: DataFrame,
                   id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(id, cell): nearest centroid by squared L2 (ties → smallest cell id).
+                  vec_col: str = "embedding",
+                  keep_vec: bool = False,
+                  carry_cols: tuple = ()) -> DataFrame:
+    """(id[, carries][, vec], cell): nearest centroid by squared L2
+    (ties → smallest cell id).
 
     The centroid table is collected to the driver (k·dim doubles — cell
     counts are driver-small by definition, the same budget class as the
@@ -440,6 +443,15 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
     numpy matrix: per batch, ONE vectorized distance computation instead
     of n·k interpreted zip_with/aggregate folds (measured ~3× on the
     trained-IVF query). No shuffle at all — assignment is purely map-side.
+
+    ``keep_vec`` / ``carry_cols`` (r11, guide §2.4): consumers that need
+    the vector (centroid update, SemDeDup pair verify) or a payload
+    column (label eval) next to the cell used to JOIN the (id, cell)
+    output back to the corpus on id — a full corpus shuffle per consumer.
+    Carrying the columns THROUGH the map-side kernel removes that join
+    outright; rows map 1:1 so results are identical on unique ids (the
+    operator's existing contract). The carried vector is the post-cast
+    ``array<double>`` form.
 
     Bit-reproducibility is preserved: the kernel accumulates the squared
     distance DIM-BY-DIM (``d2 += (v_j - c_j)²`` for j = 1..dim), the exact
@@ -469,12 +481,25 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
             for j in range(cmat.shape[1]):
                 t = v[:, j:j + 1] - cmat[None, :, j]
                 d2 = d2 + t * t
-            yield pd.DataFrame({id_col: pdf[id_col],
-                                "cell": cells[np.argmin(d2, axis=1)]})
+            out = {id_col: pdf[id_col]}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out["cell"] = cells[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(out)
 
-    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, cell bigint"
+    dtypes = dict(df.dtypes)
+    parts = [f"{id_col} {dtypes[id_col]}"]
+    parts += [f"{c} {dtypes[c]}" for c in carry_cols]
+    if keep_vec:
+        parts.append(f"{vec_col} array<double>")
+    parts.append("cell bigint")
+    out_schema = ", ".join(parts)
+    sel = ([F.col(id_col)] + [F.col(c) for c in carry_cols]
+           + [as_double_array(vec_col).alias(vec_col)])
     return (df.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+            .select(*sel)
             .mapInPandas(run, out_schema))
 
 
@@ -511,11 +536,16 @@ def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 2,
     cents = (df.filter(F.col(id_col) < k)
                .select(F.col(id_col).cast("long").alias("cell"),
                        as_double_array(vec_col).alias("cvec")))
-    vec = df.select(F.col(id_col), as_double_array(vec_col).alias("__v"))
     spark = df.sparkSession
     for _ in range(n_iter):
-        assigned = kmeans_assign(df, cents, id_col, vec_col)
-        agg = (assigned.join(vec, id_col)
+        # r11 (guide §2.4): the assign kernel carries the vector through,
+        # so the centroid update aggregates the kernel output directly —
+        # the per-iteration corpus self-join on id (two exchanges + a
+        # second scan) is gone; the update remains ONE hash shuffle with
+        # map-side partial aggregation.
+        assigned = kmeans_assign(df, cents, id_col, vec_col, keep_vec=True) \
+            .withColumnRenamed(vec_col, "__v")
+        agg = (assigned
                .groupBy("cell")
                .agg(*[F.round(F.avg(F.col("__v")[i]), round_dp)
                       .alias(f"__c{i}") for i in range(dim)])
@@ -546,22 +576,32 @@ def ivf_topk_trained(candidates: DataFrame, query: DataFrame, k: int,
                   for r in centroids.select("cell", "cvec").collect())
     centroids = candidates.sparkSession.createDataFrame(
         [(c, v) for c, v in rows], "cell long, cvec array<double>")
-    assign = kmeans_assign(candidates, centroids, id_col, vec_col)
+    # r11 (guide §2.4): carry every candidate column through the assign
+    # kernel — the corpus ⋈ (id, cell) shuffle join is gone; the probed
+    # cells then prune map-side via the broadcast. The vector rides as
+    # array<double> and is cast back to its original element type on the
+    # way out (float→double→float is bit-exact).
+    extra = tuple(c for c in candidates.columns
+                  if c not in (id_col, vec_col))
+    orig_vec_type = dict(candidates.dtypes)[vec_col]
+    assign = kmeans_assign(candidates, centroids, id_col, vec_col,
+                           keep_vec=True, carry_cols=extra)
     qv = as_double_array(vec_col)
     qcells = (query.select(qv.alias("__q"))
               .crossJoin(F.broadcast(centroids))
               .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
               .orderBy(F.col("__d2").asc(), F.col("cell").asc())
               .limit(nprobe).select("cell"))
-    probe = (candidates.join(assign, id_col)
-             .join(F.broadcast(qcells), "cell"))
+    probe = assign.join(F.broadcast(qcells), "cell")
     q = F.broadcast(sample_bounded(query, id_col).select(qv.alias("__q")))
-    scored = (probe.withColumn("__v", as_double_array(vec_col))
+    scored = (probe.withColumnRenamed(vec_col, "__v")
               .crossJoin(q)
               .withColumn("cosine", _dot(F.col("__v"), F.col("__q"))
                           / (_norm(F.col("__v")) * _norm(F.col("__q"))))
+              .withColumn(vec_col, F.col("__v").cast(orig_vec_type))
               .drop("__v", "__q", "cell"))
-    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    return (scored.select(*candidates.columns, "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k))
 
 
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -654,14 +694,14 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                   for r in cents.select("cell", "cvec").collect())
     cent_lit = df.sparkSession.createDataFrame(
         rows, "cell long, cvec array<double>")
-    assign = kmeans_assign(df, cent_lit, id_col, vec_col)
-    vecs = df.select(F.col(id_col).alias("__id"),
-                     as_double_array(vec_col).alias("__v"))
+    # r11 (guide §2.4): the assign kernel carries the vector through —
+    # the (id, cell) ⋈ (id, vec) corpus self-join is gone; placement is
+    # ONE map-side pass.
     # localCheckpoint: the (id, cell, vec) table feeds BOTH self-join
     # sides and the survivor projection — without the cut each consumer
     # re-runs the corpus scan + Arrow assignment (was 10 scans)
-    placed = (assign.join(vecs, F.col(id_col) == F.col("__id"))
-              .drop("__id").localCheckpoint())
+    placed = (kmeans_assign(df, cent_lit, id_col, vec_col, keep_vec=True)
+              .withColumnRenamed(vec_col, "__v").localCheckpoint())
     x = placed.select(F.col("cell"), F.col(id_col).alias("__ida"),
                       F.col("__v").alias("__va"))
     y = placed.select(F.col("cell"), F.col(id_col).alias("__idb"),
@@ -1152,9 +1192,13 @@ def kmeans_label_quality(df: DataFrame, k: int = 8, n_iter: int = 2,
     hash agg and grid-sized arithmetic."""
     cents = kmeans_fit(df, k=k, n_iter=n_iter, id_col=id_col,
                        vec_col=vec_col, dim=dim, round_dp=round_dp)
-    assigned = kmeans_assign(df, cents, id_col, vec_col)
-    lab = df.select(F.col(id_col), F.col(label_col).alias("__l"))
-    cont = (assigned.join(lab, id_col)
+    # r11 (guide §2.4): carry the label through the assign kernel —
+    # the contingency table aggregates the map-side output directly
+    # instead of shuffle-joining (id, cell) back to the corpus.
+    assigned = (kmeans_assign(df, cents, id_col, vec_col,
+                              carry_cols=(label_col,))
+                .withColumnRenamed(label_col, "__l"))
+    cont = (assigned
             .groupBy("cell", "__l")
             .agg(F.count(F.lit(1)).cast("long").alias("__nij")))
     cm = (cont.select(F.col("cell").alias("__cc"), F.col("__nij"))
@@ -1229,7 +1273,11 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                   for r in cents.select("cell", "cvec").collect())
     centroids = candidates.sparkSession.createDataFrame(
         rows, "cell long, cvec array<double>")
-    assign = kmeans_assign(candidates, centroids, id_col, vec_col)
+    # r11 (guide §2.4): the assign kernel carries the vector, so the
+    # scoring grid below builds straight on the map-side output — the
+    # corpus (id, vec) ⋈ (id, cell) shuffle join is gone.
+    assign = kmeans_assign(candidates, centroids, id_col, vec_col,
+                           keep_vec=True)
     n_corpus = candidates.count()
     q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
                     .select(F.col(id_col).alias("__qid"),
@@ -1242,10 +1290,8 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                     .orderBy(F.col("__d2").asc(), F.col("cell").asc())))
                 .select(F.col("__qid").alias("__cq"), F.col("cell")
                         .alias("__cc"), "__crk"))
-    pairs = (candidates.select(F.col(id_col).alias("__id"),
-                               as_double_array(vec_col).alias("__v"))
-             .join(assign.select(F.col(id_col).alias("__id"),
-                                 F.col("cell")), "__id")
+    pairs = (assign.select(F.col(id_col).alias("__id"),
+                           F.col(vec_col).alias("__v"), F.col("cell"))
              .withColumn("__nv", _norm(F.col("__v")))
              .crossJoin(q)
              .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))

@@ -6849,3 +6849,18 @@ def test_apply_in_arrow_group_stats_match_native_agg(spark, sf_dir):
 
     got, want = norm(via_arrow), norm(native)
     assert got == want and len(got) >= 2
+
+
+def test_user_gap_stats_native_matches_grouped_map(spark, sf_dir):
+    """r11: the benched grouped_map_gaps key switched to the pure-JVM
+    lag()+grouped-sum twin; pin that both formulations produce identical
+    rows (and keep the GROUPED_MAP applyInPandas surface exercised)."""
+    from data_engineering__spark.functions.udafs import (
+        user_gap_stats, user_gap_stats_native)
+    from data_engineering__spark.sources.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    pandas_rows = {tuple(r) for r in user_gap_stats(ev).collect()}
+    native_rows = {tuple(r) for r in user_gap_stats_native(ev).collect()}
+    assert pandas_rows == native_rows
+    assert len(native_rows) > 0
