@@ -198,6 +198,115 @@ def cosine_pairs_pandas(va: str = "__va", vb: str = "__vb") -> Column:
     return pandas_udf(cos, "double")(F.col(va), F.col(vb))
 
 
+def cos_grid_pandas(left: DataFrame, q: DataFrame,
+                    lid: str, qid: str,
+                    vec: str = "__v", qvec: str = "__q",
+                    l_extra: tuple = (), q_extra: tuple = (),
+                    exclude_self: bool = False,
+                    widths: tuple | None = None, width_col: str = "__d",
+                    out: str = "__cos") -> DataFrame:
+    """Anchor-grid cosine scoring as ONE map-side Arrow kernel (r11,
+    guide §4.2): (lid[, l_extra…], qid[, q_extra…], cos) for every
+    (left row × query row) pair.
+
+    Replaces the ``crossJoin(broadcast(q)) + _dot/_norm`` shape the
+    sample-regime evals shared: the interpreted ``aggregate``/``zip_with``
+    lambda folds cost ~dim expression evaluations per pair; the kernel
+    scores a whole Arrow batch against the full anchor matrix in
+    vectorized numpy. The query frame is collected to the driver — it is
+    anchor-capped by contract (≤ :data:`EVAL_ANCHOR_CAP` rows — the same
+    driver-small budget class as the centroid collects; callers MUST pass
+    a ``sample_bounded`` frame).
+
+    ``widths`` (matryoshka mode): when set, one output row per (pair,
+    prefix width d ∈ widths) scoring only the first d components — the
+    running dot/norm accumulators at j = d ARE the prefix folds, so all
+    widths come from the SAME single pass, bit-identical to scoring
+    each ``slice(v, 1, d)`` separately.
+
+    Bit-reproducibility: the dot product and BOTH norms accumulate
+    DIM-BY-DIM (the exact left-fold order of ``_dot``/``_norm`` and the
+    SQL oracles' expression chains — ``np.sum``'s pairwise order could
+    flip a ROUND-6 ordering at ulp distance), and the cosine is the
+    identical ``dot / (n_left · n_query)`` one-multiply one-divide shape.
+    NULL-vector rows are dropped on BOTH sides (they scored NULL-cosine
+    in the fold form and never rank; stacking them would crash the batch
+    matrix)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (q.filter(F.col(qvec).isNotNull())
+              .select(qid, *q_extra, qvec).collect())
+    qids = [r[qid] for r in q_rows]
+    qmat = np.array([list(r[qvec]) for r in q_rows], dtype=np.float64)
+    wset = sorted(widths) if widths else None
+    full = qmat.shape[1] if len(q_rows) else 0
+    nq2 = np.zeros(len(q_rows))
+    qn_at = {}
+    for j in range(full):
+        nq2 = nq2 + qmat[:, j] * qmat[:, j]
+        if wset and (j + 1) in wset:
+            qn_at[j + 1] = np.sqrt(nq2.copy())
+    qn = np.sqrt(nq2)
+    q_carry = {c: [r[c] for r in q_rows] for c in q_extra}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nq = len(qids)
+        qid_arr = np.array(qids)
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            v = np.array(pdf[vec].tolist(), dtype=np.float64)   # (B, dim)
+            dot = np.zeros((len(v), nq))
+            nv2 = np.zeros(len(v))
+            cos_at = {}
+            for j in range(v.shape[1]):
+                dot = dot + v[:, j:j + 1] * qmat[None, :, j]
+                nv2 = nv2 + v[:, j] * v[:, j]
+                if wset and (j + 1) in wset:
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos_at[j + 1] = dot / (np.sqrt(nv2)[:, None]
+                                               * qn_at[j + 1][None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(nv2)[:, None] * qn[None, :])
+
+            def frame(cvals, width=None):
+                cols = {lid: np.repeat(pdf[lid].to_numpy(), nq)}
+                for c in l_extra:
+                    cols[c] = np.repeat(pdf[c].to_numpy(), nq)
+                cols[qid] = np.tile(qid_arr, len(v))
+                for c in q_extra:
+                    cols[c] = pd.Series(q_carry[c] * len(v))
+                if width is not None:
+                    cols[width_col] = np.full(len(v) * nq, width,
+                                              dtype=np.int32)
+                cols[out] = cvals.ravel()
+                res = pd.DataFrame(cols)
+                if exclude_self:
+                    res = res[res[lid] != res[qid]]
+                return res
+
+            if wset:
+                yield pd.concat([frame(cos_at[d], d) for d in wset],
+                                ignore_index=True)
+            else:
+                yield frame(cos)
+
+    ldt, qdt = dict(left.dtypes), dict(q.dtypes)
+    parts = [f"{lid} {ldt[lid]}"]
+    parts += [f"{c} {ldt[c]}" for c in l_extra]
+    parts.append(f"{qid} {qdt[qid]}")
+    parts += [f"{c} {qdt[c]}" for c in q_extra]
+    if widths:
+        parts.append(f"{width_col} int")
+    parts.append(f"{out} double")
+    return (left.filter(F.col(vec).isNotNull())
+            .select(lid, *l_extra, vec)
+            .mapInPandas(run, ", ".join(parts)))
+
+
 def ann_topk_lsh(candidates: DataFrame, query: DataFrame, k: int, dim: int,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_planes: int = 8, seed: int = 42) -> DataFrame:
@@ -751,17 +860,26 @@ def pq_train(df: DataFrame, m: int = 4, dim: int = 64, k: int = 8,
     frames. Inherits kmeans_fit's determinism contract (lowest-id init,
     fixed iterations, inter-iteration rounding, smallest-cell ties), so
     codebook training itself is cross-engine verifiable."""
+    from concurrent.futures import ThreadPoolExecutor
+
     sub = dim // m
-    books = []
-    for j in range(m):
+
+    def fit(j: int) -> DataFrame:
         sl = df.select(
             F.col(id_col),
             F.slice(as_double_array(vec_col), j * sub + 1, sub)
              .alias(vec_col))
-        books.append(kmeans_fit(sl, k=k, n_iter=n_iter, id_col=id_col,
-                                vec_col=vec_col, dim=sub,
-                                round_dp=round_dp))
-    return books
+        return kmeans_fit(sl, k=k, n_iter=n_iter, id_col=id_col,
+                          vec_col=vec_col, dim=sub, round_dp=round_dp)
+
+    # r11 (guide §2.6): the m subspace trainers are INDEPENDENT Lloyd
+    # chains whose wall is driver-coordination fixed cost (assign pass +
+    # update agg + k-row collect per iteration); running them from a
+    # small thread pool lets each chain's jobs back-fill the others'
+    # stragglers. Results are unchanged — each thread's collects are
+    # private and the books list keeps subspace order.
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(fit, range(m)))
 
 
 def pq_encode(df: DataFrame, codebooks: list[DataFrame], dim: int = 64,
@@ -1062,18 +1180,17 @@ def mutual_best_match(df: DataFrame, id_col: str = "vec_id",
     and a self-join of best-match rows (≤ one row per id)."""
     sub = (sample_bounded(df.filter(F.col(id_col) < max_id), id_col)
              .select(F.col(id_col).alias("__id"),
-                     as_double_array(vec_col).alias("__v"))
-             .withColumn("__nv", _norm(F.col("__v"))))
-    b = F.broadcast(sub.select(F.col("__id").alias("__jd"),
-                               F.col("__v").alias("__w"),
-                               F.col("__nv").alias("__nw")))
-    # norms are precomputed ONCE per side (not per pair — that tripled
-    # the fold work); the per-pair expression is dot/(n_a·n_b), the
-    # identical IEEE value
-    pairs = (sub.join(b, F.col("__id") != F.col("__jd"))
-             .select("__id", "__jd",
-                     (_dot(F.col("__v"), F.col("__w"))
-                      / (F.col("__nv") * F.col("__nw"))).alias("__cos")))
+                     as_double_array(vec_col).alias("__v")))
+    # r11 (guide §4.2): the ≤max_id × ≤max_id scoring grid runs as ONE
+    # map-side Arrow kernel (sequential-fold-exact cosine — see
+    # cos_grid_pandas) instead of a nested-loop join evaluating
+    # interpreted aggregate/zip_with folds per pair; the per-side norm
+    # hoist is preserved inside the kernel (dot / (n_a · n_b)).
+    pairs = cos_grid_pandas(
+        sub, sub.select(F.col("__id").alias("__jd"),
+                        F.col("__v").alias("__q")),
+        lid="__id", qid="__jd", vec="__v", qvec="__q",
+        exclude_self=True, out="__cos")
     w = Window.partitionBy("__id").orderBy(
         F.round("__cos", 6).desc(), F.col("__jd").asc())
     best = (pairs.withColumn("__rn", F.row_number().over(w))
@@ -1114,31 +1231,19 @@ def dim_truncation_report(candidates: DataFrame, queries: DataFrame,
     to the ``anchor_cap`` smallest ids (default
     :data:`EVAL_ANCHOR_CAP`) — the corpus-independent grid bound."""
     full = max(dims)
-    # per-width norms hoisted once per SIDE (the mutual_best_match
-    # device): len(dims) norm folds per row instead of 2·len(dims)
-    # per PAIR; the division sees the identical IEEE doubles
+    # r11 (guide §4.2): ALL widths score in ONE map-side Arrow pass —
+    # the kernel's running dot/norm accumulators at j = d are exactly
+    # the per-width prefix folds the slice expressions computed, so the
+    # len(dims) interpreted folds per pair collapse into a single
+    # vectorized sweep (see cos_grid_pandas widths mode).
     qdf = sample_bounded(queries, id_col, cap=anchor_cap).select(
         F.col(id_col).alias("__qid"),
         as_double_array(vec_col).alias("__q"))
     cand = candidates.select(F.col(id_col).alias("__id"),
                              as_double_array(vec_col).alias("__v"))
-    for d in dims:
-        qdf = qdf.withColumn(f"__nq{d}", _norm(F.slice("__q", 1, d)))
-        cand = cand.withColumn(f"__nv{d}", _norm(F.slice("__v", 1, d)))
-    q = F.broadcast(qdf)
-    pairs = cand.crossJoin(q)
-    per_dim = []
-    for d in dims:
-        vs, qs = F.slice("__v", 1, d), F.slice("__q", 1, d)
-        per_dim.append(F.struct(
-            F.lit(d).alias("d"),
-            (_dot(vs, qs) / (F.col(f"__nv{d}") * F.col(f"__nq{d}")))
-            .alias("cos")))
-    stacked = pairs.select(
-        "__id", "__qid",
-        F.explode(F.array(*per_dim)).alias("__s")) \
-        .select("__id", "__qid", F.col("__s.d").alias("__d"),
-                F.col("__s.cos").alias("__cos"))
+    stacked = cos_grid_pandas(cand, qdf, lid="__id", qid="__qid",
+                              widths=tuple(dims), width_col="__d",
+                              out="__cos")
     w = Window.partitionBy("__qid", "__d").orderBy(
         F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
     top = (stacked.withColumn("__rn", F.row_number().over(w))
@@ -1279,23 +1384,24 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
     assign = kmeans_assign(candidates, centroids, id_col, vec_col,
                            keep_vec=True)
     n_corpus = candidates.count()
-    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
-                    .select(F.col(id_col).alias("__qid"),
-                            as_double_array(vec_col).alias("__q"))
-                    .withColumn("__nq", _norm(F.col("__q"))))
-    cellrank = (q.crossJoin(F.broadcast(centroids))
+    q = (sample_bounded(queries, id_col, cap=anchor_cap)
+         .select(F.col(id_col).alias("__qid"),
+                 as_double_array(vec_col).alias("__q")))
+    cellrank = (F.broadcast(q).crossJoin(F.broadcast(centroids))
                 .withColumn("__d2", _l2sq(F.col("__q"), F.col("cvec")))
                 .withColumn("__crk", F.row_number().over(
                     Window.partitionBy("__qid")
                     .orderBy(F.col("__d2").asc(), F.col("cell").asc())))
                 .select(F.col("__qid").alias("__cq"), F.col("cell")
                         .alias("__cc"), "__crk"))
-    pairs = (assign.select(F.col(id_col).alias("__id"),
-                           F.col(vec_col).alias("__v"), F.col("cell"))
-             .withColumn("__nv", _norm(F.col("__v")))
-             .crossJoin(q)
-             .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
-                         / (F.col("__nv") * F.col("__nq")))
+    # r11 (guide §4.2): the corpus × anchors scoring grid runs as ONE
+    # map-side Arrow kernel (sequential-fold-exact cosine) instead of a
+    # broadcast nested-loop join with interpreted folds per pair.
+    pairs = (cos_grid_pandas(
+                 assign.select(F.col(id_col).alias("__id"),
+                               F.col(vec_col).alias("__v"), F.col("cell")),
+                 q, lid="__id", qid="__qid", l_extra=("cell",),
+                 out="__cos")
              .join(F.broadcast(cellrank),
                    (F.col("__qid") == F.col("__cq"))
                    & (F.col("cell") == F.col("__cc")))
@@ -1357,23 +1463,20 @@ def label_noise_knn(candidates: DataFrame, queries: DataFrame,
     ``anchor_cap`` smallest ids (default :data:`EVAL_ANCHOR_CAP`, the
     corpus-independent grid bound); scoring is the broadcast map-side
     grid, then one WindowGroupLimit and two grid-sized aggs."""
-    # norms hoisted out of the pair expression (the mutual_best_match
-    # device): computed once per side, the division sees the identical
-    # IEEE doubles — 3 folds/pair -> 1 fold/pair on the anchor grid
-    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
-                    .select(F.col(id_col).alias("__qid"),
-                            F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q"))
-                    .withColumn("__nq", _norm(F.col("__q"))))
-    pairs = (candidates
-             .select(F.col(id_col).alias("__id"),
-                     F.col(label_col).alias("__l"),
-                     as_double_array(vec_col).alias("__v"))
-             .withColumn("__nv", _norm(F.col("__v")))
-             .crossJoin(q)
-             .filter(F.col("__id") != F.col("__qid"))
-             .withColumn("__cos", _dot(F.col("__v"), F.col("__q"))
-                         / (F.col("__nv") * F.col("__nq"))))
+    # r11 (guide §4.2): the anchors × corpus scoring grid runs as ONE
+    # map-side Arrow kernel (sequential-fold-exact cosine, per-side norm
+    # hoist preserved inside — see cos_grid_pandas) instead of a
+    # broadcast nested-loop join with interpreted folds per pair.
+    q = (sample_bounded(queries, id_col, cap=anchor_cap)
+         .select(F.col(id_col).alias("__qid"),
+                 F.col(label_col).alias("__ql"),
+                 as_double_array(vec_col).alias("__q")))
+    pairs = cos_grid_pandas(
+        candidates.select(F.col(id_col).alias("__id"),
+                          F.col(label_col).alias("__l"),
+                          as_double_array(vec_col).alias("__v")),
+        q, lid="__id", qid="__qid", l_extra=("__l",), q_extra=("__ql",),
+        exclude_self=True, out="__cos")
     wn = Window.partitionBy("__qid").orderBy(
         F.round(F.col("__cos"), 6).desc(), F.col("__id").asc())
     nn = (pairs.withColumn("__rn", F.row_number().over(wn))
@@ -1440,26 +1543,24 @@ def label_margin(candidates: DataFrame, queries: DataFrame,
     sample by contract, truncated to the ``anchor_cap`` smallest ids —
     default :data:`EVAL_ANCHOR_CAP`, the corpus-independent grid
     bound), one label-grain agg."""
-    # norms hoisted once per side (mutual_best_match device) — the
-    # division sees identical IEEE doubles, 3 folds/pair -> 1
-    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
-                    .select(F.col(id_col).alias("__qid"),
-                            F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q"))
-                    .withColumn("__nq", _norm(F.col("__q"))))
-    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (F.col("__nv") * F.col("__nq")))
-                   * 1_000_000).cast("long")
-    pairs = (candidates
-             .select(F.col(id_col).alias("__id"),
-                     F.col(label_col).alias("__l"),
-                     as_double_array(vec_col).alias("__v"))
-             .withColumn("__nv", _norm(F.col("__v")))
-             .crossJoin(q)
-             .filter(F.col("__id") != F.col("__qid"))
+    # r11 (guide §4.2): the anchors × corpus grid scores in ONE map-side
+    # Arrow kernel (sequential-fold-exact cosine); the micro-unit ROUND
+    # stays a Spark expression on the kernel's double, so the HALF_UP
+    # quantization is byte-identical to the fold form.
+    q = (sample_bounded(queries, id_col, cap=anchor_cap)
+         .select(F.col(id_col).alias("__qid"),
+                 F.col(label_col).alias("__ql"),
+                 as_double_array(vec_col).alias("__q")))
+    pairs = (cos_grid_pandas(
+                 candidates.select(F.col(id_col).alias("__id"),
+                                   F.col(label_col).alias("__l"),
+                                   as_double_array(vec_col).alias("__v")),
+                 q, lid="__id", qid="__qid", l_extra=("__l",),
+                 q_extra=("__ql",), exclude_self=True, out="__cos")
              .select(F.col("__ql"),
                      (F.col("__l") == F.col("__ql")).alias("__same"),
-                     cosm.alias("__cm")))
+                     F.round(F.col("__cos") * 1_000_000).cast("long")
+                      .alias("__cm")))
     agg = pairs.groupBy(F.col("__ql").alias(label_col)).agg(
         F.sum(F.when(F.col("__same"), 1).otherwise(0)).cast("long")
          .alias("__ni"),
@@ -1507,24 +1608,23 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame,
     :data:`EVAL_ANCHOR_CAP`, the corpus-independent grid bound),
     map-side scoring, one per-anchor window."""
     lo, hi = int(band[0] * 1_000_000), int(band[1] * 1_000_000)
-    # norms hoisted once per side (mutual_best_match device)
-    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
-                    .select(F.col(id_col).alias("__qid"),
-                            F.col(label_col).alias("__ql"),
-                            as_double_array(vec_col).alias("__q"))
-                    .withColumn("__nq", _norm(F.col("__q"))))
-    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (F.col("__nv") * F.col("__nq")))
-                   * 1_000_000).cast("long")
-    scored = (candidates
-              .select(F.col(id_col).alias("__id"),
-                      F.col(label_col).alias("__l"),
-                      as_double_array(vec_col).alias("__v"))
-              .withColumn("__nv", _norm(F.col("__v")))
-              .crossJoin(q)
-              .filter((F.col("__id") != F.col("__qid"))
-                      & (F.col("__l") != F.col("__ql")))
-              .select("__qid", "__id", cosm.alias("__cm"))
+    # r11 (guide §4.2): anchors × corpus grid scores in ONE map-side
+    # Arrow kernel (sequential-fold-exact cosine); micro-unit ROUND
+    # stays a Spark expression for HALF_UP parity.
+    q = (sample_bounded(queries, id_col, cap=anchor_cap)
+         .select(F.col(id_col).alias("__qid"),
+                 F.col(label_col).alias("__ql"),
+                 as_double_array(vec_col).alias("__q")))
+    scored = (cos_grid_pandas(
+                  candidates.select(F.col(id_col).alias("__id"),
+                                    F.col(label_col).alias("__l"),
+                                    as_double_array(vec_col).alias("__v")),
+                  q, lid="__id", qid="__qid", l_extra=("__l",),
+                  q_extra=("__ql",), exclude_self=True, out="__cos")
+              .filter(F.col("__l") != F.col("__ql"))
+              .select("__qid", "__id",
+                      F.round(F.col("__cos") * 1_000_000).cast("long")
+                       .alias("__cm"))
               .filter((F.col("__cm") >= lo) & (F.col("__cm") <= hi)))
     w = Window.partitionBy("__qid").orderBy(F.col("__cm").desc(),
                                             F.col("__id").asc())
@@ -1553,21 +1653,19 @@ def cosine_histogram(candidates: DataFrame, queries: DataFrame,
     single division. Self-pairs excluded. ``queries`` is truncated to
     the ``anchor_cap`` smallest ids (default :data:`EVAL_ANCHOR_CAP`)
     — the corpus-independent bound on the sampled-pair grid."""
-    # norms hoisted once per side (mutual_best_match device)
-    q = F.broadcast(sample_bounded(queries, id_col, cap=anchor_cap)
-                    .select(F.col(id_col).alias("__qid"),
-                            as_double_array(vec_col).alias("__q"))
-                    .withColumn("__nq", _norm(F.col("__q"))))
-    cosm = F.round((_dot(F.col("__v"), F.col("__q"))
-                    / (F.col("__nv") * F.col("__nq")))
-                   * 1_000_000).cast("long")
-    pairs = (candidates
-             .select(F.col(id_col).alias("__id"),
-                     as_double_array(vec_col).alias("__v"))
-             .withColumn("__nv", _norm(F.col("__v")))
-             .crossJoin(q)
-             .filter(F.col("__id") != F.col("__qid"))
-             .select(cosm.alias("__cm")))
+    # r11 (guide §4.2): anchors × corpus grid scores in ONE map-side
+    # Arrow kernel (sequential-fold-exact cosine); micro-unit ROUND
+    # stays a Spark expression for HALF_UP parity.
+    q = (sample_bounded(queries, id_col, cap=anchor_cap)
+         .select(F.col(id_col).alias("__qid"),
+                 as_double_array(vec_col).alias("__q")))
+    pairs = (cos_grid_pandas(
+                 candidates.select(F.col(id_col).alias("__id"),
+                                   as_double_array(vec_col).alias("__v")),
+                 q, lid="__id", qid="__qid", exclude_self=True,
+                 out="__cos")
+             .select(F.round(F.col("__cos") * 1_000_000).cast("long")
+                      .alias("__cm")))
     bucket = F.least(
         F.lit(n_bins - 1),
         F.expr(f"(__cm + 1000000) * {n_bins} DIV 2000001")).cast("long")

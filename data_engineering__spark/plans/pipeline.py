@@ -174,9 +174,17 @@ def normalize(pubs: DataFrame,
                  .distinct())
         return assign_ids(names, [key]).select("id", key)
 
-    authors_dim = fresh_dim(authors_exploded, "name") \
-        .withColumn("affiliation", F.lit("Unknown"))  # seeded 'Unknown' (:33)
-    cats_dim = fresh_dim(cats_exploded, "category_name")
+    # r11 (guide §2.6): the two dim builds are independent eager chains
+    # (assign_ids runs a per-partition count collect each); running them
+    # from a 2-thread pool overlaps their driver-sync jobs. Ids are
+    # unchanged — each build's probe is private.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(fresh_dim, authors_exploded, "name")
+        fc = pool.submit(fresh_dim, cats_exploded, "category_name")
+        authors_dim = fa.result() \
+            .withColumn("affiliation", F.lit("Unknown"))  # seeded (:33)
+        cats_dim = fc.result()
 
     authorship = (authors_exploded.join(authors_dim, "name")
                   .select("pub_id", F.col("id").alias("author_id"))

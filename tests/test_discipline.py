@@ -46,6 +46,9 @@ COLLECT_ALLOWLIST = {
         (1, "1-row scalar probe (current max surrogate id)"),
     ("operators/vector.py", "ivf_assign"):
         (1, "INDEX_CELL_CAP x d centroid table into the Arrow kernel"),
+    ("operators/vector.py", "cos_grid_pandas"):
+        (1, "anchor-capped query grid (<= EVAL_ANCHOR_CAP rows by the "
+            "sample_bounded contract) into the Arrow scoring kernel"),
     ("operators/vector.py", "kmeans_assign"):
         (1, "k x d centroid table broadcast via literal array"),
     ("operators/vector.py", "kmeans_fit"):
