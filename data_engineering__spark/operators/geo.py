@@ -132,10 +132,21 @@ def pairs_within(points: DataFrame, radius_m: float, cell_deg: float,
     cos(lat) — at |lat| ≤ 60° a degree is ≥ 55.6 km); the contract is
     the same neighbourhood bound as `grid_nearest`.
 
-    Output: (pid_a, pid_b, distance_m), whole metres."""
+    Output: (pid_a, pid_b, distance_m), whole metres.
+
+    r11 (guide §2.3 — shuffle/score fewer candidate rows): side A
+    explodes into the HALF neighbourhood (own cell + 4 forward
+    offsets) instead of all 9 — the backward 4 are the forward 4
+    mirrored, so every unordered adjacent cell pair still meets
+    exactly once (same-cell pairs keep the id-order filter; cross-cell
+    orientation is arbitrary, so ids normalize via least/greatest).
+    ~45% fewer candidate rows through the join and the haversine.
+    The distance operands are picked BY ID ORDER (smaller-id point
+    first) — the exact operand order of the 3×3 form, so the rounded
+    metres are bit-identical."""
     cx = F.floor(F.col(lat) / cell_deg).cast("long")
     cy = F.floor(F.col(lon) / cell_deg).cast("long")
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    offs = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
     off = F.explode(F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx, dy in offs])).alias("__o")
@@ -146,18 +157,23 @@ def pairs_within(points: DataFrame, radius_m: float, cell_deg: float,
          .select("*", off)
          .select("__pa", "__ala", "__alo",
                  (F.col("__ax") + F.col("__o.dx")).alias("__gx"),
-                 (F.col("__ay") + F.col("__o.dy")).alias("__gy")))
+                 (F.col("__ay") + F.col("__o.dy")).alias("__gy"),
+                 ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0))
+                 .alias("__same")))
     b = points.select(F.col(pid).alias("__pb"),
                       F.col(lat).alias("__bla"),
                       F.col(lon).alias("__blo"),
                       cx.alias("__bx"), cy.alias("__by"))
-    dist = F.round(haversine_m(F.col("__ala"), F.col("__alo"),
-                               F.col("__bla"), F.col("__blo"))) \
-            .cast("long")
+    lead = F.col("__pa") < F.col("__pb")
+    la1 = F.when(lead, F.col("__ala")).otherwise(F.col("__bla"))
+    lo1 = F.when(lead, F.col("__alo")).otherwise(F.col("__blo"))
+    la2 = F.when(lead, F.col("__bla")).otherwise(F.col("__ala"))
+    lo2 = F.when(lead, F.col("__blo")).otherwise(F.col("__alo"))
+    dist = F.round(haversine_m(la1, lo1, la2, lo2)).cast("long")
     return (a.join(b, (F.col("__gx") == F.col("__bx"))
                    & (F.col("__gy") == F.col("__by"))
-                   & (F.col("__pa") < F.col("__pb")))
-            .select(F.col("__pa").alias(pid + "_a"),
-                    F.col("__pb").alias(pid + "_b"),
+                   & (~F.col("__same") | (F.col("__pa") < F.col("__pb"))))
+            .select(F.least("__pa", "__pb").alias(pid + "_a"),
+                    F.greatest("__pa", "__pb").alias(pid + "_b"),
                     dist.alias("distance_m"))
             .filter(F.col("distance_m") <= radius_m))

@@ -1383,7 +1383,10 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
     # corpus (id, vec) ⋈ (id, cell) shuffle join is gone.
     assign = kmeans_assign(candidates, centroids, id_col, vec_col,
                            keep_vec=True)
-    n_corpus = candidates.count()
+    # r11: corpus size folds into the plan as a broadcast 1-row agg —
+    # the standalone count() was a whole extra driver-sync job.
+    n_corpus = F.broadcast(candidates.agg(
+        F.count(F.lit(1)).alias("__ncorp")))
     q = (sample_bounded(queries, id_col, cap=anchor_cap)
          .select(F.col(id_col).alias("__qid"),
                  as_double_array(vec_col).alias("__q")))
@@ -1432,9 +1435,10 @@ def ivf_nprobe_curve(candidates: DataFrame, queries: DataFrame,
                  .alias("__hits")))
     per_q = (scanned.join(hits, (F.col("__qid") == F.col("__hq"))
                           & (F.col("nprobe") == F.col("__hn")))
+             .crossJoin(n_corpus)
              .select("nprobe",
                      F.expr(f"__hits * 1000000 DIV {k}").alias("__rm"),
-                     F.expr(f"__nsub * 1000000 DIV {n_corpus}")
+                     F.expr("__nsub * 1000000 DIV __ncorp")
                      .alias("__fm")))
     return (per_q.groupBy("nprobe")
             .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
