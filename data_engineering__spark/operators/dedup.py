@@ -503,9 +503,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     approximation; at extreme scale swap in large-star/small-star
     (alternating optimization) — same DataFrame-only loop shape.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .unionByName(pairs.select(F.col(id_b).alias("src"),
-                                       F.col(id_a).alias("dst"))))
+    # r11 (guide §2.4): both directions from ONE scan of the pair frame —
+    # the former two-branch union re-ran the (often expensive: blocking +
+    # verify) pair lineage once per branch on first materialization. The
+    # up-front repartition on dst gives the persisted edge list the hash
+    # partitioning every round's neighbor-label join needs, so only the
+    # (small, changing) label side shuffles per round.
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))))
+             .alias("__e"))
+             .select("__e.src", "__e.dst")
+             .repartition(F.col("dst")))
     edges = edges.persist()
     # round 0 is join-free: under identity labels a neighbor's label IS its
     # id, so the first propagation is a plain groupBy-min over edges. Small
