@@ -4052,26 +4052,34 @@ def markov_stationary(events: DataFrame, user_col: str = "user_id",
     the state domain is tiny, so each iteration is a grid-sized join +
     agg. Output per state: (state, empirical_share, stationary_prob).
     """
-    tm = transition_matrix(events, user_col, ts_col, type_col) \
-        .select(F.col("from_type").alias("__f"),
-                F.col("to_type").alias("__to"),
-                F.col("frac").alias("__p")).localCheckpoint()
-    states = (tm.select(F.col("__f").alias("state"))
-              .unionByName(tm.select(F.col("__to").alias("state")))
-              .distinct().localCheckpoint())
-    n_states = states.count()
-    v = states.select("state",
-                      F.round(F.lit(1.0 / n_states), round_dp)
-                      .alias("__v"))
+    # r11 (guide §5 / the markov_attribution precedent): the state
+    # domain is the event-type VOCABULARY (grid-sized by contract), so
+    # the |states|² matrix collects once and the fixed-count power
+    # iteration runs in driver doubles — the former per-iteration
+    # join + agg + localCheckpoint chain was ~3 driver-sync jobs per
+    # iteration over ≤ grid-sized frames. Bit-parity is unchanged:
+    # Python round(x, 6) and Spark/DuckDB ROUND agree on every double
+    # (a binary double can never land exactly on a .5×10⁻⁶ decimal
+    # boundary — the cov_block argument), and the per-iteration ROUND
+    # already collapses summation-order ulps by design.
+    tm_rows = [(r["from_type"], r["to_type"], float(r["frac"]))
+               for r in transition_matrix(
+                   events, user_col, ts_col, type_col)
+               .select("from_type", "to_type", "frac").collect()]
+    states_list = sorted({f for f, _, _ in tm_rows}
+                         | {t for _, t, _ in tm_rows})
+    n_states = len(states_list)
+    vec = {s: round(1.0 / n_states, round_dp) for s in states_list}
     for _ in range(n_iter):
-        nxt = (v.join(tm, v["state"] == tm["__f"])
-               .groupBy(F.col("__to").alias("__ns"))
-               .agg(F.round(F.sum(F.col("__v") * F.col("__p")),
-                            round_dp).alias("__nv")))
-        v = (states.join(nxt, states["state"] == nxt["__ns"], "left")
-             .select("state", F.coalesce("__nv", F.lit(0.0))
-                     .alias("__v"))
-             .localCheckpoint(eager=True))
+        acc: dict = {}
+        for f, t, p in sorted(tm_rows):
+            acc[t] = acc.get(t, 0.0) + vec[f] * p
+        vec = {s: (round(acc[s], round_dp) if s in acc else 0.0)
+               for s in states_list}
+    spark = events.sparkSession
+    v = spark.createDataFrame(
+        [(s, float(vec[s])) for s in states_list],
+        "state string, __v double")
     emp = (events.groupBy(F.col(type_col).alias("__es"))
            .agg(F.count(F.lit(1)).alias("__c")))
     tot = F.broadcast(emp.agg(F.sum("__c").alias("__n")))

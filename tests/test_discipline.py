@@ -34,6 +34,9 @@ COLLECT_ALLOWLIST = {
             "(quota-capped)"),
     ("operators/analytics.py", "markov_attribution"):
         (1, "|states|^2 transition matrix (event-type vocabulary, not rows)"),
+    ("operators/analytics.py", "markov_stationary"):
+        (1, "|states|^2 transition matrix (event-type vocabulary, not "
+            "rows) — driver power iteration, markov_attribution precedent"),
     ("operators/analytics.py", "funnel_within"):
         (1, "k-row funnel-step counts (k = number of steps)"),
     ("operators/dedup.py", "connected_components"):
