@@ -534,17 +534,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         rounds += 1
         neighbor_min = (edges.join(labels, edges.dst == labels.id)
                         .groupBy("src").agg(F.min("component").alias("nbr_min")))
-        # localCheckpoint (not just persist): each round's plan references
-        # the prior labels ~3×, so an un-truncated lineage grows
-        # exponentially with round count and plan analysis itself OOMs on
-        # higher-diameter graphs. (Reliable checkpoint dir on a real
-        # cluster if lineage-based recovery matters.)
+        # Lineage control: each round's plan references the prior labels
+        # twice, so an un-truncated lineage grows exponentially with
+        # round count and plan analysis itself OOMs on higher-diameter
+        # graphs. r11 (guide §5): a lazy persist + the convergence-probe
+        # agg materializes the round in ONE job where the former
+        # unconditional eager localCheckpoint cost a separate
+        # materialization job per round; the checkpoint still runs every
+        # 4th round, bounding the un-truncated segment at ≤ 2⁴ subtree
+        # references. (Reliable checkpoint dir on a real cluster if
+        # lineage-based recovery matters.)
         new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
                       .select(F.col("id"),
                               F.least(F.col("component"),
                                       F.coalesce(F.col("nbr_min"), F.col("component")))
-                              .alias("component"))
-                      .localCheckpoint(eager=True))
+                              .alias("component")))
+        if rounds % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         cur_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
