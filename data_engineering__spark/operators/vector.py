@@ -255,9 +255,24 @@ def cos_grid_pandas(left: DataFrame, q: DataFrame,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         nq = len(qids)
         qid_arr = np.array(qids)
-        for pdf in batches:
-            if not len(pdf) or not nq:
+        # Bound the materialized pair frame: an Arrow batch of B rows
+        # emits B·nq·len(widths or 1) pair rows — at the 10k default
+        # batch size and a full 1024-anchor grid that is ~10M rows of
+        # pandas per task, which multiplied by task concurrency is an
+        # executor-memory hazard at sf10+. Slice the batch so one
+        # yielded frame stays ≤ ~256k pair rows (values are unchanged;
+        # the accumulation is per-row, so slicing cannot reorder it).
+        max_pairs = 262_144
+        for whole in batches:
+            if not len(whole) or not nq:
                 continue
+            rows_per = max(1, max_pairs // max(1, nq * (len(wset or [1]))))
+            for lo in range(0, len(whole), rows_per):
+                yield from _score(whole.iloc[lo:lo + rows_per])
+
+    def _score(pdf):
+            nq = len(qids)
+            qid_arr = np.array(qids)
             v = np.array(pdf[vec].tolist(), dtype=np.float64)   # (B, dim)
             dot = np.zeros((len(v), nq))
             nv2 = np.zeros(len(v))
