@@ -2248,6 +2248,13 @@ DRIVER_PRIORITY = [
     # drains. Fresher keys follow in registration order, last.
     # REGISTRY FREEZE discipline: new keys queue BEHIND the
     # backlog and stay within the 50/round drain rate.
+    # -- (0) keys RED in the latest driver round keep the head slots:
+    # grouping_sets_counts hash-failed the r11 window (engine-version
+    # ROUND(double)/decimal-division divergence, fixed in r12 with the
+    # FLOOR(x*100+0.5) + DOUBLE/DOUBLE formulation) and sql_pipe_agg got
+    # the identical r11 rewrite outside the verified window — both must
+    # be re-recorded green in the next driver window.
+    "grouping_sets_counts", "sql_pipe_agg",
     # -- (1) never-HASH-verified backlog: the two round-11 freeze-budget
     # keys plus the two round-11 RE-KEYED near-dup keys (rows-only →
     # oracle-backed; their old rows-only driver rows don't count as hash
@@ -2268,7 +2275,7 @@ DRIVER_PRIORITY = [
     "sliding_window_agg", "stratified_sample_counts", "streaming_enrich_join",
     "string_agg_groups", "three_way_join_agg", "unpivot_metrics",
     "upsert_merge", "window_ntile", "approx_quantile_check",
-    "chunk_documents", "decontaminate_corpus", "grouping_sets_counts",
+    "chunk_documents", "decontaminate_corpus",
     "histogram_prices", "hll_distinct_rollup", "ivf_kmeans_topk",
     "key_skew_profile", "ngram_counts", "normalize_text_docs",
     "null_profile_events", "pack_training_sequences", "pagerank_graph",
@@ -4052,7 +4059,8 @@ SELECT o_orderpriority, o_orderstatus,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
          AS gid,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                         (o_orderpriority), (o_orderstatus), ())""")
@@ -4066,15 +4074,23 @@ def grouping_sets_counts(spark, sf_dir):
     # variant_nested_paths): ROUND(SUM(double), 2) at the grand-total
     # grouping set needs >16 significant digits once the table passes
     # ~1e7 rows, so engine summation order flips the rounded cent — the
-    # r11 sf10 probe caught exactly that. Per-row cents are the same IEEE
-    # double in both engines; the BIGINT sum is exact and order-free.
+    # r11 sf10 probe caught exactly that. The per-row cent is computed
+    # with ONLY version-stable IEEE ops — FLOOR(x*100 + 0.5) — because
+    # engine ROUND(double) semantics are NOT stable across DuckDB
+    # releases (half-up vs half-even at representable .5 boundaries;
+    # the r11 driver hash-failed this key while local DuckDB passed).
+    # Likewise the final division is DOUBLE/DOUBLE — a bigint / decimal
+    # literal would hit engine-version decimal-inference differences.
+    # FLOOR(x+0.5) == Spark's HALF_UP ROUND on every row of every SF
+    # (probed: 0 divergent rows at sf0.001/0.01/0.1), so the Spark-side
+    # values are bit-identical to the previous formulation.
     return spark.sql("""
         SELECT o_orderpriority, o_orderstatus,
                CAST(GROUPING(o_orderpriority) * 2
                     + GROUPING(o_orderstatus) AS INT) AS gid,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
-                 AS total
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / CAST(100 AS DOUBLE) AS total
         FROM __orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderpriority), (o_orderstatus), ())""")
@@ -13991,8 +14007,9 @@ def streaming_right_outer_join(spark, sf_dir):
 @query("sql_pipe_agg", oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         / 100.0 AS revenue
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS DOUBLE)
+         / CAST(100 AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_quantity >= 10
 GROUP BY l_returnflag, l_linestatus
@@ -14009,14 +14026,22 @@ def sql_pipe_agg(spark, sf_dir):
         .createOrReplaceTempView("lineitem_pipe_v")
     # integer-cents accumulation (see grouping_sets_counts): the revenue
     # sum passes 4e11 at sf10 and ROUND(SUM(double), 2) needs more
-    # significant digits than double carries — the per-row cent is the
-    # same IEEE double in both engines, the BIGINT sum is order-free.
+    # significant digits than double carries — the BIGINT sum is
+    # order-free. The per-row cent uses FLOOR(x*100 + 0.5) instead of
+    # ROUND: extendedprice*(1-discount)*100 lands EXACTLY on N.5 for
+    # thousands of rows (4-decimal products), and DuckDB's ROUND(double)
+    # half-mode at those ties is version-dependent while FLOOR is pure
+    # IEEE on both engines. FLOOR(x+0.5) == Spark's HALF_UP ROUND on
+    # every row of every SF (probed: 0 divergent rows), so Spark-side
+    # values are bit-identical to the previous formulation. The final
+    # division is DOUBLE/DOUBLE — no decimal-literal type inference.
     return spark.sql("""
         FROM lineitem_pipe_v
         |> WHERE l_quantity >= 10
         |> AGGREGATE COUNT(*) AS n_lines,
-                     SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
-                                    * 100) AS BIGINT)) / 100.0 AS revenue
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / CAST(100 AS DOUBLE) AS revenue
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus
         |> SELECT l_returnflag, l_linestatus, n_lines, revenue""")

@@ -4034,6 +4034,62 @@ def customer360(customer: DataFrame, orders: DataFrame,
         "top_brand", "top_brand_cents")
 
 
+#: markov_stationary collects the |states|² transition matrix to the
+#: driver — bounded by contract to the event-type vocabulary. Above this
+#: many matrix ROWS (≈256 dense states; a few MB framed) the driver path
+#: is refused and the distributed join-iteration runs instead (guide §5:
+#: the driver does no data work).
+MARKOV_TM_ROW_CAP = 65536
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """ROUND-dp with exactly Spark's semantics: HALF_UP on the
+    shortest-decimal representation (BigDecimal.valueOf ≡ Python repr).
+    Python's built-in round() is half-even and diverges from the engine
+    on representable dyadic ties (m/2^k landing exactly on .5×10⁻ᵈᵖ)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _markov_stationary_joins(events: DataFrame, tm: DataFrame,
+                             type_col: str, n_iter: int,
+                             round_dp: int) -> DataFrame:
+    """Distributed fallback for transition tables above MARKOV_TM_ROW_CAP:
+    the pre-r11 join-iteration (same fold, same ROUND points — values
+    identical to the driver path; only the execution vehicle differs)."""
+    tm = tm.select(F.col("from_type").alias("__f"),
+                   F.col("to_type").alias("__to"),
+                   F.col("frac").alias("__p")).localCheckpoint()
+    states = (tm.select(F.col("__f").alias("state"))
+              .unionByName(tm.select(F.col("__to").alias("state")))
+              .distinct().localCheckpoint())
+    n_states = states.count()
+    v = states.select("state",
+                      F.round(F.lit(1.0 / n_states), round_dp)
+                      .alias("__v"))
+    for _ in range(n_iter):
+        nxt = (v.join(tm, v["state"] == tm["__f"])
+               .groupBy(F.col("__to").alias("__ns"))
+               .agg(F.round(F.sum(F.col("__v") * F.col("__p")),
+                            round_dp).alias("__nv")))
+        v = (states.join(nxt, states["state"] == nxt["__ns"], "left")
+             .select("state", F.coalesce("__nv", F.lit(0.0))
+                     .alias("__v"))
+             .localCheckpoint(eager=True))
+    emp = (events.groupBy(F.col(type_col).alias("__es"))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    tot = F.broadcast(emp.agg(F.sum("__c").alias("__n")))
+    return (v.join(emp, v["state"] == emp["__es"], "left")
+            .crossJoin(tot)
+            .select("state",
+                    F.round(F.coalesce(F.col("__c"), F.lit(0))
+                            .cast("double")
+                            / F.col("__n").cast("double"), round_dp)
+                    .alias("empirical_share"),
+                    F.col("__v").alias("stationary_prob")))
+
+
 def markov_stationary(events: DataFrame, user_col: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       n_iter: int = 6, round_dp: int = 6) -> DataFrame:
@@ -4057,24 +4113,37 @@ def markov_stationary(events: DataFrame, user_col: str = "user_id",
     # the |states|² matrix collects once and the fixed-count power
     # iteration runs in driver doubles — the former per-iteration
     # join + agg + localCheckpoint chain was ~3 driver-sync jobs per
-    # iteration over ≤ grid-sized frames. Bit-parity is unchanged:
-    # Python round(x, 6) and Spark/DuckDB ROUND agree on every double
-    # (a binary double can never land exactly on a .5×10⁻⁶ decimal
-    # boundary — the cov_block argument), and the per-iteration ROUND
-    # already collapses summation-order ulps by design.
+    # iteration over ≤ grid-sized frames. The per-iteration ROUND
+    # collapses summation-order ulps by design; driver-side rounding
+    # must be HALF_UP on the shortest-decimal repr to match Spark's
+    # BigDecimal ROUND exactly — Python's built-in round() is
+    # half-EVEN and diverges on representable dyadic ties such as
+    # 0.0078125 (r11 ADVICE) — hence _round_half_up below.
+    tm = transition_matrix(events, user_col, ts_col, type_col) \
+        .select("from_type", "to_type", "frac")
+    # r12 hardening (guide §5): the collect is bounded today by the
+    # event-type vocabulary, but nothing in the code enforced that.
+    # Bound the driver transfer itself — LIMIT cap+1 rows — so a
+    # high-cardinality type_col can never flood the driver; above the
+    # cap, fall back to the distributed join-iteration (identical
+    # values: same fold, same ROUND points). No extra job: the guard
+    # rides the one collect the driver path already does.
+    limited = tm.limit(MARKOV_TM_ROW_CAP + 1).collect()
+    if len(limited) > MARKOV_TM_ROW_CAP:
+        return _markov_stationary_joins(events, tm, type_col,
+                                        n_iter, round_dp)
     tm_rows = [(r["from_type"], r["to_type"], float(r["frac"]))
-               for r in transition_matrix(
-                   events, user_col, ts_col, type_col)
-               .select("from_type", "to_type", "frac").collect()]
+               for r in limited]
     states_list = sorted({f for f, _, _ in tm_rows}
                          | {t for _, t, _ in tm_rows})
     n_states = len(states_list)
-    vec = {s: round(1.0 / n_states, round_dp) for s in states_list}
+    vec = {s: _round_half_up(1.0 / n_states, round_dp)
+           for s in states_list}
     for _ in range(n_iter):
         acc: dict = {}
         for f, t, p in sorted(tm_rows):
             acc[t] = acc.get(t, 0.0) + vec[f] * p
-        vec = {s: (round(acc[s], round_dp) if s in acc else 0.0)
+        vec = {s: (_round_half_up(acc[s], round_dp) if s in acc else 0.0)
                for s in states_list}
     spark = events.sparkSession
     v = spark.createDataFrame(

@@ -5357,6 +5357,51 @@ def test_markov_stationary_two_state_chain(spark):
                    - round(counts[st] / n_events, 6)) < 1e-12
 
 
+def test_markov_round_half_up_matches_engine_on_dyadic_ties(spark):
+    """r12 (ADVICE): driver-side rounding must be HALF_UP on the
+    shortest-decimal repr — Python's half-even round() diverges on
+    representable dyadic ties like 1/128 = 0.0078125. Pin the helper
+    against Spark's own ROUND on the tie values and a sweep of
+    ordinary doubles."""
+    from data_engineering__spark.operators.analytics import (
+        _round_half_up,
+    )
+
+    ties = [0.0078125, 0.2578125, 3.0 / 2 ** 7, 0.5156250]
+    ordinary = [0.123456789, 1 / 3, 0.1 + 0.2, 2.5e-7, 0.9999995]
+    vals = ties + ordinary
+    got = [_round_half_up(v, 6) for v in vals]
+    expect = [r[0] for r in spark.createDataFrame(
+        [(v,) for v in vals], "x double")
+        .select(F.round("x", 6)).collect()]
+    assert got == expect
+    # the builtin is genuinely different on the ties — guard the guard
+    assert round(0.0078125, 6) != _round_half_up(0.0078125, 6)
+
+
+def test_markov_stationary_row_cap_falls_back_to_joins(spark, monkeypatch):
+    """r12 (guide §5): above MARKOV_TM_ROW_CAP transition rows the
+    driver collect is refused and the distributed join-iteration runs —
+    with identical output values."""
+    from datetime import datetime, timedelta
+
+    import data_engineering__spark.operators.analytics as A
+
+    b = datetime(2024, 1, 1)
+    rows = []
+    for u, s in {1: "ababab", 2: "bbbaba"}.items():
+        for i, ch in enumerate(s):
+            rows.append((u, b + timedelta(hours=i), ch))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    base = {r.state: (r.empirical_share, r.stationary_prob)
+            for r in A.markov_stationary(df).collect()}
+    monkeypatch.setattr(A, "MARKOV_TM_ROW_CAP", 1)  # 3 tm rows > 1
+    capped = {r.state: (r.empirical_share, r.stationary_prob)
+              for r in A.markov_stationary(df).collect()}
+    assert base == capped
+
+
 def test_order_aging_buckets_boundaries(spark):
     """Orders planted exactly on the 30/31 and 365/366 day boundaries
     relative to the data's max date land in the right buckets; shares
