@@ -2253,8 +2253,13 @@ DRIVER_PRIORITY = [
     # ROUND(double)/decimal-division divergence, fixed in r12 with the
     # FLOOR(x*100+0.5) + DOUBLE/DOUBLE formulation) and sql_pipe_agg got
     # the identical r11 rewrite outside the verified window — both must
-    # be re-recorded green in the next driver window.
+    # be re-recorded green in the next driver window. tpch_q3_shaped and
+    # discount_impact_brands carried the SAME latent tie-prone
+    # ROUND(4-decimal-product·100) (thousands of exact N.5 rows in
+    # lineitem) — hardened to FLOOR(x+0.5) in r12; verify them in the
+    # same window while the fix is fresh.
     "grouping_sets_counts", "sql_pipe_agg",
+    "tpch_q3_shaped", "discount_impact_brands",
     # -- (1) never-HASH-verified backlog: the two round-11 freeze-budget
     # keys plus the two round-11 RE-KEYED near-dup keys (rows-only →
     # oracle-backed; their old rows-only driver rows don't count as hash
@@ -11913,17 +11918,20 @@ def cluster_quality_embeddings(spark, sf_dir):
 SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_discounted,
-       CAST(SUM(ROUND(l.l_extendedprice * 100)) AS BIGINT)
-         AS gross_cents,
-       CAST(SUM(ROUND(l.l_extendedprice * l.l_discount * 100))
-            AS BIGINT) AS discount_cents,
-       CAST(SUM(ROUND(l.l_extendedprice * 100))
-            - SUM(ROUND(l.l_extendedprice * l.l_discount * 100))
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS gross_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * l.l_discount * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS discount_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            - SUM(CAST(FLOOR(l.l_extendedprice * l.l_discount * 100
+                             + 0.5) AS BIGINT))
             AS BIGINT) AS net_cents,
-       ROUND(CASE WHEN SUM(ROUND(l.l_extendedprice * 100)) > 0
-             THEN CAST(SUM(ROUND(l.l_extendedprice * l.l_discount
-                                 * 100)) AS DOUBLE)
-                  / CAST(SUM(ROUND(l.l_extendedprice * 100)) AS DOUBLE)
+       ROUND(CASE WHEN SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                               AS BIGINT)) > 0
+             THEN CAST(SUM(CAST(FLOOR(l.l_extendedprice * l.l_discount
+                                      * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                                  AS BIGINT)) AS DOUBLE)
              END, 6) AS discount_rate,
        ROUND(CAST(SUM(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END)
                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
@@ -12282,7 +12290,8 @@ def ivf_nprobe_curve_embeddings(spark, sf_dir):
 
 @query("tpch_q3_shaped", oracle=_mat("""
 SELECT l.l_orderkey,
-       CAST(SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100))
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT))
             AS BIGINT) AS revenue_cents,
        CAST(o.o_orderdate AS DATE) AS o_orderdate
 FROM customer c
@@ -12313,8 +12322,15 @@ def tpch_q3_shaped(spark, sf_dir):
         .filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15"))
     li = read_table(spark, sf_dir, "lineitem") \
         .filter(F.col("l_shipdate").cast("date") > F.lit("1998-03-15"))
-    rev = F.round(F.col("l_extendedprice")
-                  * (F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    # r12: FLOOR(x+0.5) cents, not ROUND — extprice·(1−discount)·100 is
+    # a 4-decimal product landing EXACTLY on representable N.5 for
+    # thousands of rows, and engine ROUND(double) tie semantics are
+    # version-dependent across DuckDB releases (the class that
+    # hash-failed grouping_sets_counts on the r11 driver). Probed
+    # row-by-row at sf0.001/0.01/0.1/10: 0 divergent rows.
+    rev = F.floor(F.col("l_extendedprice")
+                  * (F.lit(1) - F.col("l_discount")) * 100
+                  + F.lit(0.5)).cast("long")
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(c, o["o_custkey"] == c["c_custkey"])
             .groupBy("l_orderkey",

@@ -123,34 +123,38 @@ def corr_matrix(df: DataFrame, int_cols: dict[str, "F.Column"]) -> DataFrame:
     for each unordered pair, corr NULL when either variance is zero.
     Magnitude budget: decimal(38,0) holds Σx² for ~1e9 rows of 1e7-scale
     values with 10^14 headroom — sized for 100 TB fact tables."""
+    # r12 (guide §5): the moment aggregates and the pair grid parse in
+    # ONE selectExpr call each — the former per-Column builds cost
+    # ~0.5 s of driver py4j round-trips per plan build (same class as
+    # top_pc_power's 2.8 s, fixed this round). The caller's arbitrary
+    # Column expressions are materialized once under stable names in a
+    # plain select (values unchanged: the decimal cast runs on the same
+    # expression either side of a projection); everything after is a
+    # name-only SQL string with the identical expression tree.
     names = list(int_cols)
-    dec = {n: int_cols[n].cast("decimal(38,0)") for n in names}
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    base = df.select(*[int_cols[n].cast("decimal(38,0)").alias(f"__d_{n}")
+                       for n in names])
+    aggs = ["cast(count(1) as decimal(38,0)) as __n"]
     for n in names:
-        aggs.append(F.sum(dec[n]).alias(f"__s_{n}"))
-        aggs.append(F.sum(dec[n] * dec[n]).alias(f"__ss_{n}"))
+        aggs.append(f"sum(__d_{n}) as __s_{n}")
+        aggs.append(f"sum(__d_{n} * __d_{n}) as __ss_{n}")
     for i, a in enumerate(names):
         for b in names[i + 1:]:
-            aggs.append(F.sum(dec[a] * dec[b]).alias(f"__p_{a}_{b}"))
-    one = df.agg(*aggs)
-    n_ = F.col("__n")
-    pairs = []
-    for i, a in enumerate(names):
-        for b in names[i + 1:]:
-            num = n_ * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
-            vx = n_ * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
-            vy = n_ * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
-            corr = F.when(
-                (vx > 0) & (vy > 0),
-                num.cast("double") /
-                (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))))
-            pairs.append(F.struct(
-                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
-                n_.cast("long").alias("n"), corr.alias("corr")))
+            aggs.append(f"sum(__d_{a} * __d_{b}) as __p_{a}_{b}")
+    one = base.selectExpr(*aggs)
+    vx = {n: f"(__n * __ss_{n} - __s_{n} * __s_{n})" for n in names}
+    pairs = ", ".join(
+        f"named_struct('col_x', '{a}', 'col_y', '{b}', "
+        f"'n', cast(__n as bigint), "
+        f"'corr', case when {vx[a]} > 0 and {vx[b]} > 0 then "
+        f"cast(__n * __p_{a}_{b} - __s_{a} * __s_{b} as double) / "
+        f"(sqrt(cast({vx[a]} as double)) * sqrt(cast({vx[b]} as double)))"
+        f" end)"
+        for i, a in enumerate(names) for b in names[i + 1:])
     # ONE explode over the single moment row — a union of per-pair
     # selects would re-run the whole-moment aggregation (and its scan)
     # once per pair in the physical plan
-    return (one.select(F.explode(F.array(*pairs)).alias("__p"))
+    return (one.selectExpr(f"explode(array({pairs})) as __p")
             .select("__p.col_x", "__p.col_y", "__p.n", "__p.corr"))
 
 
@@ -3950,11 +3954,21 @@ def discount_impact(lineitem: DataFrame, part: DataFrame,
     All cells are exact integer cents: gross = Σ round(extprice·100),
     discount = Σ round(extprice·discount·100) (per-line rounding — the
     auditable invoice-line convention), net = gross − discount.
-    Rates are single divisions. One brand-sized hash agg."""
+    Rates are single divisions. One brand-sized hash agg.
+
+    r12: the per-line cent is FLOOR(x·100 + 0.5), not ROUND —
+    extprice·discount·100 is a 4-decimal product that lands EXACTLY on
+    representable N.5 for thousands of rows, and engine ROUND(double)
+    half-mode at those ties is version-dependent across DuckDB releases
+    (the class that hash-failed grouping_sets_counts on the r11
+    driver) while FLOOR/*/+ are pure IEEE ops every engine computes
+    identically. Probed FLOOR(x+0.5) != ROUND(x) row-by-row at
+    sf0.001/0.01/0.1/10: 0 divergent rows — values bit-identical."""
     j = lineitem.join(part, lineitem["l_partkey"] == part["p_partkey"])
-    gross = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_extendedprice") * F.col("l_discount")
-                   * 100).cast("long")
+    gross = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    disc = F.floor(F.col("l_extendedprice") * F.col("l_discount")
+                   * 100 + F.lit(0.5)).cast("long")
     per = j.groupBy(F.col("p_brand")).agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0))

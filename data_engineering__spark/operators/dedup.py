@@ -532,8 +532,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        neighbor_min = (edges.join(labels, edges.dst == labels.id)
-                        .groupBy("src").agg(F.min("component").alias("nbr_min")))
+        # r12 (guide §2.4): the self-label rides the SAME aggregation as
+        # the neighbor labels — min over ({component(dst): dst∈N(id)} ∪
+        # {component(id)}) ≡ least(component(id), nbr_min), so the former
+        # groupBy + second left-join collapses into one union + groupBy
+        # with map-side partial MIN over both branches. Per round that is
+        # one Exchange and one join fewer (labels no longer re-shuffles
+        # to id-hash for the re-attach join); every id keeps a row
+        # because the labels branch of the union carries it.
+        #
         # Lineage control: each round's plan references the prior labels
         # twice, so an un-truncated lineage grows exponentially with
         # round count and plan analysis itself OOMs on higher-diameter
@@ -544,11 +551,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         # 4th round, bounding the un-truncated segment at ≤ 2⁴ subtree
         # references. (Reliable checkpoint dir on a real cluster if
         # lineage-based recovery matters.)
-        new_labels = (labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-                      .select(F.col("id"),
-                              F.least(F.col("component"),
-                                      F.coalesce(F.col("nbr_min"), F.col("component")))
-                              .alias("component")))
+        new_labels = (edges.join(labels, edges.dst == labels.id)
+                      .select(F.col("src").alias("id"), F.col("component"))
+                      .unionByName(labels)
+                      .groupBy("id").agg(F.min("component").alias("component")))
         if rounds % 4 == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:

@@ -627,6 +627,65 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
             .mapInPandas(run, out_schema))
 
 
+def _kmeans_update_sums(df: DataFrame, centroids: DataFrame,
+                        vec_col: str) -> DataFrame:
+    """Per-task per-cell partial sums for one Lloyd update — (cell, cnt,
+    s array<double>), ≤ k rows per task.
+
+    r12 (guide §2.3 "aggregate before you shuffle" / §4): the former
+    update path shipped EVERY corpus row's 64-double vector back across
+    the Arrow boundary and hash-aggregated 64 ``avg(__v[i])`` element
+    extractions over the full corpus in the JVM — measured ~1.3 s of
+    each ~2.1 s iteration at sf0.1/local[32]. This kernel assigns AND
+    accumulates inside the same numpy pass, so the Python→JVM transfer
+    and the JVM aggregation input shrink from n rows to (tasks × k)
+    rows. The assignment arithmetic is IDENTICAL to ``kmeans_assign``
+    (dim-by-dim left-fold distances, argmin-first tie break on the
+    cell-sorted centroid matrix); the per-cell sums use numpy block
+    summation, whose ulp-level order difference from the engine's
+    per-row partial aggregation is collapsed by the caller's ROUND-6 —
+    the established inter-iteration doctrine (re-proven at the sf10
+    battery this round)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted((r["cell"], list(r["cvec"]))
+                  for r in centroids.select("cell", "cvec").collect())
+    cells = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)      # (k, dim)
+    k, dim = cmat.shape
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = np.zeros((len(v), k))
+            for j in range(dim):
+                t = v[:, j:j + 1] - cmat[None, :, j]
+                d2 = d2 + t * t
+            idx = np.argmin(d2, axis=1)
+            for ci in range(k):
+                m = idx == ci
+                if m.any():
+                    cnts[ci] += int(m.sum())
+                    sums[ci] += v[m].sum(axis=0)
+        if seen:
+            nz = cnts > 0           # empty cells drop, as before
+            yield pd.DataFrame({"cell": cells[nz], "cnt": cnts[nz],
+                                "s": [list(r) for r in sums[nz]]})
+
+    return (df.filter(F.col(vec_col).isNotNull())
+            .select(as_double_array(vec_col).alias(vec_col))
+            .mapInPandas(run, "cell bigint, cnt bigint, s array<double>"))
+
+
 def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int = 64, round_dp: int = 6) -> DataFrame:
@@ -662,19 +721,22 @@ def kmeans_fit(df: DataFrame, k: int = 8, n_iter: int = 2,
                        as_double_array(vec_col).alias("cvec")))
     spark = df.sparkSession
     for _ in range(n_iter):
-        # r11 (guide §2.4): the assign kernel carries the vector through,
-        # so the centroid update aggregates the kernel output directly —
-        # the per-iteration corpus self-join on id (two exchanges + a
-        # second scan) is gone; the update remains ONE hash shuffle with
-        # map-side partial aggregation.
-        assigned = kmeans_assign(df, cents, id_col, vec_col, keep_vec=True) \
-            .withColumnRenamed(vec_col, "__v")
-        agg = (assigned
-               .groupBy("cell")
-               .agg(*[F.round(F.avg(F.col("__v")[i]), round_dp)
-                      .alias(f"__c{i}") for i in range(dim)])
-               .select("cell", F.array(*[F.col(f"__c{i}")
-                                         for i in range(dim)]).alias("cvec")))
+        # r12 (guide §2.3/§4): assignment and per-cell partial sums run
+        # in ONE numpy pass; only (tasks × k) partial rows reach the JVM
+        # agg — the full-corpus 64-column avg() and its Arrow vector
+        # return are gone (was ~1.3 s of each iteration at sf0.1).
+        # avg == SUM(partials)/SUM(cnt): one double division, and the
+        # ROUND-dp collapses the partial-sum order difference exactly as
+        # it collapsed the engine's own partial aggregation order.
+        parts = _kmeans_update_sums(df, cents, vec_col)
+        # ONE F.expr call builds the whole dim-wide update: a python
+        # loop of 64 Column objects costs ~0.85 s of py4j round-trips
+        # PER ITERATION before Spark sees the plan (measured r12) —
+        # driver-side cost that exists at any cluster scale.
+        arr_sql = ("array(" + ", ".join(
+            f"round(sum(s[{i}]) / sum(cnt), {round_dp})"
+            for i in range(dim)) + ") AS cvec")
+        agg = parts.groupBy("cell").agg(F.expr(arr_sql))
         cents = spark.createDataFrame(
             [(r["cell"], list(r["cvec"])) for r in agg.collect()],
             schema="cell bigint, cvec array<double>")
@@ -1010,18 +1072,23 @@ def _moment_row(df: DataFrame, vec_col: str, dims: int,
     ``dims`` quantized components: __n, __s{i} = Σxᵢ, __p{i}_{j} = Σxᵢxⱼ
     for i ≤ j. Shared by ``cov_block`` and ``top_pc_power`` — every
     second-moment consumer is one partial-agg pass over this row."""
-    xs = [F.round(F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
-                  * scale).cast("decimal(38,0)").alias(f"__x{i}")
+    # r12 (guide §1/§5 — the driver does no data work): the former
+    # per-column `F.xxx` builds cost one py4j round-trip per Column
+    # call — ~1.3 s of pure driver time for the dims=8 moment set
+    # (45 aggregates × expression-tree depth), re-paid on EVERY build
+    # at ANY cluster scale. One selectExpr call parses the whole list
+    # JVM-side; SQL `+`/`*` are left-associative, so every fold keeps
+    # the exact operand order of the Column form (probed bit-identical
+    # on the consumers).
+    xs = [f"cast(round(element_at(cast(`{vec_col}` as array<double>), "
+          f"{i + 1}) * {scale}) as decimal(38,0)) as __x{i}"
           for i in range(dims)]
-    base = (df.filter(F.size(vec_col) >= dims).select(*xs))
-    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
-    for i in range(dims):
-        aggs.append(F.sum(F.col(f"__x{i}")).alias(f"__s{i}"))
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(F.col(f"__x{i}") * F.col(f"__x{j}"))
-                        .alias(f"__p{i}_{j}"))
-    return base.agg(*aggs)
+    base = df.where(f"size(`{vec_col}`) >= {dims}").selectExpr(*xs)
+    aggs = (["cast(count(1) as decimal(38,0)) as __n"]
+            + [f"sum(__x{i}) as __s{i}" for i in range(dims)]
+            + [f"sum(__x{i} * __x{j}) as __p{i}_{j}"
+               for i in range(dims) for j in range(i, dims)])
+    return base.selectExpr(*aggs)
 
 
 def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
@@ -1046,20 +1113,19 @@ def cov_block(df: DataFrame, vec_col: str, dims: int = 8,
     excluded (their missing components would otherwise skew the moments).
     """
     one = _moment_row(df, vec_col, dims, scale)
-    n_ = F.col("__n")
-    den = (n_ * n_ * F.lit(scale * scale).cast("decimal(38,0)"))
-    cells = []
-    for i in range(dims):
-        for j in range(i, dims):
-            num = n_ * F.col(f"__p{i}_{j}") - F.col(f"__s{i}") * F.col(f"__s{j}")
-            cells.append(F.struct(
-                F.lit(i).alias("i"), F.lit(j).alias("j"),
-                n_.cast("long").alias("n"),
-                F.round(num.cast("double") / den.cast("double"), 10)
-                .alias("cov")))
+    # r12 (guide §5): the whole cell grid parses in ONE selectExpr call —
+    # the per-cell Column build cost ~0.5 s of driver py4j round-trips
+    # per plan build (see _moment_row). Same expression tree: exact
+    # decimal numerator, one double divide, ROUND-10.
+    den = f"cast(__n * __n * cast({scale * scale} as decimal(38,0)) as double)"
+    cells = ", ".join(
+        f"named_struct('i', {i}, 'j', {j}, 'n', cast(__n as bigint), "
+        f"'cov', round(cast(__n * __p{i}_{j} - __s{i} * __s{j} as double)"
+        f" / {den}, 10))"
+        for i in range(dims) for j in range(i, dims))
     # ONE explode over the single moment row (the corr_matrix discipline:
     # per-cell selects would clone the whole aggregation subtree)
-    return (one.select(F.explode(F.array(*cells)).alias("__c"))
+    return (one.selectExpr(f"explode(array({cells})) as __c")
             .select("__c.i", "__c.j", "__c.n", "__c.cov"))
 
 
@@ -1084,36 +1150,37 @@ def top_pc_power(df: DataFrame, vec_col: str, dims: int = 8,
     evaluates identically. Plan shape: ONE partial-agg pass over the
     corpus (the shared ``_moment_row``), then pure single-row expression
     algebra — no shuffle, no driver round-trip, no iteration jobs."""
-    from functools import reduce
-
     one = _moment_row(df, vec_col, dims, scale)
 
-    def m(i: int, j: int):
+    # r12 (guide §5): this plan build was 2.8 s of the key's 3.3 s wall
+    # — pure driver-side py4j round-trips from ~dims² Column-object
+    # arithmetic, paid on every build at any cluster scale. The whole
+    # expression set now parses in three selectExpr calls. SQL `+`/`*`/
+    # `/` are left-associative, so every fold keeps the exact operand
+    # order of the former reduce(add, ...) Column form (output probed
+    # bit-identical).
+    def m(i: int, j: int) -> str:
         a, b = (i, j) if i <= j else (j, i)
-        return (F.col("__n") * F.col(f"__p{a}_{b}")
-                - F.col(f"__s{a}") * F.col(f"__s{b}"))
+        return f"(__n * __p{a}_{b} - __s{a} * __s{b})"
 
-    add = lambda x, y: x + y  # noqa: E731 — fixed left-fold order
-    s1 = one.select(
-        "*", *[reduce(add, [m(k, j) for k in range(dims)]).alias(f"__v1_{j}")
+    s1 = one.selectExpr(
+        "*", *[" + ".join(m(k, j) for k in range(dims)) + f" as __v1_{j}"
                for j in range(dims)])
-    s2 = s1.select(
-        "*", *[reduce(add, [m(i, j) * F.col(f"__v1_{j}")
-                            for j in range(dims)]).alias(f"__v2_{i}")
-               for i in range(dims)])
-    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
-    n2v1 = reduce(add, [dbl(f"__v1_{j}") * dbl(f"__v1_{j}")
-                        for j in range(dims)])
-    n2v2 = reduce(add, [dbl(f"__v2_{i}") * dbl(f"__v2_{i}")
-                        for i in range(dims)])
-    den = (F.col("__n") * F.col("__n")
-           * F.lit(scale * scale).cast("decimal(38,0)")).cast("double")
-    rows = [F.struct(
-        F.lit(i).alias("i"),
-        F.round(dbl(f"__v2_{i}") / F.sqrt(n2v2), 6).alias("loading"),
-        F.round(F.sqrt(n2v2) / F.sqrt(n2v1) / den, 8).alias("eigenvalue"))
-        for i in range(dims)]
-    return (s2.select(F.explode(F.array(*rows)).alias("__r"))
+    s2 = s1.selectExpr(
+        "*", *[" + ".join(f"{m(i, j)} * __v1_{j}" for j in range(dims))
+               + f" as __v2_{i}" for i in range(dims)])
+    dbl = lambda c: f"cast({c} as double)"  # noqa: E731
+    n2v1 = " + ".join(f"{dbl(f'__v1_{j}')} * {dbl(f'__v1_{j}')}"
+                      for j in range(dims))
+    n2v2 = " + ".join(f"{dbl(f'__v2_{i}')} * {dbl(f'__v2_{i}')}"
+                      for i in range(dims))
+    den = f"cast(__n * __n * cast({scale * scale} as decimal(38,0)) as double)"
+    rows = ", ".join(
+        f"named_struct('i', {i}, "
+        f"'loading', round({dbl(f'__v2_{i}')} / sqrt({n2v2}), 6), "
+        f"'eigenvalue', round(sqrt({n2v2}) / sqrt({n2v1}) / {den}, 8))"
+        for i in range(dims))
+    return (s2.selectExpr(f"explode(array({rows})) as __r")
             .select("__r.i", "__r.loading", "__r.eigenvalue"))
 
 
@@ -1135,34 +1202,43 @@ def sq8_error_report(df: DataFrame, vec_col: str,
     order-free — a raw float Σerr² would differ run to run. Constant
     dimensions (hi == lo) quantize to code 0 with zero error (the CASE
     guard also keeps ANSI double/0.0 from raising)."""
-    xs = [F.element_at(F.col(vec_col).cast("array<double>"), i + 1)
-          .alias(f"__x{i}") for i in range(dims)]
-    base = df.filter(F.size(vec_col) >= dims).select(*xs)
-    stats = base.agg(*[f for i in range(dims) for f in
-                       (F.min(f"__x{i}").alias(f"__mn{i}"),
-                        F.max(f"__x{i}").alias(f"__mx{i}"))])
+    # r12 (guide §5): the tick/cell expression grids parse in ONE
+    # selectExpr call each instead of ~dims × tree-depth py4j
+    # round-trips per plan build (~0.8 s of pure driver time — the
+    # top_pc_power class, fixed this round). Literal spelling notes:
+    # `255.0D`/`0.0D` keep the DOUBLE type of the former F.lit floats
+    # (bare `255.0` parses as DECIMAL in Spark SQL) and `1E12` is a
+    # DOUBLE literal; the expression trees are otherwise identical
+    # (output probed bit-identical).
+    xs = [f"element_at(cast(`{vec_col}` as array<double>), {i + 1}) "
+          f"as __x{i}" for i in range(dims)]
+    base = df.where(f"size(`{vec_col}`) >= {dims}").selectExpr(*xs)
+    stats = base.selectExpr(*[s for i in range(dims) for s in
+                              (f"min(__x{i}) as __mn{i}",
+                               f"max(__x{i}) as __mx{i}")])
     enc = base.crossJoin(F.broadcast(stats))
     ticks = []
     for i in range(dims):
-        x, mn, mx = F.col(f"__x{i}"), F.col(f"__mn{i}"), F.col(f"__mx{i}")
-        scale = (mx - mn) / F.lit(255.0)
-        code = F.when(mx > mn, F.round((x - mn) / scale)).otherwise(F.lit(0.0))
-        xhat = mn + code * scale
-        err = (x - xhat) * (x - xhat)
-        ticks.append(F.round(err * F.lit(1e12)).cast("long")
-                     .alias(f"__t{i}"))
-    agg = enc.select(*ticks, *[F.col(f"__mn{i}") for i in range(dims)],
-                     *[F.col(f"__mx{i}") for i in range(dims)]) \
-        .groupBy(*[F.col(f"__mn{i}") for i in range(dims)],
-                 *[F.col(f"__mx{i}") for i in range(dims)]) \
-        .agg(F.count(F.lit(1)).alias("__n"),
-             *[F.sum(f"__t{i}").alias(f"__s{i}") for i in range(dims)])
-    cells = [F.struct(
-        F.lit(i).alias("i"), F.col("__n").cast("long").alias("n"),
-        F.col(f"__mn{i}").alias("lo"), F.col(f"__mx{i}").alias("hi"),
-        (F.col(f"__s{i}").cast("double") / F.col("__n").cast("double")
-         / F.lit(1e12)).alias("mse")) for i in range(dims)]
-    return (agg.select(F.explode(F.array(*cells)).alias("__c"))
+        x, mn, mx = f"__x{i}", f"__mn{i}", f"__mx{i}"
+        scale = f"(({mx} - {mn}) / 255.0D)"
+        code = (f"(case when {mx} > {mn} then "
+                f"round(({x} - {mn}) / {scale}) else 0.0D end)")
+        xhat = f"({mn} + {code} * {scale})"
+        err = f"(({x} - {xhat}) * ({x} - {xhat}))"
+        ticks.append(f"cast(round({err} * 1E12) as bigint) as __t{i}")
+    mnmx = ([f"__mn{i}" for i in range(dims)]
+            + [f"__mx{i}" for i in range(dims)])
+    agg = (enc.selectExpr(*ticks, *mnmx)
+           .groupBy(*mnmx)
+           .agg(F.expr("count(1)").alias("__n"),
+                *[F.expr(f"sum(__t{i})").alias(f"__s{i}")
+                  for i in range(dims)]))
+    cells = ", ".join(
+        f"named_struct('i', {i}, 'n', cast(__n as bigint), "
+        f"'lo', __mn{i}, 'hi', __mx{i}, "
+        f"'mse', cast(__s{i} as double) / cast(__n as double) / 1E12)"
+        for i in range(dims))
+    return (agg.selectExpr(f"explode(array({cells})) as __c")
             .select("__c.i", "__c.n", "__c.lo", "__c.hi", "__c.mse"))
 
 

@@ -56,6 +56,8 @@ COLLECT_ALLOWLIST = {
         (1, "k x d centroid table broadcast via literal array"),
     ("operators/vector.py", "kmeans_fit"):
         (1, "k x d centroid table per Lloyd pass"),
+    ("operators/vector.py", "_kmeans_update_sums"):
+        (1, "k x d centroid table into the partial-sum Arrow kernel"),
     ("operators/vector.py", "ivf_topk_trained"):
         (1, "nprobe-row probed-cell list"),
     ("operators/vector.py", "semantic_dedup"):
